@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-oriented defaults this engine assumes.
+  *
+  * The reference configures AQE + skew-join + 200 shuffle partitions on a
+  * 2-worker Glue cluster (`src/jobs/config/job_config.py:211-218` in
+  * /root/reference). We keep AQE (runtime coalescing, skew-join splitting,
+  * broadcast demotion) but size `spark.sql.shuffle.partitions` to the actual
+  * parallelism — on a real cluster this would be 2-3x total cores; the
+  * harness runs local[N].
+  */
+object GraftSession {
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+            appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

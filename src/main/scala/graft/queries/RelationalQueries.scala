@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Scan / projection / filter / join / aggregation operators from
+  * SURVEY.md §2.A-§2.D, re-expressed over the harness star schema.
+  *
+  * Each entry pairs a DataFrame program with DuckDB oracle SQL (identical
+  * column names — the driver sorts columns by name before hashing).
+  */
+object RelationalQueries {
+  import Det._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3: partition/predicate-pruned scan. The reference bakes pruning into
+    // path strings (transforms/silver/qualifying_transform.py:83-131); we
+    // declare the filter and let Catalyst push it to the parquet scan.
+    "a3_pruned_scan" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    },
+
+    // B1: typed projection — select + cast + alias column shaping
+    // (transforms/silver/laps_transform.py:289-320 pattern).
+    "b1_typed_projection" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("line_no"),
+        floor(col("l_quantity")).as("qty_floor"),
+        concat(col("l_returnflag"), lit("|"), col("l_linestatus")).as("flag_status"))
+    },
+
+    // B2+B3: null-key + range predicate quality filter
+    // (pitstops_transform.py:166-199 valid-duration pattern).
+    "b2_quality_filter" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_custkey").isNotNull &&
+          col("o_totalprice") > 0 && col("o_totalprice") < 400000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // B4: equality / isin filters (gold read-path filters,
+    // driver_performance_summary_race_transform.py:131-141).
+    "b4_isin_filter" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("F", "O") &&
+          col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    },
+
+    // B7: distinct projection (sessions extracted from per-driver rows,
+    // sessions_transform.py:135-160).
+    "b7_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // D1: groupBy min/max (SCD validity periods, scd.py:213-225).
+    "d1_group_minmax" -> { (s, dir) =>
+      Tables.orders(s, dir).groupBy("o_custkey").agg(
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"))
+    },
+
+    // D3: countDistinct (total_races per driver, common.py:526-546).
+    "d3_count_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_suppkey").agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    },
+
+    // D4: conditional count agg (finishers vs DNFs,
+    // race_weekend_insights_transform.py:363-388).
+    "d4_conditional_count" -> { (s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderpriority").agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_orderstatus") =!= "F", 1)).as("n_open"),
+        count(lit(1)).as("n_total"))
+    },
+
+    // D5: global stats agg (pit duration stats, pitstops_transform.py:306-330).
+    "d5_global_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // D6: groupBy sum then use as a grouped fact (team points per race,
+    // business_logic.py:459-483).
+    "d6_group_sum" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneySum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // C1: inner equi-join + aggregate (drivers⋈sessions, common.py:500-523).
+    // customer is small → broadcast, so the agg-side shuffle is the only
+    // exchange in the plan.
+    "c1_inner_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("segment_spend"))
+    },
+
+    // C2: 3-way inner join with broadcast dims (gold base join,
+    // championship_tracker_transform.py:213-258).
+    "c2_threeway_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("nation_spend"))
+    },
+
+    // C3/C4: left outer join + null-side detection (SCD change detect,
+    // scd.py:112-137; enrichment fillna, common.py:544-557).
+    "c3_left_join_fillna" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val oAgg = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+      c.join(oAgg, c("c_custkey") === oAgg("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"),
+          when(col("o_custkey").isNull, lit("NEW")).otherwise(lit("KNOWN")).as("status"))
+    },
+
+    // C5: join on a non-key attribute (weekend⋈winners on grand_prix_name,
+    // race_weekend_insights_transform.py:316-320). supplier⋈customer on
+    // nationkey is many-to-many just like the reference's single-year GP join.
+    "c5_nonkey_join" -> { (s, dir) =>
+      val sup = Tables.supplier(s, dir)
+      val c = Tables.customer(s, dir)
+      sup.join(c, sup("s_nationkey") === c("c_nationkey"), "inner")
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_local_customers"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a3_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'""".stripMargin,
+    "b1_typed_projection" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+        |l_returnflag || '|' || l_linestatus AS flag_status FROM lineitem""".stripMargin,
+    "b2_quality_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IS NOT NULL AND o_totalprice > 0 AND o_totalprice < 400000.0""".stripMargin,
+    "b4_isin_filter" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_orderstatus IN ('F','O') AND o_orderpriority = '1-URGENT'""".stripMargin,
+    "b7_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "d1_group_minmax" ->
+      """SELECT o_custkey, MIN(o_orderdate) AS first_order,
+        |MAX(o_orderdate) AS last_order, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "d3_count_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "d4_conditional_count" ->
+      """SELECT o_orderpriority,
+        |COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        |COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS n_open,
+        |COUNT(*) AS n_total FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "d5_global_stats" ->
+      s"""SELECT ${Det.sqlMoneySum("l_extendedprice")} AS sum_price,
+         |${Det.sqlMoneyAvg("l_extendedprice")} AS avg_price,
+         |MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         |COUNT(*) AS n_rows FROM lineitem""".stripMargin,
+    "d6_group_sum" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${Det.sqlMoneySum("l_extendedprice")} AS sum_price,
+         |${Det.sqlMoneySum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "c1_inner_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |${Det.sqlMoneySum("o_totalprice")} AS segment_spend
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+    "c2_threeway_join" ->
+      s"""SELECT n_name, COUNT(*) AS n_orders,
+         |${Det.sqlMoneySum("o_totalprice")} AS nation_spend
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+    "c3_left_join_fillna" ->
+      """SELECT c_custkey, COALESCE(cnt, 0) AS n_orders,
+        |CASE WHEN o_custkey IS NULL THEN 'NEW' ELSE 'KNOWN' END AS status
+        |FROM customer LEFT JOIN
+        |(SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) t
+        |ON c_custkey = o_custkey""".stripMargin,
+    "c5_nonkey_join" ->
+      """SELECT s_suppkey, COUNT(*) AS n_local_customers
+        |FROM supplier JOIN customer ON s_nationkey = c_nationkey
+        |GROUP BY s_suppkey""".stripMargin,
+  )
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle differential check.
+
+Dev tooling only (NOT part of the Scala library): runs each oracle SQL from
+Verify's oracle_sql.json in DuckDB over the same parquet tables, loads the
+Spark result parquet, sorts columns by name and rows by all columns, and
+compares values. Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return str(v)
+
+def to_rows(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(norm_cell(v) for v in r) for r in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = ds.dataset(f"{out_dir}/{name}").to_table().to_pandas()
+            duck_df = con.execute(sql).fetchdf()
+            sc, sr = to_rows(spark_df)
+            dc, dr = to_rows(duck_df)
+            if sc != dc:
+                print(f"FAIL {name}: columns spark={sc} duck={dc}")
+                n_fail += 1
+            elif len(sr) != len(dr):
+                print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+                n_fail += 1
+            elif sr != dr:
+                diffs = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+                print(f"FAIL {name}: {len(diffs)} differing rows; first at {diffs[0]}:")
+                print(f"  spark: {sr[diffs[0]]}")
+                print(f"  duck : {dr[diffs[0]]}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(sr)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
