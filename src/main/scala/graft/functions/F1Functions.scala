@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** The reference's scalar-function surface (SURVEY.md §2.H/§2.J),
+  * re-expressed as native, codegen-friendly Column expressions.
+  *
+  * The reference implements six of these as Python scalar UDFs
+  * (normalize GP name `common.py:24-55`, standardize team `common.py:58-142`,
+  * standardize status `common.py:265-318`, detect sprint
+  * `sessions_transform.py:277-316`, points/gap/made-q3 factories
+  * `business_logic.py:40-177` in /root/reference). Python UDFs break
+  * whole-stage codegen and serialize every row across the JVM/Python
+  * boundary; at 100 TB they are the single worst per-row cost, so everything
+  * here stays inside Catalyst.
+  */
+object F1Functions {
+
+  /** F1 points table: position 1..10 → 25,18,15,12,10,8,6,4,2,1 else 0
+    * (race_results_transform.py:157-171). Implemented as an array literal
+    * lookup — constant-folded, no branch ladder.
+    */
+  private val pointsLadder = Seq(25, 18, 15, 12, 10, 8, 6, 4, 2, 1)
+  def pointsForPosition(position: Column): Column =
+    when(position.between(1, 10),
+      element_at(typedLit(pointsLadder), position.cast("int")))
+      .otherwise(lit(0))
+
+  /** Sprint-race points: 8,7,6,5,4,3,2,1 for positions 1..8
+    * (business_logic.py:54-66). */
+  private val sprintLadder = Seq(8, 7, 6, 5, 4, 3, 2, 1)
+  def sprintPointsForPosition(position: Column): Column =
+    when(position.between(1, 8),
+      element_at(typedLit(sprintLadder), position.cast("int")))
+      .otherwise(lit(0))
+
+  /** Normalize an entity name the way the reference normalizes GP names
+    * (common.py:24-55): strip a known suffix, de-accent, lowercase,
+    * spaces→underscores. Suffixes are domain-specific; default matches the
+    * harness `part` names, F1 callers pass "Grand Prix".
+    */
+  def normalizeName(name: Column,
+                    suffixPattern: String = " (widget|bolt|gear)$"): Column =
+    regexp_replace(trim(lower(regexp_replace(name, suffixPattern, ""))),
+      " +", "_")
+
+  /** GP-name normalization with accent folding ('São Paulo Grand Prix' →
+    * 'sao_paulo'). `translate` covers the Latin-1 accents seen in F1
+    * calendars — no UDF, stays in codegen. */
+  private val accented = "àáâãäåèéêëìíîïòóôõöùúûüçñ"
+  private val plain    = "aaaaaaeeeeiiiiooooouuuucn"
+  def normalizeGrandPrix(name: Column): Column =
+    regexp_replace(
+      trim(translate(lower(regexp_replace(name, "(?i) grand prix$", "")),
+        accented, plain)),
+      "[^a-z0-9]+", "_")
+
+  /** Team-name standardization (common.py:58-142): strip corporate suffixes
+    * then map via substring keywords to canonical names. The ~30-entry
+    * mapping is a chained `when` over `contains` — broadcast-free,
+    * constant-folded. */
+  private val teamKeywords: Seq[(String, String)] = Seq(
+    "red bull" -> "Red Bull Racing", "mclaren" -> "McLaren",
+    "ferrari" -> "Ferrari", "mercedes" -> "Mercedes",
+    "aston martin" -> "Aston Martin", "alpine" -> "Alpine",
+    "williams" -> "Williams", "haas" -> "Haas",
+    "sauber" -> "Kick Sauber", "racing bulls" -> "Racing Bulls",
+    "alphatauri" -> "Racing Bulls", "alfa romeo" -> "Kick Sauber")
+  def standardizeTeam(team: Column): Column = {
+    val stripped = lower(regexp_replace(team,
+      "(?i) (f1|formula 1|formula one) team$|(?i) (racing|gp)$", ""))
+    teamKeywords.foldRight(initcap(trim(stripped))) {
+      case ((kw, canonical), acc) =>
+        when(stripped.contains(kw), lit(canonical)).otherwise(acc)
+    }
+  }
+
+  /** Race-status bucketing (common.py:265-318): keyword-match raw status
+    * into {Finished, DNF, DNS, DSQ, Retired, Withdrawn, Unknown}. */
+  def standardizeStatus(status: Column): Column = {
+    val s = lower(coalesce(status, lit("")))
+    when(s.rlike("finish|classified|\\+\\d+ lap"), "Finished")
+      .when(s.rlike("disqualif|dsq"), "DSQ")
+      .when(s.rlike("did not start|dns"), "DNS")
+      .when(s.rlike("withdraw"), "Withdrawn")
+      .when(s.rlike("retire"), "Retired")
+      .when(s.rlike("accident|collision|crash|engine|gearbox|hydraulic|" +
+        "mechanical|puncture|wheel|brake|suspension|electrical|dnf"), "DNF")
+      .otherwise("Unknown")
+  }
+
+  /** Priority bucketing used by the oracle harness — same rlike-ladder shape
+    * as [[standardizeStatus]] over the orders priority strings. */
+  def bucketPriority(priority: Column): Column = {
+    val p = lower(priority)
+    when(p.contains("urgent"), "CRITICAL")
+      .when(p.contains("high"), "ELEVATED")
+      .when(p.rlike("medium|low"), "ROUTINE")
+      .otherwise("UNKNOWN")
+  }
+
+  /** Sprint-weekend detection (sessions_transform.py:277-316): name mentions
+    * sprint, or the location is on the known sprint calendar. */
+  private val sprintLocations =
+    Seq("china", "miami", "austria", "united states", "brazil", "qatar",
+      "sao_paulo", "shanghai", "hard_rock")
+  def detectSprintWeekend(sessionName: Column, location: Column): Column =
+    lower(sessionName).contains("sprint") ||
+      lower(location).rlike(sprintLocations.mkString("|"))
+
+  /** Milliseconds → "M:SS.mmm" lap-time string (laps_transform.py:150-204).
+    * floor/%/lpad only — deterministic across engines for double input. */
+  def formatLapTimeMillis(ms: Column): Column =
+    concat(
+      floor(ms / 60000).cast("string"),
+      lit(":"),
+      lpad((floor(ms / 1000).cast(LongType) % 60).cast("string"), 2, "0"),
+      lit("."),
+      lpad((floor(ms).cast(LongType) % 1000).cast("string"), 3, "0"))
+
+  /** Milliseconds → "HH:MM:SS.mmm" race-time string
+    * (race_results_transform.py:194-248). */
+  def formatRaceTimeMillis(ms: Column): Column =
+    concat(
+      lpad(floor(ms / 3600000).cast(LongType).cast("string"), 2, "0"),
+      lit(":"),
+      lpad((floor(ms / 60000).cast(LongType) % 60).cast("string"), 2, "0"),
+      lit(":"),
+      lpad((floor(ms / 1000).cast(LongType) % 60).cast("string"), 2, "0"),
+      lit("."),
+      lpad((floor(ms).cast(LongType) % 1000).cast("string"), 3, "0"))
+
+  /** "1:23.456" / "23.456" / "1:23:45.678" → milliseconds
+    * (common.py:145-206). Split on ':' and fold Horner-style. */
+  def timeStringToMillis(t: Column): Column = {
+    val parts = split(t, ":")
+    val n = size(parts)
+    val sec = element_at(parts, n).cast("double")
+    val mins = when(n >= 2, element_at(parts, n - 1).cast("double"))
+      .otherwise(lit(0.0))
+    val hrs = when(n >= 3, element_at(parts, n - 2).cast("double"))
+      .otherwise(lit(0.0))
+    when(t.isNull || t === "", lit(null).cast(LongType))
+      .otherwise(round((hrs * 3600 + mins * 60 + sec) * 1000).cast(LongType))
+  }
+
+  /** Seconds (double) ↔ millis (long), reference's ×1000/÷1000-with-round
+    * convention (qualifying_transform.py:134-182). */
+  def secondsToMillis(sec: Column): Column = round(sec * 1000).cast(LongType)
+  def millisToSeconds(ms: Column): Column =
+    (ms / 1000.0).cast(DecimalType(10, 3))
+
+  /** Gap-to-pole clamp: negative gaps (data glitches) clamp to 0
+    * (business_logic.py:180-197). */
+  def gapClampNonNegative(gap: Column): Column =
+    when(gap < 0, lit(0.0)).otherwise(gap)
+
+  /** made_q3: qualifying position ≤ 10 (business_logic.py:309-322). */
+  def madeQ3(position: Column): Column =
+    position.isNotNull && position <= 10
+
+  /** positions_gained = grid − finish (business_logic.py:292-307). */
+  def positionsGained(grid: Column, finish: Column): Column =
+    when(grid.isNotNull && finish.isNotNull && grid > 0,
+      grid - finish).otherwise(lit(0))
+}

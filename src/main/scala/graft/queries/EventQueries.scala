@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Batch restatement of event-stream operations over the `events` table
+  * (SURVEY.md §2.I: the reference's "incremental" processing is scheduled
+  * batch; these show the same late-data-tolerant semantics expressed
+  * declaratively — the Structured Streaming variants live in
+  * graft.streaming).
+  *
+  * `events.ts` arrives as parquet TIMESTAMP(NANOS), surfaced as long nanos
+  * via `spark.sql.legacy.parquet.nanosAsLong` (DuckDB side: `epoch_ns`).
+  */
+object EventQueries {
+
+  private val gapUs = 30L * 60 * 1000000L // 30-min sessionization gap, µs
+
+  /** Event time as long microseconds — exact integer `div`, matching
+    * DuckDB's truncate-to-µs parquet read of TIMESTAMP(NANOS). */
+  private def tsUs = expr("ts div 1000")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-user inter-event gap via lag over event time.
+    "ev1_event_gaps" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(tsUs, col("event_id"))
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        ((tsUs - lag(tsUs, 1).over(w)) / lit(1000000.0))
+          .as("gap_seconds"))
+    },
+
+    // Gap-based sessionization: a new session starts after a 30-min silence;
+    // session index = running count of session starts. This is the batch
+    // equivalent of a session window — at scale it is one shuffle on
+    // user_id, then two sorted-window passes over co-partitioned data.
+    "ev2_sessionize" -> { (s, dir) =>
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(tsUs, col("event_id"))
+      val running = byTime.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("is_new_session",
+          when(tsUs - lag(tsUs, 1).over(byTime) > gapUs ||
+            lag(tsUs, 1).over(byTime).isNull, 1L).otherwise(0L))
+        .select(
+          col("user_id"), col("event_id"),
+          sum(col("is_new_session")).over(running).as("session_seq"))
+    },
+
+    // Per-user/event-type pivot-style conditional aggregation.
+    "ev3_type_counts" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy("user_id").agg(
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        Det.moneySum(col("value")).as("total_value"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ev1_event_gaps" ->
+      """SELECT user_id, event_id, event_type,
+        |(epoch_us(ts) - LAG(epoch_us(ts), 1)
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) / CAST(1000000 AS DOUBLE) AS gap_seconds
+        |FROM events""".stripMargin,
+    "ev2_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+        |      OR LAG(epoch_us(ts), 1) OVER w IS NULL
+        |      THEN 1 ELSE 0 END AS is_new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id,
+        |  CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM flagged""".stripMargin,
+    "ev3_type_counts" ->
+      s"""SELECT user_id,
+         |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+         |COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         |COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+         |COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+         |${Det.sqlMoneySum("value")} AS total_value
+         |FROM events GROUP BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.F1Functions
+
+/** Scalar-function operators from SURVEY.md §2.H / §2.J, exercised through
+  * the graft function library so the oracle check covers the same Column
+  * expressions the F1 transforms use.
+  *
+  * The reference implements several of these as Python scalar UDFs
+  * (`src/jobs/utils/transformations/common.py:24-142,265-318` in
+  * /root/reference); here they are native, codegen-friendly Column
+  * expressions — no UDF in the hot path.
+  */
+object ScalarQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // H1: when/otherwise points-table ladder (race_results_transform.py:
+    // 157-171) keyed on line number 1..7 standing in for finish position.
+    "h1_points_ladder" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        F1Functions.pointsForPosition(col("l_linenumber")).as("points"))
+    },
+
+    // H2: array size / element_at parsing with short-array guard
+    // (qualifying duration [Q1,Q2,Q3] parse, qualifying_transform.py:134-182).
+    "h2_array_parse" -> { (s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        (element_at(col("embedding"), 1).cast("double") * 1000).as("e1_scaled"),
+        when(size(col("embedding")) >= 2,
+          element_at(col("embedding"), 2).cast("double") * 1000).as("e2_scaled"))
+    },
+
+    // H3: coalesce ladder (best quali time = coalesce(Q3,Q2,Q1),
+    // qualifying_transform.py:172-182).
+    "h3_coalesce" -> { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_resolved"))
+    },
+
+    // H4: time arithmetic — epoch seconds, day diff (session duration
+    // minutes, sessions_transform.py:224-229).
+    "h4_time_arith" -> { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("bigint").as("days_since_1995"))
+    },
+
+    // H4b: millis → "M:SS.mmm" lap-time formatting
+    // (laps_transform.py:150-204), on the price column read as millis.
+    "h4_lap_format" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        F1Functions.formatLapTimeMillis(col("l_extendedprice"))
+          .as("lap_time_str"))
+    },
+
+    // H5: grand-prix-style name normalization (strip suffix, lowercase,
+    // underscores — common.py:24-55), native instead of a Python UDF.
+    "h5_name_normalize" -> { (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        F1Functions.normalizeName(col("p_name")).as("name_norm"))
+    },
+
+    // H7: keyword-bucket status standardization via rlike ladder
+    // (common.py:265-318), on order priority strings.
+    "h7_status_ladder" -> { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        F1Functions.bucketPriority(col("o_orderpriority")).as("priority_bucket"))
+    },
+
+    // H11: regexp_extract from a JSON-ish payload (partition value recovery
+    // pattern, sessions_transform.py:115-125).
+    "h11_regexp_extract" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint")
+          .as("k_value"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "h1_points_ladder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CASE l_linenumber WHEN 1 THEN 25 WHEN 2 THEN 18 WHEN 3 THEN 15
+        |  WHEN 4 THEN 12 WHEN 5 THEN 10 WHEN 6 THEN 8 WHEN 7 THEN 6
+        |  WHEN 8 THEN 4 WHEN 9 THEN 2 WHEN 10 THEN 1 ELSE 0 END AS points
+        |FROM lineitem""".stripMargin,
+    "h2_array_parse" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |CAST(embedding[1] AS DOUBLE) * 1000 AS e1_scaled,
+        |CASE WHEN len(embedding) >= 2
+        |  THEN CAST(embedding[2] AS DOUBLE) * 1000 END AS e2_scaled
+        |FROM embeddings""".stripMargin,
+    "h3_coalesce" ->
+      """SELECT o_orderkey,
+        |COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_resolved
+        |FROM orders""".stripMargin,
+    "h4_time_arith" ->
+      """SELECT o_orderkey,
+        |CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_1995
+        |FROM orders""".stripMargin,
+    "h4_lap_format" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(FLOOR(l_extendedprice / 60000) AS BIGINT) || ':' ||
+        |lpad(CAST(CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) % 60 AS VARCHAR), 2, '0') || '.' ||
+        |lpad(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) % 1000 AS VARCHAR), 3, '0') AS lap_time_str
+        |FROM lineitem""".stripMargin,
+    "h5_name_normalize" ->
+      """SELECT p_partkey,
+        |regexp_replace(trim(lower(regexp_replace(p_name, ' (widget|bolt|gear)$', ''))), ' +', '_', 'g') AS name_norm
+        |FROM part""".stripMargin,
+    "h7_status_ladder" ->
+      """SELECT o_orderkey,
+        |CASE WHEN lower(o_orderpriority) LIKE '%urgent%' THEN 'CRITICAL'
+        |     WHEN lower(o_orderpriority) LIKE '%high%' THEN 'ELEVATED'
+        |     WHEN lower(o_orderpriority) SIMILAR TO '.*(medium|low).*' THEN 'ROUTINE'
+        |     ELSE 'UNKNOWN' END AS priority_bucket
+        |FROM orders""".stripMargin,
+    "h11_regexp_extract" ->
+      """SELECT event_id,
+        |CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_value
+        |FROM events""".stripMargin,
+  )
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Window / sort / set operators from SURVEY.md §2.E-§2.G.
+  *
+  * These are the analytical core of the reference's Gold layer
+  * (`utils/analytics/window_functions.py` in /root/reference): running
+  * totals, ranks with explicit tie-breaks, gap-to-leader, lag/lead,
+  * sliding frames. Rank-ish outputs are cast to bigint so Spark (int) and
+  * DuckDB (int64) schemas line up; windowed float sums use the exact
+  * decimal-sum→double idiom from [[Det]].
+  */
+object WindowQueries {
+
+  private val moneyDec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1: min over unbounded partition → gap to best (gap_to_pole,
+    // qualifying_transform.py:185-217).
+    "e1_gap_to_min" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") - min(col("l_extendedprice")).over(w))
+          .as("gap_to_cheapest"))
+    },
+
+    // E2: min over two partition scopes → boolean flags (is_personal_best /
+    // is_fastest_lap, laps_transform.py:207-253).
+    "e2_best_flags" -> { (s, dir) =>
+      val perSupp = Window.partitionBy(col("l_suppkey"))
+      val perPart = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") === min(col("l_extendedprice")).over(perSupp))
+          .as("is_supplier_best"),
+        (col("l_extendedprice") === min(col("l_extendedprice")).over(perPart))
+          .as("is_part_best"))
+    },
+
+    // E3: row_number tie-break dedupe (fastest-lap tie resolution,
+    // laps_transform.py:255-269).
+    "e3_rownum_dedupe" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+
+    // E4: dense_rank round number (chronological race index per year,
+    // championship_tracker_transform.py:251-258).
+    "e4_dense_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(year(col("o_orderdate")))
+        .orderBy(col("o_orderdate"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("order_year"),
+        dense_rank().over(w).cast("bigint").as("round_number"))
+    },
+
+    // E5: rank with explicit tie-break (championship position,
+    // window_functions.py:281-308).
+    "e5_rank_tiebreak" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_custkey").asc)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderdate"), col("o_custkey"),
+        rank().over(w).cast("bigint").as("day_rank"))
+    },
+
+    // E6: running total over rows frame (cumulative season points,
+    // window_functions.py:58-86,204-243).
+    "e6_running_sum" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(moneyDec)).over(w).cast("double")
+          .as("running_spend"))
+    },
+
+    // E7: running average (season avg qualifying position,
+    // window_functions.py:245-279). Expressed as exact running sum / running
+    // count so both engines do the identical double division.
+    "e7_running_avg" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        (sum(col("o_totalprice").cast(moneyDec)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("running_avg_spend"))
+    },
+
+    // E8: max over partition → gap to leader (points_gap_to_leader,
+    // window_functions.py:310-338).
+    "e8_gap_to_leader" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderdate"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderdate"),
+        (max(col("o_totalprice")).over(w) - col("o_totalprice"))
+          .as("gap_to_day_max"))
+    },
+
+    // E9: lag/lead ± delta (prev/next race comparison,
+    // window_functions.py:394-437; lead closes SCD periods scd.py:227-239).
+    "e9_lag_lead" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_orderdate"), 1).over(w).as("next_order_date"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+          .as("price_delta"))
+    },
+
+    // E10: sliding rows frame (recent-form last-N window,
+    // window_functions.py:160-183).
+    "e10_sliding_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast(moneyDec)).over(w).cast("double")
+          .as("qty_last3"))
+    },
+
+    // E11: windowed group aggregation + share-of-group (team points window,
+    // window_functions.py:340-392).
+    "e11_group_share" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+      val total = sum(col("l_extendedprice").cast(moneyDec)).over(w)
+        .cast("double")
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        total.as("order_total"),
+        (col("l_extendedprice") / total).as("line_share"))
+    },
+
+    // F1: orderBy desc + limit 1 with explicit tie-break (latest-GP
+    // detection, f1_silver_to_gold_transform.py:120-159).
+    "f1_latest_row" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    },
+
+    // F2: argmax per group (fastest-lap driver / biggest mover,
+    // business_logic.py:746-811) via row_number=1 for determinism.
+    "f2_argmax_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("best_order"),
+          col("o_totalprice").as("best_price"))
+    },
+
+    // F5: global top-k (TakeOrderedAndProject — no full sort at scale).
+    "f5_global_topk" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // G1: union all of two keyed counts (SURVEY §2.G — free via df.union).
+    "g1_union_all" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          lit("customer").as("side"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_nationkey").cast("int").as("nationkey"),
+          lit("supplier").as("side"))
+      c.union(sup).groupBy("nationkey", "side")
+        .agg(count(lit(1)).as("n_rows"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "e1_gap_to_min" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice - MIN(l_extendedprice) OVER (PARTITION BY l_orderkey) AS gap_to_cheapest
+        |FROM lineitem""".stripMargin,
+    "e2_best_flags" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice = MIN(l_extendedprice) OVER (PARTITION BY l_suppkey) AS is_supplier_best,
+        |l_extendedprice = MIN(l_extendedprice) OVER (PARTITION BY l_partkey) AS is_part_best
+        |FROM lineitem""".stripMargin,
+    "e3_rownum_dedupe" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t WHERE rn = 1""".stripMargin,
+    "e4_dense_rank" ->
+      """SELECT o_orderkey,
+        |CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+        |CAST(DENSE_RANK() OVER (PARTITION BY YEAR(o_orderdate)
+        |  ORDER BY o_orderdate) AS BIGINT) AS round_number
+        |FROM orders""".stripMargin,
+    "e5_rank_tiebreak" ->
+      """SELECT o_orderkey, o_orderdate, o_custkey,
+        |CAST(RANK() OVER (PARTITION BY o_orderdate
+        |  ORDER BY o_totalprice DESC, o_custkey ASC) AS BIGINT) AS day_rank
+        |FROM orders""".stripMargin,
+    "e6_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+    "e7_running_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+        |  COUNT(*) OVER w AS running_avg_spend
+        |FROM orders WINDOW w AS (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "e8_gap_to_leader" ->
+      """SELECT o_orderkey, o_orderdate,
+        |MAX(o_totalprice) OVER (PARTITION BY o_orderdate) - o_totalprice AS gap_to_day_max
+        |FROM orders""".stripMargin,
+    "e9_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |LAG(o_totalprice, 1) OVER w AS prev_price,
+        |LEAD(o_orderdate, 1) OVER w AS next_order_date,
+        |o_totalprice - LAG(o_totalprice, 1) OVER w AS price_delta
+        |FROM orders WINDOW w AS (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "e10_sliding_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_last3
+        |FROM lineitem""".stripMargin,
+    "e11_group_share" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS order_total,
+        |l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS line_share
+        |FROM lineitem WINDOW w AS (PARTITION BY l_orderkey)""".stripMargin,
+    "f1_latest_row" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+    "f2_argmax_per_group" ->
+      """SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1""".stripMargin,
+    "f5_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "g1_union_all" ->
+      """SELECT nationkey, side, COUNT(*) AS n_rows FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey, 'supplier' AS side FROM supplier
+        |) t GROUP BY nationkey, side""".stripMargin,
+  )
+}
