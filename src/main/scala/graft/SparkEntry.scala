@@ -47,7 +47,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.WindowQueries.queries ++
       graft.queries.ScalarQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.TrainingDataQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.WindowQueries.oracleSql ++
       graft.queries.ScalarQueries.oracleSql ++
-      graft.queries.EventQueries.oracleSql
+      graft.queries.EventQueries.oracleSql ++
+      graft.queries.TrainingDataQueries.oracleSql
 }

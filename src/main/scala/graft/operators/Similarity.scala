@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Three tiers, trading recall for scan cost:
+  *  - bruteForceTopK: exact cosine over a broadcast query set — the
+  *    baseline; scales linearly in corpus size, constant in query count.
+  *  - lshTopK: random-hyperplane LSH — corpus is bucketed by sign
+  *    pattern; only same-bucket pairs are scored. The bucketing is one
+  *    narrow projection; the join shuffles each side once on the bucket.
+  *  - ivfTopK: inverted-file (IVF) — k-means-ish coarse centroids assign
+  *    each vector to a cell; queries probe the nearest `nprobe` cells.
+  *    At 100 TB the cell assignment is written at ingest (partition
+  *    column), so a query scans only `nprobe/ncells` of the data.
+  *
+  * All arithmetic is element-wise fold over the array column — codegen'd,
+  * no UDF, no explode of the 64-dim vectors.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * element order (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Quantized dot product: elements scaled by 1e6 and floored to long, so
+    * the sum is exact integer arithmetic — order-independent and
+    * reproducible by any engine (used by the oracle harness). */
+  def dotQuantized(a: Column, b: Column, scale: Double = 1e6): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * scale).cast("long") *
+          floor(y.cast("double") * scale).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set,
+    * score every corpus vector, keep top k per query via partitioned
+    * row_number. One broadcast join + one shuffle on query_id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val scored = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+      .crossJoin(q)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rk")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (seed, plane j,
+    * dim i) in [-0.5, 0.5): md5-derived, so signatures are reproducible. */
+  private def planeComponent(seed: Int, plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat_ws("_", lit(seed), lit(plane), dim)), 1, 6),
+      16, 10).cast("double") / lit(0xFFFFFF.toDouble)) - 0.5
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed into a
+    * long. Same-signature vectors are cosine-close with high probability.
+    */
+  def lshSignature(vec: Column, planes: Int = 12, seed: Int = 42): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, dims, (v, i) =>
+          v.cast("double") * planeComponent(seed, p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: join corpus and queries on the signature
+    * bucket, score only collisions. Recall is tunable via `planes`
+    * (fewer planes → bigger buckets → higher recall, more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cSig = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("c_vec"), lshSignature(col(vecCol), planes).as("sig"))
+    val qSig = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), lshSignature(col(vecCol), planes).as("sig")))
+    val scored = cSig.join(qSig, "sig")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rk")
+  }
+
+  /** IVF coarse assignment: nearest of `ncells` deterministic pseudo-random
+    * centroids (same md5 family). Returns the input plus a `cell` column —
+    * at ingest time this becomes a partition column so queries prune cells.
+    */
+  def ivfAssign(df: DataFrame, ncells: Int = 16, seed: Int = 7,
+                vecCol: String = "embedding"): DataFrame = {
+    val vec = col(vecCol)
+    val dims = sequence(lit(0), size(vec) - 1)
+    val scores = (0 until ncells).map { cCell =>
+      aggregate(
+        zip_with(vec, dims, (v, i) =>
+          v.cast("double") * planeComponent(seed, cCell, i)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val best = scores.reduce((a, b) => greatest(a, b))
+    val cell = scores.zipWithIndex.foldRight(lit(-1)) {
+      case ((s, idx), acc) => when(s === best, lit(idx)).otherwise(acc)
+    }
+    df.withColumn("cell", cell)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
+    * itself and keep pairs above `threshold`. */
+  def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95,
+                    planes: Int = 8, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val l = sig.as("l")
+    val r = sig.as("r")
+    l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        cosine(col("l.vec"), col("r.vec")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. All are narrow (per-row) native Column expressions —
+  * no shuffle, no UDF, fully inside whole-stage codegen, so they stream
+  * over 100 TB of documents at parquet-scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("bigint"))
+
+  /** BPE-ish token count: runs of word chars, digits, or single
+    * punctuation — a cheap, deterministic proxy for subword tokenizers. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("bigint")
+
+  /** Mean characters per token — length/quality signal. */
+  def avgTokenLength(text: Column): Column =
+    length(trim(text)).cast("double") /
+      greatest(tokenCount(text), lit(1L)).cast("double")
+
+  private val stopwordPattern =
+    "\\b(the|a|an|of|and|in|to|is|it|for|on|with|as|at|by|from)\\b"
+
+  /** Stopword ratio: fraction of tokens that are common English stopwords.
+    * High-quality running text sits around 0.2-0.5; keyword spam ≈ 0. */
+  def stopwordRatio(text: Column): Column =
+    regexp_count(lower(text), lit(stopwordPattern)).cast("double") /
+      greatest(tokenCount(text), lit(1L)).cast("double")
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: rewards running-text length,
+    * stopword presence, and sane punctuation density. Mirrors the
+    * length/punct/stopword heuristics of C4-style corpus filters. */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    (lengthTerm * 0.4 + stopTerm * 0.4 + (lit(1.0) - punctPenalty) * 0.2)
+  }
+
+  /** Language-marker scores: count of high-frequency function words per
+    * language. A real system would use char-n-gram profiles; the marker-word
+    * argmax is deterministic, SQL-expressible, and right-shaped (per-language
+    * score vector → argmax with a fixed tie order). */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|that|it|was)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|que|pour)\\b",
+    "es" -> "\\b(el|la|los|las|es|una|que|por)\\b")
+
+  def langScore(text: Column, lang: String): Column = {
+    val pat = langMarkers.toMap.getOrElse(lang,
+      sys.error(s"no marker profile for lang $lang"))
+    regexp_count(lower(text), lit(pat)).cast("bigint")
+  }
+
+  /** Argmax language with fixed tie order en>de>fr>es; "und" (undetermined)
+    * when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight builds an en-first when-ladder: earlier entries win ties.
+    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Canonical text normalization shared by fingerprint + dedup: lowercase,
+    * collapse whitespace, strip leading/trailing space. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-content fingerprint: md5 of normalized text. md5 (not xxhash) so
+    * external engines can reproduce the key; at 100 TB the fingerprint is
+    * computed once per document in the scan stage and reused by dedup. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** 64-bit rolling-hash-style fingerprint derived from the md5 hex —
+    * cheap joinable key (first 15 hex chars → bigint, always positive). */
+  def fingerprint64(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 15), 16, 10).cast("bigint")
+
+  /** Full per-document text-stats projection. */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpeish", bpeishTokenCount(t))
+      .withColumn("avg_token_len", avgTokenLength(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup, text analysis, similarity
+  * search) exposed to the oracle harness over `documents` / `embeddings`.
+  *
+  * Where the computation is reproducible in ANSI-ish SQL (md5-derived hash
+  * family, exact integer quantization) the entry has a full DuckDB oracle —
+  * including the MinHash-LSH pipeline. Float-native variants (LSH cosine,
+  * SimHash) are exercised as rows-only checks.
+  */
+object TrainingDataQueries {
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val stopPat =
+    "\\b(the|a|an|of|and|in|to|is|it|for|on|with|as|at|by|from)\\b"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace + BPE-ish regex + mean token length.
+    "tx1_token_stats" -> { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(t).as("n_tokens_bpeish"),
+        TextAnalysis.avgTokenLength(t).as("avg_token_len"))
+    },
+
+    // Quality scoring: stopword/punct ratios + composite score.
+    "tx2_quality" -> { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.qualityScore(t).as("quality_score"))
+    },
+
+    // Language ID: per-language marker scores + argmax with fixed ties.
+    "tx3_lang_id" -> { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langScore(t, "en").as("s_en"),
+        TextAnalysis.langScore(t, "de").as("s_de"),
+        TextAnalysis.langScore(t, "fr").as("s_fr"),
+        TextAnalysis.langScore(t, "es").as("s_es"),
+        TextAnalysis.langId(t).as("lang_id"))
+    },
+
+    // Document fingerprinting: md5 of normalized text + 64-bit key.
+    "tx4_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprint64(col("text")).as("fp64"))
+    },
+
+    // Exact dedup: group by content fingerprint, keep lowest doc_id.
+    "dd1_exact_dedup" -> { (s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir))
+    },
+
+    // MinHash + LSH near-dup: banded signature buckets → candidate pairs →
+    // exact n-gram Jaccard ≥ 0.5.
+    "dd2_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashDedup(Tables.documents(s, dir), threshold = 0.5)
+    },
+
+    // SimHash near-dup candidates (rows-only check: 60-bit band SQL oracle
+    // would be impractical).
+    "dd3_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 12)
+    },
+
+    // Brute-force cosine top-10 for query vectors vec_id<5, on exact
+    // integer-quantized embeddings (reproducible cross-engine).
+    "sim1_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val quant = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+      val withNorm = quant.withColumn("nrm",
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, v) => a + v))
+      val q = broadcast(withNorm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("nrm").as("q_nrm")))
+      val scored = withNorm.select(col("vec_id").as("corpus_id"),
+          col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+        .crossJoin(q)
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          (aggregate(zip_with(col("q_qv"), col("c_qv"), (a, b) => a * b),
+            lit(0L), (a, v) => a + v).cast("double") /
+            (sqrt(col("q_nrm").cast("double")) *
+              sqrt(col("c_nrm").cast("double")))).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 10)
+    },
+
+    // LSH-bucketed embedding near-dup (float cosine; rows-only check).
+    "sim2_lsh_neardup" -> { (s, dir) =>
+      Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.2,
+        planes = 4)
+    },
+  )
+
+  /** 16 minhash components as DuckDB SQL list entries. */
+  private def minhashSigSql: String =
+    (0 until 16).map { seed =>
+      s"list_min(list_transform(shingles, s -> CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT)))"
+    }.mkString("[", ",\n      ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "tx1_token_stats" ->
+      s"""SELECT doc_id,
+         |CASE WHEN length(trim(text)) = 0 THEN 0
+         |  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpeish,
+         |CAST(length(trim(text)) AS DOUBLE) / CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+         |  ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE) AS avg_token_len
+         |FROM documents""".stripMargin,
+    "tx2_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+         |  len(regexp_extract_all(lower(text), '$stopPat')) AS nsw,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np
+         |  FROM documents)
+         |SELECT doc_id,
+         |CAST(nsw AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE) AS stopword_ratio,
+         |CAST(np AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         |least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |least(CAST(nsw AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE) * 4.0, 1.0) * 0.4 +
+         |(1.0 - least(CAST(np AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.2 AS quality_score
+         |FROM t""".stripMargin,
+    "tx3_lang_id" ->
+      """WITH sc AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|it|was)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que|pour)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|una|que|por)\b')) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es,
+        |CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+        |     WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+        |     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+        |     WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+        |     ELSE 'und' END AS lang_id
+        |FROM sc""".stripMargin,
+    "tx4_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp,
+         |CAST(('0x' || substr(md5($normSql), 1, 15)) AS BIGINT) AS fp64
+         |FROM documents""".stripMargin,
+    "dd1_exact_dedup" ->
+      s"""SELECT md5($normSql) AS fp, MIN(doc_id) AS keep_id,
+         |COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dd2_minhash_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 2),
+         |      i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
+         |  FROM docs),
+         |sig AS (
+         |  SELECT id, shingles, $minhashSigSql AS sig FROM sh),
+         |banded AS (
+         |  SELECT id, b.b AS band,
+         |    array_to_string(list_transform(sig[b.b*4+1:b.b*4+4], x -> CAST(x AS VARCHAR)), '_') AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+         |cands AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+         |shd AS (SELECT id, list_distinct(shingles) AS ds FROM sh),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(a.ds, b.ds))) AS DOUBLE) AS jaccard
+         |  FROM cands c JOIN shd a ON c.id_a = a.id JOIN shd b ON c.id_b = b.id)
+         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "sim1_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos_sim
+        |  FROM n q, n c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, corpus_id, cos_sim, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, corpus_id ASC) AS BIGINT) AS rk FROM p) t
+        |WHERE rk <= 10""".stripMargin,
+  )
+}
