@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.WindowQueries.queries ++
       graft.queries.ScalarQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.TrainingDataQueries.queries
+      graft.queries.TrainingDataQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.WindowQueries.oracleSql ++
       graft.queries.ScalarQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
-      graft.queries.TrainingDataQueries.oracleSql
+      graft.queries.TrainingDataQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }
