@@ -1,0 +1,79 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Partitioned Parquet write layer — the plain-Parquet re-statement of the
+  * reference's Iceberg sinks (`utils/transformations/common.py:321-415` in
+  * /root/reference):
+  *
+  *  - overwrite:          replace the whole table (A8)
+  *  - overwritePartitions: dynamic partition overwrite — replace only the
+  *                         partitions present in the batch (A9); the
+  *                         idempotent re-run primitive for both
+  *                         HISTORICAL (year) and INCREMENTAL (year+gp)
+  *  - append:             blind append (A10)
+  *
+  * Columns are reordered to the declared schema before writing (insertInto
+  * is positional; a drifted select order must not corrupt tables —
+  * SURVEY.md §7.3 hard part #2).
+  */
+object ParquetSink {
+
+  /** Reorder df columns to `schema` order (names must all exist). */
+  def conform(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fieldNames.map(df.col).toIndexedSeq: _*)
+
+  def overwrite(df: DataFrame, path: String,
+                partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+    df
+  }
+
+  /** Dynamic partition overwrite: only partitions present in `df` are
+    * replaced. Requires `spark.sql.sources.partitionOverwriteMode=dynamic`
+    * (set here per-write, not globally, so callers can't forget). */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): DataFrame = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .parquet(path)
+    df
+  }
+
+  def append(df: DataFrame, path: String,
+             partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+    df
+  }
+
+  /** Atomic full-table rewrite: write to a temp sibling dir, then swap.
+    * The SCD2 merge (read-modify-rewrite) needs this because the new table
+    * is derived from the old one — overwriting in place would read and
+    * clobber the same files. */
+  def atomicRewrite(df: DataFrame, path: String): Unit = {
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + ".__tmp__")
+    val bak = Paths.get(path + ".__old__")
+    deleteRecursive(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    deleteRecursive(bak)
+    if (Files.exists(target))
+      Files.move(target, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(bak)
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

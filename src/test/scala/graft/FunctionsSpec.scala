@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.F1Functions._
+
+/** Golden pairs from the reference docstrings (FIXTURES.md). */
+class FunctionsSpec extends SparkSpec {
+
+  private def eval(c: Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  test("normalizeGrandPrix strips suffix, accents, case") {
+    assert(eval(normalizeGrandPrix(lit("Bahrain Grand Prix"))) == "bahrain")
+    assert(eval(normalizeGrandPrix(lit("São Paulo Grand Prix"))) == "sao_paulo")
+    assert(eval(normalizeGrandPrix(lit("Emilia Romagna Grand Prix"))) ==
+      "emilia_romagna")
+  }
+
+  test("standardizeTeam maps long forms to canonical names") {
+    assert(eval(standardizeTeam(lit("Oracle Red Bull Racing"))) ==
+      "Red Bull Racing")
+    assert(eval(standardizeTeam(lit("Scuderia Ferrari"))) == "Ferrari")
+    assert(eval(standardizeTeam(lit("Mercedes-AMG PETRONAS F1 Team"))) ==
+      "Mercedes")
+  }
+
+  test("points ladder: 25-18-15..., 0 beyond P10 and for null") {
+    val expected = Map(1 -> 25, 2 -> 18, 3 -> 15, 4 -> 12, 5 -> 10, 6 -> 8,
+      7 -> 6, 8 -> 4, 9 -> 2, 10 -> 1, 11 -> 0, 20 -> 0)
+    expected.foreach { case (pos, pts) =>
+      assert(eval(pointsForPosition(lit(pos))) == pts, s"pos $pos")
+    }
+    assert(eval(pointsForPosition(lit(null).cast("int"))) == 0)
+  }
+
+  test("status buckets") {
+    assert(eval(standardizeStatus(lit("Engine"))) == "DNF")
+    assert(eval(standardizeStatus(lit("Collision"))) == "DNF")
+    assert(eval(standardizeStatus(lit("disqualified"))) == "DSQ")
+    assert(eval(standardizeStatus(lit("retired"))) == "Retired")
+    assert(eval(standardizeStatus(lit("+2 laps"))) == "Finished")
+    assert(eval(standardizeStatus(lit(null).cast("string"))) == "Unknown")
+  }
+
+  test("time string to millis") {
+    assert(eval(timeStringToMillis(lit("1:23.456"))) == 83456L)
+    assert(eval(timeStringToMillis(lit("23.456"))) == 23456L)
+    assert(eval(timeStringToMillis(lit("1:23:45.678"))) == 5025678L)
+  }
+
+  test("time formatting round-trips") {
+    assert(eval(formatLapTimeMillis(lit(83456.0))) == "1:23.456")
+    assert(eval(formatRaceTimeMillis(lit(5025678.0))) == "01:23:45.678")
+  }
+
+  test("madeQ3 / positionsGained") {
+    assert(eval(madeQ3(lit(10))) == true)
+    assert(eval(madeQ3(lit(11))) == false)
+    assert(eval(positionsGained(lit(5), lit(2))) == 3)
+    assert(eval(positionsGained(lit(null).cast("int"), lit(2))) == 0)
+  }
+}

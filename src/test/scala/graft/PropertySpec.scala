@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.gold.WindowOps
+
+/** Property tests (SURVEY.md §5): invariants of the window helpers under
+  * random seasons. Points are integer-valued doubles so sums are exact.
+  */
+object WindowProps extends Properties("WindowOps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+
+  private val seasonGen: Gen[List[(Int, Int, Int)]] = for {
+    nDrivers <- Gen.choose(1, 5)
+    nRaces <- Gen.choose(1, 6)
+    points <- Gen.listOfN(nDrivers * nRaces, Gen.choose(0, 25))
+  } yield {
+    for {
+      d <- (1 to nDrivers).toList
+      r <- (1 to nRaces).toList
+    } yield (d, r, points((d - 1) * nRaces + (r - 1)))
+  }
+
+  property("running total at season end equals groupBy sum") =
+    Prop.forAll(seasonGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("driver", "race", "points")
+        .withColumn("pts", col("points").cast("double"))
+      val running = df.withColumn("total",
+        WindowOps.runningTotal(col("pts"), Seq(col("driver")),
+          Seq(col("race"))))
+      val finals = running.groupBy("driver")
+        .agg(max_by(col("total"), col("race")).as("final"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val direct = df.groupBy("driver").agg(sum("pts").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      finals == direct
+    }
+
+  property("gap to leader is non-negative and zero for the max") =
+    Prop.forAll(seasonGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("driver", "race", "points")
+      val gapped = df.withColumn("gap",
+        WindowOps.gapToLeader(col("points").cast("double"),
+          Seq(col("race")))).collect()
+      gapped.forall(_.getAs[Double]("gap") >= 0) &&
+        gapped.groupBy(_.getAs[Int]("race"))
+          .forall { case (_, rs) => rs.exists(_.getAs[Double]("gap") == 0.0) }
+    }
+
+  property("rank is invariant under input row permutation") =
+    Prop.forAll(seasonGen, Gen.long) { (rows, seed) =>
+      import spark.implicits._
+      def ranks(input: List[(Int, Int, Int)]): Map[(Int, Int), Int] =
+        input.toDF("driver", "race", "points")
+          .withColumn("rk", WindowOps.rankWithTieBreak(Seq(col("race")),
+            col("points").cast("double"), col("driver")).cast("int"))
+          .collect()
+          .map(r => (r.getAs[Int]("driver"), r.getAs[Int]("race")) ->
+            r.getAs[Int]("rk")).toMap
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      ranks(rows) == ranks(shuffled)
+    }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Scd2
+
+class Scd2Spec extends SparkSpec {
+  import graft.core.F1Fixtures._
+
+  private def obsDF(obs: Seq[DriverObs]) = {
+    import spark.implicits._
+    obs.toDF()
+  }
+
+  test("historical build: one row per stint, closed by successor") {
+    val dim = Scd2.buildHistorical(obsDF(driverObs)).cache()
+    assert(dim.count() == 3) // #1 x1, #44 x2
+    val d44 = dim.filter(col("driver_number") === 44)
+      .orderBy("valid_from").collect()
+    assert(d44.length == 2)
+    val (merc, ferrari) = (d44(0), d44(1))
+    assert(merc.getAs[String]("team_name") ==
+      "Mercedes-AMG PETRONAS F1 Team")
+    assert(merc.getAs[java.sql.Timestamp]("valid_to") ==
+      ferrari.getAs[java.sql.Timestamp]("valid_from"))
+    assert(!merc.getAs[Boolean]("is_current"))
+    assert(ferrari.getAs[Boolean]("is_current"))
+    assert(ferrari.isNullAt(ferrari.fieldIndex("valid_to")))
+    // career total spans stints
+    assert(d44.forall(_.getAs[Int]("total_races") == 3))
+  }
+
+  test("incremental merge: new driver, team change, no change, re-run") {
+    val existing = Scd2.buildHistorical(
+      obsDF(driverObs.filter(_.session_key < 300))).cache()
+    assert(existing.count() == 2)
+
+    val batch = obsDF(driverObs.filter(_.session_key >= 300) :+
+      DriverObs(81, "McLaren Formula 1 Team", "O PIASTRI", "Oscar Piastri",
+        "AUS", "#FF8000", "PIA", ts("2025-05-01 15:00:00"), "Race", 302))
+
+    val merged = Scd2.merge(existing, batch).cache()
+    assert(merged.count() == 4)
+
+    // no change: #1 untouched, still one current row
+    val d1 = merged.filter(col("driver_number") === 1).collect()
+    assert(d1.length == 1 && d1(0).getAs[Boolean]("is_current"))
+
+    // team change: Mercedes row closed at batch date, Ferrari row current
+    val d44 = merged.filter(col("driver_number") === 44)
+      .orderBy("valid_from").collect()
+    assert(d44.length == 2)
+    assert(!d44(0).getAs[Boolean]("is_current"))
+    assert(d44(0).getAs[java.sql.Timestamp]("valid_to") ==
+      ts("2025-05-01 15:00:00"))
+    assert(d44(1).getAs[String]("team_name") == "Scuderia Ferrari")
+    assert(d44(1).getAs[Boolean]("is_current"))
+
+    // new driver inserted current
+    val d81 = merged.filter(col("driver_number") === 81).collect()
+    assert(d81.length == 1 && d81(0).getAs[Boolean]("is_current"))
+
+    // idempotent re-run: same batch again changes nothing
+    val again = Scd2.merge(merged, batch)
+    assert(again.count() == 4)
+    assert(again.filter(col("is_current") === true).count() == 3)
+  }
+}
