@@ -29,6 +29,20 @@ object Dedup {
     conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
       .cast("bigint")
 
+  /** MinHash uses ONE md5 per shingle (reduced mod a Mersenne prime) and
+    * derives the K hash functions affinely: h_j = (a_j·h + b_j) mod p.
+    * md5 dominates the cost of signature computation — the affine family
+    * is 16x cheaper than 16 independent md5 passes and equally valid for
+    * MinHash (pairwise-independent). Constants are small enough that
+    * a_j·h stays inside a 64-bit long. */
+  private[operators] val MinhashPrime = 2147483647L // 2^31 - 1
+  private[operators] def affineA(j: Int): Long = (j + 1L) * 1000003L
+  private[operators] def affineB(j: Int): Long = j * 999983L
+
+  /** Base shingle hash in [0, p): md5 hex → bigint → mod p. */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint") % MinhashPrime
+
   /** Exact dedup: keep the lowest-id document per content fingerprint.
     * One shuffle on the fingerprint; map-side partial aggregation makes the
     * shuffle carry one row per distinct hash per partition. */
@@ -38,23 +52,75 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: for each of `numHashes` seeds, the min seeded hash
-    * over the document's shingle set. Arrays stay columnar; no explode. */
+  /** MinHash signature over a pre-materialized base-hash array column:
+    * sig_j = min over shingles of (a_j·h + b_j) mod p. Arrays stay
+    * columnar; no explode, and md5 runs once per shingle. */
+  def minhashSignatureFromHashes(baseHashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(baseHashes,
+        h => (lit(affineA(j)) * h + lit(affineB(j))) % MinhashPrime))
+    }: _*)
+
+  /** Convenience: signature straight from text (materialize the base-hash
+    * column yourself — via [[withShingleHashes]] — when computing more than
+    * one derived column, or Catalyst will inline this whole subtree per
+    * use). */
   def minhashSignature(text: Column, numHashes: Int = 16, shingleN: Int = 3)
-  : Column = {
-    val sh = shinglesExpr(text, shingleN)
-    val hashes = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => seededHash(s, seed)))
+  : Column =
+    minhashSignatureFromHashes(
+      transform(shinglesExpr(text, shingleN), s => baseHash(s)), numHashes)
+
+  /** MinHash signatures via explode → hash once → K min-aggregates.
+    *
+    * Higher-order functions (transform/aggregate) are CodegenFallback in
+    * Spark — no whole-stage codegen and no subexpression elimination — so
+    * building K signature entries as K array expressions re-evaluates the
+    * shingle+md5 subtree K times. Exploding instead guarantees exactly one
+    * md5 per (doc, shingle); the K affine mins run vectorized inside one
+    * hash aggregate, and the shuffle key is the doc id (map-side partial
+    * mins make it tiny). Returns (id, sig array). */
+  def minhashSignatures(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", numHashes: Int = 16,
+                        shingleN: Int = 3): DataFrame = {
+    // Round-robin repartition between the explode and the hashing: the
+    // harness parquet files are single-row-group (scan = 1 task), so
+    // without it every md5 runs on one core. At cluster scale the scan
+    // already has file parallelism and AQE elides needless exchanges.
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shinglesExpr(col(textCol), shingleN)))
+          .as("s"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), baseHash(col("s")).as("h"))
+    val minExprs = (0 until numHashes).map { j =>
+      min((lit(affineA(j)) * col("h") + lit(affineB(j))) % MinhashPrime)
+        .as(s"sig_$j")
     }
-    array(hashes: _*)
+    exploded.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"sig_$j")): _*).as("sig"))
   }
 
-  /** Shingle expression built compositionally (works on any text Column). */
+  /** Word n-gram shingles as an array column.
+    *
+    * Implementation note: the obvious
+    * `transform(sequence(0, m), i -> concat_ws(slice(toks, i+1, n)))`
+    * re-evaluates the whole tokenize subtree per element (lambda bodies in
+    * higher-order functions re-run their non-lambda sub-expressions, and
+    * HOFs get no codegen subexpression elimination) — O(tokens²) regex
+    * work per document. Instead we zip the token array with its own
+    * k-shifted slices: each zip_with argument is evaluated once, so
+    * shingling is O(tokens·n). Null padding from the shorter slice marks
+    * the tail positions, filtered at the end. */
   def shinglesExpr(text: Column, n: Int): Column = {
     val toks = split(normalizeText(text), " ")
-    when(size(toks) <= n, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val chained = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc,
+        slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) <= n, array(concat_ws(" ", toks)))
+      .otherwise(filter(chained, x => x.isNotNull))
   }
 
   /** MinHash+LSH near-dup candidate pairs: split the signature into
@@ -62,20 +128,24 @@ object Dedup {
     * and emit intra-bucket pairs. Shuffle cost: one explode×bands plus a
     * self-join per bucket — candidates only, never the full cross product.
     */
-  def minhashCandidates(df: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id", numHashes: Int = 16,
-                        bands: Int = 4, shingleN: Int = 3): DataFrame = {
+  /** Banded LSH buckets from a (id, sig) frame. */
+  private def bandedBuckets(sig: DataFrame, numHashes: Int, bands: Int)
+  : DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", transform(
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")))))
         .as(Seq("band", "bucket")))
+  }
+
+  def minhashCandidates(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", numHashes: Int = 16,
+                        bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol, numHashes, shingleN)
+    val banded = bandedBuckets(sig, numHashes, bands)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,
@@ -86,13 +156,23 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs
-    * (id_a, id_b): |A∩B| / |A∪B| over distinct shingle sets. */
+  /** Full-width (60-bit) shingle hash — used for set intersection, where
+    * the [[baseHash]] mod-2^31 reduction would make pair collisions
+    * non-negligible. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** n-gram Jaccard similarity for given candidate pairs (id_a, id_b):
+    * |A∩B| / |A∪B| over distinct 60-bit shingle-hash sets. Hashing first
+    * makes the intersect/union long-typed (cheap comparisons, fixed-width
+    * shuffle rows) instead of carrying full shingle strings; 60 bits keep
+    * the per-pair collision probability ~1e-13. */
   def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
                           textCol: String = "text", idCol: String = "doc_id",
                           shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      array_distinct(shinglesExpr(col(textCol), shingleN)).as("sh"))
+      array_distinct(transform(shinglesExpr(col(textCol), shingleN),
+        s => hash60(s))).as("sh"))
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
         "id_a")
@@ -110,25 +190,35 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id",
                    numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3)
   : DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleN)
+    val cands =
+      minhashCandidates(df, textCol, idCol, numHashes, bands, shingleN)
     jaccardOnCandidates(df, cands, textCol, idCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of the shingle set: bit j of the signature is the sign
-    * of the sum over shingles of ±1 on bit j of the shingle hash. */
-  def simhash(text: Column, shingleN: Int = 2): Column = {
-    val sh = shinglesExpr(text, shingleN)
-    val hashes = transform(sh, s => seededHash(s, 0))
-    val bitSums = (0 until 60).map { j =>
-      // sum over shingles of (bit j set ? 1 : -1)
-      aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
+  /** 60-bit SimHash signatures via explode → hash once → per-bit majority
+    * vote in a single aggregate (same CodegenFallback rationale as
+    * [[minhashSignatures]]: 60 inline array-aggregates would re-hash the
+    * shingles 60 times). Bit j is set when more than half the shingle
+    * hashes have bit j set. Returns (id, sig). */
+  def simhashSignatures(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", shingleN: Int = 2)
+  : DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(shinglesExpr(col(textCol), shingleN)).as("s"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), seededHash(col("s"), 0).as("h"))
+    val bitCounts = (0 until 60).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"c_$j")
     }
-    bitSums.zipWithIndex.foldLeft(lit(0L)) { case (acc, (s, j)) =>
-      acc + when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    val agged = exploded.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitCounts: _*)
+    val sig = (0 until 60).foldLeft(lit(0L)) { (acc, j) =>
+      acc + when(col(s"c_$j") * 2 > col("n"), shiftleft(lit(1L), j))
+        .otherwise(lit(0L))
     }
+    agged.select(col("id"), sig.as("sig"))
   }
 
   /** Hamming distance between two simhash signatures. */
@@ -140,8 +230,7 @@ object Dedup {
   def simhashCandidates(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", maxHamming: Int = 8)
   : DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sig"))
+    val sigs = simhashSignatures(df, textCol, idCol)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND((1L << 15) - 1)): _*))

@@ -51,14 +51,18 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding")
   : DataFrame = {
+    // norms are computed once per row BELOW the join, so each scored pair
+    // pays only the dot product
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec")))
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm")))
     val scored = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"))
       .crossJoin(q)
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -67,20 +71,30 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (seed, plane j,
-    * dim i) in [-0.5, 0.5): md5-derived, so signatures are reproducible. */
-  private def planeComponent(seed: Int, plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat_ws("_", lit(seed), lit(plane), dim)), 1, 6),
-      16, 10).cast("double") / lit(0xFFFFFF.toDouble)) - 0.5
+    * dim i) in [-0.5, 0.5): md5-derived. Computed ONCE at plan-build time
+    * on the driver and embedded as an array literal — an expression form
+    * would re-run md5 per row per element (HOFs are CodegenFallback, no
+    * subexpression elimination). */
+  private def planeComponent(seed: Int, plane: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${seed}_${plane}_$dim".getBytes("UTF-8"))
+    val v = ((d(0) & 0xFF) << 16) | ((d(1) & 0xFF) << 8) | (d(2) & 0xFF)
+    v.toDouble / 0xFFFFFF.toDouble - 0.5
+  }
+
+  private def planeLit(seed: Int, plane: Int, dim: Int): Column =
+    typedLit((0 until dim).map(i => planeComponent(seed, plane, i)))
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
     * long. Same-signature vectors are cosine-close with high probability.
-    */
-  def lshSignature(vec: Column, planes: Int = 12, seed: Int = 42): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
+    * `dim` must match the embedding dimensionality (plane vectors are
+    * plan-time literals). */
+  def lshSignature(vec: Column, planes: Int = 12, seed: Int = 42,
+                   dim: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vec, dims, (v, i) =>
-          v.cast("double") * planeComponent(seed, p, i)),
+        zip_with(vec, planeLit(seed, p, dim),
+          (v, c) => v.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -94,13 +108,16 @@ object Similarity {
               planes: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val cSig = corpus.select(col(idCol).as("corpus_id"),
-      col(vecCol).as("c_vec"), lshSignature(col(vecCol), planes).as("sig"))
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
+      lshSignature(col(vecCol), planes).as("sig"))
     val qSig = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec"), lshSignature(col(vecCol), planes).as("sig")))
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
+      lshSignature(col(vecCol), planes).as("sig")))
     val scored = cSig.join(qSig, "sig")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -113,13 +130,12 @@ object Similarity {
     * at ingest time this becomes a partition column so queries prune cells.
     */
   def ivfAssign(df: DataFrame, ncells: Int = 16, seed: Int = 7,
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding", dim: Int = 64): DataFrame = {
     val vec = col(vecCol)
-    val dims = sequence(lit(0), size(vec) - 1)
     val scores = (0 until ncells).map { cCell =>
       aggregate(
-        zip_with(vec, dims, (v, i) =>
-          v.cast("double") * planeComponent(seed, cCell, i)),
+        zip_with(vec, planeLit(seed, cCell, dim),
+          (v, c) => v.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
     }
     val best = scores.reduce((a, b) => greatest(a, b))
@@ -135,12 +151,13 @@ object Similarity {
                     planes: Int = 8, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      norm(col(vecCol)).as("nrm"), lshSignature(col(vecCol), planes).as("sig"))
     val l = sig.as("l")
     val r = sig.as("r")
     l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        cosine(col("l.vec"), col("r.vec")).as("cos_sim"))
+        (dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm")))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -17,6 +17,13 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   */
 object TrainingDataQueries {
 
+  /** documents, spread across cores: the harness parquet is one row group
+    * (scan = 1 task) and these queries are compute-bound per row, so a
+    * cheap round-robin exchange buys full parallelism. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val stopPat =
     "\\b(the|a|an|of|and|in|to|is|it|for|on|with|as|at|by|from)\\b"
@@ -25,7 +32,7 @@ object TrainingDataQueries {
     // Token counting: whitespace + BPE-ish regex + mean token length.
     "tx1_token_stats" -> { (s, dir) =>
       val t = col("text")
-      Tables.documents(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(t).as("n_tokens"),
         TextAnalysis.bpeishTokenCount(t).as("n_tokens_bpeish"),
@@ -35,7 +42,7 @@ object TrainingDataQueries {
     // Quality scoring: stopword/punct ratios + composite score.
     "tx2_quality" -> { (s, dir) =>
       val t = col("text")
-      Tables.documents(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
         TextAnalysis.punctRatio(t).as("punct_ratio"),
@@ -45,7 +52,7 @@ object TrainingDataQueries {
     // Language ID: per-language marker scores + argmax with fixed ties.
     "tx3_lang_id" -> { (s, dir) =>
       val t = col("text")
-      Tables.documents(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         TextAnalysis.langScore(t, "en").as("s_en"),
         TextAnalysis.langScore(t, "de").as("s_de"),
@@ -56,7 +63,7 @@ object TrainingDataQueries {
 
     // Document fingerprinting: md5 of normalized text + 64-bit key.
     "tx4_fingerprint" -> { (s, dir) =>
-      Tables.documents(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.fingerprint64(col("text")).as("fp64"))
@@ -113,10 +120,13 @@ object TrainingDataQueries {
     },
   )
 
-  /** 16 minhash components as DuckDB SQL list entries. */
+  /** 16 minhash components as DuckDB SQL list entries — affine family over
+    * one md5-derived base hash, mirroring Dedup.minhashSignatures. */
   private def minhashSigSql: String =
-    (0 until 16).map { seed =>
-      s"list_min(list_transform(shingles, s -> CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT)))"
+    (0 until 16).map { j =>
+      val a = (j + 1L) * 1000003L
+      val b = j * 999983L
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647))"
     }.mkString("[", ",\n      ", "]")
 
   def oracleSql: Map[String, String] = Map(
@@ -172,8 +182,13 @@ object TrainingDataQueries {
          |    ELSE list_transform(range(0, len(toks) - 2),
          |      i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
          |  FROM docs),
+         |shd AS (SELECT id, list_distinct(shingles) AS ds FROM sh),
+         |bh AS (
+         |  SELECT id, ds, list_transform(ds,
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+         |  FROM shd),
          |sig AS (
-         |  SELECT id, shingles, $minhashSigSql AS sig FROM sh),
+         |  SELECT id, $minhashSigSql AS sig FROM bh),
          |banded AS (
          |  SELECT id, b.b AS band,
          |    array_to_string(list_transform(sig[b.b*4+1:b.b*4+4], x -> CAST(x AS VARCHAR)), '_') AS bucket
@@ -182,12 +197,15 @@ object TrainingDataQueries {
          |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
          |  FROM banded l JOIN banded r
          |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
-         |shd AS (SELECT id, list_distinct(shingles) AS ds FROM sh),
+         |h60 AS (
+         |  SELECT id, list_distinct(list_transform(ds,
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs60
+         |  FROM shd),
          |scored AS (
          |  SELECT c.id_a, c.id_b,
-         |    CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(a.ds, b.ds))) AS DOUBLE) AS jaccard
-         |  FROM cands c JOIN shd a ON c.id_a = a.id JOIN shd b ON c.id_b = b.id)
+         |    CAST(len(list_intersect(a.hs60, b.hs60)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(a.hs60, b.hs60))) AS DOUBLE) AS jaccard
+         |  FROM cands c JOIN h60 a ON c.id_a = a.id JOIN h60 b ON c.id_b = b.id)
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
     "sim1_cosine_topk" ->
       """WITH e AS (
