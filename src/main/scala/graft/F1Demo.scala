@@ -24,10 +24,19 @@ object F1Demo {
       Files.createTempDirectory("graft_f1_wh").toString)
     println(s"[f1demo] warehouse=$warehouse")
 
+    // ---- land race bronze as a partitioned layer, read it back through
+    //      the pruned-scan path (A3: declarative filters → partition
+    //      pruning, instead of the reference's path-string pruning) ----
+    F1Fixtures.raceRows.toDF()
+      .write.mode("overwrite").partitionBy("year", "grand_prix")
+      .parquet(s"$warehouse/bronze_race")
+    val raceBronze = graft.sources.BronzeReader.read(spark,
+      s"$warehouse/bronze_race", year = Some(2025))
+
     // ---- bronze → silver ----
     val sessions = SilverTransforms.sessions(F1Fixtures.sessionRows.toDF())
     val quali = SilverTransforms.qualifying(F1Fixtures.qualiRows.toDF())
-    val race = SilverTransforms.raceResults(F1Fixtures.raceRows.toDF())
+    val race = SilverTransforms.raceResults(raceBronze)
     val laps = SilverTransforms.laps(F1Fixtures.lapRows.toDF())
     val pits = SilverTransforms.pitstops(F1Fixtures.pitRows.toDF())
 

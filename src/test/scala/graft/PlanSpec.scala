@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.BronzeReader
+
+/** Plan-shape assertions: the scale-critical properties (filter pushdown,
+  * partition pruning, broadcast joins, top-k without global sort) must be
+  * visible in the optimized plans, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter reaches the parquet scan as a pushed filter") {
+    val df = SparkEntry.queries("a3_pruned_scan")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("l_shipdate"), scan.take(2000))
+  }
+
+  test("dimension joins broadcast the small side") {
+    val df = SparkEntry.queries("c2_threeway_join")(spark, sf)
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val df = SparkEntry.queries("f5_global_topk")(spark, sf)
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("partition-value filters prune bronze partitions at the source") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bronze").toString + "/t"
+    val data = Seq(
+      (1L, 2024, "bahrain", 1.0), (2L, 2024, "miami", 2.0),
+      (3L, 2025, "bahrain", 3.0), (4L, 2025, "miami", 4.0))
+      .toDF("id", "year", "grand_prix", "v")
+    data.write.partitionBy("year", "grand_prix").parquet(root)
+
+    val pruned = BronzeReader.read(spark, root, year = Some(2025),
+      grandPrix = Some("miami"))
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSeq == Seq(4L))
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("year"),
+      p.take(2000))
+  }
+
+  test("partition column recovery from file paths") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_rec").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(root + "/grand_prix=suzuka")
+    val df = BronzeReader.recoverPartitionColumn(
+      spark.read.parquet(root + "/grand_prix=suzuka"), "grand_prix")
+    assert(df.select("grand_prix").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("suzuka"))
+  }
+
+  test("empty typed relation matches declared schema") {
+    val empty = BronzeReader.emptyTyped(spark,
+      graft.core.Schemas.sessionsSilver)
+    assert(empty.count() == 0)
+    assert(empty.schema == graft.core.Schemas.sessionsSilver)
+  }
+}

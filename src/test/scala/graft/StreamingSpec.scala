@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Drives the streaming transforms through a real streaming query using
+  * MemoryStream batches (append mode, watermark-triggered emission). */
+class StreamingSpec extends SparkSpec {
+
+  case class Ev(ts: Timestamp, user_id: Long, event_type: String,
+      value: Double)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize emits closed sessions once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = EventStreams.sessionize(stream.toDF(), gap = "10 minutes",
+      watermark = "10 minutes")
+    val query = out.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+
+    // user 7: two events 5 min apart (one session), then one 30 min later
+    // (second session); a far-future event advances the watermark so both
+    // close.
+    stream.addData(
+      Ev(ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Ev(ts("2024-01-01 10:05:00"), 7, "click", 2.0),
+      Ev(ts("2024-01-01 10:35:00"), 7, "purchase", 10.0))
+    query.processAllAvailable()
+    stream.addData(Ev(ts("2024-01-01 12:00:00"), 99, "view", 0.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("sessions_out")
+      .filter(col("user_id") === 7)
+      .orderBy("session_start").collect()
+    query.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[Double]("session_value") == 3.0)
+    assert(rows(0).getAs[Timestamp]("session_end") ==
+      ts("2024-01-01 10:15:00")) // last event + gap
+    assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("windowed type counts aggregate within tumbling windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = EventStreams.windowedTypeCounts(stream.toDF(),
+      windowLen = "10 minutes", watermark = "5 minutes")
+    val query = out.writeStream.format("memory")
+      .queryName("counts_out").outputMode("append").start()
+
+    stream.addData(
+      Ev(ts("2024-01-01 10:01:00"), 1, "view", 1.0),
+      Ev(ts("2024-01-01 10:04:00"), 2, "view", 2.0),
+      Ev(ts("2024-01-01 10:07:00"), 3, "click", 5.0))
+    query.processAllAvailable()
+    stream.addData(Ev(ts("2024-01-01 11:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("counts_out")
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .collect().map(r =>
+        r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toMap
+    query.stop()
+    assert(rows("view") == ((2L, 3.0)))
+    assert(rows("click") == ((1L, 5.0)))
+  }
+}
