@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.ScalarQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.TrainingDataQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.ScalarQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
       graft.queries.TrainingDataQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.SqlQueries.oracleSql
 }

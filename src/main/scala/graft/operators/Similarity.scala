@@ -145,6 +145,44 @@ object Similarity {
     df.withColumn("cell", cell)
   }
 
+  /** IVF ANN top-k: corpus vectors are pre-assigned to coarse cells
+    * ([[ivfAssign]] — at ingest this is a partition column); each query
+    * probes only its `nprobe` best cells, so the scan covers
+    * ~nprobe/ncells of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              ncells: Int = 16, nprobe: Int = 4, seed: Int = 7,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val assigned = ivfAssign(corpus, ncells, seed, vecCol)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"), col("cell"))
+    // query → its nprobe best cells, via the same centroid scores
+    val vec = col(vecCol)
+    val cellScores = array((0 until ncells).map { cCell =>
+      struct(
+        aggregate(zip_with(vec, planeLit(seed, cCell, 64),
+          (v, c) => v.cast("double") * c), lit(0.0), (a, x) => a + x)
+          .as("score"),
+        lit(cCell).as("cell"))
+    }: _*)
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), vec.as("q_vec"),
+        norm(vec).as("q_norm"),
+        slice(reverse(array_sort(cellScores)), 1, nprobe).as("top_cells"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        explode(col("top_cells").getField("cell")).as("cell")))
+    val scored = assigned.join(probes, "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
     * itself and keep pairs above `threshold`. */
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95,

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** SQL-front-end queries: the engine's tables registered as views and
+  * queried through `spark.sql` (SURVEY.md §3 — the reference's only SQL
+  * surface is DDL/DML strings; here the full analytical surface is
+  * SQL-addressable too). The Spark SQL text and the DuckDB oracle are the
+  * same dialect-neutral statement.
+  */
+object SqlQueries {
+
+  /** Register the star schema as temp views once per session. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings").foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  private val pricingSummary =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private val topCustomers =
+    """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY spend DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary through the SQL front end.
+    "sql1_pricing_summary" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(pricingSummary)
+    },
+    // Join + top-k through the SQL front end.
+    "sql2_top_customers" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(topCustomers)
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sql1_pricing_summary" -> pricingSummary,
+    "sql2_top_customers" -> topCustomers,
+  )
+}

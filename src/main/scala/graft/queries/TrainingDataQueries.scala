@@ -118,6 +118,14 @@ object TrainingDataQueries {
       Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.2,
         planes = 4)
     },
+
+    // IVF-probed ANN top-k: queries scan only nprobe/ncells of the corpus
+    // (rows-only check; float cosine).
+    "sim3_ivf_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        ncells = 8, nprobe = 3)
+    },
   )
 
   /** 16 minhash components as DuckDB SQL list entries — affine family over
