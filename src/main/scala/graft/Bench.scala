@@ -33,8 +33,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    // Warm-up: exercise scan + shuffle + window codegen paths once.
-    try materialize("e6_running_sum") catch { case _: Throwable => () }
+    // Warm-up: exercise scan, shuffle, window, decimal-agg, and
+    // array/HOF codegen paths once so first-touch JIT/codegen cost isn't
+    // billed to whichever query happens to run first.
+    Seq("e6_running_sum", "d6_group_sum", "h2_array_parse").foreach { q =>
+      try materialize(q) catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the embedding hot path (SURVEY §7.3
+  * escape hatch (b): custom `Expression` where built-ins can't express the
+  * semantics *efficiently*).
+  *
+  * The composable form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * allocates an intermediate array per row and evaluates interpreted
+  * (higher-order functions are CodegenFallback). For a 64-dim float
+  * embedding scored against millions of candidates, that interpreter
+  * round-trip dominates. `DotProductF` is a single fused loop with a
+  * `doGenCode` implementation, so it stays inside whole-stage codegen with
+  * zero allocation. Accumulation order is element order, matching the
+  * composable form bit-for-bit.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Fused codegen dot product of two Array[Float] columns. */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductF(
+      ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  /** L2 norm via the fused dot. */
+  def normF(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dotF(a, a))
+}

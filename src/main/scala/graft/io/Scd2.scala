@@ -63,13 +63,16 @@ object Scd2 {
     // Latest observation per driver in the batch — max_by, not last().
     val aggExprs =
       Seq(max(col("date_start")).as("batch_date"),
-        max_by(col("team_name"), col("date_start")).as("batch_team")) ++
+        max_by(col("team_name"), col("date_start")).as("batch_team"),
+        countDistinct(when(lower(col("session_type")) === "race",
+          col("session_key"))).as("batch_races")) ++
         attrCols.map(c => max_by(col(c), col("date_start")).as(s"batch_$c"))
     val latest = batch.groupBy(col("driver_number"))
       .agg(aggExprs.head, aggExprs.tail: _*)
 
     val current = existing.filter(col("is_current") === true)
-      .select(col("driver_number"), col("team_name"))
+      .select(col("driver_number"), col("team_name"),
+        col("total_races").as("prior_races"))
     val changes = latest.join(current, Seq("driver_number"), "left")
       .withColumn("change_type",
         when(col("team_name").isNull, "NEW_DRIVER")
@@ -78,6 +81,8 @@ object Scd2 {
       .filter(col("change_type") =!= "NO_CHANGE")
       .select(col("driver_number"), col("batch_date"), col("batch_team"),
         col("change_type"),
+        (coalesce(col("prior_races"), lit(0)) + col("batch_races"))
+          .cast("int").as("new_total_races"),
         struct(attrCols.map(c => col(s"batch_$c").as(c)): _*).as("attrs"))
 
     val changedKeys = changes.select("driver_number", "batch_date")
@@ -102,7 +107,7 @@ object Scd2 {
         col("batch_date").as("valid_from"),
         lit(null).cast("timestamp").as("valid_to"),
         lit(true).as("is_current"),
-        lit(0).as("total_races"),
+        col("new_total_races").as("total_races"),
         current_timestamp().as("created_at"),
         current_timestamp().as("updated_at")) ++
         attrCols.map(c => col("attrs").getField(c).as(c))): _*)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the right row with the greatest
+  * right-time ≤ left-time within the same key (the classic
+  * point-in-time/backward as-of join; Spark has no built-in).
+  *
+  * SURVEY §7.3 preference order (a): composed from existing operators —
+  * a tagged union plus one `last(..., ignoreNulls)` running window —
+  * rather than a custom physical operator. Cost model: ONE shuffle of
+  * (|L|+|R|) rows on the key, then a sorted window pass per partition;
+  * no range-explode, no per-row binary search, and skew handling comes
+  * free from AQE. This is the plan a custom SparkPlan would produce
+  * anyway, so tier (c) machinery isn't warranted.
+  *
+  * Contract: right must be unique per (key, time) — pre-dedupe with
+  * [[dedupeRight]] (ambiguous ties are the classic as-of footgun; the
+  * API forces the choice to be explicit). Inner semantics: left rows
+  * with no matching right row are dropped.
+  */
+object AsOfJoin {
+
+  /** Keep one right row per (key, time): the one with the greatest
+    * `tieBreak`. */
+  def dedupeRight(right: DataFrame, keyCol: String, timeCol: String,
+                  tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(timeCol))
+      .orderBy(col(tieBreak).desc)
+    right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** @param left       probe side
+    * @param right      build side, unique per (key, time)
+    * @param keyCol     equi-key present on both sides
+    * @param leftTime   left event-time column name
+    * @param rightTime  right event-time column name
+    * @param payload    right columns to carry onto matches
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(0))
+    val taggedRight = right
+      .select((keyCol +: rightTime +: payload).distinct.map(col): _*)
+      .withColumn("__t", col(rightTime)).withColumn("__side", lit(1))
+      .drop(rightTime)
+
+    // right rows sort before left rows at equal time, so t_left == t_right
+    // matches (the ≤ semantics)
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = payload.foldLeft(
+      taggedLeft.unionByName(taggedRight, allowMissingColumns = true)) {
+      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true)
+        .over(order))
+    }
+    filled.filter(col("__side") === 0 &&
+        payload.map(col(_).isNotNull).reduce(_ && _))
+      .drop("__t", "__side")
+      .select((leftCols ++ payload).map(col): _*)
+  }
+}

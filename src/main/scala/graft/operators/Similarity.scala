@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated in double in
-    * element order (deterministic). */
+    * element order (deterministic). Fused codegen expression
+    * ([[graft.functions.VectorExpressions.DotProductF]]); the composable
+    * HOF form ([[dotHof]]) is kept as the semantics reference — both
+    * accumulate in element order and agree bit-for-bit. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotF(a, b)
+
+  /** Composable higher-order-function dot product (CodegenFallback;
+    * allocation per row — reference implementation for tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

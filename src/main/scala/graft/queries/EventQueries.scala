@@ -52,6 +52,26 @@ object EventQueries {
           sum(col("is_new_session")).over(running).as("session_seq"))
     },
 
+    // As-of join (backward): each event picks up the user's most recent
+    // order at or before the event time — the point-in-time join Spark
+    // lacks natively, composed in graft.operators.AsOfJoin.
+    "ev4_asof_last_order" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), expr("ts div 1000").as("ts_us"))
+      val orders = Tables.orders(s, dir).select(
+        col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        col("o_orderkey"), col("o_totalprice"))
+      val deduped = AsOfJoin.dedupeRight(orders, "user_id", "order_us",
+        "o_orderkey")
+      AsOfJoin.asofJoin(ev, deduped, "user_id", "ts_us", "order_us",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("o_orderkey").as("last_order"),
+          col("o_totalprice").as("last_order_price"))
+    },
+
     // Per-user/event-type pivot-style conditional aggregation.
     "ev3_type_counts" -> { (s, dir) =>
       Tables.events(s, dir).groupBy("user_id").agg(
@@ -80,6 +100,19 @@ object EventQueries {
         |  CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM flagged""".stripMargin,
+    "ev4_asof_last_order" ->
+      """WITH rd AS (
+        |  SELECT user_id, order_us, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS order_us,
+        |      o_orderkey, o_totalprice,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) t WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |  rd.o_orderkey AS last_order, rd.o_totalprice AS last_order_price
+        |FROM l ASOF JOIN rd
+        |  ON l.user_id = rd.user_id AND l.ts_us >= rd.order_us""".stripMargin,
     "ev3_type_counts" ->
       s"""SELECT user_id,
          |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,

@@ -102,6 +102,33 @@ object RelationalQueries {
         moneySum(col("l_quantity")).as("sum_qty"))
     },
 
+    // D8 (beyond reference): ROLLUP with grouping indicators — subtotal
+    // levels in one pass (partial aggregation per grouping set).
+    "d8_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_status"))
+    },
+
+    // D9 (beyond reference): CUBE over two dimensions.
+    "d9_cube" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // D10 (beyond reference): HLL approximate distinct next to the exact
+    // count (rows-only: sketch implementations differ across engines).
+    "d10_approx_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
     // C1: inner equi-join + aggregate (drivers⋈sessions, common.py:500-523).
     // customer is small → broadcast, so the agg-side shuffle is the only
     // exchange in the plan.
@@ -187,6 +214,16 @@ object RelationalQueries {
          |${Det.sqlMoneySum("l_extendedprice")} AS sum_price,
          |${Det.sqlMoneySum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "d8_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         |${Det.sqlMoneySum("l_quantity")} AS sum_qty,
+         |CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         |CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "d9_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows,
+         |${Det.sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "c1_inner_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          |${Det.sqlMoneySum("o_totalprice")} AS segment_spend

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of: greatest right time <= left time, inner semantics") {
+    import spark.implicits._
+    val left = Seq(
+      (1, 10L, "a"), // matches right t=8
+      (1, 20L, "b"), // matches right t=15
+      (1, 15L, "c"), // equal time matches (<= semantics)
+      (2, 5L, "d"),  // before any right row for key 2 → dropped
+      (3, 9L, "e"))  // key absent on right → dropped
+      .toDF("k", "t", "v")
+    val right = Seq(
+      (1, 8L, 100), (1, 15L, 200), (2, 9L, 300))
+      .toDF("k", "rt", "price")
+
+    val out = AsOfJoin.asofJoin(left, right, "k", "t", "rt", Seq("price"))
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Long]("t"),
+        r.getAs[String]("v"), r.getAs[Int]("price"))).toSet
+    assert(out == Set((1, 10L, "a", 100), (1, 20L, "b", 200),
+      (1, 15L, "c", 200)))
+  }
+
+  test("dedupeRight keeps one row per (key, time) by tie-break") {
+    import spark.implicits._
+    val right = Seq((1, 8L, 100, 1), (1, 8L, 200, 2), (1, 9L, 300, 3))
+      .toDF("k", "rt", "price", "id")
+    val d = AsOfJoin.dedupeRight(right, "k", "rt", "id").collect()
+      .map(r => (r.getAs[Long]("rt"), r.getAs[Int]("price"))).toSet
+    assert(d == Set((8L, 200), (9L, 300)))
+  }
+}

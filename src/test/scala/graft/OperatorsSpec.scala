@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data operator specs on the sf0.001 fixtures. */
+class OperatorsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fused codegen dot product agrees bit-for-bit with the HOF form") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val self = emb.select(col("vec_id"),
+      Similarity.dot(col("embedding"), col("embedding")).as("fused"),
+      Similarity.dotHof(col("embedding"), col("embedding")).as("hof"))
+    val mismatches = self.filter(col("fused") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // the fused-only projection stays inside whole-stage codegen (the HOF
+    // variant would force the whole Project to fall back)
+    val fusedOnly = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("fused"))
+    val plan = fusedOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      plan.take(1000))
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash finds the planted near-duplicate and skips the rest") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val nearDup = base.replace("lazy", "sleepy")
+    val docs = Seq((1L, base), (2L, nearDup),
+      (3L, "completely unrelated content about spark aggregation plans " * 5))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedup(docs, threshold = 0.3).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.3)
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val docs = Seq((1L, base), (2L, base.replace("delta", "kappa")),
+      (3L, "nothing in common with those documents at all " * 4))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("brute-force cosine top-k is k rows per query, ranked") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 3), k = 5).collect()
+    assert(out.length == 15)
+    val perQuery = out.groupBy(_.getAs[Long]("query_id"))
+    perQuery.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Double]("cos_sim")).toSeq
+        .sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
+  test("text stats produce sane ranges") {
+    val stats = TextAnalysis.textStats(Tables.documents(spark, sf).limit(100))
+      .collect()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      assert(r.getAs[Double]("quality_score") >= 0.0 &&
+        r.getAs[Double]("quality_score") <= 1.0)
+      assert(r.getAs[String]("fingerprint").length == 32)
+    }
+  }
+
+  test("multimodal feature extraction is deterministic per payload") {
+    val media = Multimodal.syntheticMedia(spark,
+      Tables.documents(spark, sf).limit(20))
+    val f1 = Multimodal.extractFeatures(media).collect()
+      .map(m => m.media_id -> m.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media).collect()
+      .map(m => m.media_id -> m.feature.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == 8))
+  }
+}

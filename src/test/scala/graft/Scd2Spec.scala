@@ -56,9 +56,12 @@ class Scd2Spec extends SparkSpec {
     assert(d44(1).getAs[String]("team_name") == "Scuderia Ferrari")
     assert(d44(1).getAs[Boolean]("is_current"))
 
-    // new driver inserted current
+    // new driver inserted current, with total_races from the batch
     val d81 = merged.filter(col("driver_number") === 81).collect()
     assert(d81.length == 1 && d81(0).getAs[Boolean]("is_current"))
+    assert(d81(0).getAs[Int]("total_races") == 1)
+    // team-change insert carries prior career races + batch races
+    assert(d44(1).getAs[Int]("total_races") == 3)
 
     // idempotent re-run: same batch again changes nothing
     val again = Scd2.merge(merged, batch)
