@@ -40,10 +40,16 @@ object Bench {
       try materialize(q) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // min of two runs per query: a single-JVM session running 60+ queries
+    // hits occasional multi-second JIT/GC stalls that land on a random
+    // query; the min reflects steady-state cost.
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try materialize(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> math.min(timeOne(name), timeOne(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -174,7 +174,58 @@ object RelationalQueries {
       sup.join(c, sup("s_nationkey") === c("c_nationkey"), "inner")
         .groupBy("s_suppkey").agg(count(lit(1)).as("n_local_customers"))
     },
+
+    // C7 (beyond reference): left-semi join — EXISTS without carrying
+    // right columns; no row multiplication, broadcast-able.
+    "c7_semi_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val bigOrders = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 250000.0)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    },
+
+    // C8 (beyond reference): left-anti join — NOT EXISTS.
+    "c8_anti_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // B10 (beyond reference): pivot — event-type counts as columns.
+    "b10_pivot" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .pivot("event_type",
+          Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // J1 (beyond reference): range/band join — quantity bucketed into
+    // literal bands via a broadcast inequality join (BroadcastNestedLoop
+    // on a 3-row build side; never a shuffled cross product).
+    "j1_range_join" -> { (s, dir) =>
+      val bands = broadcast(Seq(
+        (0.0, 20.0, "small"), (20.0, 40.0, "medium"),
+        (40.0, 1e9, "large")).toDfBands(s))
+      val li = Tables.lineitem(s, dir)
+      li.join(bands, li("l_quantity") >= bands("lo") &&
+          li("l_quantity") < bands("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_extendedprice")).as("band_revenue"))
+    },
   )
+
+  /** Literal quantity-band dimension. */
+  private implicit class BandSeq(rows: Seq[(Double, Double, String)]) {
+    def toDfBands(s: SparkSession): DataFrame = {
+      import s.implicits._
+      rows.toDF("lo", "hi", "band")
+    }
+  }
 
   def oracleSql: Map[String, String] = Map(
     "a3_pruned_scan" ->
@@ -245,5 +296,27 @@ object RelationalQueries {
       """SELECT s_suppkey, COUNT(*) AS n_local_customers
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey
         |GROUP BY s_suppkey""".stripMargin,
+    "c7_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)""".stripMargin,
+    "c8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "b10_pivot" ->
+      """SELECT user_id,
+        |COALESCE(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+        |COALESCE(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+        |COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+        |COALESCE(COUNT(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+        |COALESCE(COUNT(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "j1_range_join" ->
+      s"""WITH bands(lo, hi, band) AS (VALUES
+         |  (0.0, 20.0, 'small'), (20.0, 40.0, 'medium'), (40.0, 1000000000.0, 'large'))
+         |SELECT band, COUNT(*) AS n_rows,
+         |${Det.sqlMoneySum("l_extendedprice")} AS band_revenue
+         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+         |GROUP BY band""".stripMargin,
   )
 }
