@@ -148,6 +148,32 @@ object WindowQueries {
         (col("l_extendedprice") / total).as("line_share"))
     },
 
+    // E12-E14 (beyond reference): the remaining SQL analytic functions —
+    // ntile buckets, percent_rank, cume_dist. percent_rank/cume_dist are
+    // exact rational values ((rank-1)/(n-1), peers/n) so they compare
+    // bit-for-bit across engines.
+    "e12_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("bigint").as("price_quartile"))
+    },
+    "e13_percent_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").asc)
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        percent_rank().over(w).as("price_pct_rank"))
+    },
+    "e14_cume_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cume_dist().over(w).as("price_cume_dist"))
+    },
+
     // F1: orderBy desc + limit 1 with explicit tie-break (latest-GP
     // detection, f1_silver_to_gold_transform.py:120-159).
     "f1_latest_row" -> { (s, dir) =>
@@ -252,6 +278,21 @@ object WindowQueries {
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS order_total,
         |l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS line_share
         |FROM lineitem WINDOW w AS (PARTITION BY l_orderkey)""".stripMargin,
+    "e12_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS price_quartile
+        |FROM orders""".stripMargin,
+    "e13_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |PERCENT_RANK() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice ASC) AS price_pct_rank
+        |FROM lineitem""".stripMargin,
+    "e14_cume_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CUME_DIST() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice ASC) AS price_cume_dist
+        |FROM orders""".stripMargin,
     "f1_latest_row" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,

@@ -86,6 +86,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivf cells written as a partition column prune the ANN scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val assigned = Similarity.ivfAssign(
+      Tables.embeddings(spark, sf), ncells = 4)
+    assigned.write.partitionBy("cell").parquet(s"$dir/ivf")
+    val probe = spark.read.parquet(s"$dir/ivf").filter(col("cell") === 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(1500))
+    val cells = spark.read.parquet(s"$dir/ivf")
+      .groupBy("cell").count().collect()
+    assert(cells.length > 1, "expected multiple populated cells")
+    assert(probe.count() > 0)
+  }
+
   test("multimodal feature extraction is deterministic per payload") {
     val media = Multimodal.syntheticMedia(spark,
       Tables.documents(spark, sf).limit(20))

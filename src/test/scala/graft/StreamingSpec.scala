@@ -48,6 +48,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") == 1)
   }
 
+  test("availableNow increment processes only new bronze files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val bronze = s"$root/bronze"
+    val silver = s"$root/silver"
+    val ckpt = s"$root/_ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+
+    def increment(): Unit =
+      graft.streaming.IncrementalPipeline.runIncrement(spark, bronze,
+        schema, silver, ckpt, df => df.withColumn("v2", col("v") * 2))
+
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.parquet(bronze)
+    increment()
+    assert(spark.read.parquet(silver).count() == 2)
+
+    // second batch of files → only the delta lands; re-running with no new
+    // files is a no-op (checkpointed file log)
+    Seq((3L, 3.0)).toDF("id", "v").write.mode("append").parquet(bronze)
+    increment()
+    val after = spark.read.parquet(silver)
+    assert(after.count() == 3)
+    assert(after.filter(col("id") === 3 && col("v2") === 6.0).count() == 1)
+    increment()
+    assert(spark.read.parquet(silver).count() == 3)
+  }
+
   test("windowed type counts aggregate within tumbling windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
