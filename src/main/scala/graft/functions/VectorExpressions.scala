@@ -66,6 +66,12 @@ object VectorExpressions {
     ColumnBridge.column(DotProductF(
       ColumnBridge.expr(a), ColumnBridge.expr(b)))
 
+  /** Expose the expression to the SQL front end:
+    * `SELECT dot_f(embedding, embedding) FROM embeddings`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f", exprs => DotProductF(exprs.head, exprs(1)), "built-in")
+
   /** L2 norm via the fused dot. */
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))

@@ -33,6 +33,24 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
 
+  test("flagship entry plan broadcasts dims and windows without extra exchanges") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // exactly two shuffles: one per window partitioning (customer, then
+    // date); dim joins ride broadcast exchanges, which don't shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      p.take(2000))
+  }
+
+  test("custom dot_f expression is SQL-addressable after registration") {
+    graft.functions.VectorExpressions.register(spark)
+    graft.queries.SqlQueries.registerViews(spark, sf)
+    val row = spark.sql(
+      """SELECT vec_id, dot_f(embedding, embedding) AS selfdot
+        |FROM embeddings ORDER BY vec_id LIMIT 1""".stripMargin).head()
+    assert(row.getAs[Double]("selfdot") > 0.0)
+  }
+
   test("partition-value filters prune bronze partitions at the source") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_bronze").toString + "/t"
