@@ -46,6 +46,15 @@ object SqlQueries {
       registerViews(s, dir)
       s.sql(topCustomers)
     },
+    // Custom codegen expression through the SQL front end (rows-only:
+    // dot_f is ours, DuckDB has no counterpart).
+    "sql3_dotf_selfsim" -> { (s, dir) =>
+      registerViews(s, dir)
+      graft.functions.VectorExpressions.register(s)
+      s.sql(
+        """SELECT vec_id, dot_f(embedding, embedding) AS self_dot
+          |FROM embeddings ORDER BY self_dot DESC, vec_id LIMIT 25""".stripMargin)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
