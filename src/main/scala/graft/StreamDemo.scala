@@ -44,6 +44,24 @@ object StreamDemo {
     query.stop()
     require(n >= 3, s"expected >=3 closed sessions, got $n")
     println(s"[streamdemo] closed sessions=$n")
+
+    // custom keyed state via mapGroupsWithState: profiles accumulate
+    // across micro-batches
+    import graft.streaming.EventStreams.UserEvent
+    val profileStream = MemoryStream[UserEvent]
+    val profiles = EventStreams.userProfiles(profileStream.toDS(),
+      vipThreshold = 50.0)
+    val pq = profiles.toDF().writeStream.format("memory")
+      .queryName("demo_profiles").outputMode("update").start()
+    profileStream.addData(UserEvent(7, "view", 10.0),
+      UserEvent(7, "purchase", 30.0))
+    pq.processAllAvailable()
+    profileStream.addData(UserEvent(7, "purchase", 25.0))
+    pq.processAllAvailable()
+    println("[streamdemo] stateful profiles (latest):")
+    spark.table("demo_profiles").orderBy(col("n_events").desc)
+      .show(truncate = false)
+    pq.stop()
     spark.stop()
   }
 }

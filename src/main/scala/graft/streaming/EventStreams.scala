@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Structured Streaming extension (beyond reference parity — the
   * reference's "incremental" mode is a weekly batch re-run, SURVEY.md
@@ -55,4 +56,36 @@ object EventStreams {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserProfile(user_id: Long, n_events: Long,
+      total_value: Double, n_purchases: Long, vip: Boolean)
+
+  /** Custom keyed state via `mapGroupsWithState`: a per-user profile that
+    * survives across micro-batches (event/purchase counters + a VIP flag
+    * once lifetime spend crosses `vipThreshold`). This is the escape hatch
+    * for state machines `session_window`/aggregates can't express; state
+    * volume is one small record per active user, store-backed and
+    * checkpointed. Emit mode: updated profiles each batch (Update). */
+  def userProfiles(events: Dataset[UserEvent],
+                   vipThreshold: Double = 100.0): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[UserEvent],
+         state: org.apache.spark.sql.streaming.GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(
+            UserProfile(user, 0L, 0.0, 0L, vip = false))
+          val updated = batch.foldLeft(prev) { (acc, e) =>
+            acc.copy(
+              n_events = acc.n_events + 1,
+              total_value = acc.total_value + e.value,
+              n_purchases = acc.n_purchases +
+                (if (e.event_type == "purchase") 1 else 0))
+          }
+          val finalP = updated.copy(vip = updated.total_value >= vipThreshold)
+          state.update(finalP)
+          finalP
+      }
+  }
 }

@@ -48,6 +48,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") == 1)
   }
 
+  test("mapGroupsWithState profiles accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.UserEvent
+    val stream = MemoryStream[UserEvent]
+    val out = EventStreams.userProfiles(stream.toDS(), vipThreshold = 50.0)
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("profiles_out").outputMode("update").start()
+
+    stream.addData(UserEvent(7, "view", 10.0), UserEvent(7, "purchase", 30.0))
+    query.processAllAvailable()
+    val afterB1 = spark.table("profiles_out")
+      .filter(col("user_id") === 7).orderBy(col("n_events").desc).head()
+    assert(afterB1.getAs[Long]("n_events") == 2 &&
+      !afterB1.getAs[Boolean]("vip"))
+
+    // state carries over: second batch pushes the same user past the
+    // VIP threshold
+    stream.addData(UserEvent(7, "purchase", 25.0))
+    query.processAllAvailable()
+    val afterB2 = spark.table("profiles_out")
+      .filter(col("user_id") === 7).orderBy(col("n_events").desc).head()
+    query.stop()
+    assert(afterB2.getAs[Long]("n_events") == 3)
+    assert(afterB2.getAs[Double]("total_value") == 65.0)
+    assert(afterB2.getAs[Long]("n_purchases") == 2)
+    assert(afterB2.getAs[Boolean]("vip"))
+  }
+
   test("availableNow increment processes only new bronze files") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
