@@ -60,6 +60,49 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused integer dot product over two long-array columns — exact,
+  * order-independent accumulation for the quantized-embedding oracle
+  * paths (same codegen rationale as [[DotProductF]]). */
+case class DotProductL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dot_l"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Fused codegen dot product of two Array[Float] columns. */
   def dotF(a: Column, b: Column): Column =
@@ -75,4 +118,9 @@ object VectorExpressions {
   /** L2 norm via the fused dot. */
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** Fused exact dot product of two Array[Long] columns. */
+  def dotL(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductL(
+      ColumnBridge.expr(a), ColumnBridge.expr(b)))
 }

@@ -93,8 +93,8 @@ object TrainingDataQueries {
       val quant = emb.select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
-      val withNorm = quant.withColumn("nrm",
-        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, v) => a + v))
+      import graft.functions.VectorExpressions.dotL
+      val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
       val q = broadcast(withNorm.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
           col("nrm").as("q_nrm")))
@@ -103,14 +103,34 @@ object TrainingDataQueries {
         .crossJoin(q)
         .filter(col("corpus_id") =!= col("query_id"))
         .select(col("query_id"), col("corpus_id"),
-          (aggregate(zip_with(col("q_qv"), col("c_qv"), (a, b) => a * b),
-            lit(0L), (a, v) => a + v).cast("double") /
+          (dotL(col("q_qv"), col("c_qv")).cast("double") /
             (sqrt(col("q_nrm").cast("double")) *
               sqrt(col("c_nrm").cast("double")))).as("cos_sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("corpus_id").asc)
       scored.withColumn("rk", row_number().over(w).cast("bigint"))
         .filter(col("rk") <= 10)
+    },
+
+    // Exact embedding near-dup baseline on quantized vectors (full
+    // oracle): every pair above the cosine threshold. O(n²) — this is the
+    // correctness baseline; sim2's LSH is the scale path.
+    "sim4_neardup_exact" -> { (s, dir) =>
+      val quant = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+      import graft.functions.VectorExpressions.dotL
+      val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+      val a = withNorm.select(col("vec_id").as("id_a"),
+        col("qv").as("qa"), col("nrm").as("na"))
+      val b = withNorm.select(col("vec_id").as("id_b"),
+        col("qv").as("qb"), col("nrm").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dotL(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
     },
 
     // LSH-bucketed embedding near-dup (float cosine; rows-only check).
@@ -215,6 +235,22 @@ object TrainingDataQueries {
          |    CAST(len(list_distinct(list_concat(a.hs60, b.hs60))) AS DOUBLE) AS jaccard
          |  FROM cands c JOIN h60 a ON c.id_a = a.id JOIN h60 b ON c.id_b = b.id)
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "sim4_neardup_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos_sim
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""".stripMargin,
     "sim1_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding,
