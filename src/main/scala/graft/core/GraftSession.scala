@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   * harness runs local[N].
   */
 object GraftSession {
-  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+              Runtime.getRuntime.availableProcessors().toString),
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
