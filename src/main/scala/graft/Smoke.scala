@@ -12,6 +12,12 @@ object Smoke {
     println(s"[smoke] entry rows=$n")
     df.show(5, truncate = false)
     require(n > 0, "entry() returned no rows")
+    // extension-injected expressions resolve in SQL without registration
+    val selfDot = spark.sql(
+      "SELECT dot_f(array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)), " +
+        "array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT))) AS d").head.getDouble(0)
+    println(s"[smoke] extension dot_f unit-vector self-dot=$selfDot")
+    require(math.abs(selfDot - 1.0) < 1e-6, "extension function broken")
     spark.stop()
   }
 }

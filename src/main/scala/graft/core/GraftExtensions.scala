@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotProductF, DotProductL}
+
+/** SparkSessionExtensions hook: injects the engine's custom Catalyst
+  * expressions into every session built with
+  * `spark.sql.extensions=graft.core.GraftExtensions` (wired by
+  * [[GraftSession]]), so `dot_f`/`dot_l` resolve in SQL text without
+  * per-session registration calls. This is the extension tier the
+  * builder prompt's preference order (c) describes; rules/strategies
+  * would be injected here the same way if an operator ever needs one.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      exprs => DotProductF(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotProductL].getName, "dot_l"),
+      exprs => DotProductL(exprs.head, exprs(1))))
+  }
+}
