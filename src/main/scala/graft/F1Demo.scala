@@ -49,6 +49,13 @@ object F1Demo {
         Seq("year", "grand_prix_name"))
     }
 
+    // laps also land bucketed by session_key: repeated joins/aggs on the
+    // session key then read co-located buckets with no exchange
+    spark.sql("DROP TABLE IF EXISTS laps_bucketed")
+    ParquetSink.writeBucketed(laps, "laps_bucketed", "session_key", 4)
+    println("[f1demo] laps_bucketed rows=" +
+      spark.table("laps_bucketed").count())
+
     // ---- drivers SCD2: historical build on weekends 1-2, then merge
     //      weekend 3 (team change) incrementally ----
     val obs = F1Fixtures.driverObs

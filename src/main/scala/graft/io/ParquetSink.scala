@@ -55,6 +55,20 @@ object ParquetSink {
     df
   }
 
+  /** Bucketed managed table: pre-shuffles data into `nBuckets` by
+    * `bucketCol` at write time so later equi-joins/aggregations on that
+    * key read co-located buckets and skip the exchange entirely — the
+    * at-scale answer to repeated large-fact joins (SURVEY §4 partitioning
+    * strategy). Requires saveAsTable (bucket metadata lives in the
+    * catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
   /** Atomic full-table rewrite: write to a temp sibling dir, then swap.
     * The SCD2 merge (read-modify-rewrite) needs this because the new table
     * is derived from the old one — overwriting in place would read and

@@ -68,6 +68,38 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lines")
+    graft.io.ParquetSink.writeBucketed(
+      (1 to 500).map(i => (i.toLong, i * 10.0)).toDF("k", "amount"),
+      "graft_bkt_orders", "k", 4)
+    graft.io.ParquetSink.writeBucketed(
+      (1 to 2000).map(i => ((i % 500 + 1).toLong, i)).toDF("k", "qty"),
+      "graft_bkt_lines", "k", 4)
+    val joined = spark.table("graft_bkt_lines")
+      .join(spark.table("graft_bkt_orders"), "k")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(joined.count() == 2000)
+    spark.sql("DROP TABLE graft_bkt_orders")
+    spark.sql("DROP TABLE graft_bkt_lines")
+  }
+
+  test("metadata-only multimodal stages prune the payload column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    graft.operators.Multimodal.syntheticMedia(spark,
+        graft.core.Tables.documents(spark, sf)).toDF()
+      .write.parquet(s"$dir/media")
+    val resized = graft.operators.Multimodal.resizeMeta(
+      spark.read.parquet(s"$dir/media"), maxDim = 512)
+    val p = resized.queryExecution.executedPlan.toString
+    val readSchema = p.split("ReadSchema:").last
+    assert(!readSchema.contains("content"), readSchema.take(500))
+    assert(resized.count() > 0)
+  }
+
   test("partition column recovery from file paths") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_rec").toString + "/t"
