@@ -63,8 +63,10 @@ object F1Demo {
     val historical = Scd2.buildHistorical(
       obs.filter(_.session_key < 300).toDF())
     ParquetSink.atomicRewrite(historical, dimPath)
+    // raceHistory = all observations to date, so total_races grows even
+    // for drivers whose team did not change (reference common.py:526-546)
     val merged = Scd2.merge(spark.read.parquet(dimPath),
-      obs.filter(_.session_key >= 300).toDF())
+      obs.filter(_.session_key >= 300).toDF(), Some(obs.toDF()))
     ParquetSink.atomicRewrite(merged, dimPath)
     val drivers = spark.read.parquet(dimPath)
 

@@ -102,13 +102,19 @@ object F1Functions {
   }
 
   /** Sprint-weekend detection (sessions_transform.py:277-316): name mentions
-    * sprint, or the location is on the known sprint calendar. */
+    * sprint, or the location is on the known sprint calendar. The list is
+    * the reference's 2024/25 set incl. circuit aliases
+    * (sessions_transform.py:302-308), held in canonical underscore form;
+    * the input is folded through [[normalizeGrandPrix]] first so the match
+    * works whether callers pass the raw meeting name ("United States
+    * Grand Prix") or the already-normalized one ("united_states"). */
   private val sprintLocations =
-    Seq("china", "miami", "austria", "united states", "brazil", "qatar",
-      "sao_paulo", "shanghai", "hard_rock")
+    Seq("china", "shanghai", "miami", "hard_rock", "austria", "spielberg",
+      "united_states", "austin", "cota", "brazil", "interlagos",
+      "sao_paulo", "qatar", "losail")
   def detectSprintWeekend(sessionName: Column, location: Column): Column =
     lower(sessionName).contains("sprint") ||
-      lower(location).rlike(sprintLocations.mkString("|"))
+      normalizeGrandPrix(location).rlike(sprintLocations.mkString("|"))
 
   /** Milliseconds → "M:SS.mmm" lap-time string (laps_transform.py:150-204).
     * floor/%/lpad only — deterministic across engines for double input. */

@@ -36,13 +36,14 @@ object ParquetSink {
   }
 
   /** Dynamic partition overwrite: only partitions present in `df` are
-    * replaced. Requires `spark.sql.sources.partitionOverwriteMode=dynamic`
-    * (set here per-write, not globally, so callers can't forget). */
+    * replaced. The mode is passed as a DataFrameWriter option, which scopes
+    * it to THIS write only — a session-conf set here would leak dynamic
+    * semantics into every later overwrite on the shared session. */
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCols: Seq[String]): DataFrame = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode",
-      "dynamic")
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
       .parquet(path)
     df
   }

@@ -57,9 +57,21 @@ object Scd2 {
     * Change semantics (FIXTURES.md golden cases):
     *  - new driver    → insert current row
     *  - team change   → close current row at batch date, insert new row
-    *  - no change     → dimension row untouched (idempotent re-runs)
+    *  - no change     → row untouched except `total_races` (see below)
+    *
+    * `total_races`: the reference recomputes it as countDistinct of ALL
+    * race sessions per driver (`common.py:526-546`), so it must grow even
+    * for drivers whose team did not change. Pass `raceHistory` — every
+    * driver-session observation to date, batch included — and the merge
+    * recomputes career totals onto each driver's open row; re-running the
+    * same batch is then a no-op (countDistinct dedupes by session_key).
+    * Without `raceHistory` the merge falls back to accumulating
+    * prior+batch on changed rows only, which freezes the count for
+    * NO_CHANGE drivers — fine for pure-dimension callers with no session
+    * log, but not reference-faithful.
     */
-  def merge(existing: DataFrame, batch: DataFrame): DataFrame = {
+  def merge(existing: DataFrame, batch: DataFrame,
+      raceHistory: Option[DataFrame] = None): DataFrame = {
     // Latest observation per driver in the batch — max_by, not last().
     val aggExprs =
       Seq(max(col("date_start")).as("batch_date"),
@@ -113,6 +125,26 @@ object Scd2 {
         attrCols.map(c => col("attrs").getField(c).as(c))): _*)
 
     val cols = closed.columns.toIndexedSeq
-    closed.unionByName(inserted.select(cols.map(inserted.col): _*))
+    val dim = closed.unionByName(inserted.select(cols.map(inserted.col): _*))
+
+    raceHistory match {
+      case None => dim
+      case Some(hist) =>
+        // Reference semantics: career total = distinct race sessions over
+        // the full history. ~1 row per (driver, session) — tiny next to
+        // the fact tables, and the aggregate output is O(#drivers), so
+        // the join side broadcasts.
+        val totals = hist
+          .filter(lower(col("session_type")) === "race")
+          .groupBy(col("driver_number"))
+          .agg(countDistinct(col("session_key")).cast("int")
+            .as("career_races"))
+        dim.join(broadcast(totals), Seq("driver_number"), "left")
+          .withColumn("total_races",
+            when(col("is_current") && col("career_races").isNotNull,
+              col("career_races")).otherwise(col("total_races")))
+          .drop("career_races")
+          .select(cols.map(col): _*)
+    }
   }
 }

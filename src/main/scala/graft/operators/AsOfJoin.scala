@@ -44,27 +44,35 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // A payload name already present on the left would poison the running
+    // fill (left values would be picked up by the window) — reject early.
+    val clash = payload.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"payload columns ${clash.mkString(",")} already exist on the left")
+
     val taggedLeft = left
       .withColumn("__t", col(leftTime)).withColumn("__side", lit(0))
+    // The whole payload rides in ONE struct so every carried field comes
+    // from the same right row (no per-column backfill mixing rows), and a
+    // matched row with null fields still counts as a match: the struct
+    // itself is non-null even when all its fields are null.
     val taggedRight = right
       .select((keyCol +: rightTime +: payload).distinct.map(col): _*)
       .withColumn("__t", col(rightTime)).withColumn("__side", lit(1))
-      .drop(rightTime)
+      .withColumn("__p", struct(payload.map(col): _*))
+      .select(col(keyCol), col("__t"), col("__side"), col("__p"))
 
     // right rows sort before left rows at equal time, so t_left == t_right
-    // matches (the ≤ semantics)
+    // matches (the ≤ semantics); left rows carry __p = null and are
+    // skipped by ignoreNulls, so they never feed the fill.
     val order = Window.partitionBy(col(keyCol))
       .orderBy(col("__t").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(
-      taggedLeft.unionByName(taggedRight, allowMissingColumns = true)) {
-      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true)
-        .over(order))
-    }
-    filled.filter(col("__side") === 0 &&
-        payload.map(col(_).isNotNull).reduce(_ && _))
-      .drop("__t", "__side")
-      .select((leftCols ++ payload).map(col): _*)
+    taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(order))
+      .filter(col("__side") === 0 && col("__p").isNotNull)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }

@@ -114,13 +114,13 @@ object Similarity {
     * (fewer planes → bigger buckets → higher recall, more compute). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding", dim: Int = 64): DataFrame = {
     val cSig = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      lshSignature(col(vecCol), planes, dim = dim).as("sig"))
     val qSig = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
-      lshSignature(col(vecCol), planes).as("sig")))
+      lshSignature(col(vecCol), planes, dim = dim).as("sig")))
     val scored = cSig.join(qSig, "sig")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -159,16 +159,18 @@ object Similarity {
     * ~nprobe/ncells of the corpus. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               ncells: Int = 16, nprobe: Int = 4, seed: Int = 7,
-              idCol: String = "vec_id", vecCol: String = "embedding")
-  : DataFrame = {
-    val assigned = ivfAssign(corpus, ncells, seed, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = 64): DataFrame = {
+    val assigned = ivfAssign(corpus, ncells, seed, vecCol, dim)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
         norm(col(vecCol)).as("c_norm"), col("cell"))
-    // query → its nprobe best cells, via the same centroid scores
+    // query → its nprobe best cells, via the same centroid scores; `dim`
+    // must flow into BOTH sides — a mismatched query-side projection would
+    // silently probe the wrong cells (zip_with null-pads short arrays)
     val vec = col(vecCol)
     val cellScores = array((0 until ncells).map { cCell =>
       struct(
-        aggregate(zip_with(vec, planeLit(seed, cCell, 64),
+        aggregate(zip_with(vec, planeLit(seed, cCell, dim),
           (v, c) => v.cast("double") * c), lit(0.0), (a, x) => a + x)
           .as("score"),
         lit(cCell).as("cell"))
@@ -195,9 +197,10 @@ object Similarity {
     * itself and keep pairs above `threshold`. */
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95,
                     planes: Int = 8, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding", dim: Int = 64): DataFrame = {
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"), lshSignature(col(vecCol), planes).as("sig"))
+      norm(col(vecCol)).as("nrm"),
+      lshSignature(col(vecCol), planes, dim = dim).as("sig"))
     val l = sig.as("l")
     val r = sig.as("r")
     l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))

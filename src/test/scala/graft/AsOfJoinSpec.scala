@@ -24,6 +24,31 @@ class AsOfJoinSpec extends SparkSpec {
       (1, 15L, "c", 200)))
   }
 
+  test("payload is row-atomic: null fields are not backfilled from older rows") {
+    import spark.implicits._
+    val left = Seq((1, 10L), (1, 20L)).toDF("k", "t")
+    // t=15 row has price=null: the t=20 probe must see (null, "y") from
+    // that one row, not mix price=100 from t=8 with qty="y" from t=15 —
+    // and the probe must NOT be dropped just because a field is null.
+    val right = Seq(
+      (1, 8L, Some(100), "x"), (1, 15L, None, "y"))
+      .toDF("k", "rt", "price", "qty")
+    val out = AsOfJoin.asofJoin(left, right, "k", "t", "rt",
+        Seq("price", "qty"))
+      .collect().map(r => (r.getAs[Long]("t"),
+        Option(r.getAs[Integer]("price")), r.getAs[String]("qty"))).toSet
+    assert(out == Set((10L, Some(100: Integer), "x"), (20L, None, "y")))
+  }
+
+  test("payload name clashing with a left column is rejected") {
+    import spark.implicits._
+    val left = Seq((1, 10L, 5)).toDF("k", "t", "price")
+    val right = Seq((1, 8L, 100)).toDF("k", "rt", "price")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(left, right, "k", "t", "rt", Seq("price"))
+    }
+  }
+
   test("dedupeRight keeps one row per (key, time) by tie-break") {
     import spark.implicits._
     val right = Seq((1, 8L, 100, 1), (1, 8L, 200, 2), (1, 9L, 300, 3))

@@ -55,6 +55,22 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(formatRaceTimeMillis(lit(5025678.0))) == "01:23:45.678")
   }
 
+  test("sprint detection matches raw and normalized location forms") {
+    // normalized form (what SilverTransforms.sessions passes)
+    assert(eval(detectSprintWeekend(lit("Race"), lit("united_states"))) == true)
+    // raw meeting name (what the reference matches against)
+    assert(eval(detectSprintWeekend(lit("Race"),
+      lit("United States Grand Prix"))) == true)
+    // circuit aliases from the reference list
+    assert(eval(detectSprintWeekend(lit("Race"), lit("Interlagos"))) == true)
+    assert(eval(detectSprintWeekend(lit("Race"), lit("Spielberg"))) == true)
+    // explicit sprint mention wins regardless of location
+    assert(eval(detectSprintWeekend(lit("Sprint Shootout"),
+      lit("Monaco Grand Prix"))) == true)
+    assert(eval(detectSprintWeekend(lit("Race"),
+      lit("Monaco Grand Prix"))) == false)
+  }
+
   test("madeQ3 / positionsGained") {
     assert(eval(madeQ3(lit(10))) == true)
     assert(eval(madeQ3(lit(11))) == false)

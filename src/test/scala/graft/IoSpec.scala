@@ -20,6 +20,10 @@ class IoSpec extends SparkSpec {
     val back = spark.read.parquet(dir).collect()
       .map(r => (r.getAs[Int]("id"), r.getAs[String]("gp"))).toSet
     assert(back == Set((9, "a"), (3, "b")))
+    // the dynamic mode must be scoped to the write, not leaked into the
+    // shared session conf (would flip later overwrites to dynamic)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "STATIC").equalsIgnoreCase("static"))
   }
 
   test("append adds rows; atomicRewrite swaps table derived from itself") {

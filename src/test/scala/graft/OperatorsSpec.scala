@@ -101,6 +101,24 @@ class OperatorsSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("ivfTopK honors a non-default embedding dim on both sides") {
+    import spark.implicits._
+    // 8-dim vectors: two tight clusters; with dim threaded through both
+    // corpus assignment and query-side projections, each query's top-1
+    // neighbor is its cluster partner.
+    def v(base: Float): Array[Float] = Array.tabulate(8)(i => base + i * 0.01f)
+    val corpus = Seq(
+      (1L, v(1.0f)), (2L, v(1.01f)),  // cluster A
+      (3L, v(-5.0f)), (4L, v(-5.01f)) // cluster B
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(corpus, corpus, k = 1, ncells = 2,
+      nprobe = 2, dim = 8)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("corpus_id")).toMap
+    assert(out(1L) == 2L && out(2L) == 1L)
+    assert(out(3L) == 4L && out(4L) == 3L)
+  }
+
   test("multimodal feature extraction is deterministic per payload") {
     val media = Multimodal.syntheticMedia(spark,
       Tables.documents(spark, sf).limit(20))

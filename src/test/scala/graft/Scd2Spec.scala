@@ -68,4 +68,33 @@ class Scd2Spec extends SparkSpec {
     assert(again.count() == 4)
     assert(again.filter(col("is_current") === true).count() == 3)
   }
+
+  test("merge with raceHistory: total_races grows for NO_CHANGE drivers") {
+    val existing = Scd2.buildHistorical(
+      obsDF(driverObs.filter(_.session_key < 300))).cache()
+    val batch = obsDF(driverObs.filter(_.session_key >= 300))
+    val history = obsDF(driverObs)
+
+    val merged = Scd2.merge(existing, batch, Some(history)).cache()
+    // #1 stayed at Red Bull (NO_CHANGE) but raced in all 3 races
+    val d1 = merged.filter(col("driver_number") === 1).collect()
+    assert(d1.length == 1 && d1(0).getAs[Boolean]("is_current"))
+    assert(d1(0).getAs[Int]("total_races") == 3)
+    // team-change driver's new current row also carries the career total
+    val d44cur = merged.filter(col("driver_number") === 44 &&
+      col("is_current")).collect()
+    assert(d44cur.length == 1)
+    assert(d44cur(0).getAs[Int]("total_races") == 3)
+    // closed rows keep their historical snapshot
+    val d44old = merged.filter(col("driver_number") === 44 &&
+      !col("is_current")).collect()
+    assert(d44old.length == 1)
+
+    // re-running the same batch with the same history is a no-op:
+    // countDistinct over session_key dedupes re-counted races
+    val again = Scd2.merge(merged, batch, Some(history)).cache()
+    assert(again.count() == merged.count())
+    assert(again.filter(col("driver_number") === 1)
+      .head().getAs[Int]("total_races") == 3)
+  }
 }
