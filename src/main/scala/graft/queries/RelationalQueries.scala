@@ -217,7 +217,86 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"),
           moneySum(col("l_extendedprice")).as("band_revenue"))
     },
+
+    // G2/G3 (beyond reference): set intersection / difference with
+    // distinct semantics — which nations have customers AND suppliers,
+    // and which have customers but NO suppliers.
+    "g2_intersect" -> { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+    },
+    "g3_except" -> { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+    },
+
+    // C9 (beyond reference): full outer join — per-nation customer and
+    // supplier counts, nulls on the unmatched side filled to zero.
+    "c9_full_outer" -> { (s, dir) =>
+      val cAgg = Tables.customer(s, dir).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val sAgg = Tables.supplier(s, dir).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      cAgg.join(sAgg, cAgg("c_nationkey") === sAgg("s_nationkey"),
+          "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
+    // C10 (beyond reference): cross join of two tiny dims (25×5 rows) —
+    // Catalyst picks BroadcastNestedLoopJoin, no shuffle.
+    "c10_cross_join" -> { (s, dir) =>
+      Tables.nation(s, dir).select("n_name")
+        .crossJoin(Tables.region(s, dir).select("r_name"))
+    },
+
+    // D11 (beyond reference): exact interpolated percentiles. Quantile
+    // fractions are powers of two so the (n-1)*q interpolation arithmetic
+    // is bit-identical across engines.
+    "d11_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+        max(col("l_quantity")).as("max_qty"))
+    },
+
+    // D12 (beyond reference): GROUPING SETS — two independent subtotal
+    // levels plus the grand total in one pass (the generalization of
+    // rollup/cube; one shuffle, expand-node fan-out).
+    "d12_grouping_sets" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // Typed Dataset tier (SURVEY §1.3): case-class Encoder + groupByKey/
+    // mapGroups argmax — the per-group imperative escape hatch, with a
+    // deterministic tie-break. Same semantics as f2_argmax_per_group but
+    // through the typed API.
+    "t1_typed_argmax" -> { (s, dir) =>
+      import s.implicits._
+      val ds = Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long"),
+          col("o_custkey").cast("long"),
+          col("o_totalprice").cast("double"))
+        .as[OrderSlim]
+      ds.groupByKey(_.o_custkey)
+        .mapGroups { (cust, rows) =>
+          val top = rows.minBy(r => (-r.o_totalprice, r.o_orderkey))
+          (cust, top.o_orderkey, top.o_totalprice)
+        }
+        .toDF("o_custkey", "top_orderkey", "top_price")
+    },
   )
+
+  /** Typed row for the Dataset-API queries. */
+  final case class OrderSlim(o_orderkey: Long, o_custkey: Long,
+                             o_totalprice: Double)
 
   /** Literal quantity-band dimension. */
   private implicit class BandSeq(rows: Seq[(Double, Double, String)]) {
@@ -318,5 +397,40 @@ object RelationalQueries {
          |${Det.sqlMoneySum("l_extendedprice")} AS band_revenue
          |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
          |GROUP BY band""".stripMargin,
+    "g2_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+    "g3_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+    "c9_full_outer" ->
+      """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |(SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        |ON c_nationkey = s_nationkey""".stripMargin,
+    "c10_cross_join" ->
+      "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    "d11_percentile" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "d12_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         |${Det.sqlMoneySum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "t1_typed_argmax" ->
+      """SELECT o_custkey, o_orderkey AS top_orderkey,
+        |o_totalprice AS top_price FROM (
+        |  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
   )
 }

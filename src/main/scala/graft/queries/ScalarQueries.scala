@@ -89,6 +89,41 @@ object ScalarQueries {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint")
           .as("k_value"))
     },
+
+    // H12 (beyond reference): generator — explode the part-name words into
+    // rows, then aggregate word frequencies. Generate runs inside
+    // whole-stage codegen; no UDTF.
+    "h12_explode_words" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+    },
+
+    // H13 (beyond reference): string-distance join — nation-name pairs
+    // within edit distance 6 (both engines implement classic Levenshtein).
+    // 25×25 self-pair space via broadcast; deterministic key order.
+    "h13_levenshtein" -> { (s, dir) =>
+      val a = Tables.nation(s, dir).select(col("n_name").as("name_a"))
+      val b = Tables.nation(s, dir).select(col("n_name").as("name_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("bigint").as("dist"))
+        .filter(col("dist") <= 6)
+    },
+
+    // H14 (beyond reference): array higher-order functions — transform /
+    // filter / exists over the split word list, all codegen-safe scalar
+    // ops per row (no explode, no shuffle).
+    "h14_array_hof" -> { (s, dir) =>
+      val words = split(col("p_name"), " ")
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        size(words).cast("bigint").as("n_words"),
+        size(filter(words, w => length(w) > 5)).cast("bigint").as("n_long"),
+        array_max(transform(words, w => length(w))).cast("bigint").as("max_len"),
+        array_contains(words, "green").as("has_green"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +169,24 @@ object ScalarQueries {
       """SELECT event_id,
         |CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_value
         |FROM events""".stripMargin,
+    "h12_explode_words" ->
+      """SELECT word, COUNT(*) AS n FROM
+        |(SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin,
+    "h13_levenshtein" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        |FROM nation a, nation b
+        |WHERE a.n_name < b.n_name
+        |  AND levenshtein(a.n_name, b.n_name) <= 6""".stripMargin,
+    "h14_array_hof" ->
+      """SELECT p_partkey,
+        |CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |CAST(len(list_filter(string_split(p_name, ' '),
+        |  w -> strlen(w) > 5)) AS BIGINT) AS n_long,
+        |CAST(list_max(list_transform(string_split(p_name, ' '),
+        |  w -> strlen(w))) AS BIGINT) AS max_len,
+        |list_contains(string_split(p_name, ' '), 'green') AS has_green
+        |FROM part""".stripMargin,
   )
 }

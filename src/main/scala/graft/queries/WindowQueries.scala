@@ -214,6 +214,24 @@ object WindowQueries {
       c.union(sup).groupBy("nationkey", "side")
         .agg(count(lit(1)).as("n_rows"))
     },
+
+    // E15 (beyond reference): RANGE frame — per-customer trailing-30-day
+    // spend. The order key is integer epoch-days so the frame bound is
+    // engine-neutral (value-based, includes all peers of equal day —
+    // deterministic regardless of intra-day row order).
+    "e15_range_frame" -> { (s, dir) =>
+      val day = datediff(col("o_orderdate"), lit("1970-01-01"))
+        .cast("bigint")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          col("o_totalprice"))
+        .withColumn("spend_30d",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double"))
+        .drop("o_totalprice")
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -311,5 +329,13 @@ object WindowQueries {
         |  UNION ALL
         |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey, 'supplier' AS side FROM supplier
         |) t GROUP BY nationkey, side""".stripMargin,
+    "e15_range_frame" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day
+        |  FROM orders) t""".stripMargin,
   )
 }

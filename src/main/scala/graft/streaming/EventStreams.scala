@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Structured Streaming extension (beyond reference parity — the
   * reference's "incremental" mode is a weekly batch re-run, SURVEY.md
@@ -56,6 +58,71 @@ object EventStreams {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
+
+  case class TimedEvent(ts: Timestamp, user_id: Long, value: Double)
+  // NOT private: the state Encoder's generated code invokes the accessors
+  // reflectively from synthesized Java, which can't see private members.
+  case class OpenSession(start_ms: Long, last_ms: Long,
+      n_events: Long, total_value: Double)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, session_value: Double)
+
+  /** Gap sessionization as an explicit state machine via
+    * `flatMapGroupsWithState` + event-time timeout — the fully-custom
+    * tier below [[sessionize]]'s `session_window`. Within a batch, a gap
+    * larger than `gapMs` closes the open session immediately; the LAST
+    * open session per user closes when the watermark passes
+    * last-event + gap (`setTimeoutTimestamp`, so idle users emit without
+    * new data — Spark schedules a no-data micro-batch on watermark
+    * advance). State is one small record per active user, store-backed
+    * and bounded by the timeout. `session_end` = last event + gap,
+    * matching `session_window` semantics.
+    */
+  def gapSessionsCustom(events: Dataset[TimedEvent],
+                        gapMs: Long = 10L * 60 * 1000,
+                        watermark: String = "10 minutes")
+  : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def close(user: Long, s: OpenSession) = ClosedSession(user,
+      new Timestamp(s.start_ms), new Timestamp(s.last_ms + gapMs),
+      s.n_events, s.total_value)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            // micro-batch order is not event order — sort the (small)
+            // per-user slice before folding it through the state machine
+            val evs = batch.toIndexedSeq.sortBy(_.ts.getTime)
+            val closed = Vector.newBuilder[ClosedSession]
+            var open = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last_ms > gapMs =>
+                  closed += close(user, s)
+                  open = Some(OpenSession(t, t, 1L, e.value))
+                case Some(s) =>
+                  open = Some(s.copy(last_ms = math.max(s.last_ms, t),
+                    n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserProfile(user_id: Long, n_events: Long,

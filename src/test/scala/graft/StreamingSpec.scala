@@ -48,6 +48,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") == 1)
   }
 
+  test("flatMapGroupsWithState sessionizer: in-batch gap close + timeout close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.TimedEvent
+    val stream = MemoryStream[TimedEvent]
+    val out = EventStreams.gapSessionsCustom(stream.toDS(),
+      gapMs = 10L * 60 * 1000, watermark = "10 minutes")
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("custom_sessions_out").outputMode("append").start()
+
+    // session 1 (10:00-10:05) closes in-batch when the 10:35 event opens
+    // session 2; session 2 closes later via event-time timeout.
+    stream.addData(
+      TimedEvent(ts("2024-01-01 10:00:00"), 7, 1.0),
+      TimedEvent(ts("2024-01-01 10:05:00"), 7, 2.0),
+      TimedEvent(ts("2024-01-01 10:35:00"), 7, 10.0))
+    query.processAllAvailable()
+    stream.addData(TimedEvent(ts("2024-01-01 12:00:00"), 99, 0.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("custom_sessions_out")
+      .filter(col("user_id") === 7)
+      .orderBy("session_start").collect()
+    query.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[Double]("session_value") == 3.0)
+    assert(rows(0).getAs[Timestamp]("session_end") ==
+      ts("2024-01-01 10:15:00")) // last event + gap, session_window parity
+    assert(rows(1).getAs[Long]("n_events") == 1)
+    assert(rows(1).getAs[Double]("session_value") == 10.0)
+    assert(rows(1).getAs[Timestamp]("session_end") ==
+      ts("2024-01-01 10:45:00"))
+  }
+
   test("mapGroupsWithState profiles accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
