@@ -7,12 +7,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{DotProductF, DotProductL}
 
 /** SparkSessionExtensions hook: injects the engine's custom Catalyst
-  * expressions into every session built with
+  * expressions AND planner strategies into every session built with
   * `spark.sql.extensions=graft.core.GraftExtensions` (wired by
-  * [[GraftSession]]), so `dot_f`/`dot_l` resolve in SQL text without
-  * per-session registration calls. This is the extension tier the
-  * builder prompt's preference order (c) describes; rules/strategies
-  * would be injected here the same way if an operator ever needs one.
+  * [[GraftSession]]), so `dot_f`/`dot_l` resolve in SQL text and
+  * [[graft.plans.TopKPerKey]] nodes plan, without per-session
+  * registration calls. This is the extension tier the builder prompt's
+  * preference order (c) describes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_l"),
       new ExpressionInfo(classOf[DotProductL].getName, "dot_l"),
       exprs => DotProductL(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKey.Strategy)
   }
 }

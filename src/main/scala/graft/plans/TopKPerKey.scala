@@ -1,0 +1,128 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.DatasetBridge
+
+/** Group-wise top-k as a first-class operator — the tier-(c) custom plan
+  * of the builder prompt's preference order (logical node + planner
+  * strategy + physical operator, injected via `SparkSessionExtensions`
+  * in [[graft.core.GraftExtensions]]).
+  *
+  * Why not `row_number().over(...).filter(rn <= k)`? The window form
+  * shuffles EVERY row to its key's partition and sorts whole partitions
+  * before any row can be discarded. This operator runs in two phases the
+  * way partial aggregation does:
+  *
+  *   partial: each input partition keeps at most k rows per key present
+  *            (bounded per-key heap, no sort of the full partition);
+  *   final:   after the key-clustered exchange, the surviving ≤k-per-
+  *            (key, partition) rows merge to the true per-key top k.
+  *
+  * At 100 TB with k ≪ rows-per-key the exchange moves O(keys × k ×
+  * partitions) rows instead of O(N) — the shuffle, not the scan, is what
+  * dies first on wide clusters. With an empty key list it degenerates to
+  * global top-k (the TakeOrderedAndProject shape).
+  *
+  * Ties: rows are kept by the given sort order alone; pass a total order
+  * (explicit tie-break column) for deterministic output, exactly as the
+  * reference's rank specs do (window_functions.py:117 in
+  * /root/reference).
+  */
+object TopKPerKey {
+
+  /** Logical marker node: "keep the first `k` rows per `grouping` key
+    * under `order`". Output = child output (no schema change). */
+  final case class TopKPerKeyNode(grouping: Seq[Expression],
+      order: Seq[SortOrder], k: Int, child: LogicalPlan) extends UnaryNode {
+    require(k > 0, s"k must be positive, got $k")
+    override def output: Seq[Attribute] = child.output
+    override protected def withNewChildInternal(newChild: LogicalPlan)
+    : TopKPerKeyNode = copy(child = newChild)
+  }
+
+  /** Plans the logical node as partial → exchange (via required
+    * distribution) → final. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerKeyNode(grouping, order, k, child) =>
+        TopKPerKeyExec(grouping, order, k, partial = false,
+          TopKPerKeyExec(grouping, order, k, partial = true,
+            planLater(child))) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical per-partition bounded top-k. `partial = true` accepts any
+    * input distribution; the final node demands key-clustering, so
+    * EnsureRequirements inserts the (now tiny) exchange between them. */
+  final case class TopKPerKeyExec(grouping: Seq[Expression],
+      order: Seq[SortOrder], k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+    override def output: Seq[Attribute] = child.output
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      if (partial) Seq(UnspecifiedDistribution)
+      else if (grouping.isEmpty) Seq(AllTuples)
+      else Seq(ClusteredDistribution(grouping))
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val schema = child.output
+      val groupingExprs = grouping
+      val sortOrder = order
+      val limit = k
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(groupingExprs, schema)
+        val ord = RowOrdering.create(sortOrder, schema)
+        // One bounded heap per key: PriorityQueue dequeues the MAX under
+        // `ord` (= the worst kept row), so admission is O(log k) and
+        // memory is O(keys-in-partition × k).
+        val heaps =
+          mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        iter.foreach { row =>
+          val key = keyProj(row)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue.empty[InternalRow](ord)
+              heaps.put(key.copy(), h) // projection reuses its row buffer
+              h
+          }
+          if (heap.size < limit) heap.enqueue(row.copy())
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(row.copy())
+          }
+        }
+        heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: SparkPlan)
+    : TopKPerKeyExec = copy(child = newChild)
+
+    override def nodeName: String =
+      if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+  }
+
+  /** Public API: rows ranked ≤ k within each key under `order` (pass
+    * `.desc`/`.asc` columns; bare columns sort ascending). */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int): DataFrame = {
+    val grouping = keys.map(DatasetBridge.expression(df, _))
+    val sortOrder = order.map(c => DatasetBridge.expression(df, c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    DatasetBridge.ofRows(df,
+      TopKPerKeyNode(grouping, sortOrder, k, DatasetBridge.logicalPlan(df)))
+  }
+}

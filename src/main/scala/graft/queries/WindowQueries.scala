@@ -215,6 +215,19 @@ object WindowQueries {
         .agg(count(lit(1)).as("n_rows"))
     },
 
+    // F6 (beyond reference): group-wise top-k through the custom
+    // TopKPerKey operator (logical node + strategy + partial/final
+    // physical phases — graft.plans.TopKPerKey). Top-3 orders per
+    // customer; total order via the orderkey tie-break.
+    "f6_topk_per_key" -> { (s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.orders(s, dir)
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+    },
+
     // E15 (beyond reference): RANGE frame — per-customer trailing-30-day
     // spend. The order key is integer epoch-days so the frame bound is
     // engine-neutral (value-based, includes all peers of equal day —
@@ -329,6 +342,12 @@ object WindowQueries {
         |  UNION ALL
         |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey, 'supplier' AS side FROM supplier
         |) t GROUP BY nationkey, side""".stripMargin,
+    "f6_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
     "e15_range_frame" ->
       """SELECT o_orderkey, o_custkey, day,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

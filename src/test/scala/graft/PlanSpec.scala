@@ -33,6 +33,33 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
 
+  test("custom TopKPerKey: partial below the exchange, final above, matches window") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val topk = graft.plans.TopKPerKey.topKPerKey(orders,
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+
+    // plan shape: partial phase BEFORE the shuffle (so the exchange moves
+    // ≤k rows per key per partition), final phase after
+    val p = plan(topk)
+    val iPartial = p.indexOf("TopKPerKeyPartial")
+    val iFinal = p.indexOf("TopKPerKeyFinal")
+    val iExchange = p.indexOf("Exchange")
+    assert(iPartial >= 0 && iFinal >= 0 && iExchange >= 0, p.take(2000))
+    // tree prints root-first: final above exchange above partial
+    assert(iFinal < iExchange && iExchange < iPartial, p.take(2000))
+
+    // correctness: identical row set to the window row_number form
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(topk.except(viaWindow).isEmpty && viaWindow.except(topk).isEmpty)
+    assert(topk.count() == viaWindow.count())
+  }
+
   test("flagship entry plan broadcasts dims and windows without extra exchanges") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
