@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductL].getName, "dot_l"),
       exprs => DotProductL(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKey.Strategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKPerKey.RowNumberToTopK)
   }
 }

@@ -5,9 +5,10 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, RowNumber}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.DatasetBridge
 
@@ -46,6 +47,44 @@ object TopKPerKey {
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(newChild: LogicalPlan)
     : TopKPerKeyNode = copy(child = newChild)
+  }
+
+  /** Optimizer rewrite (the tier-(c) `Rule[LogicalPlan]`): recognizes the
+    * idiomatic window top-k —
+    * {{{ df.withColumn("rn", row_number().over(w)).filter("rn <= k").drop("rn") }}}
+    * — and replaces it with [[TopKPerKeyNode]], so code written in the
+    * portable window form still gets the partial/final bounded-heap plan.
+    * Deliberately narrow: exactly one window expression, a bare
+    * `row_number`, a literal bound, and a projection that drops the rank
+    * column (rank()/dense_rank() keep ties, so only RowNumber is
+    * set-equivalent to top-k).
+    */
+  object RowNumberToTopK extends Rule[LogicalPlan] {
+    private def bound(cond: Expression, rn: Attribute): Option[Int] =
+      cond match {
+        case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _))
+          if a.exprId == rn.exprId && k > 0 => Some(k)
+        case LessThan(a: AttributeReference, Literal(k: Int, _))
+          if a.exprId == rn.exprId && k > 1 => Some(k - 1)
+        case EqualTo(a: AttributeReference, Literal(1, _))
+          if a.exprId == rn.exprId => Some(1)
+        case _ => None
+      }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case Project(projList,
+          Filter(cond,
+            Window(Seq(alias @ Alias(
+              WindowExpression(_: RowNumber, spec), _)),
+              partSpec, orderSpec, child, _)))
+        if orderSpec.nonEmpty &&
+          bound(cond, alias.toAttribute).isDefined &&
+          !projList.exists(_.references.contains(alias.toAttribute)) &&
+          projList.forall(_.references.subsetOf(child.outputSet)) =>
+        Project(projList,
+          TopKPerKeyNode(partSpec, orderSpec,
+            bound(cond, alias.toAttribute).get, child))
+    }
   }
 
   /** Plans the logical node as partial → exchange (via required

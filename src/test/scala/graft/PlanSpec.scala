@@ -60,6 +60,40 @@ class PlanSpec extends SparkSpec {
     assert(topk.count() == viaWindow.count())
   }
 
+  test("RowNumberToTopK rule rewrites the window top-k idiom to the custom plan") {
+    import org.apache.spark.sql.expressions.Window
+    val spark2 = spark
+    if (!spark2.experimental.extraOptimizations
+        .contains(graft.plans.TopKPerKey.RowNumberToTopK)) {
+      spark2.experimental.extraOptimizations =
+        spark2.experimental.extraOptimizations :+
+          graft.plans.TopKPerKey.RowNumberToTopK
+    }
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // the portable window idiom…
+    val idiom = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    // …optimizes into the custom operator (no Window node survives)
+    val p = plan(idiom)
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      p.take(2000))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      p.take(2000))
+    assert(idiom.groupBy("o_custkey").count()
+      .filter(col("count") > 2).isEmpty)
+    // a query that KEEPS the rank column must NOT be rewritten
+    val keepsRn = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    assert(!plan(keepsRn).contains("TopKPerKey"))
+    // rank() keeps ties — must NOT be rewritten either
+    val rankForm = orders.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2).drop("rk")
+    assert(!plan(rankForm).contains("TopKPerKey"))
+  }
+
   test("flagship entry plan broadcasts dims and windows without extra exchanges") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
