@@ -41,12 +41,18 @@ object F1Demo {
     val pits = SilverTransforms.pitstops(F1Fixtures.pitRows.toDF())
 
     // facts land partitioned by (year, grand_prix_name); re-running a GP
-    // replaces exactly its partitions (idempotent INCREMENTAL semantics)
+    // replaces exactly its partitions (idempotent INCREMENTAL semantics).
+    // Validation counters ride the write via observe() — the reference's
+    // count() gates as free in-flight metrics (SURVEY §2.D7).
     Seq("sessions_silver" -> sessions, "qualifying_results_silver" -> quali,
       "race_results_silver" -> race, "laps_silver" -> laps,
       "pitstops_silver" -> pits).foreach { case (name, df) =>
-      ParquetSink.overwritePartitions(df, s"$warehouse/$name",
+      val (observed, gate) = graft.io.PipelineMetrics.observed(
+        df, s"${name}_gate", Seq("session_key"))
+      ParquetSink.overwritePartitions(observed, s"$warehouse/$name",
         Seq("year", "grand_prix_name"))
+      println(s"[f1demo] $name rows=${gate.get("n_rows")} " +
+        s"null_keys=${gate.get("null_session_key")}")
     }
 
     // laps also land bucketed by session_key: repeated joins/aggs on the

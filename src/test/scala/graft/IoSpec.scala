@@ -26,6 +26,24 @@ class IoSpec extends SparkSpec {
       "STATIC").equalsIgnoreCase("static"))
   }
 
+  test("observe metrics ride the action instead of extra count() jobs") {
+    import spark.implicits._
+    import graft.io.PipelineMetrics
+    val df = Seq((1, Some("a")), (2, None), (3, Some("c")))
+      .toDF("id", "name")
+    val (observed, obs) = PipelineMetrics.observed(df, "silver_gate",
+      Seq("name"))
+    val dir = Files.createTempDirectory("graft_obs").toString + "/t"
+    observed.write.parquet(dir) // the ONLY job; metrics piggyback on it
+    assert(obs.get("n_rows") == 3L)
+    assert(obs.get("null_name") == 1L)
+
+    val (checked, inv) = PipelineMetrics.observedInvariant(df.toDF(),
+      "points_check", col("id") <= 2)
+    checked.write.mode("overwrite").format("noop").save()
+    assert(inv.get("n_violations") == 1L)
+  }
+
   test("append adds rows; atomicRewrite swaps table derived from itself") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ar").toString + "/t"
