@@ -274,6 +274,19 @@ object RelationalQueries {
           moneySum(col("l_quantity")).as("sum_qty"))
     },
 
+    // D13 (beyond reference): two-phase SALTED aggregation
+    // (operators.Skew) — the hot-key mitigation is semantically
+    // transparent, proven by oracling against a plain GROUP BY. Decimal
+    // partials keep the two-phase sum exact.
+    "d13_salted_agg" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      graft.operators.Skew.saltedSumCount(li, Seq("l_suppkey"), "qty",
+          saltFactor = 16)
+        .select(col("l_suppkey"), col("n_rows"),
+          col("sum_qty").cast("double").as("sum_qty"))
+    },
+
     // Typed Dataset tier (SURVEY §1.3): case-class Encoder + groupByKey/
     // mapGroups argmax — the per-group imperative escape hatch, with a
     // deterministic tie-break. Same semantics as f2_argmax_per_group but
@@ -423,6 +436,10 @@ object RelationalQueries {
          |${Det.sqlMoneySum("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "d13_salted_agg" ->
+      """SELECT l_suppkey, COUNT(*) AS n_rows,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
     "t1_typed_argmax" ->
       """SELECT o_custkey, o_orderkey AS top_orderkey,
         |o_totalprice AS top_price FROM (

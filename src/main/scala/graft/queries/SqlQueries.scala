@@ -35,6 +35,16 @@ object SqlQueries {
       |GROUP BY c_custkey, c_name
       |ORDER BY spend DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  private val windowSql =
+    """SELECT o_custkey, o_orderkey,
+      |CAST(RANK() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS spend_rank,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  AS running_spend
+      |FROM orders""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary through the SQL front end.
     "sql1_pricing_summary" -> { (s, dir) =>
@@ -55,10 +65,17 @@ object SqlQueries {
         """SELECT vec_id, dot_f(embedding, embedding) AS self_dot
           |FROM embeddings ORDER BY self_dot DESC, vec_id LIMIT 25""".stripMargin)
     },
+    // Window functions through the SQL front end — rank + running frame
+    // in one dialect-neutral statement.
+    "sql4_window_sql" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(windowSql)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
     "sql1_pricing_summary" -> pricingSummary,
     "sql2_top_customers" -> topCustomers,
+    "sql4_window_sql" -> windowSql,
   )
 }
