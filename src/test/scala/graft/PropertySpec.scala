@@ -54,6 +54,23 @@ object WindowProps extends Properties("WindowOps") {
           .forall { case (_, rs) => rs.exists(_.getAs[Double]("gap") == 0.0) }
     }
 
+  property("TopKPerKey equals the window row_number form on random data") =
+    Prop.forAll(seasonGen, Gen.choose(1, 4)) { (rows, k) =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val df = rows.toDF("driver", "race", "points")
+      // total order: points desc, race asc — deterministic on ties
+      val viaCustom = graft.plans.TopKPerKey.topKPerKey(df,
+          Seq(col("driver")), Seq(col("points").desc, col("race").asc), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      val w = Window.partitionBy(col("driver"))
+        .orderBy(col("points").desc, col("race").asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      viaCustom == viaWindow
+    }
+
   property("rank is invariant under input row permutation") =
     Prop.forAll(seasonGen, Gen.long) { (rows, seed) =>
       import spark.implicits._
