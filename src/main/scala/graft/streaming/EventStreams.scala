@@ -59,6 +59,36 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
 
+  /** Stream-stream interval join (ad-attribution shape): each click joins
+    * the impressions of the same user at most `withinMinutes` earlier.
+    * Both sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, so Spark can size the join state and drop
+    * expired rows — the requirements for unbounded-input joins.
+    * Contract: impressions(ts, user_id, value), clicks(click_ts, user_id).
+    */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      withinMinutes: Int = 30): DataFrame = {
+    val i = impressions.withWatermark("ts", s"$withinMinutes minutes")
+      .select(col("ts").as("imp_ts"), col("user_id"),
+        col("value").as("imp_value"))
+    val c = clicks.withWatermark("click_ts", s"$withinMinutes minutes")
+    i.join(c,
+      i("user_id") === c("user_id") &&
+        c("click_ts") >= i("imp_ts") &&
+        c("click_ts") <= i("imp_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(i("user_id"), col("imp_ts"), col("click_ts"),
+        col("imp_value"))
+  }
+
+  /** Watermark-bounded exact dedup: duplicates arriving within the
+    * watermark horizon are dropped, and state for an id is freed once the
+    * watermark passes — the streaming twin of the batch exact-dedup
+    * operator with O(ids-in-horizon) state instead of O(all-time ids). */
+  def dedupeWithinWatermark(events: DataFrame, idCol: String,
+                            watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   case class TimedEvent(ts: Timestamp, user_id: Long, value: Double)
   // NOT private: the state Encoder's generated code invokes the accessors
   // reflectively from synthesized Java, which can't see private members.

@@ -144,6 +144,60 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(silver).count() == 3)
   }
 
+  test("stream-stream interval join attributes clicks to impressions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val out = EventStreams.attributeClicks(imps.toDF(),
+      clicks.toDF().toDF("click_ts", "user_id"), withinMinutes = 30)
+    val query = out.writeStream.format("memory")
+      .queryName("attrib_out").outputMode("append").start()
+
+    imps.addData(
+      Ev(ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Ev(ts("2024-01-01 09:00:00"), 8, "view", 2.0))
+    clicks.addData(
+      (ts("2024-01-01 10:20:00"), 7L),  // 20 min after imp → attributed
+      (ts("2024-01-01 11:00:00"), 8L))  // 2h after imp → outside window
+    query.processAllAvailable()
+    // advance both watermarks so results emit
+    imps.addData(Ev(ts("2024-01-01 13:00:00"), 99, "view", 0.0))
+    clicks.addData((ts("2024-01-01 13:00:00"), 99L))
+    query.processAllAvailable()
+
+    val rows = spark.table("attrib_out")
+      .filter(col("user_id").isin(7, 8)).collect()
+    query.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("user_id") == 7L)
+    assert(rows(0).getAs[Timestamp]("click_ts") == ts("2024-01-01 10:20:00"))
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes replayed ids with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val out = EventStreams.dedupeWithinWatermark(
+      stream.toDF().toDF("ts", "event_id", "value"), "event_id",
+      watermark = "30 minutes")
+    val query = out.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+
+    stream.addData(
+      (ts("2024-01-01 10:00:00"), "e1", 1.0),
+      (ts("2024-01-01 10:01:00"), "e1", 1.0), // dup within horizon
+      (ts("2024-01-01 10:02:00"), "e2", 2.0))
+    query.processAllAvailable()
+    stream.addData((ts("2024-01-01 10:03:00"), "e1", 1.0)) // still dup
+    query.processAllAvailable()
+
+    val n = spark.table("dedup_out")
+      .filter(col("event_id").isin("e1", "e2")).count()
+    query.stop()
+    assert(n == 2)
+  }
+
   test("windowed type counts aggregate within tumbling windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
