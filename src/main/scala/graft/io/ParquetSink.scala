@@ -70,6 +70,35 @@ object ParquetSink {
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
 
+  /** Sorted-layout write: cluster rows into `nFiles` by `sortCols` (one
+    * shuffle) and sort within each file, so parquet min/max column stats
+    * become selective — at scale, a range predicate on the sort key skips
+    * whole row groups/files instead of scanning them. This is the
+    * plain-parquet answer to the reference's Iceberg table-layout tuning
+    * (`iceberg_manager.py:58-77` in /root/reference). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  nFiles: Int): DataFrame = {
+    df.repartitionByRange(nFiles, sortCols.map(df.col): _*)
+      .sortWithinPartitions(sortCols.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    df
+  }
+
+  /** Small-file compaction: rewrite a table directory into
+    * ~`targetFileBytes` files. Streaming/incremental sinks (one file per
+    * micro-batch) degrade scan planning at scale — file listing and
+    * per-file open cost dominate; periodic compaction is the standard
+    * fix. Uses the atomic swap so readers never see a half state. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / BigInt(targetFileBytes)).toLong
+      + (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0)).toInt
+    atomicRewrite(df.repartition(nFiles), path)
+    nFiles.toLong
+  }
+
   /** Atomic full-table rewrite: write to a temp sibling dir, then swap.
     * The SCD2 merge (read-modify-rewrite) needs this because the new table
     * is derived from the old one — overwriting in place would read and

@@ -26,6 +26,36 @@ class IoSpec extends SparkSpec {
       "STATIC").equalsIgnoreCase("static"))
   }
 
+  test("writeSorted clusters by range and sorts within files; compact merges small files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val dir = Files.createTempDirectory("graft_layout").toString
+    val df = (1 to 1000).map(i => (i * 37 % 1000, s"v$i")).toDF("k", "v")
+    ParquetSink.writeSorted(df, s"$dir/sorted", Seq("k"), nFiles = 4)
+    // each file holds a sorted, non-overlapping key range
+    val perFile = spark.read.parquet(s"$dir/sorted")
+      .select(col("k"), input_file_name().as("f"))
+      .collect().groupBy(_.getAs[String]("f"))
+      .view.mapValues(_.map(_.getAs[Int]("k")).toSeq).toMap
+    assert(perFile.size > 1)
+    perFile.values.foreach(ks => assert(ks == ks.sorted, "file not sorted"))
+    val ranges = perFile.values.map(ks => (ks.min, ks.max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, "overlapping ranges")
+      case _ =>
+    }
+
+    // many tiny appends → compact to few files, same content
+    val tiny = s"$dir/tiny"
+    (1 to 8).foreach(i => Seq((i, i.toString)).toDF("k", "v")
+      .write.mode("append").parquet(tiny))
+    val before = spark.read.parquet(tiny).inputFiles.length
+    ParquetSink.compact(spark, tiny)
+    val after = spark.read.parquet(tiny)
+    assert(before == 8 && after.inputFiles.length < before)
+    assert(after.count() == 8)
+  }
+
   test("observe metrics ride the action instead of extra count() jobs") {
     import spark.implicits._
     import graft.io.PipelineMetrics
