@@ -305,6 +305,24 @@ object RelationalQueries {
         }
         .toDF("o_custkey", "top_orderkey", "top_price")
     },
+    // Typed Aggregator tier (beyond reference §2.J): argmax as a real
+    // partial-aggregating UDAF — buffers reduce map-side and merge after
+    // the shuffle, unlike mapGroups which ships every row.
+    "t2_typed_aggregator" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TypedAggregators.{OrderObs, TopOrder}
+      val ds = Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long"),
+          col("o_custkey").cast("long"),
+          col("o_totalprice").cast("double"))
+        .as[OrderSlim]
+      ds.groupByKey(_.o_custkey)
+        .mapValues(r => OrderObs(r.o_orderkey, r.o_totalprice))
+        .agg(TopOrder.toColumn.name("top"))
+        .select(col("key").as("o_custkey"),
+          col("top.o_orderkey").as("top_orderkey"),
+          col("top.o_totalprice").as("top_price"))
+    },
   )
 
   /** Typed row for the Dataset-API queries. */
@@ -440,6 +458,15 @@ object RelationalQueries {
       """SELECT l_suppkey, COUNT(*) AS n_rows,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "t2_typed_aggregator" ->
+      """SELECT o_custkey, o_orderkey AS top_orderkey,
+        |o_totalprice AS top_price FROM (
+        |  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
     "t1_typed_argmax" ->
       """SELECT o_custkey, o_orderkey AS top_orderkey,
         |o_totalprice AS top_price FROM (
