@@ -57,23 +57,39 @@ object F1Functions {
         accented, plain)),
       "[^a-z0-9]+", "_")
 
-  /** Team-name standardization (common.py:58-142): strip corporate suffixes
-    * then map via substring keywords to canonical names. The ~30-entry
-    * mapping is a chained `when` over `contains` — broadcast-free,
-    * constant-folded. */
+  /** Team-name standardization (common.py:58-142): strip sponsor/suffix
+    * tokens anywhere in the name, then map via substring keywords to the
+    * reference's canonical short forms (2023-25 grid incl. the
+    * AlphaTauri→RB and Alfa Romeo→Sauber rebrand entries, common.py:
+    * 110-121). Chained `when` over `contains` — broadcast-free,
+    * constant-folded; first listed keyword wins, like the reference's
+    * dict iteration. Fallback = title-cased cleaned name
+    * (common.py:140-142). */
   private val teamKeywords: Seq[(String, String)] = Seq(
-    "red bull" -> "Red Bull Racing", "mclaren" -> "McLaren",
-    "ferrari" -> "Ferrari", "mercedes" -> "Mercedes",
-    "aston martin" -> "Aston Martin", "alpine" -> "Alpine",
-    "williams" -> "Williams", "haas" -> "Haas",
-    "sauber" -> "Kick Sauber", "racing bulls" -> "Racing Bulls",
-    "alphatauri" -> "Racing Bulls", "alfa romeo" -> "Kick Sauber")
+    "red bull" -> "Red Bull Racing",
+    "ferrari" -> "Ferrari",
+    "mercedes" -> "Mercedes",
+    "mclaren" -> "McLaren",
+    "aston martin" -> "Aston Martin",
+    "alpine" -> "Alpine",
+    "williams" -> "Williams",
+    "alphatauri" -> "AlphaTauri",
+    "visa cashapp rb" -> "RB", "rb" -> "RB",
+    "alfa romeo" -> "Alfa Romeo",
+    "stake" -> "Sauber", "sauber" -> "Sauber",
+    "haas" -> "Haas")
   def standardizeTeam(team: Column): Column = {
-    val stripped = lower(regexp_replace(team,
-      "(?i) (f1|formula 1|formula one) team$|(?i) (racing|gp)$", ""))
-    teamKeywords.foldRight(initcap(trim(stripped))) {
-      case ((kw, canonical), acc) =>
-        when(stripped.contains(kw), lit(canonical)).otherwise(acc)
+    val stripped = trim(regexp_replace(lower(regexp_replace(team,
+      "(?i)\\s*(f1\\s+team|formula 1|formula one|racing|cognizant|aramco|" +
+        "orlen|petronas|moneygram|gp)\\s*", " ")),
+      " +", " "))
+    // "rb" must not fire on names that merely CONTAIN the letters (e.g.
+    // nothing on the current grid, but be safe): require word match.
+    def hit(kw: String): Column =
+      if (kw == "rb") stripped.rlike("(^| )rb( |$)")
+      else stripped.contains(kw)
+    teamKeywords.foldRight(initcap(stripped)) {
+      case ((kw, canonical), acc) => when(hit(kw), lit(canonical)).otherwise(acc)
     }
   }
 

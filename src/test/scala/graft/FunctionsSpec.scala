@@ -19,11 +19,21 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("standardizeTeam maps long forms to canonical names") {
+    // golden pairs from the reference docstring (common.py:62-67)
     assert(eval(standardizeTeam(lit("Oracle Red Bull Racing"))) ==
       "Red Bull Racing")
     assert(eval(standardizeTeam(lit("Scuderia Ferrari"))) == "Ferrari")
     assert(eval(standardizeTeam(lit("Mercedes-AMG PETRONAS F1 Team"))) ==
       "Mercedes")
+    assert(eval(standardizeTeam(
+      lit("Aston Martin Aramco Cognizant F1 Team"))) == "Aston Martin")
+    // rebrand entries (common.py:110-121): AlphaTauri→RB era, Sauber
+    assert(eval(standardizeTeam(lit("Scuderia AlphaTauri"))) == "AlphaTauri")
+    assert(eval(standardizeTeam(lit("RB F1 Team"))) == "RB")
+    assert(eval(standardizeTeam(lit("Stake F1 Team"))) == "Sauber")
+    assert(eval(standardizeTeam(lit("Alfa Romeo F1 Team"))) == "Alfa Romeo")
+    // unmapped names fall back to the title-cased cleaned form
+    assert(eval(standardizeTeam(lit("Brawn GP Racing"))) == "Brawn")
   }
 
   test("points ladder: 25-18-15..., 0 beyond P10 and for null") {
