@@ -93,18 +93,25 @@ object F1Functions {
     }
   }
 
-  /** Race-status bucketing (common.py:265-318): keyword-match raw status
-    * into {Finished, DNF, DNS, DSQ, Retired, Withdrawn, Unknown}. */
+  /** Race-status bucketing (common.py:265-318): keyword ladder in the
+    * reference's precedence order (Finished → DNF/accident → DNF/
+    * mechanical → DNS → DSQ → Retired → Withdrawn), with the reference's
+    * fallbacks: empty/null → "Unknown", anything unmatched → the
+    * trimmed original string. One deliberate addition: "+N lap(s)"
+    * classified finishers count as Finished (the reference's 'lapped'
+    * keyword misses them). */
   def standardizeStatus(status: Column): Column = {
-    val s = lower(coalesce(status, lit("")))
-    when(s.rlike("finish|classified|\\+\\d+ lap"), "Finished")
-      .when(s.rlike("disqualif|dsq"), "DSQ")
-      .when(s.rlike("did not start|dns"), "DNS")
-      .when(s.rlike("withdraw"), "Withdrawn")
-      .when(s.rlike("retire"), "Retired")
-      .when(s.rlike("accident|collision|crash|engine|gearbox|hydraulic|" +
-        "mechanical|puncture|wheel|brake|suspension|electrical|dnf"), "DNF")
-      .otherwise("Unknown")
+    val s = lower(trim(coalesce(status, lit(""))))
+    when(s === "", "Unknown")
+      .when(s.rlike("finished|classified|lapped|\\+\\d+ lap"), "Finished")
+      .when(s.rlike("dnf|accident|collision|damage|crash"), "DNF")
+      .when(s.rlike("engine|gearbox|hydraulic|electrical|mechanical|" +
+        "power|technical"), "DNF")
+      .when(s.rlike("dns|did not start|not started"), "DNS")
+      .when(s.rlike("dsq|disqualified|excluded"), "DSQ")
+      .when(s.contains("retired"), "Retired")
+      .when(s.contains("withdrawn"), "Withdrawn")
+      .otherwise(trim(status))
   }
 
   /** Priority bucketing used by the oracle harness — same rlike-ladder shape

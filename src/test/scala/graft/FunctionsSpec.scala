@@ -48,10 +48,19 @@ class FunctionsSpec extends SparkSpec {
   test("status buckets") {
     assert(eval(standardizeStatus(lit("Engine"))) == "DNF")
     assert(eval(standardizeStatus(lit("Collision"))) == "DNF")
+    assert(eval(standardizeStatus(lit("Power Unit"))) == "DNF")
+    assert(eval(standardizeStatus(lit("Damage"))) == "DNF")
     assert(eval(standardizeStatus(lit("disqualified"))) == "DSQ")
+    assert(eval(standardizeStatus(lit("Excluded"))) == "DSQ")
+    assert(eval(standardizeStatus(lit("Not started"))) == "DNS")
     assert(eval(standardizeStatus(lit("retired"))) == "Retired")
+    assert(eval(standardizeStatus(lit("Withdrawn"))) == "Withdrawn")
     assert(eval(standardizeStatus(lit("+2 laps"))) == "Finished")
+    assert(eval(standardizeStatus(lit("Lapped"))) == "Finished")
+    // reference fallback: unmatched statuses pass through trimmed
+    assert(eval(standardizeStatus(lit("  Puncture "))) == "Puncture")
     assert(eval(standardizeStatus(lit(null).cast("string"))) == "Unknown")
+    assert(eval(standardizeStatus(lit(""))) == "Unknown")
   }
 
   test("time string to millis") {
