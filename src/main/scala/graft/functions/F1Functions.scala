@@ -28,6 +28,18 @@ object F1Functions {
       element_at(typedLit(pointsLadder), position.cast("int")))
       .otherwise(lit(0))
 
+  /** Full race-points rule (business_logic.py:40-82): base ladder + 1
+    * fastest-lap bonus point IF the driver finished in the points-paying
+    * top 10; zero outside race sessions (points are never awarded in
+    * qualifying). Docstring examples: (1, true, Race)→26,
+    * (1, false, Race)→25, (1, true, Qualifying)→0, (11, true, Race)→0. */
+  def racePoints(position: Column, fastestLap: Column,
+                 sessionType: Column): Column =
+    when(lower(sessionType) =!= "race", lit(0))
+      .otherwise(pointsForPosition(position) +
+        when(coalesce(fastestLap, lit(false)) && position.between(1, 10),
+          lit(1)).otherwise(lit(0)))
+
   /** Sprint-race points: 8,7,6,5,4,3,2,1 for positions 1..8
     * (business_logic.py:54-66). */
   private val sprintLadder = Seq(8, 7, 6, 5, 4, 3, 2, 1)

@@ -45,6 +45,17 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(pointsForPosition(lit(null).cast("int"))) == 0)
   }
 
+  test("race points: fastest-lap bonus gated on top-10 and race session") {
+    // reference docstring examples (business_logic.py:55-64)
+    assert(eval(racePoints(lit(1), lit(true), lit("Race"))) == 26)
+    assert(eval(racePoints(lit(1), lit(false), lit("Race"))) == 25)
+    assert(eval(racePoints(lit(1), lit(true), lit("Qualifying"))) == 0)
+    assert(eval(racePoints(lit(11), lit(true), lit("Race"))) == 0)
+    assert(eval(racePoints(lit(10), lit(true), lit("Race"))) == 2)
+    assert(eval(racePoints(lit(10), lit(null).cast("boolean"),
+      lit("Race"))) == 1)
+  }
+
   test("status buckets") {
     assert(eval(standardizeStatus(lit("Engine"))) == "DNF")
     assert(eval(standardizeStatus(lit("Collision"))) == "DNF")
