@@ -74,11 +74,20 @@ object SilverTransforms {
       .withColumn("gap_to_pole_millis",
         col("fastest_qualifying_time_millis") -
           min(col("fastest_qualifying_time_millis")).over(pole))
-      .withColumn("qualifying_status",
-        when(col("q3_time_millis").isNotNull, "Q3")
-          .when(col("q2_time_millis").isNotNull, "Q2")
-          .when(col("q1_time_millis").isNotNull, "Q1")
-          .otherwise("NO_TIME"))
+      .withColumn("qualifying_status", {
+        // reference ladder (qualifying_transform.py:240-248): DSQ/DNS
+        // flags first when the bronze feed carries them, then the
+        // furthest session reached, else DNQ
+        val reached = when(col("q3_time_millis").isNotNull, "Q3")
+          .when(col("q2_time_millis").isNotNull, "Q2-OUT")
+          .when(col("q1_time_millis").isNotNull, "Q1-OUT")
+          .otherwise("DNQ")
+        val cols = parsed.columns
+        val withDns = if (cols.contains("dns"))
+          when(col("dns") === true, "DNS").otherwise(reached) else reached
+        if (cols.contains("dsq"))
+          when(col("dsq") === true, "DSQ").otherwise(withDns) else withDns
+      })
       .select(
         col("session_key").cast(LongType),
         col("driver_number").cast("int"),

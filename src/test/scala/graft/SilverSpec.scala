@@ -42,10 +42,10 @@ class SilverSpec extends SparkSpec {
     // len-2 array: no Q3, fastest = Q2
     assert(k((201L, 44)).isNullAt(k((201L, 44)).fieldIndex("q3_time_millis")))
     assert(k((201L, 44)).getAs[Long]("fastest_qualifying_time_millis") == 69900L)
-    assert(k((201L, 44)).getAs[String]("qualifying_status") == "Q2")
+    assert(k((201L, 44)).getAs[String]("qualifying_status") == "Q2-OUT")
     assert(k((201L, 44)).getAs[Long]("gap_to_pole_millis") == 900L)
     // len-1 array: Q1 only
-    assert(k((301L, 44)).getAs[String]("qualifying_status") == "Q1")
+    assert(k((301L, 44)).getAs[String]("qualifying_status") == "Q1-OUT")
     assert(k((301L, 44)).getAs[Long]("gap_to_pole_millis") == 2000L)
     // pole rows gap 0
     assert(k((101L, 1)).getAs[Long]("gap_to_pole_millis") == 0L)
