@@ -33,13 +33,21 @@ object SilverTransforms {
         "date_start", "date_end", "year")
       .distinct()
     audit(distinctSessions
-      .withColumn("session_name", col("session_type"))
+      // descriptive name mapping (sessions_transform.py:213-219)
+      .withColumn("session_name",
+        when(lower(col("session_type")) === "qualifying",
+          "Qualifying Session")
+          .when(lower(col("session_type")) === "race", "Race Session")
+          .otherwise(col("session_type")))
       .withColumn("grand_prix_name", normalizeGrandPrix(col("meeting_name")))
       .withColumn("session_duration_minutes",
-        (unix_timestamp(col("date_end")) - unix_timestamp(col("date_start")))
-          / 60.0)
+        ((unix_timestamp(col("date_end")) -
+          unix_timestamp(col("date_start"))) / 60.0).cast("int"))
+      // the reference detects sprints on the RAW meeting name
+      // (sessions_transform.py:230-233); detectSprintWeekend normalizes
+      // internally so the location list matches either form
       .withColumn("is_sprint_weekend",
-        detectSprintWeekend(col("session_type"), col("grand_prix_name")))
+        detectSprintWeekend(col("meeting_name"), col("meeting_name")))
       .select(
         col("session_key").cast(LongType),
         lower(col("session_type")).as("session_type"),

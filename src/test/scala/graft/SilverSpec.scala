@@ -21,8 +21,8 @@ class SilverSpec extends SparkSpec {
       r.getAs[Long]("session_key") -> r).toMap
     assert(byKey(201).getAs[String]("grand_prix_name") == "sao_paulo")
     assert(byKey(301).getAs[String]("grand_prix_name") == "emilia_romagna")
-    assert(byKey(101).getAs[Double]("session_duration_minutes") == 60.0)
-    assert(byKey(102).getAs[Double]("session_duration_minutes") == 105.0)
+    assert(byKey(101).getAs[Int]("session_duration_minutes") == 60)
+    assert(byKey(102).getAs[Int]("session_duration_minutes") == 105)
     // sao_paulo is on the sprint calendar; bahrain is not
     assert(byKey(201).getAs[Boolean]("is_sprint_weekend"))
     assert(!byKey(101).getAs[Boolean]("is_sprint_weekend"))
