@@ -108,6 +108,12 @@ object TopKPerKey {
 
     override def output: Seq[Attribute] = child.output
 
+    override lazy val metrics = Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of distinct keys"))
+
     override def requiredChildDistribution: Seq[Distribution] =
       if (partial) Seq(UnspecifiedDistribution)
       else if (grouping.isEmpty) Seq(AllTuples)
@@ -118,6 +124,8 @@ object TopKPerKey {
       val groupingExprs = grouping
       val sortOrder = order
       val limit = k
+      val numOutputRows = longMetric("numOutputRows")
+      val numKeys = longMetric("numKeys")
       child.execute().mapPartitions { iter =>
         val keyProj = UnsafeProjection.create(groupingExprs, schema)
         val ord = RowOrdering.create(sortOrder, schema)
@@ -141,7 +149,9 @@ object TopKPerKey {
             heap.enqueue(row.copy())
           }
         }
+        numKeys += heaps.size
         heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+          .map { r => numOutputRows += 1; r }
       }
     }
 

@@ -67,7 +67,8 @@ object EventStreams {
     * Contract: impressions(ts, user_id, value), clicks(click_ts, user_id).
     */
   def attributeClicks(impressions: DataFrame, clicks: DataFrame,
-                      withinMinutes: Int = 30): DataFrame = {
+                      withinMinutes: Int = 30,
+                      joinType: String = "inner"): DataFrame = {
     val i = impressions.withWatermark("ts", s"$withinMinutes minutes")
       .select(col("ts").as("imp_ts"), col("user_id"),
         col("value").as("imp_value"))
@@ -75,10 +76,19 @@ object EventStreams {
     i.join(c,
       i("user_id") === c("user_id") &&
         c("click_ts") >= i("imp_ts") &&
-        c("click_ts") <= i("imp_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+        c("click_ts") <= i("imp_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      joinType)
       .select(i("user_id"), col("imp_ts"), col("click_ts"),
         col("imp_value"))
   }
+
+  /** Left-outer variant: impressions with no click inside the window
+    * emit null-extended once the watermark proves no match can arrive —
+    * the "unconverted impressions" feed. Same bounded state as the inner
+    * join; the outer row is held only until the time bound expires. */
+  def attributeClicksLeftOuter(impressions: DataFrame, clicks: DataFrame,
+                               withinMinutes: Int = 30): DataFrame =
+    attributeClicks(impressions, clicks, withinMinutes, "left_outer")
 
   /** Watermark-bounded exact dedup: duplicates arriving within the
     * watermark horizon are dropped, and state for an id is freed once the

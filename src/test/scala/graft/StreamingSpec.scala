@@ -174,6 +174,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Timestamp]("click_ts") == ts("2024-01-01 10:20:00"))
   }
 
+  test("left-outer stream-stream join emits unconverted impressions after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val out = EventStreams.attributeClicksLeftOuter(imps.toDF(),
+      clicks.toDF().toDF("click_ts", "user_id"), withinMinutes = 30)
+    val query = out.writeStream.format("memory")
+      .queryName("attrib_outer_out").outputMode("append").start()
+
+    imps.addData(
+      Ev(ts("2024-01-01 10:00:00"), 7, "view", 1.0),  // clicked
+      Ev(ts("2024-01-01 10:00:00"), 8, "view", 2.0))  // never clicked
+    clicks.addData((ts("2024-01-01 10:10:00"), 7L))
+    query.processAllAvailable()
+    // push both watermarks far past 10:30 so user 8's null row emits
+    imps.addData(Ev(ts("2024-01-01 14:00:00"), 99, "view", 0.0))
+    clicks.addData((ts("2024-01-01 14:00:00"), 99L))
+    query.processAllAvailable()
+
+    val rows = spark.table("attrib_outer_out")
+      .filter(col("user_id").isin(7, 8)).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        Option(r.getAs[Timestamp]("click_ts"))).toMap
+    query.stop()
+    assert(rows(7L).contains(ts("2024-01-01 10:10:00")))
+    assert(rows(8L).isEmpty) // null-extended: impression without click
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replayed ids with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
