@@ -80,8 +80,8 @@ object TrainingDataQueries {
       Dedup.minhashDedup(Tables.documents(s, dir), threshold = 0.5)
     },
 
-    // SimHash near-dup candidates (rows-only check: 60-bit band SQL oracle
-    // would be impractical).
+    // SimHash near-dup candidates — full DuckDB oracle: the 60 per-bit
+    // majority sums are program-generated SQL, same md5 hash family.
     "dd3_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 12)
     },
@@ -156,6 +156,16 @@ object TrainingDataQueries {
       val b = j * 999983L
       s"list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647))"
     }.mkString("[", ",\n      ", "]")
+
+  /** 60 per-bit majority-vote sums / signature terms for the simhash
+    * oracle — generated, since hand-writing 60 bit expressions is the
+    * only thing that made this oracle "impractical". */
+  private def simhashBitSums: String =
+    (0 until 60).map(j => s"SUM((h >> $j) & 1) AS c_$j").mkString(", ")
+  private def simhashSigTerms: String =
+    (0 until 60).map(j =>
+      s"CASE WHEN 2 * c_$j > n THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+      .mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "tx1_token_stats" ->
@@ -235,6 +245,31 @@ object TrainingDataQueries {
          |    CAST(len(list_distinct(list_concat(a.hs60, b.hs60))) AS DOUBLE) AS jaccard
          |  FROM cands c JOIN h60 a ON c.id_a = a.id JOIN h60 b ON c.id_b = b.id)
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "dd3_simhash_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 1),
+         |      i -> array_to_string(toks[i+1:i+2], ' ')) END AS shingles
+         |  FROM docs),
+         |ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+         |hs AS (
+         |  SELECT id, CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT) AS h
+         |  FROM ex),
+         |agg AS (SELECT id, COUNT(*) AS n, $simhashBitSums FROM hs GROUP BY id),
+         |sig AS (SELECT id, CAST($simhashSigTerms AS BIGINT) AS sig FROM agg),
+         |banded AS (
+         |  SELECT id, sig, b.b AS band, (sig >> (b.b * 15)) & 32767 AS bucket
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+         |pairs AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         |    l.sig AS sig_a, r.sig AS sig_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+         |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 12""".stripMargin,
     "sim4_neardup_exact" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding,
