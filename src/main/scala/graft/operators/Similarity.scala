@@ -83,7 +83,7 @@ object Similarity {
     * on the driver and embedded as an array literal — an expression form
     * would re-run md5 per row per element (HOFs are CodegenFallback, no
     * subexpression elimination). */
-  private def planeComponent(seed: Int, plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(seed: Int, plane: Int, dim: Int): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${seed}_${plane}_$dim".getBytes("UTF-8"))
     val v = ((d(0) & 0xFF) << 16) | ((d(1) & 0xFF) << 8) | (d(2) & 0xFF)

@@ -133,7 +133,10 @@ object TrainingDataQueries {
         .filter(col("cos_sim") >= 0.3)
     },
 
-    // LSH-bucketed embedding near-dup (float cosine; rows-only check).
+    // LSH-bucketed embedding near-dup — full DuckDB oracle: Spark's HOF
+    // fold and DotProductF both accumulate `0.0 + t1 + t2 + …` in element
+    // order, so a program-generated left-associative SQL chain with
+    // round-trip double literals reproduces every float bit-for-bit.
     "sim2_lsh_neardup" -> { (s, dir) =>
       Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.2,
         planes = 4)
@@ -156,6 +159,21 @@ object TrainingDataQueries {
       val b = j * 999983L
       s"list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647))"
     }.mkString("[", ",\n      ", "]")
+
+  /** sim2 oracle building blocks: explicit left-associative term chains
+    * (`0.0 + t1 + t2 + …`) matching the sequential accumulation of both
+    * Spark's HOF fold and DotProductF, with the hyperplane components
+    * embedded as round-trip double literals (same md5 family as
+    * [[graft.operators.Similarity.planeComponent]]). */
+  private def sqlDotChain(a: String, b: String): String =
+    "0.0" + (0 until 64).map(i =>
+      s" + CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
+      .mkString
+  private def sqlProjChain(alias: String, plane: Int): String =
+    "0.0" + (0 until 64).map { i =>
+      val c = graft.operators.Similarity.planeComponent(42, plane, i)
+      s" + CAST($alias[${i + 1}] AS DOUBLE) * ($c)"
+    }.mkString
 
   /** 60 per-bit majority-vote sums / signature terms for the simhash
     * oracle — generated, since hand-writing 60 bit expressions is the
@@ -270,6 +288,20 @@ object TrainingDataQueries {
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
          |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 12""".stripMargin,
+    "sim2_lsh_neardup" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDotChain("embedding", "embedding")}) AS nrm,
+         |    (CASE WHEN (${sqlProjChain("embedding", 0)}) > 0 THEN 1 ELSE 0 END +
+         |     CASE WHEN (${sqlProjChain("embedding", 1)}) > 0 THEN 2 ELSE 0 END +
+         |     CASE WHEN (${sqlProjChain("embedding", 2)}) > 0 THEN 4 ELSE 0 END +
+         |     CASE WHEN (${sqlProjChain("embedding", 3)}) > 0 THEN 8 ELSE 0 END) AS sig
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    (${sqlDotChain("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos_sim
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2""".stripMargin,
     "sim4_neardup_exact" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding,
