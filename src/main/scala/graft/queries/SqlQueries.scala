@@ -56,8 +56,9 @@ object SqlQueries {
       registerViews(s, dir)
       s.sql(topCustomers)
     },
-    // Custom codegen expression through the SQL front end (rows-only:
-    // dot_f is ours, DuckDB has no counterpart).
+    // Custom codegen expression through the SQL front end. Oracled: the
+    // DotProductF loop accumulates 0.0 + t1 + t2 + … in element order, so
+    // the generated left-associative chain reproduces it bit-for-bit.
     "sql3_dotf_selfsim" -> { (s, dir) =>
       registerViews(s, dir)
       graft.functions.VectorExpressions.register(s)
@@ -76,6 +77,10 @@ object SqlQueries {
   def oracleSql: Map[String, String] = Map(
     "sql1_pricing_summary" -> pricingSummary,
     "sql2_top_customers" -> topCustomers,
+    "sql3_dotf_selfsim" ->
+      s"""SELECT vec_id,
+         |(${TrainingDataQueries.sqlDotChain("embedding", "embedding")}) AS self_dot
+         |FROM embeddings ORDER BY self_dot DESC, vec_id LIMIT 25""".stripMargin,
     "sql4_window_sql" -> windowSql,
   )
 }

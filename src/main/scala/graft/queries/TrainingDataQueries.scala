@@ -142,8 +142,9 @@ object TrainingDataQueries {
         planes = 4)
     },
 
-    // IVF-probed ANN top-k: queries scan only nprobe/ncells of the corpus
-    // (rows-only check; float cosine).
+    // IVF-probed ANN top-k: queries scan only nprobe/ncells of the corpus.
+    // Full DuckDB oracle via the same bit-exact float-chain technique as
+    // sim2 (cell assignment, probe ranking, and cosines all reproduce).
     "sim3_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
@@ -165,13 +166,14 @@ object TrainingDataQueries {
     * Spark's HOF fold and DotProductF, with the hyperplane components
     * embedded as round-trip double literals (same md5 family as
     * [[graft.operators.Similarity.planeComponent]]). */
-  private def sqlDotChain(a: String, b: String): String =
+  private[queries] def sqlDotChain(a: String, b: String): String =
     "0.0" + (0 until 64).map(i =>
       s" + CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
       .mkString
-  private def sqlProjChain(alias: String, plane: Int): String =
+  private def sqlProjChain(alias: String, plane: Int,
+                           seed: Int = 42): String =
     "0.0" + (0 until 64).map { i =>
-      val c = graft.operators.Similarity.planeComponent(42, plane, i)
+      val c = graft.operators.Similarity.planeComponent(seed, plane, i)
       s" + CAST($alias[${i + 1}] AS DOUBLE) * ($c)"
     }.mkString
 
@@ -302,6 +304,38 @@ object TrainingDataQueries {
          |    (${sqlDotChain("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos_sim
          |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2""".stripMargin,
+    "sim3_ivf_topk" -> {
+      val scores = (0 until 8).map(p =>
+        s"(${sqlProjChain("embedding", p, seed = 7)}) AS s$p").mkString(",\n  ")
+      val cellCase = "CASE " + (0 until 8).map(p =>
+        s"WHEN s$p = g THEN $p").mkString(" ") + " END"
+      val probeScore = "CASE c.c " + (0 until 8).map(p =>
+        s"WHEN $p THEN s$p").mkString(" ") + " END"
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDotChain("embedding", "embedding")}) AS nrm,
+         |  $scores
+         |  FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id AS corpus_id, embedding, nrm, $cellCase AS cell
+         |  FROM (SELECT *, GREATEST(s0,s1,s2,s3,s4,s5,s6,s7) AS g FROM base)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding, nrm, cell FROM (
+         |    SELECT b.*, c.c AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY $probeScore DESC, c.c DESC) AS rn
+         |    FROM base b CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c
+         |    WHERE b.vec_id < 5) WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.corpus_id,
+         |    (${sqlDotChain("p.embedding", "a.embedding")}) / (p.nrm * a.nrm) AS cos_sim
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE p.query_id <> a.corpus_id)
+         |SELECT query_id, corpus_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, corpus_id ASC) AS rk FROM scored)
+         |WHERE rk <= 10""".stripMargin
+    },
     "sim4_neardup_exact" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding,
