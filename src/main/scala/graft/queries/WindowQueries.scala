@@ -228,6 +228,31 @@ object WindowQueries {
         k = 3)
     },
 
+    // E16 (beyond reference): value window functions — first/last/nth
+    // over an explicit full-partition frame (last_value defaults to a
+    // running frame, the classic trap both engines share).
+    "e16_value_functions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderdate")).over(w).as("first_order"),
+        last(col("o_orderdate")).over(w).as("last_order"),
+        nth_value(col("o_orderdate"), 2).over(w).as("second_order"))
+    },
+
+    // B11 (beyond reference): unpivot/melt — wide metrics to long rows.
+    "b11_unpivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice")),
+          "metric", "value")
+    },
+
     // E15 (beyond reference): RANGE frame — per-customer trailing-30-day
     // spend. The order key is integer epoch-days so the frame bound is
     // engine-neutral (value-based, includes all peers of equal day —
@@ -342,6 +367,21 @@ object WindowQueries {
         |  UNION ALL
         |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey, 'supplier' AS side FROM supplier
         |) t GROUP BY nationkey, side""".stripMargin,
+    "e16_value_functions" ->
+      """SELECT o_orderkey, o_custkey,
+        |FIRST_VALUE(o_orderdate) OVER w AS first_order,
+        |LAST_VALUE(o_orderdate) OVER w AS last_order,
+        |NTH_VALUE(o_orderdate, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "b11_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+        |  CAST(l_extendedprice AS DOUBLE) AS value FROM lineitem""".stripMargin,
     "f6_topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
