@@ -16,6 +16,18 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin spread across the session's default parallelism.
+    *
+    * The harness parquet files are written as a single row group, so the
+    * scan is ONE task; any compute layered directly on the scan (decimal
+    * partial aggregation, regex/md5 per row, Encoder ser/de) runs on one
+    * core while the rest idle. A cheap round-robin exchange of the narrow
+    * projected rows restores full parallelism. On a real cluster the scan
+    * already has file/row-group parallelism and AQE coalesces the extra
+    * exchange away when it is not needed. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")

@@ -32,13 +32,17 @@ object F1Functions {
     * fastest-lap bonus point IF the driver finished in the points-paying
     * top 10; zero outside race sessions (points are never awarded in
     * qualifying). Docstring examples: (1, true, Race)→26,
-    * (1, false, Race)→25, (1, true, Qualifying)→0, (11, true, Race)→0. */
+    * (1, false, Race)→25, (1, true, Qualifying)→0, (11, true, Race)→0.
+    * The session gate compares EXACTLY to "Race" like the reference
+    * (business_logic.py:66 compares case-sensitively); "race"/"RACE" and
+    * null session types earn 0, matching the reference's else-branch. */
   def racePoints(position: Column, fastestLap: Column,
                  sessionType: Column): Column =
-    when(lower(sessionType) =!= "race", lit(0))
-      .otherwise(pointsForPosition(position) +
+    when(sessionType === "Race",
+      pointsForPosition(position) +
         when(coalesce(fastestLap, lit(false)) && position.between(1, 10),
           lit(1)).otherwise(lit(0)))
+      .otherwise(lit(0))
 
   /** Sprint-race points: 8,7,6,5,4,3,2,1 for positions 1..8
     * (business_logic.py:54-66). */
@@ -76,7 +80,15 @@ object F1Functions {
     * 110-121). Chained `when` over `contains` — broadcast-free,
     * constant-folded; first listed keyword wins, like the reference's
     * dict iteration. Fallback = title-cased cleaned name
-    * (common.py:140-142). */
+    * (common.py:140-142).
+    *
+    * DELIBERATE DEVIATION from the reference's runtime behavior: its
+    * 'rb f1 team'/'visa cashapp rb' dict entries are dead code (common.py
+    * strips 'f1 team' BEFORE dict matching, so those keys can never hit)
+    * and such names fall through to title-case as "Rb"/"Visa Cashapp Rb".
+    * Here they map to the intended canonical "RB" — we implement the
+    * mapping table's evident intent, not the bug (same policy as the
+    * '+N lap' status note on [[standardizeStatus]]). */
   private val teamKeywords: Seq[(String, String)] = Seq(
     "red bull" -> "Red Bull Racing",
     "ferrari" -> "Ferrari",
@@ -144,12 +156,19 @@ object F1Functions {
     * works whether callers pass the raw meeting name ("United States
     * Grand Prix") or the already-normalized one ("united_states"). */
   private val sprintLocations =
-    Seq("china", "shanghai", "miami", "hard_rock", "austria", "spielberg",
+    Seq("china", "shanghai", "miami", "austria", "spielberg",
       "united_states", "austin", "cota", "brazil", "interlagos",
       "sao_paulo", "qatar", "losail")
+  // Word-anchored within the underscore-canonical form, like the "rb"
+  // guard in standardizeTeam: "austria" must not fire on
+  // "austrian_village" (a bare alternation matches any substring).
+  private val sprintLocationPattern =
+    sprintLocations.mkString("(^|_)(", "|", ")(_|$)")
   def detectSprintWeekend(sessionName: Column, location: Column): Column =
-    lower(sessionName).contains("sprint") ||
-      normalizeGrandPrix(location).rlike(sprintLocations.mkString("|"))
+    coalesce(
+      lower(sessionName).contains("sprint") ||
+        normalizeGrandPrix(location).rlike(sprintLocationPattern),
+      lit(false))
 
   /** Milliseconds → "M:SS.mmm" lap-time string (laps_transform.py:150-204).
     * floor/%/lpad only — deterministic across engines for double input. */

@@ -29,12 +29,15 @@ object PipelineMetrics {
   }
 
   /** The reference's "points recalculation" style invariant counter: how
-    * many rows fail `predicate` — again free, computed in-flight. */
+    * many rows fail `predicate` — again free, computed in-flight. A row
+    * where the predicate evaluates to NULL (e.g. a range check over a null
+    * column) is NOT satisfied and counts as a violation — `!predicate`
+    * alone would be NULL there and silently pass the gate. */
   def observedInvariant(df: DataFrame, name: String, predicate: Column)
   : (DataFrame, Observation) = {
     val obs = Observation(name)
     (df.observe(obs,
       count(lit(1)).as("n_rows"),
-      count(when(!predicate, 1)).as("n_violations")), obs)
+      count(when(!coalesce(predicate, lit(false)), 1)).as("n_violations")), obs)
   }
 }

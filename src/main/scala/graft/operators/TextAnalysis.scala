@@ -29,26 +29,51 @@ object TextAnalysis {
   private val stopwordPattern =
     "\\b(the|a|an|of|and|in|to|is|it|for|on|with|as|at|by|from)\\b"
 
+  /** Raw stopword occurrence count (regex pass — run it ONCE per document
+    * and derive ratios from the column; see [[stopwordRatioFrom]]). */
+  def stopwordCount(text: Column): Column =
+    regexp_count(lower(text), lit(stopwordPattern))
+
+  /** Raw punctuation-character count (regex pass — same once-only rule). */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Ratio/score layer over PRE-COMPUTED count columns. The regex counters
+    * above are the per-row cost center; deriving several signals from the
+    * same text must not re-run them (Catalyst inlines a shared subtree per
+    * use unless it is materialized as a projection column first — measured
+    * at 4-8x on the dd1/tx1 bench queries). `nt`/`nsw`/`np` below are the
+    * outputs of [[tokenCount]]/[[stopwordCount]]/[[punctCount]]. */
+  def stopwordRatioFrom(nt: Column, nsw: Column): Column =
+    nsw.cast("double") / greatest(nt, lit(1L)).cast("double")
+
+  def punctRatioFrom(np: Column, textLen: Column): Column =
+    np.cast("double") / greatest(textLen, lit(1)).cast("double")
+
+  def qualityScoreFrom(nt: Column, nsw: Column, np: Column,
+                       textLen: Column): Column = {
+    val lengthTerm = least(nt.cast("double") / 100.0, lit(1.0))
+    val stopTerm = least(stopwordRatioFrom(nt, nsw) * 4.0, lit(1.0))
+    val punctPenalty = least(punctRatioFrom(np, textLen) * 5.0, lit(1.0))
+    (lengthTerm * 0.4 + stopTerm * 0.4 + (lit(1.0) - punctPenalty) * 0.2)
+  }
+
   /** Stopword ratio: fraction of tokens that are common English stopwords.
-    * High-quality running text sits around 0.2-0.5; keyword spam ≈ 0. */
+    * High-quality running text sits around 0.2-0.5; keyword spam ≈ 0.
+    * One-off convenience — prefer the `From` variant over count columns. */
   def stopwordRatio(text: Column): Column =
-    regexp_count(lower(text), lit(stopwordPattern)).cast("double") /
-      greatest(tokenCount(text), lit(1L)).cast("double")
+    stopwordRatioFrom(tokenCount(text), stopwordCount(text))
 
   /** Punctuation-to-character ratio. */
   def punctRatio(text: Column): Column =
-    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
+    punctRatioFrom(punctCount(text), length(text))
 
   /** Composite quality score in [0,1]: rewards running-text length,
     * stopword presence, and sane punctuation density. Mirrors the
     * length/punct/stopword heuristics of C4-style corpus filters. */
-  def qualityScore(text: Column): Column = {
-    val lengthTerm = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
-    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
-    (lengthTerm * 0.4 + stopTerm * 0.4 + (lit(1.0) - punctPenalty) * 0.2)
-  }
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(tokenCount(text), stopwordCount(text), punctCount(text),
+      length(text))
 
   /** Language-marker scores: count of high-frequency function words per
     * language. A real system would use char-n-gram profiles; the marker-word
@@ -92,16 +117,26 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     conv(substring(fingerprint(text), 1, 15), 16, 10).cast("bigint")
 
-  /** Full per-document text-stats projection. */
+  /** Full per-document text-stats projection: counts materialize in one
+    * projection (each regex pass runs once), ratios/scores derive from the
+    * count columns in a second. */
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))
       .withColumn("n_tokens_bpeish", bpeishTokenCount(t))
-      .withColumn("avg_token_len", avgTokenLength(t))
-      .withColumn("stopword_ratio", stopwordRatio(t))
-      .withColumn("punct_ratio", punctRatio(t))
-      .withColumn("quality_score", qualityScore(t))
+      .withColumn("__nsw", stopwordCount(t))
+      .withColumn("__np", punctCount(t))
+      .withColumn("avg_token_len",
+        length(trim(t)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"))
+      .withColumn("stopword_ratio",
+        stopwordRatioFrom(col("n_tokens"), col("__nsw")))
+      .withColumn("punct_ratio", punctRatioFrom(col("__np"), length(t)))
+      .withColumn("quality_score",
+        qualityScoreFrom(col("n_tokens"), col("__nsw"), col("__np"),
+          length(t)))
       .withColumn("lang_id", langId(t))
       .withColumn("fingerprint", fingerprint(t))
+      .drop("__nsw", "__np")
   }
 }

@@ -71,7 +71,12 @@ object TopKPerKey {
         case _ => None
       }
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    /** Opt-out switch for the silent window→top-k rewrite. */
+    val RewriteEnabledConf = "spark.graft.topk.rewriteEnabled"
+
+    override def apply(plan: LogicalPlan): LogicalPlan = if (
+      !conf.getConfString(RewriteEnabledConf, "true").toBoolean) plan
+    else plan.transform {
       case Project(projList,
           Filter(cond,
             Window(Seq(alias @ Alias(
@@ -99,9 +104,27 @@ object TopKPerKey {
     }
   }
 
+  /** Conf key bounding the partial phase's in-memory state: when a
+    * partition's heap map exceeds this many distinct keys, the partial
+    * operator FLUSHES everything kept so far downstream and starts a fresh
+    * map. Emitting extra rows is always safe — the final phase re-selects
+    * the true top-k after the key-clustered exchange, exactly like partial
+    * aggregation falling back to pass-through on hash overflow. Memory is
+    * therefore bounded at O(flushKeys × k) rows regardless of key
+    * cardinality (the window form this operator replaces used a spillable
+    * sort; without the cap a high-cardinality key set could OOM the
+    * partial phase). */
+  val PartialFlushKeysConf = "spark.graft.topk.partialFlushKeys"
+  val PartialFlushKeysDefault = 100000
+
   /** Physical per-partition bounded top-k. `partial = true` accepts any
     * input distribution; the final node demands key-clustering, so
-    * EnsureRequirements inserts the (now tiny) exchange between them. */
+    * EnsureRequirements inserts the (now tiny) exchange between them.
+    *
+    * Memory bounds: partial holds ≤ [[PartialFlushKeysConf]] keys × k rows
+    * (flush-and-reset beyond that); final holds its partition's keys × k
+    * rows — which IS its output, the same bound a hash-aggregate final
+    * phase carries. */
   final case class TopKPerKeyExec(grouping: Seq[Expression],
       order: Seq[SortOrder], k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -112,7 +135,9 @@ object TopKPerKey {
       "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "number of output rows"),
       "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
-        .createMetric(sparkContext, "number of distinct keys"))
+        .createMetric(sparkContext, "number of distinct keys"),
+      "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "partial heap-map flushes"))
 
     override def requiredChildDistribution: Seq[Distribution] =
       if (partial) Seq(UnspecifiedDistribution)
@@ -126,32 +151,59 @@ object TopKPerKey {
       val limit = k
       val numOutputRows = longMetric("numOutputRows")
       val numKeys = longMetric("numKeys")
+      val numFlushes = longMetric("numFlushes")
+      // Final phase must see every row of a key before emitting any (rows
+      // arrive clustered but unsorted), so only partial may flush early.
+      val flushKeys =
+        if (partial) conf.getConfString(PartialFlushKeysConf,
+          PartialFlushKeysDefault.toString).toInt
+        else Int.MaxValue
       child.execute().mapPartitions { iter =>
         val keyProj = UnsafeProjection.create(groupingExprs, schema)
         val ord = RowOrdering.create(sortOrder, schema)
-        // One bounded heap per key: PriorityQueue dequeues the MAX under
-        // `ord` (= the worst kept row), so admission is O(log k) and
-        // memory is O(keys-in-partition × k).
-        val heaps =
-          mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-        iter.foreach { row =>
-          val key = keyProj(row)
-          val heap = heaps.get(key) match {
-            case Some(h) => h
-            case None =>
-              val h = mutable.PriorityQueue.empty[InternalRow](ord)
-              heaps.put(key.copy(), h) // projection reuses its row buffer
-              h
+        new Iterator[InternalRow] {
+          // One bounded heap per key: PriorityQueue dequeues the MAX under
+          // `ord` (= the worst kept row), so admission is O(log k).
+          private val heaps = mutable.HashMap
+            .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+          private var out: Iterator[InternalRow] = Iterator.empty
+
+          private def drain(): Iterator[InternalRow] = {
+            numKeys += heaps.size
+            val rows = heaps.values.toIndexedSeq
+              .flatMap(_.dequeueAll.reverseIterator)
+            heaps.clear()
+            rows.iterator
           }
-          if (heap.size < limit) heap.enqueue(row.copy())
-          else if (ord.compare(row, heap.head) < 0) {
-            heap.dequeue()
-            heap.enqueue(row.copy())
+
+          private def refill(): Unit = {
+            while (!out.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+              while (iter.hasNext && heaps.size <= flushKeys) {
+                val row = iter.next()
+                val key = keyProj(row)
+                val heap = heaps.get(key) match {
+                  case Some(h) => h
+                  case None =>
+                    val h = mutable.PriorityQueue.empty[InternalRow](ord)
+                    heaps.put(key.copy(), h) // projection reuses its buffer
+                    h
+                }
+                if (heap.size < limit) heap.enqueue(row.copy())
+                else if (ord.compare(row, heap.head) < 0) {
+                  heap.dequeue()
+                  heap.enqueue(row.copy())
+                }
+              }
+              if (iter.hasNext) numFlushes += 1
+              out = drain()
+            }
+          }
+
+          override def hasNext: Boolean = { refill(); out.hasNext }
+          override def next(): InternalRow = {
+            refill(); numOutputRows += 1; out.next()
           }
         }
-        numKeys += heaps.size
-        heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
-          .map { r => numOutputRows += 1; r }
       }
     }
 

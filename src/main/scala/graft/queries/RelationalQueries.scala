@@ -69,8 +69,9 @@ object RelationalQueries {
     },
 
     // D3: countDistinct (total_races per driver, common.py:526-546).
+    // Spread first: the distinct-expand partial agg is the heavy phase.
     "d3_count_distinct" -> { (s, dir) =>
-      Tables.lineitem(s, dir).groupBy("l_suppkey").agg(
+      Tables.spread(Tables.lineitem(s, dir)).groupBy("l_suppkey").agg(
         countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_partkey")).as("n_parts"))
     },
@@ -78,15 +79,17 @@ object RelationalQueries {
     // D4: conditional count agg (finishers vs DNFs,
     // race_weekend_insights_transform.py:363-388).
     "d4_conditional_count" -> { (s, dir) =>
-      Tables.orders(s, dir).groupBy("o_orderpriority").agg(
+      Tables.spread(Tables.orders(s, dir)).groupBy("o_orderpriority").agg(
         count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
         count(when(col("o_orderstatus") =!= "F", 1)).as("n_open"),
         count(lit(1)).as("n_total"))
     },
 
     // D5: global stats agg (pit duration stats, pitstops_transform.py:306-330).
+    // Spread first: the exact-decimal partial agg dominates; 32-way
+    // partials reduce to one row each before the single-partition final.
     "d5_global_stats" -> { (s, dir) =>
-      Tables.lineitem(s, dir).agg(
+      Tables.spread(Tables.lineitem(s, dir)).agg(
         moneySum(col("l_extendedprice")).as("sum_price"),
         moneyAvg(col("l_extendedprice")).as("avg_price"),
         min(col("l_extendedprice")).as("min_price"),
@@ -97,7 +100,8 @@ object RelationalQueries {
     // D6: groupBy sum then use as a grouped fact (team points per race,
     // business_logic.py:459-483).
     "d6_group_sum" -> { (s, dir) =>
-      Tables.lineitem(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
+      Tables.spread(Tables.lineitem(s, dir))
+        .groupBy("l_returnflag", "l_linestatus").agg(
         moneySum(col("l_extendedprice")).as("sum_price"),
         moneySum(col("l_quantity")).as("sum_qty"))
     },
@@ -105,7 +109,7 @@ object RelationalQueries {
     // D8 (beyond reference): ROLLUP with grouping indicators — subtotal
     // levels in one pass (partial aggregation per grouping set).
     "d8_rollup" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      Tables.spread(Tables.lineitem(s, dir))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           moneySum(col("l_quantity")).as("sum_qty"),
@@ -266,7 +270,7 @@ object RelationalQueries {
     // levels plus the grand total in one pass (the generalization of
     // rollup/cube; one shuffle, expand-node fan-out).
     "d12_grouping_sets" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      Tables.spread(Tables.lineitem(s, dir))
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
@@ -311,7 +315,9 @@ object RelationalQueries {
     "t2_typed_aggregator" -> { (s, dir) =>
       import s.implicits._
       import graft.functions.TypedAggregators.{OrderObs, TopOrder}
-      val ds = Tables.orders(s, dir)
+      // Spread: the Encoder ser/de + map-side partial aggregation is the
+      // cost center; 32-way beats one scan task doing every encode.
+      val ds = Tables.spread(Tables.orders(s, dir))
         .select(col("o_orderkey").cast("long"),
           col("o_custkey").cast("long"),
           col("o_totalprice").cast("double"))

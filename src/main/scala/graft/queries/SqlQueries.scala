@@ -12,7 +12,11 @@ import graft.core.Tables
   */
 object SqlQueries {
 
-  /** Register the star schema as temp views once per session. */
+  /** Register the star schema as temp views once per session. Views stay
+    * un-spread: an exchange inside the view would sit below every SQL
+    * query whether it helps or not (measured a 2x regression on the
+    * pricing summary — the shuffle write costs more than the parallel
+    * partial agg saves at this row width). */
   def registerViews(spark: SparkSession, dir: String): Unit =
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "documents", "embeddings").foreach { t =>

@@ -30,23 +30,36 @@ object TrainingDataQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace + BPE-ish regex + mean token length.
+    // Two-level projection: the split/regex counters run once in the lower
+    // select; the ratio derives from the materialized count column
+    // (CollapseProject keeps non-cheap exprs referenced twice un-inlined).
     "tx1_token_stats" -> { (s, dir) =>
       val t = col("text")
-      docsSpread(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        TextAnalysis.bpeishTokenCount(t).as("n_tokens_bpeish"),
-        TextAnalysis.avgTokenLength(t).as("avg_token_len"))
+      docsSpread(s, dir)
+        .select(col("doc_id"), t,
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(t).as("n_tokens_bpeish"))
+        .select(col("doc_id"), col("n_tokens"), col("n_tokens_bpeish"),
+          (length(trim(t)).cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double"))
+            .as("avg_token_len"))
     },
 
-    // Quality scoring: stopword/punct ratios + composite score.
+    // Quality scoring: stopword/punct ratios + composite score, derived
+    // from counts computed ONCE (mirrors the oracle's CTE shape).
     "tx2_quality" -> { (s, dir) =>
       val t = col("text")
-      docsSpread(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
-        TextAnalysis.punctRatio(t).as("punct_ratio"),
-        TextAnalysis.qualityScore(t).as("quality_score"))
+      docsSpread(s, dir)
+        .select(col("doc_id"), t,
+          TextAnalysis.tokenCount(t).as("nt"),
+          TextAnalysis.stopwordCount(t).as("nsw"),
+          TextAnalysis.punctCount(t).as("np"))
+        .select(col("doc_id"),
+          TextAnalysis.stopwordRatioFrom(col("nt"), col("nsw"))
+            .as("stopword_ratio"),
+          TextAnalysis.punctRatioFrom(col("np"), length(t)).as("punct_ratio"),
+          TextAnalysis.qualityScoreFrom(col("nt"), col("nsw"), col("np"),
+            length(t)).as("quality_score"))
     },
 
     // Language ID: per-language marker scores + argmax with fixed ties.
@@ -70,8 +83,10 @@ object TrainingDataQueries {
     },
 
     // Exact dedup: group by content fingerprint, keep lowest doc_id.
+    // Spread first: the normalize+md5 fingerprint pass is the cost center
+    // and would otherwise run inside the 1-task scan.
     "dd1_exact_dedup" -> { (s, dir) =>
-      Dedup.exactDedup(Tables.documents(s, dir))
+      Dedup.exactDedup(docsSpread(s, dir))
     },
 
     // MinHash + LSH near-dup: banded signature buckets → candidate pairs →

@@ -24,13 +24,26 @@ object DatasetBridge {
   def expression(df: DataFrame, c: Column): Expression =
     df.sparkSession.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Idempotently register the top-k strategy AND the window→top-k
+    * optimizer rewrite on a session built without the extensions conf. */
+  def registerTopK(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(
+        graft.plans.TopKPerKey.Strategy)) {
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.TopKPerKey.Strategy
+    }
+    if (!s.experimental.extraOptimizations.contains(
+        graft.plans.TopKPerKey.RowNumberToTopK)) {
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+
+          graft.plans.TopKPerKey.RowNumberToTopK
+    }
+  }
+
   def ofRows(df: DataFrame, plan: LogicalPlan): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
-    if (!spark.experimental.extraStrategies.contains(
-        graft.plans.TopKPerKey.Strategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.Strategy
-    }
+    registerTopK(spark)
     classic.Dataset.ofRows(spark, plan)
   }
 }

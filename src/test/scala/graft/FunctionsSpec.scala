@@ -54,6 +54,11 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(racePoints(lit(10), lit(true), lit("Race"))) == 2)
     assert(eval(racePoints(lit(10), lit(null).cast("boolean"),
       lit("Race"))) == 1)
+    // case-sensitive session gate, like the reference (business_logic.py:66)
+    assert(eval(racePoints(lit(1), lit(true), lit("race"))) == 0)
+    assert(eval(racePoints(lit(1), lit(true), lit("RACE"))) == 0)
+    assert(eval(racePoints(lit(1), lit(true),
+      lit(null).cast("string"))) == 0)
   }
 
   test("status buckets") {
@@ -99,6 +104,14 @@ class FunctionsSpec extends SparkSpec {
       lit("Monaco Grand Prix"))) == true)
     assert(eval(detectSprintWeekend(lit("Race"),
       lit("Monaco Grand Prix"))) == false)
+    // word-anchored: a location merely CONTAINING a sprint token must not
+    // fire ("austrian" ≠ "austria" as an underscore-delimited word)
+    assert(eval(detectSprintWeekend(lit("Race"),
+      lit("Austrian Village Grand Prix"))) == false)
+    assert(eval(detectSprintWeekend(lit("Race"), lit("Austria"))) == true)
+    // all-null input → false (reference returns False for empty), not null
+    assert(eval(detectSprintWeekend(lit(null).cast("string"),
+      lit(null).cast("string"))) == false)
   }
 
   test("madeQ3 / positionsGained") {

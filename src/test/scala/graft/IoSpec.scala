@@ -72,6 +72,13 @@ class IoSpec extends SparkSpec {
       "points_check", col("id") <= 2)
     checked.write.mode("overwrite").format("noop").save()
     assert(inv.get("n_violations") == 1L)
+
+    // a NULL predicate (range check over a null column) is a violation,
+    // not a silent pass: row 2 has name NULL → length(name) > 0 is NULL
+    val (checkedNull, invNull) = PipelineMetrics.observedInvariant(df.toDF(),
+      "null_check", length(col("name")) > 0)
+    checkedNull.write.mode("overwrite").format("noop").save()
+    assert(invNull.get("n_violations") == 1L)
   }
 
   test("append adds rows; atomicRewrite swaps table derived from itself") {

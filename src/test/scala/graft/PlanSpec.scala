@@ -60,6 +60,30 @@ class PlanSpec extends SparkSpec {
     assert(topk.count() == viaWindow.count())
   }
 
+  test("TopKPerKey partial phase flushes at the key cap and stays correct") {
+    import org.apache.spark.sql.expressions.Window
+    // high-cardinality grouping key (o_orderkey is unique per order →
+    // every input row opens a new heap) with the flush cap far below the
+    // key count: the partial phase must flush-and-reset instead of
+    // holding one heap per key, and the final phase re-selects the true
+    // top-k from the flushed union.
+    spark.conf.set(graft.plans.TopKPerKey.PartialFlushKeysConf, "7")
+    try {
+      val li = graft.core.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val topk = graft.plans.TopKPerKey.topKPerKey(li,
+        keys = Seq(col("l_orderkey")),
+        order = Seq(col("l_extendedprice").asc, col("l_linenumber").asc),
+        k = 2)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").asc, col("l_linenumber").asc)
+      val viaWindow = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(topk.except(viaWindow).isEmpty && viaWindow.except(topk).isEmpty)
+      assert(topk.count() == viaWindow.count())
+    } finally spark.conf.unset(graft.plans.TopKPerKey.PartialFlushKeysConf)
+  }
+
   test("RowNumberToTopK rule rewrites the window top-k idiom to the custom plan") {
     import org.apache.spark.sql.expressions.Window
     val spark2 = spark
