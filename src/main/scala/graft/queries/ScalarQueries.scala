@@ -81,6 +81,40 @@ object ScalarQueries {
         F1Functions.bucketPriority(col("o_orderpriority")).as("priority_bucket"))
     },
 
+    // H6: team-name standardization (common.py:58-142) — the raw names
+    // cycle through a literal roster covering every keyword row (incl. the
+    // word-anchored "rb" and the title-case fallback); the oracle carries
+    // the EXPECTED canon per raw name, so the whole strip+match ladder is
+    // hash-checked, not just exercised.
+    "h6_team_canon" -> { (s, dir) =>
+      val raw = element_at(typedLit(rawTeams),
+        (col("c_custkey") % rawTeams.size + 1).cast("int"))
+      Tables.customer(s, dir).select(
+        col("c_custkey"), raw.as("team_raw"),
+        F1Functions.standardizeTeam(raw).as("team_canon"))
+    },
+
+    // H9: time-string parser (common.py:145-206) over all three shapes —
+    // "SS.mmm", "M:SS.mmm", "H:MM:SS.mmm" — plus the null passthrough,
+    // on strings built from integer columns (exact in both engines).
+    "h9_time_parse" -> { (s, dir) =>
+      val secStr = concat(
+        lpad((col("l_orderkey") % 60).cast("string"), 2, "0"), lit("."),
+        lpad((col("l_partkey") % 1000).cast("string"), 3, "0"))
+      val timeStr = when(col("l_linenumber") === 7,
+          lit(null).cast("string"))
+        .when(col("l_linenumber") === 1, secStr)
+        .when(col("l_linenumber") === 2,
+          concat((col("l_suppkey") % 3).cast("string"), lit(":"),
+            lpad((col("l_orderkey") % 60).cast("string"), 2, "0"),
+            lit(":"), secStr))
+        .otherwise(concat(col("l_linenumber").cast("string"), lit(":"),
+          secStr))
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), timeStr.as("time_str"),
+        F1Functions.timeStringToMillis(timeStr).as("millis"))
+    },
+
     // H11: regexp_extract from a JSON-ish payload (partition value recovery
     // pattern, sessions_transform.py:115-125).
     "h11_regexp_extract" -> { (s, dir) =>
@@ -137,7 +171,60 @@ object ScalarQueries {
     },
   )
 
+  /** Raw team-name roster for h6 and the canon each must map to
+    * (common.py:62-121 keyword table; "Brawn" exercises the title-case
+    * fallback, the two RB forms the word-anchored keyword). */
+  private val teamPairs: Seq[(String, String)] = Seq(
+    "Oracle Red Bull Racing" -> "Red Bull Racing",
+    "Scuderia Ferrari" -> "Ferrari",
+    "Mercedes-AMG PETRONAS F1 Team" -> "Mercedes",
+    "McLaren Formula 1 Team" -> "McLaren",
+    "Aston Martin Aramco Cognizant F1 Team" -> "Aston Martin",
+    "BWT Alpine F1 Team" -> "Alpine",
+    "Williams Racing" -> "Williams",
+    "Scuderia AlphaTauri" -> "AlphaTauri",
+    "Visa Cash App RB F1 Team" -> "RB",
+    "RB F1 Team" -> "RB",
+    "Stake F1 Team Kick Sauber" -> "Sauber",
+    "Alfa Romeo ORLEN" -> "Alfa Romeo",
+    "MoneyGram Haas F1 Team" -> "Haas",
+    "Brawn GP Racing" -> "Brawn")
+  private val rawTeams: Seq[String] = teamPairs.map(_._1)
+
   def oracleSql: Map[String, String] = Map(
+    "h6_team_canon" -> {
+      val raws = rawTeams.map(x => s"'$x'").mkString("[", ", ", "]")
+      val canons = teamPairs.map(x => s"'${x._2}'").mkString("[", ", ", "]")
+      s"""SELECT c_custkey,
+         |($raws)[CAST(c_custkey % ${rawTeams.size} + 1 AS INTEGER)] AS team_raw,
+         |($canons)[CAST(c_custkey % ${rawTeams.size} + 1 AS INTEGER)] AS team_canon
+         |FROM customer""".stripMargin
+    },
+    "h9_time_parse" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey,
+        |    lpad(CAST(l_orderkey % 60 AS VARCHAR), 2, '0') || '.' ||
+        |    lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0') AS sec_str
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_linenumber = 7 THEN NULL
+        |         WHEN l_linenumber = 1 THEN sec_str
+        |         WHEN l_linenumber = 2 THEN CAST(l_suppkey % 3 AS VARCHAR)
+        |           || ':' || lpad(CAST(l_orderkey % 60 AS VARCHAR), 2, '0')
+        |           || ':' || sec_str
+        |         ELSE CAST(l_linenumber AS VARCHAR) || ':' || sec_str
+        |    END AS time_str
+        |  FROM b),
+        |p AS (SELECT l_orderkey, l_linenumber, time_str,
+        |  string_split(time_str, ':') AS parts FROM t)
+        |SELECT l_orderkey, l_linenumber, time_str,
+        |CASE WHEN time_str IS NULL OR time_str = '' THEN NULL
+        |  ELSE CAST(round((
+        |    (CASE WHEN len(parts) >= 3 THEN CAST(parts[len(parts)-2] AS DOUBLE) ELSE 0.0 END) * 3600 +
+        |    (CASE WHEN len(parts) >= 2 THEN CAST(parts[len(parts)-1] AS DOUBLE) ELSE 0.0 END) * 60 +
+        |    CAST(parts[len(parts)] AS DOUBLE)) * 1000) AS BIGINT) END AS millis
+        |FROM p""".stripMargin,
     "h1_points_ladder" ->
       """SELECT l_orderkey, l_linenumber,
         |CASE l_linenumber WHEN 1 THEN 25 WHEN 2 THEN 18 WHEN 3 THEN 15
