@@ -50,6 +50,7 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.TrainingDataQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
+      graft.queries.GoldQueries.queries ++
       graft.queries.SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracleSql ++
       graft.queries.TrainingDataQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.GoldQueries.oracleSql ++
       graft.queries.SqlQueries.oracleSql
 }

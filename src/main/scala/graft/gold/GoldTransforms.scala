@@ -164,8 +164,9 @@ object GoldTransforms {
       .join(winner, Seq("year", "grand_prix_name"), "left")
       .join(stats, Seq("year", "grand_prix_name"), "left")
       .withColumn("pole_to_win",
-        col("pole_position_driver").isNotNull &&
-          col("pole_position_driver") === col("race_winner_driver"))
+        coalesce(col("pole_position_driver").isNotNull &&
+          col("pole_position_driver") === col("race_winner_driver"),
+          lit(false)))
       .select("year", "grand_prix_name", "race_date",
         "pole_position_driver", "race_winner_driver", "race_winner_team",
         "pole_to_win", "total_finishers", "dnf_count"))

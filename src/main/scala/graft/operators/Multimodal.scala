@@ -38,7 +38,8 @@ object Multimodal {
       media_id: Long,
       media_type: String,
       n_bytes: Long,
-      feature: Array[Float])
+      feature: Array[Float],
+      feature_q: Array[Long])
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -68,19 +69,25 @@ object Multimodal {
 
   /** STUB decoder: real systems call an image/audio codec here. Produces a
     * deterministic 8-dim pseudo-feature from the payload so the pipeline
-    * shape (bytes → float vector) is exercised end-to-end. */
-  private[operators] def decodeStub(content: Array[Byte]): Array[Float] = {
+    * shape (bytes → feature vector) is exercised end-to-end. The integer
+    * lane sums are the primitive (exact, engine-reproducible — the oracle
+    * hash-checks them); the float view divides once at the end, so the
+    * two are consistent by construction. */
+  private[operators] def decodeQuant(content: Array[Byte]): Array[Long] = {
     // ??? <- real codec goes here; deterministic fake below.
-    val out = new Array[Float](8)
+    val out = new Array[Long](8)
     if (content != null) {
       var i = 0
       while (i < content.length) {
-        out(i % 8) += (content(i) & 0xFF) / 255.0f
+        out(i % 8) += (content(i) & 0xFF)
         i += 1
       }
     }
     out
   }
+
+  private[operators] def decodeStub(content: Array[Byte]): Array[Float] =
+    decodeQuant(content).map(_ / 255.0f)
 
   /** Batched feature extraction: one decoder per partition, streamed rows.
     * Partition count should target ~128 MB of payload per task at scale —
@@ -90,9 +97,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init (real codecs allocate decode contexts here)
       rows.map { m =>
+        val q = decodeQuant(m.content)
         MediaFeatures(m.media_id, m.media_type,
           if (m.content == null) 0L else m.content.length.toLong,
-          decodeStub(m.content))
+          q.map(_ / 255.0f), q)
       }
     }
   }

@@ -40,13 +40,17 @@ object MultimodalQueries {
           col("frame_ts_ms"))
     },
 
-    // Batched stub decode: bytes → 8-dim feature vector (rows-only check;
-    // the decode internals are a documented stub).
+    // Batched stub decode: bytes → 8-dim feature vector. The decode runs
+    // through the real mapPartitions path; the emitted integer lane sums
+    // are exact, so the whole decode pipeline is hash-checked against a
+    // DuckDB reconstruction of the md5-payload bytes (the float view is
+    // f_q/255f — consistent by construction, checked in ScalaTest).
     "mm4_decode_features" -> { (s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(s, Tables.documents(s, dir))).toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
-          element_at(col("feature"), 1).cast("double").as("f0"))
+          element_at(col("feature_q"), 1).as("f0_q"),
+          element_at(col("feature_q"), 8).as("f7_q"))
     },
   )
 
@@ -74,6 +78,14 @@ object MultimodalQueries {
          |CAST(FLOOR(height * least(512 / greatest(width, 1),
          |  512 / greatest(height, 1), 1.0)) AS INTEGER) AS resized_height
          |FROM m""".stripMargin,
+    "mm4_decode_features" ->
+      s"""SELECT doc_id AS media_id, $mediaTypeSql AS media_type,
+         |CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+         |CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) +
+         |CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT) AS f0_q,
+         |CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT) +
+         |CAST(('0x' || substr(md5(text), 31, 2)) AS BIGINT) AS f7_q
+         |FROM documents""".stripMargin,
     "mm3_frame_plan" ->
       s"""WITH v AS (SELECT doc_id AS media_id, doc_id * 40 % 600000 AS duration_ms
          |  FROM documents WHERE doc_id % 3 = 2)

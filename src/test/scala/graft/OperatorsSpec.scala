@@ -128,5 +128,9 @@ class OperatorsSpec extends SparkSpec {
       .map(m => m.media_id -> m.feature.toSeq).toMap
     assert(f1 == f2)
     assert(f1.values.forall(_.length == 8))
+    // float view is exactly the quantized lanes divided once at the end
+    val rows = Multimodal.extractFeatures(media).collect()
+    assert(rows.forall(m =>
+      m.feature.toSeq == m.feature_q.map(_ / 255.0f).toSeq))
   }
 }
