@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductF, DotProductL}
+import graft.functions.{DotProductF, DotProductL, Md5Prefix60}
 
 /** SparkSessionExtensions hook: injects the engine's custom Catalyst
   * expressions AND planner strategies into every session built with
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_l"),
       new ExpressionInfo(classOf[DotProductL].getName, "dot_l"),
       exprs => DotProductL(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      exprs => Md5Prefix60(exprs.head)))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKey.Strategy)
     e.injectOptimizerRule(_ => graft.plans.TopKPerKey.RowNumberToTopK)
   }

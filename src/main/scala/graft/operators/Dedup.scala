@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   import TextAnalysis.normalizeText
+  import graft.functions.HashExpressions.md5Prefix60
 
-  /** One md5-derived 60-bit hash of a shingle under seed `seed`. */
+  /** One md5-derived 60-bit hash of a shingle under seed `seed`.
+    * [[graft.functions.Md5Prefix60]] fuses the digest→long step (the
+    * equivalent `conv(substring(md5(..)))` chain materializes and parses
+    * a hex string per shingle); the value is bit-identical, so the
+    * hex-formulated DuckDB oracles still hash-match. */
   def seededHash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
-      .cast("bigint")
+    md5Prefix60(concat(lit(seed.toString), lit(":"), c))
 
   /** MinHash uses ONE md5 per shingle (reduced mod a Mersenne prime) and
     * derives the K hash functions affinely: h_j = (a_j·h + b_j) mod p.
@@ -39,9 +43,8 @@ object Dedup {
   private[operators] def affineA(j: Int): Long = (j + 1L) * 1000003L
   private[operators] def affineB(j: Int): Long = j * 999983L
 
-  /** Base shingle hash in [0, p): md5 hex → bigint → mod p. */
-  def baseHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint") % MinhashPrime
+  /** Base shingle hash in [0, p): 60-bit md5 prefix mod p. */
+  def baseHash(c: Column): Column = md5Prefix60(c) % MinhashPrime
 
   /** Exact dedup: keep the lowest-id document per content fingerprint.
     * One shuffle on the fingerprint; map-side partial aggregation makes the
@@ -159,8 +162,7 @@ object Dedup {
   /** Full-width (60-bit) shingle hash — used for set intersection, where
     * the [[baseHash]] mod-2^31 reduction would make pair collisions
     * non-negligible. */
-  private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+  private def hash60(c: Column): Column = md5Prefix60(c)
 
   /** n-gram Jaccard similarity for given candidate pairs (id_a, id_b):
     * |A∩B| / |A∪B| over distinct 60-bit shingle-hash sets. Hashing first

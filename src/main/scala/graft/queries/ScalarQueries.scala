@@ -110,7 +110,7 @@ object ScalarQueries {
             lit(":"), secStr))
         .otherwise(concat(col("l_linenumber").cast("string"), lit(":"),
           secStr))
-      Tables.lineitem(s, dir).select(
+      Tables.spread(Tables.lineitem(s, dir)).select(
         col("l_orderkey"), col("l_linenumber"), timeStr.as("time_str"),
         F1Functions.timeStringToMillis(timeStr).as("millis"))
     },

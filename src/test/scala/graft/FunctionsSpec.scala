@@ -79,6 +79,18 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(standardizeStatus(lit(""))) == "Unknown")
   }
 
+  test("md5_prefix60 equals the hex-chain formulation bit for bit") {
+    import graft.functions.HashExpressions.md5Prefix60
+    val samples = Seq("", "a", "abc", "the quick brown fox", "0:shingle",
+      "São Paulo", "日本語テキスト", "x" * 500)
+    samples.foreach { s =>
+      val fused = eval(md5Prefix60(lit(s)))
+      val chain = eval(conv(substring(md5(lit(s)), 1, 15), 16, 10)
+        .cast("long"))
+      assert(fused == chain, s"mismatch for '$s'")
+    }
+  }
+
   test("time string to millis") {
     assert(eval(timeStringToMillis(lit("1:23.456"))) == 83456L)
     assert(eval(timeStringToMillis(lit("23.456"))) == 23456L)
