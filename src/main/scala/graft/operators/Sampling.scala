@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions.md5Prefix60
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * `df.sample(seed)` keys its Bernoulli draw on ROW ORDER: the same seed
+  * over the same data yields a different sample when partitioning,
+  * file-split planning, or AQE changes row placement — which at 100 TB it
+  * always eventually does. A training pipeline needs the opposite
+  * property: membership decided per RECORD, stable forever, so holdout
+  * sets never leak into training across reruns and engines. These
+  * operators hash a key column (md5-derived, engine-reproducible — same
+  * family as the dedup fingerprints) into 1000 buckets and gate on the
+  * bucket: pure narrow per-row compute, no shuffle, no state, and any
+  * engine that can md5 reproduces the exact membership.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, 1000) for a key under a salt. Distinct salts
+    * give independent samples (e.g. a sampling gate that must not
+    * correlate with the train/val/test split). */
+  def bucket(key: Column, salt: String): Column =
+    md5Prefix60(concat_ws(":", lit(salt), key.cast("string"))) % 1000
+
+  /** Bernoulli-by-key sample: keeps ~keepPermille/1000 of rows,
+    * deterministically. */
+  def hashSample(df: DataFrame, key: Column, keepPermille: Int,
+                 salt: String = "sample"): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000, "permille in 0..1000")
+    df.filter(bucket(key, salt) < keepPermille)
+  }
+
+  /** Stratified sample: per-stratum keep rates (permille), e.g. downsample
+    * boilerplate-heavy document classes while keeping all rare ones —
+    * the class-rebalancing step of corpus curation. Unlisted strata fall
+    * back to `defaultPermille`. */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+                       rates: Map[String, Int], defaultPermille: Int,
+                       salt: String = "strata"): DataFrame = {
+    val rate = rates.foldRight(lit(defaultPermille)) {
+      case ((stratum, permille), acc) =>
+        when(strata === stratum, lit(permille)).otherwise(acc)
+    }
+    df.filter(bucket(key, salt) < rate)
+  }
+
+  /** Train/val/test assignment as a column — consistent forever for a
+    * given key, disjoint and exhaustive by construction. */
+  def splitAssign(df: DataFrame, key: Column, trainPermille: Int,
+                  valPermille: Int, salt: String = "split",
+                  outCol: String = "split"): DataFrame = {
+    require(trainPermille + valPermille <= 1000, "train+val must fit in 1000")
+    val b = bucket(key, salt)
+    df.withColumn(outCol,
+      when(b < trainPermille, "train")
+        .when(b < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+}

@@ -107,6 +107,26 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  // C4-style cleaning patterns. Explicit ASCII classes (not \w) so the
+  // match set is identical between Java regex and RE2-based engines.
+  private[operators] val urlPattern = "https?://[^ \\t\\n\\r]+"
+  private[operators] val emailPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def urlCount(text: Column): Column = regexp_count(text, lit(urlPattern))
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern))
+
+  /** C4-style cleanup: strip URLs and e-mail addresses (the highest-volume
+    * PII/noise tokens in web corpora), then collapse whitespace. Pure
+    * per-row codegen regex — streams at scan speed like the rest of the
+    * text stack. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(text, urlPattern, " "),
+        emailPattern, " "),
+      "\\s+", " "))
+
   /** Exact-content fingerprint: md5 of normalized text. md5 (not xxhash) so
     * external engines can reproduce the key; at 100 TB the fingerprint is
     * computed once per document in the scan stage and reused by dedup. */

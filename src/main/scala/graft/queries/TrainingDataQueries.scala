@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, text analysis, similarity
   * search) exposed to the oracle harness over `documents` / `embeddings`.
@@ -80,6 +80,42 @@ object TrainingDataQueries {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.fingerprint64(col("text")).as("fp64"))
+    },
+
+    // C4-style cleanup: URL/e-mail strip + whitespace collapse, with the
+    // removal counts alongside (quality filters key off them).
+    "tx5_clean_text" -> { (s, dir) =>
+      val t = col("text")
+      docsSpread(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.urlCount(t).as("n_urls"),
+        TextAnalysis.emailCount(t).as("n_emails"),
+        TextAnalysis.cleanText(t).as("clean_text"))
+    },
+
+    // Deterministic hash-bucket Bernoulli sample (~25% of documents):
+    // membership is per-record and engine-reproducible, unlike
+    // sample(seed) which keys on row order.
+    "s1_hash_sample" -> { (s, dir) =>
+      Sampling.hashSample(Tables.documents(s, dir).select("doc_id", "lang"),
+          col("doc_id"), keepPermille = 250)
+        .withColumn("bucket", Sampling.bucket(col("doc_id"), "sample"))
+    },
+
+    // Stratified sample: per-language keep rates (downsample the dominant
+    // class, keep rare ones whole) — corpus rebalancing.
+    "s2_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        strata = col("lang"), key = col("doc_id"),
+        rates = Map("en" -> 200, "de" -> 600), defaultPermille = 1000)
+    },
+
+    // Train/val/test split assignment: 800/100/100 permille, stable per
+    // doc_id forever (no holdout leakage across reruns).
+    "s3_split_assign" -> { (s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir).select("doc_id"),
+        col("doc_id"), trainPermille = 800, valPermille = 100)
     },
 
     // Exact dedup: group by content fingerprint, keep lowest doc_id.
@@ -202,7 +238,34 @@ object TrainingDataQueries {
       s"CASE WHEN 2 * c_$j > n THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
       .mkString(" + ")
 
+  /** DuckDB fragment matching [[Sampling.bucket]] (same md5 family). */
+  private def bucketSql(salt: String, key: String): String =
+    s"CAST(('0x' || substr(md5('$salt' || ':' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+
   def oracleSql: Map[String, String] = Map(
+    "tx5_clean_text" ->
+      """SELECT doc_id,
+        |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
+        |len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |  'https?://[^ \t\n\r]+', ' ', 'g'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+        |  '\s+', ' ', 'g')) AS clean_text
+        |FROM documents""".stripMargin,
+    "s1_hash_sample" ->
+      s"""SELECT doc_id, lang, ${bucketSql("sample", "doc_id")} AS bucket
+         |FROM documents WHERE ${bucketSql("sample", "doc_id")} < 250""".stripMargin,
+    "s2_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${bucketSql("strata", "doc_id")} <
+         |  CASE WHEN lang = 'en' THEN 200 WHEN lang = 'de' THEN 600
+         |       ELSE 1000 END""".stripMargin,
+    "s3_split_assign" ->
+      s"""SELECT doc_id,
+         |CASE WHEN ${bucketSql("split", "doc_id")} < 800 THEN 'train'
+         |     WHEN ${bucketSql("split", "doc_id")} < 900 THEN 'val'
+         |     ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
     "tx1_token_stats" ->
       s"""SELECT doc_id,
          |CASE WHEN length(trim(text)) = 0 THEN 0

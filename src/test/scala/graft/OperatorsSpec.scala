@@ -119,6 +119,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == 4L && out(4L) == 3L)
   }
 
+  test("hash sampling: repartition-stable, split disjoint and exhaustive") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    // membership keyed on the record, not row order: repartitioning (which
+    // scrambles order/placement) must not change the sample
+    val a = Sampling.hashSample(docs, col("doc_id"), 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), col("doc_id"), 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < docs.count())
+
+    val split = Sampling.splitAssign(docs, col("doc_id"), 800, 100)
+    assert(split.count() == docs.count())
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > counts.getOrElse("val", 0L))
+
+    // stratified: a 0-permille stratum vanishes, 1000-permille kept whole
+    val strat = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0), defaultPermille = 1000)
+    assert(strat.filter(col("lang") === "en").count() == 0)
+    assert(strat.count() ==
+      docs.filter(col("lang") =!= "en" || col("lang").isNull).count())
+  }
+
   test("multimodal feature extraction is deterministic per payload") {
     val media = Multimodal.syntheticMedia(spark,
       Tables.documents(spark, sf).limit(20))
