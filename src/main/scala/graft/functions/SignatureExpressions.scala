@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Fused signature kernels for the dedup pipelines.
+  *
+  * Round 2 computed MinHash/SimHash signatures via explode → md5 once per
+  * shingle → groupBy(doc) with K min / 60 bit-sum aggregates: correct,
+  * but it shuffles every (doc, shingle-hash) row twice (round-robin
+  * spread + group exchange) purely to work around higher-order-function
+  * limits (CodegenFallback, captured subtrees re-evaluated per element —
+  * measured in round 1). With the per-shingle hash now a fused expression
+  * ([[Md5Prefix60]]), the remaining obstacle is the K-pass reduction —
+  * which these kernels do in ONE loop over the hash array per document.
+  * Signature computation becomes a narrow per-row projection: no explode,
+  * no shuffle, embarrassingly parallel at 100 TB (LSH band buckets are
+  * then the only exchange in the whole near-dup pipeline).
+  *
+  * The math is unchanged from the aggregate formulation, so the DuckDB
+  * oracles (affine min over the base hash / per-bit majority vote)
+  * still hash-match bit for bit.
+  */
+
+/** sig_j = min over hashes h of (a_j·h + b_j) mod p, j < numHashes —
+  * the affine MinHash family over one md5-derived base hash
+  * ([[graft.operators.Dedup.MinhashPrime]]; constants small enough that
+  * a_j·h stays in a 64-bit long). */
+case class MinhashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  protected override def nullSafeEval(h: Any): Any =
+    new GenericArrayData(
+      MinhashSignature.compute(h.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinhashSignature.compute($c, $numHashes))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : Expression = copy(child = newChild)
+}
+
+object MinhashSignature {
+  val Prime = 2147483647L // 2^31 - 1
+  def affineA(j: Int): Long = (j + 1L) * 1000003L
+  def affineB(j: Int): Long = j * 999983L
+
+  /** One pass over the hash array, k running minima. */
+  def compute(hashes: ArrayData, k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (affineA(j) * h + affineB(j)) % Prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** 60-bit SimHash from an array of 60-bit shingle hashes: bit j of the
+  * signature is set when more than half the hashes have bit j set. */
+case class SimhashSignature(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_signature"
+
+  protected override def nullSafeEval(h: Any): Any =
+    SimhashSignature.compute(h.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimhashSignature.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : Expression = copy(child = newChild)
+}
+
+object SimhashSignature {
+  val Bits = 60
+
+  def compute(hashes: ArrayData): Long = {
+    val counts = new Array[Int](Bits)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < Bits) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < Bits) {
+      if (2 * counts(j) > n) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+object SignatureExpressions {
+  /** Fused MinHash signature of an Array[Long] base-hash column. */
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinhashSignature(ColumnBridge.expr(hashes), numHashes))
+
+  /** Fused 60-bit SimHash of an Array[Long] hash column. */
+  def simhashSig(hashes: Column): Column =
+    ColumnBridge.column(SimhashSignature(ColumnBridge.expr(hashes)))
+}

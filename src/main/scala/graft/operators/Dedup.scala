@@ -73,35 +73,30 @@ object Dedup {
     minhashSignatureFromHashes(
       transform(shinglesExpr(text, shingleN), s => baseHash(s)), numHashes)
 
-  /** MinHash signatures via explode → hash once → K min-aggregates.
-    *
-    * Higher-order functions (transform/aggregate) are CodegenFallback in
-    * Spark — no whole-stage codegen and no subexpression elimination — so
-    * building K signature entries as K array expressions re-evaluates the
-    * shingle+md5 subtree K times. Exploding instead guarantees exactly one
-    * md5 per (doc, shingle); the K affine mins run vectorized inside one
-    * hash aggregate, and the shuffle key is the doc id (map-side partial
-    * mins make it tiny). Returns (id, sig array). */
+  /** MinHash signatures as a NARROW per-document projection: one md5 per
+    * distinct shingle ([[graft.functions.Md5Prefix60]] under the
+    * transform), then all K affine minima in one fused pass over the hash
+    * array ([[graft.functions.MinhashSignature]]). No explode, no
+    * shuffle — signature computation is embarrassingly parallel, so at
+    * corpus scale the LSH band buckets are the pipeline's only exchange.
+    * (Round 2 used explode → groupBy with K min-aggregates to dodge the
+    * HOF per-element re-evaluation trap; the fused kernel removes the
+    * reason.) Spread single-row-group inputs upstream ([[graft.core
+    * .Tables.spread]]) — the per-doc hashing runs wherever the scan
+    * runs. Returns (id, sig array). */
   def minhashSignatures(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 16,
                         shingleN: Int = 3): DataFrame = {
-    // Round-robin repartition between the explode and the hashing: the
-    // harness parquet files are single-row-group (scan = 1 task), so
-    // without it every md5 runs on one core. At cluster scale the scan
-    // already has file parallelism and AQE elides needless exchanges.
-    val exploded = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(shinglesExpr(col(textCol), shingleN)))
-          .as("s"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"), baseHash(col("s")).as("h"))
-    val minExprs = (0 until numHashes).map { j =>
-      min((lit(affineA(j)) * col("h") + lit(affineB(j))) % MinhashPrime)
-        .as(s"sig_$j")
-    }
-    exploded.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(j => col(s"sig_$j")): _*).as("sig"))
+    require(MinhashPrime == graft.functions.MinhashSignature.Prime &&
+      (0 until numHashes).forall(j =>
+        affineA(j) == graft.functions.MinhashSignature.affineA(j) &&
+          affineB(j) == graft.functions.MinhashSignature.affineB(j)),
+      "fused kernel must use the documented affine family")
+    df.select(col(idCol).as("id"),
+      graft.functions.SignatureExpressions.minhashSig(
+        transform(array_distinct(shinglesExpr(col(textCol), shingleN)),
+          s => baseHash(s)),
+        numHashes).as("sig"))
   }
 
   /** Word n-gram shingles as an array column.
@@ -198,30 +193,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 60-bit SimHash signatures via explode → hash once → per-bit majority
-    * vote in a single aggregate (same CodegenFallback rationale as
-    * [[minhashSignatures]]: 60 inline array-aggregates would re-hash the
-    * shingles 60 times). Bit j is set when more than half the shingle
-    * hashes have bit j set. Returns (id, sig). */
+  /** 60-bit SimHash signatures as a narrow per-document projection: hash
+    * each shingle once (duplicates kept — they weight the vote), then the
+    * per-bit majority in one fused pass ([[graft.functions
+    * .SimhashSignature]]). Same zero-shuffle rationale as
+    * [[minhashSignatures]]. Returns (id, sig). */
   def simhashSignatures(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 2)
-  : DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"),
-        explode(shinglesExpr(col(textCol), shingleN)).as("s"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"), seededHash(col("s"), 0).as("h"))
-    val bitCounts = (0 until 60).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"c_$j")
-    }
-    val agged = exploded.groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), bitCounts: _*)
-    val sig = (0 until 60).foldLeft(lit(0L)) { (acc, j) =>
-      acc + when(col(s"c_$j") * 2 > col("n"), shiftleft(lit(1L), j))
-        .otherwise(lit(0L))
-    }
-    agged.select(col("id"), sig.as("sig"))
-  }
+  : DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.SignatureExpressions.simhashSig(
+        transform(shinglesExpr(col(textCol), shingleN),
+          s => seededHash(s, 0))).as("sig"))
 
   /** Hamming distance between two simhash signatures. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -128,13 +128,14 @@ object TrainingDataQueries {
     // MinHash + LSH near-dup: banded signature buckets → candidate pairs →
     // exact n-gram Jaccard ≥ 0.5.
     "dd2_minhash_pairs" -> { (s, dir) =>
-      Dedup.minhashDedup(Tables.documents(s, dir), threshold = 0.5)
+      // spread: signatures/shingle-hashes are now computed scan-side
+      Dedup.minhashDedup(docsSpread(s, dir), threshold = 0.5)
     },
 
     // SimHash near-dup candidates — full DuckDB oracle: the 60 per-bit
     // majority sums are program-generated SQL, same md5 hash family.
     "dd3_simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashCandidates(Tables.documents(s, dir), maxHamming = 12)
+      Dedup.simhashCandidates(docsSpread(s, dir), maxHamming = 12)
     },
 
     // Brute-force cosine top-10 for query vectors vec_id<5, on exact
