@@ -68,24 +68,31 @@ object GoldQueries {
   private def position(mult: Int, shift: Int): org.apache.spark.sql.Column =
     (col("driver_number") * mult + col("wk") * shift) % 100 + 1
 
-  /** Race results fact: full grid per race, ladder points, DNF tail. */
+  /** Race results fact: full grid per race, ladder points, DNF tail;
+    * grid position = the qualifying permutation, so positions_gained is
+    * a real quali-vs-race delta. */
   private def raceResults(s: SparkSession, dir: String): DataFrame =
     weekends(s, dir).select("wk", "race_key")
       .crossJoin(drivers(s, dir).select("driver_number"))
       .select(col("race_key").as("session_key"), col("driver_number"),
-        position(17, 31).as("position"))
+        position(17, 31).as("position"),
+        position(23, 7).as("grid_position"))
       .withColumn("points",
         F1Functions.pointsForPosition(col("position")).cast("double"))
       .withColumn("validated_points", lit(null).cast("double"))
+      .withColumn("positions_gained",
+        F1Functions.positionsGained(col("grid_position"), col("position")))
       .withColumn("standardized_status",
         when(col("position") > 80, "DNF").otherwise("Finished"))
 
-  /** Qualifying fact: same grid, independent permutation. */
+  /** Qualifying fact: same grid, independent permutation; gap to pole in
+    * exact quarter-second steps. */
   private def qualifying(s: SparkSession, dir: String): DataFrame =
     weekends(s, dir).select("wk", "quali_key")
       .crossJoin(drivers(s, dir).select("driver_number"))
       .select(col("quali_key").as("session_key"), col("driver_number"),
         position(23, 7).as("position"))
+      .withColumn("gap_to_pole_millis", (col("position") - 1) * 250)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Championship tracker end-to-end: running season points, per-race
@@ -107,6 +114,31 @@ object GoldQueries {
           drivers(s, dir))
         .drop("created_at", "updated_at")
         .withColumn("race_date", col("race_date").cast("timestamp"))
+    },
+
+    // Driver race performance end-to-end: per-(session, driver) line with
+    // grid/finish, positions gained, running season points.
+    "gold3_driver_race" -> { (s, dir) =>
+      GoldTransforms.driverPerformanceRace(
+          sessions(s, dir), raceResults(s, dir), drivers(s, dir))
+        .drop("created_at", "updated_at")
+        .withColumn("race_date", col("race_date").cast("timestamp"))
+    },
+
+    // Driver qualifying performance end-to-end: gap to pole (clamped,
+    // decimal seconds), made-Q3 flag, running season average position.
+    // The decimal columns are surfaced as double (the comparison harness
+    // renders engine-native decimals inconsistently); the DECIMAL casts
+    // inside the transform still round both sides identically first.
+    "gold4_driver_quali" -> { (s, dir) =>
+      GoldTransforms.driverPerformanceQualifying(
+          sessions(s, dir), qualifying(s, dir), drivers(s, dir))
+        .drop("created_at", "updated_at")
+        .withColumn("race_date", col("race_date").cast("timestamp"))
+        .withColumn("gap_to_pole_seconds",
+          col("gap_to_pole_seconds").cast("double"))
+        .withColumn("season_avg_qualifying_position",
+          col("season_avg_qualifying_position").cast("double"))
     },
   )
 
@@ -194,5 +226,46 @@ object GoldQueries {
          |LEFT JOIN pole USING (year, grand_prix_name)
          |LEFT JOIN winner USING (year, grand_prix_name)
          |LEFT JOIN stats USING (year, grand_prix_name)""".stripMargin,
+    "gold3_driver_race" ->
+      s"""WITH $seasonCtes,
+         |run AS (
+         |  SELECT *,
+         |    SUM(race_points) OVER (PARTITION BY driver_number, year
+         |      ORDER BY race_date, round_number
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS season_points_total
+         |  FROM rpts)
+         |SELECT wk * 100 + 2 AS session_key, driver_number, full_name,
+         |  team_name, CAST(race_date AS TIMESTAMP) AS race_date,
+         |  round_number,
+         |  (driver_number * 23 + wk * 7) % 100 + 1 AS grid_position,
+         |  position AS finish_position, race_points,
+         |  (driver_number * 23 + wk * 7) % 100 + 1 - position
+         |    AS positions_gained,
+         |  season_points_total, year, grand_prix_name
+         |FROM run""".stripMargin,
+    "gold4_driver_quali" ->
+      s"""WITH $seasonCtes,
+         |q AS (
+         |  SELECT wk, year, grand_prix_name, race_date, driver_number,
+         |    full_name, team_name, round_number,
+         |    (driver_number * 23 + wk * 7) % 100 + 1 AS qpos
+         |  FROM rpts),
+         |run AS (
+         |  SELECT *,
+         |    AVG(CAST(qpos AS DOUBLE)) OVER (PARTITION BY driver_number, year
+         |      ORDER BY race_date, round_number
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_pos
+         |  FROM q)
+         |SELECT wk * 100 + 1 AS session_key, driver_number, full_name,
+         |  team_name, CAST(race_date AS TIMESTAMP) AS race_date,
+         |  round_number, qpos AS qualifying_position,
+         |  CAST(CAST((qpos - 1) * 250 / 1000.0 AS DECIMAL(5,3)) AS DOUBLE)
+         |    AS gap_to_pole_seconds,
+         |  qpos <= 10 AS made_q3,
+         |  CAST(CAST(avg_pos AS DECIMAL(4,1)) AS DOUBLE)
+         |    AS season_avg_qualifying_position,
+         |  year, grand_prix_name
+         |FROM run""".stripMargin,
   )
 }
