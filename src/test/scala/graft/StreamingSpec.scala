@@ -227,6 +227,29 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("state-store metrics surface through query progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = EventStreams.windowedTypeCounts(stream.toDF(),
+      windowLen = "10 minutes", watermark = "10 minutes")
+    val query = out.writeStream.format("memory")
+      .queryName("state_metrics_out").outputMode("append").start()
+    stream.addData(
+      Ev(ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Ev(ts("2024-01-01 10:01:00"), 2, "view", 1.0),
+      Ev(ts("2024-01-01 11:00:00"), 3, "click", 1.0))
+    query.processAllAvailable()
+    // the windowed aggregation holds open windows in a state store; its
+    // occupancy and update counters are observable per micro-batch — the
+    // operational handle for state-size monitoring at scale
+    val state = query.lastProgress.stateOperators
+    query.stop()
+    assert(state.nonEmpty)
+    assert(state.exists(_.numRowsTotal > 0))
+    assert(state.exists(_.numRowsUpdated >= 0))
+  }
+
   test("windowed type counts aggregate within tumbling windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
