@@ -291,6 +291,45 @@ object RelationalQueries {
           col("sum_qty").cast("double").as("sum_qty"))
     },
 
+    // D14 (beyond reference): ordered set-aggregation to a delimited
+    // string — collect_list is unordered by contract, so the sort happens
+    // explicitly inside the row (array_sort) for a deterministic result.
+    "d14_string_agg" -> { (s, dir) =>
+      Tables.nation(s, dir).groupBy("n_regionkey").agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"),
+        count(lit(1)).as("n_nations"))
+    },
+
+    // D15 (beyond reference): second-moment statistics (stddev, corr)
+    // from EXACT decimal power sums. The built-in stddev/corr accumulate
+    // floating-point and are order-dependent (non-reproducible under
+    // re-partitioning); the moments formulation keeps every sum exact and
+    // does the identical IEEE arithmetic at the end — same rationale as
+    // Det.moneySum, extended to second moments.
+    "d15_exact_moments" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_discount").cast(DecimalType(18, 2))
+      val agg = Tables.spread(Tables.lineitem(s, dir))
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum((x * x).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+          sum((y * y).cast(DecimalType(28, 4))).cast("double").as("syy"),
+          sum((x * y).cast(DecimalType(28, 4))).cast("double").as("sxy"))
+      val n = col("n").cast("double")
+      agg.select(col("l_returnflag"), col("n"),
+        (col("sx") / n).as("mean_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - 1))
+          .as("stddev_qty"),
+        ((col("sxy") - col("sx") * col("sy") / n) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / n) *
+            sqrt(col("syy") - col("sy") * col("sy") / n)))
+          .as("corr_qty_disc"))
+    },
+
     // Typed Dataset tier (SURVEY §1.3): case-class Encoder + groupByKey/
     // mapGroups argmax — the per-group imperative escape hatch, with a
     // deterministic tie-break. Same semantics as f2_argmax_per_group but
@@ -464,6 +503,29 @@ object RelationalQueries {
       """SELECT l_suppkey, COUNT(*) AS n_rows,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "d14_string_agg" ->
+      """SELECT n_regionkey,
+        |string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |COUNT(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "d15_exact_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) *
+        |      CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |sx / n AS mean_qty,
+        |sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |(sxy - sx * sy / n) /
+        |  (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_disc
+        |FROM a""".stripMargin,
     "t2_typed_aggregator" ->
       """SELECT o_custkey, o_orderkey AS top_orderkey,
         |o_totalprice AS top_price FROM (
