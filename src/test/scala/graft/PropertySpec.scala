@@ -85,3 +85,46 @@ object WindowProps extends Properties("WindowOps") {
       ranks(rows) == ranks(shuffled)
     }
 }
+
+/** Pure-JVM properties of the fused hash/signature kernels: each is
+  * checked against an independent naive reimplementation of the
+  * documented math (no Spark session needed). */
+object KernelProps extends Properties("Kernels") {
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.{Md5Hash, MinhashSignature, SimhashSignature}
+
+  property("md5 prefix60 equals hex-parse of the first 15 digest chars") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      Md5Hash.prefix60(UTF8String.fromString(s)) ==
+        java.lang.Long.parseLong(hex.take(15), 16)
+    }
+
+  private val hashArrayGen =
+    Gen.nonEmptyListOf(Gen.choose(0L, (1L << 60) - 1))
+
+  property("minhash kernel equals naive per-function minima") =
+    Prop.forAll(hashArrayGen, Gen.choose(1, 24)) { (hs, k) =>
+      val inBand = hs.map(h => h % MinhashSignature.Prime)
+      val fused = MinhashSignature.compute(
+        new GenericArrayData(inBand.toArray), k).toSeq
+      val naive = (0 until k).map { j =>
+        inBand.map(h => (MinhashSignature.affineA(j) * h +
+          MinhashSignature.affineB(j)) % MinhashSignature.Prime).min
+      }
+      fused == naive
+    }
+
+  property("simhash kernel sets exactly the majority bits") =
+    Prop.forAll(hashArrayGen) { hs =>
+      val sig = SimhashSignature.compute(new GenericArrayData(hs.toArray))
+      (0 until 60).forall { j =>
+        val ones = hs.count(h => ((h >>> j) & 1L) == 1L)
+        (((sig >>> j) & 1L) == 1L) == (2 * ones > hs.size)
+      }
+    }
+}
