@@ -76,6 +76,16 @@ object SqlQueries {
       registerViews(s, dir)
       s.sql(windowSql)
     },
+    // The extension-injected hash expression through SQL text: dedup
+    // fingerprint buckets addressable from any SQL client connected to a
+    // graft session (md5_prefix60 registers via GraftExtensions).
+    "sql5_hash_buckets" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(
+        """SELECT md5_prefix60(text) % 1000 AS bucket,
+          |COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+          |FROM documents GROUP BY bucket""".stripMargin)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,5 +96,10 @@ object SqlQueries {
          |(${TrainingDataQueries.sqlDotChain("embedding", "embedding")}) AS self_dot
          |FROM embeddings ORDER BY self_dot DESC, vec_id LIMIT 25""".stripMargin,
     "sql4_window_sql" -> windowSql,
+    "sql5_hash_buckets" ->
+      """SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000 AS bucket,
+        |COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM documents
+        |GROUP BY bucket""".stripMargin,
   )
 }
