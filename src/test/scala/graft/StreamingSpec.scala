@@ -227,6 +227,44 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("streaming minhash-LSH emits near-dup candidates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StreamingDedup.minhashCandidates(docs)
+    val query = out.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    stream.addData((1L, ts("2024-01-01 10:00:00"), dupText),
+      (3L, ts("2024-01-01 10:00:30"),
+        "completely unrelated content about formula one qualifying"))
+    query.processAllAvailable()
+    // nothing matches yet: pairs only appear when the second member lands
+    assert(spark.table("neardup_out").count() == 0)
+
+    stream.addData((2L, ts("2024-01-01 10:01:00"), dupText)) // near-dup of 1
+    query.processAllAvailable()
+    val pairs = spark.table("neardup_out")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical text → identical signature → collides in every band;
+    // the unrelated doc 3 must not pair with either
+    assert(pairs == Set((1L, 2L)))
+
+    // push the watermark a day forward: buckets expire on the event-time
+    // ttl, so a late re-arrival of the same text pairs with nothing
+    stream.addData((9L, ts("2024-01-02 10:00:00"), "watermark advancer"))
+    query.processAllAvailable()
+    stream.addData((4L, ts("2024-01-02 10:00:10"), dupText))
+    query.processAllAvailable()
+    val after = spark.table("neardup_out")
+      .filter(col("id_a") === 4 || col("id_b") === 4).count()
+    query.stop()
+    assert(after == 0)
+  }
+
   test("state-store metrics surface through query progress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
