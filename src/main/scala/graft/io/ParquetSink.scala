@@ -63,12 +63,28 @@ object ParquetSink {
     * strategy). Requires saveAsTable (bucket metadata lives in the
     * catalog). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int): Unit =
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // rerun-idempotent: a fresh session's metastore doesn't know about a
+    // previous run's managed-table directory, and saveAsTable refuses to
+    // reuse the on-disk location — drop the catalog entry AND the stale
+    // warehouse path before writing.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
     df.write.format("parquet")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
+  }
 
   /** Sorted-layout write: cluster rows into `nFiles` by `sortCols` (one
     * shuffle) and sort within each file, so parquet min/max column stats
