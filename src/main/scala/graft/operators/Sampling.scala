@@ -22,9 +22,12 @@ object Sampling {
 
   /** Stable bucket in [0, 1000) for a key under a salt. Distinct salts
     * give independent samples (e.g. a sampling gate that must not
-    * correlate with the train/val/test split). */
+    * correlate with the train/val/test split). Null keys get a null
+    * bucket (concat propagates null, matching SQL `||` semantics —
+    * concat_ws would silently hash the bare salt), so null-keyed rows
+    * drop out of every gate instead of clustering in one bucket. */
   def bucket(key: Column, salt: String): Column =
-    md5Prefix60(concat_ws(":", lit(salt), key.cast("string"))) % 1000
+    md5Prefix60(concat(lit(salt + ":"), key.cast("string"))) % 1000
 
   /** Bernoulli-by-key sample: keeps ~keepPermille/1000 of rows,
     * deterministically. */
