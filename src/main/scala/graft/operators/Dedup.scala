@@ -56,18 +56,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature over a pre-materialized base-hash array column:
-    * sig_j = min over shingles of (a_j·h + b_j) mod p. Arrays stay
-    * columnar; no explode, and md5 runs once per shingle. */
+    * sig_j = min over shingles of (a_j·h + b_j) mod p, computed by the
+    * fused one-pass kernel ([[graft.functions.MinhashSignature]] — the
+    * K-array-expression formulation this replaces re-ran the transform
+    * per signature entry). */
   def minhashSignatureFromHashes(baseHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(baseHashes,
-        h => (lit(affineA(j)) * h + lit(affineB(j))) % MinhashPrime))
-    }: _*)
+    graft.functions.SignatureExpressions.minhashSig(baseHashes, numHashes)
 
-  /** Convenience: signature straight from text (materialize the base-hash
-    * column yourself — via [[withShingleHashes]] — when computing more than
-    * one derived column, or Catalyst will inline this whole subtree per
-    * use). */
+  /** Convenience: signature straight from text. Duplicates in the shingle
+    * array don't affect the minima, so no distinct pass is needed. */
   def minhashSignature(text: Column, numHashes: Int = 16, shingleN: Int = 3)
   : Column =
     minhashSignatureFromHashes(
