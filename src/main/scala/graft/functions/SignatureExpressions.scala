@@ -55,13 +55,20 @@ object MinhashSignature {
   def affineA(j: Int): Long = (j + 1L) * 1000003L
   def affineB(j: Int): Long = j * 999983L
 
-  /** One pass over the hash array, k running minima. */
+  /** One pass over the hash array, k running minima. Inputs are reduced
+    * into [0, Prime) here rather than assumed pre-reduced: a full-width
+    * 60-bit hash would overflow `affineA(j) * h` into negative signature
+    * entries, and the [[graft.operators.Dedup.baseHash]] precondition is
+    * not enforceable on an arbitrary Array[Long] column. For already-
+    * reduced inputs the `%` is a no-op, so existing signatures (and their
+    * oracles) are bit-identical. */
   def compute(hashes: ArrayData, k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
+      var h = hashes.getLong(i) % Prime
+      if (h < 0) h += Prime
       var j = 0
       while (j < k) {
         val v = (affineA(j) * h + affineB(j)) % Prime

@@ -68,17 +68,30 @@ object ParquetSink {
     // rerun-idempotent: a fresh session's metastore doesn't know about a
     // previous run's managed-table directory, and saveAsTable refuses to
     // reuse the on-disk location — drop the catalog entry AND the stale
-    // warehouse path before writing.
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    // warehouse path before writing. The location is resolved through the
+    // catalog (live table) or the database's locationUri (stale dir), and
+    // deleted via the Hadoop FileSystem of that URI: a string-concat
+    // against spark.sql.warehouse.dir would misplace qualified names
+    // (`db.tbl` lives under `db.db/tbl`) and silently no-op on
+    // HDFS/object-store warehouses where java.io.File cannot reach.
+    val location: org.apache.hadoop.fs.Path =
+      if (spark.catalog.tableExists(table)) {
+        val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+          .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+          .select("data_type").head().getString(0)
+        new org.apache.hadoop.fs.Path(loc)
+      } else {
+        val parts = table.split('.')
+        val (db, tbl) =
+          if (parts.length >= 2) (parts(parts.length - 2), parts.last)
+          else (spark.catalog.currentDatabase, table)
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
+          tbl.toLowerCase)
       }
-      rm(loc)
-    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(location)) fs.delete(location, true)
     df.write.format("parquet")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)

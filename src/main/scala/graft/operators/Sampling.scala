@@ -52,14 +52,19 @@ object Sampling {
   }
 
   /** Train/val/test assignment as a column — consistent forever for a
-    * given key, disjoint and exhaustive by construction. */
+    * given key, disjoint and exhaustive over keyed rows. Null keys get a
+    * null split (matching [[bucket]]'s null semantics: an unkeyed record
+    * belongs to no split, and must never land silently in the holdout
+    * set — without the explicit gate the null bucket would fall through
+    * every `when` into the `otherwise("test")` branch). */
   def splitAssign(df: DataFrame, key: Column, trainPermille: Int,
                   valPermille: Int, salt: String = "split",
                   outCol: String = "split"): DataFrame = {
     require(trainPermille + valPermille <= 1000, "train+val must fit in 1000")
     val b = bucket(key, salt)
     df.withColumn(outCol,
-      when(b < trainPermille, "train")
+      when(b.isNull, lit(null).cast("string"))
+        .when(b < trainPermille, "train")
         .when(b < trainPermille + valPermille, "val")
         .otherwise("test"))
   }

@@ -135,7 +135,7 @@ object TopKPerKey {
       "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "number of output rows"),
       "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
-        .createMetric(sparkContext, "number of distinct keys"),
+        .createMetric(sparkContext, "number of distinct keys (final phase)"),
       "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "partial heap-map flushes"))
 
@@ -158,6 +158,7 @@ object TopKPerKey {
         if (partial) conf.getConfString(PartialFlushKeysConf,
           PartialFlushKeysDefault.toString).toInt
         else Int.MaxValue
+      val isPartial = partial // local copy — closures must not capture the plan node
       child.execute().mapPartitions { iter =>
         val keyProj = UnsafeProjection.create(groupingExprs, schema)
         val ord = RowOrdering.create(sortOrder, schema)
@@ -168,8 +169,11 @@ object TopKPerKey {
             .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
           private var out: Iterator[InternalRow] = Iterator.empty
 
+          // numKeys counts true distinct keys, so only the final phase (one
+          // drain per partition, keys clustered) may accumulate it — a
+          // flushing partial would re-count keys spanning flushes.
           private def drain(): Iterator[InternalRow] = {
-            numKeys += heaps.size
+            if (!isPartial) numKeys += heaps.size
             val rows = heaps.values.toIndexedSeq
               .flatMap(_.dequeueAll.reverseIterator)
             heaps.clear()

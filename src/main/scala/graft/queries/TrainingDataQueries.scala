@@ -263,7 +263,8 @@ object TrainingDataQueries {
          |       ELSE 1000 END""".stripMargin,
     "s3_split_assign" ->
       s"""SELECT doc_id,
-         |CASE WHEN ${bucketSql("split", "doc_id")} < 800 THEN 'train'
+         |CASE WHEN doc_id IS NULL THEN NULL
+         |     WHEN ${bucketSql("split", "doc_id")} < 800 THEN 'train'
          |     WHEN ${bucketSql("split", "doc_id")} < 900 THEN 'val'
          |     ELSE 'test' END AS split
          |FROM documents""".stripMargin,

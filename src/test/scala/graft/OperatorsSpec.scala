@@ -137,6 +137,14 @@ class OperatorsSpec extends SparkSpec {
     assert(counts.keySet.subsetOf(Set("train", "val", "test")))
     assert(counts("train") > counts.getOrElse("val", 0L))
 
+    // null keys belong to NO split (never silently in the holdout set)
+    val withNull = docs.select(
+      when(col("doc_id") === 1L, lit(null).cast("long"))
+        .otherwise(col("doc_id")).as("doc_id"))
+    val nullSplit = Sampling.splitAssign(withNull, col("doc_id"), 800, 100)
+      .filter(col("doc_id").isNull).select("split").collect()
+    assert(nullSplit.length == 1 && nullSplit.head.isNullAt(0))
+
     // stratified: a 0-permille stratum vanishes, 1000-permille kept whole
     val strat = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
       Map("en" -> 0), defaultPermille = 1000)

@@ -119,6 +119,23 @@ object KernelProps extends Properties("Kernels") {
       fused == naive
     }
 
+  property("minhash kernel reduces out-of-band hashes, not just in-band") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.choose(1, 24)) { (hs, k) =>
+      // full-width (even negative) inputs: the kernel must reduce into
+      // [0, Prime) itself and agree with feeding it pre-reduced values
+      val fused = MinhashSignature.compute(
+        new GenericArrayData(hs.toArray), k).toSeq
+      val reduced = hs.map { h =>
+        val m = h % MinhashSignature.Prime
+        if (m < 0) m + MinhashSignature.Prime else m
+      }
+      val viaInBand = MinhashSignature.compute(
+        new GenericArrayData(reduced.toArray), k).toSeq
+      fused == viaInBand &&
+        fused.forall(v => v >= 0 && v < MinhashSignature.Prime)
+    }
+
   property("simhash kernel sets exactly the majority bits") =
     Prop.forAll(hashArrayGen) { hs =>
       val sig = SimhashSignature.compute(new GenericArrayData(hs.toArray))
