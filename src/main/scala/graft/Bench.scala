@@ -54,11 +54,25 @@ object Bench {
       try materialize(name) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Optional comma-separated query filter for focused local runs
+    // (absent on driver runs → full catalog).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val firstPass = names.map { name =>
       var best = math.min(timeOne(name), timeOne(name))
       var extra = 0
       while (best > 2.0 && extra < 2) { best = math.min(best, timeOne(name)); extra += 1 }
       name -> best
+    }
+    // Second chance for stall victims: immediate retries don't help when a
+    // contention burst on a shared machine spans all of them (round 3 saw a
+    // 1.1 s query report 9.1 s that way). Re-time anything still above the
+    // stall threshold once more at the END of the catalog — minutes later,
+    // when the burst has usually passed — and keep the min.
+    val results = firstPass.map { case (name, best) =>
+      name -> (if (best > 2.0) math.min(best, timeOne(name)) else best)
     }
     // The harness captures only the last ~2000 chars of output, so the
     // JSON line must stay short: 3-decimal seconds, and the per-query dict
