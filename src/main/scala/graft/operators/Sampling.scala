@@ -51,6 +51,24 @@ object Sampling {
     df.filter(bucket(key, salt) < rate)
   }
 
+  /** Weighted corpus mixture: each source contributes a deterministic
+    * hash-sample at its own rate (permille), tagged with a provenance
+    * column — the "mix web 60% / books 25% / code 15%" step of training-
+    * corpus assembly. Salting the bucket per source keeps the draws
+    * independent: a record appearing in two sources is not correlated
+    * across them. Union is by name, so sources may differ in column order
+    * (not in schema). Narrow per-row compute plus a union — no shuffle;
+    * at 100 TB each source's scan filters map-side and the mixture is
+    * just the concatenation of the surviving partitions. */
+  def mixCorpus(sources: Seq[(String, DataFrame, Int)],
+                key: Column, outCol: String = "source"): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    sources.map { case (name, df, permille) =>
+      hashSample(df, key, permille, salt = s"mix:$name")
+        .withColumn(outCol, lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Train/val/test assignment as a column — consistent forever for a
     * given key, disjoint and exhaustive over keyed rows. Null keys get a
     * null split (matching [[bucket]]'s null semantics: an unkeyed record

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, text analysis, similarity
   * search) exposed to the oracle harness over `documents` / `embeddings`.
@@ -202,6 +202,38 @@ object TrainingDataQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         ncells = 8, nprobe = 3)
     },
+
+    // Benchmark decontamination: training docs (doc_id % 10 != 0) sharing
+    // any 3-gram shingle with the held-out "benchmark" slice (% 10 == 0).
+    // Benchmark hash set broadcast; corpus scanned once.
+    "cx1_contamination" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      Contamination.contaminationReport(
+          corpus = docs.filter(col("doc_id") % 10 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 10 === 0))
+        .withColumn("n_shingles", col("n_shingles").cast("bigint"))
+    },
+
+    // Weighted corpus mixture: per-source deterministic sampling rates
+    // with provenance — corpus assembly's mixing step.
+    "mix1_corpus_mix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      Sampling.mixCorpus(Seq(
+        ("en", docs.filter(col("lang") === "en"), 800),
+        ("de", docs.filter(col("lang") === "de"), 500),
+        ("rest", docs.filter(col("lang").isNull ||
+          (col("lang") =!= "en" && col("lang") =!= "de")), 250)),
+        key = col("doc_id"))
+    },
+
+    // Concat-and-chunk sequence packing plan: 512-token sequences per
+    // language stream, documents laid down in doc_id order.
+    "pk1_sequence_pack" -> { (s, dir) =>
+      val withTokens = docsSpread(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packSequences(withTokens, streamCol = col("lang"),
+        orderCol = col("doc_id"), tokensCol = col("n_tokens"), seqLen = 512)
+    },
   )
 
   /** 16 minhash components as DuckDB SQL list entries — affine family over
@@ -268,6 +300,50 @@ object TrainingDataQueries {
          |     WHEN ${bucketSql("split", "doc_id")} < 900 THEN 'val'
          |     ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "cx1_contamination" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 2),
+         |      i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
+         |  FROM docs),
+         |h60 AS (
+         |  SELECT id, list_distinct(list_transform(list_distinct(shingles),
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs
+         |  FROM sh),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM h60 WHERE id % 10 = 0),
+         |corp AS (SELECT id, len(hs) AS n_shingles, unnest(hs) AS h
+         |         FROM h60 WHERE id % 10 <> 0)
+         |SELECT corp.id AS doc_id, COUNT(*) AS n_overlap, n_shingles,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_ratio
+         |FROM corp JOIN bench USING (h)
+         |GROUP BY corp.id, n_shingles""".stripMargin,
+    "mix1_corpus_mix" ->
+      s"""SELECT doc_id, lang, 'en' AS source FROM documents
+         |WHERE lang = 'en' AND ${bucketSql("mix:en", "doc_id")} < 800
+         |UNION ALL
+         |SELECT doc_id, lang, 'de' AS source FROM documents
+         |WHERE lang = 'de' AND ${bucketSql("mix:de", "doc_id")} < 500
+         |UNION ALL
+         |SELECT doc_id, lang, 'rest' AS source FROM documents
+         |WHERE (lang IS NULL OR lang NOT IN ('en', 'de'))
+         |  AND ${bucketSql("mix:rest", "doc_id")} < 250""".stripMargin,
+    "pk1_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, token_offset,
+        |  CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS seq_idx,
+        |  token_offset % 512 AS seq_offset
+        |FROM p""".stripMargin,
     "tx1_token_stats" ->
       s"""SELECT doc_id,
          |CASE WHEN length(trim(text)) = 0 THEN 0

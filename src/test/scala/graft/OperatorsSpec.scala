@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** Training-data operator specs on the sf0.001 fixtures. */
 class OperatorsSpec extends SparkSpec {
@@ -151,6 +151,69 @@ class OperatorsSpec extends SparkSpec {
     assert(strat.filter(col("lang") === "en").count() == 0)
     assert(strat.count() ==
       docs.filter(col("lang") =!= "en" || col("lang").isNull).count())
+  }
+
+  test("contamination flags the planted eval leak and decontaminate drops it") {
+    import spark.implicits._
+    val evalItem = "what is the capital of france paris is the capital " * 3
+    val corpus = Seq(
+      (1L, "training text about spark shuffles and partitions " * 3),
+      (2L, evalItem), // verbatim eval leak
+      (3L, "more unrelated training content entirely " * 3))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, evalItem)).toDF("doc_id", "text")
+    val report = Contamination.contaminationReport(corpus, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("overlap_ratio")).toMap
+    assert(report.keySet == Set(2L))
+    assert(report(2L) == 1.0) // verbatim copy: every shingle overlaps
+    val clean = Contamination.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(1L, 3L))
+  }
+
+  test("sequence packing: exact offsets, chunk invariants, order-stable") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 100L),
+      ("de", 10L, 600L), ("de", 11L, 50L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, col("lang"), col("doc_id"),
+      col("n_tokens"), seqLen = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("token_offset"), r.getAs[Long]("seq_idx"),
+          r.getAs[Long]("seq_offset"))).toMap
+    // en stream: 0 | 300 (starts in seq 0 at 300) | 600 (seq 1 at 88)
+    assert(packed(1L) == (0L, 0L, 0L))
+    assert(packed(2L) == (300L, 0L, 300L))
+    assert(packed(3L) == (600L, 1L, 88L))
+    // de stream independent: 0 | 600 → seq 1
+    assert(packed(10L) == (0L, 0L, 0L))
+    assert(packed(11L) == (600L, 1L, 88L))
+  }
+
+  test("corpus mix: per-source rates, provenance, repartition-stable") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    def mix(d: org.apache.spark.sql.DataFrame) = Sampling.mixCorpus(Seq(
+      ("en", d.filter(col("lang") === "en"), 800),
+      ("rest", d.filter(col("lang").isNull || col("lang") =!= "en"), 250)),
+      key = col("doc_id"))
+    val out = mix(docs).collect()
+    // provenance column is consistent with the source predicate
+    assert(out.forall(r => (r.getAs[String]("source") == "en") ==
+      (r.getAs[String]("lang") == "en")))
+    // deterministic under physical re-layout
+    val again = mix(docs.repartition(7)).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSet)
+    // sources sampled at different rates: en keeps ~80%, rest ~25%
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    val restTotal = docs.count() - enTotal
+    val enKept = out.count(_.getAs[String]("source") == "en") / enTotal
+    val restKept = out.count(_.getAs[String]("source") == "rest") / restTotal
+    assert(enKept > 0.7 && enKept < 0.9, s"enKept=$enKept")
+    assert(restKept > 0.15 && restKept < 0.35, s"restKept=$restKept")
   }
 
   test("multimodal feature extraction is deterministic per payload") {
