@@ -368,6 +368,36 @@ object RelationalQueries {
           col("top.o_orderkey").as("top_orderkey"),
           col("top.o_totalprice").as("top_price"))
     },
+
+    // J2 (beyond reference): Bloom-pruned join — the fact side is filtered
+    // by a sketch of the selective build side's keys BEFORE the join
+    // shuffle. No false negatives, so the oracle is the PLAIN join: the
+    // sketch is proven semantically transparent, like d13's salting.
+    "j2_bloom_join" -> { (s, dir) =>
+      import graft.operators.BloomJoin
+      val hot = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      BloomJoin.bloomJoin(
+          Tables.spread(Tables.lineitem(s, dir))
+            .select("l_orderkey", "l_extendedprice"),
+          col("l_orderkey"), hot, col("o_orderkey"),
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy("o_orderkey")
+        .agg(moneySum(col("l_extendedprice")).as("order_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // Z1 (beyond reference): Morton/Z-order clustering value — the
+    // multi-dimension layout key behind ZORDER BY-style file clustering.
+    // Oracled bit-for-bit via generated interleave SQL.
+    "z1_zorder_value" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") % 1024).as("zx"),
+          (col("o_orderkey") % 1024).as("zy"))
+        .withColumn("zv", ZOrder.zValue(Seq(col("zx"), col("zy")), 10))
+    },
   )
 
   /** Typed row for the Dataset-API queries. */
@@ -544,5 +574,25 @@ object RelationalQueries {
         |         ROW_NUMBER() OVER (PARTITION BY o_custkey
         |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn = 1""".stripMargin,
+    "j2_bloom_join" ->
+      s"""SELECT o_orderkey, ${Det.sqlMoneySum("l_extendedprice")} AS order_revenue,
+         |COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > 400000.0
+         |GROUP BY o_orderkey""".stripMargin,
+    "z1_zorder_value" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey % 1024 AS zx, o_orderkey % 1024 AS zy
+         |  FROM orders)
+         |SELECT o_orderkey, zx, zy, ${zInterleaveSql("zx", "zy", 10)} AS zv
+         |FROM t""".stripMargin,
   )
+
+  /** Generated Morton-interleave SQL: bit b of x → position 2b, of y →
+    * 2b+1 — target bits disjoint, so OR-combining terms mirrors
+    * [[graft.operators.ZOrder.zValue]] exactly. */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(b => Seq(
+      s"((($x >> $b) & 1) << ${b * 2})",
+      s"((($y >> $b) & 1) << ${b * 2 + 1})")).mkString(" | ")
 }

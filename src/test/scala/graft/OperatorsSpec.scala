@@ -216,6 +216,51 @@ class OperatorsSpec extends SparkSpec {
     assert(restKept > 0.15 && restKept < 0.35, s"restKept=$restKept")
   }
 
+  test("bloom-pruned join: transparent result, probe side actually shrinks") {
+    import graft.operators.BloomJoin
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val hot = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val plain = li.join(hot, col("l_orderkey") === col("o_orderkey"))
+      .collect().map(_.toSeq).toSet
+    val bloomed = BloomJoin.bloomJoin(li, col("l_orderkey"), hot,
+        col("o_orderkey"), expectedItems = 10000L)
+      .collect().map(_.toSeq).toSet
+    assert(bloomed == plain) // no false negatives → identical join result
+    // and the sketch really prunes: far fewer probe rows survive than exist
+    val pruned = BloomJoin.prune(li, col("l_orderkey"), hot,
+      col("o_orderkey"), expectedItems = 10000L)
+    assert(pruned.count() < li.count() / 2)
+    // the probe predicate is the codegen'd might_contain expression
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+  }
+
+  test("z-order value interleaves bits; clustered write round-trips") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    // x=5 (101), y=3 (011), 3 bits: positions x->0,2,4 y->1,3,5 => 011011b
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(ZOrder.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+    // locality: points sharing high-order halves in BOTH dims share the
+    // z-prefix (the property that makes min/max stats prune on either dim)
+    val pts = Seq((1L, 2L), (3L, 0L), (900L, 1000L), (1001L, 901L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(Seq(col("x"), col("y")), 10).as("z"))
+      .collect().map(_.getLong(0))
+    assert(pts(0) >> 10 == 0 && pts(1) >> 10 == 0) // small quadrant
+    assert(pts(2) >> 16 == pts(3) >> 16)           // large quadrant shared prefix
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    ZOrder.writeZOrdered(orders, s"$dir/t",
+      Seq(col("o_custkey") % 1024, col("o_orderkey") % 1024), 10, nFiles = 4)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == orders.count())
+    assert(back.columns.toSet == Set("o_orderkey", "o_custkey"))
+  }
+
   test("multimodal feature extraction is deterministic per payload") {
     val media = Multimodal.syntheticMedia(spark,
       Tables.documents(spark, sf).limit(20))
