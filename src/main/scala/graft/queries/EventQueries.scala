@@ -72,6 +72,26 @@ object EventQueries {
           col("o_totalprice").as("last_order_price"))
     },
 
+    // Full-outer interval join (batch twin of streaming.EventStreams
+    // .attributeClicksFullOuter): views matched to clicks within 30 min,
+    // PLUS unconverted views and orphan clicks null-extended.
+    "ev5_interval_fullouter" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), tsUs.as("view_us"),
+          col("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), tsUs.as("click_us"),
+          col("event_id").as("click_id"))
+      views.join(clicks,
+          col("v_user") === col("c_user") &&
+            col("click_us") >= col("view_us") &&
+            col("click_us") <= col("view_us") + gapUs,
+          "full_outer")
+        .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
+          col("view_id"), col("view_us"), col("click_id"), col("click_us"))
+    },
+
     // Per-user/event-type pivot-style conditional aggregation.
     "ev3_type_counts" -> { (s, dir) =>
       Tables.events(s, dir).groupBy("user_id").agg(
@@ -113,6 +133,18 @@ object EventQueries {
         |  rd.o_orderkey AS last_order, rd.o_totalprice AS last_order_price
         |FROM l ASOF JOIN rd
         |  ON l.user_id = rd.user_id AND l.ts_us >= rd.order_us""".stripMargin,
+    "ev5_interval_fullouter" ->
+      """WITH v AS (
+        |  SELECT user_id AS v_user, epoch_us(ts) AS view_us, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id AS c_user, epoch_us(ts) AS click_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT COALESCE(v_user, c_user) AS user_id,
+        |  view_id, view_us, click_id, click_us
+        |FROM v FULL OUTER JOIN c
+        |  ON v_user = c_user AND click_us >= view_us
+        |  AND click_us <= view_us + 1800000000""".stripMargin,
     "ev3_type_counts" ->
       s"""SELECT user_id,
          |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,

@@ -78,8 +78,10 @@ object EventStreams {
         c("click_ts") >= i("imp_ts") &&
         c("click_ts") <= i("imp_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
       joinType)
-      .select(i("user_id"), col("imp_ts"), col("click_ts"),
-        col("imp_value"))
+      // coalesce: for inner/left the impression side is always bound; a
+      // full-outer's click-only rows carry the user only on the click side
+      .select(coalesce(i("user_id"), c("user_id")).as("user_id"),
+        col("imp_ts"), col("click_ts"), col("imp_value"))
   }
 
   /** Left-outer variant: impressions with no click inside the window
@@ -89,6 +91,15 @@ object EventStreams {
   def attributeClicksLeftOuter(impressions: DataFrame, clicks: DataFrame,
                                withinMinutes: Int = 30): DataFrame =
     attributeClicks(impressions, clicks, withinMinutes, "left_outer")
+
+  /** Full-outer variant: unconverted impressions AND orphan clicks (no
+    * impression inside the window — broken tracking, bot traffic) each
+    * emit null-extended when their side's watermark expires. State stays
+    * bounded exactly as in the inner join: both sides are watermarked and
+    * the join condition bounds event time in both directions. */
+  def attributeClicksFullOuter(impressions: DataFrame, clicks: DataFrame,
+                               withinMinutes: Int = 30): DataFrame =
+    attributeClicks(impressions, clicks, withinMinutes, "full_outer")
 
   /** Watermark-bounded exact dedup: duplicates arriving within the
     * watermark horizon are dropped, and state for an id is freed once the

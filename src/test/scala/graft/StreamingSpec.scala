@@ -203,6 +203,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows(8L).isEmpty) // null-extended: impression without click
   }
 
+  test("full-outer stream-stream join emits both unconverted sides") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val out = EventStreams.attributeClicksFullOuter(imps.toDF(),
+      clicks.toDF().toDF("click_ts", "user_id"), withinMinutes = 30)
+    val query = out.writeStream.format("memory")
+      .queryName("attrib_full_out").outputMode("append").start()
+
+    imps.addData(
+      Ev(ts("2024-01-01 10:00:00"), 7, "view", 1.0),  // clicked
+      Ev(ts("2024-01-01 10:00:00"), 8, "view", 2.0))  // never clicked
+    clicks.addData(
+      (ts("2024-01-01 10:10:00"), 7L),
+      (ts("2024-01-01 10:10:00"), 9L))                // orphan click
+    query.processAllAvailable()
+    // push both watermarks far past the bound so outer rows emit
+    imps.addData(Ev(ts("2024-01-01 14:00:00"), 99, "view", 0.0))
+    clicks.addData((ts("2024-01-01 14:00:00"), 99L))
+    query.processAllAvailable()
+
+    val rows = spark.table("attrib_full_out")
+      .filter(col("user_id").isin(7, 8, 9)).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[Timestamp]("imp_ts")),
+          Option(r.getAs[Timestamp]("click_ts")))).toMap
+    query.stop()
+    assert(rows(7L) == (Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 10:10:00"))))           // matched pair
+    assert(rows(8L) == (Some(ts("2024-01-01 10:00:00")), None)) // no click
+    assert(rows(9L) == (None, Some(ts("2024-01-01 10:10:00")))) // no imp
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replayed ids with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
