@@ -92,6 +92,27 @@ object EventQueries {
           col("view_id"), col("view_us"), col("click_id"), col("click_us"))
     },
 
+    // Bucketized point-in-interval join: each "error" event opens a
+    // 2-hour incident window for its user; count the user's events inside
+    // each window. Neither side broadcast — the shuffle-scalable range
+    // join (j1 is the broadcast tier). Exact predicate re-applied behind
+    // the bucket equi-join, so the oracle is the plain range join.
+    "j3_interval_bucket_join" -> { (s, dir) =>
+      import graft.operators.IntervalJoin
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), tsUs.as("ts_us"))
+      val incidents = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          col("user_id").as("i_user"), tsUs.as("lo_us"))
+        .withColumn("hi_us", col("lo_us") + lit(2L * hourUs))
+      IntervalJoin.pointInInterval(ev, col("ts_us"), incidents,
+          col("lo_us"), col("hi_us"), bucketWidth = hourUs,
+          extraCond = Some(col("user_id") === col("i_user")))
+        .groupBy("incident_id").agg(count(lit(1)).as("n_events"))
+    },
+
     // Per-user/event-type pivot-style conditional aggregation.
     "ev3_type_counts" -> { (s, dir) =>
       Tables.events(s, dir).groupBy("user_id").agg(
@@ -145,6 +166,15 @@ object EventQueries {
         |FROM v FULL OUTER JOIN c
         |  ON v_user = c_user AND click_us >= view_us
         |  AND click_us <= view_us + 1800000000""".stripMargin,
+    "j3_interval_bucket_join" ->
+      """WITH i AS (
+        |  SELECT event_id AS incident_id, user_id AS i_user,
+        |    epoch_us(ts) AS lo_us, epoch_us(ts) + 7200000000 AS hi_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT incident_id, COUNT(*) AS n_events
+        |FROM events e JOIN i ON e.user_id = i.i_user
+        |  AND epoch_us(e.ts) >= lo_us AND epoch_us(e.ts) <= hi_us
+        |GROUP BY incident_id""".stripMargin,
     "ev3_type_counts" ->
       s"""SELECT user_id,
          |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,

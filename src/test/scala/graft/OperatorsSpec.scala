@@ -261,6 +261,28 @@ class OperatorsSpec extends SparkSpec {
     assert(back.columns.toSet == Set("o_orderkey", "o_custkey"))
   }
 
+  test("bucketized interval join matches the nested-loop range join") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 35L))
+      .toDF("pid", "x")
+    val intervals = Seq((100L, 0L, 10L), (200L, 10L, 20L), (300L, 22L, 30L))
+      .toDF("iid", "lo", "hi")
+    // bucket width deliberately NOT dividing the bounds: intervals span
+    // buckets, points sit on inclusive endpoints
+    val got = IntervalJoin.pointInInterval(points, col("x"), intervals,
+        col("lo"), col("hi"), bucketWidth = 7)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val want = points.join(intervals,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == want)
+    assert(want == Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L),
+      (4L, 200L))) // inclusive both ends; 35 matches nothing
+  }
+
   test("multimodal feature extraction is deterministic per payload") {
     val media = Multimodal.syntheticMedia(spark,
       Tables.documents(spark, sf).limit(20))
