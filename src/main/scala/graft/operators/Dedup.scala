@@ -203,6 +203,51 @@ object Dedup {
         transform(shinglesExpr(col(textCol), shingleN),
           s => seededHash(s, 0))).as("sig"))
 
+  /** Connected components over near-dup candidate pairs: the step that
+    * turns pairwise output into actionable DEDUP CLUSTERS (keep one doc
+    * per component, drop the rest). Iterative min-label propagation on
+    * DataFrames: every node starts labeled with itself; each round it
+    * takes the min of its label and its neighbors' labels; fixpoint =
+    * every node carries its component's minimum id.
+    *
+    * Scale shape: each round is one hash-shuffled join + aggregate, and
+    * the round count is the component DIAMETER — near-dup clusters are
+    * band-bucket near-cliques, so 2-4 rounds in practice (`maxIter`
+    * bounds pathological chains; for general billion-edge graphs the
+    * alternating large-star/small-star variant shortcuts diameter, not
+    * needed for dedup-shaped inputs). Lineage is cut per round with an
+    * eager localCheckpoint so the plan doesn't grow with iterations; the
+    * per-round convergence check is one count() action — the standard
+    * iterative-algorithm driver loop (it inspects a scalar, never data).
+    *
+    * Returns (doc_id, cluster_id = min id in the component) for every id
+    * appearing in `pairs`. Exact min is order-independent, so the result
+    * is deterministic under any partitioning. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20)
+  : DataFrame = {
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy(und("src").as("nid")).agg(min(col("lbl")).as("nbr_lbl"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"))
+        .select(labels("id"),
+          least(labels("lbl"), col("nbr_lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Hamming distance between two simhash signatures. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -138,6 +138,15 @@ object TrainingDataQueries {
       Dedup.simhashCandidates(docsSpread(s, dir), maxHamming = 12)
     },
 
+    // Near-dup pairs → dedup CLUSTERS: connected components by iterative
+    // min-label propagation (oracle: recursive-CTE transitive closure
+    // over the same pair pipeline).
+    "dd4_dup_clusters" -> { (s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashDedup(docsSpread(s, dir), threshold = 0.5)
+          .select("id_a", "id_b"))
+    },
+
     // Brute-force cosine top-10 for query vectors vec_id<5, on exact
     // integer-quantized embeddings (reproducible cross-engine).
     "sim1_cosine_topk" -> { (s, dir) =>
@@ -235,6 +244,42 @@ object TrainingDataQueries {
         orderCol = col("doc_id"), tokensCol = col("n_tokens"), seqLen = 512)
     },
   )
+
+  /** The MinHash-LSH pipeline as a DuckDB CTE chain ending in `scored`
+    * (id_a, id_b, jaccard) — shared by the dd2 pair oracle and the dd4
+    * cluster oracle, which appends a recursive transitive closure. */
+  private def dd2Ctes: String =
+    s"""docs AS (
+       |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(0, len(toks) - 2),
+       |      i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
+       |  FROM docs),
+       |shd AS (SELECT id, list_distinct(shingles) AS ds FROM sh),
+       |bh AS (
+       |  SELECT id, ds, list_transform(ds,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+       |  FROM shd),
+       |sig AS (
+       |  SELECT id, $minhashSigSql AS sig FROM bh),
+       |banded AS (
+       |  SELECT id, b.b AS band,
+       |    array_to_string(list_transform(sig[b.b*4+1:b.b*4+4], x -> CAST(x AS VARCHAR)), '_') AS bucket
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |cands AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+       |h60 AS (
+       |  SELECT id, list_distinct(list_transform(ds,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs60
+       |  FROM shd),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.hs60, b.hs60)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(a.hs60, b.hs60))) AS DOUBLE) AS jaccard
+       |  FROM cands c JOIN h60 a ON c.id_a = a.id JOIN h60 b ON c.id_b = b.id)""".stripMargin
 
   /** 16 minhash components as DuckDB SQL list entries — affine family over
     * one md5-derived base hash, mirroring Dedup.minhashSignatures. */
@@ -389,38 +434,19 @@ object TrainingDataQueries {
          |COUNT(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
     "dd2_minhash_pairs" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
-         |sh AS (
-         |  SELECT id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-         |    ELSE list_transform(range(0, len(toks) - 2),
-         |      i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
-         |  FROM docs),
-         |shd AS (SELECT id, list_distinct(shingles) AS ds FROM sh),
-         |bh AS (
-         |  SELECT id, ds, list_transform(ds,
-         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-         |  FROM shd),
-         |sig AS (
-         |  SELECT id, $minhashSigSql AS sig FROM bh),
-         |banded AS (
-         |  SELECT id, b.b AS band,
-         |    array_to_string(list_transform(sig[b.b*4+1:b.b*4+4], x -> CAST(x AS VARCHAR)), '_') AS bucket
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
-         |cands AS (
-         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
-         |h60 AS (
-         |  SELECT id, list_distinct(list_transform(ds,
-         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs60
-         |  FROM shd),
-         |scored AS (
-         |  SELECT c.id_a, c.id_b,
-         |    CAST(len(list_intersect(a.hs60, b.hs60)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(a.hs60, b.hs60))) AS DOUBLE) AS jaccard
-         |  FROM cands c JOIN h60 a ON c.id_a = a.id JOIN h60 b ON c.id_b = b.id)
+      s"""WITH $dd2Ctes
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "dd4_dup_clusters" ->
+      s"""WITH RECURSIVE $dd2Ctes,
+         |edges AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+         |und AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION SELECT id_b, id_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
     "dd3_simhash_pairs" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),

@@ -261,6 +261,18 @@ class OperatorsSpec extends SparkSpec {
     assert(back.columns.toSet == Set("o_orderkey", "o_custkey"))
   }
 
+  test("connected components cluster chains, cliques, and isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs multiple rounds), pair 10-11,
+    // triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("bucketized interval join matches the nested-loop range join") {
     import spark.implicits._
     import graft.operators.IntervalJoin
