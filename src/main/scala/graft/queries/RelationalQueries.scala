@@ -388,6 +388,17 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     },
 
+    // J4 (beyond reference): fuzzy string join / record linkage —
+    // character-n-gram blocking with stop-gram pruning, exact levenshtein
+    // on candidates only (never the cross product).
+    "j4_fuzzy_join" -> { (s, dir) =>
+      import graft.operators.FuzzyJoin
+      FuzzyJoin.fuzzyJoin(
+        Tables.customer(s, dir), col("c_custkey"), col("c_name"),
+        Tables.supplier(s, dir), col("s_suppkey"), col("s_name"),
+        maxDistance = 5, ngram = 4, maxGramDf = 50)
+    },
+
     // Z1 (beyond reference): Morton/Z-order clustering value — the
     // multi-dimension layout key behind ZORDER BY-style file clustering.
     // Oracled bit-for-bit via generated interleave SQL.
@@ -580,6 +591,22 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 400000.0
          |GROUP BY o_orderkey""".stripMargin,
+    "j4_fuzzy_join" ->
+      """WITH ln AS (SELECT c_custkey AS lid, c_name AS lstr FROM customer),
+        |rn AS (SELECT s_suppkey AS rid, s_name AS rstr FROM supplier),
+        |lg AS (SELECT lid, lstr, unnest(list_distinct(list_transform(
+        |  range(1, greatest(length(lstr) - 3, 1) + 1),
+        |  i -> substr(lstr, CAST(i AS INTEGER), 4)))) AS g FROM ln),
+        |rg AS (SELECT rid, rstr, unnest(list_distinct(list_transform(
+        |  range(1, greatest(length(rstr) - 3, 1) + 1),
+        |  i -> substr(rstr, CAST(i AS INTEGER), 4)))) AS g FROM rn),
+        |keep AS (SELECT g FROM (SELECT g FROM lg UNION ALL SELECT g FROM rg)
+        |         GROUP BY g HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT lid, lstr, rid, rstr
+        |         FROM lg JOIN keep USING (g) JOIN rg USING (g))
+        |SELECT lid, lstr, rid, rstr,
+        |  CAST(levenshtein(lstr, rstr) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(lstr, rstr) <= 5""".stripMargin,
     "z1_zorder_value" ->
       s"""WITH t AS (
          |  SELECT o_orderkey, o_custkey % 1024 AS zx, o_orderkey % 1024 AS zy

@@ -261,6 +261,28 @@ class OperatorsSpec extends SparkSpec {
     assert(back.columns.toSet == Set("o_orderkey", "o_custkey"))
   }
 
+  test("fuzzy join links misspellings, stop-gram pruning blocks hot grams") {
+    import spark.implicits._
+    import graft.operators.FuzzyJoin
+    val left = Seq((1L, "Acme Corporation"), (2L, "Globex Industries"),
+      (3L, "Initech LLC")).toDF("id", "name")
+    val right = Seq((10L, "Acme Corporatoin"), // transposition, dist 2
+      (20L, "Completely Different Name")).toDF("id", "name")
+    val matches = FuzzyJoin.fuzzyJoin(left, col("id"), col("name"),
+        right, col("id"), col("name"), maxDistance = 2)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(matches.toSet == Set((1L, 10L)))
+    // stop-gram pruning: when every gram exceeds the frequency cap, no
+    // candidates form at all — even identical strings stay unpaired (the
+    // deliberate recall/cost trade of blocking on rare grams only)
+    val many = (1L to 30L).map(i => (i, "The Exact Same Name"))
+      .toDF("id", "name")
+    val none = FuzzyJoin.fuzzyJoin(many, col("id"), col("name"),
+      many.withColumn("id", col("id") + 100), col("id"), col("name"),
+      maxDistance = 10, maxGramDf = 3)
+    assert(none.count() == 0)
+  }
+
   test("connected components cluster chains, cliques, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs multiple rounds), pair 10-11,
