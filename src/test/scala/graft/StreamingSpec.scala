@@ -237,6 +237,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows(9L) == (None, Some(ts("2024-01-01 10:10:00")))) // no imp
   }
 
+  test("transformWithState maintains a bounded running top-k per key") {
+    import spark.implicits._
+    import graft.streaming.StatefulTopK
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[StatefulTopK.KV]
+      val out = StatefulTopK.topKPerKey(stream.toDS(), k = 3)
+      val query = out.writeStream.format("memory")
+        .queryName("topk_out").outputMode("update").start()
+
+      stream.addData(StatefulTopK.KV(1L, 5.0), StatefulTopK.KV(1L, 9.0),
+        StatefulTopK.KV(2L, 1.0))
+      query.processAllAvailable()
+      // second batch: state carries across batches, stays capped at k
+      stream.addData(StatefulTopK.KV(1L, 7.0), StatefulTopK.KV(1L, 3.0),
+        StatefulTopK.KV(1L, 8.0))
+      query.processAllAvailable()
+
+      val latest = spark.table("topk_out").collect()
+        .map(r => r.getAs[Long]("key") ->
+          r.getAs[Seq[Double]]("topk").toList)
+        .toMap // memory sink appends in batch order; toMap keeps the last
+      query.stop()
+      assert(latest(1L) == List(9.0, 8.0, 7.0)) // merged across batches, k=3
+      assert(latest(2L) == List(1.0))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replayed ids with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
