@@ -202,4 +202,50 @@ class PlanSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.schema == graft.core.Schemas.sessionsSilver)
   }
+
+  test("bloom prune filters BELOW the aggregation exchange") {
+    import graft.operators.BloomJoin
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice")
+    val hot = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val agg = BloomJoin.prune(li, col("l_orderkey"), hot, col("o_orderkey"),
+        expectedItems = 10000L)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    val p = plan(agg)
+    val iFilter = p.indexOf("might_contain")
+    val iExchange = p.indexOf("Exchange")
+    assert(iFilter >= 0 && iExchange >= 0, p.take(2000))
+    // root-first print: the exchange sits ABOVE the bloom filter, so the
+    // shuffle only carries rows that passed the sketch
+    assert(iExchange < iFilter, p.take(2000))
+  }
+
+  test("contamination plan broadcasts the benchmark hash set") {
+    val df = SparkEntry.queries("cx1_contamination")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the corpus is never exchanged for the probe itself: the only hash
+    // exchanges are the report aggregation and the benchmark side's
+    // distinct INSIDE the broadcast build (tiny by design)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("sequence packing is a single window exchange") {
+    val df = SparkEntry.queries("pk1_sequence_pack")(spark, sf)
+    val p = plan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("corpus mix and z-order value plans are narrow (no exchange)") {
+    val mix = plan(SparkEntry.queries("mix1_corpus_mix")(spark, sf))
+    assert(!mix.contains("Exchange"), mix.take(2000))
+    val zv = plan(SparkEntry.queries("z1_zorder_value")(spark, sf))
+    assert(!zv.contains("Exchange"), zv.take(2000))
+    // the interleave stays inside whole-stage codegen
+    assert(zv.contains("WholeStageCodegen") || zv.contains("*(1)"),
+      zv.take(2000))
+  }
 }
