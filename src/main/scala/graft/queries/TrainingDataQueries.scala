@@ -149,29 +149,7 @@ object TrainingDataQueries {
 
     // Brute-force cosine top-10 for query vectors vec_id<5, on exact
     // integer-quantized embeddings (reproducible cross-engine).
-    "sim1_cosine_topk" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val quant = emb.select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
-      import graft.functions.VectorExpressions.dotL
-      val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
-      val q = broadcast(withNorm.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-          col("nrm").as("q_nrm")))
-      val scored = withNorm.select(col("vec_id").as("corpus_id"),
-          col("qv").as("c_qv"), col("nrm").as("c_nrm"))
-        .crossJoin(q)
-        .filter(col("corpus_id") =!= col("query_id"))
-        .select(col("query_id"), col("corpus_id"),
-          (dotL(col("q_qv"), col("c_qv")).cast("double") /
-            (sqrt(col("q_nrm").cast("double")) *
-              sqrt(col("c_nrm").cast("double")))).as("cos_sim"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("corpus_id").asc)
-      scored.withColumn("rk", row_number().over(w).cast("bigint"))
-        .filter(col("rk") <= 10)
-    },
+    "sim1_cosine_topk" -> { (s, dir) => sim1Frame(s, dir) },
 
     // Exact embedding near-dup baseline on quantized vectors (full
     // oracle): every pair above the cosine threshold. O(n²) — this is the
@@ -206,10 +184,22 @@ object TrainingDataQueries {
     // IVF-probed ANN top-k: queries scan only nprobe/ncells of the corpus.
     // Full DuckDB oracle via the same bit-exact float-chain technique as
     // sim2 (cell assignment, probe ranking, and cosines all reproduce).
-    "sim3_ivf_topk" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-        ncells = 8, nprobe = 3)
+    "sim3_ivf_topk" -> { (s, dir) => sim3Frame(s, dir) },
+
+    // ANN quality evaluation: recall@10 of the IVF probe against the
+    // exact brute-force ranking — the measurement that justifies the
+    // nprobe/ncells cost-recall trade before relying on it at scale.
+    "sim5_ivf_recall" -> { (s, dir) =>
+      val ex = sim1Frame(s, dir).select("query_id", "corpus_id")
+      val ivf = sim3Frame(s, dir).select("query_id", "corpus_id")
+      val hits = ex.join(ivf, Seq("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ex.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0)
+            .as("recall"))
     },
 
     // Benchmark decontamination: training docs (doc_id % 10 != 0) sharing
@@ -244,6 +234,40 @@ object TrainingDataQueries {
         orderCol = col("doc_id"), tokensCol = col("n_tokens"), seqLen = 512)
     },
   )
+
+  /** Brute-force quantized cosine top-10 for queries vec_id<5 — the exact
+    * ANN ground truth (broadcast queries, integer-exact quantized math).
+    * Shared by sim1 and the sim5 recall evaluation. */
+  private def sim1Frame(s: SparkSession, dir: String): DataFrame = {
+    val quant = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+    import graft.functions.VectorExpressions.dotL
+    val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+    val q = broadcast(withNorm.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm")))
+    val scored = withNorm.select(col("vec_id").as("corpus_id"),
+        col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+      .crossJoin(q)
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (dotL(col("q_qv"), col("c_qv")).cast("double") /
+          (sqrt(col("q_nrm").cast("double")) *
+            sqrt(col("c_nrm").cast("double")))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 10)
+  }
+
+  /** IVF-probed ANN top-10 for the same query set — shared by sim3 and
+    * the sim5 recall evaluation. */
+  private def sim3Frame(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+      ncells = 8, nprobe = 3)
+  }
 
   /** The MinHash-LSH pipeline as a DuckDB CTE chain ending in `scored`
     * (id_a, id_b, jaccard) — shared by the dd2 pair oracle and the dd4
@@ -486,38 +510,19 @@ object TrainingDataQueries {
          |    (${sqlDotChain("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos_sim
          |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2""".stripMargin,
-    "sim3_ivf_topk" -> {
-      val scores = (0 until 8).map(p =>
-        s"(${sqlProjChain("embedding", p, seed = 7)}) AS s$p").mkString(",\n  ")
-      val cellCase = "CASE " + (0 until 8).map(p =>
-        s"WHEN s$p = g THEN $p").mkString(" ") + " END"
-      val probeScore = "CASE c.c " + (0 until 8).map(p =>
-        s"WHEN $p THEN s$p").mkString(" ") + " END"
-      s"""WITH base AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${sqlDotChain("embedding", "embedding")}) AS nrm,
-         |  $scores
-         |  FROM embeddings),
-         |assigned AS (
-         |  SELECT vec_id AS corpus_id, embedding, nrm, $cellCase AS cell
-         |  FROM (SELECT *, GREATEST(s0,s1,s2,s3,s4,s5,s6,s7) AS g FROM base)),
-         |probes AS (
-         |  SELECT vec_id AS query_id, embedding, nrm, cell FROM (
-         |    SELECT b.*, c.c AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |        ORDER BY $probeScore DESC, c.c DESC) AS rn
-         |    FROM base b CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c
-         |    WHERE b.vec_id < 5) WHERE rn <= 3),
-         |scored AS (
-         |  SELECT p.query_id, a.corpus_id,
-         |    (${sqlDotChain("p.embedding", "a.embedding")}) / (p.nrm * a.nrm) AS cos_sim
-         |  FROM probes p JOIN assigned a ON p.cell = a.cell
-         |  WHERE p.query_id <> a.corpus_id)
-         |SELECT query_id, corpus_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, corpus_id ASC) AS rk FROM scored)
-         |WHERE rk <= 10""".stripMargin
-    },
+    "sim3_ivf_topk" -> sim3Sql,
+    "sim5_ivf_recall" ->
+      s"""WITH ex AS ($sim1Sql),
+         |ivf AS ($sim3Sql),
+         |hits AS (
+         |  SELECT e.query_id, COUNT(*) AS n_hits
+         |  FROM ex e JOIN ivf i
+         |    ON e.query_id = i.query_id AND e.corpus_id = i.corpus_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) q
+         |LEFT JOIN hits USING (query_id)""".stripMargin,
     "sim4_neardup_exact" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding,
@@ -534,24 +539,63 @@ object TrainingDataQueries {
         |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos_sim
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""".stripMargin,
-    "sim1_cosine_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, qv,
-        |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
-        |  FROM e),
-        |p AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE) /
-        |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos_sim
-        |  FROM n q, n c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
-        |SELECT query_id, corpus_id, cos_sim, rk FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, corpus_id ASC) AS BIGINT) AS rk FROM p) t
-        |WHERE rk <= 10""".stripMargin,
+    "sim1_cosine_topk" -> sim1Sql,
   )
+
+  /** sim1's full oracle text — also embedded as the `ex` CTE of the sim5
+    * recall oracle (DuckDB allows a nested WITH inside a CTE body). */
+  private def sim1Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+      |  FROM e),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos_sim
+      |  FROM n q, n c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, corpus_id, cos_sim, rk FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, corpus_id ASC) AS BIGINT) AS rk FROM p) t
+      |WHERE rk <= 10""".stripMargin
+
+  /** sim3's full oracle text — also the `ivf` CTE of the sim5 recall
+    * oracle. Bit-exact float chains, same as sim2. */
+  private def sim3Sql: String = {
+    val scores = (0 until 8).map(p =>
+      s"(${sqlProjChain("embedding", p, seed = 7)}) AS s$p").mkString(",\n  ")
+    val cellCase = "CASE " + (0 until 8).map(p =>
+      s"WHEN s$p = g THEN $p").mkString(" ") + " END"
+    val probeScore = "CASE c.c " + (0 until 8).map(p =>
+      s"WHEN $p THEN s$p").mkString(" ") + " END"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDotChain("embedding", "embedding")}) AS nrm,
+       |  $scores
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id AS corpus_id, embedding, nrm, $cellCase AS cell
+       |  FROM (SELECT *, GREATEST(s0,s1,s2,s3,s4,s5,s6,s7) AS g FROM base)),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding, nrm, cell FROM (
+       |    SELECT b.*, c.c AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY $probeScore DESC, c.c DESC) AS rn
+       |    FROM base b CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c
+       |    WHERE b.vec_id < 5) WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.query_id, a.corpus_id,
+       |    (${sqlDotChain("p.embedding", "a.embedding")}) / (p.nrm * a.nrm) AS cos_sim
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.corpus_id)
+       |SELECT query_id, corpus_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, corpus_id ASC) AS rk FROM scored)
+       |WHERE rk <= 10""".stripMargin
+  }
 }
