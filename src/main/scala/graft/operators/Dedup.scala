@@ -203,6 +203,28 @@ object Dedup {
         transform(shinglesExpr(col(textCol), shingleN),
           s => seededHash(s, 0))).as("sig"))
 
+  /** Repeated-span report: token n-gram spans appearing in MORE THAN ONE
+    * document — the exact-substring tier of training-data dedup (repeated
+    * boilerplate, licenses, navigation chrome inflate loss and leak
+    * verbatim memorization; span-level dedup catches what document-level
+    * near-dup cannot, because the containing documents may be globally
+    * dissimilar). Spans are 60-bit-hashed (never shipped as strings), so
+    * the shuffle carries fixed-width rows: one explode + one hash groupBy,
+    * the exact-dedup cost shape, at n-gram granularity. Returns
+    * (span_hash, n_docs, min_doc, max_doc) for spans with `n_docs >= 2`;
+    * min/max doc ids anchor a span back to example documents. */
+  def repeatedSpans(df: DataFrame, spanTokens: Int = 8,
+                    textCol: String = "text", idCol: String = "doc_id")
+  : DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(
+          shinglesExpr(col(textCol), spanTokens),
+          s => md5Prefix60(s)))).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** Connected components over near-dup candidate pairs: the step that
     * turns pairwise output into actionable DEDUP CLUSTERS (keep one doc
     * per component, drop the rest). Iterative min-label propagation on

@@ -138,6 +138,13 @@ object TrainingDataQueries {
       Dedup.simhashCandidates(docsSpread(s, dir), maxHamming = 12)
     },
 
+    // Exact repeated-span report: 8-token spans occurring in 2+ docs —
+    // span-level dedup for boilerplate that document-level near-dup
+    // misses. One explode + one hash groupBy.
+    "dd5_repeated_spans" -> { (s, dir) =>
+      Dedup.repeatedSpans(docsSpread(s, dir), spanTokens = 8)
+    },
+
     // Near-dup pairs → dedup CLUSTERS: connected components by iterative
     // min-label propagation (oracle: recursive-CTE transitive closure
     // over the same pair pipeline).
@@ -460,6 +467,21 @@ object TrainingDataQueries {
     "dd2_minhash_pairs" ->
       s"""WITH $dd2Ctes
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "dd5_repeated_spans" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 7),
+         |      i -> array_to_string(toks[i+1:i+8], ' ')) END AS shingles
+         |  FROM docs),
+         |hx AS (
+         |  SELECT id, unnest(list_distinct(list_transform(list_distinct(shingles),
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS h
+         |  FROM sh)
+         |SELECT h AS span_hash, COUNT(*) AS n_docs,
+         |  MIN(id) AS min_doc, MAX(id) AS max_doc
+         |FROM hx GROUP BY h HAVING COUNT(*) >= 2""".stripMargin,
     "dd4_dup_clusters" ->
       s"""WITH RECURSIVE $dd2Ctes,
          |edges AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),

@@ -283,6 +283,20 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("repeated spans finds shared boilerplate across dissimilar docs") {
+    import spark.implicits._
+    val boiler = "this content is licensed under creative commons attribution four"
+    val docs = Seq(
+      (1L, s"totally unique article about spark plans. $boiler"),
+      (2L, s"$boiler completely different subject matter here entirely"),
+      (3L, "no shared span with anything else in this tiny corpus at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, spanTokens = 8).collect()
+    assert(spans.nonEmpty) // the license span is caught
+    assert(spans.forall(r => r.getAs[Long]("n_docs") == 2 &&
+      r.getAs[Long]("min_doc") == 1L && r.getAs[Long]("max_doc") == 2L))
+  }
+
   test("connected components cluster chains, cliques, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs multiple rounds), pair 10-11,
