@@ -56,6 +56,39 @@ object Contamination {
           col("n_shingles").cast("double")).as("overlap_ratio"))
   }
 
+  /** Streaming-compatible decontamination GATE: a pure per-row predicate
+    * that drops any document sharing a shingle hash with the benchmark —
+    * the benchmark's distinct shingle hashes are folded into one Bloom
+    * sketch at plan time (static side, built once), so the gate is a
+    * narrow filter with CONSTANT memory and no state or join: exactly
+    * what a `readStream` pipeline can run per micro-batch. Bloom false
+    * positives drop a few clean documents (conservative direction for a
+    * hygiene gate — tune `fpp` down if corpus yield matters); false
+    * negatives don't exist, so no contaminated document passes the gate
+    * that exact matching would have caught. */
+  def bloomGate(docs: DataFrame, benchmark: DataFrame, shingleN: Int = 3,
+                expectedShingles: Long = 1000000L, fpp: Double = 0.001,
+                textCol: String = "text"): DataFrame = {
+    import java.io.ByteArrayOutputStream
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val benchHashes = benchmark.select(explode(array_distinct(transform(
+      Dedup.shinglesExpr(col(textCol), shingleN),
+      s => graft.functions.HashExpressions.md5Prefix60(s)))).as("h"))
+    val sketch = benchHashes.stat.bloomFilter("h", expectedShingles, fpp)
+    val bos = new ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    val bytes = bos.toByteArray
+    def mightContain(h: org.apache.spark.sql.Column) =
+      ColumnBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType), ColumnBridge.expr(h)))
+    docs.filter(!exists(
+      transform(Dedup.shinglesExpr(col(textCol), shingleN),
+        s => graft.functions.HashExpressions.md5Prefix60(s)),
+      h => mightContain(h)))
+  }
+
   /** The decontaminated corpus: drop every document the report flags.
     * Anti join against the (small) flagged-id set — broadcast, no
     * corpus shuffle. */

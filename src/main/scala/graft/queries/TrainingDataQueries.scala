@@ -93,6 +93,19 @@ object TrainingDataQueries {
         TextAnalysis.cleanText(t).as("clean_text"))
     },
 
+    // Corpus vocabulary: exact top-50 tokens by frequency (deterministic
+    // tie-break). Explode → count → global top-k: the aggregation carries
+    // one row per distinct token (map-side combined) and the top-k is a
+    // TakeOrdered, never a full sort.
+    "tx6_top_tokens" -> { (s, dir) =>
+      docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(50)
+    },
+
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
     // membership is per-record and engine-reproducible, unlike
     // sample(seed) which keys on row order.
@@ -376,6 +389,11 @@ object TrainingDataQueries {
          |     WHEN ${bucketSql("split", "doc_id")} < 900 THEN 'val'
          |     ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "tx6_top_tokens" ->
+      s"""SELECT token, COUNT(*) AS n FROM (
+         |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
+         |WHERE length(token) > 0
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
     "cx1_contamination" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),

@@ -237,6 +237,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(9L) == (None, Some(ts("2024-01-01 10:10:00")))) // no imp
   }
 
+  test("bloom decontamination gate filters a document stream statelessly") {
+    import spark.implicits._
+    import graft.operators.Contamination
+    implicit val sqlCtx = spark.sqlContext
+    val evalItem = "what is the capital of france paris is the capital " * 3
+    val bench = Seq((100L, evalItem)).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val out = Contamination.bloomGate(
+      stream.toDF().toDF("doc_id", "text"), bench,
+      expectedShingles = 10000L)
+    val query = out.writeStream.format("memory")
+      .queryName("decontam_out").outputMode("append").start()
+    stream.addData(
+      (1L, "training text about spark shuffles and partitions " * 3),
+      (2L, evalItem), // leaked eval item — must be gated out
+      (3L, "more unrelated training content entirely " * 3))
+    query.processAllAvailable()
+    val kept = spark.table("decontam_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    query.stop()
+    assert(kept == Set(1L, 3L))
+  }
+
   test("transformWithState maintains a bounded running top-k per key") {
     import spark.implicits._
     import graft.streaming.StatefulTopK
