@@ -258,13 +258,15 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(und("src").as("nid")).agg(min(col("lbl")).as("nbr_lbl"))
+      // carry a per-row `changed` flag through the update so convergence
+      // is a scan of the checkpointed result, not another join
       val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"))
         .select(labels("id"),
-          least(labels("lbl"), col("nbr_lbl")).as("lbl"))
+          least(labels("lbl"), col("nbr_lbl")).as("lbl"),
+          (col("nbr_lbl") < labels("lbl")).as("changed"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select("id", "lbl")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
