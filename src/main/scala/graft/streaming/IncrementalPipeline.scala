@@ -36,4 +36,34 @@ object IncrementalPipeline {
       .start()
     q.awaitTermination()
   }
+
+  /** Incremental GOLD maintenance: an availableNow query whose per-batch
+    * output dynamically overwrites exactly the partitions it touches —
+    * the foreachBatch + partition-overwrite recipe for keeping an
+    * aggregated, partitioned table current from a stream. Aggregation
+    * state lives in the checkpoint, so successive invocations emit
+    * running totals (update mode), and each batch's groups replace only
+    * their own partitions: a re-run after failure rewrites the same
+    * partitions with the same content — idempotent, no ACID merge
+    * needed. Untouched partitions are never rewritten (at 100 TB the
+    * write cost tracks the CHANGED keys, not the table). */
+  def runIncrementPartitioned(spark: SparkSession, bronzeDir: String,
+                              schema: StructType, outDir: String,
+                              checkpointDir: String,
+                              partitionCols: Seq[String],
+                              transform: DataFrame => DataFrame): Unit = {
+    val in = spark.readStream.schema(schema).parquet(bronzeDir)
+    val q: StreamingQuery = transform(in).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.io.ParquetSink.overwritePartitions(batch, outDir,
+            partitionCols)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
