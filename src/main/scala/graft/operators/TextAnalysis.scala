@@ -127,6 +127,22 @@ object TextAnalysis {
         emailPattern, " "),
       "\\s+", " "))
 
+  /** PII redaction: replace e-mails, IPv4 addresses, and phone-shaped
+    * digit runs with typed placeholders — the privacy-scrub step of
+    * corpus curation (placeholders, not deletion, so token offsets stay
+    * meaningful and the redaction is auditable). Order matters: e-mails
+    * first (their digits would otherwise be half-eaten by the phone
+    * pattern), then IPs (dotted digits would match phones), then phones.
+    * Pure per-row regex projection — narrow, codegen, no shuffle. */
+  val ipPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+?\\d[\\d\\- ]{7,}\\d"
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        ipPattern, "[IP]"),
+      phonePattern, "[PHONE]")
+
   /** Exact-content fingerprint: md5 of normalized text. md5 (not xxhash) so
     * external engines can reproduce the key; at 100 TB the fingerprint is
     * computed once per document in the scan stage and reused by dedup. */

@@ -283,6 +283,18 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("pii redaction replaces emails, ips, and phones in order") {
+    import spark.implicits._
+    val doc = "mail bob@example.com or call +1 555-123-4567; " +
+      "server at 192.168.10.20 logged 12345678901 and kept text intact"
+    val out = Seq(doc).toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("t")).head().getString(0)
+    assert(out == "mail [EMAIL] or call [PHONE]; " +
+      "server at [IP] logged [PHONE] and kept text intact")
+    // e-mail digits are not half-eaten by the phone pass
+    assert(!out.contains("example") && !out.contains("555"))
+  }
+
   test("repeated spans finds shared boilerplate across dissimilar docs") {
     import spark.implicits._
     val boiler = "this content is licensed under creative commons attribution four"
