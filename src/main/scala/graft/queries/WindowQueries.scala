@@ -166,6 +166,21 @@ object WindowQueries {
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         percent_rank().over(w).as("price_pct_rank"))
     },
+    // Truly GLOBAL rank/percent_rank WITHOUT the single-partition window:
+    // operators.GlobalRank's two-pass range-partitioned form (per-
+    // partition ordinals + driver-metadata offsets, boundary ties healed
+    // by a value-partitioned min). Bit-identical to the built-ins — the
+    // oracle IS the built-in window SQL.
+    "e17_global_rank" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val df = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val n = df.count()
+      GlobalRank.withGlobalRank(df, order = Seq(col("o_totalprice")),
+          tieBreak = Seq(col("o_orderkey")), out = "rnk")
+        .withColumn("pr",
+          (col("rnk") - 1).cast("double") / math.max(n - 1L, 1L))
+    },
+
     "e14_cume_dist" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_totalprice").asc)
@@ -344,6 +359,11 @@ object WindowQueries {
         |PERCENT_RANK() OVER (PARTITION BY l_returnflag
         |  ORDER BY l_extendedprice ASC) AS price_pct_rank
         |FROM lineitem""".stripMargin,
+    "e17_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |CAST(RANK() OVER (ORDER BY o_totalprice ASC) AS BIGINT) AS rnk,
+        |PERCENT_RANK() OVER (ORDER BY o_totalprice ASC) AS pr
+        |FROM orders""".stripMargin,
     "e14_cume_dist" ->
       """SELECT o_orderkey, o_orderstatus,
         |CUME_DIST() OVER (PARTITION BY o_orderstatus

@@ -283,6 +283,24 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("global rank matches the built-in window without a single-partition exchange") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val scalable = GlobalRank.withGlobalRank(df,
+      order = Seq(col("o_totalprice")), tieBreak = Seq(col("o_orderkey")),
+      out = "rnk")
+    val builtin = df.withColumn("rnk",
+      rank().over(Window.orderBy(col("o_totalprice"))).cast("bigint"))
+    assert(scalable.exceptAll(builtin).isEmpty &&
+      builtin.exceptAll(scalable).isEmpty)
+    // the whole point: no Exchange SinglePartition anywhere in the plan
+    val p = scalable.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(builtin.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition")) // the shape being replaced
+  }
+
   test("pii redaction replaces emails, ips, and phones in order") {
     import spark.implicits._
     val doc = "mail bob@example.com or call +1 555-123-4567; " +
