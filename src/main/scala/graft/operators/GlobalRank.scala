@@ -33,6 +33,8 @@ object GlobalRank {
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
                           out: String = "rn"): DataFrame = {
     val spark = df.sparkSession
+    require(!df.columns.contains("__pid"),
+      "__pid is reserved by GlobalRank")
     val parts = spark.sparkContext.defaultParallelism
     // Materialize the ranged layout ONCE with the partition id baked into
     // the rows: both passes must see the SAME partitioning, and without

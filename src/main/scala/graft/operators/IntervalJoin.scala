@@ -37,6 +37,8 @@ object IntervalJoin {
                       bucketWidth: Long,
                       extraCond: Option[Column] = None): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!(points.columns ++ intervals.columns).contains("__bucket"),
+      "__bucket is reserved by IntervalJoin")
     val exploded = intervals.withColumn("__bucket",
       explode(sequence(bucketOf(loCol, bucketWidth),
         bucketOf(hiCol, bucketWidth))))

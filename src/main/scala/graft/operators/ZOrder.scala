@@ -42,6 +42,7 @@ object ZOrder {
     * write. */
   def writeZOrdered(df: DataFrame, path: String, dims: Seq[Column],
                     bits: Int, nFiles: Int): DataFrame = {
+    require(!df.columns.contains("__z"), "__z is reserved by ZOrder")
     val zv = zValue(dims, bits)
     df.withColumn("__z", zv)
       .repartitionByRange(nFiles, col("__z"))
