@@ -54,7 +54,9 @@ object FuzzyJoin {
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxGramDf)
       .select("g")
-    val cands = lg.join(keep, "g").join(rg.join(keep, "g"), "g")
+    // one keep-join suffices: the g equi-join key is already confined to
+    // kept grams by the left side
+    val cands = lg.join(keep, "g").join(rg, "g")
       .select("lid", "lstr", "rid", "rstr").distinct()
     cands
       .withColumn("dist",
