@@ -274,6 +274,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows(9L) == (None, Some(ts("2024-01-01 10:10:00")))) // no imp
   }
 
+  test("hash sampling and split assignment run unchanged on streams") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    // record-keyed gates are narrow per-row predicates: the SAME operators
+    // run on a stream, and membership agrees with the batch run exactly
+    val stream = MemoryStream[Long]
+    val out = Sampling.splitAssign(
+      Sampling.hashSample(stream.toDF().toDF("doc_id"), col("doc_id"), 500),
+      col("doc_id"), 800, 100)
+    val query = out.writeStream.format("memory")
+      .queryName("sampled_out").outputMode("append").start()
+    stream.addData(1L to 200L: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("sampled_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    query.stop()
+    val batch = Sampling.splitAssign(
+        Sampling.hashSample((1L to 200L).toDF("doc_id"), col("doc_id"), 500),
+        col("doc_id"), 800, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("bloom decontamination gate filters a document stream statelessly") {
     import spark.implicits._
     import graft.operators.Contamination
