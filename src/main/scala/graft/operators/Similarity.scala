@@ -193,6 +193,42 @@ object Similarity {
       .select("query_id", "corpus_id", "cos_sim", "rk")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv
+    * 2303.09540): coarse-cluster the embedding space, then prune
+    * near-duplicates WITHIN each cluster only — the pairwise cosine work
+    * drops from O(n²) to O(Σ cell²), and since the cell is the shuffle
+    * key, every comparison is intra-partition.
+    *
+    * Clustering reuses [[ivfAssign]]'s deterministic centroids (at 100 TB
+    * the cell is a partition column written at ingest, so this phase is a
+    * partitioned scan, not a shuffle). Within a cell, a row is pruned when
+    * some LOWER-id row in the same cell is cosine-≥ `threshold` — the
+    * keep-lowest-id rule that makes the output order-independent.
+    *
+    * Returns every corpus row with its `cell` and a `keep` flag (1/0) —
+    * callers filter `keep = 1` for the deduplicated corpus; the flag form
+    * keeps the decision auditable.
+    */
+  def semDedup(corpus: DataFrame, threshold: Double = 0.2,
+               ncells: Int = 8, seed: Int = 7, idCol: String = "vec_id",
+               vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val assigned = ivfAssign(corpus, ncells, seed, vecCol, dim)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("cell"))
+    val l = assigned.as("l")
+    val r = assigned.as("r")
+    // a row is removed when a lower-id row in its cell is close enough
+    val removed = l.join(r, col("l.cell") === col("r.cell") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .filter(dot(col("l.vec"), col("r.vec")) /
+        (col("l.nrm") * col("r.nrm")) >= threshold)
+      .select(col("r.vec_id").as("rm_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(removed, col("vec_id") === col("rm_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("rm_id").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
     * itself and keep pairs above `threshold`. */
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95,

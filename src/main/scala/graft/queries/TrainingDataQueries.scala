@@ -206,6 +206,14 @@ object TrainingDataQueries {
     // sim2 (cell assignment, probe ranking, and cosines all reproduce).
     "sim3_ivf_topk" -> { (s, dir) => sim3Frame(s, dir) },
 
+    // SemDeDup-style semantic dedup: IVF-cell clustering, then prune rows
+    // with a cosine-close lower-id neighbor in the SAME cell only — the
+    // pairwise work is O(Σ cell²), never O(n²).
+    "sim6_semdedup" -> { (s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), threshold = 0.2,
+        ncells = 8)
+    },
+
     // ANN quality evaluation: recall@10 of the IVF probe against the
     // exact brute-force ranking — the measurement that justifies the
     // nprobe/ncells cost-recall trade before relying on it at scale.
@@ -551,6 +559,7 @@ object TrainingDataQueries {
          |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2""".stripMargin,
     "sim3_ivf_topk" -> sim3Sql,
+    "sim6_semdedup" -> sim6Sql,
     "sim5_ivf_recall" ->
       s"""WITH ex AS ($sim1Sql),
          |ivf AS ($sim3Sql),
@@ -603,6 +612,32 @@ object TrainingDataQueries {
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos_sim DESC, corpus_id ASC) AS BIGINT) AS rk FROM p) t
       |WHERE rk <= 10""".stripMargin
+
+  /** sim6 oracle: the same bit-exact IVF cell assignment as sim3
+    * (seed 7, 8 cells), then the within-cell keep-lowest-id prune —
+    * a row is removed when ANY lower-id row in its cell is cosine-≥ 0.2. */
+  private def sim6Sql: String = {
+    val scores = (0 until 8).map(p =>
+      s"(${sqlProjChain("embedding", p, seed = 7)}) AS s$p").mkString(",\n  ")
+    val cellCase = "CASE " + (0 until 8).map(p =>
+      s"WHEN s$p = g THEN $p").mkString(" ") + " END"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDotChain("embedding", "embedding")}) AS nrm,
+       |  $scores
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, $cellCase AS cell
+       |  FROM (SELECT *, GREATEST(s0,s1,s2,s3,s4,s5,s6,s7) AS g FROM base)),
+       |removed AS (
+       |  SELECT DISTINCT r.vec_id AS rm_id
+       |  FROM assigned l JOIN assigned r
+       |    ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  WHERE (${sqlDotChain("l.embedding", "r.embedding")}) / (l.nrm * r.nrm) >= 0.2)
+       |SELECT a.vec_id, a.cell,
+       |  CASE WHEN rm.rm_id IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM assigned a LEFT JOIN removed rm ON a.vec_id = rm.rm_id""".stripMargin
+  }
 
   /** sim3's full oracle text — also the `ivf` CTE of the sim5 recall
     * oracle. Bit-exact float chains, same as sim2. */

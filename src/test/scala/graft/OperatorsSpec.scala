@@ -119,6 +119,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == 4L && out(4L) == 3L)
   }
 
+  test("semDedup keeps the lowest-id member of a semantic cluster") {
+    import spark.implicits._
+    // two tight clusters (near-dups within, near-orthogonal across): every
+    // cluster keeps exactly its lowest id, the rest are pruned
+    def v(hot: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == hot) 1.0f else 0.001f)
+    val corpus = Seq(
+      (10L, v(0)), (11L, v(0)), (12L, v(0)),  // cluster on axis 0
+      (20L, v(5)), (21L, v(5)))               // cluster on axis 5
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(corpus, threshold = 0.9, ncells = 4,
+      dim = 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("keep")).toMap
+    assert(out == Map(10L -> 1, 11L -> 0, 12L -> 0, 20L -> 1, 21L -> 0))
+  }
+
   test("hash sampling: repartition-stable, split disjoint and exhaustive") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf)
