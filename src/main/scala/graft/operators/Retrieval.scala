@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-retrieval and language-model scoring over a document corpus —
+  * the ranking/filtering layer of a training-data pipeline (reference has
+  * no retrieval tier; this extends the documents-table operator family).
+  *
+  * Both operators are built for the 100 TB shape:
+  *  - [[bm25]] is one narrow scan (per-row term counting inside codegen)
+  *    plus ONE scalar aggregate broadcast back — no per-document shuffle
+  *    at all, so it streams at parquet-scan speed.
+  *  - [[unigramSurprisal]] shuffles once on the token for the vocabulary
+  *    counts (map-side combined, vocabulary-sized result broadcast back)
+  *    and once on the doc id for the per-document sum.
+  *
+  * Determinism contract (per the oracle harness): every float reduction is
+  * either a fixed-order left-associative chain (BM25's per-term sum) or an
+  * exact integer sum (surprisal's micro-nat quantization), so any engine
+  * reproduces the scores bit-for-bit. `ln` itself agrees bit-for-bit
+  * between the JVM and C libm on the values involved (probed empirically;
+  * both are correctly-rounded on this input domain).
+  */
+object Retrieval {
+
+  /** Okapi BM25 score of every document against a small fixed query-term
+    * set (terms are plan-time literals — the realistic shape for corpus
+    * curation probes, where the "query" is a handful of topic anchors).
+    *
+    * Emits per-term term frequencies, the whitespace doc length `dl`, and
+    * the summed `bm25` score; documents containing no query term score
+    * 0.0 and are retained (filtering is the caller's policy decision).
+    *
+    * The token array is materialized once in a lower projection and each
+    * term's frequency is one array pass over it — the normalize+split work
+    * is never repeated per term (CollapseProject keeps a non-cheap alias
+    * referenced more than once un-inlined).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size,
+      "query terms must be non-empty and distinct")
+    def tfCol(t: String) = s"tf_$t"
+    val base = docs.select(col(idCol),
+      split(TextAnalysis.normalizeText(col(textCol)), " ").as("toks"),
+      TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val withTf = base.select(col(idCol) +: col("dl") +:
+      terms.map(t => size(filter(col("toks"), x => x === lit(t)))
+        .cast("bigint").as(tfCol(t))): _*)
+    // one scalar row: corpus size, total tokens, per-term document freq —
+    // broadcast back so scoring stays narrow
+    val stats = withTf.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sdl") +: terms.map(t =>
+        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val lenNorm = lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl)
+    val score = terms.foldLeft(lit(0.0)) { (acc, t) =>
+      val tf = col(tfCol(t)).cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = log((col("n").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      acc + idf * (tf * lit(k1 + 1)) / (tf + lenNorm)
+    }
+    scored.select(col(idCol) +: col("dl") +:
+      terms.map(t => col(tfCol(t))) :+ score.as("bm25"): _*)
+  }
+
+  /** Mean unigram surprisal (negative log-probability, in nats) of each
+    * document under the corpus's own unigram distribution — the
+    * perplexity-style quality filter of CCNet/Gopher-like pipelines:
+    * out-of-distribution documents (rare-token soup) score high.
+    *
+    * Per-token `ln p(t)` is quantized to integer micro-nats BEFORE the
+    * per-document reduction, so the sum is exact integer arithmetic —
+    * order-independent and engine-reproducible. Documents with no tokens
+    * have no distribution mass and drop out (callers treat absent = empty).
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    // vocabulary-sized (word-level vocab ≈ millions at 100 TB — broadcast
+    // comfortably); micro-nats are negative longs
+    val probs = broadcast(counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        floor(log(col("cnt").cast("double") / col("tot").cast("double"))
+          * lit(1e6)).cast("bigint").as("micro_nats")))
+    toks.join(probs, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("micro_nats")).as("sum_micro_nats"))
+      .select(col(idCol), col("n_toks"), col("sum_micro_nats"),
+        (-col("sum_micro_nats").cast("double") / lit(1e6) /
+          col("n_toks").cast("double")).as("mean_surprisal_nats"))
+  }
+}

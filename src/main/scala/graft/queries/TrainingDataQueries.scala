@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Packing, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, text analysis, similarity
   * search) exposed to the oracle harness over `documents` / `embeddings`.
@@ -251,6 +251,19 @@ object TrainingDataQueries {
         ("rest", docs.filter(col("lang").isNull ||
           (col("lang") =!= "en" && col("lang") =!= "de")), 250)),
         key = col("doc_id"))
+    },
+
+    // Okapi BM25 against a fixed probe-term set (df spread: rare "dup" to
+    // ubiquitous "the") — one narrow scan + one broadcast scalar aggregate.
+    "ir1_bm25" -> { (s, dir) =>
+      Retrieval.bm25(docsSpread(s, dir), bm25Terms)
+    },
+
+    // Unigram-LM mean surprisal per document (perplexity-style quality
+    // filter): corpus vocabulary counted once, broadcast back, per-doc
+    // exact integer micro-nat sum.
+    "lm1_surprisal" -> { (s, dir) =>
+      Retrieval.unigramSurprisal(docsSpread(s, dir))
     },
 
     // Concat-and-chunk sequence packing plan: 512-token sequences per
