@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract (per the oracle harness): every float reduction is
   * either a fixed-order left-associative chain (BM25's per-term sum) or an
-  * exact integer sum (surprisal's micro-nat quantization), so any engine
-  * reproduces the scores bit-for-bit. `ln` itself agrees bit-for-bit
-  * between the JVM and C libm on the values involved (probed empirically;
-  * both are correctly-rounded on this input domain).
+  * exact integer sum (surprisal's micro-nat quantization), and every `ln`
+  * is quantized to integer micro-nats before further arithmetic — JVM
+  * `Math.log` and C libm disagree by 1 ulp on some inputs (probed: they
+  * differ on BM25's idf argument at harness scale), and the quantization
+  * makes that irrelevant. All remaining ops are correctly-rounded IEEE
+  * doubles in a fixed order, so any engine reproduces scores bit-for-bit.
   */
 object Retrieval {
 
@@ -60,7 +62,10 @@ object Retrieval {
     val score = terms.foldLeft(lit(0.0)) { (acc, t) =>
       val tf = col(tfCol(t)).cast("double")
       val df = col(s"df_$t").cast("double")
-      val idf = log((col("n").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      // idf quantized to integer micro-nats: ln is the one op where JVM and
+      // libm can differ by an ulp; everything after is exact-order IEEE
+      val idf = floor(log((col("n").cast("double") - df + 0.5) /
+        (df + 0.5) + 1.0) * lit(1e6)).cast("double") / lit(1e6)
       acc + idf * (tf * lit(k1 + 1)) / (tf + lenNorm)
     }
     scored.select(col(idCol) +: col("dl") +:

@@ -254,7 +254,7 @@ object TrainingDataQueries {
     },
 
     // Okapi BM25 against a fixed probe-term set (df spread: rare "dup" to
-    // ubiquitous "the") — one narrow scan + one broadcast scalar aggregate.
+    // ubiquitous "batch") — one narrow scan + one broadcast scalar aggregate.
     "ir1_bm25" -> { (s, dir) =>
       Retrieval.bm25(docsSpread(s, dir), bm25Terms)
     },
@@ -384,6 +384,75 @@ object TrainingDataQueries {
   /** DuckDB fragment matching [[Sampling.bucket]] (same md5 family). */
   private def bucketSql(salt: String, key: String): String =
     s"CAST(('0x' || substr(md5('$salt' || ':' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+
+  /** BM25 probe terms, df spread rare→ubiquitous on the synthetic corpus
+    * (sf0.01: "dup" df=25/500, "key" 373, "the" 382, "batch" 402) — so the
+    * idf term actually discriminates across the set. */
+  private val bm25Terms: Seq[String] = Seq("dup", "key", "the", "batch")
+
+  /** ir1 oracle, generated from the SAME [[bm25Terms]] the query uses: the
+    * score is the identical left-associative per-term chain as
+    * [[graft.operators.Retrieval.bm25]] — every double sub-expression
+    * (idf, length norm, avgdl) written in the same association order, and
+    * all constants (k1=1.2, b=0.75, 1-b, k1+1) interpolated from the same
+    * Scala doubles so both engines parse the identical values. */
+  private def bm25Sql: String = {
+    val k1 = 1.2
+    val b = 0.75
+    val tfCols = bm25Terms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n    ")
+    val dfAggs = bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n    ")
+    // one shared length-norm value, same association as the Spark side:
+    // k1 * ((1-b) + (b * dl) / (sdl / n))
+    val lenNorm = s"($k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE)) / " +
+      "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+    val chain = "0.0" + bm25Terms.map { t =>
+      val idf = s"(CAST(FLOOR(ln((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) " +
+        s"+ 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0) * 1e6) AS DOUBLE) / 1e6)"
+      s" +\n  $idf * (CAST(tf_$t AS DOUBLE) * ${k1 + 1}) / " +
+        s"(CAST(tf_$t AS DOUBLE) + $lenNorm)"
+    }.mkString
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl,
+       |    $tfCols
+       |  FROM base),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+       |    $dfAggs FROM tf)
+       |SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |  $chain AS bm25
+       |FROM tf CROSS JOIN stats""".stripMargin
+  }
+
+  /** lm1 oracle: per-token ln p quantized to integer micro-nats BEFORE the
+    * per-document sum (matching [[graft.operators.Retrieval.unigramSurprisal]])
+    * so the reduction is exact integer math; only the final mean divides in
+    * doubles, in the same order. 1e6 literals (not 1000000.0) keep DuckDB in
+    * DOUBLE arithmetic rather than DECIMAL. */
+  private def lm1Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+       |counts AS (SELECT token, COUNT(*) AS cnt FROM tf GROUP BY token),
+       |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts),
+       |probs AS (
+       |  SELECT token, CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+       |    * 1e6) AS BIGINT) AS micro_nats
+       |  FROM counts CROSS JOIN total)
+       |SELECT doc_id, COUNT(*) AS n_toks,
+       |  CAST(SUM(micro_nats) AS BIGINT) AS sum_micro_nats,
+       |  (-CAST(CAST(SUM(micro_nats) AS BIGINT) AS DOUBLE)) / 1e6 /
+       |    CAST(COUNT(*) AS DOUBLE) AS mean_surprisal_nats
+       |FROM tf JOIN probs USING (token)
+       |GROUP BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "tx5_clean_text" ->
@@ -602,6 +671,8 @@ object TrainingDataQueries {
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""".stripMargin,
     "sim1_cosine_topk" -> sim1Sql,
+    "ir1_bm25" -> bm25Sql,
+    "lm1_surprisal" -> lm1Sql,
   )
 
   /** sim1's full oracle text — also embedded as the `ex` CTE of the sim5
