@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Round-exit gate: run before EVERY end-of-round (or milestone) commit.
+#
+# Round 4 shipped a snapshot that did not compile — one undefined val zeroed
+# the driver's entire correctness+bench signal for the round. This script
+# makes that impossible to repeat: it refuses success unless the tree
+# compiles, every ScalaTest passes, and the full sf0.01 DuckDB oracle
+# differential is green.
+#
+# Usage:
+#   tools/preflight.sh                 # full gate (compile + test + oracle)
+#   tools/preflight.sh q1_agg,q2_x     # gate, with Verify/oracle filtered to
+#                                      # the named queries (faster iteration;
+#                                      # still compiles + runs all ScalaTests)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ONLY="${1:-}"
+OUT=/tmp/preflight_verify
+SF=/root/testdata/sf0.01
+
+echo "== preflight: compile + test =="
+sbt -batch compile test
+
+echo "== preflight: Verify -> DuckDB differential (sf0.01) =="
+rm -rf "$OUT"
+if [ -n "$ONLY" ]; then
+  SPARK_GRAFT_ONLY="$ONLY" sbt -batch "runMain graft.Verify $SF $OUT"
+else
+  sbt -batch "runMain graft.Verify $SF $OUT"
+fi
+python3 tools/check_oracle.py "$SF" "$OUT"
+
+echo "== preflight: PASS — safe to commit =="
