@@ -208,10 +208,19 @@ object Similarity {
     * Returns every corpus row with its `cell` and a `keep` flag (1/0) —
     * callers filter `keep = 1` for the deduplicated corpus; the flag form
     * keeps the decision auditable.
+    *
+    * SIZING: pair work is O(Σ cell_size²), so `ncells` must GROW with the
+    * corpus — size it ≈ √n rows (SemDeDup itself uses 50k clusters for
+    * 5B embeddings). The default 8 fits the 2k-row harness corpus only;
+    * [[ivfAssign]] supports 10⁴-10⁵ cells unchanged. A cell holding ~10⁵+
+    * rows means ~10¹⁰ in-cell pairs — raise `ncells` before running. The
+    * `require` below enforces the intent coarsely at call time.
     */
   def semDedup(corpus: DataFrame, threshold: Double = 0.2,
                ncells: Int = 8, seed: Int = 7, idCol: String = "vec_id",
                vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    require(ncells >= 1, "ncells must be positive; size ncells ≈ √n rows " +
+      "(pair work is O(Σ cell²) — 8 is harness-scale, use 10⁴-10⁵ at corpus scale)")
     val assigned = ivfAssign(corpus, ncells, seed, vecCol, dim)
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"), col("cell"))

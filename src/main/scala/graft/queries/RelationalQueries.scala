@@ -126,11 +126,19 @@ object RelationalQueries {
     },
 
     // D10 (beyond reference): HLL approximate distinct next to the exact
-    // count (rows-only: sketch implementations differ across engines).
+    // count. Sketches differ across engines, so the oracled surface is the
+    // exact count plus a relative-error bound on the estimate (default
+    // rsd = 5%; 15% = 3σ): the oracle asserts the bound column is TRUE, so
+    // an HLL drift past 3σ fails the differential loudly instead of
+    // hiding behind a rows-only check.
     "d10_approx_distinct" -> { (s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double") <= 0.15)
+            .as("approx_within_3sd"))
     },
 
     // C1: inner equi-join + aggregate (drivers⋈sessions, common.py:500-523).
@@ -461,6 +469,11 @@ object RelationalQueries {
          |${Det.sqlMoneySum("l_extendedprice")} AS sum_price,
          |${Det.sqlMoneySum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "d10_approx_distinct" ->
+      """SELECT l_returnflag,
+        |COUNT(DISTINCT l_partkey) AS exact_parts,
+        |TRUE AS approx_within_3sd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "d8_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
          |${Det.sqlMoneySum("l_quantity")} AS sum_qty,

@@ -93,6 +93,26 @@ object TrainingDataQueries {
         TextAnalysis.cleanText(t).as("clean_text"))
     },
 
+    // PII redaction over a deterministic synthetic-PII column: the corpus
+    // itself carries no PII, so each doc gets an email/IPv4/phone suffix
+    // generated from doc_id (mod-gated so some docs lack each kind, incl.
+    // completely clean ones at doc_id % 60 == 0) — the oracle regenerates
+    // the same strings and applies the same 3-stage regex chain.
+    "tx7_redact_pii" -> { (s, dir) =>
+      val id = col("doc_id")
+      val pii = concat_ws(" ",
+        col("text"),
+        when(id % 3 =!= 0, concat(lit("reach me at user"),
+          id.cast("string"), lit("@mail.example.org"))),
+        when(id % 4 =!= 0, concat(lit("server "),
+          ((id % 223) + 1).cast("string"), lit(".0.113."),
+          ((id % 254) + 1).cast("string"))),
+        when(id % 5 =!= 0, concat(lit("tel +1 555-01"),
+          lpad((id % 100).cast("string"), 2, "0"), lit(" now"))))
+      docsSpread(s, dir).select(id, pii.as("pii_text"),
+        TextAnalysis.redactPii(pii).as("redacted"))
+    },
+
     // Corpus vocabulary: exact top-50 tokens by frequency (deterministic
     // tie-break). Explode → count → global top-k: the aggregation carries
     // one row per distinct token (map-side combined) and the top-k is a
@@ -673,6 +693,26 @@ object TrainingDataQueries {
     "sim1_cosine_topk" -> sim1Sql,
     "ir1_bm25" -> bm25Sql,
     "lm1_surprisal" -> lm1Sql,
+    // Same deterministic PII synthesis + the same ordered regex chain as
+    // TextAnalysis.redactPii (emails, then IPs, then phones; 'g' flag —
+    // Spark replaces all matches by default, DuckDB only the first).
+    "tx7_redact_pii" ->
+      """WITH pii AS (
+        |  SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 3 <> 0 THEN 'reach me at user' ||
+        |      CAST(doc_id AS VARCHAR) || '@mail.example.org' END,
+        |    CASE WHEN doc_id % 4 <> 0 THEN 'server ' ||
+        |      CAST(doc_id % 223 + 1 AS VARCHAR) || '.0.113.' ||
+        |      CAST(doc_id % 254 + 1 AS VARCHAR) END,
+        |    CASE WHEN doc_id % 5 <> 0 THEN 'tel +1 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now' END
+        |  ) AS pii_text FROM documents)
+        |SELECT doc_id, pii_text,
+        |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\+?\d[\d\- ]{7,}\d', '[PHONE]', 'g') AS redacted
+        |FROM pii""".stripMargin,
   )
 
   /** sim1's full oracle text — also embedded as the `ex` CTE of the sim5
