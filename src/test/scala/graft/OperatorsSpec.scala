@@ -317,6 +317,29 @@ class OperatorsSpec extends SparkSpec {
       .contains("Exchange SinglePartition")) // the shape being replaced
   }
 
+  test("grouped rank matches built-in windows incl. null groups and boundary ties") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 4 groups (one null), only 7 order values per group — value runs are
+    // long, so ties straddle range-partition boundaries constantly (the
+    // case the heal pass exists for)
+    val df = (1L to 4000L).map { i =>
+      (i, if (i % 11 == 0) null else s"g${i % 3}", (i % 7).toDouble)
+    }.toDF("id", "grp", "v")
+    val scalable = GlobalRank.withGroupedRank(df, group = Seq("grp"),
+      order = Seq(col("v")), tieBreak = Seq(col("id")),
+      out = "rnk", pctOut = Some("pr"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val builtin = df
+      .withColumn("rnk", rank().over(w).cast("bigint"))
+      .withColumn("pr", percent_rank().over(w))
+    assert(scalable.exceptAll(builtin).isEmpty &&
+      builtin.exceptAll(scalable).isEmpty)
+    assert(!scalable.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"))
+  }
+
   test("pii redaction replaces emails, ips, and phones in order") {
     import spark.implicits._
     val doc = "mail bob@example.com or call +1 555-123-4567; " +
