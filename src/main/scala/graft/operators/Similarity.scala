@@ -153,6 +153,25 @@ object Similarity {
     df.withColumn("cell", cell)
   }
 
+  /** The `nprobe` best cells for a query vector, as an `array<int>` —
+    * highest centroid score first, ties to the higher cell id (the
+    * descending sort of (score, cell) structs). Shared by [[ivfTopK]]
+    * and [[ProductQuantization.ivfPqTopK]] so both probe bit-identical
+    * cells. `dim` must match the corpus-side [[ivfAssign]] — a
+    * mismatched projection would silently probe the wrong cells
+    * (zip_with null-pads short arrays). */
+  private[graft] def probeCells(vec: Column, ncells: Int, nprobe: Int,
+                                seed: Int, dim: Int): Column = {
+    val cellScores = array((0 until ncells).map { cCell =>
+      struct(
+        aggregate(zip_with(vec, planeLit(seed, cCell, dim),
+          (v, c) => v.cast("double") * c), lit(0.0), (a, x) => a + x)
+          .as("score"),
+        lit(cCell).as("cell"))
+    }: _*)
+    slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cell")
+  }
+
   /** IVF ANN top-k: corpus vectors are pre-assigned to coarse cells
     * ([[ivfAssign]] — at ingest this is a partition column); each query
     * probes only its `nprobe` best cells, so the scan covers
@@ -164,23 +183,13 @@ object Similarity {
     val assigned = ivfAssign(corpus, ncells, seed, vecCol, dim)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
         norm(col(vecCol)).as("c_norm"), col("cell"))
-    // query → its nprobe best cells, via the same centroid scores; `dim`
-    // must flow into BOTH sides — a mismatched query-side projection would
-    // silently probe the wrong cells (zip_with null-pads short arrays)
     val vec = col(vecCol)
-    val cellScores = array((0 until ncells).map { cCell =>
-      struct(
-        aggregate(zip_with(vec, planeLit(seed, cCell, dim),
-          (v, c) => v.cast("double") * c), lit(0.0), (a, x) => a + x)
-          .as("score"),
-        lit(cCell).as("cell"))
-    }: _*)
     val probes = broadcast(queries
       .select(col(idCol).as("query_id"), vec.as("q_vec"),
         norm(vec).as("q_norm"),
-        slice(reverse(array_sort(cellScores)), 1, nprobe).as("top_cells"))
+        probeCells(vec, ncells, nprobe, seed, dim).as("top_cells"))
       .select(col("query_id"), col("q_vec"), col("q_norm"),
-        explode(col("top_cells").getField("cell")).as("cell")))
+        explode(col("top_cells")).as("cell")))
     val scored = assigned.join(probes, "cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),

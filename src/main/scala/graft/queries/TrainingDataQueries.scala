@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Contamination, Dedup, Packing, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Packing, ProductQuantization, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, text analysis, similarity
   * search) exposed to the oracle harness over `documents` / `embeddings`.
@@ -273,6 +273,31 @@ object TrainingDataQueries {
         key = col("doc_id"))
     },
 
+    // Product quantization: encode every embedding to an 8-byte PQ code
+    // (8 subspaces × 8 deterministic centroids) — the 32× memory
+    // compression tier of a cluster-scale ANN index.
+    "sim7_pq_codes" -> { (s, dir) =>
+      ProductQuantization.pqEncode(Tables.embeddings(s, dir))
+        .select("vec_id", "pq_code")
+    },
+
+    // ADC top-10 over the PQ codes for queries vec_id<5: per-query m×k
+    // lookup tables, m element_at's per candidate pair — no float math
+    // per pair.
+    "sim8_pq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      ProductQuantization.pqTopK(emb, emb.filter(col("vec_id") < 5))
+    },
+
+    // IVF-PQ composition: queries probe 3 of 8 IVF cells and rank the
+    // probed rows by ADC over 8-byte PQ codes — the standard
+    // cluster-scale ANN index layout (prune WHICH rows + shrink WHAT
+    // each row costs).
+    "sim9_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5))
+    },
+
     // Okapi BM25 against a fixed probe-term set (df spread: rare "dup" to
     // ubiquitous "batch") — one narrow scan + one broadcast scalar aggregate.
     "ir1_bm25" -> { (s, dir) =>
@@ -388,7 +413,7 @@ object TrainingDataQueries {
                            seed: Int = 42): String =
     "0.0" + (0 until 64).map { i =>
       val c = graft.operators.Similarity.planeComponent(seed, plane, i)
-      s" + CAST($alias[${i + 1}] AS DOUBLE) * ($c)"
+      s" + CAST($alias[${i + 1}] AS DOUBLE) * (${dlit(c)})"
     }.mkString
 
   /** 60 per-bit majority-vote sums / signature terms for the simhash
@@ -404,6 +429,141 @@ object TrainingDataQueries {
   /** DuckDB fragment matching [[Sampling.bucket]] (same md5 family). */
   private def bucketSql(salt: String, key: String): String =
     s"CAST(('0x' || substr(md5('$salt' || ':' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+
+  /** Double literal for DuckDB that is guaranteed to PARSE AS DOUBLE:
+    * a plain decimal literal becomes DECIMAL, and DuckDB's
+    * DECIMAL→DOUBLE conversion is off by 1 ulp for some 17-digit values
+    * (probed — it broke sim8's ADC sums). An exponent suffix forces the
+    * correctly-rounded string→double path; Scala's Double.toString is
+    * round-trippable, so the engines then agree bit-for-bit. */
+  private def dlit(c: Double): String = {
+    val s = c.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** PQ constants mirrored by both the Spark queries (sim7/sim8 use the
+    * [[graft.operators.ProductQuantization]] defaults) and the generated
+    * oracle SQL below. */
+  private val PqM = 8
+  private val PqK = 8
+  private val PqSub = 8
+  private val PqSeed = 11
+
+  /** One squared-L2 subvector-to-centroid chain, identical association to
+    * ProductQuantization.subDist: 0.0 + d*d + … with round-trip double
+    * centroid literals. */
+  private def pqChain(vecAlias: String, mi: Int, ki: Int): String =
+    "0.0" + (0 until PqSub).map { j =>
+      val c = graft.operators.ProductQuantization
+        .centroidComponent(PqSeed, PqM, PqK, mi, ki, j)
+      val e = s"CAST($vecAlias[${mi * PqSub + j + 1}] AS DOUBLE) - (${dlit(c)})"
+      s" + ($e) * ($e)"
+    }.mkString
+
+  /** PQ encode as DuckDB CTEs ending in `enc` (vec_id, embedding,
+    * code_0..code_7): distance matrix → per-subspace LEAST → first-match
+    * CASE (ties to the lowest code word, same as the Spark side). */
+  private def pqEncCtes: String = {
+    val sCols = (for { mi <- 0 until PqM; ki <- 0 until PqK }
+      yield s"${pqChain("embedding", mi, ki)} AS s_${mi}_$ki")
+      .mkString(",\n    ")
+    val gCols = (0 until PqM).map(mi =>
+      s"LEAST(${(0 until PqK).map(ki => s"s_${mi}_$ki").mkString(", ")}) AS g_$mi")
+      .mkString(",\n    ")
+    val codeCols = (0 until PqM).map { mi =>
+      "CASE " + (0 until PqK).map(ki =>
+        s"WHEN s_${mi}_$ki = g_$mi THEN $ki").mkString(" ") +
+        s" END AS code_$mi"
+    }.mkString(",\n    ")
+    s"""pqs AS (
+       |  SELECT vec_id, embedding,
+       |    $sCols
+       |  FROM embeddings),
+       |pqg AS (
+       |  SELECT *,
+       |    $gCols
+       |  FROM pqs),
+       |enc AS (
+       |  SELECT vec_id, embedding,
+       |    $codeCols
+       |  FROM pqg)""".stripMargin
+  }
+
+  private def sim7Sql: String = {
+    val packed = "CAST(0 AS BIGINT)" + (0 until PqM).map(mi =>
+      s" + CAST(code_$mi AS BIGINT) * ${1L << (8 * mi)}").mkString
+    s"""WITH $pqEncCtes
+       |SELECT vec_id, $packed AS pq_code FROM enc""".stripMargin
+  }
+
+  private def sim8Sql: String = {
+    val lutCols = (0 until PqM).map(mi =>
+      "[" + (0 until PqK).map(ki => pqChain("embedding", mi, ki))
+        .mkString(",\n      ") + s"] AS lut_$mi").mkString(",\n    ")
+    val dist = "0.0" + (0 until PqM).map(mi =>
+      s" + lut_$mi[code_$mi + 1]").mkString
+    s"""WITH $pqEncCtes,
+       |lut AS (
+       |  SELECT vec_id AS query_id,
+       |    $lutCols
+       |  FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT l.query_id, e.vec_id AS corpus_id, $dist AS adc_dist
+       |  FROM enc e CROSS JOIN lut l WHERE l.query_id <> e.vec_id)
+       |SELECT query_id, corpus_id, adc_dist, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, corpus_id ASC) AS rk FROM scored)
+       |WHERE rk <= 10""".stripMargin
+  }
+
+  /** sim9 oracle: the sim3 cell-assignment/probe CTEs (seed 7, 8 cells,
+    * nprobe 3) composed with the sim7/sim8 PQ-code and LUT CTEs — the
+    * join graph of an IVF-PQ index, every float chain bit-exact. */
+  private def sim9Sql: String = {
+    val scores = (0 until 8).map(p =>
+      s"(${sqlProjChain("embedding", p, seed = 7)}) AS s$p").mkString(",\n  ")
+    val cellCase = "CASE " + (0 until 8).map(p =>
+      s"WHEN s$p = g THEN $p").mkString(" ") + " END"
+    val probeScore = "CASE c.c " + (0 until 8).map(p =>
+      s"WHEN $p THEN s$p").mkString(" ") + " END"
+    val lutCols = (0 until PqM).map(mi =>
+      "[" + (0 until PqK).map(ki => pqChain("embedding", mi, ki))
+        .mkString(",\n      ") + s"] AS lut_$mi").mkString(",\n    ")
+    val dist = "0.0" + (0 until PqM).map(mi =>
+      s" + l.lut_$mi[ce.code_$mi + 1]").mkString
+    val codeList = (0 until PqM).map(mi => s"e.code_$mi").mkString(", ")
+    s"""WITH $pqEncCtes,
+       |base AS (
+       |  SELECT vec_id, embedding,
+       |  $scores
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id AS corpus_id, $cellCase AS cell
+       |  FROM (SELECT *, GREATEST(s0,s1,s2,s3,s4,s5,s6,s7) AS g FROM base)),
+       |cenc AS (
+       |  SELECT a.corpus_id, a.cell, $codeList
+       |  FROM assigned a JOIN enc e ON a.corpus_id = e.vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT b.vec_id, c.c AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY $probeScore DESC, c.c DESC) AS rn
+       |    FROM base b CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c
+       |    WHERE b.vec_id < 5) WHERE rn <= 3),
+       |lut AS (
+       |  SELECT vec_id AS query_id,
+       |    $lutCols
+       |  FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT p.query_id, ce.corpus_id, $dist AS adc_dist
+       |  FROM probes p JOIN cenc ce ON p.cell = ce.cell
+       |  JOIN lut l ON l.query_id = p.query_id
+       |  WHERE p.query_id <> ce.corpus_id)
+       |SELECT query_id, corpus_id, adc_dist, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, corpus_id ASC) AS rk FROM scored)
+       |WHERE rk <= 10""".stripMargin
+  }
 
   /** BM25 probe terms, df spread rare→ubiquitous on the synthetic corpus
     * (sf0.01: "dup" df=25/500, "key" 373, "the" 382, "batch" 402) — so the
@@ -693,6 +853,9 @@ object TrainingDataQueries {
     "sim1_cosine_topk" -> sim1Sql,
     "ir1_bm25" -> bm25Sql,
     "lm1_surprisal" -> lm1Sql,
+    "sim7_pq_codes" -> sim7Sql,
+    "sim8_pq_topk" -> sim8Sql,
+    "sim9_ivfpq" -> sim9Sql,
     // Same deterministic PII synthesis + the same ordered regex chain as
     // TextAnalysis.redactPii (emails, then IPs, then phones; 'g' flag —
     // Spark replaces all matches by default, DuckDB only the first).

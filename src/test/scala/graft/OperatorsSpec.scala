@@ -317,6 +317,55 @@ class OperatorsSpec extends SparkSpec {
       .contains("Exchange SinglePartition")) // the shape being replaced
   }
 
+  test("pq codes pack consistently and ADC retrieval overlaps exact top-k") {
+    import graft.operators.{ProductQuantization, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val enc = ProductQuantization.pqEncode(emb)
+    // every lane in range, and pq_code unpacks back to the lane codes
+    val bad = enc.filter(
+      (0 until 8).map(mi => col(s"code_$mi") < 0 || col(s"code_$mi") > 7)
+        .reduce(_ || _) ||
+      (0 until 8).map(mi =>
+        (shiftright(col("pq_code"), 8 * mi) % 256) =!=
+          col(s"code_$mi").cast("bigint")).reduce(_ || _))
+    assert(bad.count() == 0)
+    // ADC should agree with exact retrieval above chance (chance ≈
+    // 10·10/499 ≈ 0.2 hits/query → 1 of 50). The synthetic embeddings are
+    // STRUCTURELESS random vectors (distance concentration), so untrained
+    // deterministic codebooks keep only weak rank signal — 3/50 here,
+    // deterministic. Bit-exactness of codes and ADC sums is the real
+    // guarantee and is proven by the sim7/sim8 DuckDB differential.
+    val q = emb.filter(col("vec_id") < 5)
+    val adc = ProductQuantization.pqTopK(emb, q)
+      .select("query_id", "corpus_id")
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "corpus_id")
+    val hits = adc.intersect(exact).count()
+    assert(hits >= 3, s"ADC∩exact overlap only $hits of 50")
+  }
+
+  test("ivf-pq hits stay in probed cells and ADC dists agree with cell-blind PQ") {
+    import graft.operators.{ProductQuantization, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val res = ProductQuantization.ivfPqTopK(emb, q).cache()
+    assert(res.count() > 0)
+    // (1) every hit lies in one of its query's probed cells
+    val cells = Similarity.ivfAssign(emb, ncells = 8)
+      .select(col("vec_id").as("corpus_id"), col("cell"))
+    val probed = q.select(col("vec_id").as("query_id"),
+      explode(Similarity.probeCells(col("embedding"), 8, 3, 7, 64)).as("cell"))
+    assert(res.join(cells, "corpus_id")
+      .join(probed, Seq("query_id", "cell"), "left_anti").count() == 0)
+    // (2) ADC distance of each hit matches the cell-blind full PQ ranking
+    val full = ProductQuantization.pqTopK(emb, q, topK = 1000000)
+      .select(col("query_id"), col("corpus_id"),
+        col("adc_dist").as("full_dist"))
+    val joined = res.join(full, Seq("query_id", "corpus_id"))
+    assert(joined.count() == res.count())
+    assert(joined.filter(col("adc_dist") =!= col("full_dist")).count() == 0)
+  }
+
   test("grouped rank matches built-in windows incl. null groups and boundary ties") {
     import graft.operators.GlobalRank
     import org.apache.spark.sql.expressions.Window
