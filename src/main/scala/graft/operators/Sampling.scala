@@ -51,6 +51,22 @@ object Sampling {
     df.filter(bucket(key, salt) < rate)
   }
 
+  /** Quality-weighted Bernoulli sample: per-row keep probability given as
+    * a PERMILLE COLUMN (e.g. derived from a quality score — keep good
+    * documents at a high rate, boilerplate at a low one, without a hard
+    * cutoff). Same stable-membership contract as [[hashSample]]: the draw
+    * keys on (salt, key), so reruns, repartitioning, and other engines
+    * reproduce the exact keep set for a given weight; rows whose weight
+    * changes between runs re-draw against the SAME uniform, so membership
+    * is monotone in the weight (raising a row's permille can only add it,
+    * never drop it — no churn from small score shifts). Weights are
+    * clamped to [0, 1000]; null weights (and null keys) drop out. Pure
+    * narrow per-row compute, no shuffle. */
+  def weightedSample(df: DataFrame, key: Column, permille: Column,
+                     salt: String = "wsample"): DataFrame =
+    df.filter(bucket(key, salt) <
+      least(greatest(permille.cast("bigint"), lit(0L)), lit(1000L)))
+
   /** Weighted corpus mixture: each source contributes a deterministic
     * hash-sample at its own rate (permille), tagged with a provenance
     * column — the "mix web 60% / books 25% / code 15%" step of training-

@@ -153,6 +153,29 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     conv(substring(fingerprint(text), 1, 15), 16, 10).cast("bigint")
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetitious
+    * documents" — low lexical diversity / high duplicate-n-gram mass — are
+    * low-quality with high probability and inflate memorization): per-doc
+    * type-token ratio over the normalized unigram stream and the fraction
+    * of duplicate bigrams. Two-level projection so the tokenize/shingle
+    * arrays materialize once ([[textStats]]'s once-only rule); everything
+    * is narrow per-row array arithmetic — no shuffle, streams at scan
+    * speed. */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val lower = df.select(col(idCol),
+      split(normalizeText(t), " ").as("__toks"),
+      Dedup.shinglesExpr(t, 2).as("__bigrams"))
+    lower.select(col(idCol),
+      size(col("__toks")).cast("bigint").as("n_tokens"),
+      (size(array_distinct(col("__toks"))).cast("double") /
+        greatest(size(col("__toks")), lit(1)).cast("double")).as("ttr"),
+      (lit(1.0) - size(array_distinct(col("__bigrams"))).cast("double") /
+        greatest(size(col("__bigrams")), lit(1)).cast("double"))
+        .as("dup_bigram_frac"))
+  }
+
   /** Full per-document text-stats projection: counts materialize in one
     * projection (each regex pass runs once), ratios/scores derive from the
     * count columns in a second. */

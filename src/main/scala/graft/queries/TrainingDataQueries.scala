@@ -151,6 +151,25 @@ object TrainingDataQueries {
         col("doc_id"), trainPermille = 800, valPermille = 100)
     },
 
+    // Repetition / lexical-diversity filter signals (Gopher-style):
+    // type-token ratio + duplicate-bigram fraction per document.
+    "tx8_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(docsSpread(s, dir))
+    },
+
+    // Quality-weighted sampling: keep probability proportional to a
+    // per-document signal (token count here, standing in for any quality
+    // score), clamped to [100, 900] permille — soft downweighting instead
+    // of a hard cutoff, membership stable per doc_id forever.
+    "s4_weighted_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val permille =
+        least(lit(100L) + col("n_tokens").cast("bigint") * 8L, lit(900L))
+      Sampling.weightedSample(docs, col("doc_id"), permille)
+        .withColumn("keep_permille", permille)
+    },
+
     // Exact dedup: group by content fingerprint, keep lowest doc_id.
     // Spread first: the normalize+md5 fingerprint pass is the cost center
     // and would otherwise run inside the 1-task scan.
@@ -296,6 +315,43 @@ object TrainingDataQueries {
     "sim9_ivfpq" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5))
+    },
+
+    // PQ quality evaluation: recall@10 of the ADC ranking (sim8) against
+    // the EXACT L2 top-10 — the apples-to-apples measurement of pure
+    // quantization loss (both rank by squared L2; the only difference is
+    // 8-byte codes vs full vectors). Same role for PQ that sim5 plays for
+    // IVF: the number that justifies the 32× memory compression.
+    "sim10_pq_recall" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dotF
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("cv"))
+      val qs = broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      // exact ||q-c||² expanded so each term is one fused dot kernel; the
+      // oracle writes the identical chains in the identical association
+      val l2 = dotF(col("qv"), col("qv")) -
+        lit(2.0) * dotF(col("qv"), col("cv")) +
+        dotF(col("cv"), col("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("l2").asc, col("corpus_id").asc)
+      val ex = corpus.crossJoin(qs)
+        .filter(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), l2.as("l2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("query_id", "corpus_id")
+      val pq = ProductQuantization.pqTopK(emb, emb.filter(col("vec_id") < 5))
+        .select("query_id", "corpus_id")
+      val hits = ex.join(pq, Seq("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ex.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0)
+            .as("recall"))
     },
 
     // Okapi BM25 against a fixed probe-term set (df spread: rare "dup" to
@@ -516,6 +572,36 @@ object TrainingDataQueries {
        |WHERE rk <= 10""".stripMargin
   }
 
+  /** sim10 oracle: exact squared-L2 top-10 — the identical fused-dot
+    * chains in the identical association as the Spark side's expanded
+    * ||q||² − 2·q·c + ||c||² — joined against the sim8 ADC ranking. The
+    * recall of codes against exact distances is pure quantization loss. */
+  private def sim10Sql: String = {
+    val qq = sqlDotChain("q.embedding", "q.embedding")
+    val qc = sqlDotChain("q.embedding", "c.embedding")
+    val cc = sqlDotChain("c.embedding", "c.embedding")
+    s"""WITH exd AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    ($qq) - 2.0e0 * ($qc) + ($cc) AS l2
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY l2 ASC, corpus_id ASC) AS rk FROM exd)
+       |  WHERE rk <= 10),
+       |pq AS ($sim8Sql),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits
+       |  FROM ex e JOIN pq p
+       |    ON e.query_id = p.query_id AND e.corpus_id = p.corpus_id
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0 AS recall
+       |FROM (SELECT DISTINCT query_id FROM ex) q
+       |LEFT JOIN hits USING (query_id)""".stripMargin
+  }
+
   /** sim9 oracle: the sim3 cell-assignment/probe CTEs (seed 7, 8 cells,
     * nprobe 3) composed with the sim7/sim8 PQ-code and LUT CTEs — the
     * join graph of an IVF-PQ index, every float chain bit-exact. */
@@ -659,6 +745,32 @@ object TrainingDataQueries {
          |     WHEN ${bucketSql("split", "doc_id")} < 900 THEN 'val'
          |     ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "tx8_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(0, len(toks) - 1),
+         |        i -> array_to_string(toks[i+1:i+2], ' ')) END AS bigrams
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) /
+         |    CAST(GREATEST(len(toks), 1) AS DOUBLE) AS ttr,
+         |  1.0e0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) /
+         |    CAST(GREATEST(len(bigrams), 1) AS DOUBLE) AS dup_bigram_frac
+         |FROM b""".stripMargin,
+    "s4_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  LEAST(100 + n_tokens * 8, 900) AS keep_permille
+         |FROM t
+         |WHERE ${bucketSql("wsample", "doc_id")} < LEAST(100 + n_tokens * 8, 900)""".stripMargin,
     "tx6_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
@@ -856,6 +968,7 @@ object TrainingDataQueries {
     "sim7_pq_codes" -> sim7Sql,
     "sim8_pq_topk" -> sim8Sql,
     "sim9_ivfpq" -> sim9Sql,
+    "sim10_pq_recall" -> sim10Sql,
     // Same deterministic PII synthesis + the same ordered regex chain as
     // TextAnalysis.redactPii (emails, then IPs, then phones; 'g' flag —
     // Spark replaces all matches by default, DuckDB only the first).

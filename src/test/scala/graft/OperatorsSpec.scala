@@ -169,6 +169,50 @@ class OperatorsSpec extends SparkSpec {
       docs.filter(col("lang") =!= "en" || col("lang").isNull).count())
   }
 
+  test("repetition stats separate a looped document from running text") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat " * 10),            // looped boilerplate
+      (2L, "every word here appears exactly once today friends"),
+      (3L, ""))                                         // degenerate
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("ttr"), r.getAs[Double]("dup_bigram_frac"))).toMap
+    val (ttr1, dup1) = out(1L)
+    val (ttr2, dup2) = out(2L)
+    assert(ttr1 < 0.15 && dup1 > 0.85) // loop: few types, repeated bigrams
+    assert(ttr2 == 1.0 && dup2 == 0.0) // all-distinct text
+    assert(out(3L) == (1.0, 0.0))      // empty doc: no repetition signal
+  }
+
+  test("weighted sampling: monotone in weight, clamped, null keys drop") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    // same salt + higher weight can only ADD rows (the row's uniform draw
+    // is fixed) — no membership churn from small score shifts
+    val lo = Sampling.weightedSample(docs, col("doc_id"), lit(200))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.weightedSample(docs, col("doc_id"), lit(600))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi) && lo.nonEmpty && lo.size < hi.size)
+    // weight clamping: >=1000 keeps everything, <=0 keeps nothing
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(5000)).count()
+      == docs.count())
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(-3)).isEmpty)
+    // per-row weights agree with the constant gates row-by-row
+    val perRow = Sampling.weightedSample(docs, col("doc_id"),
+        when(col("doc_id") % 2 === 0, 600).otherwise(200))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(perRow == hi.filter(_ % 2 == 0) ++ lo.filter(_ % 2 != 0))
+    // null keys and null weights drop out
+    val nullKey = docs.select(lit(null).cast("long").as("doc_id"))
+    assert(Sampling.weightedSample(nullKey, col("doc_id"), lit(1000)).isEmpty)
+    assert(Sampling.weightedSample(docs, col("doc_id"),
+      lit(null).cast("int")).isEmpty)
+  }
+
   test("contamination flags the planted eval leak and decontaminate drops it") {
     import spark.implicits._
     val evalItem = "what is the capital of france paris is the capital " * 3

@@ -282,7 +282,9 @@ class StreamingSpec extends SparkSpec {
     // run on a stream, and membership agrees with the batch run exactly
     val stream = MemoryStream[Long]
     val out = Sampling.splitAssign(
-      Sampling.hashSample(stream.toDF().toDF("doc_id"), col("doc_id"), 500),
+      Sampling.weightedSample(
+        Sampling.hashSample(stream.toDF().toDF("doc_id"), col("doc_id"), 500),
+        col("doc_id"), when(col("doc_id") % 2 === 0, 900).otherwise(400)),
       col("doc_id"), 800, 100)
     val query = out.writeStream.format("memory")
       .queryName("sampled_out").outputMode("append").start()
@@ -292,7 +294,9 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     query.stop()
     val batch = Sampling.splitAssign(
-        Sampling.hashSample((1L to 200L).toDF("doc_id"), col("doc_id"), 500),
+        Sampling.weightedSample(
+          Sampling.hashSample((1L to 200L).toDF("doc_id"), col("doc_id"), 500),
+          col("doc_id"), when(col("doc_id") % 2 === 0, 900).otherwise(400)),
         col("doc_id"), 800, 100)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(streamed == batch && streamed.nonEmpty)
