@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over integer-quantized vectors — the
+  * "train the codebook" step that [[Similarity.ivfAssign]] and
+  * [[ProductQuantization]] reference (their plan-time literal centroids
+  * stand in for trained ones; this operator is where trained ones come
+  * from).
+  *
+  * Scale shape (the textbook distributed Lloyd):
+  *  - points are quantized ONCE and cached; every iteration re-reads the
+  *    cached narrow projection, not the source.
+  *  - assignment is a crossJoin against the BROADCAST centroid set
+  *    (k × dim longs — bytes, not data) with an exact integer L2 per
+  *    pair; argmin ties break to the lowest cluster id.
+  *  - the update step is one explode + hash groupBy per iteration whose
+  *    shuffle carries ≤ k·dim rows per map partition (map-side partial
+  *    sums), and the k·dim result is collected to the DRIVER — centroid
+  *    metadata, the same driver-scalar pattern as [[GlobalRank]]'s
+  *    partition offsets. Iterations are a fixed driver loop.
+  *
+  * Determinism (what makes this oracle-able, unlike float k-means):
+  * vectors quantize to longs (×1e6, floor), so distances are EXACT
+  * integer sums — associativity makes them partition-order-independent —
+  * and centroid updates floor-divide exact integer sums (the one double
+  * division is correctly rounded from exact inputs, so every engine
+  * computes the identical centroid). Initial centroids are the k
+  * lowest-id points. Empty clusters die (standard Lloyd caveat; ids keep
+  * their round-0 numbering).
+  *
+  * The reference pipeline has no trainer (its analytics stop at SQL
+  * aggregates); this is part of the beyond-reference ANN tier.
+  */
+object KMeans {
+
+  /** Integer quantization shared with the sim1/sim4 exact baselines:
+    * ×scale, floor, long — engine-reproducible. */
+  def quantize(vec: Column, scale: Long = 1000000L): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact squared L2 between two long-array columns. Integer sums are
+    * associative, so any fold order gives the same value. */
+  def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Run `iters` Lloyd iterations with k centroids seeded from the k
+    * lowest-id points; returns the final assignment
+    * (id, cluster, dist — exact integer squared L2). */
+  def fit(df: DataFrame, k: Int, iters: Int, idCol: String = "vec_id",
+          vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val pts = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .cache()
+
+    // k × dim longs: driver-side centroid state, updated per round.
+    var cents: Seq[(Int, Seq[Long])] = pts.orderBy("id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
+
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(cents.toDF("cluster", "cv"))
+      assigned = pts.crossJoin(centDf)
+        .select(col("id"),
+          struct(sqDistL(col("qv"), col("cv")).as("dist"),
+            col("cluster")).as("dc"))
+        .groupBy("id").agg(min(col("dc")).as("m")) // lexicographic argmin
+        .select(col("id"), col("m.cluster").as("cluster"),
+          col("m.dist").as("dist"))
+      // per-cluster per-dim exact integer means, floored — k·dim rows
+      val sums = assigned.join(pts, "id")
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+        .select(col("cluster"), col("dim"),
+          floor(col("s").cast("double") / col("cnt").cast("double"))
+            .cast("long").as("c"))
+        .collect()
+      cents = sums.groupBy(_.getAs[Int]("cluster")).toSeq
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("c")).toSeq
+        }.sortBy(_._1)
+    }
+    assigned.withColumnRenamed("id", idCol)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Contamination, Dedup, Packing, ProductQuantization, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, KMeans, Packing, ProductQuantization, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, text analysis, similarity
   * search) exposed to the oracle harness over `documents` / `embeddings`.
@@ -354,6 +354,16 @@ object TrainingDataQueries {
             .as("recall"))
     },
 
+    // Centroid training: 3 Lloyd iterations of k-means over the
+    // integer-quantized embeddings — the step that produces the
+    // IVF cells / PQ codebooks the ANN tier consumes. Exact integer
+    // distances + floored integer centroid means make every round
+    // engine-reproducible, so the full iteration is DuckDB-oracled.
+    "km1_kmeans" -> { (s, dir) =>
+      KMeans.fit(Tables.embeddings(s, dir), k = 4, iters = 3)
+        .select("vec_id", "cluster", "dist")
+    },
+
     // Okapi BM25 against a fixed probe-term set (df spread: rare "dup" to
     // ubiquitous "batch") — one narrow scan + one broadcast scalar aggregate.
     "ir1_bm25" -> { (s, dir) =>
@@ -570,6 +580,46 @@ object TrainingDataQueries {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY adc_dist ASC, corpus_id ASC) AS rk FROM scored)
        |WHERE rk <= 10""".stripMargin
+  }
+
+  /** km1 oracle: the three Lloyd rounds UNROLLED as generated CTE pairs
+    * (assignment a_r, centroids cents_r) — possible because every step is
+    * exact: integer squared L2 (order-free sums), floored integer centroid
+    * means (one correctly-rounded double division from exact inputs), ties
+    * to the lowest cluster. Mirrors [[graft.operators.KMeans.fit]]. */
+  private def km1Sql: String = {
+    val k = 4
+    val iters = 3
+    def dist(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val rounds = (1 to iters).map { r =>
+      s"""a_$r AS (
+         |  SELECT id, cluster, dist FROM (
+         |    SELECT p.id, c.cluster, ${dist("p.qv", "c.cv")} AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY p.id
+         |        ORDER BY ${dist("p.qv", "c.cv")} ASC, c.cluster ASC) AS rn
+         |    FROM pts p CROSS JOIN cents_${r - 1} c) WHERE rn = 1),
+         |cents_$r AS (
+         |  SELECT cluster, list(c ORDER BY dim) AS cv FROM (
+         |    SELECT a.cluster, d.i AS dim,
+         |      CAST(FLOOR(CAST(CAST(SUM(p.qv[d.i]) AS BIGINT) AS DOUBLE) /
+         |        CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+         |    FROM a_$r a JOIN pts p USING (id)
+         |    CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+         |    GROUP BY a.cluster, d.i)
+         |  GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cents_0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster,
+       |    qv AS cv
+       |  FROM pts ORDER BY id LIMIT $k),
+       |$rounds
+       |SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster, dist
+       |FROM a_$iters""".stripMargin
   }
 
   /** sim10 oracle: exact squared-L2 top-10 — the identical fused-dot
@@ -969,6 +1019,7 @@ object TrainingDataQueries {
     "sim8_pq_topk" -> sim8Sql,
     "sim9_ivfpq" -> sim9Sql,
     "sim10_pq_recall" -> sim10Sql,
+    "km1_kmeans" -> km1Sql,
     // Same deterministic PII synthesis + the same ordered regex chain as
     // TextAnalysis.redactPii (emails, then IPs, then phones; 'g' flag —
     // Spark replaces all matches by default, DuckDB only the first).

@@ -169,6 +169,34 @@ class OperatorsSpec extends SparkSpec {
       docs.filter(col("lang") =!= "en" || col("lang").isNull).count())
   }
 
+  test("kmeans recovers planted clusters and is repartition-stable") {
+    import spark.implicits._
+    import graft.operators.KMeans
+    def v(c: Double, jitter: Double) =
+      Array.tabulate(8)(i => (if (i < 4) c else -c).toFloat +
+        (if (i % 2 == 0) jitter.toFloat else -jitter.toFloat))
+    // two tight planted clusters around +1/-1 and -1/+1 patterns; the
+    // seeds are the k lowest ids, so ids 0 and 1 sit in DIFFERENT
+    // clusters (seeding both in one cluster makes Lloyd stall on a
+    // degenerate mid-point split — the standard bad-init failure)
+    val pts = Seq(
+      (0L, v(1.0, 0.01)), (2L, v(1.0, 0.02)), (4L, v(1.0, 0.03)),
+      (1L, v(-1.0, 0.01)), (3L, v(-1.0, 0.02)), (5L, v(-1.0, 0.03)))
+      .toDF("vec_id", "embedding")
+    val fit = KMeans.fit(pts, k = 2, iters = 3, vecCol = "embedding")
+    val byCluster = fit.collect()
+      .groupBy(_.getAs[Int]("cluster"))
+      .map { case (c, rs) => c -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(byCluster.values.toSet == Set(Set(0L, 2L, 4L), Set(1L, 3L, 5L)))
+    // membership is a pure function of the data, not partitioning
+    val fit2 = KMeans.fit(pts.repartition(5), k = 2, iters = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster"))
+      .toMap
+    val fit1 = fit.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(fit1 == fit2)
+  }
+
   test("repetition stats separate a looped document from running text") {
     import spark.implicits._
     import graft.operators.TextAnalysis
