@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means over integer-quantized vectors — the
@@ -47,9 +48,13 @@ object KMeans {
 
   /** Run `iters` Lloyd iterations with k centroids seeded from the k
     * lowest-id points; returns the final assignment
-    * (id, cluster, dist — exact integer squared L2). */
-  def fit(df: DataFrame, k: Int, iters: Int, idCol: String = "vec_id",
-          vecCol: String = "embedding"): DataFrame = {
+    * (id, cluster, dist — exact integer squared L2) plus the centroid
+    * set THAT ASSIGNMENT was computed against (what an index consumer —
+    * [[trainedIvfTopK]] — needs to route queries to the same cells). */
+  def fitWithCentroids(df: DataFrame, k: Int, iters: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding")
+  : (DataFrame, Seq[(Int, Seq[Long])]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -61,9 +66,11 @@ object KMeans {
     var cents: Seq[(Int, Seq[Long])] = pts.orderBy("id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
+    var centsUsed = cents
 
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
+      centsUsed = cents
       val centDf = broadcast(cents.toDF("cluster", "cv"))
       assigned = pts.crossJoin(centDf)
         .select(col("id"),
@@ -86,6 +93,62 @@ object KMeans {
           cl -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("c")).toSeq
         }.sortBy(_._1)
     }
-    assigned.withColumnRenamed("id", idCol)
+    (assigned.withColumnRenamed("id", idCol), centsUsed)
+  }
+
+  /** [[fitWithCentroids]], assignment only. */
+  def fit(df: DataFrame, k: Int, iters: Int, idCol: String = "vec_id",
+          vecCol: String = "embedding"): DataFrame =
+    fitWithCentroids(df, k, iters, idCol, vecCol)._1
+
+  /** IVF ANN over TRAINED cells — the full composition: Lloyd training
+    * ([[fitWithCentroids]]) partitions the corpus into k cells, each
+    * query probes its `nprobe` nearest trained centroids (exact integer
+    * L2, ties to the lowest cell), and quantized-cosine top-k runs over
+    * the probed cells only. [[Similarity.ivfTopK]] is the same index
+    * shape with plan-time literal cells; this is what production
+    * deploys — data-adaptive cells follow the corpus density, so probe
+    * recall holds where hash cells would fragment clusters.
+    *
+    * Scale: training cost is [[fitWithCentroids]]; the probe join
+    * broadcasts queries×nprobe rows against the cell-keyed corpus (cell
+    * is an ingest partition column at 100 TB, so probing reads
+    * nprobe/k of the index, same as sim3). Everything stays
+    * integer-exact, so the whole path is engine-reproducible. */
+  def trainedIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 8,
+                     iters: Int = 3, nprobe: Int = 3, topK: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    import corpus.sparkSession.implicits._
+    import graft.functions.VectorExpressions.dotL
+    val (assigned, cents) = fitWithCentroids(corpus, k, iters, idCol, vecCol)
+    val corpusSide = corpus
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("qv"))
+      .join(assigned.select(col(idCol).as("corpus_id"),
+        col("cluster").as("cell")), "corpus_id")
+      .withColumn("nrm", dotL(col("qv"), col("qv")))
+    val centDf = broadcast(cents.toDF("cell", "cv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("pdist").asc, col("cell").asc)
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qqv"))
+      .crossJoin(centDf)
+      .select(col("query_id"), col("qqv"), col("cell"),
+        sqDistL(col("qqv"), col("cv")).as("pdist"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .withColumn("qnrm", dotL(col("qqv"), col("qqv")))
+      .select("query_id", "qqv", "qnrm", "cell"))
+    val scored = corpusSide.join(probes, "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (dotL(col("qqv"), col("qv")).cast("double") /
+          (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("query_id", "corpus_id", "cos_sim", "rk")
   }
 }

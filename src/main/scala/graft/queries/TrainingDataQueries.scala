@@ -364,6 +364,14 @@ object TrainingDataQueries {
         .select("vec_id", "cluster", "dist")
     },
 
+    // Trained-IVF ANN: Lloyd-trained cells (k=8), queries probe their 3
+    // nearest trained centroids, quantized-cosine top-10 over probed
+    // cells only — the data-adaptive composition of km1 + sim3.
+    "km2_trained_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      KMeans.trainedIvfTopK(emb, emb.filter(col("vec_id") < 5))
+    },
+
     // Okapi BM25 against a fixed probe-term set (df spread: rare "dup" to
     // ubiquitous "batch") — one narrow scan + one broadcast scalar aggregate.
     "ir1_bm25" -> { (s, dir) =>
@@ -587,17 +595,19 @@ object TrainingDataQueries {
     * exact: integer squared L2 (order-free sums), floored integer centroid
     * means (one correctly-rounded double division from exact inputs), ties
     * to the lowest cluster. Mirrors [[graft.operators.KMeans.fit]]. */
-  private def km1Sql: String = {
-    val k = 4
-    val iters = 3
-    def dist(a: String, b: String) =
-      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+  private def kmDistSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** Shared Lloyd-unroll CTE chain: `pts`, `cents_0`, then per round r an
+    * assignment `a_r` and updated centroids `cents_r`. Usable because
+    * every step is exact (see [[graft.operators.KMeans]]). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       s"""a_$r AS (
          |  SELECT id, cluster, dist FROM (
-         |    SELECT p.id, c.cluster, ${dist("p.qv", "c.cv")} AS dist,
+         |    SELECT p.id, c.cluster, ${kmDistSql("p.qv", "c.cv")} AS dist,
          |      ROW_NUMBER() OVER (PARTITION BY p.id
-         |        ORDER BY ${dist("p.qv", "c.cv")} ASC, c.cluster ASC) AS rn
+         |        ORDER BY ${kmDistSql("p.qv", "c.cv")} ASC, c.cluster ASC) AS rn
          |    FROM pts p CROSS JOIN cents_${r - 1} c) WHERE rn = 1),
          |cents_$r AS (
          |  SELECT cluster, list(c ORDER BY dim) AS cv FROM (
@@ -609,7 +619,7 @@ object TrainingDataQueries {
          |    GROUP BY a.cluster, d.i)
          |  GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pts AS (
+    s"""pts AS (
        |  SELECT vec_id AS id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
        |  FROM embeddings),
@@ -617,9 +627,45 @@ object TrainingDataQueries {
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster,
        |    qv AS cv
        |  FROM pts ORDER BY id LIMIT $k),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def km1Sql: String =
+    s"""WITH ${kmeansCtes(4, 3)}
        |SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster, dist
-       |FROM a_$iters""".stripMargin
+       |FROM a_3""".stripMargin
+
+  /** km2 oracle: the k=8 Lloyd unroll, then query routing against
+    * `cents_2` (the centroid set the FINAL assignment a_3 used — same
+    * contract as KMeans.fitWithCentroids) and quantized cosine over the
+    * probed cells, sim1's exact-integer formulation. */
+  private def km2Sql: String = {
+    val qnrm =
+      "CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT)"
+    s"""WITH ${kmeansCtes(8, 3)},
+       |qn AS (
+       |  SELECT id AS query_id, qv, $qnrm AS qnrm
+       |  FROM pts WHERE id < 5),
+       |probes AS (
+       |  SELECT query_id, qv, qnrm, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qnrm, c.cluster AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${kmDistSql("q.qv", "c.cv")} ASC, c.cluster ASC) AS rn
+       |    FROM qn q CROSS JOIN cents_2 c) WHERE rn <= 3),
+       |cn AS (
+       |  SELECT p.id AS corpus_id, p.qv, $qnrm AS nrm, a.cluster AS cell
+       |  FROM pts p JOIN a_3 a USING (id)),
+       |scored AS (
+       |  SELECT pr.query_id, c.corpus_id,
+       |    CAST(CAST(list_sum(list_transform(range(1, 65),
+       |      i -> pr.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE) /
+       |    (sqrt(CAST(pr.qnrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos_sim
+       |  FROM probes pr JOIN cn c ON pr.cell = c.cell
+       |  WHERE pr.query_id <> c.corpus_id)
+       |SELECT query_id, corpus_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, corpus_id ASC) AS rk FROM scored)
+       |WHERE rk <= 10""".stripMargin
   }
 
   /** sim10 oracle: exact squared-L2 top-10 — the identical fused-dot
@@ -1020,6 +1066,7 @@ object TrainingDataQueries {
     "sim9_ivfpq" -> sim9Sql,
     "sim10_pq_recall" -> sim10Sql,
     "km1_kmeans" -> km1Sql,
+    "km2_trained_ivf" -> km2Sql,
     // Same deterministic PII synthesis + the same ordered regex chain as
     // TextAnalysis.redactPii (emails, then IPs, then phones; 'g' flag —
     // Spark replaces all matches by default, DuckDB only the first).

@@ -197,6 +197,25 @@ class OperatorsSpec extends SparkSpec {
     assert(fit1 == fit2)
   }
 
+  test("trained IVF with full probing matches brute-force membership") {
+    import spark.implicits._
+    import graft.operators.{KMeans, Similarity}
+    // well-separated vectors (axis-aligned, distinct magnitudes) so the
+    // quantized and float cosine rankings agree unambiguously
+    def axis(i: Int, mag: Double) =
+      Array.tabulate(8)(j => if (j == i % 8) mag.toFloat else 0.05f * (i % 3))
+    val pts = (0L until 12L).map(i => (i, axis(i.toInt, 1.0 + 0.1 * i)))
+      .toDF("vec_id", "embedding")
+    val queries = pts.filter(col("vec_id") < 2)
+    val trained = KMeans.trainedIvfTopK(pts, queries, k = 2, iters = 2,
+      nprobe = 2, topK = 3) // nprobe = k: every cell probed, zero loss
+    val brute = Similarity.bruteForceTopK(pts, queries, k = 3)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("corpus_id")).toSet }
+    assert(sets(trained) == sets(brute) && sets(trained).nonEmpty)
+  }
+
   test("repetition stats separate a looped document from running text") {
     import spark.implicits._
     import graft.operators.TextAnalysis
