@@ -274,6 +274,25 @@ object RelationalQueries {
         max(col("l_quantity")).as("max_qty"))
     },
 
+    // D16 (beyond reference): quantile SKETCH — percentile_approx
+    // (GK summaries, mergeable across partitions: the 100 TB quantile
+    // path where exact percentile's full sort-per-group won't fly).
+    // Same oracle trick as d10: the exact median is hash-checked, the
+    // sketch is asserted inside a ±5%-rank band around it (sketch rank
+    // error at accuracy 1000 is 0.1% — 50x margin), so partition-merge
+    // nondeterminism of the summary can never flake the row.
+    "d16_approx_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+            .as("p50_sketch"),
+          percentile(col("l_quantity"), lit(0.45)).as("p45"),
+          percentile(col("l_quantity"), lit(0.55)).as("p55"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (col("p50_sketch") >= col("p45") &&
+            col("p50_sketch") <= col("p55")).as("sketch_in_bounds"))
+    },
+
     // D12 (beyond reference): GROUPING SETS — two independent subtotal
     // levels plus the grand total in one pass (the generalization of
     // rollup/cube; one shuffle, expand-node fan-out).
@@ -547,6 +566,11 @@ object RelationalQueries {
         |quantile_cont(l_quantity, 0.5) AS p50_qty,
         |quantile_cont(l_quantity, 0.25) AS p25_qty,
         |MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "d16_approx_percentile" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.5) AS p50_exact,
+        |TRUE AS sketch_in_bounds
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "d12_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
