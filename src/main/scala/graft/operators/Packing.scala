@@ -43,4 +43,27 @@ object Packing {
       .withColumn("seq_idx", floor(col("token_offset") / seqLen))
       .withColumn("seq_offset", col("token_offset") % seqLen)
   }
+
+  /** Strided sliding-window chunking WITHIN a document: chunk i covers
+    * tokens [i·stride, i·stride + size), the `size − stride` token
+    * overlap carrying context across boundaries (the standard long-doc
+    * treatment for pretraining and retrieval indexing, vs
+    * [[packSequences]]'s cross-document concat-and-chunk). Emits the
+    * chunk PLAN (doc_id, chunk_idx, tok_start, tok_end); pure per-row
+    * explode over an integer sequence — narrow, no shuffle, and the
+    * chunk count derives from the token count, so the plan is exact on
+    * both engines. Every document emits at least one chunk (an empty
+    * doc yields [0, 0) — dropping it silently would desync per-doc
+    * bookkeeping downstream). */
+  def overlapChunks(df: DataFrame, tokensCol: Column, size: Int,
+                    stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val lastIdx = greatest(
+      floor((tokensCol.cast("double") - 1.0) / stride).cast("long"), lit(0L))
+    df.withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_end",
+        least(col("tok_start") + size, tokensCol.cast("bigint")))
+  }
 }

@@ -176,6 +176,37 @@ object TextAnalysis {
         .as("dup_bigram_frac"))
   }
 
+  /** Composed corpus quality GATE (the C4/Gopher-style rule stack): one
+    * keep/drop verdict per document plus machine-readable reason codes —
+    * auditable filtering, not silent deletion (at corpus scale you tune
+    * the stack by aggregating `fail_reasons`, so the reasons ARE the
+    * product). Rules: minimum running-text length, stopword presence,
+    * punctuation density, bigram repetition ([[repetitionStats]]),
+    * identifiable language ([[langId]]). Counts materialize once in a
+    * lower projection (the once-only rule); everything is narrow per-row
+    * codegen — streams at scan speed. */
+  def qualityGate(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val lower = df.select(col(idCol),
+      tokenCount(t).as("__nt"), stopwordCount(t).as("__nsw"),
+      punctCount(t).as("__np"), length(t).as("__len"),
+      Dedup.shinglesExpr(t, 2).as("__bigrams"), langId(t).as("__lang"))
+    val dup = lit(1.0) - size(array_distinct(col("__bigrams"))).cast("double") /
+      greatest(size(col("__bigrams")), lit(1)).cast("double")
+    val rules: Seq[(Column, String)] = Seq(
+      (col("__nt") < 50, "too_short"),
+      (stopwordRatioFrom(col("__nt"), col("__nsw")) < 0.05, "low_stopword"),
+      (punctRatioFrom(col("__np"), col("__len")) > 0.3, "high_punct"),
+      (dup > 0.3, "repetitive"),
+      (col("__lang") === "und", "unknown_lang"))
+    lower.select(col(idCol),
+      (!rules.map(_._1).reduce(_ || _)).as("keep"),
+      concat_ws(",",
+        rules.map { case (c, tag) => when(c, lit(tag)) }: _*)
+        .as("fail_reasons"))
+  }
+
   /** Full per-document text-stats projection: counts materialize in one
     * projection (each regex pass runs once), ratios/scores derive from the
     * count columns in a second. */

@@ -151,6 +151,13 @@ object TrainingDataQueries {
         col("doc_id"), trainPermille = 800, valPermille = 100)
     },
 
+    // The composed quality GATE: C4/Gopher rule stack — length, stopword
+    // presence, punctuation density, repetition, language — as one
+    // keep/drop verdict with auditable reason codes.
+    "tx9_quality_gate" -> { (s, dir) =>
+      TextAnalysis.qualityGate(docsSpread(s, dir))
+    },
+
     // Repetition / lexical-diversity filter signals (Gopher-style):
     // type-token ratio + duplicate-bigram fraction per document.
     "tx8_repetition" -> { (s, dir) =>
@@ -392,6 +399,32 @@ object TrainingDataQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Packing.packSequences(withTokens, streamCol = col("lang"),
         orderCol = col("doc_id"), tokensCol = col("n_tokens"), seqLen = 512)
+    },
+
+    // Strided sliding-window chunk plan: 256-token chunks, stride 192
+    // (64-token overlap) within each document — the long-document
+    // treatment for retrieval indexing / pretraining context windows.
+    "pk2_overlap_chunks" -> { (s, dir) =>
+      val withTokens = docsSpread(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.overlapChunks(withTokens, tokensCol = col("n_tokens"),
+        size = 256, stride = 192)
+    },
+
+    // Apply the dedup verdict: materialize the kept corpus — cluster
+    // representatives (lowest id) plus documents with no near-dup at
+    // all. One left join of the corpus against the (duplicates-sized)
+    // cluster map; the curation step dd2/dd4 exist to feed.
+    "dd6_dedup_apply" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashDedup(docs, threshold = 0.5).select("id_a", "id_b"))
+      docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull ||
+          col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"),
+          coalesce(col("cluster_id") === col("doc_id"), lit(false))
+            .as("is_representative"))
     },
   )
 
@@ -841,6 +874,42 @@ object TrainingDataQueries {
          |     WHEN ${bucketSql("split", "doc_id")} < 900 THEN 'val'
          |     ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "tx9_quality_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+         |    len(regexp_extract_all(lower(text), '$stopPat')) AS nsw,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np,
+         |    length(text) AS tlen,
+         |    string_split($normSql, ' ') AS toks,
+         |    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|it|was)\\b')) AS s_en,
+         |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS s_de,
+         |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|pour)\\b')) AS s_fr,
+         |    len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una|que|por)\\b')) AS s_es
+         |  FROM documents),
+         |b AS (
+         |  SELECT *, CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 1),
+         |      i -> array_to_string(toks[i+1:i+2], ' ')) END AS bigrams
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id,
+         |    nt < 50 AS r1,
+         |    CAST(nsw AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE) < 0.05e0 AS r2,
+         |    CAST(np AS DOUBLE) / CAST(GREATEST(tlen, 1) AS DOUBLE) > 0.3e0 AS r3,
+         |    1.0e0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) /
+         |      CAST(GREATEST(len(bigrams), 1) AS DOUBLE) > 0.3e0 AS r4,
+         |    COALESCE(greatest(s_en, s_de, s_fr, s_es), 0) = 0 AS r5
+         |  FROM b)
+         |SELECT doc_id, NOT (r1 OR r2 OR r3 OR r4 OR r5) AS keep,
+         |  concat_ws(',',
+         |    CASE WHEN r1 THEN 'too_short' END,
+         |    CASE WHEN r2 THEN 'low_stopword' END,
+         |    CASE WHEN r3 THEN 'high_punct' END,
+         |    CASE WHEN r4 THEN 'repetitive' END,
+         |    CASE WHEN r5 THEN 'unknown_lang' END) AS fail_reasons
+         |FROM r""".stripMargin,
     "tx8_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
@@ -916,6 +985,35 @@ object TrainingDataQueries {
         |  CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS seq_idx,
         |  token_offset % 512 AS seq_offset
         |FROM p""".stripMargin,
+    "pk2_overlap_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(range(0, GREATEST(CAST(FLOOR((n_tokens - 1) / 192.0)
+        |      AS BIGINT), 0) + 1)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, n_tokens, chunk_idx,
+        |  chunk_idx * 192 AS tok_start,
+        |  LEAST(chunk_idx * 192 + 256, n_tokens) AS tok_end
+        |FROM c""".stripMargin,
+    "dd6_dedup_apply" ->
+      s"""WITH RECURSIVE $dd2Ctes,
+         |edges AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+         |und AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION SELECT id_b, id_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |       FROM reach GROUP BY a)
+         |SELECT d.doc_id, (cl.doc_id IS NOT NULL) AS is_representative
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id""".stripMargin,
     "tx1_token_stats" ->
       s"""SELECT doc_id,
          |CASE WHEN length(trim(text)) = 0 THEN 0

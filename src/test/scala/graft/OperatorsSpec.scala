@@ -299,6 +299,23 @@ class OperatorsSpec extends SparkSpec {
     assert(packed(11L) == (600L, 1L, 88L))
   }
 
+  test("overlap chunking: stride coverage, tail clamp, empty-doc chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, 500L), (2L, 0L), (3L, 1L), (4L, 256L))
+      .toDF("doc_id", "n_tokens")
+    val chunks = Packing.overlapChunks(docs, col("n_tokens"),
+        size = 256, stride = 192)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(r =>
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"))).sorted.toSeq }
+    // 500 tokens: three strided windows, tail clamped to the doc end
+    assert(chunks(1L) == Seq((0L, 256L), (192L, 448L), (384L, 500L)))
+    assert(chunks(2L) == Seq((0L, 0L)))   // empty doc keeps its one chunk
+    assert(chunks(3L) == Seq((0L, 1L)))
+    // every start < n_tokens: window at 192 still emitted for n=256
+    assert(chunks(4L) == Seq((0L, 256L), (192L, 256L)))
+  }
+
   test("corpus mix: per-source rates, provenance, repartition-stable") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
