@@ -30,6 +30,40 @@ object Skew {
         sum(col("__sum")).as(s"sum_$valueCol"))
   }
 
+  /** Exact hot-key detection: one map-side-combined count pass over the
+    * large side; only keys whose row count exceeds `avgMultiple` × the
+    * mean per-key count come back to the driver. The driver holds the
+    * heavy TAIL (a handful of keys), never the key domain — same
+    * plan-time-metadata footprint as [[BloomJoin]]'s sketch literal.
+    * The per-key count table is persisted so the mean pass and the
+    * threshold filter share one aggregation of the input. */
+  def hotKeys(df: DataFrame, key: String,
+              avgMultiple: Double = 4.0): Seq[Any] = {
+    require(avgMultiple > 1.0, "avgMultiple must exceed 1 (the mean)")
+    val counts = df.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n")).persist()
+    try {
+      val mean = counts.agg(avg(col("__n"))).head().getDouble(0)
+      counts.filter(col("__n") >= mean * avgMultiple)
+        .select(col(key)).collect().map(_.get(0)).toSeq
+    } finally { counts.unpersist(); () }
+  }
+
+  /** [[saltedJoin]] with the skewed key set DETECTED rather than given:
+    * counts the large side's keys, salts only the heavy tail. With no
+    * detected skew this degrades to the plain equi-join (zero overhead
+    * beyond the count pass). Inner-join semantics are preserved exactly,
+    * including nulls: a null key never matches an equi-join, and the
+    * null-valued `isin` gate drops null-keyed rows from both the skew
+    * and residual paths — the same rows the plain join drops. */
+  def saltedJoinAuto(large: DataFrame, small: DataFrame, key: String,
+                     avgMultiple: Double = 4.0,
+                     saltFactor: Int = 8): DataFrame = {
+    val hot = hotKeys(large, key, avgMultiple)
+    if (hot.isEmpty) large.join(small, Seq(key))
+    else saltedJoin(large, small, key, hot, saltFactor)
+  }
+
   /** Salted join for a known-skewed key set: replicate the small side
     * `saltFactor` times (explode), salt the large side deterministically,
     * and join on (key, salt). Keys outside `skewedKeys` take the normal

@@ -426,6 +426,26 @@ object RelationalQueries {
         maxDistance = 5, ngram = 4, maxGramDf = 50)
     },
 
+    // J5 (beyond reference): salted skew join with AUTO-detected hot
+    // keys — one count pass finds the heavy tail of the large side's key
+    // distribution; only those keys are salted (small side replicated
+    // saltFactor ways), the rest take the normal path. The oracle is the
+    // PLAIN join aggregate: salting is proven semantically transparent,
+    // like d13 for aggregation. avgMultiple=1.02 so the near-uniform
+    // TPC-H key distribution still exercises the skew path.
+    "j5_salted_skew_join" -> { (s, dir) =>
+      import graft.operators.Skew
+      val li = Tables.spread(Tables.lineitem(s, dir))
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoinAuto(li, sup, "l_suppkey",
+          avgMultiple = 1.02, saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_lines"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+    },
+
     // Z1 (beyond reference): Morton/Z-order clustering value — the
     // multi-dimension layout key behind ZORDER BY-style file clustering.
     // Oracled bit-for-bit via generated interleave SQL.
@@ -628,6 +648,11 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 400000.0
          |GROUP BY o_orderkey""".stripMargin,
+    "j5_salted_skew_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_lines,
+         |${Det.sqlMoneySum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey""".stripMargin,
     "j4_fuzzy_join" ->
       """WITH ln AS (SELECT c_custkey AS lid, c_name AS lstr FROM customer),
         |rn AS (SELECT s_suppkey AS rid, s_name AS rstr FROM supplier),

@@ -36,4 +36,32 @@ class SkewSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
     assert(salted == plain && salted.nonEmpty)
   }
+
+  test("auto-salted join detects the hot key and matches the plain join") {
+    import spark.implicits._
+    val large = ((1 to 500).map(i => (Option("hot"), i)) ++
+      (1 to 50).map(i => (Option(s"k$i"), i)) :+
+      (Option.empty[String], 999)).toDF("k", "v")
+    val small = (Seq("hot") ++ (1 to 50).map(i => s"k$i"))
+      .zipWithIndex.toDF("k", "attr")
+
+    val detected = Skew.hotKeys(large, "k", avgMultiple = 4.0)
+    assert(detected == Seq("hot")) // null key never detected
+
+    val auto = Skew.saltedJoinAuto(large, small, "k")
+      .select("k", "v", "attr").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val plain = large.join(small, Seq("k"))
+      .select("k", "v", "attr").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(auto == plain && auto.size == 550)
+  }
+
+  test("auto-salted join with no detected skew degrades to the plain join") {
+    import spark.implicits._
+    val large = (1 to 100).map(i => (s"k${i % 10}", i)).toDF("k", "v")
+    val small = (0 until 10).map(i => (s"k$i", i)).toDF("k", "attr")
+    assert(Skew.hotKeys(large, "k", avgMultiple = 4.0).isEmpty)
+    assert(Skew.saltedJoinAuto(large, small, "k").count() == 100)
+  }
 }
