@@ -426,6 +426,19 @@ object RelationalQueries {
         maxDistance = 5, ngram = 4, maxGramDf = 50)
     },
 
+    // D17 (beyond reference): robust outlier profile — per-group median,
+    // MAD, and |x − med| > 3·MAD count, the heavy-tail-safe quality gate.
+    // Prices quantize to integer cents first: interpolated medians of
+    // integers are exact doubles, so both engines agree bit-for-bit
+    // (graft-oracle-tricks quantization rule).
+    "d17_robust_outliers" -> { (s, dir) =>
+      import graft.operators.Outliers
+      val li = Tables.spread(Tables.lineitem(s, dir))
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      Outliers.robustStats(li, "grp", "cents", k = 3.0)
+    },
+
     // J5 (beyond reference): salted skew join with AUTO-detected hot
     // keys — one count pass finds the heavy tail of the large side's key
     // distribution; only those keys are salted (small side replicated
@@ -648,6 +661,20 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 400000.0
          |GROUP BY o_orderkey""".stripMargin,
+    "d17_robust_outliers" ->
+      """WITH q AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |m AS (SELECT grp, quantile_cont(cents, 0.5e0) AS med
+        |      FROM q GROUP BY grp),
+        |d AS (SELECT q.grp, quantile_cont(abs(q.cents - m.med), 0.5e0) AS mad
+        |      FROM q JOIN m ON q.grp = m.grp GROUP BY q.grp)
+        |SELECT q.grp, m.med, d.mad, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN abs(q.cents - m.med) > 3.0e0 * d.mad THEN 1 END)
+        |    AS n_outliers
+        |FROM q JOIN m ON q.grp = m.grp JOIN d ON q.grp = d.grp
+        |GROUP BY q.grp, m.med, d.mad""".stripMargin,
     "j5_salted_skew_join" ->
       s"""SELECT s_nationkey, COUNT(*) AS n_lines,
          |${Det.sqlMoneySum("l_extendedprice")} AS revenue

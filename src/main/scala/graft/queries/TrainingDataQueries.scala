@@ -126,6 +126,18 @@ object TrainingDataQueries {
         .orderBy(col("n").desc, col("token").asc).limit(50)
     },
 
+    // Count-Min heavy hitters over the token stream: exact top-20 counts
+    // with the mergeable-sketch estimate audited in-bounds per winner
+    // (d10/d16's estimate-vs-exact trick, now for frequencies).
+    "tx10_heavy_hitters" -> { (s, dir) =>
+      import graft.operators.Sketches
+      val toks = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+      Sketches.heavyHitters(toks, "token", k = 20, eps = 1e-4)
+    },
+
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
     // membership is per-record and engine-reproducible, unlike
     // sample(seed) which keys on row order.
@@ -941,6 +953,11 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "tx10_heavy_hitters" ->
+      s"""SELECT token, COUNT(*) AS n_exact, TRUE AS est_in_bounds FROM (
+         |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
+         |WHERE length(token) > 0
+         |GROUP BY token ORDER BY n_exact DESC, token ASC LIMIT 20""".stripMargin,
     "cx1_contamination" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
