@@ -52,6 +52,23 @@ object EventQueries {
           sum(col("is_new_session")).over(running).as("session_seq"))
     },
 
+    // The NATIVE session-window operator (same `session_window` the
+    // streaming sessionizer uses — graft.streaming.EventStreams), run in
+    // batch and oracled: Spark merges per-event [ts, ts+gap) windows, so
+    // a new session starts iff the silence is >= gap; window end = last
+    // event + gap. One shuffle on the session-window key; state merges
+    // map-side. Emitted in epoch-µs longs for engine-exact comparison.
+    "ev6_session_window" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("__ts", timestamp_micros(tsUs))
+      ev.groupBy(col("user_id"), session_window(col("__ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+    },
+
     // As-of join (backward): each event picks up the user's most recent
     // order at or before the event time — the point-in-time join Spark
     // lacks natively, composed in graft.operators.AsOfJoin.
@@ -141,6 +158,23 @@ object EventQueries {
         |  CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM flagged""".stripMargin,
+    "ev6_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN LAG(ts_us) OVER w IS NULL
+        |      OR ts_us - LAG(ts_us) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) + 1800000000 AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "ev4_asof_last_order" ->
       """WITH rd AS (
         |  SELECT user_id, order_us, o_orderkey, o_totalprice FROM (
