@@ -50,4 +50,26 @@ object Sketches {
       }.toDF(itemCol, "n_exact", "est_in_bounds")
     } finally { cached.unpersist(); () }
   }
+
+  /** HLL sketch ALGEBRA audit: per-group Datasketches HLL sketches
+    * (`hll_sketch_agg` — max-register updates, so order- and
+    * partitioning-free) unioned into the global distinct estimate
+    * (`hll_union_agg`), bounded against the exact global countDistinct.
+    *
+    * The point is the union step: at warehouse scale you materialize the
+    * per-partition/per-day sketch TABLE once and answer any group-combo
+    * distinct question by unioning sketches — no re-scan, no re-shuffle
+    * of raw data. The audit proves the algebra's error contract on this
+    * engine rather than assuming it. */
+  def hllUnionAudit(df: DataFrame, groupCol: String, valueCol: String,
+                    relErr: Double = 0.05): DataFrame = {
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol)).as("__sk"))
+    val unioned = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+    val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
+    exact.crossJoin(unioned).select(col("n_exact"),
+      (abs(col("__est") - col("n_exact")) <=
+        col("n_exact").cast("double") * relErr).as("union_in_bounds"))
+  }
 }

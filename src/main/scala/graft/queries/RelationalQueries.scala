@@ -439,6 +439,18 @@ object RelationalQueries {
       Outliers.robustStats(li, "grp", "cents", k = 3.0)
     },
 
+    // D18 (beyond reference): HLL sketch ALGEBRA — per-group sketches
+    // unioned into the global distinct estimate, audited against the
+    // exact answer. The reusable-sketch-table pattern: union answers
+    // any group-combination distinct question without re-scanning data.
+    "d18_hll_union" -> { (s, dir) =>
+      import graft.operators.Sketches
+      Sketches.hllUnionAudit(
+        Tables.spread(Tables.lineitem(s, dir))
+          .select("l_returnflag", "l_partkey"),
+        "l_returnflag", "l_partkey")
+    },
+
     // J5 (beyond reference): salted skew join with AUTO-detected hot
     // keys — one count pass finds the heavy tail of the large side's key
     // distribution; only those keys are salted (small side replicated
@@ -661,6 +673,9 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 400000.0
          |GROUP BY o_orderkey""".stripMargin,
+    "d18_hll_union" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_exact,
+        |TRUE AS union_in_bounds FROM lineitem""".stripMargin,
     "d17_robust_outliers" ->
       """WITH q AS (
         |  SELECT l_returnflag AS grp,

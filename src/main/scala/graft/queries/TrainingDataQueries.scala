@@ -138,6 +138,23 @@ object TrainingDataQueries {
       Sketches.heavyHitters(toks, "token", k = 20, eps = 1e-4)
     },
 
+    // Vocabulary / label INDEXING: dense contiguous token ids in global
+    // frequency order — the categorical-encode every feature pipeline
+    // needs — without the single-partition window funnel: ids come from
+    // GlobalRank's two-pass range layout over the distinct vocabulary.
+    "fe1_dict_encode" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val vocab = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("__negn", -col("n"))
+      GlobalRank.withGlobalRowNumber(vocab,
+          Seq(col("__negn"), col("token")), out = "token_id")
+        .select(col("token"), col("n"), col("token_id"))
+    },
+
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
     // membership is per-record and engine-reproducible, unlike
     // sample(seed) which keys on row order.
@@ -953,6 +970,14 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "fe1_dict_encode" ->
+      s"""SELECT token, n,
+         |  ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS token_id
+         |FROM (
+         |  SELECT token, COUNT(*) AS n FROM (
+         |    SELECT unnest(string_split($normSql, ' ')) AS token
+         |    FROM documents)
+         |  WHERE length(token) > 0 GROUP BY token)""".stripMargin,
     "tx10_heavy_hitters" ->
       s"""SELECT token, COUNT(*) AS n_exact, TRUE AS est_in_bounds FROM (
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)

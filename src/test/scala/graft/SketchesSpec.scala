@@ -21,6 +21,17 @@ class SketchesSpec extends SparkSpec {
     assert(out.forall(_._3), "every estimate within the CMS contract")
   }
 
+  test("hll union audit: grouped sketches union to the exact distinct") {
+    import spark.implicits._
+    // values overlap across groups: union must dedupe, not add
+    val df = (1 to 300).map(i => (s"g${i % 3}", (i % 120).toLong))
+      .toDF("grp", "v").repartition(8)
+    val out = Sketches.hllUnionAudit(df, "grp", "v")
+      .as[(Long, Boolean)].head()
+    assert(out._1 == 120L && out._2,
+      "union estimate within bounds of the 120 distinct values")
+  }
+
   test("heavy hitters: k-boundary ties break on item order") {
     import spark.implicits._
     val df = Seq("b", "b", "a", "a", "c", "c", "z").toDF("token")
