@@ -155,6 +155,54 @@ object TrainingDataQueries {
         .select(col("token"), col("n"), col("token_id"))
     },
 
+    // OOV rate after vocabulary truncation: per-document fraction of
+    // tokens outside the top-50 vocabulary — the tokenizer-design metric
+    // behind vocab-size choices. The (tiny) truncated vocabulary
+    // broadcasts; the corpus is scanned once.
+    "fe2_oov_rate" -> { (s, dir) =>
+      val toks = docsSpread(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(50)
+        .select(col("token"), lit(1).as("__iv"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__iv").isNull, lit(1))).as("n_oov"))
+        .withColumn("oov_frac",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+    },
+
+    // Cross-SOURCE shingle overlap: exact pairwise Jaccard between the
+    // distinct 3-shingle sets of each source — the provenance-level
+    // contamination/redundancy report (which feeds deduplicate-before-mix
+    // decisions). Shuffle ∝ distinct (source, shingle) rows; the pair
+    // join keys on the shingle, never a document cross product.
+    "dd7_source_overlap" -> { (s, dir) =>
+      val sh = docsSpread(s, dir)
+        .select(col("source"),
+          explode(Dedup.shinglesExpr(col("text"), 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("sz").as("__sza"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("sz").as("__szb"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_inter"),
+          (col("n_inter").cast("double") /
+            (col("__sza") + col("__szb") - col("n_inter")).cast("double"))
+            .as("jaccard"))
+    },
+
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
     // membership is per-record and engine-reproducible, unlike
     // sample(seed) which keys on row order.
@@ -970,6 +1018,45 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "fe2_oov_rate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |    FROM documents)
+         |  WHERE length(token) > 0),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS n FROM t GROUP BY token
+         |    ORDER BY n DESC, token ASC LIMIT 50)),
+         |j AS (SELECT t.doc_id, v.token AS iv
+         |      FROM t LEFT JOIN vocab v ON t.token = v.token)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  COUNT(CASE WHEN iv IS NULL THEN 1 END) AS n_oov,
+         |  CAST(COUNT(CASE WHEN iv IS NULL THEN 1 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS oov_frac
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "dd7_source_overlap" ->
+      s"""WITH docs AS (
+         |  SELECT source, string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT source,
+         |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 2),
+         |      i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
+         |  FROM docs),
+         |ss AS (SELECT DISTINCT source, unnest(shingles) AS g FROM sh),
+         |sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS n_inter
+         |  FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT p.source_a, p.source_b, p.n_inter,
+         |  CAST(p.n_inter AS DOUBLE) /
+         |    CAST(za.n + zb.n - p.n_inter AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN sz za ON p.source_a = za.source
+         |JOIN sz zb ON p.source_b = zb.source""".stripMargin,
     "fe1_dict_encode" ->
       s"""SELECT token, n,
          |  ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS token_id
