@@ -190,6 +190,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup-on-ingest: probe an INCOMING batch's LSH buckets
+    * against the EXISTING corpus's bucket index — the per-batch
+    * production shape. The index side is built once per corpus
+    * generation (and in practice persisted / bucketed on the bucket
+    * key); each arriving batch pays only its own signatures plus one
+    * bucket equi-join against the index — never a corpus self-join, so
+    * batch cost is O(batch + matched buckets) regardless of corpus size.
+    * Ids must be disjoint across the two sides. Emits
+    * (id_a = existing, id_b = incoming, jaccard) pairs at or above the
+    * threshold. */
+  def minhashDedupIncremental(existing: DataFrame, incoming: DataFrame,
+                              threshold: Double = 0.8,
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              numHashes: Int = 16, bands: Int = 4,
+                              shingleN: Int = 3): DataFrame = {
+    val idx = bandedBuckets(
+      minhashSignatures(existing, textCol, idCol, numHashes, shingleN),
+      numHashes, bands)
+    val probe = bandedBuckets(
+      minhashSignatures(incoming, textCol, idCol, numHashes, shingleN),
+      numHashes, bands)
+    val cands = idx.as("l").join(probe.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    jaccardOnCandidates(existing.unionByName(incoming), cands,
+        textCol, idCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 60-bit SimHash signatures as a narrow per-document projection: hash
     * each shingle once (duplicates kept — they weight the vote), then the
     * per-bit majority in one fused pass ([[graft.functions

@@ -268,6 +268,17 @@ object TrainingDataQueries {
       Dedup.minhashDedup(docsSpread(s, dir), threshold = 0.5)
     },
 
+    // Incremental dedup-on-ingest: the incoming tenth of the corpus
+    // (doc_id % 10 == 0) LSH-probes the existing corpus's bucket index —
+    // one bucket equi-join per batch, never a corpus self-join.
+    "dd8_incremental_dedup" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      Dedup.minhashDedupIncremental(
+        existing = docs.filter(col("doc_id") % 10 =!= 0),
+        incoming = docs.filter(col("doc_id") % 10 === 0),
+        threshold = 0.5)
+    },
+
     // SimHash near-dup candidates — full DuckDB oracle: the 60 per-bit
     // majority sums are program-generated SQL, same md5 hash family.
     "dd3_simhash_pairs" -> { (s, dir) =>
@@ -488,6 +499,20 @@ object TrainingDataQueries {
         size = 256, stride = 192)
     },
 
+    // Packing efficiency report: per-stream padding waste of pad-per-doc
+    // vs concat-and-chunk at seqLen=512 — the numbers that justify pk1.
+    // Pure integer arithmetic end to end.
+    "pk3_padding_waste" -> { (s, dir) =>
+      val t = docsSpread(s, dir).select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      t.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(expr("(n + 511) div 512") * 512L - col("n")).as("pad_naive"))
+        .withColumn("pad_packed",
+          expr("(total_tokens + 511) div 512") * 512L - col("total_tokens"))
+    },
+
     // Apply the dedup verdict: materialize the kept corpus — cluster
     // representatives (lowest id) plus documents with no near-dup at
     // all. One left join of the corpus against the (duplicates-sized)
@@ -542,7 +567,11 @@ object TrainingDataQueries {
   /** The MinHash-LSH pipeline as a DuckDB CTE chain ending in `scored`
     * (id_a, id_b, jaccard) — shared by the dd2 pair oracle and the dd4
     * cluster oracle, which appends a recursive transitive closure. */
-  private def dd2Ctes: String =
+  private def dd2Ctes: String = lshCtes("l.id < r.id")
+
+  /** Same chain with a custom candidate-pair predicate (dd8 swaps the
+    * self-join's `l.id < r.id` for the existing-vs-incoming split). */
+  private def lshCtes(candPred: String): String =
     s"""docs AS (
        |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
        |sh AS (
@@ -564,7 +593,7 @@ object TrainingDataQueries {
        |cands AS (
        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
        |  FROM banded l JOIN banded r
-       |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+       |    ON l.band = r.band AND l.bucket = r.bucket AND $candPred),
        |h60 AS (
        |  SELECT id, list_distinct(list_transform(ds,
        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs60
@@ -1129,6 +1158,20 @@ object TrainingDataQueries {
         |  chunk_idx * 192 AS tok_start,
         |  LEAST(chunk_idx * 192 + 256, n_tokens) AS tok_end
         |FROM c""".stripMargin,
+    "pk3_padding_waste" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(((n + 511) // 512) * 512 - n) AS BIGINT) AS pad_naive
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n_docs, total_tokens, pad_naive,
+        |  ((total_tokens + 511) // 512) * 512 - total_tokens AS pad_packed
+        |FROM g""".stripMargin,
     "dd6_dedup_apply" ->
       s"""WITH RECURSIVE $dd2Ctes,
          |edges AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
@@ -1189,6 +1232,9 @@ object TrainingDataQueries {
          |FROM documents GROUP BY 1""".stripMargin,
     "dd2_minhash_pairs" ->
       s"""WITH $dd2Ctes
+         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "dd8_incremental_dedup" ->
+      s"""WITH ${lshCtes("l.id % 10 <> 0 AND r.id % 10 = 0")}
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
     "dd5_repeated_spans" ->
       s"""WITH docs AS (

@@ -50,6 +50,27 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.3)
   }
 
+  test("incremental dedup: incoming batch probes the existing index only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val existing = Seq(
+      (1L, base),
+      (2L, base), // duplicate WITHIN existing: must NOT be re-reported
+      (3L, "completely unrelated content about spark aggregation plans " * 5))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base.replace("lazy", "sleepy")),
+      (11L, "fresh never seen before text with zero overlap anywhere " * 5))
+      .toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashDedupIncremental(existing, incoming, threshold = 0.3)
+      .collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // only existing->incoming edges; the (1,2) intra-existing pair and
+    // the novel doc 11 stay out
+    assert(pairs == Set((1L, 10L), (2L, 10L)))
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta " * 4

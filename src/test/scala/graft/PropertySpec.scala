@@ -145,3 +145,49 @@ object KernelProps extends Properties("Kernels") {
       }
     }
 }
+
+/** Invariants of the strided sliding-window chunk plan: chunks tile
+  * [0, n) exactly with stride-spaced starts, clamp at the document end,
+  * and every document (even empty) emits at least one chunk. */
+object ChunkProps extends Properties("Packing.overlapChunks") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+
+  private val cases: Gen[(List[Long], Int, Int)] = for {
+    nDocs <- Gen.choose(1, 6)
+    lens <- Gen.listOfN(nDocs, Gen.choose(0L, 900L))
+    stride <- Gen.choose(1, 300)
+    extra <- Gen.choose(0, 200)
+  } yield (lens, stride + extra, stride)
+
+  property("chunks cover [0, n) with stride starts and clamped ends") =
+    Prop.forAll(cases) { case (lens, chunkSize, stride) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n_tokens")
+      val got = graft.operators.Packing
+        .overlapChunks(docs, col("n_tokens"), chunkSize, stride)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+        .groupBy(_._1)
+      lens.zipWithIndex.forall { case (n, i) =>
+        val chunks = got(i.toLong).sortBy(_._2).toList
+        val idxOk = chunks.map(_._2).toSeq == chunks.indices.map(_.toLong)
+        val startOk = chunks.forall(c => c._3 == c._2 * stride)
+        val endOk = chunks.forall(c => c._4 == math.min(c._3 + chunkSize, n))
+        // every token position lands in >=1 chunk; one chunk even if n=0
+        val coverOk = if (n == 0) chunks.map(c => (c._3, c._4)).toSeq == Seq((0L, 0L))
+          else chunks.last._4 == n && chunks.head._3 == 0 &&
+            chunks.sliding(2).forall {
+              case List(a, b) => b._3 == a._3 + stride && b._3 <= a._4
+              case _ => true
+            } && chunks.dropRight(1).forall(_._3 < n)
+        idxOk && startOk && endOk && coverOk
+      }
+    }
+}
