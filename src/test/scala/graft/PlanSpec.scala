@@ -239,6 +239,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("salted skew join: both paths broadcast the dim, no sort-merge") {
+    val p = plan(SparkEntry.queries("j5_salted_skew_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("vocabulary indexing avoids the single-partition window") {
+    val p = plan(SparkEntry.queries("fe1_dict_encode")(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
+  test("OOV rate broadcasts the truncated vocabulary") {
+    val p = plan(SparkEntry.queries("fe2_oov_rate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("corpus mix and z-order value plans are narrow (no exchange)") {
     val mix = plan(SparkEntry.queries("mix1_corpus_mix")(spark, sf))
     assert(!mix.contains("Exchange"), mix.take(2000))
