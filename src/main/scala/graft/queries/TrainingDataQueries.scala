@@ -203,6 +203,39 @@ object TrainingDataQueries {
             .as("jaccard"))
     },
 
+    // PMI co-occurrence pairs over the broadcast top-50 vocabulary:
+    // document-level word association mining. The pair space is bounded
+    // by (vocab tokens per doc)² — never corpus²; ln quantizes to
+    // integer micro-nats (lm1's trick) so both engines agree exactly.
+    "fe3_pmi_pairs" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val toks = docs.select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(50).select("token")
+      val dt = toks.join(broadcast(vocab), Seq("token"))
+        .select("doc_id", "token").distinct()
+      val nTok = dt.groupBy("token").agg(count(lit(1)).as("nd"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      dt.as("a").join(dt.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+          col("a.token") < col("b.token"))
+        .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+        .join(broadcast(nTok.select(col("token").as("token_a"),
+          col("nd").as("__na"))), Seq("token_a"))
+        .join(broadcast(nTok.select(col("token").as("token_b"),
+          col("nd").as("__nb"))), Seq("token_b"))
+        .crossJoin(broadcast(total))
+        .select(col("token_a"), col("token_b"), col("n_ab"),
+          floor(log(col("n_ab").cast("double") * col("n_docs").cast("double")
+              / (col("__na").cast("double") * col("__nb").cast("double")))
+            * lit(1e6)).cast("bigint").as("pmi_micro_nats"))
+    },
+
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
     // membership is per-record and engine-reproducible, unlike
     // sample(seed) which keys on row order.
@@ -1047,6 +1080,30 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "fe3_pmi_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS n FROM tf GROUP BY token
+         |    ORDER BY n DESC, token ASC LIMIT 50)),
+         |dt AS (SELECT DISTINCT doc_id, token FROM tf JOIN vocab USING (token)),
+         |na AS (SELECT token, COUNT(*) AS nd FROM dt GROUP BY token),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_ab
+         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY a.token, b.token HAVING COUNT(*) >= 5)
+         |SELECT token_a, token_b, n_ab,
+         |  CAST(FLOOR(ln(CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+         |    (CAST(za.nd AS DOUBLE) * CAST(zb.nd AS DOUBLE))) * 1e6)
+         |    AS BIGINT) AS pmi_micro_nats
+         |FROM pairs
+         |JOIN na za ON token_a = za.token
+         |JOIN na zb ON token_b = zb.token
+         |CROSS JOIN tot""".stripMargin,
     "fe2_oov_rate" ->
       s"""WITH t AS (
          |  SELECT doc_id, token FROM (
