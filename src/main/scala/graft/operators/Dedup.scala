@@ -190,6 +190,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The persistable LSH bucket INDEX of a corpus: one (id, band,
+    * bucket) row per document×band. This is the index side of
+    * [[minhashDedupIncremental]] and of the streaming probe
+    * ([[graft.streaming.StreamingDedup]]); in production write it
+    * bucketed on (band, bucket) so every later probe join is
+    * exchange-free on the index side. */
+  def bucketIndex(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", numHashes: Int = 16,
+                  bands: Int = 4, shingleN: Int = 3): DataFrame =
+    bandedBuckets(minhashSignatures(df, textCol, idCol, numHashes,
+      shingleN), numHashes, bands)
+
   /** Incremental dedup-on-ingest: probe an INCOMING batch's LSH buckets
     * against the EXISTING corpus's bucket index — the per-batch
     * production shape. The index side is built once per corpus
@@ -206,12 +218,10 @@ object Dedup {
                               idCol: String = "doc_id",
                               numHashes: Int = 16, bands: Int = 4,
                               shingleN: Int = 3): DataFrame = {
-    val idx = bandedBuckets(
-      minhashSignatures(existing, textCol, idCol, numHashes, shingleN),
-      numHashes, bands)
-    val probe = bandedBuckets(
-      minhashSignatures(incoming, textCol, idCol, numHashes, shingleN),
-      numHashes, bands)
+    val idx = bucketIndex(existing, textCol, idCol, numHashes, bands,
+      shingleN)
+    val probe = bucketIndex(incoming, textCol, idCol, numHashes, bands,
+      shingleN)
     val cands = idx.as("l").join(probe.as("r"),
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket"))

@@ -44,6 +44,41 @@ object StreamingDedup {
   case class CandidatePair(id_a: Long, id_b: Long,
       band: Int, bucket: String)
 
+  /** Stateless dedup-at-ingest against an EXISTING corpus: each
+    * micro-batch's documents probe a STATIC LSH bucket index
+    * ([[graft.operators.Dedup.bucketIndex]] of the corpus — built once
+    * per generation, persisted/bucketed on the bucket key in practice).
+    * Inner stream-static joins are stateless: no watermark, no state
+    * store; per-batch cost is the batch's signatures plus one equi-join,
+    * the streaming twin of
+    * [[graft.operators.Dedup.minhashDedupIncremental]]. Emits
+    * (id_a = corpus, id_b = stream) candidate pairs; a pair repeats when
+    * the documents collide in several bands (dedupe downstream, as with
+    * [[minhashCandidates]]). */
+  def probeStaticIndex(index: DataFrame, stream: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       numHashes: Int = 16, bands: Int = 4,
+                       shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val probe = stream
+      .select(col(idCol).as("id_b"),
+        SignatureExpressions.minhashSig(
+          transform(
+            array_distinct(Dedup.shinglesExpr(col(textCol), shingleN)),
+            s => Dedup.baseHash(s)),
+          numHashes).as("sig"))
+      .select(col("id_b"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_", transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))))
+          .as(Seq("band", "bucket")))
+    probe.join(index.select(col("id").as("id_a"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Candidate near-dup pairs from a streaming (id, ts, text) frame. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         tsCol: String = "ts", textCol: String = "text",

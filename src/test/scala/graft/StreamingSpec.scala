@@ -427,6 +427,34 @@ class StreamingSpec extends SparkSpec {
     assert(after == 0)
   }
 
+  test("stream-static probe flags near-dups of the existing corpus only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val corpus = Seq(
+      (1L, base),
+      (3L, "completely unrelated content about spark aggregation plans " * 5))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.bucketIndex(corpus)
+
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.probeStaticIndex(
+      index, stream.toDF().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory")
+      .queryName("probe_out").outputMode("append").start()
+
+    stream.addData(
+      (10L, base.replace("lazy", "sleepy")), // near-dup of corpus doc 1
+      (11L, "fresh text never seen before with zero overlap at all " * 5))
+    query.processAllAvailable()
+    val pairs = spark.table("probe_out").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    // only the corpus->stream edge; the novel doc 11 passes untouched,
+    // and the corpus is never self-paired (stateless inner join)
+    assert(pairs == Set((1L, 10L)))
+  }
+
   test("state-store metrics surface through query progress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
