@@ -268,6 +268,26 @@ object TrainingDataQueries {
       TextAnalysis.qualityGate(docsSpread(s, dir))
     },
 
+    // Per-source corpus DATASHEET: docs, tokens, language spread, mean
+    // length, and the quality-gate keep rate — the data card every
+    // curated corpus ships with, and the aggregate view that tunes tx9's
+    // rule stack per provenance.
+    "tx11_source_datasheet" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val gate = TextAnalysis.qualityGate(docs).select("doc_id", "keep")
+      docs.select(col("doc_id"), col("source"), col("n_chars"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+        .join(gate, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_chars"),
+          (count(when(col("keep"), lit(1))).cast("double") /
+            count(lit(1)).cast("double")).as("keep_frac"))
+    },
+
     // Repetition / lexical-diversity filter signals (Gopher-style):
     // type-token ratio + duplicate-bigram fraction per document.
     "tx8_repetition" -> { (s, dir) =>
@@ -970,6 +990,43 @@ object TrainingDataQueries {
     * so the reduction is exact integer math; only the final mean divides in
     * doubles, in the same order. 1e6 literals (not 1000000.0) keep DuckDB in
     * DOUBLE arithmetic rather than DECIMAL. */
+  private def tx9Sql: String =
+    s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+         |    len(regexp_extract_all(lower(text), '$stopPat')) AS nsw,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np,
+         |    length(text) AS tlen,
+         |    string_split($normSql, ' ') AS toks,
+         |    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|it|was)\\b')) AS s_en,
+         |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS s_de,
+         |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|pour)\\b')) AS s_fr,
+         |    len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una|que|por)\\b')) AS s_es
+         |  FROM documents),
+         |b AS (
+         |  SELECT *, CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 1),
+         |      i -> array_to_string(toks[i+1:i+2], ' ')) END AS bigrams
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id,
+         |    nt < 50 AS r1,
+         |    CAST(nsw AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE) < 0.05e0 AS r2,
+         |    CAST(np AS DOUBLE) / CAST(GREATEST(tlen, 1) AS DOUBLE) > 0.3e0 AS r3,
+         |    1.0e0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) /
+         |      CAST(GREATEST(len(bigrams), 1) AS DOUBLE) > 0.3e0 AS r4,
+         |    COALESCE(greatest(s_en, s_de, s_fr, s_es), 0) = 0 AS r5
+         |  FROM b)
+         |SELECT doc_id, NOT (r1 OR r2 OR r3 OR r4 OR r5) AS keep,
+         |  concat_ws(',',
+         |    CASE WHEN r1 THEN 'too_short' END,
+         |    CASE WHEN r2 THEN 'low_stopword' END,
+         |    CASE WHEN r3 THEN 'high_punct' END,
+         |    CASE WHEN r4 THEN 'repetitive' END,
+         |    CASE WHEN r5 THEN 'unknown_lang' END) AS fail_reasons
+         |FROM r""".stripMargin
+
   private def lm1Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
@@ -1013,42 +1070,24 @@ object TrainingDataQueries {
          |     WHEN ${bucketSql("split", "doc_id")} < 900 THEN 'val'
          |     ELSE 'test' END AS split
          |FROM documents""".stripMargin,
-    "tx9_quality_gate" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
-         |    len(regexp_extract_all(lower(text), '$stopPat')) AS nsw,
-         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np,
-         |    length(text) AS tlen,
-         |    string_split($normSql, ' ') AS toks,
-         |    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|it|was)\\b')) AS s_en,
-         |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS s_de,
-         |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|pour)\\b')) AS s_fr,
-         |    len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una|que|por)\\b')) AS s_es
-         |  FROM documents),
-         |b AS (
-         |  SELECT *, CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
-         |    ELSE list_transform(range(0, len(toks) - 1),
-         |      i -> array_to_string(toks[i+1:i+2], ' ')) END AS bigrams
-         |  FROM t),
-         |r AS (
-         |  SELECT doc_id,
-         |    nt < 50 AS r1,
-         |    CAST(nsw AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE) < 0.05e0 AS r2,
-         |    CAST(np AS DOUBLE) / CAST(GREATEST(tlen, 1) AS DOUBLE) > 0.3e0 AS r3,
-         |    1.0e0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) /
-         |      CAST(GREATEST(len(bigrams), 1) AS DOUBLE) > 0.3e0 AS r4,
-         |    COALESCE(greatest(s_en, s_de, s_fr, s_es), 0) = 0 AS r5
-         |  FROM b)
-         |SELECT doc_id, NOT (r1 OR r2 OR r3 OR r4 OR r5) AS keep,
-         |  concat_ws(',',
-         |    CASE WHEN r1 THEN 'too_short' END,
-         |    CASE WHEN r2 THEN 'low_stopword' END,
-         |    CASE WHEN r3 THEN 'high_punct' END,
-         |    CASE WHEN r4 THEN 'repetitive' END,
-         |    CASE WHEN r5 THEN 'unknown_lang' END) AS fail_reasons
-         |FROM r""".stripMargin,
+    "tx9_quality_gate" -> tx9Sql,
+    "tx11_source_datasheet" ->
+      s"""WITH gate AS ($tx9Sql),
+         |st AS (
+         |  SELECT doc_id, source, n_chars, lang,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_toks
+         |  FROM documents)
+         |SELECT st.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(st.n_toks) AS BIGINT) AS total_tokens,
+         |  COUNT(DISTINCT st.lang) AS n_langs,
+         |  CAST(SUM(st.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS avg_chars,
+         |  CAST(COUNT(CASE WHEN g.keep THEN 1 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS keep_frac
+         |FROM st JOIN gate g ON st.doc_id = g.doc_id
+         |GROUP BY st.source""".stripMargin,
     "tx8_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
