@@ -203,6 +203,28 @@ object TrainingDataQueries {
             .as("jaccard"))
     },
 
+    // Distribution DRIFT between corpus generations: per-IVF-cell counts
+    // of the old half (even vec_id) vs the new half — the embedding-space
+    // shift detector run before accepting a new data drop. tv_numerator
+    // is the exact integer |n_old·N_new − n_new·N_old| term; the total
+    // variation distance is Σ/(2·N_old·N_new), one reproducible division
+    // away. One narrow assignment pass + one 8-row aggregate.
+    "drift1_cell_divergence" -> { (s, dir) =>
+      val assigned = Similarity.ivfAssign(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        ncells = 8)
+        .select(col("cell"), (col("vec_id") % 2 === 0).as("is_old"))
+      val counts = assigned.groupBy("cell").agg(
+        count(when(col("is_old"), lit(1))).as("n_old"),
+        count(when(!col("is_old"), lit(1))).as("n_new"))
+      val totals = counts.agg(sum(col("n_old")).as("tot_old"),
+        sum(col("n_new")).as("tot_new"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("cell"), col("n_old"), col("n_new"),
+          abs(col("n_old") * col("tot_new") - col("n_new") * col("tot_old"))
+            .as("tv_numerator"))
+    },
+
     // PMI co-occurrence pairs over the broadcast top-50 vocabulary:
     // document-level word association mining. The pair space is bounded
     // by (vocab tokens per doc)² — never corpus²; ln quantizes to
@@ -1398,6 +1420,7 @@ object TrainingDataQueries {
          |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2""".stripMargin,
     "sim3_ivf_topk" -> sim3Sql,
+    "drift1_cell_divergence" -> drift1Sql,
     "sim6_semdedup" -> sim6Sql,
     "sim5_ivf_recall" ->
       s"""WITH ex AS ($sim1Sql),
@@ -1508,6 +1531,32 @@ object TrainingDataQueries {
 
   /** sim3's full oracle text — also the `ivf` CTE of the sim5 recall
     * oracle. Bit-exact float chains, same as sim2. */
+  /** drift1 oracle: the sim3 cell-assignment chain, then exact integer
+    * old/new counts and TV numerators per cell. */
+  private def drift1Sql: String = {
+    val scores = (0 until 8).map(p =>
+      s"(${sqlProjChain("embedding", p, seed = 7)}) AS s$p").mkString(",\n  ")
+    val cellCase = "CASE " + (0 until 8).map(p =>
+      s"WHEN s$p = g THEN $p").mkString(" ") + " END"
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |  $scores
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, $cellCase AS cell
+       |  FROM (SELECT *, GREATEST(s0,s1,s2,s3,s4,s5,s6,s7) AS g FROM base)),
+       |counts AS (
+       |  SELECT cell,
+       |    COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_old,
+       |    COUNT(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS n_new
+       |  FROM assigned GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+       |               CAST(SUM(n_new) AS BIGINT) AS tot_new FROM counts)
+       |SELECT cell, n_old, n_new,
+       |  abs(n_old * tot_new - n_new * tot_old) AS tv_numerator
+       |FROM counts CROSS JOIN tot""".stripMargin
+  }
+
   private def sim3Sql: String = {
     val scores = (0 until 8).map(p =>
       s"(${sqlProjChain("embedding", p, seed = 7)}) AS s$p").mkString(",\n  ")
