@@ -225,6 +225,30 @@ object TrainingDataQueries {
             .as("tv_numerator"))
     },
 
+    // Token-frequency drift between corpus generations: per-top-50-token
+    // counts in the old half (even doc_id) vs the new — the text twin of
+    // drift1, same exact integer TV numerator. A vocabulary whose mass
+    // moves between drops is the first sign of a source change.
+    "drift2_vocab_shift" -> { (s, dir) =>
+      val toks = docsSpread(s, dir)
+        .select((col("doc_id") % 2 === 0).as("is_old"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(50).select("token")
+      val counts = toks.join(broadcast(vocab), Seq("token"))
+        .groupBy("token").agg(
+          count(when(col("is_old"), lit(1))).as("n_old"),
+          count(when(!col("is_old"), lit(1))).as("n_new"))
+      val totals = counts.agg(sum(col("n_old")).as("tot_old"),
+        sum(col("n_new")).as("tot_new"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("token"), col("n_old"), col("n_new"),
+          abs(col("n_old") * col("tot_new") - col("n_new") * col("tot_old"))
+            .as("tv_numerator"))
+    },
+
     // PMI co-occurrence pairs over the broadcast top-50 vocabulary:
     // document-level word association mining. The pair space is bounded
     // by (vocab tokens per doc)² — never corpus²; ln quantizes to
@@ -1141,6 +1165,26 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "drift2_vocab_shift" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id % 2 = 0 AS is_old,
+         |    unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT is_old, token FROM toks WHERE length(token) > 0),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS n FROM tf GROUP BY token
+         |    ORDER BY n DESC, token ASC LIMIT 50)),
+         |counts AS (
+         |  SELECT token,
+         |    COUNT(CASE WHEN is_old THEN 1 END) AS n_old,
+         |    COUNT(CASE WHEN NOT is_old THEN 1 END) AS n_new
+         |  FROM tf JOIN vocab USING (token) GROUP BY token),
+         |tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+         |               CAST(SUM(n_new) AS BIGINT) AS tot_new FROM counts)
+         |SELECT token, n_old, n_new,
+         |  abs(n_old * tot_new - n_new * tot_old) AS tv_numerator
+         |FROM counts CROSS JOIN tot""".stripMargin,
     "fe3_pmi_pairs" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
