@@ -404,6 +404,26 @@ object TrainingDataQueries {
     // integer-quantized embeddings (reproducible cross-engine).
     "sim1_cosine_topk" -> { (s, dir) => sim1Frame(s, dir) },
 
+    // k-NN label vote: each query's exact top-10 neighbors vote with
+    // their `label`; majority (ties: lowest label) vs the query's own
+    // label — the standard embedding-quality eval (does the space
+    // cluster by class?). Composes the sim1 exact-top-k frame.
+    "sim11_knn_label_vote" -> { (s, dir) =>
+      val labels = Tables.embeddings(s, dir).select("vec_id", "label")
+      val votes = sim1Frame(s, dir).select("query_id", "corpus_id")
+        .join(labels.select(col("vec_id").as("corpus_id"),
+          col("label").as("n_label")), Seq("corpus_id"))
+        .groupBy("query_id", "n_label").agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("n_label").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("own_label")), Seq("query_id"))
+        .select(col("query_id"), col("own_label"),
+          col("n_label").as("voted_label"), col("n_votes"),
+          (col("own_label") === col("n_label")).as("label_match"))
+    },
+
     // Exact embedding near-dup baseline on quantized vectors (full
     // oracle): every pair above the cosine threshold. O(n²) — this is the
     // correctness baseline; sim2's LSH is the scale path.
@@ -1495,6 +1515,21 @@ object TrainingDataQueries {
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""".stripMargin,
     "sim1_cosine_topk" -> sim1Sql,
+    "sim11_knn_label_vote" ->
+      s"""WITH ex AS ($sim1Sql),
+         |votes AS (
+         |  SELECT ex.query_id, l.label AS n_label, COUNT(*) AS n_votes
+         |  FROM ex JOIN embeddings l ON ex.corpus_id = l.vec_id
+         |  GROUP BY ex.query_id, l.label),
+         |voted AS (
+         |  SELECT query_id, n_label, n_votes FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY n_votes DESC, n_label ASC) AS rn FROM votes)
+         |  WHERE rn = 1)
+         |SELECT v.query_id, q.label AS own_label,
+         |  v.n_label AS voted_label, v.n_votes,
+         |  q.label = v.n_label AS label_match
+         |FROM voted v JOIN embeddings q ON v.query_id = q.vec_id""".stripMargin,
     "ir1_bm25" -> bm25Sql,
     "lm1_surprisal" -> lm1Sql,
     "sim7_pq_codes" -> sim7Sql,
