@@ -91,6 +91,21 @@ object Sampling {
     * belongs to no split, and must never land silently in the holdout
     * set — without the explicit gate the null bucket would fall through
     * every `when` into the `otherwise("test")` branch). */
+  /** Deterministic per-key CAP: keep at most `maxN` rows per key,
+    * chosen by record-keyed md5 order — class balancing / per-source
+    * quotas without RNG state, so the kept set is stable under
+    * repartitioning and re-runs (same contract as the other gates).
+    * One window shuffle on the key; for low-cardinality keys at corpus
+    * scale prefer feeding it through [[graft.plans.TopKPerKey]]'s
+    * partial-reduction plan (same semantics, bounded shuffle). */
+  def capPerKey(df: DataFrame, key: Column, id: Column,
+                maxN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(md5(id.cast("string")), id)
+    df.withColumn("pick_rank", row_number().over(w).cast("bigint"))
+      .filter(col("pick_rank") <= maxN)
+  }
+
   def splitAssign(df: DataFrame, key: Column, trainPermille: Int,
                   valPermille: Int, salt: String = "split",
                   outCol: String = "split"): DataFrame = {

@@ -242,6 +242,19 @@ object RelationalQueries {
         .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
     },
 
+    // G4 (beyond reference): schema-evolution union — an old snapshot
+    // missing a column unions BY NAME with null fill
+    // (unionByName(allowMissingColumns)); positional unionAll would
+    // silently misalign the evolved schema.
+    "g4_union_evolution" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val old = cust.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+      val evolved = cust.filter(col("c_custkey") % 2 =!= 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+      old.unionByName(evolved, allowMissingColumns = true)
+    },
+
     // C9 (beyond reference): full outer join — per-nation customer and
     // supplier counts, nulls on the unmatched side filled to zero.
     "c9_full_outer" -> { (s, dir) =>
@@ -597,6 +610,12 @@ object RelationalQueries {
     "g3_except" ->
       """SELECT c_nationkey AS nk FROM customer
         |EXCEPT SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+    "g4_union_evolution" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 2 <> 0""".stripMargin,
     "c9_full_outer" ->
       """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
         |COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp

@@ -124,6 +124,19 @@ object ScalarQueries {
           .as("k_value"))
     },
 
+    // H16 (beyond reference): PROPER JSON-path extraction from the props
+    // payload — both the untyped path probe (get_json_object) and the
+    // schema'd parse (from_json → typed struct field). The h11 regex is
+    // the partition-recovery trick; this is the semi-structured operator.
+    "h16_json_extract" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_path"),
+        from_json(col("props"), schema).getField("k").as("k_typed"))
+    },
+
     // H12 (beyond reference): generator — explode the part-name words into
     // rows, then aggregate word frequencies. Generate runs inside
     // whole-stage codegen; no UDTF.
@@ -266,6 +279,11 @@ object ScalarQueries {
     "h11_regexp_extract" ->
       """SELECT event_id,
         |CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_value
+        |FROM events""".stripMargin,
+    "h16_json_extract" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
         |FROM events""".stripMargin,
     "h12_explode_words" ->
       """SELECT word, COUNT(*) AS n FROM

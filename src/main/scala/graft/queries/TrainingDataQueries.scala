@@ -282,6 +282,14 @@ object TrainingDataQueries {
             * lit(1e6)).cast("bigint").as("pmi_micro_nats"))
     },
 
+    // Deterministic per-class CAP: at most 20 docs per language, picked
+    // by record-keyed md5 order — the class-balancing quota, stable
+    // under repartitioning and re-runs like every other gate.
+    "s5_balanced_cap" -> { (s, dir) =>
+      Sampling.capPerKey(docsSpread(s, dir).select("doc_id", "lang"),
+        key = col("lang"), id = col("doc_id"), maxN = 20)
+    },
+
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
     // membership is per-record and engine-reproducible, unlike
     // sample(seed) which keys on row order.
@@ -1185,6 +1193,13 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "s5_balanced_cap" ->
+      """SELECT doc_id, lang, pick_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS pick_rank
+        |  FROM documents) WHERE pick_rank <= 20""".stripMargin,
     "drift2_vocab_shift" ->
       s"""WITH toks AS (
          |  SELECT doc_id % 2 = 0 AS is_old,
