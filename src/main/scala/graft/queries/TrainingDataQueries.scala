@@ -282,6 +282,34 @@ object TrainingDataQueries {
             * lit(1e6)).cast("bigint").as("pmi_micro_nats"))
     },
 
+    // The end-to-end curation FUNNEL: quality gate → near-dup removal →
+    // train/val/test split, with row counts at every stage — the whole
+    // library composed into the pipeline it exists for, oracled as one
+    // statement (tx9's gate CTE + dd4's recursive closure + s3's bucket
+    // CASE nested in DuckDB).
+    "pipe1_curation_funnel" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val gated = TextAnalysis.qualityGate(docs)
+        .filter(col("keep")).select("doc_id")
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashDedup(docs, threshold = 0.5).select("id_a", "id_b"))
+      val deduped = gated.join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull ||
+          col("cluster_id") === col("doc_id"))
+        .select("doc_id")
+      def stageCount(df: DataFrame, stage: String) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(stage).as("stage"), col("n_docs"))
+      stageCount(docs, "1_raw")
+        .unionByName(stageCount(gated, "2_gated"))
+        .unionByName(stageCount(deduped, "3_deduped"))
+        .unionByName(Sampling
+          .splitAssign(deduped, col("doc_id"), trainPermille = 800,
+            valPermille = 100)
+          .groupBy(concat(lit("4_"), col("split")).as("stage"))
+          .agg(count(lit(1)).as("n_docs")))
+    },
+
     // Deterministic per-class CAP: at most 20 docs per language, picked
     // by record-keyed md5 order — the class-balancing quota, stable
     // under repartitioning and re-runs like every other gate.
@@ -1193,6 +1221,32 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "pipe1_curation_funnel" ->
+      s"""WITH RECURSIVE gate AS ($tx9Sql),
+         |${lshCtes("l.id < r.id")},
+         |edges AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+         |und AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION SELECT id_b, id_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |gated AS (SELECT doc_id FROM gate WHERE keep),
+         |deduped AS (
+         |  SELECT g.doc_id FROM gated g LEFT JOIN cl ON g.doc_id = cl.doc_id
+         |  WHERE cl.cluster_id IS NULL OR cl.cluster_id = g.doc_id),
+         |splits AS (
+         |  SELECT CASE WHEN ${bucketSql("split", "doc_id")} < 800 THEN 'train'
+         |              WHEN ${bucketSql("split", "doc_id")} < 900 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM deduped)
+         |SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM documents
+         |UNION ALL SELECT '2_gated', COUNT(*) FROM gated
+         |UNION ALL SELECT '3_deduped', COUNT(*) FROM deduped
+         |UNION ALL SELECT '4_' || split, COUNT(*) FROM splits
+         |          GROUP BY split""".stripMargin,
     "s5_balanced_cap" ->
       """SELECT doc_id, lang, pick_rank FROM (
         |  SELECT doc_id, lang,
