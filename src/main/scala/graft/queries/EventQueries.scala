@@ -52,6 +52,19 @@ object EventQueries {
           sum(col("is_new_session")).over(running).as("session_seq"))
     },
 
+    // The NATIVE tumbling-window operator (`window(ts, duration)`), run
+    // in batch and oracled: epoch-aligned 6-hour buckets per event type —
+    // the same operator the streaming tumbling counts use. Start/end in
+    // epoch-µs longs for engine-exact comparison.
+    "ev7_tumbling_counts" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("__ts", timestamp_micros(tsUs))
+      ev.groupBy(window(col("__ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"))
+    },
+
     // The NATIVE session-window operator (same `session_window` the
     // streaming sessionizer uses — graft.streaming.EventStreams), run in
     // batch and oracled: Spark merges per-event [ts, ts+gap) windows, so
@@ -158,6 +171,11 @@ object EventQueries {
         |  CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM flagged""".stripMargin,
+    "ev7_tumbling_counts" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000
+        |    AS window_start_us,
+        |  event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "ev6_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |flagged AS (

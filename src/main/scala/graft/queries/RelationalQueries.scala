@@ -452,6 +452,18 @@ object RelationalQueries {
       Outliers.robustStats(li, "grp", "cents", k = 3.0)
     },
 
+    // D19 (beyond reference): equal-width histogram — the distribution
+    // profile every column-stats pass wants. Bucket = floor(x / width)
+    // on exact 2-decimal doubles, so both engines bin identically; one
+    // map-side-combined aggregate, bucket count bounded by the range.
+    "d19_histogram" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("bucket_total"))
+    },
+
     // D18 (beyond reference): HLL sketch ALGEBRA — per-group sketches
     // unioned into the global distinct estimate, audited against the
     // exact answer. The reusable-sketch-table pattern: union answers
@@ -692,6 +704,11 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 400000.0
          |GROUP BY o_orderkey""".stripMargin,
+    "d19_histogram" ->
+      s"""SELECT CAST(FLOOR(o_totalprice / 50000.0e0) AS BIGINT) AS bucket,
+         |COUNT(*) AS n_orders,
+         |${Det.sqlMoneySum("o_totalprice")} AS bucket_total
+         |FROM orders GROUP BY 1""".stripMargin,
     "d18_hll_union" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_exact,
         |TRUE AS union_in_bounds FROM lineitem""".stripMargin,
