@@ -23,6 +23,17 @@ object MultimodalQueries {
           col("width"), col("height"), col("duration_ms"), col("codec"))
     },
 
+    // Exact BINARY dedup: checksum the payload bytes, keep the lowest
+    // media id per digest — image/audio dedup-by-content, dd1's shape on
+    // the binary column (the shuffle carries 16-byte digests, never
+    // payloads).
+    "mm5_payload_dedup" -> { (s, dir) =>
+      Multimodal.syntheticMedia(s, Tables.documents(s, dir)).toDF()
+        .groupBy(md5(hex(col("content"))).as("checksum"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+    },
+
     // Metadata-only resize plan — payload column pruned at scan.
     "mm2_resize_meta" -> { (s, dir) =>
       Multimodal.resizeMeta(
@@ -68,6 +79,10 @@ object MultimodalQueries {
          |doc_id * 40 % 600000 AS duration_ms,
          |$codecSql AS codec
          |FROM documents""".stripMargin,
+    "mm5_payload_dedup" ->
+      """SELECT md5(hex(unhex(md5(text)))) AS checksum,
+        |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     "mm2_resize_meta" ->
       s"""WITH m AS (SELECT doc_id AS media_id, $mediaTypeSql AS media_type,
          |  CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
