@@ -86,6 +86,42 @@ object SqlQueries {
           |COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
           |FROM documents GROUP BY bucket""".stripMargin)
     },
+    // The WHOLE MinHash-LSH candidate pipeline as SQL text: registered
+    // kernels (md5_prefix60, minhash_signature) + built-in HOFs — any
+    // SQL client on a graft session can run dedup without Scala. (The
+    // sequence-transform shingling here is the readable O(n²) form; the
+    // hot path stays on the zip_with kernel — this entry is the SQL
+    // surface-parity proof, oracled against the same DuckDB chain as
+    // dd2's candidates.)
+    "sql6_lsh_pairs" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(
+        """WITH docs AS (
+          |  SELECT doc_id AS id,
+          |    split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')
+          |      AS toks
+          |  FROM documents),
+          |sh AS (
+          |  SELECT id, CASE WHEN size(toks) <= 3
+          |    THEN array(concat_ws(' ', toks))
+          |    ELSE transform(sequence(0, size(toks) - 3),
+          |      i -> concat_ws(' ', slice(toks, i + 1, 3))) END AS shingles
+          |  FROM docs),
+          |sig AS (
+          |  SELECT id, minhash_signature(
+          |    transform(array_distinct(shingles),
+          |      s -> md5_prefix60(s) % 2147483647L), 16) AS sig
+          |  FROM sh),
+          |banded AS (
+          |  SELECT id, b AS band,
+          |    array_join(transform(slice(sig, b * 4 + 1, 4),
+          |      x -> CAST(x AS STRING)), '_') AS bucket
+          |  FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS b)
+          |SELECT DISTINCT l.id AS id_a, r.id AS id_b
+          |FROM banded l JOIN banded r
+          |  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+          |""".stripMargin)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,6 +132,9 @@ object SqlQueries {
          |(${TrainingDataQueries.sqlDotChain("embedding", "embedding")}) AS self_dot
          |FROM embeddings ORDER BY self_dot DESC, vec_id LIMIT 25""".stripMargin,
     "sql4_window_sql" -> windowSql,
+    "sql6_lsh_pairs" ->
+      s"""WITH ${TrainingDataQueries.lshCtes("l.id < r.id")}
+         |SELECT id_a, id_b FROM cands""".stripMargin,
     "sql5_hash_buckets" ->
       """SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000 AS bucket,
         |COUNT(*) AS n_docs, MIN(doc_id) AS first_doc

@@ -726,7 +726,7 @@ object TrainingDataQueries {
 
   /** Same chain with a custom candidate-pair predicate (dd8 swaps the
     * self-join's `l.id < r.id` for the existing-vs-incoming split). */
-  private def lshCtes(candPred: String): String =
+  private[queries] def lshCtes(candPred: String): String =
     s"""docs AS (
        |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
        |sh AS (
