@@ -71,6 +71,43 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (2L, 10L)))
   }
 
+  test("per-key cap keeps at most N per key, stable under repartition") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 100L).map(i => (i, s"k${i % 3}")).toDF("doc_id", "lang")
+    def pick(input: org.apache.spark.sql.DataFrame) =
+      Sampling.capPerKey(input, col("lang"), col("doc_id"), maxN = 5)
+        .select("doc_id").as[Long].collect().toSet
+    val once = pick(df)
+    assert(once.size == 15) // 3 keys x 5 kept
+    assert(pick(df.repartition(13)) == once) // membership is record-keyed
+  }
+
+  test("quality gate rejects with the right reason codes") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old barn where it sleeps all day long, " +
+      "waking only when the farmer comes by with food for all of them " +
+      "and the other animals are also there watching it happen again " +
+      "until evening falls quietly across those wide golden fields while " +
+      "every creature settles down into a warm familiar corner somewhere"
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short"),
+      (3L, ("spark " * 120).trim), // no stopwords, highly repetitive
+      (4L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) " * 30))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("fail_reasons"))).toMap
+    assert(out(1L) == ((true, "")))
+    assert(!out(2L)._1 && out(2L)._2.contains("too_short"))
+    assert(!out(3L)._1 && out(3L)._2.contains("low_stopword") &&
+      out(3L)._2.contains("repetitive"))
+    assert(!out(4L)._1 && out(4L)._2.contains("high_punct"))
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
