@@ -37,3 +37,16 @@ object PlanAudit {
     spark.stop()
   }
 }
+
+/** Print one query's full executed plan: `runMain graft.PlanShow <name> [sfDir]`. */
+object PlanShow {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = graft.core.GraftSession.local(appName = "graft-plan-show")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    println(SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

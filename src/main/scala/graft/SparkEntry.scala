@@ -51,7 +51,8 @@ object SparkEntry {
       graft.queries.TrainingDataQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.GoldQueries.queries ++
-      graft.queries.SqlQueries.queries
+      graft.queries.SqlQueries.queries ++
+      graft.queries.ScoringQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.queries.TrainingDataQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.GoldQueries.oracleSql ++
-      graft.queries.SqlQueries.oracleSql
+      graft.queries.SqlQueries.oracleSql ++
+      graft.queries.ScoringQueries.oracleSql
 }

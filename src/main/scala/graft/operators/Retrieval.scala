@@ -72,6 +72,45 @@ object Retrieval {
       terms.map(t => col(tfCol(t))) :+ score.as("bm25"): _*)
   }
 
+  /** Log-scaled TF-IDF score of every document against a fixed query-term
+    * set — the classic lexical-ranking complement to [[bm25]] (same probe
+    * shape, different weighting: `(1 + ln tf) * (ln((N+1)/(df+1)) + 1)`,
+    * the ltc scheme with add-one smoothing so df = N terms still carry
+    * signal). Same 100 TB shape as BM25: one narrow codegen scan for the
+    * term frequencies plus one scalar aggregate broadcast back — no
+    * per-document shuffle.
+    *
+    * Both `ln` applications are quantized to integer micro-nats (see the
+    * determinism contract above); the per-term sum is a fixed-order
+    * left-associative chain of exact-order IEEE ops.
+    */
+  def tfidf(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size,
+      "query terms must be non-empty and distinct")
+    def tfCol(t: String) = s"tf_$t"
+    def qln(x: Column): Column =
+      floor(log(x) * lit(1e6)).cast("double") / lit(1e6)
+    val withTf = docs
+      .select(col(idCol),
+        split(TextAnalysis.normalizeText(col(textCol)), " ").as("toks"))
+      .select(col(idCol) +: terms.map(t =>
+        size(filter(col("toks"), x => x === lit(t)))
+          .cast("bigint").as(tfCol(t))): _*)
+    val stats = withTf.agg(count(lit(1)).as("n"), terms.map(t =>
+      sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.foldLeft(lit(0.0)) { (acc, t) =>
+      val tf = col(tfCol(t)).cast("double")
+      val idf = qln((col("n").cast("double") + 1.0) /
+        (col(s"df_$t").cast("double") + 1.0)) + lit(1.0)
+      acc + when(col(tfCol(t)) > 0, (qln(tf) + lit(1.0)) * idf)
+        .otherwise(lit(0.0))
+    }
+    scored.select(col(idCol) +:
+      terms.map(t => col(tfCol(t))) :+ score.as("tfidf"): _*)
+  }
+
   /** Mean unigram surprisal (negative log-probability, in nats) of each
     * document under the corpus's own unigram distribution — the
     * perplexity-style quality filter of CCNet/Gopher-like pipelines:

@@ -152,6 +152,49 @@ object EventQueries {
         count(when(col("event_type") === "error", 1)).as("n_error"),
         Det.moneySum(col("value")).as("total_value"))
     },
+
+    // Ordered conversion funnel: first view, then first click strictly
+    // after it, then first purchase strictly after that — per-stage user
+    // counts. Three per-user aggregates chained by joins on user_id: the
+    // first groupBy fixes the hash partitioning and every later join and
+    // groupBy reuses it (one logical shuffle for the whole funnel), so
+    // depth-k funnels stay k co-partitioned passes — never a per-user
+    // event-list collect.
+    "ev8_funnel" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    },
+
+    // Cohort retention: users grouped by first-activity day, activity
+    // rolled up to (cohort_day, week_offset) distinct-user counts. Two
+    // aggregates + one join, all hash-partitioned on user_id (exchange
+    // reused); day arithmetic in exact integer epoch-µs days, so the
+    // week offset is engine-exact integer division of non-negatives.
+    "ev9_retention" -> { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+      val first = d.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val active = d.distinct()
+      active.join(first, "user_id")
+        .selectExpr("user_id", "cohort_day",
+          "(day - cohort_day) div 7 AS week_offset")
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -227,6 +270,27 @@ object EventQueries {
         |FROM events e JOIN i ON e.user_id = i.i_user
         |  AND epoch_us(e.ts) >= lo_us AND epoch_us(e.ts) <= hi_us
         |GROUP BY incident_id""".stripMargin,
+    "ev8_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p""".stripMargin,
+    "ev9_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM d)
+        |SELECT f.cohort_day, (a.day - f.cohort_day) // 7 AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "ev3_type_counts" ->
       s"""SELECT user_id,
          |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,

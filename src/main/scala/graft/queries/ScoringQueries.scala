@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.operators.{ChangeCapture, Retrieval, Scoring}
+
+/** Model-scoring, evaluation, normalization, and change-capture operators
+  * exposed to the oracle harness — the "score, evaluate, diff" tier of a
+  * curation pipeline, layered on the same determinism contracts as the
+  * rest of the catalog (exact integer reductions; every float derived
+  * from exact integers through an identically-associated expression tree
+  * in both engines).
+  */
+object ScoringQueries {
+
+  /** Same spread as TrainingDataQueries.docsSpread: the harness parquet is
+    * one row group and these queries are compute-bound per row. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** DuckDB fragment matching [[graft.operators.Scoring.hashedLinearScore]]'s
+    * per-token weight: md5-60-bit bucket mod 64 through the integer weight
+    * formula. */
+  private val weightSql =
+    "((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64) * 37) % 21 - 10"
+
+  private val tfidfTerms: Seq[String] = Seq("dup", "key", "the", "batch")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hashed-feature linear quality classifier: narrow codegen fold over
+    // the token array, zero shuffles — the fastText-style score-everything
+    // pass of corpus curation.
+    "ml1_linear_score" -> { (s, dir) =>
+      Scoring.hashedLinearScore(docsSpread(s, dir))
+    },
+
+    // Precision/recall threshold sweep of ml1's scores against the
+    // lang='en' label: distinct-score aggregation first (map-side
+    // combined), then the cumulative window over score-cardinality rows.
+    "ml2_threshold_sweep" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val labeled = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+      Scoring.thresholdSweep(labeled)
+    },
+
+    // Per-group z-score feature normalization: one map-side-combined
+    // aggregate to (source, n, Σx, Σx²) — exact decimal sums, group count
+    // = source cardinality — broadcast back over the scan. Every double
+    // derives from those exact integers through the same expression tree
+    // as the oracle, so z-scores are bit-identical.
+    "fe4_zscore" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val stats = d.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars").cast(DecimalType(38, 0))).as("s"),
+        sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0)))
+          .as("ss"))
+      val mean = col("s").cast("double") / col("n").cast("double")
+      val variance = (col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double") /
+          col("n").cast("double")) / (col("n") - 1).cast("double")
+      d.join(broadcast(stats), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("n") > 1,
+            (col("n_chars").cast("double") - mean) / sqrt(variance))
+            .as("zscore"))
+    },
+
+    // Calibration table for ml1's classifier: score bucketed into width-4
+    // bins, per-bin count and observed positive rate — how well the score
+    // orders true quality. Bin via floor over an exact small-int double
+    // quotient (Spark's integer `div` truncates toward zero, DuckDB's `//`
+    // floors — they disagree on negative scores, the double floor doesn't).
+    "ml3_calibration" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+        .groupBy(floor(col("score") / lit(4.0)).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("npos"))
+        .select(col("bin"), col("n"), col("npos"),
+          (col("npos").cast("double") / col("n").cast("double"))
+            .as("pos_rate"))
+    },
+
+    // Log-scaled TF-IDF against the same probe-term set as ir1_bm25: one
+    // narrow scan + one broadcast scalar aggregate.
+    "ir2_tfidf" -> { (s, dir) =>
+      Retrieval.tfidf(docsSpread(s, dir), tfidfTerms)
+    },
+
+    // CDC snapshot diff: the old snapshot is missing keys ≡3 (mod 10) and
+    // carries a stale status for keys ≡0 (mod 7); the new snapshot is
+    // missing keys ≡7 (mod 10). Full-outer fingerprint join classifies
+    // every key as insert / delete / update / unchanged.
+    "cdc1_snapshot_diff" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val k = col("o_orderkey")
+      val oldSnap = o.filter(k % 10 =!= 3)
+        .withColumn("o_orderstatus",
+          when(k % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      val newSnap = o.filter(k % 10 =!= 7)
+      ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ml1_linear_score" ->
+      s"""SELECT doc_id, n_terms, score, score >= 0 AS keep FROM (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_terms,
+         |    CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |        FROM documents))""".stripMargin,
+    "ml2_threshold_sweep" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score,
+         |    label
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |by_score AS (
+         |  SELECT score AS threshold, COUNT(*) AS n,
+         |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+         |  FROM sc GROUP BY score)
+         |SELECT threshold,
+         |  CAST(pred_pos AS BIGINT) AS pred_pos,
+         |  CAST(tp AS BIGINT) AS tp,
+         |  CAST(pred_pos - tp AS BIGINT) AS fp,
+         |  CAST(total_pos - tp AS BIGINT) AS fn,
+         |  CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE) AS "precision",
+         |  CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT threshold,
+         |    SUM(n) OVER w AS pred_pos,
+         |    SUM(npos) OVER w AS tp,
+         |    SUM(npos) OVER () AS total_pos
+         |  FROM by_score
+         |  WINDOW w AS (ORDER BY threshold DESC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin,
+    "ml3_calibration" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score,
+         |    label
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents))
+         |SELECT CAST(FLOOR(score / 4.0e0) AS BIGINT) AS bin,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS pos_rate
+         |FROM sc GROUP BY 1""".stripMargin,
+    "fe4_zscore" ->
+      """WITH stats AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS s,
+        |    SUM(CAST(n_chars * n_chars AS HUGEINT)) AS ss
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CASE WHEN st.n > 1 THEN
+        |    (CAST(d.n_chars AS DOUBLE) -
+        |      CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)) /
+        |    sqrt((CAST(st.ss AS DOUBLE) -
+        |      CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) /
+        |        CAST(st.n AS DOUBLE)) / CAST(st.n - 1 AS DOUBLE))
+        |  END AS zscore
+        |FROM documents d JOIN stats st ON d.source = st.source""".stripMargin,
+    "ir2_tfidf" -> ir2Sql,
+    "cdc1_snapshot_diff" ->
+      """WITH snap_a AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS st,
+        |    o_totalprice AS tp
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |snap_b AS (
+        |  SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS tp
+        |  FROM orders WHERE o_orderkey % 10 <> 7)
+        |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |       WHEN b.o_orderkey IS NULL THEN 'delete'
+        |       WHEN a.st IS DISTINCT FROM b.st
+        |         OR a.tp IS DISTINCT FROM b.tp THEN 'update'
+        |       ELSE 'unchanged' END AS change_type
+        |FROM snap_a a FULL OUTER JOIN snap_b b
+        |  ON a.o_orderkey = b.o_orderkey""".stripMargin,
+  )
+
+  /** ir2 oracle, generated from the SAME [[tfidfTerms]] as the query: the
+    * identical left-associative per-term chain as
+    * [[graft.operators.Retrieval.tfidf]], both `ln`s quantized to integer
+    * micro-nats, all constants written as the same literals. */
+  private def ir2Sql: String = {
+    def qln(x: String) = s"(CAST(FLOOR(ln($x) * 1e6) AS DOUBLE) / 1e6)"
+    val tfCols = tfidfTerms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n    ")
+    val dfAggs = tfidfTerms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n    ")
+    val chain = "0.0" + tfidfTerms.map { t =>
+      val idf = s"(${qln(s"(CAST(n AS DOUBLE) + 1.0) / (CAST(df_$t AS DOUBLE) + 1.0)")} + 1.0)"
+      s" +\n  CASE WHEN tf_$t > 0 THEN " +
+        s"(${qln(s"CAST(tf_$t AS DOUBLE)")} + 1.0) * $idf ELSE 0.0 END"
+    }.mkString
+    s"""WITH tf AS (
+       |  SELECT doc_id,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+       |        FROM documents)),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    $dfAggs FROM tf)
+       |SELECT doc_id, ${tfidfTerms.map(t => s"tf_$t").mkString(", ")},
+       |  $chain AS tfidf
+       |FROM tf CROSS JOIN stats""".stripMargin
+  }
+}

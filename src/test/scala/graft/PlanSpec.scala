@@ -256,6 +256,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("hashed linear scoring is narrow: no hash shuffle") {
+    val p = plan(SparkEntry.queries("ml1_linear_score")(spark, sf))
+    // docsSpread's round-robin spread is the only exchange — the scoring
+    // fold itself never shuffles
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("snapshot diff shuffles only the (key, fingerprint) projection") {
+    val df = SparkEntry.queries("cdc1_snapshot_diff")(spark, sf)
+    val p = plan(df)
+    // exactly the two join-input exchanges, nothing upstream or downstream
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(2000))
+    // the md5 fingerprint is computed below the exchange (map-side), so
+    // the shuffle payload is (key, fp) — md5 appears under the scan side,
+    // not above the join
+    val iJoin = p.indexOf("SortMergeJoin")
+    assert(iJoin >= 0 && p.indexOf("md5") > iJoin, p.take(2000))
+  }
+
   test("corpus mix and z-order value plans are narrow (no exchange)") {
     val mix = plan(SparkEntry.queries("mix1_corpus_mix")(spark, sf))
     assert(!mix.contains("Exchange"), mix.take(2000))
