@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -93,6 +94,38 @@ object ScoringQueries {
             .as("pos_rate"))
     },
 
+    // Exact AUC of ml1's score vs the lang='en' label via the rank-sum
+    // (Mann-Whitney U) identity with tie-averaged ranks — every
+    // intermediate is an INTEGER (2·Σranks stays integral under tie
+    // averaging because avg = (min_rank + max_rank)/2), so the result is
+    // order-independent: no float accumulation over thresholds, unlike
+    // trapezoid-ROC summation. Aggregates to distinct scores first; the
+    // cumulative window sees score-cardinality rows.
+    "ml4_auc" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val labeled = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+      val byScore = labeled.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("npos"))
+      val asc = Window.orderBy(col("score").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byScore.select(col("score"), col("n"), col("npos"),
+        sum(col("n")).over(asc).as("max_rn"))
+      // min_rn = max_rn - n + 1; 2·avg_rank = min_rn + max_rn
+      val contrib = ranked.select(col("npos"), col("n"),
+        (col("npos") * (col("max_rn") - col("n") + 1 + col("max_rn")))
+          .as("two_rank_sum"))
+      contrib.agg(sum(col("npos")).as("npos"),
+          sum(col("n") - col("npos")).as("nneg"),
+          sum(col("two_rank_sum")).as("two_ranks"))
+        .select(col("npos"), col("nneg"),
+          ((col("two_ranks") - col("npos") * (col("npos") + 1)).cast("double")
+            / (lit(2.0) * (col("npos") * col("nneg")).cast("double")))
+            .as("auc"))
+    },
+
     // Log-scaled TF-IDF against the same probe-term set as ir1_bm25: one
     // narrow scan + one broadcast scalar aggregate.
     "ir2_tfidf" -> { (s, dir) =>
@@ -150,6 +183,30 @@ object ScoringQueries {
          |  FROM by_score
          |  WINDOW w AS (ORDER BY threshold DESC
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin,
+    "ml4_auc" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score,
+         |    label
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |by_score AS (
+         |  SELECT score, COUNT(*) AS n,
+         |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+         |  FROM sc GROUP BY score),
+         |ranked AS (
+         |  SELECT score, n, npos,
+         |    SUM(n) OVER (ORDER BY score ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_rn
+         |  FROM by_score),
+         |contrib AS (
+         |  SELECT npos, n, npos * (max_rn - n + 1 + max_rn) AS two_rank_sum
+         |  FROM ranked)
+         |SELECT CAST(SUM(npos) AS BIGINT) AS npos,
+         |  CAST(SUM(n - npos) AS BIGINT) AS nneg,
+         |  CAST(SUM(two_rank_sum) - SUM(npos) * (SUM(npos) + 1) AS DOUBLE) /
+         |    (2.0e0 * CAST(SUM(npos) * SUM(n - npos) AS DOUBLE)) AS auc
+         |FROM contrib""".stripMargin,
     "ml3_calibration" ->
       s"""WITH sc AS (
          |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->

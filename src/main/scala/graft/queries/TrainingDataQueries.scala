@@ -635,6 +635,59 @@ object TrainingDataQueries {
       Retrieval.unigramSurprisal(docsSpread(s, dir))
     },
 
+    // Bigram-LM mean surprisal: P(w2|w1) from the corpus's own bigram
+    // counts — the context-sensitive upgrade of lm1's unigram filter
+    // (rare-continuation soup scores high even when every unigram is
+    // common). Bigrams are formed narrowly per row (two array slices
+    // zipped — no shuffle); counts shuffle once on the bigram, the
+    // conditional probabilities join back on the bigram key (vocabulary²
+    // upper bound — AQE picks broadcast vs shuffle join by actual size),
+    // and the per-document reduction is an exact integer micro-nat sum.
+    // Documents with fewer than two tokens have no bigrams and drop out.
+    "lm2_bigram_surprisal" -> { (s, dir) =>
+      val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+      val bigrams = docsSpread(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = counts.groupBy("w1").agg(sum(col("c")).as("cctx"))
+      val probs = counts.join(ctx, "w1")
+        .select(col("w1"), col("w2"),
+          floor(log(col("c").cast("double") / col("cctx").cast("double"))
+            * lit(1e6)).cast("bigint").as("micro_nats"))
+      bigrams.join(probs, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("micro_nats")).as("sum_micro_nats"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_micro_nats"),
+          (-col("sum_micro_nats").cast("double") / lit(1e6) /
+            col("n_bigrams").cast("double")).as("mean_surprisal_nats"))
+    },
+
+    // Character-level Shannon entropy per document (gibberish / encoded-
+    // blob detector: natural language sits in a narrow entropy band).
+    // Explode to (doc, char) → map-side-combined count → per-doc exact
+    // integer micro-nat sum; the alphabet is tiny so the count shuffle
+    // carries ≤ |alphabet| rows per document.
+    "tx13_char_entropy" -> { (s, dir) =>
+      val d = docsSpread(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("dl"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+      d.groupBy("doc_id", "dl", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "dl")
+        .agg(sum(col("c") * floor(log(col("c").cast("double") /
+          col("dl").cast("double")) * lit(1e6)).cast("bigint"))
+          .as("sum_micro"))
+        .select(col("doc_id"),
+          (-col("sum_micro").cast("double") / lit(1e6) /
+            col("dl").cast("double")).as("entropy_nats"))
+    },
+
     // Concat-and-chunk sequence packing plan: 512-token sequences per
     // language stream, documents laid down in doc_id order.
     "pk1_sequence_pack" -> { (s, dir) =>
@@ -1601,6 +1654,43 @@ object TrainingDataQueries {
          |FROM voted v JOIN embeddings q ON v.query_id = q.vec_id""".stripMargin,
     "ir1_bm25" -> bm25Sql,
     "lm1_surprisal" -> lm1Sql,
+    // Bigram LM: same micro-nat-before-reduction contract as lm1; the
+    // bigram lists are two zipped array slices, so docs with < 2 tokens
+    // contribute no rows on either engine.
+    "lm2_bigram_surprisal" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM base),
+         |counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+         |ctx AS (SELECT w1, SUM(c) AS cctx FROM counts GROUP BY w1),
+         |probs AS (
+         |  SELECT counts.w1, counts.w2,
+         |    CAST(FLOOR(ln(CAST(c AS DOUBLE) / CAST(cctx AS DOUBLE)) * 1e6)
+         |      AS BIGINT) AS micro_nats
+         |  FROM counts JOIN ctx ON counts.w1 = ctx.w1)
+         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(micro_nats) AS BIGINT) AS sum_micro_nats,
+         |  -CAST(SUM(micro_nats) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_surprisal_nats
+         |FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+         |GROUP BY bg.doc_id""".stripMargin,
+    "tx13_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS dl,
+        |    unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (
+        |  SELECT doc_id, dl, ch, COUNT(*) AS c FROM ch
+        |  WHERE length(ch) > 0 GROUP BY doc_id, dl, ch)
+        |SELECT doc_id,
+        |  -CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE) / CAST(dl AS DOUBLE))
+        |      * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / CAST(dl AS DOUBLE)
+        |    AS entropy_nats
+        |FROM cc GROUP BY doc_id, dl""".stripMargin,
     "sim7_pq_codes" -> sim7Sql,
     "sim8_pq_topk" -> sim8Sql,
     "sim9_ivfpq" -> sim9Sql,
