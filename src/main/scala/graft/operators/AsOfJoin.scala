@@ -39,10 +39,19 @@ object AsOfJoin {
     * @param leftTime   left event-time column name
     * @param rightTime  right event-time column name
     * @param payload    right columns to carry onto matches
+    * @param direction  "backward" (greatest right-time ≤ left-time, the
+    *                   default point-in-time lookup) or "forward"
+    *                   (smallest right-time ≥ left-time — "what happened
+    *                   next": next order after a click, next error after
+    *                   a deploy). Same one-shuffle sorted-window plan,
+    *                   scanned in the opposite time order.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String],
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     // A payload name already present on the left would poison the running
     // fill (left values would be picked up by the window) — reject early.
@@ -63,10 +72,13 @@ object AsOfJoin {
       .select(col(keyCol), col("__t"), col("__side"), col("__p"))
 
     // right rows sort before left rows at equal time, so t_left == t_right
-    // matches (the ≤ semantics); left rows carry __p = null and are
-    // skipped by ignoreNulls, so they never feed the fill.
+    // matches (the ≤/≥ semantics); left rows carry __p = null and are
+    // skipped by ignoreNulls, so they never feed the fill. Forward = the
+    // identical running fill scanned in descending time order.
+    val tOrder =
+      if (direction == "backward") col("__t").asc else col("__t").desc
     val order = Window.partitionBy(col(keyCol))
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(tOrder, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedLeft.unionByName(taggedRight, allowMissingColumns = true)

@@ -102,6 +102,24 @@ object EventQueries {
           col("o_totalprice").as("last_order_price"))
     },
 
+    // Forward as-of join: each order picks up the user's NEXT event at or
+    // after the order time — conversion attribution ("what happened
+    // next"), the mirror of ev4's backward point-in-time lookup.
+    "ev10_asof_next_event" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("event_type"))
+      val deduped = AsOfJoin.dedupeRight(ev, "user_id", "ts_us", "event_id")
+      AsOfJoin.asofJoin(orders, deduped, "user_id", "order_us", "ts_us",
+          Seq("event_id", "event_type"), direction = "forward")
+        .select(col("o_orderkey"), col("user_id"), col("order_us"),
+          col("event_id").as("next_event"),
+          col("event_type").as("next_event_type"))
+    },
+
     // Full-outer interval join (batch twin of streaming.EventStreams
     // .attributeClicksFullOuter): views matched to clicks within 30 min,
     // PLUS unconverted views and orphan clicks null-extended.
@@ -249,6 +267,19 @@ object EventQueries {
         |  rd.o_orderkey AS last_order, rd.o_totalprice AS last_order_price
         |FROM l ASOF JOIN rd
         |  ON l.user_id = rd.user_id AND l.ts_us >= rd.order_us""".stripMargin,
+    "ev10_asof_next_event" ->
+      """WITH rd AS (
+        |  SELECT user_id, ts_us, event_id, event_type FROM (
+        |    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |l AS (SELECT o_orderkey, o_custkey AS user_id,
+        |        epoch_us(o_orderdate) AS order_us FROM orders)
+        |SELECT l.o_orderkey, l.user_id, l.order_us,
+        |  rd.event_id AS next_event, rd.event_type AS next_event_type
+        |FROM l ASOF JOIN rd
+        |  ON l.user_id = rd.user_id AND l.order_us <= rd.ts_us""".stripMargin,
     "ev5_interval_fullouter" ->
       """WITH v AS (
         |  SELECT user_id AS v_user, epoch_us(ts) AS view_us, event_id AS view_id

@@ -452,6 +452,23 @@ object RelationalQueries {
       Outliers.robustStats(li, "grp", "cents", k = 3.0)
     },
 
+    // D21 (beyond reference): exact per-group mode with a deterministic
+    // tie-break (smallest value among the max counts) — Spark's and
+    // DuckDB's built-in mode() both leave ties implementation-defined,
+    // so the window formulation IS the portable operator. One map-side-
+    // combined count shuffle; the rank runs over distinct values.
+    "d21_mode" -> { (s, dir) =>
+      val counts = Tables.spread(Tables.lineitem(s, dir))
+        .select(col("l_returnflag").as("grp"),
+          col("l_quantity").cast("bigint").as("qty"))
+        .groupBy("grp", "qty").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("c").desc, col("qty").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("grp"), col("qty").as("mode_qty"), col("c").as("n_at_mode"))
+    },
+
     // D19 (beyond reference): equal-width histogram — the distribution
     // profile every column-stats pass wants. Bucket = floor(x / width)
     // on exact 2-decimal doubles, so both engines bin identically; one
@@ -704,6 +721,13 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 400000.0
          |GROUP BY o_orderkey""".stripMargin,
+    "d21_mode" ->
+      """SELECT grp, qty AS mode_qty, c AS n_at_mode FROM (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS qty,
+        |    COUNT(*) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC) AS rn
+        |  FROM lineitem GROUP BY 1, 2) WHERE rn = 1""".stripMargin,
     "d19_histogram" ->
       s"""SELECT CAST(FLOOR(o_totalprice / 50000.0e0) AS BIGINT) AS bucket,
          |COUNT(*) AS n_orders,

@@ -132,6 +132,28 @@ object ScoringQueries {
       Retrieval.tfidf(docsSpread(s, dir), tfidfTerms)
     },
 
+    // Smoothed target encoding of a categorical feature: per-category
+    // positive rate shrunk toward the global prior (m=10 pseudo-counts) —
+    // the leakage-safe categorical-to-numeric feature map. Two
+    // map-side-combined aggregates (category-sized and one scalar row),
+    // both broadcast back over the scan; the fraction derives from exact
+    // integer counts through the same expression tree in both engines.
+    "fe5_target_encode" -> { (s, dir) =>
+      val d = docsSpread(s, dir).select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("label"))
+      val glob = d.agg(count(lit(1)).as("tn"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("tp"))
+      val per = d.groupBy("source").agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("npos"))
+      val enc = per.crossJoin(broadcast(glob))
+        .select(col("source"),
+          ((col("npos").cast("double") +
+            lit(10.0) * (col("tp").cast("double") / col("tn").cast("double")))
+            / (col("n").cast("double") + lit(10.0))).as("te_rate"))
+      d.join(broadcast(enc), "source")
+        .select(col("doc_id"), col("source"), col("te_rate"))
+    },
+
     // CDC snapshot diff: the old snapshot is missing keys ≡3 (mod 10) and
     // carries a stale status for keys ≡0 (mod 7); the new snapshot is
     // missing keys ≡7 (mod 10). Full-outer fingerprint join classifies
@@ -235,6 +257,21 @@ object ScoringQueries {
         |        CAST(st.n AS DOUBLE)) / CAST(st.n - 1 AS DOUBLE))
         |  END AS zscore
         |FROM documents d JOIN stats st ON d.source = st.source""".stripMargin,
+    "fe5_target_encode" ->
+      """WITH d AS (SELECT doc_id, source, lang = 'en' AS label
+        |           FROM documents),
+        |g AS (SELECT COUNT(*) AS tn,
+        |        SUM(CASE WHEN label THEN 1 ELSE 0 END) AS tp FROM d),
+        |p AS (SELECT source, COUNT(*) AS n,
+        |        SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+        |      FROM d GROUP BY source),
+        |e AS (SELECT source,
+        |        (CAST(npos AS DOUBLE) +
+        |          10.0e0 * (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))) /
+        |        (CAST(n AS DOUBLE) + 10.0e0) AS te_rate
+        |      FROM p CROSS JOIN g)
+        |SELECT d.doc_id, d.source, e.te_rate
+        |FROM d JOIN e USING (source)""".stripMargin,
     "ir2_tfidf" -> ir2Sql,
     "cdc1_snapshot_diff" ->
       """WITH snap_a AS (

@@ -24,6 +24,23 @@ class AsOfJoinSpec extends SparkSpec {
       (1, 15L, "c", 200)))
   }
 
+  test("forward as-of: smallest right time >= left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1, 10L, "a"), // next right is t=15
+      (1, 15L, "b"), // equal time matches (>= semantics)
+      (1, 30L, "c"), // after all right rows for key 1 → dropped
+      (2, 5L, "d"))  // key absent on right → dropped
+      .toDF("k", "t", "v")
+    val right = Seq((1, 8L, 100), (1, 15L, 200), (1, 25L, 300))
+      .toDF("k", "rt", "price")
+    val out = AsOfJoin.asofJoin(left, right, "k", "t", "rt", Seq("price"),
+        direction = "forward")
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Long]("t"),
+        r.getAs[String]("v"), r.getAs[Int]("price"))).toSet
+    assert(out == Set((1, 10L, "a", 200), (1, 15L, "b", 200)))
+  }
+
   test("payload is row-atomic: null fields are not backfilled from older rows") {
     import spark.implicits._
     val left = Seq((1, 10L), (1, 20L)).toDF("k", "t")
