@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.GoldQueries.queries ++
       graft.queries.SqlQueries.queries ++
-      graft.queries.ScoringQueries.queries
+      graft.queries.ScoringQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.GoldQueries.oracleSql ++
       graft.queries.SqlQueries.oracleSql ++
-      graft.queries.ScoringQueries.oracleSql
+      graft.queries.ScoringQueries.oracleSql ++
+      graft.queries.GraphQueries.oracleSql
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation.
+  *
+  * Web-scale training corpora carry a link structure (hyperlinks,
+  * citations, cross-references), and link-based centrality is a classic
+  * document-quality prior (reference pipelines rank crawl frontiers and
+  * weight sources by it). This operator family computes PageRank with the
+  * same Pregel-style DataFrame iteration as
+  * [[Dedup.connectedComponents]]: each iteration is one keyed join (ship
+  * ranks to out-edges) plus one map-side-combined aggregate (sum
+  * contributions per target), with an eager `localCheckpoint` cutting
+  * lineage per round.
+  *
+  * Determinism: ranks live in integer MICRO-UNITS (`Scale` = 1e12 total
+  * mass), every per-iteration operation is integer arithmetic
+  * (`div`-truncation, positive operands), and integer sums are
+  * order-independent — so the fixpoint trajectory is bit-identical in any
+  * engine, and a DuckDB oracle reproduces K unrolled iterations exactly.
+  * Float PageRank would drift by summation order across partitionings.
+  *
+  * Scale shape (100 TB): edges are the big table; each iteration shuffles
+  * edges by `src` (join with ranks) and contributions by `dst` (aggregate)
+  * — partial aggregation collapses the per-target sums map-side, so the
+  * second shuffle carries at most one row per (partition, target). Ranks
+  * are one fixed-width row per node. Pre-partitioning edges by `src` lets
+  * AQE reuse the exchange across iterations. Nodes with zero out-degree
+  * leak their damped mass (the common production simplification — the
+  * teleport term keeps ranks well-defined); redistribute-dangling-mass
+  * needs one extra scalar aggregate per round if ever required.
+  */
+object Graph {
+
+  /** Total rank mass in micro-units: 1 unit = 1e-12 of the corpus mass. */
+  val Scale: Long = 1000000000000L
+
+  /** Deterministic synthetic link graph over a document table: each doc
+    * links to `(id * p + j) % n` for (p, j) in (7,0), (13,1), (31,2) —
+    * every node has out-degree 3 (self-links and duplicate targets kept;
+    * PageRank is defined on multigraphs). Mirrored literally by the
+    * DuckDB oracle, so the graph is engine-reproducible fixture data, not
+    * random. Returns (src, dst). */
+  def syntheticLinks(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val nd = docs.select(col(idCol).cast("bigint").as("node"))
+    val nn = nd.agg(count(lit(1)).as("n"))
+    Seq((7L, 0L), (13L, 1L), (31L, 2L)).map { case (p, j) =>
+      nd.crossJoin(broadcast(nn))
+        .select(col("node").as("src"),
+          ((col("node") * p + j) % col("n")).as("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Integer-exact PageRank: `iters` rounds of
+    * `r' = tele + (dampingPct * Σ_in (r_src div outdeg_src)) div 100`
+    * with `tele = ((100 - dampingPct) * Scale) div (100 * n)`.
+    *
+    * All quantities are longs and all divisions truncate on positive
+    * operands, so the result is independent of partitioning and engine.
+    * Rounding loses < n + 1 micro-units of mass per round — at Scale =
+    * 1e12 that is a < 1e-6 relative perturbation, far below the rank
+    * differences PageRank is used to discriminate.
+    *
+    * `nodes`' first column is the node id; `edges` must carry (src, dst).
+    * The single `count()` action sizes the teleport literal (driver-side
+    * scalar, same pattern as [[GlobalRank]]). Returns
+    * (node, rank_micro). */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+               dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct > 0 && dampingPct < 100,
+      s"need iters >= 1 and dampingPct in (0,100), got $iters/$dampingPct")
+    val nd = nodes.select(col(nodes.columns.head).cast("bigint").as("node"))
+      .localCheckpoint(true)
+    val n = nd.count()
+    val tele = ((100L - dampingPct) * Scale) / (100L * n)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val e = edges.join(outdeg, "src").localCheckpoint(true)
+    var ranks = nd.withColumn("r", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("r div od").as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("c"))
+      ranks = nd.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(tele) +
+            expr(s"($dampingPct * coalesce(c, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+}

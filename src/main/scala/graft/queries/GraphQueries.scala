@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Graph
+
+/** Link-graph centrality over the document corpus — the link-based
+  * quality-prior tier of web-corpus curation, oracled exactly: the
+  * integer micro-unit formulation of [[graft.operators.Graph.pagerank]]
+  * makes K unrolled Lloyd-style iterations bit-reproducible in DuckDB.
+  */
+object GraphQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PageRank (damping 0.85, 3 iterations) over the deterministic
+    // synthetic link graph: one keyed join + one map-side-combined
+    // aggregate per iteration, integer micro-unit ranks throughout.
+    "gr1_pagerank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Graph.pagerank(docs.select("doc_id"), Graph.syntheticLinks(docs))
+    },
+
+    // In/out-degree profile of the same graph joined back to rank: the
+    // sanity report a link-graph ingest runs first (degree skew decides
+    // the salting plan for the rank iterations).
+    "gr2_degree_rank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val edges = Graph.syntheticLinks(docs)
+      val indeg = edges.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("in_deg"))
+      val outdeg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("out_deg"))
+      Graph.pagerank(docs.select("doc_id"), edges)
+        .join(indeg, Seq("node"), "left")
+        .join(outdeg, Seq("node"), "left")
+        .select(col("node"), col("rank_micro"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+    },
+  )
+
+  /** Shared CTE prefix: the synthetic multigraph, out-degrees, and K
+    * unrolled integer PageRank iterations (r_0 .. r_K). Mirrors
+    * [[graft.operators.Graph]] literally — `//` (DuckDB) and `div`
+    * (Spark) agree on positive operands. */
+  private def pagerankCtes(iters: Int): String = {
+    val scale = Graph.Scale
+    val iterCtes = (1 to iters).map { i =>
+      s"""r_$i AS (
+         |  SELECT nd.node,
+         |    ((15 * $scale) // (100 * nn.n)) +
+         |      ((85 * COALESCE(s.c, 0)) // 100) AS r
+         |  FROM nd CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r_${i - 1}.r // od.od) AS c
+         |    FROM edges e
+         |    JOIN r_${i - 1} ON e.src = r_${i - 1}.node
+         |    JOIN od ON e.src = od.src
+         |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""nn AS (SELECT COUNT(*) AS n FROM documents),
+       |nd AS (SELECT doc_id AS node FROM documents),
+       |edges AS (
+       |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+       |    FROM nd CROSS JOIN nn
+       |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+       |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+       |od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+       |r_0 AS (SELECT node, ($scale // nn.n) AS r FROM nd CROSS JOIN nn),
+       |$iterCtes""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "gr1_pagerank" ->
+      s"""WITH ${pagerankCtes(3)}
+         |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r_3""".stripMargin,
+    "gr2_degree_rank" ->
+      s"""WITH ${pagerankCtes(3)},
+         |indeg AS (SELECT dst AS node, COUNT(*) AS in_deg
+         |          FROM edges GROUP BY dst),
+         |outdeg AS (SELECT src AS node, COUNT(*) AS out_deg
+         |           FROM edges GROUP BY src)
+         |SELECT r.node, CAST(r.r AS BIGINT) AS rank_micro,
+         |  CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+         |  CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg
+         |FROM r_3 r LEFT JOIN indeg i ON r.node = i.node
+         |LEFT JOIN outdeg o ON r.node = o.node""".stripMargin,
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  test("pagerank: symmetric cycle gives equal ranks, mass ~ conserved") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val out = Graph.pagerank(nodes, edges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 4)
+    // A 4-cycle is vertex-transitive: every node gets the same rank.
+    assert(out.values.toSet.size == 1)
+    // Integer truncation loses < n+1 micro-units per round.
+    val total = out.values.sum
+    assert(total <= Graph.Scale && total > Graph.Scale - 4 * (4 + 1))
+  }
+
+  test("pagerank: chain sink outranks source; dangling mass leaks") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = Graph.pagerank(nodes, edges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(2L) > out(1L) && out(1L) > out(0L))
+    // Node 0 receives teleport only after round 1.
+    val tele = (15L * Graph.Scale) / (100L * 3L)
+    assert(out(0L) == tele)
+  }
+
+  test("syntheticLinks: out-degree 3 for every doc, targets in range") {
+    import spark.implicits._
+    val docs = (0L until 10L).toDF("doc_id")
+    val e = Graph.syntheticLinks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.length == 30)
+    assert(e.groupBy(_._1).forall(_._2.length == 3))
+    assert(e.forall { case (_, d) => d >= 0 && d < 10 })
+  }
+}
