@@ -45,11 +45,19 @@ object AsOfJoin {
     *                   next": next order after a click, next error after
     *                   a deploy). Same one-shuffle sorted-window plan,
     *                   scanned in the opposite time order.
+    * @param tolerance  optional max |left-time − right-time| (same unit
+    *                   as the NUMERIC time columns — epoch-µs in this
+    *                   catalog). The nearest match is found first, then
+    *                   dropped if it is farther than the tolerance —
+    *                   pandas merge_asof semantics: a too-far nearest
+    *                   match does NOT fall through to the next-nearest.
+    *                   A post-window filter, so the plan is unchanged.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTime: String, rightTime: String,
                payload: Seq[String],
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
@@ -65,10 +73,13 @@ object AsOfJoin {
     // from the same right row (no per-column backfill mixing rows), and a
     // matched row with null fields still counts as a match: the struct
     // itself is non-null even when all its fields are null.
+    // The matched right time rides in the struct as __rt so the tolerance
+    // gate can measure the gap to the row that actually matched.
     val taggedRight = right
       .select((keyCol +: rightTime +: payload).distinct.map(col): _*)
       .withColumn("__t", col(rightTime)).withColumn("__side", lit(1))
-      .withColumn("__p", struct(payload.map(col): _*))
+      .withColumn("__p",
+        struct(payload.map(col) :+ col(rightTime).as("__rt"): _*))
       .select(col(keyCol), col("__t"), col("__side"), col("__p"))
 
     // right rows sort before left rows at equal time, so t_left == t_right
@@ -81,10 +92,21 @@ object AsOfJoin {
       .orderBy(tOrder, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val matched = taggedLeft
+      .unionByName(taggedRight, allowMissingColumns = true)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(order))
       .filter(col("__side") === 0 && col("__p").isNotNull)
-      .select(leftCols.map(col) ++
-        payload.map(p => col("__p").getField(p).as(p)): _*)
+    val gated = tolerance match {
+      case Some(tol) =>
+        // The gap is nonnegative by construction in either direction.
+        val gap =
+          if (direction == "backward")
+            col("__t") - col("__p").getField("__rt")
+          else col("__p").getField("__rt") - col("__t")
+        matched.filter(gap <= tol)
+      case None => matched
+    }
+    gated.select(leftCols.map(col) ++
+      payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }

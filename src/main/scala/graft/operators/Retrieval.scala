@@ -26,6 +26,38 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Rank-fusion mass unit: 1e12 micro-units distributed as 1/(k+rank). */
+  val RrfScale: Long = 1000000000000L
+
+  /** Reciprocal-rank fusion of two rankings: each side is ranked by its
+    * own score (descending, id-tiebroken), and a document's fused score
+    * is `Σ RrfScale div (k + rank)` — the standard hybrid-retrieval
+    * combiner (lexical BM25 + a second signal) that needs no score
+    * calibration because only RANKS enter the sum. Integer `div` keeps
+    * the fused score engine-exact.
+    *
+    * Ranking uses [[GlobalRank.withGlobalRowNumber]]'s two-pass range
+    * layout — no single-partition exchange, so fusing full-corpus
+    * rankings scales; the id join is a plain hash join. A document
+    * missing from one side contributes 0 from that side (full-outer
+    * semantics). Returns (id, rrf_micro, r_a, r_b). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              aScore: String, bScore: String, k: Int = 60): DataFrame = {
+    require(k >= 0, s"k must be nonnegative, got $k")
+    val ra = GlobalRank.withGlobalRowNumber(a,
+        Seq(col(aScore).desc, col(idCol).asc), out = "r_a")
+      .select(col(idCol), col("r_a").cast("bigint").as("r_a"))
+    val rb = GlobalRank.withGlobalRowNumber(b,
+        Seq(col(bScore).desc, col(idCol).asc), out = "r_b")
+      .select(col(idCol), col("r_b").cast("bigint").as("r_b"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(expr(s"$RrfScale div (${k}L + r_a)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div (${k}L + r_b)"), lit(0L)))
+          .as("rrf_micro"),
+        col("r_a"), col("r_b"))
+  }
+
   /** Okapi BM25 score of every document against a small fixed query-term
     * set (terms are plan-time literals — the realistic shape for corpus
     * curation probes, where the "query" is a handful of topic anchors).

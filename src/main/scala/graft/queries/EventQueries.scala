@@ -120,6 +120,28 @@ object EventQueries {
           col("event_type").as("next_event_type"))
     },
 
+    // Tolerance-bounded backward as-of: each view picks up the user's
+    // LAST click at or before the view, but only if it happened within
+    // 30 minutes — attribution with an expiry window, pandas-merge_asof
+    // tolerance semantics (a too-far nearest match drops, it does not
+    // fall through to an older click).
+    "ev11_asof_tolerance" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("event_type"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("view_us"),
+          col("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val deduped = AsOfJoin.dedupeRight(clicks, "user_id", "ts_us",
+        "event_id")
+      AsOfJoin.asofJoin(views, deduped, "user_id", "view_us", "ts_us",
+          Seq("event_id"), tolerance = Some(1800L * 1000000L))
+        .select(col("view_id"), col("user_id"), col("view_us"),
+          col("event_id").as("click_id"))
+    },
+
     // Full-outer interval join (batch twin of streaming.EventStreams
     // .attributeClicksFullOuter): views matched to clicks within 30 min,
     // PLUS unconverted views and orphan clicks null-extended.
@@ -280,6 +302,23 @@ object EventQueries {
         |  rd.event_id AS next_event, rd.event_type AS next_event_type
         |FROM l ASOF JOIN rd
         |  ON l.user_id = rd.user_id AND l.order_us <= rd.ts_us""".stripMargin,
+    "ev11_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, ts_us AS view_us, event_id AS view_id
+        |      FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts_us, event_id FROM (
+        |  SELECT user_id, ts_us, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM ev WHERE event_type = 'click') t WHERE rn = 1),
+        |m AS (SELECT v.view_id, v.user_id, v.view_us,
+        |        c.event_id AS click_id, c.ts_us AS click_us
+        |      FROM v ASOF JOIN c
+        |        ON v.user_id = c.user_id AND v.view_us >= c.ts_us)
+        |SELECT view_id, user_id, view_us, click_id FROM m
+        |WHERE view_us - click_us <= 1800000000""".stripMargin,
     "ev5_interval_fullouter" ->
       """WITH v AS (
         |  SELECT user_id AS v_user, epoch_us(ts) AS view_us, event_id AS view_id

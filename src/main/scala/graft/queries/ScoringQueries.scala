@@ -154,6 +154,20 @@ object ScoringQueries {
         .select(col("doc_id"), col("source"), col("te_rate"))
     },
 
+    // Reciprocal-rank fusion of the two lexical rankings (BM25 + ltc
+    // TF-IDF) over the same probe terms — hybrid retrieval's
+    // calibration-free combiner. Ranks come from GlobalRank's two-pass
+    // layout (no single-partition exchange); the fused score is an
+    // integer micro-unit sum, engine-exact.
+    "ir3_rrf_fusion" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      Retrieval.rrfFuse(
+        Retrieval.bm25(docs, TrainingDataQueries.bm25Terms)
+          .select("doc_id", "bm25"),
+        Retrieval.tfidf(docs, tfidfTerms).select("doc_id", "tfidf"),
+        idCol = "doc_id", aScore = "bm25", bScore = "tfidf")
+    },
+
     // CDC snapshot diff: the old snapshot is missing keys ≡3 (mod 10) and
     // carries a stale status for keys ≡0 (mod 7); the new snapshot is
     // missing keys ≡7 (mod 10). Full-outer fingerprint join classifies
@@ -273,6 +287,19 @@ object ScoringQueries {
         |SELECT d.doc_id, d.source, e.te_rate
         |FROM d JOIN e USING (source)""".stripMargin,
     "ir2_tfidf" -> ir2Sql,
+    "ir3_rrf_fusion" ->
+      s"""WITH a AS (SELECT * FROM (${TrainingDataQueries.bm25Sql}) ta),
+         |b AS (SELECT * FROM ($ir2Sql) tb),
+         |ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r_a FROM a),
+         |rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY tfidf DESC, doc_id ASC) AS BIGINT) AS r_b FROM b)
+         |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         |  CAST(COALESCE(1000000000000 // (60 + ra.r_a), 0) +
+         |       COALESCE(1000000000000 // (60 + rb.r_b), 0) AS BIGINT)
+         |    AS rrf_micro,
+         |  ra.r_a, rb.r_b
+         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id""".stripMargin,
     "cdc1_snapshot_diff" ->
       """WITH snap_a AS (
         |  SELECT o_orderkey,

@@ -318,6 +318,43 @@ object TrainingDataQueries {
         key = col("lang"), id = col("doc_id"), maxN = 20)
     },
 
+    // Leakage-safe GROUP split: near-dup clusters (dd4's connected
+    // components over the MinHash-LSH pairs) are split as a UNIT — the
+    // split gate hashes the cluster representative, so near-identical
+    // docs can never straddle train/test (the classic holdout leak that
+    // per-doc hashing cannot prevent). Singletons hash their own id,
+    // which IS their representative.
+    "s6_group_split" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashDedup(docs, threshold = 0.5).select("id_a", "id_b"))
+      val grouped = docs.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      Sampling.splitAssign(grouped, col("group_id"),
+        trainPermille = 800, valPermille = 100)
+    },
+
+    // Token-BUDGET mixing: per-source quota in TOKENS, not documents —
+    // docs admitted in deterministic md5 order until the source's budget
+    // is spent. One window shuffle on source; the mix1 proportions
+    // become absolute token counts, which is how real pretraining mixes
+    // are specified. Low source cardinality at corpus scale makes this
+    // the j5 skew case — salt the window key or pre-aggregate per
+    // (source, bucket) if a source dominates.
+    "mix2_token_budget" -> { (s, dir) =>
+      val st = docsSpread(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"),
+        Sampling.bucket(col("doc_id"), "mix2").as("bkt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("bkt"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      st.withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .filter(col("cum_toks") <= 800L)
+        .select("doc_id", "source", "n_toks", "cum_toks")
+    },
+
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
     // membership is per-record and engine-reproducible, unlike
     // sample(seed) which keys on row order.
@@ -1097,7 +1134,7 @@ object TrainingDataQueries {
   /** BM25 probe terms, df spread rare→ubiquitous on the synthetic corpus
     * (sf0.01: "dup" df=25/500, "key" 373, "the" 382, "batch" 402) — so the
     * idf term actually discriminates across the set. */
-  private val bm25Terms: Seq[String] = Seq("dup", "key", "the", "batch")
+  private[queries] val bm25Terms: Seq[String] = Seq("dup", "key", "the", "batch")
 
   /** ir1 oracle, generated from the SAME [[bm25Terms]] the query uses: the
     * score is the identical left-associative per-term chain as
@@ -1105,7 +1142,7 @@ object TrainingDataQueries {
     * (idf, length norm, avgdl) written in the same association order, and
     * all constants (k1=1.2, b=0.75, 1-b, k1+1) interpolated from the same
     * Scala doubles so both engines parse the identical values. */
-  private def bm25Sql: String = {
+  private[queries] def bm25Sql: String = {
     val k1 = 1.2
     val b = 0.75
     val tfCols = bm25Terms.map(t =>
@@ -1307,6 +1344,45 @@ object TrainingDataQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
         |      AS pick_rank
         |  FROM documents) WHERE pick_rank <= 20""".stripMargin,
+    // dd4's transitive closure feeding s3's hash gate keyed on the
+    // cluster representative (singletons: the doc's own id).
+    "s6_group_split" ->
+      s"""WITH RECURSIVE $dd2Ctes,
+         |edges AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+         |und AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION SELECT id_b, id_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |grouped AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN group_id IS NULL THEN NULL
+         |       WHEN ${bucketSql("split", "group_id")} < 800 THEN 'train'
+         |       WHEN ${bucketSql("split", "group_id")} < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM grouped""".stripMargin,
+    "mix2_token_budget" ->
+      s"""WITH st AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_toks,
+         |    ${bucketSql("mix2", "doc_id")} AS bkt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY bkt, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_toks
+         |  FROM st)
+         |SELECT doc_id, source, n_toks, cum_toks FROM c
+         |WHERE cum_toks <= 800""".stripMargin,
     "drift2_vocab_shift" ->
       s"""WITH toks AS (
          |  SELECT doc_id % 2 = 0 AS is_old,

@@ -41,6 +41,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Set((1, 10L, "a", 200), (1, 15L, "b", 200)))
   }
 
+  test("tolerance drops too-far nearest matches without falling through") {
+    import spark.implicits._
+    val left = Seq(
+      (1, 10L, "a"),  // nearest right t=8, gap 2 ≤ 5 → kept
+      (1, 30L, "b"),  // nearest right t=15, gap 15 > 5 → dropped
+      (1, 16L, "c"))  // nearest right t=15, gap 1 ≤ 5 → kept
+      .toDF("k", "t", "v")
+    val right = Seq((1, 8L, 100), (1, 15L, 200)).toDF("k", "rt", "price")
+    val out = AsOfJoin.asofJoin(left, right, "k", "t", "rt", Seq("price"),
+        tolerance = Some(5L))
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[Int]("price"))).toSet
+    // t=30 must NOT fall through to the (even farther) t=8 row.
+    assert(out == Set((10L, 100), (16L, 200)))
+
+    val fwd = AsOfJoin.asofJoin(left, right, "k", "t", "rt", Seq("price"),
+        direction = "forward", tolerance = Some(5L))
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[Int]("price"))).toSet
+    // forward: t=10 → rt=15 gap 5 kept; t=16 → none ahead... rt=15 < 16,
+    // so no forward match; t=30 → none.
+    assert(fwd == Set((10L, 200)))
+  }
+
   test("payload is row-atomic: null fields are not backfilled from older rows") {
     import spark.implicits._
     val left = Seq((1, 10L), (1, 20L)).toDF("k", "t")
