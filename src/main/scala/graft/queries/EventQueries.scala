@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -140,6 +141,38 @@ object EventQueries {
           Seq("event_id"), tolerance = Some(1800L * 1000000L))
         .select(col("view_id"), col("user_id"), col("view_us"),
           col("event_id").as("click_id"))
+    },
+
+    // Trailing-window anomaly detection on the daily event-count series:
+    // each (event_type, day)'s count is z-scored against its own trailing
+    // 7 observations (ROWS frame — mirrored literally in the oracle).
+    // fe4's determinism contract: exact decimal Σx/Σx² in the frame,
+    // every double derived through the identical expression tree. The
+    // monitoring pass an ingest pipeline runs on its own volume curve.
+    "ts1_anomaly" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      val mean = col("s1").cast("double") / col("cnt_w").cast("double")
+      val variance = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") /
+          col("cnt_w").cast("double")) / (col("cnt_w") - 1).cast("double")
+      daily
+        .withColumn("cnt_w", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("n").cast(DecimalType(38, 0))).over(w))
+        .withColumn("s2",
+          sum((col("n") * col("n")).cast(DecimalType(38, 0))).over(w))
+        .withColumn("z",
+          when((col("cnt_w") > 1) && (variance > 0),
+            (col("n").cast("double") - mean) / sqrt(variance)))
+        .select(col("event_type"), col("day"), col("n"), col("z"),
+          // bigint 1/0/null, not boolean: a nullable bool canonicalizes
+          // differently across the two engines' pandas bridges
+          when(col("z").isNotNull, (abs(col("z")) > 3.0).cast("bigint"))
+            .as("is_anomaly"))
     },
 
     // Full-outer interval join (batch twin of streaming.EventStreams
@@ -319,6 +352,35 @@ object EventQueries {
         |        ON v.user_id = c.user_id AND v.view_us >= c.ts_us)
         |SELECT view_id, user_id, view_us, click_id FROM m
         |WHERE view_us - click_us <= 1800000000""".stripMargin,
+    "ts1_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT event_type, day, n,
+        |    COUNT(*) OVER tw AS cnt_w,
+        |    SUM(CAST(n AS HUGEINT)) OVER tw AS s1,
+        |    SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) OVER tw AS s2
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, day, n,
+        |    CASE WHEN cnt_w > 1 AND
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(cnt_w AS DOUBLE)) / CAST(cnt_w - 1 AS DOUBLE) > 0
+        |    THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) /
+        |        CAST(cnt_w AS DOUBLE)) /
+        |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |        CAST(s1 AS DOUBLE) / CAST(cnt_w AS DOUBLE)) /
+        |        CAST(cnt_w - 1 AS DOUBLE))
+        |    END AS z
+        |  FROM fr)
+        |SELECT event_type, day, n, z,
+        |  CASE WHEN z IS NOT NULL THEN CAST(abs(z) > 3.0e0 AS BIGINT)
+        |  END AS is_anomaly
+        |FROM z""".stripMargin,
     "ev5_interval_fullouter" ->
       """WITH v AS (
         |  SELECT user_id AS v_user, epoch_us(ts) AS view_us, event_id AS view_id

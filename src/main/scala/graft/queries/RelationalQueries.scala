@@ -469,6 +469,56 @@ object RelationalQueries {
         .select(col("grp"), col("qty").as("mode_qty"), col("c").as("n_at_mode"))
     },
 
+    // Table profile (Deequ-shaped): per-column row/null/distinct counts
+    // and min/max — the stats pass every ingest runs before trusting a
+    // feed. One column-pruned scan per profiled column (at scale, swap
+    // countDistinct for the d10/d18 HLL sketch and the per-column scans
+    // for one pass with expand — both shapes exist in this catalog).
+    // Values profile as strings so heterogeneous columns stack into one
+    // report (bigint/date/varchar all render identically cross-engine).
+    "prof1_table_profile" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate").map { c =>
+        o.select(col(c).cast("string").as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(when(col("v").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      }.reduce(_ unionByName _)
+    },
+
+    // Expectation suite (Deequ-shaped): declarative constraints evaluated
+    // to violation counts — completeness, uniqueness, range, and
+    // referential integrity in one report. Each check is one aggregate
+    // (the FK check one anti join); a real deployment unions dozens.
+    "dq1_expectations" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val cu = Tables.customer(s, dir)
+      val notNull = o.agg(
+        coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("violations"))
+        .select(lit("o_orderkey_not_null").as("check_name"),
+          col("violations"))
+      val unique = o.agg(
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+          .as("violations"))
+        .select(lit("o_orderkey_unique").as("check_name"), col("violations"))
+      val positive = o.agg(
+        coalesce(sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)),
+          lit(0L)).as("violations"))
+        .select(lit("o_totalprice_positive").as("check_name"),
+          col("violations"))
+      val fk = o.join(cu, o("o_custkey") === cu("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders_custkey_fk").as("check_name"), col("violations"))
+      notNull.union(unique).union(positive).union(fk)
+        .withColumn("pass", col("violations") === 0L)
+    },
+
     // D19 (beyond reference): equal-width histogram — the distribution
     // profile every column-stats pass wants. Bucket = floor(x / width)
     // on exact 2-decimal doubles, so both engines bin identically; one
@@ -728,6 +778,36 @@ object RelationalQueries {
         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
         |      ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC) AS rn
         |  FROM lineitem GROUP BY 1, 2) WHERE rn = 1""".stripMargin,
+    "prof1_table_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           |  MIN(v) AS min_v, MAX(v) AS max_v
+           |FROM (SELECT CAST($c AS VARCHAR) AS v FROM orders) t""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate").map(one).mkString("\nUNION ALL\n")
+    },
+    "dq1_expectations" ->
+      """WITH checks AS (
+        |  SELECT 'o_orderkey_not_null' AS check_name,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey_unique',
+        |    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |    FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice_positive',
+        |    CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0.0e0 THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT check_name, violations, violations = 0 AS pass
+        |FROM checks""".stripMargin,
     "d19_histogram" ->
       s"""SELECT CAST(FLOOR(o_totalprice / 50000.0e0) AS BIGINT) AS bucket,
          |COUNT(*) AS n_orders,

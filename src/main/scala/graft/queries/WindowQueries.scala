@@ -164,12 +164,22 @@ object WindowQueries {
     // 2.3 s for the two-pass; the r4 driver's 1.71 s was contention
     // noise). At cluster scale switch to the e18 grouped two-pass form —
     // bit-identical output, proven by sharing this oracle shape.
+    // percent_rank per group through GlobalRank's grouped two-pass (the
+    // built-in window's parallelism here is #groups = 3 — the one window
+    // shape that does NOT scale; the oracle below IS the built-in SQL, so
+    // bit-equality with percent_rank() is enforced every run).
     "e13_percent_rank" -> { (s, dir) =>
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").asc)
-      Tables.lineitem(s, dir).select(
-        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        percent_rank().over(w).as("price_pct_rank"))
+      import graft.operators.GlobalRank
+      GlobalRank.withGroupedRank(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+              "l_extendedprice"),
+          group = Seq("l_returnflag"),
+          order = Seq(col("l_extendedprice")),
+          tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
+          out = "__rnk", pctOut = Some("price_pct_rank"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "price_pct_rank")
     },
     // The same per-group ranking WITHOUT the parallelism = #groups funnel:
     // operators.GlobalRank's grouped two-pass (range partition on
