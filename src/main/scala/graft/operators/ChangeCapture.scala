@@ -59,6 +59,30 @@ object ChangeCapture {
           .otherwise(lit(UnchangedType)).as("change_type"): _*)
   }
 
+  /** Apply a classified changeset to a snapshot — MERGE INTO semantics
+    * without a table format: delete/update keys leave the old image,
+    * insert/update payloads come from `newRows`. `merge(old,
+    * snapshotDiff(old, new), new) == new` exactly (the cdc2 oracle
+    * asserts this round trip).
+    *
+    * 100 TB shape: one anti join and one semi join, both keyed — the
+    * changeset is usually tiny relative to the snapshot, so AQE
+    * broadcasts the change-key side and the snapshot is never shuffled;
+    * with bucketed snapshots even the fallback shuffle co-locates. The
+    * incoming payload rides from `newRows`, not through the diff, so the
+    * diff's shuffle stays fixed-width (ChangeCapture contract). */
+  def applyChangeset(oldDf: DataFrame, changes: DataFrame,
+                     newRows: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val gone = changes
+      .filter(col("change_type").isin(DeleteType, UpdateType))
+      .select(keyCols.map(col): _*)
+    val incomingKeys = changes
+      .filter(col("change_type").isin(InsertType, UpdateType))
+      .select(keyCols.map(col): _*)
+    oldDf.join(gone, keyCols, "left_anti")
+      .unionByName(newRows.join(incomingKeys, keyCols, "left_semi"))
+  }
+
   /** The non-`unchanged` rows only — the incremental work list. */
   def changedKeys(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
                   compareCols: Seq[String]): DataFrame =

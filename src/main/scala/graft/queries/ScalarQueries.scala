@@ -137,6 +137,25 @@ object ScalarQueries {
         from_json(col("props"), schema).getField("k").as("k_typed"))
     },
 
+    // H17 (beyond reference): URL decomposition with Spark's native
+    // parse_url — host/path/query-param extraction, the first transform
+    // of every web-corpus ingest. URLs are synthesized deterministically
+    // from doc_id (tx7's fixture trick), so the oracle can state the
+    // expected components CLOSED-FORM — it verifies the parser against
+    // ground truth rather than mirroring another parser's quirks.
+    "h17_url_parse" -> { (s, dir) =>
+      val url = concat(lit("https://host"),
+        (col("doc_id") % 7).cast("string"), lit(".example.org/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"),
+        lit("&ref=graft"))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("url", url)
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
+    },
+
     // H12 (beyond reference): generator — explode the part-name words into
     // rows, then aggregate word frequencies. Generate runs inside
     // whole-stage codegen; no UDTF.
@@ -280,6 +299,15 @@ object ScalarQueries {
       """SELECT event_id,
         |CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_value
         |FROM events""".stripMargin,
+    "h17_url_parse" ->
+      """SELECT doc_id,
+        |  'https://host' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.org/docs/' || CAST(doc_id AS VARCHAR) ||
+        |    '?lang=' || lang || '&ref=graft' AS url,
+        |  'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+        |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |  lang AS q_lang
+        |FROM documents""".stripMargin,
     "h16_json_extract" ->
       """SELECT event_id,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,

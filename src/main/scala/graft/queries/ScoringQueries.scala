@@ -182,6 +182,24 @@ object ScoringQueries {
       ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
         Seq("o_orderstatus", "o_totalprice"))
     },
+
+    // MERGE-apply round trip: applying cdc1's classified changeset to the
+    // old snapshot must reconstruct the new snapshot EXACTLY — the oracle
+    // is the new snapshot's own definition, so any mis-applied
+    // insert/update/delete fails the hash compare.
+    "cdc2_merge_apply" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val k = col("o_orderkey")
+      val oldSnap = o.filter(k % 10 =!= 3)
+        .withColumn("o_orderstatus",
+          when(k % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      val newSnap = o.filter(k % 10 =!= 7)
+      val changes = ChangeCapture.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      ChangeCapture.applyChangeset(oldSnap, changes, newSnap,
+        Seq("o_orderkey"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -287,6 +305,9 @@ object ScoringQueries {
         |SELECT d.doc_id, d.source, e.te_rate
         |FROM d JOIN e USING (source)""".stripMargin,
     "ir2_tfidf" -> ir2Sql,
+    "cdc2_merge_apply" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 7""".stripMargin,
     "ir3_rrf_fusion" ->
       s"""WITH a AS (SELECT * FROM (${TrainingDataQueries.bm25Sql}) ta),
          |b AS (SELECT * FROM ($ir2Sql) tb),

@@ -477,6 +477,36 @@ object TrainingDataQueries {
     // integer-quantized embeddings (reproducible cross-engine).
     "sim1_cosine_topk" -> { (s, dir) => sim1Frame(s, dir) },
 
+    // MMR diversity re-rank: top-20 exact-cosine candidates per query,
+    // then 10 greedy picks maximizing 0.7·relevance − 0.3·max-sim-to-
+    // selected. Candidate generation is the distributed part; the greedy
+    // loop is per-query local (the production ANN-then-MMR split). The
+    // oracle replays all 10 steps as unrolled CTEs, bit-exact.
+    "sim12_mmr" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dotL
+      val quant = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+      val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+      val q = broadcast(withNorm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("nrm").as("q_nrm")))
+      val scored = withNorm
+        .select(col("vec_id").as("corpus_id"), col("qv"), col("nrm"))
+        .crossJoin(q)
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("corpus_id"), col("qv"), col("nrm"),
+          (dotL(col("q_qv"), col("qv")).cast("double") /
+            (sqrt(col("q_nrm").cast("double")) *
+              sqrt(col("nrm").cast("double")))).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+      val cands = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select("query_id", "corpus_id", "cos_sim", "qv", "nrm")
+      graft.operators.Mmr.mmrSelect(cands, k = 10)
+    },
+
     // k-NN label vote: each query's exact top-10 neighbors vote with
     // their `label`; majority (ties: lowest label) vs the query's own
     // label — the standard embedding-quality eval (does the space
@@ -1018,6 +1048,65 @@ object TrainingDataQueries {
     s"""WITH ${kmeansCtes(4, 3)}
        |SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster, dist
        |FROM a_3""".stripMargin
+
+  /** sim12 oracle: top-20 exact-cosine candidates per query, then the 10
+    * greedy MMR steps UNROLLED — each step scores the remaining
+    * candidates against the selected set (max pairwise cosine via the
+    * same integer dots), picks the per-query argmax (ties: lowest
+    * corpus_id), and appends it to the selection. Literals 0.7e0/0.3e0
+    * parse to the same doubles as the operator's lambda/mu parameters. */
+  private def sim12Sql: String = {
+    def cosSql(a: String, b: String) =
+      s"(CAST(CAST(list_sum(list_transform(range(1, 65), " +
+        s"i -> $a.qv[i] * $b.qv[i])) AS BIGINT) AS DOUBLE) / " +
+        s"(sqrt(CAST($a.nrm AS DOUBLE)) * sqrt(CAST($b.nrm AS DOUBLE))))"
+    val steps = (1 to 10).map { i =>
+      val prev = s"sel_${i - 1}"
+      s"""sc_$i AS MATERIALIZED (
+         |  SELECT c.query_id, c.corpus_id, c.qv, c.nrm,
+         |    0.7e0 * c.cos_sim - 0.3e0 * COALESCE(m.maxsel, 0.0e0) AS score
+         |  FROM cand c
+         |  LEFT JOIN (
+         |    SELECT c2.query_id, c2.corpus_id,
+         |      MAX(${cosSql("c2", "s")}) AS maxsel
+         |    FROM cand c2 JOIN $prev s ON c2.query_id = s.query_id
+         |    GROUP BY c2.query_id, c2.corpus_id) m
+         |    ON c.query_id = m.query_id AND c.corpus_id = m.corpus_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |    WHERE s.query_id = c.query_id
+         |      AND s.corpus_id = c.corpus_id)),
+         |pk_$i AS MATERIALIZED (
+         |  SELECT query_id, corpus_id, qv, nrm, score, $i AS step FROM (
+         |    SELECT query_id, corpus_id, qv, nrm, score,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, corpus_id ASC) AS rn
+         |    FROM sc_$i) t WHERE rn = 1),
+         |sel_$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL
+         |  SELECT query_id, corpus_id, qv, nrm, score, step FROM pk_$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |nr AS MATERIALIZED (SELECT vec_id, qv,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))
+       |    AS BIGINT) AS nrm FROM pts),
+       |sc0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.qv, c.nrm,
+       |    ${cosSql("q", "c")} AS cos_sim
+       |  FROM nr q JOIN nr c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |cand AS MATERIALIZED (SELECT query_id, corpus_id, qv, nrm, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, corpus_id ASC) AS rk FROM sc0) t
+       |  WHERE rk <= 20),
+       |sel_0 AS MATERIALIZED (SELECT query_id, corpus_id, qv, nrm, 0.0e0 AS score,
+       |  0 AS step FROM cand WHERE FALSE),
+       |$steps
+       |SELECT query_id, CAST(step AS INTEGER) AS step, corpus_id,
+       |  score AS mmr_score
+       |FROM sel_10""".stripMargin
+  }
 
   /** km2 oracle: the k=8 Lloyd unroll, then query routing against
     * `cents_2` (the centroid set the FINAL assignment a_3 used — same
@@ -1771,6 +1860,7 @@ object TrainingDataQueries {
     "sim8_pq_topk" -> sim8Sql,
     "sim9_ivfpq" -> sim9Sql,
     "sim10_pq_recall" -> sim10Sql,
+    "sim12_mmr" -> sim12Sql,
     "km1_kmeans" -> km1Sql,
     "km2_trained_ivf" -> km2Sql,
     // Same deterministic PII synthesis + the same ordered regex chain as
