@@ -90,4 +90,41 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
+
+  /** Root and depth of every node in a forest (parent pointers, roots
+    * have null parent) by POINTER DOUBLING: each round every node's
+    * ancestor pointer jumps to its ancestor's ancestor and the hop
+    * distances add, so the distance-to-root doubles per round — O(log
+    * depth) keyed self-joins instead of the O(depth) rounds a naive
+    * parent-chase needs (hierarchies this operator targets — org trees,
+    * category taxonomies, thread reply chains — are shallow-but-huge,
+    * exactly where log-rounds matter). Spark has no recursive CTE; this
+    * loop IS the scalable restatement, with [[Dedup.connectedComponents]]'
+    * checkpoint-per-round discipline and a scalar-only convergence probe.
+    * Cycles would never converge (parents must be a forest); `maxRounds`
+    * bounds the loop defensively. Returns (node, root_id, depth). */
+  def treePaths(nodes: DataFrame, idCol: String, parentCol: String,
+                maxRounds: Int = 20): DataFrame = {
+    var st = nodes.select(col(idCol).cast("bigint").as("id"),
+        col(parentCol).cast("bigint").as("anc"))
+      .withColumn("d", when(col("anc").isNull, 0L).otherwise(1L))
+      .withColumn("anc", coalesce(col("anc"), col("id")))
+      .localCheckpoint(true)
+    var done = false
+    var i = 0
+    while (!done && i < maxRounds) {
+      val a = st.select(col("id"), col("anc"), col("d"))
+      val b = st.select(col("id").as("b_id"), col("anc").as("b_anc"),
+        col("d").as("b_d"))
+      val jumped = a.join(b, a("anc") === b("b_id"))
+        .select(col("id"), col("b_anc").as("anc"),
+          (col("d") + col("b_d")).as("d"), (col("b_d") > 0).as("moved"))
+        .localCheckpoint(true)
+      done = jumped.filter(col("moved")).isEmpty
+      st = jumped.select("id", "anc", "d")
+      i += 1
+    }
+    st.select(col("id").as("node"), col("anc").as("root_id"),
+      col("d").as("depth"))
+  }
 }

@@ -175,6 +175,32 @@ object EventQueries {
             .as("is_anomaly"))
     },
 
+    // Gap-fill + forward-fill of a sparse daily series: the dense
+    // calendar is generated per key (sequence/explode — runs inside
+    // codegen), missing days join null and take the last observed value
+    // (ignoreNulls running window — ONE shuffle on the key). Sparsity is
+    // synthesized deterministically (every day ≡0 mod 3 dropped) so the
+    // oracle can rebuild the identical series with generate_series +
+    // IGNORE NULLS. The sparse→dense densification every
+    // time-series feature pipeline needs.
+    "ts2_gap_fill" -> { (s, dir) =>
+      val sparse = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .filter(col("day") % 3 =!= 0)
+      val bounds = sparse.groupBy("event_type")
+        .agg(min("day").as("mn"), max("day").as("mx"))
+      val dense = bounds.select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.join(sparse, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          last(col("n"), ignoreNulls = true).over(w).as("n_filled"),
+          col("n").isNull.cast("bigint").as("is_synthetic"))
+    },
+
     // Full-outer interval join (batch twin of streaming.EventStreams
     // .attributeClicksFullOuter): views matched to clicks within 30 min,
     // PLUS unconverted views and orphan clicks null-extended.
@@ -381,6 +407,23 @@ object EventQueries {
         |  CASE WHEN z IS NOT NULL THEN CAST(abs(z) > 3.0e0 AS BIGINT)
         |  END AS is_anomaly
         |FROM z""".stripMargin,
+    "ts2_gap_fill" ->
+      """WITH sparse AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |      COUNT(*) AS n
+        |    FROM events GROUP BY 1, 2) t WHERE (day % 3) <> 0),
+        |bounds AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+        |           FROM sparse GROUP BY event_type),
+        |dense AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day
+        |          FROM bounds)
+        |SELECT d.event_type, d.day,
+        |  last_value(s.n IGNORE NULLS) OVER (PARTITION BY d.event_type
+        |    ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
+        |  CAST(s.n IS NULL AS BIGINT) AS is_synthetic
+        |FROM dense d LEFT JOIN sparse s
+        |  ON d.event_type = s.event_type AND d.day = s.day""".stripMargin,
     "ev5_interval_fullouter" ->
       """WITH v AS (
         |  SELECT user_id AS v_user, epoch_us(ts) AS view_us, event_id AS view_id

@@ -39,6 +39,17 @@ object GraphQueries {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"),
           coalesce(col("out_deg"), lit(0L)).as("out_deg"))
     },
+
+    // Hierarchy flattening by pointer doubling: every doc's root and
+    // depth in the synthetic decimal forest (parent = doc_id div 10,
+    // roots < 10) in O(log depth) keyed self-joins — Spark's answer to
+    // the recursive CTE the oracle uses.
+    "gr3_tree_paths" -> { (s, dir) =>
+      val withParent = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("parent",
+          when(col("doc_id") >= 10, expr("doc_id div 10")))
+      Graph.treePaths(withParent, "doc_id", "parent")
+    },
   )
 
   /** Shared CTE prefix: the synthetic multigraph, out-degrees, and K
@@ -86,5 +97,14 @@ object GraphQueries {
          |  CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg
          |FROM r_3 r LEFT JOIN indeg i ON r.node = i.node
          |LEFT JOIN outdeg o ON r.node = o.node""".stripMargin,
+    "gr3_tree_paths" ->
+      """WITH RECURSIVE t(node, root_id, depth) AS (
+        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT)
+        |  FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT d.doc_id, t.root_id, t.depth + 1
+        |  FROM documents d JOIN t ON (d.doc_id // 10) = t.node
+        |  WHERE d.doc_id >= 10)
+        |SELECT node, root_id, depth FROM t""".stripMargin,
   )
 }
