@@ -201,6 +201,25 @@ object EventQueries {
           col("n").isNull.cast("bigint").as("is_synthetic"))
     },
 
+    // First-order Markov transition matrix of per-user event-type
+    // sequences: lag over (user, time) — ONE shuffle on user_id — then a
+    // map-side-combined pair count; transition probabilities as exact
+    // integer micro-units (n·1e6 div row-total) so the oracle matches
+    // bit-for-bit. The behavioral-sequence model a funnel/session
+    // pipeline feeds into next-event prediction.
+    "ev12_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("p_micro",
+          expr("n * 1000000 div sum(n) over (partition by prev_type)"))
+    },
+
     // Full-outer interval join (batch twin of streaming.EventStreams
     // .attributeClicksFullOuter): views matched to clicks within 30 min,
     // PLUS unconverted views and orphan clicks null-extended.
@@ -424,6 +443,18 @@ object EventQueries {
         |  CAST(s.n IS NULL AS BIGINT) AS is_synthetic
         |FROM dense d LEFT JOIN sparse s
         |  ON d.event_type = s.event_type AND d.day = s.day""".stripMargin,
+    "ev12_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |cnt AS (SELECT prev_type, event_type, COUNT(*) AS n
+        |        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type)
+        |       AS BIGINT) AS p_micro
+        |FROM cnt""".stripMargin,
     "ev5_interval_fullouter" ->
       """WITH v AS (
         |  SELECT user_id AS v_user, epoch_us(ts) AS view_us, event_id AS view_id

@@ -50,6 +50,13 @@ object GraphQueries {
           when(col("doc_id") >= 10, expr("doc_id div 10")))
       Graph.treePaths(withParent, "doc_id", "parent")
     },
+
+    // Exact per-apex wedge/triangle counts on the undirected simple
+    // projection of the synthetic link graph — degree-ordered orientation
+    // caps every wedge fan-out at O(√m), the skew-proof formulation.
+    "gr4_triangles" -> { (s, dir) =>
+      Graph.triangles(Graph.syntheticLinks(Tables.documents(s, dir)))
+    },
   )
 
   /** Shared CTE prefix: the synthetic multigraph, out-degrees, and K
@@ -97,6 +104,34 @@ object GraphQueries {
          |  CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg
          |FROM r_3 r LEFT JOIN indeg i ON r.node = i.node
          |LEFT JOIN outdeg o ON r.node = o.node""".stripMargin,
+    "gr4_triangles" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |raw AS (
+        |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+        |ue AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |       FROM raw WHERE src <> dst),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |          SELECT u AS node FROM ue
+        |          UNION ALL SELECT v FROM ue) e GROUP BY node),
+        |o AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |              THEN u ELSE v END AS a,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |              THEN v ELSE u END AS b
+        |  FROM ue JOIN deg du ON ue.u = du.node
+        |          JOIN deg dv ON ue.v = dv.node),
+        |w AS (
+        |  SELECT o1.a, o1.b AS p, o2.b AS q
+        |  FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.b <> o2.b)
+        |SELECT w.a AS node, COUNT(*) // 2 AS wedges,
+        |  CAST(SUM(CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS triangles
+        |FROM w LEFT JOIN o e ON w.p = e.a AND w.q = e.b
+        |GROUP BY w.a""".stripMargin,
     "gr3_tree_paths" ->
       """WITH RECURSIVE t(node, root_id, depth) AS (
         |  SELECT doc_id, doc_id, CAST(0 AS BIGINT)
