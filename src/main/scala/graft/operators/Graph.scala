@@ -168,4 +168,67 @@ object Graph {
     st.select(col("id").as("node"), col("anc").as("root_id"),
       col("d").as("depth"))
   }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the general-graph scale path that [[Dedup.connectedComponents]]'
+    * docstring defers to. Min-label propagation needs DIAMETER rounds
+    * (a 10⁶-hop path graph = 10⁶ shuffles); star contraction rewires
+    * every node toward its neighborhood minimum each round, so the
+    * component collapses in O(log n) rounds regardless of shape:
+    *
+    *  - large-star (per node u, m = min(Γ(u) ∪ {u})): every neighbor
+    *    ABOVE u re-attaches to m — handled at the smaller endpoint, so
+    *    the edge (v, m) it emits strictly lowers v's reach;
+    *  - small-star (per node u over neighbors BELOW u, m = their min):
+    *    u and those neighbors all re-attach to m — the contraction step
+    *    that flattens local chains into stars.
+    *
+    * Each half-round is one groupBy-min plus one keyed join on the
+    * current edge set — no adjacency list is ever collected, so a node
+    * of any degree costs its edge count, not its degree squared.
+    * Fixpoint (edge set unchanged, checked with two except-counts on
+    * checkpointed sets) is a star forest whose centers are the component
+    * minima. Returns (node, component = min id in the component) for
+    * every endpoint in `pairs`; `maxIter` bounds the loop defensively
+    * (convergence proof gives 3·log n). */
+  def ccStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var cur = norm(pairs.select(col(pairs.columns(0)).cast("bigint").as("u"),
+        col(pairs.columns(1)).cast("bigint").as("v")))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // Directed view: each endpoint sees its full neighborhood.
+      val sym = cur.select(col("u"), col("v"))
+        .union(cur.select(col("v").as("u"), col("u").as("v")))
+      // large-star: neighbors above u re-attach to m(u) = min(Γ(u) ∪ {u}).
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLs = norm(sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")))
+      // small-star: u and its below-neighbors contract onto their min.
+      val sym2 = afterLs.select(col("u"), col("v"))
+        .union(afterLs.select(col("v").as("u"), col("u").as("v")))
+      val smaller = sym2.filter(col("v") < col("u"))
+      val m2 = smaller.groupBy("u").agg(min(col("v")).as("m"))
+      val next = norm(
+        smaller.join(m2, "u").filter(col("v") =!= col("m"))
+          .select(col("m").as("u"), col("v"))
+          .union(m2.select(col("m").as("u"), col("u").as("v"))))
+        .localCheckpoint(true)
+      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur = next
+      i += 1
+    }
+    // Fixpoint is a star forest (center, spoke): spokes label to their
+    // center, centers to themselves.
+    cur.select(col("v").as("node"), col("u").as("component"))
+      .union(cur.select(col("u").as("node"), col("u").as("component")))
+      .distinct()
+  }
 }

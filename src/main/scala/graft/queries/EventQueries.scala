@@ -183,6 +183,39 @@ object EventQueries {
     // oracle can rebuild the identical series with generate_series +
     // IGNORE NULLS. The sparse→dense densification every
     // time-series feature pipeline needs.
+    // Integer-exact EWMA (α = 1/2) over each type's daily-count series:
+    // smoothed_t = (x_t·1e6 + smoothed_{t-1}) div 2, a sequential
+    // recurrence no window frame expresses — so each series is folded
+    // LOCALLY with a codegen'd `aggregate` HOF over its collected,
+    // sorted (day, n) array. Per-series state is bounded by the day
+    // count (~hundreds), not the row count: the groupBy reduces 100 TB
+    // of raw events to #types × #days fixed-width rows BEFORE any
+    // collection, which is the standard per-entity-fold contract
+    // (series that outgrow memory need chunked prefix folds instead).
+    // Micro-unit integers make the div-2 recurrence bit-replayable as a
+    // DuckDB recursive CTE.
+    "ts3_ewma" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("xs"))
+        .withColumn("sm", expr(
+          """aggregate(xs, cast(array() as array<bigint>),
+            |  (acc, x) -> concat(acc, array(case when size(acc) = 0
+            |    then x.n * 1000000L
+            |    else (x.n * 1000000L + element_at(acc, -1)) div 2
+            |    end)))""".stripMargin))
+        .select(col("event_type"), explode(expr(
+          """zip_with(xs, sm,
+            |  (x, s) -> struct(x.day as day, x.n as n,
+            |                   s as ewma_micro))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.n").as("n"), col("r.ewma_micro").as("ewma_micro"))
+    },
+
     "ts2_gap_fill" -> { (s, dir) =>
       val sparse = Tables.events(s, dir)
         .select(col("event_type"),
@@ -426,6 +459,22 @@ object EventQueries {
         |  CASE WHEN z IS NOT NULL THEN CAST(abs(z) > 3.0e0 AS BIGINT)
         |  END AS is_anomaly
         |FROM z""".stripMargin,
+    "ts3_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |ew(event_type, day, n, rn, s) AS (
+        |  SELECT event_type, day, n, rn, n * 1000000 FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.event_type, q.day, q.n, q.rn, (q.n * 1000000 + e.s) // 2
+        |  FROM seq q JOIN ew e
+        |    ON q.event_type = e.event_type AND q.rn = e.rn + 1)
+        |SELECT event_type, day, n, s AS ewma_micro FROM ew""".stripMargin,
     "ts2_gap_fill" ->
       """WITH sparse AS (
         |  SELECT * FROM (

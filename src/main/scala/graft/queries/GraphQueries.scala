@@ -57,6 +57,19 @@ object GraphQueries {
     "gr4_triangles" -> { (s, dir) =>
       Graph.triangles(Graph.syntheticLinks(Tables.documents(s, dir)))
     },
+
+    // Large-star/small-star connected components on a deterministic
+    // 10-chain graph (doc → doc-10): components are the residue classes
+    // mod 10, so the oracle states ground truth closed-form and any
+    // mis-contraction shows as a wrong label. The chains are n/10 hops
+    // long — min-label propagation would need n/10 rounds; star
+    // contraction collapses them in O(log n).
+    "gr5_components" -> { (s, dir) =>
+      val edges = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("u"), (col("doc_id") - 10).as("v"))
+      Graph.ccStar(edges)
+    },
   )
 
   /** Shared CTE prefix: the synthetic multigraph, out-degrees, and K
@@ -132,6 +145,9 @@ object GraphQueries {
         |    AS triangles
         |FROM w LEFT JOIN o e ON w.p = e.a AND w.q = e.b
         |GROUP BY w.a""".stripMargin,
+    "gr5_components" ->
+      """SELECT doc_id AS node, doc_id % 10 AS component
+        |FROM documents""".stripMargin,
     "gr3_tree_paths" ->
       """WITH RECURSIVE t(node, root_id, depth) AS (
         |  SELECT doc_id, doc_id, CAST(0 AS BIGINT)

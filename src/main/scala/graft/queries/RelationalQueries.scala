@@ -563,6 +563,48 @@ object RelationalQueries {
           moneySum(col("l_extendedprice")).as("revenue"))
     },
 
+    // J6 (beyond reference): point-in-time SCD2 lookup — every order
+    // joined to the dimension VERSION that was effective on its order
+    // date. The dim is generated deterministically (1-3 tier versions
+    // per customer at fixed day offsets) so the oracle can restate it;
+    // the join itself is AsOfJoin's union + running-fill plan: ONE
+    // shuffle on the key, no interval range-join explosion — versions
+    // per key can grow without changing the plan, the property that
+    // makes this the at-scale PIT formulation against a 100 TB fact.
+    "j6_pit_lookup" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          explode(sequence(lit(0L), col("c_custkey") % 3)).as("ver"))
+        .select(col("c_custkey").as("o_custkey"),
+          expr("ver * (2520 div (1 + c_custkey % 3))").as("eff_day"),
+          expr("(c_custkey * 7 + ver * 13) % 5").as("tier"))
+      val facts = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+            .cast("long").as("day"))
+      AsOfJoin.asofJoin(facts, dim, "o_custkey", "day", "eff_day",
+        Seq("tier"))
+    },
+
+    // INC1 (beyond reference): incremental aggregate maintenance —
+    // the base partition's per-key state (count / exact decimal sum /
+    // min / max) merged with a later delta batch must equal the full
+    // recompute the oracle runs. Proves the monoid merge algebra that
+    // lets a daily pipeline fold deltas into a state table instead of
+    // rescanning the 100 TB base.
+    "inc1_state_merge" -> { (s, dir) =>
+      import graft.operators.Incremental
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1996-01-01").cast("timestamp")
+      val base = Incremental.partialState(
+        orders.filter(col("o_orderdate") < cut), "o_custkey", "o_totalprice")
+      val delta = Incremental.partialState(
+        orders.filter(col("o_orderdate") >= cut), "o_custkey", "o_totalprice")
+      Incremental.readView(Incremental.merge(Seq(base, delta)))
+    },
+
     // Z1 (beyond reference): Morton/Z-order clustering value — the
     // multi-dimension layout key behind ZORDER BY-style file clustering.
     // Oracled bit-for-bit via generated interleave SQL.
@@ -572,6 +614,77 @@ object RelationalQueries {
         .select(col("o_orderkey"), (col("o_custkey") % 1024).as("zx"),
           (col("o_orderkey") % 1024).as("zy"))
         .withColumn("zv", ZOrder.zValue(Seq(col("zx"), col("zy")), 10))
+    },
+
+    // Z2 (beyond reference): zone-map skipping report — per-"file"
+    // min/max ship-day stats and whether a 1997 date predicate can prune
+    // the file without reading it. This is the manifest-level planning
+    // pass behind parquet row-group pruning / Iceberg-style data
+    // skipping: at 100 TB the I/O you never issue is the cheapest, and
+    // the skip decision needs only the fixed-width stats rows (files ×
+    // 3 longs), never the data. File identity models the time-partitioned
+    // layout an ingest pipeline writes (one file per 90-day window, day =
+    // ship date) — the layout whose tight zone maps let a date predicate
+    // prune almost every file, which is why ingest ORDER matters as much
+    // as the stats themselves.
+    "z2_skipping_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+            .cast("long").as("day"))
+        .withColumn("file_id", expr("day div 90"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"), min(col("day")).as("min_day"),
+          max(col("day")).as("max_day"))
+        .withColumn("skipped",
+          (col("max_day") < 1827 || col("min_day") >= 2192).cast("bigint"))
+    },
+
+    // Z3 (beyond reference): compaction plan over z2's file stats —
+    // files merged greedily in layout order into ~10 MB output groups
+    // (bin = running-bytes-before div target). The small-file compaction
+    // planner every ingest pipeline runs: the plan is computed over the
+    // FILE-STATS table (tens of rows per partition, regardless of data
+    // scale), so the single-partition running sum is over metadata, never
+    // data; the rewrite jobs it emits are per-bin and embarrassingly
+    // parallel.
+    "z3_compaction_plan" -> { (s, dir) =>
+      val files = Tables.lineitem(s, dir)
+        .select(datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+          .cast("long").as("day"))
+        .withColumn("file_id", expr("day div 90"))
+        .groupBy("file_id")
+        .agg((count(lit(1)) * 1000L).as("bytes"))
+      val w = Window.orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("prev", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .select(col("file_id"), col("bytes"),
+          expr("prev div 10000000").as("bin"))
+    },
+
+    // ER1 (beyond reference): end-to-end entity resolution — n-gram
+    // blocked fuzzy SELF-join over customer names (stop-gram pruning
+    // keeps blocking skew-proof), then large-star/small-star closure
+    // turns surviving pairs into entity clusters, each labeled by its
+    // minimum key; unmatched rows stay their own entity. The classic
+    // dedup-the-dimension pipeline (same machinery as document near-dup:
+    // block → score → cluster → canonicalize), composed from fuzzyJoin
+    // and ccStar and oracled as one statement including the recursive
+    // closure.
+    "er1_entity_resolution" -> { (s, dir) =>
+      import graft.operators.{FuzzyJoin, Graph}
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))
+      val pairs = FuzzyJoin.fuzzyJoin(
+          cust, col("c_custkey"), col("c_name"),
+          cust, col("c_custkey"), col("c_name"),
+          maxDistance = 2, ngram = 4, maxGramDf = 50)
+        .filter(col("lid") < col("rid"))
+      val comp = Graph.ccStar(
+        pairs.select(col("lid").as("u"), col("rid").as("v")))
+      cust.join(comp, cust("c_custkey") === comp("node"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("component"), col("c_custkey")).as("entity_id"))
     },
   )
 
@@ -851,12 +964,78 @@ object RelationalQueries {
         |SELECT lid, lstr, rid, rstr,
         |  CAST(levenshtein(lstr, rstr) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(lstr, rstr) <= 5""".stripMargin,
+    "j6_pit_lookup" ->
+      """WITH dim AS (
+        |  SELECT c_custkey,
+        |    CAST(i * (2520 // (1 + c_custkey % 3)) AS BIGINT) AS eff_day,
+        |    CAST((c_custkey * 7 + i * 13) % 5 AS BIGINT) AS tier
+        |  FROM customer,
+        |    UNNEST(generate_series(0, CAST(c_custkey % 3 AS INTEGER))) AS t(i)),
+        |f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT) AS day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day, tier
+        |FROM f JOIN dim d ON d.c_custkey = f.o_custkey AND d.eff_day <= f.day
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY o_orderkey ORDER BY d.eff_day DESC) = 1""".stripMargin,
+    "inc1_state_merge" ->
+      s"""SELECT o_custkey, COUNT(o_totalprice) AS cnt,
+         |  ${Det.sqlMoneySum("o_totalprice")} AS total,
+         |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+         |  ${Det.sqlMoneySum("o_totalprice")} / COUNT(o_totalprice)
+         |    AS avg_value
+         |FROM orders GROUP BY o_custkey""".stripMargin,
     "z1_zorder_value" ->
       s"""WITH t AS (
          |  SELECT o_orderkey, o_custkey % 1024 AS zx, o_orderkey % 1024 AS zy
          |  FROM orders)
          |SELECT o_orderkey, zx, zy, ${zInterleaveSql("zx", "zy", 10)} AS zv
          |FROM t""".stripMargin,
+    "z2_skipping_stats" ->
+      """SELECT d // 90 AS file_id, COUNT(*) AS n_rows,
+        |  MIN(d) AS min_day, MAX(d) AS max_day,
+        |  CAST(MAX(d) < 1827 OR MIN(d) >= 2192 AS BIGINT) AS skipped
+        |FROM (SELECT CAST(date_diff('day', DATE '1992-01-01',
+        |                            CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+        |      FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+    "z3_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT d // 90 AS file_id, COUNT(*) * 1000 AS bytes
+        |  FROM (SELECT CAST(date_diff('day', DATE '1992-01-01',
+        |                               CAST(l_shipdate AS DATE)) AS BIGINT)
+        |               AS d
+        |        FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT file_id, CAST(bytes AS BIGINT) AS bytes,
+        |  CAST(COALESCE(SUM(bytes) OVER (ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000000
+        |    AS BIGINT) AS bin
+        |FROM f""".stripMargin,
+    "er1_entity_resolution" ->
+      """WITH RECURSIVE nm AS (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer),
+        |lg AS (SELECT id, s, unnest(list_distinct(list_transform(
+        |  range(1, greatest(length(s) - 3, 1) + 1),
+        |  i -> substr(s, CAST(i AS INTEGER), 4)))) AS g FROM nm),
+        |keep AS (SELECT g FROM (SELECT g FROM lg UNION ALL SELECT g FROM lg)
+        |         GROUP BY g HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.id AS lid, a.s AS lstr,
+        |                b.id AS rid, b.s AS rstr
+        |         FROM lg a JOIN keep USING (g) JOIN lg b USING (g)),
+        |pairs AS (SELECT lid AS a, rid AS b FROM cand
+        |          WHERE lid < rid AND levenshtein(lstr, rstr) <= 2),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |lbl(node, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, lbl.l FROM edges e JOIN lbl ON e.b = lbl.node),
+        |comp AS (SELECT node, MIN(l) AS component FROM lbl GROUP BY node)
+        |SELECT c.c_custkey, c.c_name,
+        |  COALESCE(p.component, c.c_custkey) AS entity_id
+        |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.node""".stripMargin,
   )
 
   /** Generated Morton-interleave SQL: bit b of x → position 2b, of y →

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -126,6 +126,40 @@ object ScoringQueries {
             .as("auc"))
     },
 
+    // ML5 (beyond reference): NDCG@10 ranking evaluation — the metric a
+    // retrieval/reranking pipeline reports. System ranking = account
+    // balance per market segment (stand-in for any scorer), graded
+    // relevance = custkey % 4, gain = 2^rel − 1. Candidates are cut to
+    // the top-10 per group by the bounded-heap TopKPerKey operator (never
+    // a full per-group sort), so the eval costs O(n log k) map-side; the
+    // per-rank discount floor(1e9 / log2(r+1)) is one IEEE log + divide
+    // + floor on identical operands in both engines — bit-stable — and
+    // every sum after it is exact integer micro-units.
+    "ml5_ndcg" -> { (s, dir) =>
+      val cand = Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          expr("cast(shiftleft(1, cast(c_custkey % 4 as int)) - 1 as bigint)")
+            .as("gain"))
+      def dcgTop10(ordered: DataFrame, orderCols: Seq[Column]): DataFrame = {
+        val top = graft.plans.TopKPerKey.topKPerKey(
+          ordered, keys = Seq(col("c_mktsegment")), order = orderCols, k = 10)
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(orderCols: _*)
+        top.withColumn("r", row_number().over(w))
+          .withColumn("disc",
+            floor(lit(1e9) / log2(col("r").cast("double") + 1.0)))
+          .groupBy("c_mktsegment")
+          .agg(sum(col("gain") * col("disc")).as("dcg"))
+      }
+      val sys = dcgTop10(cand,
+        Seq(col("c_acctbal").desc, col("c_custkey").asc))
+      val ideal = dcgTop10(cand,
+          Seq(col("gain").desc, col("c_acctbal").desc, col("c_custkey").asc))
+        .withColumnRenamed("dcg", "idcg")
+      sys.join(ideal, "c_mktsegment")
+        .select(col("c_mktsegment"), col("dcg"), col("idcg"),
+          expr("dcg * 1000000 div idcg").as("ndcg_micro"))
+    },
+
     // Log-scaled TF-IDF against the same probe-term set as ir1_bm25: one
     // narrow scan + one broadcast scalar aggregate.
     "ir2_tfidf" -> { (s, dir) =>
@@ -203,6 +237,35 @@ object ScoringQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ml5_ndcg" ->
+      """WITH cand AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST((1 << CAST(c_custkey % 4 AS INTEGER)) - 1 AS BIGINT) AS gain
+        |  FROM customer),
+        |sys AS (
+        |  SELECT c_mktsegment, gain,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS r
+        |  FROM cand QUALIFY r <= 10),
+        |sdcg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(SUM(gain * CAST(floor(1e9 / log2(r + 1)) AS BIGINT))
+        |         AS BIGINT) AS dcg
+        |  FROM sys GROUP BY 1),
+        |idl AS (
+        |  SELECT c_mktsegment, gain,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY gain DESC, c_acctbal DESC,
+        |                                c_custkey ASC) AS r
+        |  FROM cand QUALIFY r <= 10),
+        |icg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(SUM(gain * CAST(floor(1e9 / log2(r + 1)) AS BIGINT))
+        |         AS BIGINT) AS idcg
+        |  FROM idl GROUP BY 1)
+        |SELECT s.c_mktsegment, s.dcg, i.idcg,
+        |  CAST((s.dcg * 1000000) // i.idcg AS BIGINT) AS ndcg_micro
+        |FROM sdcg s JOIN icg i USING (c_mktsegment)""".stripMargin,
     "ml1_linear_score" ->
       s"""SELECT doc_id, n_terms, score, score >= 0 AS keep FROM (
          |  SELECT doc_id,

@@ -39,4 +39,29 @@ class GraphSpec extends SparkSpec {
     assert(e.groupBy(_._1).forall(_._2.length == 3))
     assert(e.forall { case (_, d) => d >= 0 && d < 10 })
   }
+
+  test("ccStar: path, triangle, and pair collapse to component minima") {
+    import spark.implicits._
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L), (100L, 101L))).toDF("u", "v")
+    val out = Graph.ccStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 9L).forall(out(_) == 0L))
+    assert(Seq(20L, 21L, 22L).forall(out(_) == 20L))
+    assert(out(100L) == 100L && out(101L) == 100L)
+    assert(out.size == 15)
+  }
+
+  test("ccStar agrees with min-label propagation on a hashed graph") {
+    import spark.implicits._
+    val raw = (0L until 60L).map(i => (i, (i * i + 1) % 60))
+      .filter { case (a, b) => a != b }
+    val df = raw.toDF("u", "v")
+    val star = Graph.ccStar(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = graft.operators.Dedup
+      .connectedComponents(df, "u", "v", maxIter = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == prop)
+  }
 }
