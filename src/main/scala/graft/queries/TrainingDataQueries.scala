@@ -735,6 +735,39 @@ object TrainingDataQueries {
             col("n_bigrams").cast("double")).as("mean_surprisal_nats"))
     },
 
+    // Interpolated Kneser-Ney bigram probabilities (discount d = 3/4) —
+    // the smoothing every production n-gram LM uses: raw conditional
+    // probability underestimates unseen continuations, KN discounts each
+    // observed bigram by d and redistributes the held-out mass through
+    // the CONTINUATION probability (how many distinct contexts a word
+    // follows — "Francisco" is frequent but only ever follows "San").
+    // Everything is exact integer arithmetic in quarters (4c−3 = 4(c−¾))
+    // and micro-units, with the division order pinned identically in
+    // both engines, so the smoothed table is bit-reproducible. Plan
+    // shape: one bigram-key count shuffle, two group-bys over the COUNTS
+    // table (type cardinality, not token volume), one broadcast scalar.
+    "lm3_kneser_ney" -> { (s, dir) =>
+      val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+      val bigrams = docsSpread(s, dir)
+        .select(toks.as("toks"))
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val counts = bigrams.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c12"))
+      val ctx = counts.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
+      val cont = counts.groupBy("w2").agg(count(lit(1)).as("precede"))
+      val t = counts.agg(count(lit(1)).as("t"))
+      counts.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(t))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("""((4 * c12 - 3) * 1000000) div (4 * c1)
+                 + (3 * fanout * ((precede * 1000000) div t)) div (4 * c1)""")
+            .as("p_kn_micro"))
+    },
+
     // Character-level Shannon entropy per document (gibberish / encoded-
     // blob detector: natural language sits in a narrow entropy band).
     // Explode to (doc, char) → map-side-combined count → per-doc exact
@@ -1843,6 +1876,26 @@ object TrainingDataQueries {
          |    AS mean_surprisal_nats
          |FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
          |GROUP BY bg.doc_id""".stripMargin,
+    "lm3_kneser_ney" ->
+      s"""WITH base AS (
+         |  SELECT string_split($normSql, ' ') AS toks FROM documents),
+         |bg AS (
+         |  SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         |         unnest(toks[2:len(toks)]) AS w2
+         |  FROM base),
+         |counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |               COUNT(*) AS fanout
+         |        FROM counts GROUP BY w1),
+         |cont AS (SELECT w2, COUNT(*) AS precede FROM counts GROUP BY w2),
+         |t AS (SELECT COUNT(*) AS t FROM counts)
+         |SELECT counts.w1, counts.w2, c12,
+         |  CAST(((4 * c12 - 3) * 1000000) // (4 * c1)
+         |    + (3 * fanout * ((precede * 1000000) // t.t)) // (4 * c1)
+         |    AS BIGINT) AS p_kn_micro
+         |FROM counts JOIN ctx ON counts.w1 = ctx.w1
+         |            JOIN cont ON counts.w2 = cont.w2
+         |            CROSS JOIN t""".stripMargin,
     "tx13_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS dl,

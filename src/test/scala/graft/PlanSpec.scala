@@ -275,6 +275,20 @@ class PlanSpec extends SparkSpec {
     assert(iJoin >= 0 && p.indexOf("md5") > iJoin, p.take(2000))
   }
 
+  test("PIT lookup is one key shuffle, no range-join explosion") {
+    val p = plan(SparkEntry.queries("j6_pit_lookup")(spark, sf))
+    // the union + running-fill plan shuffles ONCE on the key; a
+    // NestedLoop/cartesian interval join must never appear
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(2000))
+  }
+
+  test("NDCG eval cuts candidates with TopKPerKey, not a full sort") {
+    val p = plan(SparkEntry.queries("ml5_ndcg")(spark, sf))
+    assert(p.contains("TopKPerKey"), p.take(2000))
+  }
+
   test("corpus mix and z-order value plans are narrow (no exchange)") {
     val mix = plan(SparkEntry.queries("mix1_corpus_mix")(spark, sf))
     assert(!mix.contains("Exchange"), mix.take(2000))
