@@ -169,6 +169,78 @@ object Graph {
       col("d").as("depth"))
   }
 
+  /** Bounded-hop BFS distances from `source`: `maxHops` rounds of
+    * frontier expansion, each one keyed join (ship the previous frontier
+    * to its out-edges) plus one map-side-combined `min(hops)` — the
+    * reachability probe a link-graph audit runs from a seed set (spam
+    * nucleus, trusted-domain whitelist). Distances only ever shrink, so
+    * the union + groupBy-min per round is idempotent and the K-round
+    * trajectory is engine-reproducible (the DuckDB oracle replays it as
+    * a depth-bounded recursive CTE + MIN). At 100 TB the per-round cost
+    * is |frontier ⋈ edges|, not |V|: the state table carries one row per
+    * REACHED node and the join is frontier-sided, so early rounds are
+    * near-free and the operator never materializes all-pairs anything.
+    * Returns (node, hops) for nodes within `maxHops` of `source`. */
+  def bfsHops(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
+    val e = edges.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst")).localCheckpoint(true)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("hops"))
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1))
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), lit(h.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** k-core PEELING, pinned to exactly `rounds` rounds: each round drops
+    * every node whose degree in the surviving edge set is below `k`
+    * (one degree aggregate + two semi-joins), the textbook iterative
+    * algorithm behind coreness-based graph sparsification. The round
+    * count is pinned — not run to convergence — so the trajectory is a
+    * pure function of the input and a DuckDB oracle reproduces it as
+    * `rounds` unrolled MATERIALIZED CTEs; production use would loop to
+    * fixpoint with [[ccStar]]'s scalar convergence probe (≤ diameter
+    * rounds). Returns (node, peel_round): round 1..`rounds` when the
+    * node fell below `k`, or 0 for nodes still in the core after the
+    * last round. Nodes that lose their last edge while AT degree ≥ k
+    * vanish without a verdict (they were never observed under-degree) —
+    * both engines apply the same rule, and a fixpoint run classifies
+    * everyone. Scale: each round shuffles the CURRENT edge set once for
+    * degrees and once per semi-join; the set only shrinks, and
+    * `localCheckpoint` per round keeps the plan linear in `rounds`. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k, rounds >= 1, got $k/$rounds")
+    var cur = edges
+      .select(least(col("src"), col("dst")).cast("bigint").as("u"),
+        greatest(col("src"), col("dst")).cast("bigint").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var dropped = cur.sparkSession.range(0)
+      .select(col("id").as("node"), col("id").as("peel_round"))
+    for (r <- 1 to rounds) {
+      val deg = cur.select(col("u").as("node"))
+        .unionByName(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("node").localCheckpoint(true)
+      dropped = dropped.unionByName(deg.filter(col("d") < k)
+        .select(col("node"), lit(r.toLong).as("peel_round")))
+      cur = cur
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint(true)
+    }
+    val survivors = cur.select(col("u").as("node"))
+      .unionByName(cur.select(col("v").as("node"))).distinct()
+      .select(col("node"), lit(0L).as("peel_round"))
+    dropped.unionByName(survivors)
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the general-graph scale path that [[Dedup.connectedComponents]]'

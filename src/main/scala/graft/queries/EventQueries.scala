@@ -216,6 +216,81 @@ object EventQueries {
           col("r.n").as("n"), col("r.ewma_micro").as("ewma_micro"))
     },
 
+    // Lag-1 autocorrelation of each series' daily volume — the
+    // seasonality/trend probe run before picking an anomaly model (white
+    // noise → ts1's z-score is sound; strong ACF → difference first).
+    // All six sufficient statistics are exact integer sums
+    // (order-independent under any partitioning); the Pearson r is then
+    // a fixed tree of IEEE ops on those exact integers, so both engines
+    // compute bit-identical doubles. One shuffle (daily rollup); the lag
+    // window rides the same partitioning.
+    "ts4_autocorr" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val st = daily.withColumn("a", lag(col("n"), 1).over(w))
+        .filter(col("a").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"), sum(col("a")).as("sa"),
+          sum(col("n")).as("sb"), sum(col("a") * col("n")).as("sab"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("n") * col("n")).as("sbb"))
+      val va = col("m") * col("saa") - col("sa") * col("sa")
+      val vb = col("m") * col("sbb") - col("sb") * col("sb")
+      st.select(col("event_type"), col("m"), col("sa"), col("sb"),
+        col("sab"), col("saa"), col("sbb"),
+        when(va > 0 && vb > 0,
+          (col("m") * col("sab") - col("sa") * col("sb")).cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+          .as("acf1"))
+    },
+
+    // Day-of-week seasonal profile + residual: each day's volume against
+    // its weekday mean — the cheap seasonal decomposition that turns
+    // ts1's trailing-window z-score into a seasonality-aware one.
+    // Profile statistics are exact integer sums over a 7×|series| table,
+    // broadcast back over the daily rollup; the mean and residual are
+    // the same fixed IEEE tree in both engines.
+    "ts5_dow_profile" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val prof = daily
+        .groupBy(col("event_type").as("et"), (col("day") % 7).as("dow"))
+        .agg(count(lit(1)).as("m"), sum(col("n")).as("s"))
+      val mean = col("s").cast("double") / col("m").cast("double")
+      daily.join(broadcast(prof),
+          col("event_type") === col("et") && col("day") % 7 === col("dow"))
+        .select(col("event_type"), col("day"), col("n"),
+          mean.as("dow_mean"),
+          (col("n").cast("double") - mean).as("residual"))
+    },
+
+    // Exact rolling 7-day distinct purchasers per day — the sliding
+    // count-distinct a retention dashboard wants, which no window frame
+    // computes (distinct doesn't decompose over sliding frames). The
+    // scalable exact form: dedup to (user, day) FIRST (one shuffle,
+    // map-side combined), then fan each user-day to the ≤7 window
+    // anchors it serves and count distinct per anchor — shuffle volume
+    // is 7×|user-days|, independent of raw event volume. The approximate
+    // scale path (mergeable HLL sketches per day, unioned over the
+    // frame) is d18_hll_union's shape.
+    "ev13_rolling_distinct" -> { (s, dir) =>
+      val ud = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("users_7d"))
+    },
+
     "ts2_gap_fill" -> { (s, dir) =>
       val sparse = Tables.events(s, dir)
         .select(col("event_type"),
@@ -459,6 +534,54 @@ object EventQueries {
         |  CASE WHEN z IS NOT NULL THEN CAST(abs(z) > 3.0e0 AS BIGINT)
         |  END AS is_anomaly
         |FROM z""".stripMargin,
+    "ts4_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT event_type, n AS b,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS a
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS m,
+        |    CAST(SUM(CAST(a AS HUGEINT)) AS BIGINT) AS sa,
+        |    CAST(SUM(CAST(b AS HUGEINT)) AS BIGINT) AS sb,
+        |    CAST(SUM(CAST(a AS HUGEINT) * b) AS BIGINT) AS sab,
+        |    CAST(SUM(CAST(a AS HUGEINT) * a) AS BIGINT) AS saa,
+        |    CAST(SUM(CAST(b AS HUGEINT) * b) AS BIGINT) AS sbb
+        |  FROM pairs WHERE a IS NOT NULL GROUP BY 1)
+        |SELECT event_type, m, sa, sb, sab, saa, sbb,
+        |  CASE WHEN (m * saa - sa * sa) > 0 AND (m * sbb - sb * sb) > 0
+        |    THEN CAST(m * sab - sa * sb AS DOUBLE) /
+        |      (sqrt(CAST(m * saa - sa * sa AS DOUBLE)) *
+        |       sqrt(CAST(m * sbb - sb * sb AS DOUBLE)))
+        |  END AS acf1
+        |FROM s""".stripMargin,
+
+    "ts5_dow_profile" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT event_type, day % 7 AS dow, COUNT(*) AS m,
+        |    CAST(SUM(CAST(n AS HUGEINT)) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.n,
+        |  CAST(p.s AS DOUBLE) / CAST(p.m AS DOUBLE) AS dow_mean,
+        |  CAST(d.n AS DOUBLE) - CAST(p.s AS DOUBLE) / CAST(p.m AS DOUBLE)
+        |    AS residual
+        |FROM daily d JOIN prof p
+        |  ON d.event_type = p.event_type AND d.day % 7 = p.dow""".stripMargin,
+    "ev13_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, COUNT(DISTINCT u.user_id) AS users_7d
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin,
     "ts3_ewma" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,

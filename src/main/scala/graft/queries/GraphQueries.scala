@@ -70,6 +70,24 @@ object GraphQueries {
         .select(col("doc_id").as("u"), (col("doc_id") - 10).as("v"))
       Graph.ccStar(edges)
     },
+
+    // Bounded-hop BFS from node 0 on the synthetic link graph: 5 rounds
+    // of frontier-join + min-combine — the seed-set reachability probe
+    // (oracle: depth-bounded recursive CTE + MIN over path lengths).
+    "gr6_bfs_hops" -> { (s, dir) =>
+      Graph.bfsHops(
+        Graph.syntheticLinks(Tables.documents(s, dir)), source = 0L,
+        maxHops = 5)
+    },
+
+    // k-core peeling (k = 6) pinned to 8 rounds on the undirected simple
+    // projection: every node's peel round (0 = survived). The synthetic
+    // graph's 6-core collapses over ~6 rounds at sf0.01, so the output
+    // exercises real cascade dynamics, not a fixed point.
+    "gr7_kcore" -> { (s, dir) =>
+      Graph.kcorePeel(
+        Graph.syntheticLinks(Tables.documents(s, dir)), k = 6, rounds = 8)
+    },
   )
 
   /** Shared CTE prefix: the synthetic multigraph, out-degrees, and K
@@ -102,7 +120,64 @@ object GraphQueries {
        |$iterCtes""".stripMargin
   }
 
+  /** `rounds` unrolled peel iterations over the undirected simple
+    * projection — e_i = edges whose endpoints both had degree ≥ k in
+    * e_{i-1}. MATERIALIZED is load-bearing: each CTE is referenced three
+    * times, and inline expansion would be exponential in `rounds`. */
+  private def kcorePeelCtes(rounds: Int, k: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""d_$i AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS d FROM (
+         |    SELECT u AS node FROM e_$p
+         |    UNION ALL SELECT v FROM e_$p) x GROUP BY node),
+         |keep_$i AS MATERIALIZED (SELECT node FROM d_$i WHERE d >= $k),
+         |e_$i AS MATERIALIZED (
+         |  SELECT u, v FROM e_$p
+         |  WHERE u IN (SELECT node FROM keep_$i)
+         |    AND v IN (SELECT node FROM keep_$i))""".stripMargin
+    }.mkString(",\n")
+    s"""nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+       |nd AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+       |    FROM nd CROSS JOIN nn
+       |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+       |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+       |e_0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |  FROM raw WHERE src <> dst),
+       |$iter""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "gr6_bfs_hops" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |edges AS (
+        |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+        |walk(node, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON w.node = e.src
+        |  WHERE w.d < 5)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+        |FROM walk GROUP BY node""".stripMargin,
+    "gr7_kcore" -> {
+      val drops = (1 to 8).map(i =>
+        s"SELECT node, $i AS peel_round FROM d_$i WHERE d < 6")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${kcorePeelCtes(8, 6)}
+         |SELECT node, CAST(peel_round AS BIGINT) AS peel_round FROM (
+         |  $drops
+         |  UNION ALL
+         |  SELECT node, 0 AS peel_round FROM (
+         |    SELECT u AS node FROM e_8 UNION SELECT v FROM e_8) surv) z"""
+        .stripMargin
+    },
     "gr1_pagerank" ->
       s"""WITH ${pagerankCtes(3)}
          |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r_3""".stripMargin,

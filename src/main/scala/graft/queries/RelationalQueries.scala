@@ -491,6 +491,46 @@ object RelationalQueries {
       }.reduce(_ unionByName _)
     },
 
+    // Market-basket co-occurrence: part pairs co-purchased in one order.
+    // The raw pair explode is quadratic in basket size — the classic
+    // co-occurrence skew bomb (one 10⁵-item basket = 10¹⁰ pairs) — so
+    // baskets are CAPPED first: lowest-8 partkeys per order via the
+    // bounded-heap TopKPerKey pattern (here a window over per-order
+    // items, ≤13 at harness scale). After the cap the self-join fan-out
+    // is ≤ C(8,2) = 28 rows per order, flat under any skew; the pair
+    // rollup is map-side combined.
+    "j7_market_basket" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val w = Window.partitionBy(col("ok")).orderBy(col("pk"))
+      val capped = items.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8).select("ok", "pk")
+      capped.alias("a")
+        .join(capped.alias("b"), col("a.ok") === col("b.ok") &&
+          col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+    },
+
+    // Join-key skew diagnostic — the pre-join audit that decides between
+    // plain hash join, j5's salting, or AQE skew handling: key
+    // cardinality, max key weight, and the max/mean ratio in exact
+    // integer micro-units. One map-side-combined key count, then a
+    // scalar rollup (the second aggregate sees key-cardinality rows).
+    // Top-heavy detail is tx10's heavy-hitter query; this is the
+    // one-row verdict a planner thresholds on.
+    "prof2_key_skew" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("total_rows"),
+          max(col("c")).as("max_cnt"))
+        .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+          expr("(max_cnt * 1000000 * n_keys) div total_rows")
+            .as("skew_ratio_micro"))
+    },
+
     // Expectation suite (Deequ-shaped): declarative constraints evaluated
     // to violation counts — completeness, uniqueness, range, and
     // referential integrity in one report. Each check is one aggregate
@@ -891,6 +931,27 @@ object RelationalQueries {
         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
         |      ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC) AS rn
         |  FROM lineitem GROUP BY 1, 2) WHERE rn = 1""".stripMargin,
+    "j7_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |capped AS (
+        |  SELECT ok, pk FROM (
+        |    SELECT ok, pk,
+        |      ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+        |    FROM items) z WHERE rn <= 8),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2 FROM capped a JOIN capped b
+        |  ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT p1, p2, COUNT(*) AS n_orders FROM pairs GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin,
+    "prof2_key_skew" ->
+      """WITH kc AS (
+        |  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1)
+        |SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total_rows,
+        |  MAX(c) AS max_cnt,
+        |  CAST((MAX(c) * 1000000 * COUNT(*)) // SUM(c) AS BIGINT)
+        |    AS skew_ratio_micro
+        |FROM kc""".stripMargin,
     "prof1_table_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{ChangeCapture, Retrieval, Scoring}
+import graft.operators.{ChangeCapture, Retrieval, Scoring, TextAnalysis}
 
 /** Model-scoring, evaluation, normalization, and change-capture operators
   * exposed to the oracle harness — the "score, evaluate, diff" tier of a
@@ -234,9 +234,83 @@ object ScoringQueries {
       ChangeCapture.applyChangeset(oldSnap, changes, newSnap,
         Seq("o_orderkey"))
     },
+
+    // Closed-form OLS trend fit of each series' daily volume (the drift
+    // line a data-freshness monitor plots): slope/intercept from the five
+    // sufficient statistics via the normal equations — one
+    // map-side-combined aggregate per series, no iteration, no driver
+    // math. The statistics are exact integer sums; slope and intercept
+    // are the same fixed IEEE tree in both engines.
+    "ml6_ols_fit" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val st = daily.groupBy("event_type").agg(
+        count(lit(1)).as("m"),
+        sum(col("day")).as("sx"), sum(col("n")).as("sy"),
+        sum(col("day") * col("n")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      val slope =
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+      st.select(col("event_type"), col("m"), slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("m").cast("double")).as("intercept"))
+    },
+
+    // Inverted-index build: per-term document frequency, total term
+    // frequency, and the SORTED postings list (comma-joined doc ids — a
+    // string in both engines, so the oracle hash covers postings ORDER).
+    // Two shuffles: (term, doc) partial-tf, then term rollup; the
+    // per-term collect is bounded by document frequency, and the df
+    // floor keeps harness output at head-term postings (a real index
+    // shards exactly these hot postings lists by doc-range).
+    "ir4_postings" -> { (s, dir) =>
+      val toks = docsSpread(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("term"))
+      val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          concat_ws(",",
+            sort_array(collect_list(col("doc_id"))).cast("array<string>"))
+            .as("postings"))
+        .filter(col("df") >= 40)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ml6_ols_fit" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS m,
+        |    CAST(SUM(CAST(day AS HUGEINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(n AS HUGEINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(day AS HUGEINT) * n) AS BIGINT) AS sxy,
+        |    CAST(SUM(CAST(day AS HUGEINT) * day) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, m,
+        |  CAST(m * sxy - sx * sy AS DOUBLE) /
+        |    CAST(m * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) -
+        |    (CAST(m * sxy - sx * sy AS DOUBLE) /
+        |     CAST(m * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+        |    CAST(m AS DOUBLE) AS intercept
+        |FROM s""".stripMargin,
+    "ir4_postings" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+         |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |    AS postings
+         |FROM tf GROUP BY term HAVING COUNT(*) >= 40""".stripMargin,
     "ml5_ndcg" ->
       """WITH cand AS (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,

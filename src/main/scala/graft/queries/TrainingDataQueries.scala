@@ -768,6 +768,71 @@ object TrainingDataQueries {
             .as("p_kn_micro"))
     },
 
+    // BPE tokenizer training, step statistic: adjacent-symbol pair counts
+    // over the word-frequency table — the argmax of this table IS the
+    // next merge rule. Counting runs on the VOCABULARY (word types ×
+    // their frequency), not the token stream: the corpus is scanned
+    // once for word counts and every later BPE iteration is
+    // vocabulary-sized — the standard trick that makes tokenizer
+    // training feasible at 100 TB. Pair enumeration is a codegen
+    // transform over character positions; one (c1, c2) shuffle of
+    // map-side-combined partials.
+    "bpe1_merge_pairs" -> { (s, dir) =>
+      val wf = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      wf.select(col("f"), explode(expr(
+          """transform(sequence(1, length(w) - 1),
+            |  i -> struct(substring(w, i, 1) as c1,
+            |              substring(w, i + 1, 1) as c2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(sum(col("f")).as("cnt"))
+    },
+
+    // BPE step 2: APPLY the argmax merge rule and recount — one full
+    // train-loop iteration, end to end. `replace` is left-to-right
+    // non-overlapping in both engines, which is exactly BPE's greedy
+    // merge application; the merged digraph travels as a sentinel char
+    // (U+001F, absent from the corpus) so pair enumeration stays
+    // char-positional, and is mapped back to its digraph on output.
+    // The merge rule is data-derived (argmax with a deterministic
+    // tiebreak), never hard-coded, so the query is scale-invariant.
+    "bpe2_apply_merge" -> { (s, dir) =>
+      val wf = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .localCheckpoint(true)
+      val top = wf.select(col("f"), explode(expr(
+          """transform(sequence(1, length(w) - 1),
+            |  i -> struct(substring(w, i, 1) as c1,
+            |              substring(w, i + 1, 1) as c2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("c1"), col("c2")).limit(1)
+        .select(col("c1").as("m1"), col("c2").as("m2"))
+      val merged = wf.crossJoin(broadcast(top))
+        .select(col("f"), col("m1"), col("m2"),
+          expr("replace(w, concat(m1, m2), chr(31))").as("w"))
+        .filter(length(col("w")) >= 2)
+      merged.select(col("f"), col("m1"), col("m2"), explode(expr(
+          """transform(sequence(1, length(w) - 1),
+            |  i -> struct(substring(w, i, 1) as a,
+            |              substring(w, i + 1, 1) as b))""".stripMargin))
+          .as("p"))
+        .select(col("f"),
+          when(col("p.a") === expr("chr(31)"), concat(col("m1"), col("m2")))
+            .otherwise(col("p.a")).as("s1"),
+          when(col("p.b") === expr("chr(31)"), concat(col("m1"), col("m2")))
+            .otherwise(col("p.b")).as("s2"))
+        .groupBy("s1", "s2").agg(sum(col("f")).as("cnt"))
+    },
+
     // Character-level Shannon entropy per document (gibberish / encoded-
     // blob detector: natural language sits in a narrow entropy band).
     // Explode to (doc, char) → map-side-combined count → per-doc exact
@@ -1876,6 +1941,39 @@ object TrainingDataQueries {
          |    AS mean_surprisal_nats
          |FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
          |GROUP BY bg.doc_id""".stripMargin,
+    "bpe1_merge_pairs" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+         |wf AS (SELECT w, COUNT(*) AS f FROM words
+         |       WHERE len(w) >= 2 GROUP BY w),
+         |pairs AS (
+         |  SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, f
+         |  FROM wf, unnest(generate_series(1, len(w) - 1)) AS t(i))
+         |SELECT c1, c2, CAST(SUM(f) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY c1, c2""".stripMargin,
+    "bpe2_apply_merge" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+         |wf AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w),
+         |pairs AS (
+         |  SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, f
+         |  FROM wf, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+         |top AS MATERIALIZED (
+         |  SELECT c1, c2 FROM pairs GROUP BY c1, c2
+         |  ORDER BY SUM(f) DESC, c1, c2 LIMIT 1),
+         |mw AS (
+         |  SELECT replace(w, top.c1 || top.c2, chr(31)) AS w, f
+         |  FROM wf CROSS JOIN top),
+         |p2 AS (
+         |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, f
+         |  FROM mw, unnest(generate_series(1, len(w) - 1)) AS t(i)
+         |  WHERE len(w) >= 2)
+         |SELECT
+         |  CASE WHEN a = chr(31) THEN top.c1 || top.c2 ELSE a END AS s1,
+         |  CASE WHEN b = chr(31) THEN top.c1 || top.c2 ELSE b END AS s2,
+         |  CAST(SUM(f) AS BIGINT) AS cnt
+         |FROM p2 CROSS JOIN top GROUP BY 1, 2""".stripMargin,
     "lm3_kneser_ney" ->
       s"""WITH base AS (
          |  SELECT string_split($normSql, ' ') AS toks FROM documents),

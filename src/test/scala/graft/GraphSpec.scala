@@ -52,6 +52,34 @@ class GraphSpec extends SparkSpec {
     assert(out.size == 15)
   }
 
+  test("bfsHops: path graph distances, unreachable nodes absent") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 1L)).toDF("src", "dst")
+    val out = Graph.bfsHops(edges, source = 1L, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 4 is 3 hops away, 9 has no in-path from 1: neither appears.
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: min distance wins when paths of both lengths exist") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val out = Graph.bfsHops(edges, source = 0L, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("kcorePeel: pendant chain peels outside-in, triangle core survives") {
+    import spark.implicits._
+    // triangle 0-1-2 plus a chain 2-3-4: at k=2 the chain peels from the
+    // tip inward (4 first, then 3), the triangle is the 2-core.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.kcorePeel(edges, k = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 1L, 3L -> 2L))
+  }
+
   test("ccStar agrees with min-label propagation on a hashed graph") {
     import spark.implicits._
     val raw = (0L until 60L).map(i => (i, (i * i + 1) % 60))

@@ -289,6 +289,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p.take(2000))
   }
 
+  test("market basket joins capped baskets as an equi-join, no cartesian") {
+    val p = plan(SparkEntry.queries("j7_market_basket")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(2000))
+    // the p1 < p2 pair condition rides the ok equi-join, never a filter
+    // over a cross product
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("rolling distinct fans to window anchors, no nested-loop range join") {
+    val p = plan(SparkEntry.queries("ev13_rolling_distinct")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(2000))
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
+
   test("corpus mix and z-order value plans are narrow (no exchange)") {
     val mix = plan(SparkEntry.queries("mix1_corpus_mix")(spark, sf))
     assert(!mix.contains("Exchange"), mix.take(2000))
