@@ -24,10 +24,19 @@ sbt -batch compile test
 
 echo "== preflight: Verify -> DuckDB differential (sf0.01) =="
 rm -rf "$OUT"
+VLOG=/tmp/preflight_verify.log
 if [ -n "$ONLY" ]; then
-  SPARK_GRAFT_ONLY="$ONLY" sbt -batch "runMain graft.Verify $SF $OUT"
+  SPARK_GRAFT_ONLY="$ONLY" sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$VLOG"
 else
-  sbt -batch "runMain graft.Verify $SF $OUT"
+  sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$VLOG"
+fi
+# A query that THROWS inside Verify writes no output dir, and the filtered
+# oracle check would silently skip it (this bit once: ts5's ambiguous
+# self-join error "passed" a filtered gate). Fail hard on any verify error.
+if grep -q "\[verify\].*failed" "$VLOG"; then
+  echo "== preflight: FAIL — Verify reported query errors:" >&2
+  grep "\[verify\].*failed" "$VLOG" >&2
+  exit 1
 fi
 python3 tools/check_oracle.py "$SF" "$OUT"
 
