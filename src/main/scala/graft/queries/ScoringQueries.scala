@@ -188,6 +188,39 @@ object ScoringQueries {
         .select(col("doc_id"), col("source"), col("te_rate"))
     },
 
+    // Quantile normalization across sources: each document's
+    // within-source quantile is mapped onto the GLOBAL value at that
+    // quantile — the distribution-matching transform that makes quality
+    // scores comparable across corpora with different scales before
+    // mix1-style sampling. Both rank passes use GlobalRank's two-pass
+    // range layout (no single-partition window, no per-group funnel);
+    // quantiles are exact integer micro-units and the lookup is an
+    // equi-join on the computed global position.
+    "fe6_quantile_norm" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val d = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = GlobalRank.withGroupedRank(d, group = Seq("source"),
+        order = Seq(col("n_chars"), col("doc_id")), tieBreak = Seq(),
+        out = "r")
+      val ns = d.groupBy(col("source").as("src"))
+        .agg(count(lit(1)).as("ns"))
+      val qq = ranked.join(broadcast(ns), col("source") === col("src"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("""case when ns > 1 then ((r - 1) * 1000000) div (ns - 1)
+                 |else cast(0 as bigint) end""".stripMargin).as("q_micro"))
+      val gv = GlobalRank.withGlobalRowNumber(
+          d.select(col("n_chars"), col("doc_id")),
+          order = Seq(col("n_chars"), col("doc_id")), out = "gr")
+        .select(col("n_chars").as("gval"), col("gr"))
+      val nn = d.agg(count(lit(1)).as("n"))
+      qq.crossJoin(broadcast(nn))
+        .join(gv, col("gr") === lit(1L) +
+          expr("(q_micro * (n - 1)) div 1000000"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("q_micro"), col("gval").as("norm_value"))
+    },
+
     // Reciprocal-rank fusion of the two lexical rankings (BM25 + ltc
     // TF-IDF) over the same probe terms — hybrid retrieval's
     // calibration-free combiner. Ranks come from GlobalRank's two-pass
@@ -282,6 +315,28 @@ object ScoringQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "fe6_quantile_norm" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |qq AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN ns > 1 THEN ((r - 1) * 1000000) // (ns - 1)
+        |         ELSE 0 END AS q_micro
+        |  FROM ranked),
+        |gv AS (
+        |  SELECT n_chars AS gval,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT qq.doc_id, qq.source, qq.n_chars, qq.q_micro,
+        |  g.gval AS norm_value
+        |FROM qq CROSS JOIN nn
+        |JOIN gv g ON g.gr = 1 + (qq.q_micro * (nn.n - 1)) // 1000000"""
+        .stripMargin,
     "ml6_ols_fit" ->
       """WITH daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,

@@ -28,6 +28,16 @@ object TrainingDataQueries {
   private val stopPat =
     "\\b(the|a|an|of|and|in|to|is|it|for|on|with|as|at|by|from)\\b"
 
+  /** Plan-time ±1 JL sign: +1 iff the 60-bit md5 hash of "j_d" is even —
+    * the same literal-pseudo-randomness contract as sim2's hyperplanes
+    * (derived, not sampled, so any engine reproduces it). */
+  private def jlSign(j: Int, d: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_${d}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace + BPE-ish regex + mean token length.
     // Two-level projection: the split/regex counters run once in the lower
@@ -476,6 +486,35 @@ object TrainingDataQueries {
     // Brute-force cosine top-10 for query vectors vec_id<5, on exact
     // integer-quantized embeddings (reproducible cross-engine).
     "sim1_cosine_topk" -> { (s, dir) => sim1Frame(s, dir) },
+
+    // Johnson-Lindenstrauss random projection 64-d → 8-d with a ±1 sign
+    // matrix (Achlioptas, "Database-friendly random projections"): the
+    // dimensionality-reduction pass that makes downstream ANN/clustering
+    // 8× cheaper while preserving pairwise distances to (1±ε). The sign
+    // matrix is PLAN-TIME LITERAL data (md5-parity of "j_d" — sim2's
+    // hyperplane contract: engine-reproducible, no RNG state), so the
+    // whole projection is one narrow codegen fold per row — ZERO
+    // shuffles at any corpus size. Lanes are quantized to integer
+    // micro-units first; the signed sums are order-free integers, so
+    // the oracle recomputing the same md5 parity in SQL is bit-exact.
+    "sim13_rand_proj" -> { (s, dir) =>
+      val dims = 8
+      val lanes = 64
+      val pcols = (0 until dims).map { d =>
+        val signs = (1 to lanes).map(j => jlSign(j, d)).mkString(", ")
+        expr(
+          s"""aggregate(
+             |  zip_with(embedding, array($signs),
+             |    (e, sg) -> sg *
+             |      cast(floor(cast(e as double) * 1000000D) as bigint)),
+             |  0L, (acc, x) -> acc + x)""".stripMargin)
+      }
+      Tables.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), posexplode(array(pcols: _*)))
+        .select(col("vec_id"), col("pos").cast("bigint").as("d"),
+          col("col").as("p_micro"))
+    },
 
     // MMR diversity re-rank: top-20 exact-cosine candidates per query,
     // then 10 greedy picks maximizing 0.7·relevance − 0.3·max-sim-to-
@@ -2012,6 +2051,22 @@ object TrainingDataQueries {
     "sim9_ivfpq" -> sim9Sql,
     "sim10_pq_recall" -> sim10Sql,
     "sim12_mmr" -> sim12Sql,
+    "sim13_rand_proj" ->
+      """WITH lanes AS (
+        |  SELECT vec_id, i AS j,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS v
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS t(i)),
+        |proj AS (
+        |  SELECT vec_id, d,
+        |    CAST(SUM(CASE WHEN
+        |        (CAST(('0x' || substr(md5(j || '_' || d), 1, 15)) AS BIGINT)
+        |         % 2) = 0
+        |      THEN v ELSE -v END) AS BIGINT) AS p_micro
+        |  FROM lanes, unnest(generate_series(0, 7)) AS s(d)
+        |  GROUP BY vec_id, d)
+        |SELECT vec_id, d, p_micro FROM proj""".stripMargin,
     "km1_kmeans" -> km1Sql,
     "km2_trained_ivf" -> km2Sql,
     // Same deterministic PII synthesis + the same ordered regex chain as
