@@ -241,6 +241,51 @@ object Graph {
     dropped.unionByName(survivors)
   }
 
+  /** Semi-supervised LABEL PROPAGATION, pinned to `rounds` rounds: each
+    * round every node adopts the majority label of its already-labeled
+    * neighbors (ties to the smallest label), seeds never change — the
+    * cheap label-spreading pass that turns a 0.1%-labeled corpus into a
+    * weak-labeled one before training a real classifier. `nodes` carries
+    * (node, label, seed); non-seed labels start null. Votes are integer
+    * counts with a total-order tiebreak, and the round count is pinned,
+    * so the trajectory is engine-reproducible (oracle: unrolled
+    * MATERIALIZED CTEs). Each round is one keyed join (ship labels to
+    * out-edges) + one map-side-combined vote count + a per-node window
+    * over ≤ |labels| vote rows — all hash-partitioned by node, no
+    * single-partition shape; `localCheckpoint` per round keeps the plan
+    * linear. Returns (node, label, is_seed). */
+  def labelSpread(nodes: DataFrame, edges: DataFrame, rounds: Int)
+  : DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val sym = edges.select(col("src").cast("bigint").as("src"),
+        col("dst").cast("bigint").as("dst"))
+      .unionByName(edges.select(col("dst").cast("bigint").as("src"),
+        col("src").cast("bigint").as("dst")))
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    var lab = nodes.select(col("node").cast("bigint").as("node"),
+        when(col("seed"), col("label").cast("bigint")).as("lab"),
+        col("seed"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = sym.join(lab.filter(col("lab").isNotNull)
+          .select(col("node").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+        .orderBy(col("cnt").desc, col("lab").asc)
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("lab").as("wlab"))
+      lab = lab.join(winner, Seq("node"), "left")
+        .select(col("node"),
+          when(col("seed"), col("lab"))
+            .otherwise(coalesce(col("wlab"), col("lab"))).as("lab"),
+          col("seed"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("node"), col("lab").as("label"),
+      when(col("seed"), 1L).otherwise(0L).as("is_seed"))
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the general-graph scale path that [[Dedup.connectedComponents]]'
@@ -293,7 +338,11 @@ object Graph {
           .select(col("m").as("u"), col("v"))
           .union(m2.select(col("m").as("u"), col("u").as("v"))))
         .localCheckpoint(true)
-      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      // set equality in ONE job: both sides are distinct, so a row is in
+      // the symmetric difference iff its union multiplicity is 1 (two
+      // except jobs would shuffle the sets twice)
+      converged = cur.unionByName(next).groupBy("u", "v").count()
+        .filter(col("count") === 1).isEmpty
       cur = next
       i += 1
     }

@@ -269,6 +269,32 @@ object EventQueries {
           (col("n").cast("double") - mean).as("residual"))
     },
 
+    // CUSUM changepoint detection per series: the cumulative sum of
+    // deviations from the series mean, scaled by the day count so every
+    // term is an exact integer (S_t = Σ_{i≤t} (n_i·m − T) = m·Σ(n_i − T/m)
+    // without the fraction); the |S| peak marks the most likely level
+    // shift — the distribution-drift alarm over ingest volume. One daily
+    // rollup shuffle; the scalar (m, T) stats broadcast back; running sum
+    // and argmax ride per-series windows.
+    "ts6_changepoint" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val st = daily.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("m"), sum(col("n")).as("t"))
+      val wcs = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = daily.join(broadcast(st), col("event_type") === col("et"))
+        .withColumn("s_scaled",
+          sum(col("n") * col("m") - col("t")).over(wcs))
+      val wcp = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("s_scaled")).desc, col("day").asc)
+      cs.select(col("event_type"), col("day"), col("n"), col("s_scaled"),
+        when(row_number().over(wcp) === 1, 1L).otherwise(0L)
+          .as("is_changepoint"))
+    },
+
     // Exact rolling 7-day distinct purchasers per day — the sliding
     // count-distinct a retention dashboard wants, which no window frame
     // computes (distinct doesn't decompose over sliding frames). The
@@ -574,6 +600,27 @@ object EventQueries {
         |    AS residual
         |FROM daily d JOIN prof p
         |  ON d.event_type = p.event_type AND d.day % 7 = p.dow""".stripMargin,
+    "ts6_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS m,
+        |    CAST(SUM(CAST(n AS HUGEINT)) AS BIGINT) AS t
+        |  FROM daily GROUP BY 1),
+        |cs AS (
+        |  SELECT d.event_type, d.day, d.n,
+        |    CAST(SUM(d.n * s.m - s.t) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s_scaled
+        |  FROM daily d JOIN st s ON d.event_type = s.event_type)
+        |SELECT event_type, day, n, s_scaled,
+        |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(s_scaled) DESC, day ASC) = 1
+        |    THEN CAST(1 AS BIGINT) ELSE 0 END AS is_changepoint
+        |FROM cs""".stripMargin,
     "ev13_rolling_distinct" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) AS day

@@ -80,6 +80,21 @@ object GraphQueries {
         maxHops = 5)
     },
 
+    // Semi-supervised label propagation: every fifth embedding keeps its
+    // true label as a seed, everyone else starts unlabeled; 2 pinned
+    // rounds of neighbor majority vote over the symmetrized synthetic
+    // graph. Deterministic end to end (integer votes, smallest-label
+    // ties), so the oracle unrolls both rounds bit-exactly.
+    "gr8_label_spread" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("bigint").as("node"),
+          col("label").cast("bigint").as("label"),
+          (col("vec_id") % 5 === 0).as("seed"))
+      Graph.labelSpread(emb,
+        Graph.syntheticLinks(emb.select("node"), idCol = "node"),
+        rounds = 2)
+    },
+
     // k-core peeling (k = 6) pinned to 8 rounds on the undirected simple
     // projection: every node's peel round (0 = survived). The synthetic
     // graph's 6-core collapses over ~6 rounds at sf0.01, so the output
@@ -150,7 +165,51 @@ object GraphQueries {
        |$iter""".stripMargin
   }
 
+  /** One unrolled label-propagation round: votes from labeled neighbors,
+    * per-node argmax with smallest-label ties, seeds immutable. */
+  private def lpRound(i: Int): String = {
+    val p = i - 1
+    s"""v_$i AS MATERIALIZED (
+       |  SELECT e.dst AS node, l.lab, COUNT(*) AS cnt
+       |  FROM sym e JOIN l_$p l ON e.src = l.node
+       |  WHERE l.lab IS NOT NULL GROUP BY e.dst, l.lab),
+       |w_$i AS MATERIALIZED (
+       |  SELECT node, lab FROM (
+       |    SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY cnt DESC, lab ASC) AS rn FROM v_$i) z WHERE rn = 1),
+       |l_$i AS MATERIALIZED (
+       |  SELECT l.node,
+       |    CASE WHEN l.seed THEN l.lab ELSE COALESCE(w.lab, l.lab) END
+       |      AS lab,
+       |    l.seed
+       |  FROM l_$p l LEFT JOIN w_$i w ON l.node = w.node)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "gr8_label_spread" ->
+      s"""WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
+         |nd AS MATERIALIZED (SELECT vec_id AS node, label FROM embeddings),
+         |raw AS (
+         |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+         |    FROM nd CROSS JOIN nn
+         |  UNION ALL SELECT node, (node * 13 + 1) % nn.n
+         |    FROM nd CROSS JOIN nn
+         |  UNION ALL SELECT node, (node * 31 + 2) % nn.n
+         |    FROM nd CROSS JOIN nn),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst FROM raw
+         |    UNION ALL SELECT dst, src FROM raw) z
+         |  WHERE src <> dst),
+         |l_0 AS MATERIALIZED (
+         |  SELECT node,
+         |    CASE WHEN node % 5 = 0 THEN CAST(label AS BIGINT) END AS lab,
+         |    (node % 5 = 0) AS seed FROM nd),
+         |${lpRound(1)},
+         |${lpRound(2)}
+         |SELECT node, lab AS label,
+         |  CASE WHEN seed THEN CAST(1 AS BIGINT) ELSE 0 END AS is_seed
+         |FROM l_2""".stripMargin,
     "gr6_bfs_hops" ->
       """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
         |nd AS (SELECT doc_id AS node FROM documents),

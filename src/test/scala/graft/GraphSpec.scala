@@ -80,6 +80,37 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 1L, 3L -> 2L))
   }
 
+  test("labelSpread: labels flow one hop per round, seeds immutable") {
+    import spark.implicits._
+    val nodes = Seq((0L, 3L, true), (1L, 7L, false), (2L, 9L, false))
+      .toDF("node", "label", "seed")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r1 = Graph.labelSpread(nodes, edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // after one round node 1 adopts the seed's label; node 2's only
+    // neighbor was unlabeled at vote time
+    assert(r1 == Map(0L -> 3L, 1L -> 3L, 2L -> -1L))
+    val r2 = Graph.labelSpread(nodes, edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(r2 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
+  }
+
+  test("labelSpread: majority wins, ties break to the smallest label") {
+    import spark.implicits._
+    // node 9 hears 5 twice and 1 once → 5; node 8 hears 1 and 5 once
+    // each → tie → 1
+    val nodes = Seq((1L, 5L, true), (2L, 5L, true), (3L, 1L, true),
+      (8L, 0L, false), (9L, 0L, false))
+      .toDF("node", "label", "seed")
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (1L, 8L), (3L, 8L))
+      .toDF("src", "dst")
+    val out = Graph.labelSpread(nodes, edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(9L) == 5L && out(8L) == 1L)
+  }
+
   test("ccStar agrees with min-label propagation on a hashed graph") {
     import spark.implicits._
     val raw = (0L until 60L).map(i => (i, (i * i + 1) % 60))
