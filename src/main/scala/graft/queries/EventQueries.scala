@@ -317,6 +317,42 @@ object EventQueries {
         .groupBy("day").agg(countDistinct(col("user_id")).as("users_7d"))
     },
 
+    // The SKETCH path for ev13's sliding distinct: one mergeable HLL
+    // sketch per day (max-register updates — order- and dup-insensitive),
+    // each shipped to its ≤7 window anchors and union-merged per anchor.
+    // This is how wide windows scale: a 90-day window merges 90
+    // fixed-width sketches instead of fanning 90× the user-days, and
+    // day sketches are computed once for ANY set of window widths. The
+    // estimate is audited in-query against the exact ev13 answer (≤10%;
+    // datasketches HLL-12 is exact-mode below ~4k distincts, ~1.6% rsd
+    // beyond), so the oracle pins the exact column and the bound.
+    "ev14_hll_sliding" -> { (s, dir) =>
+      val ud = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+      val udd = ud.distinct()
+      val days = udd.select("day").distinct()
+      val exact = udd.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("users_7d"))
+      val daySk = ud.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = daySk.select(
+          explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("sk"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .cast("bigint").as("est"))
+      exact.join(est, "day")
+        .select(col("day"), col("users_7d"),
+          (abs(col("est") - col("users_7d")).cast("double") /
+            col("users_7d").cast("double") <= 0.10)
+            .as("hll_within_10pct"))
+    },
+
     "ts2_gap_fill" -> { (s, dir) =>
       val sparse = Tables.events(s, dir)
         .select(col("event_type"),
@@ -627,6 +663,15 @@ object EventQueries {
         |  FROM events WHERE event_type = 'purchase'),
         |days AS (SELECT DISTINCT day FROM ud)
         |SELECT d.day, COUNT(DISTINCT u.user_id) AS users_7d
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin,
+    "ev14_hll_sliding" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, COUNT(DISTINCT u.user_id) AS users_7d,
+        |  TRUE AS hll_within_10pct
         |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day""".stripMargin,
     "ts3_ewma" ->

@@ -461,6 +461,59 @@ object TrainingDataQueries {
         threshold = 0.5)
     },
 
+    // N-gram novelty: the fraction of a document's distinct 3-gram
+    // shingles that occur in NO other document — high novelty separates
+    // genuinely new text from remixes/boilerplate, the complement of the
+    // dd-tier's duplication signals and a standard curation feature. One
+    // shingle explode + one df count + one shingle-keyed join back, all
+    // map-side combined; ratios are exact integer micro-units. Shingles
+    // travel as strings here to keep the oracle literal — at corpus
+    // scale hash them first (Dedup's md5-60 kernel) so the shuffle rows
+    // are fixed-width.
+    "tx14_ngram_novelty" -> { (s, dir) =>
+      val ex = docsSpread(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shinglesExpr(col("text"), 3)))
+            .as("g"))
+      val dfc = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      ex.join(dfc, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel"))
+        .select(col("doc_id"), col("n_grams"), col("novel"),
+          expr("(novel * 1000000) div n_grams").as("novelty_micro"))
+    },
+
+    // LSH parameter PLANNER: for each (bands, rows-per-band) split of the
+    // 16-hash signature, the bucket count and the candidate-pair volume
+    // Σ C(bucket, 2) the config would generate — the measurement that
+    // picks dd2's operating point on the cost/recall curve (more bands =
+    // catch lower similarities = more pairs to score; the s-curve
+    // threshold (1/b)^(1/r) is closed-form, the PAIR VOLUME is not — it
+    // depends on the corpus, so a real deployment measures exactly this
+    // before committing a multi-day dedup run). Signatures are computed
+    // ONCE (checkpointed) and re-bucketed per config; each config costs
+    // one bands-wide explode + a map-side-combined bucket count — the
+    // planner never materializes a single candidate pair.
+    "dd9_lsh_planner" -> { (s, dir) =>
+      val sigs = Dedup.minhashSignatures(docsSpread(s, dir))
+        .localCheckpoint(true)
+      Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+        val bucketed = sigs.select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(b - 1)),
+            bi => concat_ws("_", transform(
+              slice(col("sig"), bi * r + 1, lit(r)),
+              x => x.cast("string"))))).as(Seq("band", "bucket")))
+        bucketed.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(expr("c * (c - 1) div 2")).as("candidate_pairs"))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("n_buckets"), col("candidate_pairs"))
+      }.reduce(_ unionByName _)
+    },
+
     // SimHash near-dup candidates — full DuckDB oracle: the 60 per-bit
     // majority sums are program-generated SQL, same md5 hash family.
     "dd3_simhash_pairs" -> { (s, dir) =>
@@ -981,9 +1034,9 @@ object TrainingDataQueries {
     * cluster oracle, which appends a recursive transitive closure. */
   private def dd2Ctes: String = lshCtes("l.id < r.id")
 
-  /** Same chain with a custom candidate-pair predicate (dd8 swaps the
-    * self-join's `l.id < r.id` for the existing-vs-incoming split). */
-  private[queries] def lshCtes(candPred: String): String =
+  /** Shingle → base-hash → 16-minhash signature CTE chain (docs, sh,
+    * shd, bh, sig) — the shared prefix of every minhash oracle. */
+  private[queries] def sigCtes: String =
     s"""docs AS (
        |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
        |sh AS (
@@ -997,7 +1050,12 @@ object TrainingDataQueries {
        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
        |  FROM shd),
        |sig AS (
-       |  SELECT id, $minhashSigSql AS sig FROM bh),
+       |  SELECT id, $minhashSigSql AS sig FROM bh)""".stripMargin
+
+  /** Same chain with a custom candidate-pair predicate (dd8 swaps the
+    * self-join's `l.id < r.id` for the existing-vs-incoming split). */
+  private[queries] def lshCtes(candPred: String): String =
+    s"""$sigCtes,
        |banded AS (
        |  SELECT id, b.b AS band,
        |    array_to_string(list_transform(sig[b.b*4+1:b.b*4+4], x -> CAST(x AS VARCHAR)), '_') AS bucket
@@ -1839,6 +1897,35 @@ object TrainingDataQueries {
     "dd2_minhash_pairs" ->
       s"""WITH $dd2Ctes
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "tx14_ngram_novelty" ->
+      s"""WITH $sigCtes,
+         |ex AS (SELECT id, unnest(ds) AS g FROM shd),
+         |dfc AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+         |agg AS (
+         |  SELECT ex.id AS doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS novel
+         |  FROM ex JOIN dfc ON ex.g = dfc.g GROUP BY ex.id)
+         |SELECT doc_id, n_grams, novel,
+         |  CAST((novel * 1000000) // n_grams AS BIGINT) AS novelty_micro
+         |FROM agg""".stripMargin,
+    "dd9_lsh_planner" ->
+      s"""WITH $sigCtes,
+         |cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2))
+         |        t(bands, rpb)),
+         |bb AS (
+         |  SELECT s.id, c.bands, c.rpb, b.b AS band,
+         |    array_to_string(
+         |      list_transform(sig[(b.b*c.rpb+1):(b.b*c.rpb+c.rpb)],
+         |        x -> CAST(x AS VARCHAR)), '_') AS bucket
+         |  FROM sig s CROSS JOIN cfg c
+         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
+         |  WHERE b.b < c.bands),
+         |bc AS (SELECT bands, rpb, band, bucket, COUNT(*) AS c
+         |       FROM bb GROUP BY 1, 2, 3, 4)
+         |SELECT bands, rpb AS rows_per_band, COUNT(*) AS n_buckets,
+         |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+         |FROM bc GROUP BY 1, 2""".stripMargin,
     "dd8_incremental_dedup" ->
       s"""WITH ${lshCtes("l.id % 10 <> 0 AND r.id % 10 = 0")}
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
