@@ -452,6 +452,31 @@ object RelationalQueries {
       Outliers.robustStats(li, "grp", "cents", k = 3.0)
     },
 
+    // D22 (beyond reference): exact WEIGHTED median per group — the
+    // center of a value distribution where each row carries a weight
+    // (price weighted by quantity: "the price at which half the VOLUME
+    // trades", not half the line items). First value whose cumulative
+    // weight reaches half the total; prices in exact integer cents, so
+    // no float compare decides the crossover. Two windows per group +
+    // one aggregate; for a high-cardinality value domain the cumulative
+    // pass generalizes to GlobalRank's grouped two-pass layout (e13's
+    // treatment) — the crossover rule is unchanged.
+    "d22_weighted_median" -> { (s, dir) =>
+      val v = Tables.spread(Tables.lineitem(s, dir)).select(
+        col("l_returnflag").as("grp"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("bigint").as("cents"),
+        col("l_quantity").cast("bigint").as("w"))
+      val wc = Window.partitionBy(col("grp"))
+        .orderBy(col("cents"), col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("grp"))
+      v.withColumn("cumw", sum(col("w")).over(wc))
+        .withColumn("totw", sum(col("w")).over(wt))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("grp").agg(min(col("cents")).as("wmedian_cents"))
+    },
+
     // D21 (beyond reference): exact per-group mode with a deterministic
     // tie-break (smallest value among the max counts) — Spark's and
     // DuckDB's built-in mode() both leave ties implementation-defined,
@@ -944,6 +969,21 @@ object RelationalQueries {
         |  ON a.ok = b.ok AND a.pk < b.pk)
         |SELECT p1, p2, COUNT(*) AS n_orders FROM pairs GROUP BY 1, 2
         |HAVING COUNT(*) >= 2""".stripMargin,
+    "d22_weighted_median" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT grp, cents, w,
+        |    SUM(w) OVER (PARTITION BY grp ORDER BY cents, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY grp) AS totw
+        |  FROM v)
+        |SELECT grp, MIN(cents) AS wmedian_cents FROM c
+        |WHERE 2 * cumw >= totw GROUP BY grp""".stripMargin,
     "prof2_key_skew" ->
       """WITH kc AS (
         |  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1)

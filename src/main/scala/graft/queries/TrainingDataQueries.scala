@@ -461,6 +461,24 @@ object TrainingDataQueries {
         threshold = 0.5)
     },
 
+    // Token frequency SPECTRUM: vocabulary size and total mass per
+    // power-of-two frequency band — the Zipf-shape fingerprint of a
+    // corpus (a healthy natural-language crawl is a straight line in
+    // log-log; bot spam and template farms bulge the high-frequency
+    // bands). The log2 bucket is `length(bin(f)) - 1` — pure integer
+    // bit arithmetic, no libm log whose last-bit rounding could differ
+    // between engines. Two map-side-combined aggregates, the second
+    // over vocabulary-sized input.
+    "tx15_freq_spectrum" -> { (s, dir) =>
+      docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f"))
+        .groupBy(expr("length(bin(f)) - 1").as("log2_bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("f")).as("total_occurrences"))
+    },
+
     // N-gram novelty: the fraction of a document's distinct 3-gram
     // shingles that occur in NO other document — high novelty separates
     // genuinely new text from remixes/boilerplate, the complement of the
@@ -1897,6 +1915,13 @@ object TrainingDataQueries {
     "dd2_minhash_pairs" ->
       s"""WITH $dd2Ctes
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "tx15_freq_spectrum" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS t FROM documents),
+         |tf AS (SELECT t, COUNT(*) AS f FROM toks GROUP BY t)
+         |SELECT length(bin(f)) - 1 AS log2_bucket, COUNT(*) AS n_tokens,
+         |  CAST(SUM(f) AS BIGINT) AS total_occurrences
+         |FROM tf GROUP BY 1""".stripMargin,
     "tx14_ngram_novelty" ->
       s"""WITH $sigCtes,
          |ex AS (SELECT id, unnest(ds) AS g FROM shd),
