@@ -241,6 +241,38 @@ object Graph {
     dropped.unionByName(survivors)
   }
 
+  /** Common-neighbor LINK PREDICTION: for every NON-adjacent pair with at
+    * least `minCommon` shared neighbors, the shared-neighbor count — the
+    * classic first-pass candidate generator for related-item / similar-
+    * document suggestions (Adamic-Adar and Jaccard variants reweight the
+    * same wedge table). Wedges are enumerated at their apex (one keyed
+    * self-join), counted map-side, and existing edges removed with an
+    * anti-join. Apexes with degree > `maxApexDegree` are EXCLUDED before
+    * wedge fan-out — the Σd² celebrity guard (a 10⁶-degree hub would emit
+    * 10¹² wedges, and a common neighbor that popular carries no signal
+    * anyway — the same reasoning Adamic-Adar encodes by 1/log(deg)
+    * down-weighting). The cap is part of the operator's CONTRACT (the
+    * oracle applies the same rule), not a silent truncation. Returns
+    * (p, q, common_neighbors), p < q, pairs non-adjacent. */
+  def linkPredictCommonNeighbors(edges: DataFrame, minCommon: Long = 2,
+                                 maxApexDegree: Long = 1000): DataFrame = {
+    val ue = edges.select(least(col("src"), col("dst")).cast("bigint").as("u"),
+        greatest(col("src"), col("dst")).cast("bigint").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val sym = ue.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(ue.select(col("v").as("a"), col("u").as("b")))
+    val okApex = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxApexDegree).select("a")
+    val capped = sym.join(okApex, Seq("a"), "left_semi")
+    val wedge = capped.alias("s1").join(capped.alias("s2"),
+        col("s1.a") === col("s2.a") && col("s1.b") < col("s2.b"))
+      .select(col("s1.b").as("p"), col("s2.b").as("q"))
+    val cn = wedge.groupBy("p", "q")
+      .agg(count(lit(1)).as("common_neighbors"))
+    cn.join(ue, cn("p") === ue("u") && cn("q") === ue("v"), "left_anti")
+      .filter(col("common_neighbors") >= minCommon)
+  }
+
   /** Semi-supervised LABEL PROPAGATION, pinned to `rounds` rounds: each
     * round every node adopts the majority label of its already-labeled
     * neighbors (ties to the smallest label), seeds never change — the

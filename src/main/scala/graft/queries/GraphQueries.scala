@@ -80,6 +80,16 @@ object GraphQueries {
         maxHops = 5)
     },
 
+    // Common-neighbor link prediction over the synthetic graph's simple
+    // projection: non-adjacent pairs sharing ≥2 neighbors, with the
+    // degree-capped wedge enumeration (cap 1000 — part of the contract,
+    // mirrored by the oracle; never binds at harness degrees).
+    "gr9_link_predict" -> { (s, dir) =>
+      Graph.linkPredictCommonNeighbors(
+        Graph.syntheticLinks(Tables.documents(s, dir)),
+        minCommon = 2, maxApexDegree = 1000)
+    },
+
     // Semi-supervised label propagation: every fifth embedding keeps its
     // true label as a seed, everyone else starts unlabeled; 2 pinned
     // rounds of neighbor majority vote over the symmetrized synthetic
@@ -186,6 +196,33 @@ object GraphQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "gr9_link_predict" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |raw AS (
+        |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 13 + 1) % nn.n
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 31 + 2) % nn.n
+        |    FROM nd CROSS JOIN nn),
+        |ue AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS a, v AS b FROM ue UNION ALL SELECT v, u FROM ue),
+        |ok AS (SELECT a FROM sym GROUP BY a HAVING COUNT(*) <= 1000),
+        |capped AS MATERIALIZED (
+        |  SELECT a, b FROM sym WHERE a IN (SELECT a FROM ok)),
+        |wedge AS (
+        |  SELECT s1.b AS p, s2.b AS q
+        |  FROM capped s1 JOIN capped s2
+        |    ON s1.a = s2.a AND s1.b < s2.b),
+        |cn AS (SELECT p, q, COUNT(*) AS common_neighbors
+        |       FROM wedge GROUP BY p, q)
+        |SELECT cn.p, cn.q, cn.common_neighbors
+        |FROM cn LEFT JOIN ue e ON cn.p = e.u AND cn.q = e.v
+        |WHERE e.u IS NULL AND cn.common_neighbors >= 2""".stripMargin,
     "gr8_label_spread" ->
       s"""WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
          |nd AS MATERIALIZED (SELECT vec_id AS node, label FROM embeddings),

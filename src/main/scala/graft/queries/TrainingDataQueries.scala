@@ -365,6 +365,32 @@ object TrainingDataQueries {
         .select("doc_id", "source", "n_toks", "cum_toks")
     },
 
+    // Temperature sampling weights (T = 2): per-language sampling
+    // probability ∝ n^(1/T) = √n — the multilingual-corpus rebalancing
+    // rule (exponent-smoothed sampling upweights low-resource languages
+    // without drowning the head). The normalizer W = Σ√n is a LEFT FOLD
+    // over the language-sorted count list (one metadata-sized row), so
+    // the float accumulation order is pinned and both engines produce
+    // bit-identical probabilities (the oracle replays the fold as a
+    // recursive CTE); √ of an exact integer and one division are
+    // correctly-rounded IEEE ops. The stats pass is one
+    // map-side-combined count; everything after is per-group scalar
+    // math — apply the resulting rates with s2's stratified gate.
+    "s7_temperature_mix" -> { (s, dir) =>
+      val byLang = docsSpread(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+      val tot = byLang
+        .agg(sort_array(collect_list(struct(col("lang"), col("n"))))
+          .as("xs"))
+        .select(expr(
+          "aggregate(xs, 0.0D, (acc, x) -> acc + sqrt(cast(x.n as double)))")
+          .as("w"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n").as("n_docs"),
+          floor(lit(1000000.0) * sqrt(col("n").cast("double")) / col("w"))
+            .cast("bigint").as("p_micro"))
+    },
+
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
     // membership is per-record and engine-reproducible, unlike
     // sample(seed) which keys on row order.
@@ -1915,6 +1941,21 @@ object TrainingDataQueries {
     "dd2_minhash_pairs" ->
       s"""WITH $dd2Ctes
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "s7_temperature_mix" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |o AS (SELECT lang, n,
+        |        ROW_NUMBER() OVER (ORDER BY lang) AS i FROM s),
+        |acc(i, w) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT o.i, acc.w + sqrt(CAST(o.n AS DOUBLE))
+        |  FROM acc JOIN o ON o.i = acc.i + 1),
+        |tot AS (SELECT w FROM acc ORDER BY i DESC LIMIT 1)
+        |SELECT o.lang, o.n AS n_docs,
+        |  CAST(floor(1000000.0 * sqrt(CAST(o.n AS DOUBLE)) / tot.w)
+        |    AS BIGINT) AS p_micro
+        |FROM o CROSS JOIN tot""".stripMargin,
     "tx15_freq_spectrum" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS t FROM documents),
