@@ -178,6 +178,34 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Broder CONTAINMENT on candidate pairs: |A∩B| / min(|A|, |B|) —
+    * resemblance (Jaccard) misses near-SUPERSET pairs (a doc quoting
+    * another wholesale scores |small|/|big| ≈ 0 on Jaccard but ≈ 1 on
+    * containment), and quote/boilerplate absorption is a distinct dedup
+    * failure mode. Same shingle-set join shape as
+    * [[jaccardOnCandidates]]; the score is one IEEE division of two
+    * exact integers. Note the recall caveat: resemblance-tuned LSH
+    * buckets under-recall asymmetric pairs — a containment-tuned index
+    * buckets on the SMALL side's signature (or uses dd5's span-level
+    * exact dedup, which catches verbatim quoting directly). */
+  def containmentOnCandidates(docs: DataFrame, candidates: DataFrame,
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(transform(shinglesExpr(col(textCol), shingleN),
+        s => hash60(s))).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+          .as("containment"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard →
     * threshold filter. */
   def minhashDedup(df: DataFrame, threshold: Double = 0.8,

@@ -528,6 +528,15 @@ object TrainingDataQueries {
           expr("(novel * 1000000) div n_grams").as("novelty_micro"))
     },
 
+    // Containment scoring on the LSH candidates: near-superset detection
+    // (quote/boilerplate absorption) that Jaccard structurally misses —
+    // |∩| / min(|A|,|B|) ≥ 0.8 over the same candidate pairs as dd2.
+    "dd10_containment" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      Dedup.containmentOnCandidates(docs, Dedup.minhashCandidates(docs))
+        .filter(col("containment") >= 0.8)
+    },
+
     // LSH parameter PLANNER: for each (bands, rows-per-band) split of the
     // 16-hash signature, the bucket count and the candidate-pair volume
     // Σ C(bucket, 2) the config would generate — the measurement that
@@ -661,6 +670,50 @@ object TrainingDataQueries {
         .select(col("query_id"), col("own_label"),
           col("n_label").as("voted_label"), col("n_votes"),
           (col("own_label") === col("n_label")).as("label_match"))
+    },
+
+    // Multi-class evaluation of sim11's kNN classifier: confusion-matrix
+    // marginals and per-class precision/recall in exact integer
+    // micro-units. The confusion matrix is label²-sized (metadata scale
+    // no matter the corpus); the only data-sized work is the prediction
+    // pass itself, shared with sim11. Classes that are never predicted
+    // (or never true) get null precision (recall) rather than a fake 0.
+    "ml7_confusion" -> { (s, dir) =>
+      val labels = Tables.embeddings(s, dir).select("vec_id", "label")
+      val votes = sim1Frame(s, dir).select("query_id", "corpus_id")
+        .join(labels.select(col("vec_id").as("corpus_id"),
+          col("label").as("n_label")), Seq("corpus_id"))
+        .groupBy("query_id", "n_label").agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("n_label").asc)
+      val pred = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("t")), Seq("query_id"))
+        .select(col("t").cast("bigint").as("true_label"),
+          col("n_label").cast("bigint").as("pred_label"))
+      val cm = pred.groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+      val byT = cm.groupBy(col("true_label").as("lbl"))
+        .agg(sum("n").as("t_n"))
+      val byP = cm.groupBy(col("pred_label").as("lbl"))
+        .agg(sum("n").as("p_n"))
+      val diag = cm.filter(col("true_label") === col("pred_label"))
+        .select(col("true_label").as("lbl"), col("n").as("tp0"))
+      byT.join(byP, Seq("lbl"), "full_outer")
+        .join(diag, Seq("lbl"), "left")
+        .select(col("lbl").as("label"),
+          coalesce(col("tp0"), lit(0L)).as("tp"),
+          (coalesce(col("p_n"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+            .as("fp"),
+          (coalesce(col("t_n"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+            .as("fn"))
+        .withColumn("precision_micro",
+          when(col("tp") + col("fp") > 0,
+            expr("(tp * 1000000) div (tp + fp)")))
+        .withColumn("recall_micro",
+          when(col("tp") + col("fn") > 0,
+            expr("(tp * 1000000) div (tp + fn)")))
     },
 
     // Exact embedding near-dup baseline on quantized vectors (full
@@ -1975,6 +2028,16 @@ object TrainingDataQueries {
          |SELECT doc_id, n_grams, novel,
          |  CAST((novel * 1000000) // n_grams AS BIGINT) AS novelty_micro
          |FROM agg""".stripMargin,
+    "dd10_containment" ->
+      s"""WITH ${lshCtes("l.id < r.id")},
+         |cont AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(a.hs60, b.hs60)) AS DOUBLE) /
+         |    CAST(LEAST(len(a.hs60), len(b.hs60)) AS DOUBLE) AS containment
+         |  FROM cands c JOIN h60 a ON c.id_a = a.id
+         |               JOIN h60 b ON c.id_b = b.id)
+         |SELECT id_a, id_b, containment FROM cont
+         |WHERE containment >= 0.8""".stripMargin,
     "dd9_lsh_planner" ->
       s"""WITH $sigCtes,
          |cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2))
@@ -2092,6 +2155,42 @@ object TrainingDataQueries {
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""".stripMargin,
     "sim1_cosine_topk" -> sim1Sql,
+    "ml7_confusion" ->
+      s"""WITH ex AS ($sim1Sql),
+         |votes AS (
+         |  SELECT ex.query_id, l.label AS n_label, COUNT(*) AS n_votes
+         |  FROM ex JOIN embeddings l ON ex.corpus_id = l.vec_id
+         |  GROUP BY ex.query_id, l.label),
+         |voted AS (
+         |  SELECT query_id, n_label FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY n_votes DESC, n_label ASC) AS rn FROM votes)
+         |  WHERE rn = 1),
+         |pred AS (
+         |  SELECT CAST(q.label AS BIGINT) AS t,
+         |    CAST(v.n_label AS BIGINT) AS p
+         |  FROM voted v JOIN embeddings q ON v.query_id = q.vec_id),
+         |cm AS (SELECT t, p, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+         |byt AS (SELECT t AS lbl, CAST(SUM(n) AS BIGINT) AS t_n
+         |        FROM cm GROUP BY 1),
+         |byp AS (SELECT p AS lbl, CAST(SUM(n) AS BIGINT) AS p_n
+         |        FROM cm GROUP BY 1),
+         |diag AS (SELECT t AS lbl, n AS tp0 FROM cm WHERE t = p),
+         |j AS (
+         |  SELECT COALESCE(byt.lbl, byp.lbl) AS lbl, t_n, p_n
+         |  FROM byt FULL JOIN byp ON byt.lbl = byp.lbl),
+         |f AS (
+         |  SELECT j.lbl AS label, COALESCE(d.tp0, 0) AS tp,
+         |    COALESCE(j.p_n, 0) - COALESCE(d.tp0, 0) AS fp,
+         |    COALESCE(j.t_n, 0) - COALESCE(d.tp0, 0) AS fn
+         |  FROM j LEFT JOIN diag d ON j.lbl = d.lbl)
+         |SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CASE WHEN tp + fp > 0 THEN CAST((tp * 1000000) // (tp + fp)
+         |    AS BIGINT) END AS precision_micro,
+         |  CASE WHEN tp + fn > 0 THEN CAST((tp * 1000000) // (tp + fn)
+         |    AS BIGINT) END AS recall_micro
+         |FROM f""".stripMargin,
     "sim11_knn_label_vote" ->
       s"""WITH ex AS ($sim1Sql),
          |votes AS (
