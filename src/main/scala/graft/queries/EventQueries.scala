@@ -269,6 +269,31 @@ object EventQueries {
           (col("n").cast("double") - mean).as("residual"))
     },
 
+    // Signup → first-purchase conversion lag per user: the activation
+    // funnel's latency distribution (feed d11/d22 for percentiles).
+    // One equi-join on user_id with the time bound as a join-side
+    // residual predicate (hash join + filter, never a range explosion),
+    // min-combined map-side; non-converts survive the left join with a
+    // null lag rather than dropping out — the cohort denominator stays
+    // honest.
+    "ev15_conversion_lag" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("ts div 1000").as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("signup_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("uid"), col("us"))
+      su.join(p,
+          col("uid") === col("user_id") && col("us") >= col("signup_us"),
+          "left")
+        .groupBy(col("user_id"), col("signup_us"))
+        .agg(min(col("us")).as("first_purchase_us"))
+        .select(col("user_id"), col("signup_us"),
+          (col("first_purchase_us") - col("signup_us")).as("lag_us"),
+          when(col("first_purchase_us").isNull, 0L).otherwise(1L)
+            .as("converted"))
+    },
+
     // CUSUM changepoint detection per series: the cumulative sum of
     // deviations from the series mean, scaled by the day count so every
     // term is an exact integer (S_t = Σ_{i≤t} (n_i·m − T) = m·Σ(n_i − T/m)
@@ -636,6 +661,22 @@ object EventQueries {
         |    AS residual
         |FROM daily d JOIN prof p
         |  ON d.event_type = p.event_type AND d.day % 7 = p.dow""".stripMargin,
+    "ev15_conversion_lag" ->
+      """WITH su AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT s.user_id, s.signup_us,
+        |    MIN(epoch_us(e.ts)) AS first_purchase_us
+        |  FROM su s LEFT JOIN events e
+        |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+        |       AND epoch_us(e.ts) >= s.signup_us
+        |  GROUP BY s.user_id, s.signup_us)
+        |SELECT user_id, signup_us,
+        |  first_purchase_us - signup_us AS lag_us,
+        |  CASE WHEN first_purchase_us IS NULL THEN CAST(0 AS BIGINT)
+        |       ELSE 1 END AS converted
+        |FROM pu""".stripMargin,
     "ts6_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
