@@ -415,6 +415,53 @@ object EventQueries {
           expr("n * 1000000 div sum(n) over (partition by prev_type)"))
     },
 
+    // Per-user sequence log-likelihood under ev12's transition matrix —
+    // the Markov anomaly score (bot/fraud sessions walk improbable
+    // paths). Each transition contributes floor(1e6·ln(p_micro)): the
+    // ln is quantized to integer micro-nats BEFORE summation
+    // (Retrieval's idiom — JVM Math.log and C libm can differ by 1 ulp;
+    // the integer sum is then order-free and engine-exact). The
+    // transition matrix is |types|²-sized and broadcast; the scoring
+    // pass shuffles once per user.
+    "ev16_markov_anomaly" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val trans = seq.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_micro",
+          expr("n * 1000000 div sum(n) over (partition by prev_type)"))
+        .select(col("prev_type").as("pt"), col("event_type").as("et"),
+          col("p_micro"))
+      seq.join(broadcast(trans),
+          col("prev_type") === col("pt") && col("event_type") === col("et"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(floor(log(col("p_micro").cast("double")) * 1e6)
+            .cast("long")).as("loglik_micro"))
+    },
+
+    // Frequent event-type TRIGRAM motifs: the k=3 sequential patterns a
+    // behavioral miner reports (and the contrast set for ev16's anomaly
+    // score). Two lags per user, one map-side-combined motif count.
+    "ev17_motifs" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t1", lag(col("event_type"), 2).over(w))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .filter(col("t1").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+    },
+
     // Full-outer interval join (batch twin of streaming.EventStreams
     // .attributeClicksFullOuter): views matched to clicks within 30 min,
     // PLUS unconverted views and orphan clicks null-extended.
@@ -748,6 +795,37 @@ object EventQueries {
         |  CAST(s.n IS NULL AS BIGINT) AS is_synthetic
         |FROM dense d LEFT JOIN sparse s
         |  ON d.event_type = s.event_type AND d.day = s.day""".stripMargin,
+    "ev16_markov_anomaly" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |sq AS (SELECT user_id, prev_type, event_type FROM seq
+        |       WHERE prev_type IS NOT NULL),
+        |cnt AS (SELECT prev_type, event_type, COUNT(*) AS n
+        |        FROM sq GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT prev_type, event_type,
+        |    CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type)
+        |         AS BIGINT) AS p_micro
+        |  FROM cnt)
+        |SELECT s.user_id, COUNT(*) AS n_transitions,
+        |  CAST(SUM(CAST(floor(ln(CAST(t.p_micro AS DOUBLE)) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS loglik_micro
+        |FROM sq s JOIN tr t ON s.prev_type = t.prev_type
+        |                   AND s.event_type = t.event_type
+        |GROUP BY s.user_id""".stripMargin,
+    "ev17_motifs" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type, 2) OVER w AS t1,
+        |    lag(event_type, 1) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, event_type AS t3, COUNT(*) AS n
+        |FROM seq WHERE t1 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 20""".stripMargin,
     "ev12_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,
