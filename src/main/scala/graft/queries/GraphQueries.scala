@@ -90,6 +90,31 @@ object GraphQueries {
         minCommon = 2, maxApexDegree = 1000)
     },
 
+    // Neighborhood Jaccard similarity for gr9's candidate pairs:
+    // |N(p)∩N(q)| / |N(p)∪N(q)| with the union size from the
+    // inclusion-exclusion identity d(p)+d(q)−common — two broadcast
+    // degree joins on top of the wedge counts, score in exact integer
+    // micro-units (the normalized variant recommenders threshold on,
+    // where raw common-neighbor counts favor high-degree nodes).
+    "gr10_neighborhood_jaccard" -> { (s, dir) =>
+      val edges = Graph.syntheticLinks(Tables.documents(s, dir))
+      val cn = Graph.linkPredictCommonNeighbors(edges, minCommon = 2,
+        maxApexDegree = 1000)
+      val ue = edges
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val deg = ue.select(col("u").as("node"))
+        .unionByName(ue.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      cn.join(deg.select(col("node").as("p"), col("d").as("dp")), "p")
+        .join(deg.select(col("node").as("q"), col("d").as("dq")), "q")
+        .select(col("p"), col("q"), col("common_neighbors"),
+          expr("""common_neighbors * 1000000
+                 |div (dp + dq - common_neighbors)""".stripMargin)
+            .as("jaccard_micro"))
+    },
+
     // Semi-supervised label propagation: every fifth embedding keeps its
     // true label as a seed, everyone else starts unlabeled; 2 pinned
     // rounds of neighbor majority vote over the symmetrized synthetic
@@ -196,6 +221,42 @@ object GraphQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "gr10_neighborhood_jaccard" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |raw AS (
+        |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 13 + 1) % nn.n
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 31 + 2) % nn.n
+        |    FROM nd CROSS JOIN nn),
+        |ue AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS a, v AS b FROM ue UNION ALL SELECT v, u FROM ue),
+        |ok AS (SELECT a FROM sym GROUP BY a HAVING COUNT(*) <= 1000),
+        |capped AS MATERIALIZED (
+        |  SELECT a, b FROM sym WHERE a IN (SELECT a FROM ok)),
+        |wedge AS (
+        |  SELECT s1.b AS p, s2.b AS q
+        |  FROM capped s1 JOIN capped s2
+        |    ON s1.a = s2.a AND s1.b < s2.b),
+        |cn AS (SELECT p, q, COUNT(*) AS common_neighbors
+        |       FROM wedge GROUP BY p, q),
+        |pairs AS (
+        |  SELECT cn.p, cn.q, cn.common_neighbors
+        |  FROM cn LEFT JOIN ue e ON cn.p = e.u AND cn.q = e.v
+        |  WHERE e.u IS NULL AND cn.common_neighbors >= 2),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |          SELECT u AS node FROM ue
+        |          UNION ALL SELECT v FROM ue) z GROUP BY node)
+        |SELECT pr.p, pr.q, pr.common_neighbors,
+        |  CAST((pr.common_neighbors * 1000000) //
+        |    (dp.d + dq.d - pr.common_neighbors) AS BIGINT) AS jaccard_micro
+        |FROM pairs pr JOIN deg dp ON pr.p = dp.node
+        |              JOIN deg dq ON pr.q = dq.node""".stripMargin,
     "gr9_link_predict" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         |nd AS (SELECT doc_id AS node FROM documents),

@@ -221,6 +221,23 @@ object ScoringQueries {
           col("q_micro"), col("gval").as("norm_value"))
     },
 
+    // Hashing-trick FEATURE CROSS (status × priority → 1024 buckets):
+    // the fastText/VW trick that keeps a categorical cross of unbounded
+    // cardinality inside a fixed parameter space — the bucket is a pure
+    // md5-60 function of the value pair (engine-reproducible, same
+    // family as Sampling.bucket), so train- and serve-side hashing
+    // agree by construction. Cross cardinality drives the cost (one
+    // map-side-combined count), never row volume; collisions are
+    // visible as bucket values shared across (a, b) rows.
+    "fe7_feature_cross" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .withColumn("bucket", expr(
+          """cast(conv(substring(md5(concat(a, '|', b)), 1, 15), 16, 10)
+            |  as bigint) % 1024""".stripMargin))
+    },
+
     // Reciprocal-rank fusion of the two lexical rankings (BM25 + ltc
     // TF-IDF) over the same probe terms — hybrid retrieval's
     // calibration-free combiner. Ranks come from GlobalRank's two-pass
@@ -315,6 +332,11 @@ object ScoringQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "fe7_feature_cross" ->
+      """SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n,
+        |  CAST(('0x' || substr(md5(o_orderstatus || '|' ||
+        |    o_orderpriority), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "fe6_quantile_norm" ->
       """WITH ranked AS (
         |  SELECT doc_id, source, n_chars,
