@@ -477,6 +477,45 @@ object RelationalQueries {
         .groupBy("grp").agg(min(col("cents")).as("wmedian_cents"))
     },
 
+    // D23 (beyond reference): EXACT multi-quantile (p25/50/75/95) per
+    // group from the d17-style value histogram — the same interpolation
+    // rule as Spark `percentile` / DuckDB `quantile_cont` (verified
+    // equal), but computed over DISTINCT-VALUE cardinality with
+    // conditional-min rank lookups instead of buffering every value of
+    // a group in one aggregation buffer (the `percentile` shape that
+    // OOMs a straggler at 100 TB). All four quantiles ride ONE
+    // cumulative pass; interpolation is a fixed IEEE tree over exact
+    // integers (p literals forced to double in both engines).
+    "d23_group_quantiles" -> { (s, dir) =>
+      val hist = Tables.spread(Tables.lineitem(s, dir))
+        .select(col("l_returnflag").as("grp"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("bigint").as("cents"))
+        .groupBy("grp", "cents").agg(count(lit(1)).as("c"))
+      val byVal = Window.partitionBy(col("grp")).orderBy(col("cents"))
+      val cum = hist.select(col("grp"), col("cents"), col("c"),
+        sum(col("c")).over(byVal.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cum"),
+        sum(col("c")).over(Window.partitionBy(col("grp"))).as("n"))
+      val pps = Seq(25, 50, 75, 95)
+      val aggs = max(col("n")).as("n") +: pps.flatMap { pp =>
+        val h = (col("n") - 1).cast("double") * lit(pp / 100.0)
+        Seq(
+          min(when(col("cum") >= floor(h).cast("bigint") + 1,
+            col("cents"))).as(s"lo$pp"),
+          min(when(col("cum") >= floor(h).cast("bigint") + 2,
+            col("cents"))).as(s"hi$pp"))
+      }
+      def qcol(pp: Int) = {
+        val h = (col("n") - 1).cast("double") * lit(pp / 100.0)
+        (col(s"lo$pp").cast("double") + (h - floor(h)) *
+          (coalesce(col(s"hi$pp"), col(s"lo$pp")).cast("double") -
+            col(s"lo$pp").cast("double"))).as(s"q$pp")
+      }
+      cum.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+        .select(col("grp") +: col("n") +: pps.map(qcol): _*)
+    },
+
     // D21 (beyond reference): exact per-group mode with a deterministic
     // tie-break (smallest value among the max counts) — Spark's and
     // DuckDB's built-in mode() both leave ties implementation-defined,
@@ -969,6 +1008,42 @@ object RelationalQueries {
         |  ON a.ok = b.ok AND a.pk < b.pk)
         |SELECT p1, p2, COUNT(*) AS n_orders FROM pairs GROUP BY 1, 2
         |HAVING COUNT(*) >= 2""".stripMargin,
+    "d23_group_quantiles" -> {
+      val pps = Seq(25, 50, 75, 95)
+      val aggFrags = pps.flatMap { pp =>
+        val p = s"0.${"%02d".format(pp)}e0"
+        Seq(
+          s"""MIN(CASE WHEN cum >= CAST(floor((n - 1) * $p) AS BIGINT) + 1
+             |  THEN cents END) AS lo$pp""".stripMargin,
+          s"""MIN(CASE WHEN cum >= CAST(floor((n - 1) * $p) AS BIGINT) + 2
+             |  THEN cents END) AS hi$pp""".stripMargin)
+      }
+      val selFrags = pps.map { pp =>
+        val p = s"0.${"%02d".format(pp)}e0"
+        s"""CAST(lo$pp AS DOUBLE) + ((n - 1) * $p - floor((n - 1) * $p)) *
+           |  (CAST(COALESCE(hi$pp, lo$pp) AS DOUBLE) -
+           |   CAST(lo$pp AS DOUBLE)) AS q$pp""".stripMargin
+      }
+      s"""WITH hist AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents,
+         |    COUNT(*) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT grp, cents, c,
+         |    SUM(c) OVER (PARTITION BY grp ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY grp) AS n
+         |  FROM hist),
+         |a AS (
+         |  SELECT grp, MAX(n) AS n,
+         |    ${aggFrags.mkString(",\n    ")}
+         |  FROM cum GROUP BY grp)
+         |SELECT grp, CAST(n AS BIGINT) AS n,
+         |  ${selFrags.mkString(",\n  ")}
+         |FROM a""".stripMargin
+    },
     "d22_weighted_median" ->
       """WITH v AS (
         |  SELECT l_returnflag AS grp,

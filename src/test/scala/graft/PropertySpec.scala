@@ -191,3 +191,88 @@ object ChunkProps extends Properties("Packing.overlapChunks") {
       }
     }
 }
+
+/** Random-graph invariants of the Graph operators, each checked against a
+  * driver-side reference implementation (tiny graphs, exhaustive truth).
+  */
+object GraphProps extends Properties("Graph") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkSpec.session
+
+  private val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.choose(3, 10)
+    m <- Gen.choose(2, 18)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+    } yield (a, b))
+  } yield (n, edges)
+
+  private def undirected(edges: List[(Long, Long)]): Set[(Long, Long)] =
+    edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+
+  property("bfsHops equals a reference BFS within the hop budget") =
+    Prop.forAll(graphGen) { case (_, edges) =>
+      import spark.implicits._
+      val maxHops = 3
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      // reference: level-by-level BFS from 0, capped at maxHops
+      var dist = Map(0L -> 0L)
+      var frontier = Set(0L)
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> h.toLong)
+      }
+      val got = graft.operators.Graph
+        .bfsHops(edges.toDF("src", "dst"), source = 0L, maxHops = maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == dist
+    }
+
+  property("kcorePeel survivors are exactly the reference k-core") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      val k = 2
+      // reference: peel to fixpoint
+      var cur = undirected(edges)
+      var changed = true
+      while (changed) {
+        val deg = cur.toList.flatMap(e => List(e._1, e._2))
+          .groupBy(identity).map { case (v, l) => v -> l.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        changed = next != cur
+        cur = next
+      }
+      val core = cur.flatMap(e => List(e._1, e._2))
+      undirected(edges).isEmpty || {
+        // rounds = n is always enough for an n-node graph to converge
+        val got = graft.operators.Graph
+          .kcorePeel(edges.toDF("src", "dst"), k = k, rounds = n)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got.filter(_._2 == 0L).keySet == core
+      }
+    }
+
+  property("labelSpread never rewrites a seed label") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      val nodes = (0L until n.toLong)
+        .map(i => (i, i % 3, i % 2 == 0)).toDF("node", "label", "seed")
+      undirected(edges).isEmpty || {
+        val got = graft.operators.Graph
+          .labelSpread(nodes, edges.toDF("src", "dst"), rounds = 2)
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+        got.filter(_._3 == 1L).forall { case (node, lab, _) =>
+          lab == node % 3
+        }
+      }
+    }
+}
