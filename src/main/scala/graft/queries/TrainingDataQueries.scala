@@ -786,6 +786,26 @@ object TrainingDataQueries {
         .withColumn("n_shingles", col("n_shingles").cast("bigint"))
     },
 
+    // The BENCHMARK-side contamination view: for each held-out item, how
+    // many corpus documents share shingles with it and how many distinct
+    // shingle hashes leak — the "which test items are burned" report an
+    // eval-integrity audit publishes (cx1 is the corpus-side flag; this
+    // is its transpose). Same broadcast-hash-probe shape: the benchmark
+    // hash set is tiny and broadcast, the corpus is scanned once.
+    "cx2_benchmark_report" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      def hashes(df: DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(transform(
+          Dedup.shinglesExpr(col("text"), 3),
+          sh => graft.functions.HashExpressions.md5Prefix60(sh)))).as("h"))
+      val bh = broadcast(hashes(docs.filter(col("doc_id") % 10 === 0))
+        .withColumnRenamed("doc_id", "bench_id"))
+      hashes(docs.filter(col("doc_id") % 10 =!= 0)).join(bh, "h")
+        .groupBy("bench_id")
+        .agg(countDistinct(col("doc_id")).as("n_matching_docs"),
+          countDistinct(col("h")).as("n_shared_hashes"))
+    },
+
     // Weighted corpus mixture: per-source deterministic sampling rates
     // with provenance — corpus assembly's mixing step.
     "mix1_corpus_mix" -> { (s, dir) =>
@@ -1860,6 +1880,26 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n_exact DESC, token ASC LIMIT 20""".stripMargin,
+    "cx2_benchmark_report" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 2),
+         |      i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
+         |  FROM docs),
+         |h60 AS (
+         |  SELECT id, list_distinct(list_transform(list_distinct(shingles),
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs
+         |  FROM sh),
+         |bench AS (SELECT id AS bench_id, unnest(hs) AS h
+         |          FROM h60 WHERE id % 10 = 0),
+         |corp AS (SELECT id, unnest(hs) AS h FROM h60 WHERE id % 10 <> 0)
+         |SELECT bench.bench_id,
+         |  COUNT(DISTINCT corp.id) AS n_matching_docs,
+         |  COUNT(DISTINCT bench.h) AS n_shared_hashes
+         |FROM corp JOIN bench USING (h)
+         |GROUP BY bench.bench_id""".stripMargin,
     "cx1_contamination" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
