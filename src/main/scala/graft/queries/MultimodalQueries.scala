@@ -63,6 +63,49 @@ object MultimodalQueries {
           element_at(col("feature_q"), 1).as("f0_q"),
           element_at(col("feature_q"), 8).as("f7_q"))
     },
+
+    // Perceptual-style near-dup in FEATURE space: mm4's quantized lanes
+    // bucketed by coarse bands (2 bands × 4 lanes, each lane div 64),
+    // candidates only within shared buckets, then exact integer L1 ≤ 64
+    // — the media analogue of dd2's LSH-then-verify. The corpus is
+    // augmented with a RE-ENCODED copy of every 20th asset (id+10⁶,
+    // normalized content: raw bytes differ, decoded content doesn't),
+    // so the pairs mm5's byte checksum misses surface here with L1 = 0.
+    // Everything integer: buckets, candidates, and the L1 verify are
+    // engine-exact.
+    "mm6_feature_neardup" -> { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("text"))
+      val reEncoded = base.unionByName(
+        base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val feats = Multimodal.extractFeatures(
+          Multimodal.syntheticMedia(s, reEncoded)).toDF()
+        .select(col("media_id"), col("feature_q")).localCheckpoint(true)
+      val banded = feats.select(col("media_id"),
+        posexplode(expr(
+          """transform(sequence(0, 1), b -> concat_ws('_',
+            |  transform(slice(feature_q, b * 4 + 1, 4),
+            |    x -> cast(x div 64 as string))))""".stripMargin))
+          .as(Seq("band", "bucket")))
+      val cands = banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") &&
+            col("l.bucket") === col("r.bucket") &&
+            col("l.media_id") < col("r.media_id"))
+        .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
+        .distinct()
+      cands
+        .join(feats.select(col("media_id").as("id_a"),
+          col("feature_q").as("fa")), "id_a")
+        .join(feats.select(col("media_id").as("id_b"),
+          col("feature_q").as("fb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("""aggregate(zip_with(fa, fb, (a, b) -> abs(a - b)),
+                 |0L, (acc, x) -> acc + x)""".stripMargin).as("l1"))
+        .filter(col("l1") <= 64)
+    },
   )
 
   private val mediaTypeSql =
@@ -70,7 +113,41 @@ object MultimodalQueries {
   private val codecSql =
     "(['png','opus','h264'])[CAST(doc_id % 3 + 1 AS INTEGER)]"
 
+  /** Lane j of decodeQuant over the 16 bytes of `h` (an md5 hex
+    * expression): byte j + byte j+8, as hex-substring arithmetic
+    * (mirrors mm4's f0/f7 terms). */
+  private def laneSql(j: Int, h: String): String =
+    s"""CAST(('0x' || substr($h, ${2 * j + 1}, 2)) AS BIGINT) +
+       |CAST(('0x' || substr($h, ${2 * j + 17}, 2)) AS BIGINT)"""
+      .stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "mm6_feature_neardup" -> {
+      val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+      val lanes = (0 until 8).map(laneSql(_, "md5(t)"))
+        .mkString("[", ",\n ", "]")
+      val l1 = (1 to 8).map(i => s"abs(a.fq[$i] - b.fq[$i])")
+        .mkString(" + ")
+      s"""WITH docs2 AS (
+         |  SELECT doc_id AS id, $norm AS t FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, $norm FROM documents
+         |  WHERE doc_id % 20 = 0),
+         |f AS MATERIALIZED (
+         |  SELECT id, $lanes AS fq FROM docs2),
+         |banded AS MATERIALIZED (
+         |  SELECT id, b.b AS band,
+         |    array_to_string(list_transform(fq[(b.b*4+1):(b.b*4+4)],
+         |      x -> CAST(x // 64 AS VARCHAR)), '_') AS bucket
+         |  FROM f CROSS JOIN (SELECT unnest(range(0, 2)) AS b) b),
+         |cands AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
+         |SELECT c.id_a, c.id_b, CAST($l1 AS BIGINT) AS l1
+         |FROM cands c JOIN f a ON c.id_a = a.id JOIN f b ON c.id_b = b.id
+         |WHERE $l1 <= 64""".stripMargin
+    },
     "mm1_media_meta" ->
       s"""SELECT doc_id AS media_id, $mediaTypeSql AS media_type,
          |CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,

@@ -766,6 +766,36 @@ object RelationalQueries {
           expr("prev div 10000000").as("bin"))
     },
 
+    // Z4 (beyond reference): CLUSTERING-DEPTH audit — for each candidate
+    // layout, the average/max number of files whose [min,max] ship-day
+    // zone covers a given day, i.e. how many files a point-date query
+    // must read. Depth ≈ 1 means the layout clusters the key (z2's
+    // date-partitioned files); depth ≈ #files means zone maps are
+    // useless (arrival round-robin) — exactly the metric an OPTIMIZE /
+    // re-cluster decision thresholds on, computed on file STATS rows
+    // (explode of day ranges, never the data).
+    "z4_clustering_depth" -> { (s, dir) =>
+      val days = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+            .cast("long").as("day"))
+      val byDate = days.groupBy(expr("day div 90").as("file_id"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .withColumn("layout", lit("date_clustered"))
+      val byArrival = days.groupBy((col("l_orderkey") % 28).as("file_id"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .withColumn("layout", lit("arrival_rr"))
+      byDate.unionByName(byArrival)
+        .select(col("layout"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+        .groupBy("layout", "day").agg(count(lit(1)).as("depth"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_days"), max(col("depth")).as("max_depth"),
+          sum(col("depth")).as("sum_depth"))
+        .select(col("layout"), col("n_days"), col("max_depth"),
+          expr("(sum_depth * 1000000) div n_days").as("avg_depth_micro"))
+    },
+
     // ER1 (beyond reference): end-to-end entity resolution — n-gram
     // blocked fuzzy SELF-join over customer names (stop-gram pruning
     // keeps blocking skew-proof), then large-star/small-star closure
@@ -1008,6 +1038,27 @@ object RelationalQueries {
         |  ON a.ok = b.ok AND a.pk < b.pk)
         |SELECT p1, p2, COUNT(*) AS n_orders FROM pairs GROUP BY 1, 2
         |HAVING COUNT(*) >= 2""".stripMargin,
+    "z4_clustering_depth" ->
+      """WITH days AS (
+        |  SELECT l_orderkey,
+        |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      AS day
+        |  FROM lineitem),
+        |fs AS (
+        |  SELECT 'date_clustered' AS layout, day // 90 AS file_id,
+        |    MIN(day) AS mn, MAX(day) AS mx
+        |  FROM days GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'arrival_rr', l_orderkey % 28, MIN(day), MAX(day)
+        |  FROM days GROUP BY 1, 2),
+        |cover AS (
+        |  SELECT layout, unnest(generate_series(mn, mx)) AS day FROM fs),
+        |dep AS (SELECT layout, day, COUNT(*) AS depth
+        |        FROM cover GROUP BY 1, 2)
+        |SELECT layout, COUNT(*) AS n_days, MAX(depth) AS max_depth,
+        |  CAST((SUM(depth) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS avg_depth_micro
+        |FROM dep GROUP BY layout""".stripMargin,
     "d23_group_quantiles" -> {
       val pps = Seq(25, 50, 75, 95)
       val aggFrags = pps.flatMap { pp =>
