@@ -269,6 +269,24 @@ object EventQueries {
           (col("n").cast("double") - mean).as("residual"))
     },
 
+    // Longest consecutive-day activity streak per user — the classic
+    // GAPS-AND-ISLANDS shape: within a user's distinct active days,
+    // day − row_number is constant exactly along a consecutive run, so
+    // one window + one groupBy finds every island without self-joins or
+    // iteration. Engagement/retention feature; all integer arithmetic.
+    "ev18_streaks" -> { (s, dir) =>
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      ud.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+    },
+
     // Signup → first-purchase conversion lag per user: the activation
     // funnel's latency distribution (feed d11/d22 for percentiles).
     // One equi-join on user_id with the time bound as a join-side
@@ -708,6 +726,20 @@ object EventQueries {
         |    AS residual
         |FROM daily d JOIN prof p
         |  ON d.event_type = p.event_type AND d.day % 7 = p.dow""".stripMargin,
+    "ev18_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM ud),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len
+        |         FROM isl GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS longest_streak,
+        |  COUNT(*) AS n_streaks
+        |FROM runs GROUP BY user_id""".stripMargin,
     "ev15_conversion_lag" ->
       """WITH su AS (
         |  SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
