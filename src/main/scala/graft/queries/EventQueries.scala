@@ -269,6 +269,37 @@ object EventQueries {
           (col("n").cast("double") - mean).as("residual"))
     },
 
+    // RFM segmentation: users quartiled on Recency (last active day),
+    // Frequency (event count), and Monetary (exact value cents) — the
+    // classic behavioral-segmentation grid. Quartiles use the CLOSED
+    // FORM ((rn−1)·4) div n + 1 over GlobalRank's two-pass ordinal
+    // (identical integer arithmetic in both engines, no
+    // single-partition ntile, scalable to any user count); monetary is
+    // floor-quantized to cents per row so the sum is an exact integer.
+    "ev19_rfm" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val rfm = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+        .groupBy("user_id")
+        .agg(max(col("day")).as("r_day"), count(lit(1)).as("f_cnt"),
+          sum(col("cents")).as("m_cents"))
+      val n = rfm.agg(count(lit(1)).as("n"))
+      val ranked = Seq(("r_day", "rn_r"), ("f_cnt", "rn_f"),
+        ("m_cents", "rn_m")).foldLeft(rfm) { case (df, (metric, out)) =>
+        GlobalRank.withGlobalRowNumber(df,
+          Seq(col(metric), col("user_id")), out)
+      }
+      ranked.crossJoin(broadcast(n))
+        .select(col("user_id"), col("r_day"), col("f_cnt"),
+          col("m_cents"),
+          expr("((rn_r - 1) * 4) div n + 1").as("r_q"),
+          expr("((rn_f - 1) * 4) div n + 1").as("f_q"),
+          expr("((rn_m - 1) * 4) div n + 1").as("m_q"))
+        .withColumn("segment", expr("r_q * 100 + f_q * 10 + m_q"))
+    },
+
     // Longest consecutive-day activity streak per user — the classic
     // GAPS-AND-ISLANDS shape: within a user's distinct active days,
     // day − row_number is constant exactly along a consecutive run, so
@@ -726,6 +757,29 @@ object EventQueries {
         |    AS residual
         |FROM daily d JOIN prof p
         |  ON d.event_type = p.event_type AND d.day % 7 = p.dow""".stripMargin,
+    "ev19_rfm" ->
+      """WITH rfm AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(ts) // 86400000000) AS r_day,
+        |    COUNT(*) AS f_cnt,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM events GROUP BY user_id),
+        |nn AS (SELECT COUNT(*) AS n FROM rfm),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY r_day, user_id) AS rn_r,
+        |    ROW_NUMBER() OVER (ORDER BY f_cnt, user_id) AS rn_f,
+        |    ROW_NUMBER() OVER (ORDER BY m_cents, user_id) AS rn_m
+        |  FROM rfm)
+        |SELECT user_id, r_day, f_cnt, m_cents,
+        |  ((rn_r - 1) * 4) // nn.n + 1 AS r_q,
+        |  ((rn_f - 1) * 4) // nn.n + 1 AS f_q,
+        |  ((rn_m - 1) * 4) // nn.n + 1 AS m_q,
+        |  (((rn_r - 1) * 4) // nn.n + 1) * 100 +
+        |  (((rn_f - 1) * 4) // nn.n + 1) * 10 +
+        |  (((rn_m - 1) * 4) // nn.n + 1) AS segment
+        |FROM rk CROSS JOIN nn""".stripMargin,
     "ev18_streaks" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) AS day

@@ -73,6 +73,20 @@ object TrainingDataQueries {
     },
 
     // Language ID: per-language marker scores + argmax with fixed ties.
+    // Language-ID EVALUATION: tx3's n-gram heuristic judged against the
+    // corpus's true lang labels as a confusion matrix — the accuracy
+    // report that decides whether the cheap classifier suffices or the
+    // corpus needs a model-based pass (zh has no stopword list here, so
+    // its row shows up entirely as 'und' — exactly the blind spot the
+    // report exists to expose). |langs|²-sized output after one
+    // map-side-combined count.
+    "tx16_lang_confusion" -> { (s, dir) =>
+      docsSpread(s, dir)
+        .select(col("lang").as("true_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    },
+
     "tx3_lang_id" -> { (s, dir) =>
       val t = col("text")
       docsSpread(s, dir).select(
@@ -389,6 +403,22 @@ object TrainingDataQueries {
         .select(col("lang"), col("n").as("n_docs"),
           floor(lit(1000000.0) * sqrt(col("n").cast("double")) / col("w"))
             .cast("bigint").as("p_micro"))
+    },
+
+    // SYSTEMATIC sample: order by the stratification key and take every
+    // 20th row — spans the full value distribution by construction
+    // (equal-probability strata without a hash), the survey-sampling
+    // complement to s1's Bernoulli gate. The global ordinal comes from
+    // GlobalRank's two-pass range layout, so the "sort + every k-th"
+    // semantics survive any partitioning with no single-task window.
+    "s8_systematic_sample" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      GlobalRank.withGlobalRowNumber(d,
+          order = Seq(col("n_chars"), col("doc_id")), out = "rn")
+        .filter((col("rn") - 1) % 20 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rn"))
     },
 
     // Deterministic hash-bucket Bernoulli sample (~25% of documents):
@@ -900,6 +930,27 @@ object TrainingDataQueries {
 
     // Okapi BM25 against a fixed probe-term set (df spread: rare "dup" to
     // ubiquitous "batch") — one narrow scan + one broadcast scalar aggregate.
+    // Pseudo-relevance-feedback query EXPANSION: score the corpus with
+    // the original BM25 query, take the top-10 pseudo-relevant docs
+    // (exact-score order, id tiebreak), and emit the 8 most common
+    // terms in that set that aren't already query terms — the classic
+    // PRF loop (Rocchio's term-selection step). The feedback set is
+    // 10 rows → broadcast; term stats are one map-side-combined count
+    // over those docs only; top-8 via TakeOrdered, deterministic
+    // (df desc, term asc).
+    "ir5_query_expansion" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val top = Retrieval.bm25(docs, bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select("doc_id")
+      docs.join(broadcast(top), "doc_id")
+        .select(explode(array_distinct(
+          split(TextAnalysis.normalizeText(col("text")), " "))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df_prf"))
+        .filter(!col("term").isin(bm25Terms: _*))
+        .orderBy(col("df_prf").desc, col("term")).limit(8)
+    },
+
     "ir1_bm25" -> { (s, dir) =>
       Retrieval.bm25(docsSpread(s, dir), bm25Terms)
     },
@@ -2009,6 +2060,24 @@ object TrainingDataQueries {
          |least(CAST(nsw AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE) * 4.0, 1.0) * 0.4 +
          |(1.0 - least(CAST(np AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.2 AS quality_score
          |FROM t""".stripMargin,
+    "tx16_lang_confusion" ->
+      """WITH sc AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|it|was)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que|pour)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|una|que|por)\b')) AS s_es
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+        |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM sc)
+        |SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "tx3_lang_id" ->
       """WITH sc AS (SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|it|was)\b')) AS s_en,
@@ -2034,6 +2103,12 @@ object TrainingDataQueries {
     "dd2_minhash_pairs" ->
       s"""WITH $dd2Ctes
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "s8_systematic_sample" ->
+      """SELECT doc_id, source, n_chars, rn FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents) z
+        |WHERE (rn - 1) % 20 = 0""".stripMargin,
     "s7_temperature_mix" ->
       """WITH RECURSIVE s AS (
         |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
@@ -2247,6 +2322,20 @@ object TrainingDataQueries {
          |  q.label = v.n_label AS label_match
          |FROM voted v JOIN embeddings q ON v.query_id = q.vec_id""".stripMargin,
     "ir1_bm25" -> bm25Sql,
+    "ir5_query_expansion" ->
+      s"""WITH scores AS ($bm25Sql),
+         |top10 AS (SELECT doc_id FROM scores
+         |          ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |tk AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(string_split($normSql, ' '))) AS term
+         |  FROM documents),
+         |prf AS (
+         |  SELECT term, COUNT(*) AS df_prf FROM tk
+         |  JOIN top10 USING (doc_id) GROUP BY term)
+         |SELECT term, df_prf FROM prf
+         |WHERE term NOT IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |ORDER BY df_prf DESC, term LIMIT 8""".stripMargin,
     "lm1_surprisal" -> lm1Sql,
     // Bigram LM: same micro-nat-before-reduction contract as lm1; the
     // bigram lists are two zipped array slices, so docs with < 2 tokens
