@@ -53,6 +53,63 @@ object Graph {
     }.reduce(_ unionByName _)
   }
 
+  /** Degree-SKEWED deterministic link graph: targets are
+    * `(id² * p + j) % n` — quadratic residues collide, so in-degree
+    * varies (0..~3√n at harness scale) instead of [[syntheticLinks]]'s
+    * uniform 3 (each linear map is a bijection when gcd(p, n) = 1, which
+    * makes degree-sensitive centralities like HITS degenerate on it).
+    * Same engine-reproducible fixture contract. Returns (src, dst). */
+  def syntheticSkewedLinks(docs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val nd = docs.select(col(idCol).cast("bigint").as("node"))
+    val nn = nd.agg(count(lit(1)).as("n"))
+    Seq((7L, 0L), (13L, 1L), (31L, 2L)).map { case (p, j) =>
+      nd.crossJoin(broadcast(nn))
+        .select(col("node").as("src"),
+          ((col("node") * col("node") * p + j) % col("n")).as("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** UNNORMALIZED integer HITS (Kleinberg's hubs-and-authorities), `iters`
+    * mutual-reinforcement rounds from hub = 1:
+    * `auth'(v) = Σ_{(u,v)∈E} hub(u)`, then `hub'(u) = Σ_{(u,v)∈E} auth'(v)`.
+    *
+    * Skipping the per-round L2 normalization is what makes the scores
+    * engine-exact: every quantity stays an integer sum (order-independent),
+    * whereas a float norm would be an order-dependent reduction. Rankings
+    * are unaffected — normalization rescales uniformly — and overflow is
+    * far off (scores grow like (Σdeg²)^iters; two rounds on a 10⁹-node,
+    * avg-degree-100 graph is ~10¹⁰ « 2⁶³).
+    *
+    * Per round: two keyed joins + two map-side-combined aggregates — the
+    * same shuffle budget as a PageRank round; `localCheckpoint` after each
+    * round cuts the lineage for the iteration (the [[pagerank]] pattern).
+    * Nodes with no in-edges (out-edges) keep auth (hub) 0.
+    * Returns (node, auth, hub). */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nd = nodes.select(col(nodes.columns.head).cast("bigint").as("node"))
+      .localCheckpoint(true)
+    val e = edges.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst")).localCheckpoint(true)
+    var hub = nd.withColumn("h", lit(1L))
+    var auth = nd.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val aNew = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("c"))
+      auth = nd.join(aNew, Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      val hNew = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("c"))
+      hub = nd.join(hNew, Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+    }
+    auth.join(hub, "node").select(col("node"), col("a").as("auth"),
+      col("h").as("hub"))
+  }
+
   /** Integer-exact PageRank: `iters` rounds of
     * `r' = tele + (dampingPct * Σ_in (r_src div outdeg_src)) div 100`
     * with `tele = ((100 - dampingPct) * Scale) div (100 * n)`.

@@ -104,6 +104,51 @@ object Retrieval {
       terms.map(t => col(tfCol(t))) :+ score.as("bm25"): _*)
   }
 
+  /** Dirichlet-smoothed query-likelihood score (Zhai & Lafferty's QL
+    * model): `Σ_t ln((tf_t + μ·cf_t/C) / (dl + μ))`, the third classic
+    * lexical ranker alongside [[bm25]] and [[tfidf]] — smoothing pulls
+    * every term probability toward its collection frequency, so documents
+    * are ranked by how much MORE likely they make the query than the
+    * corpus background.
+    *
+    * Same 100 TB shape as BM25: one narrow codegen scan for per-document
+    * term frequencies plus ONE scalar aggregate (collection token count
+    * `C` and per-term collection frequencies `cf_t`) broadcast back — no
+    * per-document shuffle. Each term's log-probability is quantized to
+    * integer micro-nats (floor(ln·1e6)) so the per-document score is an
+    * EXACT integer sum; the ln argument is a fixed-order IEEE tree over
+    * integer inputs, reproducible bit-for-bit by any engine.
+    *
+    * Precondition: every query term must occur somewhere in the corpus
+    * (cf_t > 0), else its zero-frequency documents hit ln(0). Returns
+    * (id, dl, tf_*, qlm_micro). */
+  def queryLikelihood(docs: DataFrame, terms: Seq[String],
+                      mu: Double = 2000.0, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size,
+      "query terms must be non-empty and distinct")
+    require(mu > 0, s"Dirichlet mu must be positive, got $mu")
+    def tfCol(t: String) = s"tf_$t"
+    val base = docs.select(col(idCol),
+      split(TextAnalysis.normalizeText(col(textCol)), " ").as("toks"),
+      TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val withTf = base.select(col(idCol) +: col("dl") +:
+      terms.map(t => size(filter(col("toks"), x => x === lit(t)))
+        .cast("bigint").as(tfCol(t))): _*)
+    val stats = withTf.agg(sum(col("dl")).as("ctot"),
+      terms.map(t => sum(col(tfCol(t))).as(s"cf_$t")): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    // per-term integer micro-nats; the fold is an exact bigint sum
+    val score = terms.map { t =>
+      floor(log((col(tfCol(t)).cast("double") +
+          lit(mu) * (col(s"cf_$t").cast("double") /
+            col("ctot").cast("double"))) /
+          (col("dl").cast("double") + lit(mu))) * lit(1e6)).cast("bigint")
+    }.reduce(_ + _)
+    scored.select(col(idCol) +: col("dl") +:
+      terms.map(t => col(tfCol(t))) :+ score.as("qlm_micro"): _*)
+  }
+
   /** Log-scaled TF-IDF score of every document against a fixed query-term
     * set — the classic lexical-ranking complement to [[bm25]] (same probe
     * shape, different weighting: `(1 + ln tf) * (ln((N+1)/(df+1)) + 1)`,

@@ -300,6 +300,34 @@ object EventQueries {
         .withColumn("segment", expr("r_q * 100 + f_q * 10 + m_q"))
     },
 
+    // Top-10 session event-type PATHS (click>view>purchase …): the
+    // behavioral-flow report on top of ev2's sessionization rule. The
+    // per-session path is array_sort over (ts, event_id, type) structs —
+    // collect_list is order-nondeterministic, the sort restores a total
+    // order — then one map-side-combined count per path and a global
+    // top-10 via TakeOrdered (n desc, path asc). Path length is bounded
+    // by session length, not corpus size.
+    "ev20_session_paths" -> { (s, dir) =>
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(tsUs, col("event_id"))
+      val running = byTime.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .withColumn("is_new_session",
+          when(tsUs - lag(tsUs, 1).over(byTime) > gapUs ||
+            lag(tsUs, 1).over(byTime).isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          tsUs.as("ts_us"),
+          sum(col("is_new_session")).over(running).as("session_seq"))
+      sess.groupBy("user_id", "session_seq")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("event_type")))), x => x.getField("event_type")), ">")
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+
     // Longest consecutive-day activity streak per user — the classic
     // GAPS-AND-ISLANDS shape: within a user's distinct active days,
     // day − row_number is constant exactly along a consecutive run, so
@@ -757,6 +785,27 @@ object EventQueries {
         |    AS residual
         |FROM daily d JOIN prof p
         |  ON d.event_type = p.event_type AND d.day % 7 = p.dow""".stripMargin,
+    "ev20_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+        |      OR LAG(epoch_us(ts), 1) OVER w IS NULL
+        |      THEN 1 ELSE 0 END AS is_new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    CAST(SUM(is_new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM flagged),
+        |pth AS (
+        |  SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM sess GROUP BY user_id, session_seq)
+        |SELECT path, COUNT(*) AS n FROM pth GROUP BY path
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "ev19_rfm" ->
       """WITH rfm AS (
         |  SELECT user_id,

@@ -138,6 +138,16 @@ object GraphQueries {
       Graph.kcorePeel(
         Graph.syntheticLinks(Tables.documents(s, dir)), k = 6, rounds = 8)
     },
+
+    // HITS hubs-and-authorities (2 mutual-reinforcement rounds,
+    // unnormalized so every score is an exact integer sum) over the
+    // degree-SKEWED quadratic graph — the linear multigraph is 3-regular
+    // in-degree (each map is a bijection), which would collapse HITS to a
+    // constant; quadratic-residue collisions give a real degree spectrum.
+    "gr11_hits" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Graph.hits(docs.select("doc_id"), Graph.syntheticSkewedLinks(docs))
+    },
   )
 
   /** Shared CTE prefix: the synthetic multigraph, out-degrees, and K
@@ -221,6 +231,36 @@ object GraphQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Mirrors Graph.hits on Graph.syntheticSkewedLinks: 2 unrolled
+    // rounds, integer sums, coalesce-0 for source/sink-free nodes.
+    "gr11_hits" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |edges AS (
+        |  SELECT node AS src, (node * node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * node * 13 + 1) % nn.n
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * node * 31 + 2) % nn.n
+        |    FROM nd CROSS JOIN nn),
+        |a_1 AS (SELECT nd.node, COALESCE(s.c, 0) AS a FROM nd LEFT JOIN (
+        |  SELECT dst AS node, COUNT(*) AS c FROM edges GROUP BY dst) s
+        |  USING (node)),
+        |h_1 AS (SELECT nd.node, COALESCE(s.c, 0) AS h FROM nd LEFT JOIN (
+        |  SELECT e.src AS node, CAST(SUM(a_1.a) AS BIGINT) AS c
+        |  FROM edges e JOIN a_1 ON e.dst = a_1.node GROUP BY e.src) s
+        |  USING (node)),
+        |a_2 AS (SELECT nd.node, COALESCE(s.c, 0) AS a FROM nd LEFT JOIN (
+        |  SELECT e.dst AS node, CAST(SUM(h_1.h) AS BIGINT) AS c
+        |  FROM edges e JOIN h_1 ON e.src = h_1.node GROUP BY e.dst) s
+        |  USING (node)),
+        |h_2 AS (SELECT nd.node, COALESCE(s.c, 0) AS h FROM nd LEFT JOIN (
+        |  SELECT e.src AS node, CAST(SUM(a_2.a) AS BIGINT) AS c
+        |  FROM edges e JOIN a_2 ON e.dst = a_2.node GROUP BY e.src) s
+        |  USING (node))
+        |SELECT a_2.node, CAST(a_2.a AS BIGINT) AS auth,
+        |  CAST(h_2.h AS BIGINT) AS hub
+        |FROM a_2 JOIN h_2 USING (node)""".stripMargin,
     "gr10_neighborhood_jaccard" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         |nd AS (SELECT doc_id AS node FROM documents),

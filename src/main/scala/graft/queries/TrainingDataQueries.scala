@@ -955,6 +955,56 @@ object TrainingDataQueries {
       Retrieval.bm25(docsSpread(s, dir), bm25Terms)
     },
 
+    // Dirichlet query likelihood over the same probe terms — the LM
+    // ranker complement to BM25 (same one-scan + broadcast-scalar shape,
+    // integer micro-nat per-term quantization makes the sum exact).
+    "ir6_qlm" -> { (s, dir) =>
+      Retrieval.queryLikelihood(docsSpread(s, dir), bm25Terms)
+    },
+
+    // Flesch reading-ease per document: words (whitespace tokens),
+    // sentences (terminator runs), syllables (vowel-group heuristic —
+    // the standard cheap proxy), combined by the fixed IEEE tree
+    // 206.835 − 1.015·w/s − 84.6·syll/w over integer counts, so the
+    // score is bit-identical across engines. One narrow codegen scan.
+    "tx17_readability" -> { (s, dir) =>
+      val t = col("text")
+      docsSpread(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(t).as("n_words"),
+          regexp_count(t, lit("[.!?]+")).cast("bigint").as("n_sents"),
+          regexp_count(lower(t), lit("[aeiouy]+")).cast("bigint")
+            .as("n_syll"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"),
+          col("n_syll"),
+          (lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              greatest(col("n_sents"), lit(1L)).cast("double")) -
+            lit(84.6) * (col("n_syll").cast("double") /
+              greatest(col("n_words"), lit(1L)).cast("double")))
+            .as("flesch"))
+    },
+
+    // Cluster-quality EVALUATION of the km1 Lloyd assignment against the
+    // embeddings' true labels: per-cluster majority label and purity —
+    // the report that decides whether trained IVF cells are also usable
+    // as weak labels. The per-(cluster,label) contingency table is one
+    // map-side-combined count (k·|labels| rows); majority via max(struct)
+    // with smallest-label ties, purity the one exact division.
+    "km3_cluster_purity" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val asg = KMeans.fit(emb, k = 4, iters = 3).select("vec_id", "cluster")
+      val cl = asg.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      cl.groupBy("cluster").agg(
+          sum(col("n")).as("n_total"),
+          max(struct(col("n"), (-col("label")).as("neg"))).as("mx"))
+        .select(col("cluster"), col("n_total"),
+          (-col("mx.neg")).cast("int").as("maj_label"),
+          col("mx.n").as("maj_n"),
+          (col("mx.n").cast("double") / col("n_total").cast("double"))
+            .as("purity"))
+    },
+
     // Unigram-LM mean surprisal per document (perplexity-style quality
     // filter): corpus vocabulary counted once, broadcast back, per-doc
     // exact integer micro-nat sum.
@@ -1626,6 +1676,39 @@ object TrainingDataQueries {
        |    $dfAggs FROM tf)
        |SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")},
        |  $chain AS bm25
+       |FROM tf CROSS JOIN stats""".stripMargin
+  }
+
+  /** ir6 oracle, generated from the SAME [[bm25Terms]]: per-term Dirichlet
+    * log-probability floor-quantized to micro-nats (bigint) before the
+    * exact integer sum — mirrors
+    * [[graft.operators.Retrieval.queryLikelihood]] sub-expression for
+    * sub-expression (mu = 2000 interpolated from the same Scala double). */
+  private def qlmSql: String = {
+    val mu = 2000.0
+    val tfCols = bm25Terms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n    ")
+    val cfAggs = bm25Terms.map(t =>
+      s"CAST(SUM(tf_$t) AS BIGINT) AS cf_$t").mkString(",\n    ")
+    val chain = bm25Terms.map { t =>
+      s"CAST(FLOOR(ln((CAST(tf_$t AS DOUBLE) + ${mu}e0 * " +
+        s"(CAST(cf_$t AS DOUBLE) / CAST(ctot AS DOUBLE))) / " +
+        s"(CAST(dl AS DOUBLE) + ${mu}e0)) * 1e6) AS BIGINT)"
+    }.mkString(" +\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl,
+       |    $tfCols
+       |  FROM base),
+       |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS ctot,
+       |    $cfAggs FROM tf)
+       |SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |  CAST($chain AS BIGINT) AS qlm_micro
        |FROM tf CROSS JOIN stats""".stripMargin
   }
 
@@ -2322,6 +2405,35 @@ object TrainingDataQueries {
          |  q.label = v.n_label AS label_match
          |FROM voted v JOIN embeddings q ON v.query_id = q.vec_id""".stripMargin,
     "ir1_bm25" -> bm25Sql,
+    "ir6_qlm" -> qlmSql,
+    "tx17_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |  len(regexp_extract_all(text, '[.!?]+')) AS n_sents,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  206.835e0
+        |  - 1.015e0 * (CAST(n_words AS DOUBLE) /
+        |      CAST(GREATEST(n_sents, 1) AS DOUBLE))
+        |  - 84.6e0 * (CAST(n_syll AS DOUBLE) /
+        |      CAST(GREATEST(n_words, 1) AS DOUBLE)) AS flesch
+        |FROM c""".stripMargin,
+    "km3_cluster_purity" ->
+      s"""WITH asg AS ($km1Sql),
+         |lab AS (SELECT asg.cluster, e.label
+         |  FROM asg JOIN embeddings e ON asg.vec_id = e.vec_id),
+         |cl AS (SELECT cluster, label, COUNT(*) AS n
+         |  FROM lab GROUP BY cluster, label),
+         |tot AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_total
+         |  FROM cl GROUP BY cluster),
+         |maj AS (SELECT cluster, label AS maj_label, n AS maj_n FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY n DESC, label ASC) AS rk FROM cl) t WHERE rk = 1)
+         |SELECT t.cluster, t.n_total, m.maj_label, m.maj_n,
+         |  CAST(m.maj_n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS purity
+         |FROM tot t JOIN maj m USING (cluster)""".stripMargin,
     "ir5_query_expansion" ->
       s"""WITH scores AS ($bm25Sql),
          |top10 AS (SELECT doc_id FROM scores

@@ -259,6 +259,26 @@ object GraphProps extends Properties("Graph") {
       }
     }
 
+  property("hits matches a reference two-round mutual reinforcement") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      // reference: hub=1 start, two rounds of integer auth/hub sums
+      val nodes = (0L until n.toLong).toList
+      var hub = nodes.map(_ -> 1L).toMap
+      var auth = Map.empty[Long, Long].withDefaultValue(0L)
+      for (_ <- 1 to 2) {
+        auth = nodes.map(v =>
+          v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+        hub = nodes.map(u =>
+          u -> edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+      }
+      val got = graft.operators.Graph
+        .hits(nodes.toDF("node"), edges.toDF("src", "dst"), iters = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      got == nodes.map(v => v -> (auth(v), hub(v))).toMap
+    }
+
   property("labelSpread never rewrites a seed label") =
     Prop.forAll(graphGen) { case (n, edges) =>
       import spark.implicits._
