@@ -194,6 +194,81 @@ object EventQueries {
     // (series that outgrow memory need chunked prefix folds instead).
     // Micro-unit integers make the div-2 recurrence bit-replayable as a
     // DuckDB recursive CTE.
+    // Holt double exponential smoothing (level + trend, α = β = 1/2) of
+    // the per-type daily counts — ts3's EWMA upgraded with a trend state,
+    // the standard short-horizon forecaster. Same engine-exact recurrence
+    // contract: both states live in integer micro-units and every step is
+    // a truncating integer div (Spark `div` and DuckDB `//` both truncate
+    // toward zero, including on the signed trend), so the whole recursion
+    // is bit-reproducible. Series length is bounded by the date range
+    // (documented contract shared with ts3), so the per-group fold is a
+    // bounded array, not a corpus-sized collect.
+    "ts7_holt" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("xs"))
+        .withColumn("st", expr(
+          """aggregate(xs, cast(array() as array<struct<l:bigint,b:bigint>>),
+            |  (acc, x) -> concat(acc, array(case when size(acc) = 0
+            |    then named_struct('l', x.n * 1000000L, 'b', 0L)
+            |    else named_struct(
+            |      'l', (x.n * 1000000L + element_at(acc, -1).l
+            |            + element_at(acc, -1).b) div 2,
+            |      'b', (((x.n * 1000000L + element_at(acc, -1).l
+            |              + element_at(acc, -1).b) div 2
+            |             - element_at(acc, -1).l)
+            |            + element_at(acc, -1).b) div 2)
+            |    end)))""".stripMargin))
+        .select(col("event_type"), explode(expr(
+          """zip_with(xs, st,
+            |  (x, s) -> struct(x.day as day, x.n as n,
+            |    s.l as level_micro, s.b as trend_micro,
+            |    s.l + s.b as forecast_micro))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.n").as("n"), col("r.level_micro").as("level_micro"),
+          col("r.trend_micro").as("trend_micro"),
+          col("r.forecast_micro").as("forecast_micro"))
+    },
+
+    // LINEAR multi-touch attribution: each purchase's cents are split
+    // equally across the user's click/view touches in the preceding 7
+    // days (integer div; the remainder goes to the EARLIEST touch so the
+    // split conserves mass exactly), then credit rolls up per touch type.
+    // The touch join is per-user + bounded time range — a sort-merge join
+    // on user_id whose per-key fan-out is capped by the window, so it
+    // scales with users, not corpus². Purchases with no prior touch drop
+    // out (no attributable credit) on both engines.
+    "ev21_linear_attribution" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          tsUs.as("p_ts"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+          col("event_type"), tsUs.as("t_ts"))
+      val pairs = p.join(t, col("user_id") === col("t_user") &&
+        col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - lit(604800000000L))
+      val nt = pairs.groupBy(col("p_id").as("p_id2"))
+        .agg(count(lit(1)).as("n_touch"))
+      val firstTouch = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_ts"), col("t_id"))
+      pairs.join(nt, col("p_id") === col("p_id2"))
+        .withColumn("rk", row_number().over(firstTouch))
+        .select(col("event_type"),
+          (expr("cents div n_touch") +
+            when(col("rk") === 1, expr("cents % n_touch"))
+              .otherwise(lit(0L))).as("credit_cents"))
+        .groupBy("event_type")
+        .agg(sum(col("credit_cents")).as("cents"),
+          count(lit(1)).as("n_touches"))
+    },
+
     "ts3_ewma" -> { (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
@@ -897,6 +972,48 @@ object EventQueries {
         |  TRUE AS hll_within_10pct
         |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day""".stripMargin,
+    "ts7_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |h(event_type, day, n, rn, l, b) AS (
+        |  SELECT event_type, day, n, rn, n * 1000000, CAST(0 AS BIGINT)
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.event_type, q.day, q.n, q.rn,
+        |    (q.n * 1000000 + h.l + h.b) // 2,
+        |    (((q.n * 1000000 + h.l + h.b) // 2 - h.l) + h.b) // 2
+        |  FROM seq q JOIN h ON q.event_type = h.event_type
+        |    AND q.rn = h.rn + 1)
+        |SELECT event_type, day, n, l AS level_micro, b AS trend_micro,
+        |  l + b AS forecast_micro FROM h""".stripMargin,
+    "ev21_linear_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS t_id, user_id, event_type,
+        |    epoch_us(ts) AS t_ts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT p.p_id, p.cents, t.t_id, t.event_type, t.t_ts
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 604800000000),
+        |nt AS (SELECT p_id, COUNT(*) AS n_touch FROM pairs GROUP BY p_id),
+        |credit AS (
+        |  SELECT pr.p_id, pr.t_id, pr.event_type,
+        |    pr.cents // nt.n_touch +
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY pr.p_id
+        |      ORDER BY pr.t_ts, pr.t_id) = 1
+        |      THEN pr.cents % nt.n_touch ELSE 0 END AS credit_cents
+        |  FROM pairs pr JOIN nt USING (p_id))
+        |SELECT event_type, CAST(SUM(credit_cents) AS BIGINT) AS cents,
+        |  COUNT(*) AS n_touches
+        |FROM credit GROUP BY event_type""".stripMargin,
     "ts3_ewma" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,

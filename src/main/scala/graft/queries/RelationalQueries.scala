@@ -521,6 +521,31 @@ object RelationalQueries {
     // DuckDB's built-in mode() both leave ties implementation-defined,
     // so the window formulation IS the portable operator. One map-side-
     // combined count shuffle; the rank runs over distinct values.
+    // Benford first-digit audit of l_extendedprice — the classic
+    // fabricated-data screen. The digit comes from the DECIMAL STRING of
+    // exact integer cents (never float log10, whose ulp wobble near
+    // powers of ten would make the digit itself engine-dependent); the
+    // expected counts and χ² terms are a fixed IEEE tree over the digit
+    // counts with log10(1+1/d) interpolated from the same Scala doubles
+    // on both engines. One map-side-combined 9-row aggregate.
+    "d24_benford" -> { (s, dir) =>
+      val obs = Tables.spread(Tables.lineitem(s, dir))
+        .filter(col("l_extendedprice") > 0)
+        .select(substring(expr("cast(floor(l_extendedprice * 100) as bigint)")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      val pd = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+        when(col("digit") === d, lit(math.log10(1 + 1.0 / d))).otherwise(acc)
+      }
+      obs.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          (col("n").cast("double") * pd).as("expected"),
+          ((col("n_obs").cast("double") - col("n").cast("double") * pd) *
+            (col("n_obs").cast("double") - col("n").cast("double") * pd) /
+            (col("n").cast("double") * pd)).as("chi2_term"))
+    },
+
     "d21_mode" -> { (s, dir) =>
       val counts = Tables.spread(Tables.lineitem(s, dir))
         .select(col("l_returnflag").as("grp"),
@@ -1018,6 +1043,23 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 400000.0
          |GROUP BY o_orderkey""".stripMargin,
+    // Benford probabilities interpolated from the same Scala doubles the
+    // query plan embeds, so both engines parse identical IEEE values.
+    "d24_benford" -> {
+      val pcase = "CASE digit " + (1 to 9).map(d =>
+        s"WHEN $d THEN ${math.log10(1 + 1.0 / d)}e0").mkString(" ") + " END"
+      s"""WITH c AS (SELECT CAST(SUBSTRING(CAST(CAST(floor(l_extendedprice
+         |    * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM lineitem WHERE l_extendedprice > 0),
+         |obs AS (SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY digit),
+         |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+         |SELECT digit, n_obs,
+         |  CAST(n AS DOUBLE) * $pcase AS expected,
+         |  (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * $pcase) *
+         |  (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * $pcase) /
+         |  (CAST(n AS DOUBLE) * $pcase) AS chi2_term
+         |FROM obs CROSS JOIN tot""".stripMargin
+    },
     "d21_mode" ->
       """SELECT grp, qty AS mode_qty, c AS n_at_mode FROM (
         |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS qty,

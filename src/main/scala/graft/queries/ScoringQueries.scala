@@ -188,6 +188,27 @@ object ScoringQueries {
         .select(col("doc_id"), col("source"), col("te_rate"))
     },
 
+    // Weight-of-evidence encoding of source against the lang=en target:
+    // ln of the smoothed good/bad rate ratio (+0.5 Laplace counts, the
+    // standard credit-scoring formulation) — fe5's target-encode sibling
+    // that lives on the LOG-odds scale, so downstream linear models can
+    // sum it. Same two-aggregate broadcast shape; the single ln is
+    // floor-quantized to integer micro-nats, everything else is exact
+    // integer counts through a fixed IEEE tree.
+    "fe9_woe" -> { (s, dir) =>
+      val c = docsSpread(s, dir).groupBy("source")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("good"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("bad"))
+      val tot = c.agg(sum(col("good")).as("gt"), sum(col("bad")).as("bt"))
+      c.crossJoin(broadcast(tot))
+        .select(col("source"), col("good"), col("bad"),
+          floor(log(((col("good").cast("double") + lit(0.5)) /
+            (col("gt").cast("double") + lit(0.5))) /
+            ((col("bad").cast("double") + lit(0.5)) /
+              (col("bt").cast("double") + lit(0.5)))) * lit(1e6))
+            .cast("bigint").as("woe_micro"))
+    },
+
     // Quantile normalization across sources: each document's
     // within-source quantile is mapped onto the GLOBAL value at that
     // quantile — the distribution-matching transform that makes quality
@@ -503,6 +524,21 @@ object ScoringQueries {
         |        CAST(st.n AS DOUBLE)) / CAST(st.n - 1 AS DOUBLE))
         |  END AS zscore
         |FROM documents d JOIN stats st ON d.source = st.source""".stripMargin,
+    "fe9_woe" ->
+      """WITH c AS (SELECT source,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS good,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS bad
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(good) AS BIGINT) AS gt,
+        |  CAST(SUM(bad) AS BIGINT) AS bt FROM c)
+        |SELECT source, good, bad,
+        |  CAST(FLOOR(ln(((CAST(good AS DOUBLE) + 0.5e0) /
+        |    (CAST(gt AS DOUBLE) + 0.5e0)) /
+        |    ((CAST(bad AS DOUBLE) + 0.5e0) /
+        |     (CAST(bt AS DOUBLE) + 0.5e0))) * 1e6) AS BIGINT) AS woe_micro
+        |FROM c CROSS JOIN tot""".stripMargin,
     "fe5_target_encode" ->
       """WITH d AS (SELECT doc_id, source, lang = 'en' AS label
         |           FROM documents),

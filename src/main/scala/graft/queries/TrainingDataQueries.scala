@@ -967,6 +967,31 @@ object TrainingDataQueries {
     // the standard cheap proxy), combined by the fixed IEEE tree
     // 206.835 − 1.015·w/s − 84.6·syll/w over integer counts, so the
     // score is bit-identical across engines. One narrow codegen scan.
+    // Per-document top-3 TF-IDF keywords: the cheap extractive tagger a
+    // corpus datasheet wants. Corpus df is one map-side-combined count
+    // broadcast back; the idf is floor-quantized to micro-nats so the
+    // weight tf·idf_micro is an exact bigint; top-3 via a per-doc window
+    // (hash-partitioned by doc_id — millions of tiny groups, no skew).
+    "tx19_keywords" -> { (s, dir) =>
+      val toks = docsSpread(s, dir).select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nn = docsSpread(s, dir).agg(count(lit(1)).as("n"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = tf.join(df, "term").crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf") * floor(log(col("n").cast("double") /
+            col("df").cast("double")) * lit(1e6)).cast("bigint"))
+            .as("w_micro"))
+      val perDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("w_micro").desc, col("term").asc)
+      w.withColumn("rk", row_number().over(perDoc))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "w_micro")
+    },
+
     "tx17_readability" -> { (s, dir) =>
       val t = col("text")
       docsSpread(s, dir).select(col("doc_id"),
@@ -2406,6 +2431,23 @@ object TrainingDataQueries {
          |FROM voted v JOIN embeddings q ON v.query_id = q.vec_id""".stripMargin,
     "ir1_bm25" -> bm25Sql,
     "ir6_qlm" -> qlmSql,
+    "tx19_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |  WHERE length(term) > 0 GROUP BY doc_id, term),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    tf.tf * CAST(FLOOR(ln(CAST(n AS DOUBLE) / CAST(df.df AS DOUBLE))
+         |      * 1e6) AS BIGINT) AS w_micro
+         |  FROM tf JOIN df USING (term) CROSS JOIN nn)
+         |SELECT doc_id, term, tf, df, w_micro FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY w_micro DESC, term ASC) AS rk FROM w) t
+         |WHERE rk <= 3""".stripMargin,
     "tx17_readability" ->
       """WITH c AS (SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
