@@ -610,6 +610,32 @@ object TrainingDataQueries {
       Dedup.repeatedSpans(docsSpread(s, dir), spanTokens = 8)
     },
 
+    // Per-document BOILERPLATE ratio: the fraction of a doc's distinct
+    // 8-token spans that repeat in ≥2 docs of the SAME source — the
+    // header/footer/template score a curation pipeline thresholds before
+    // training (dd5 lists global repeated spans; this rolls the signal up
+    // per doc, scoped to the source whose template it would be). Explode
+    // + two hash aggregates + one keyed join — all span-grain, scalable.
+    "dd11_boilerplate" -> { (s, dir) =>
+      import graft.functions.HashExpressions.md5Prefix60
+      val spans = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(
+            Dedup.shinglesExpr(col("text"), 8), x => md5Prefix60(x))))
+            .as("h"))
+      val rep = spans.groupBy("source", "h")
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+        .select(col("source").as("r_source"), col("h").as("r_h"))
+      spans.join(rep, col("source") === col("r_source") &&
+          col("h") === col("r_h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("r_h").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_spans"), col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_spans").cast("double"))
+            .as("boiler_ratio"))
+    },
+
     // Near-dup pairs → dedup CLUSTERS: connected components by iterative
     // min-label propagation (oracle: recursive-CTE transitive closure
     // over the same pair pipeline).
@@ -1046,6 +1072,28 @@ object TrainingDataQueries {
     // upper bound — AQE picks broadcast vs shuffle join by actual size),
     // and the per-document reduction is an exact integer micro-nat sum.
     // Documents with fewer than two tokens have no bigrams and drop out.
+    // Simple Good-Turing ADJUSTED COUNTS over the bigram frequency
+    // spectrum: r* = (r+1)·N_{r+1}/N_r in integer micro-units — the
+    // smoothing estimate whose r=1 row is the Good-Turing unseen-mass
+    // probe (bigrams, not unigrams: the synthetic corpus has no unigram
+    // singletons, and GT is about the rare-count region). Spectrum-sized
+    // output after two map-side-combined counts + one self-join on r+1.
+    "lm4_good_turing" -> { (s, dir) =>
+      val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+      val bigrams = docsSpread(s, dir)
+        .select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      val cnt = bigrams.groupBy("bg").agg(count(lit(1)).as("r"))
+      val nr = cnt.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val next = nr.select((col("r") - 1).as("r2"), col("n_r").as("n_r1"))
+      nr.join(next, col("r") === col("r2"), "left")
+        .select(col("r"), col("n_r"),
+          coalesce(expr("(r + 1) * n_r1 * 1000000 div n_r"), lit(0L))
+            .as("r_star_micro"))
+    },
+
     "lm2_bigram_surprisal" -> { (s, dir) =>
       val toks = split(TextAnalysis.normalizeText(col("text")), " ")
       val bigrams = docsSpread(s, dir)
@@ -2281,6 +2329,49 @@ object TrainingDataQueries {
     "dd8_incremental_dedup" ->
       s"""WITH ${lshCtes("l.id % 10 <> 0 AND r.id % 10 = 0")}
          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "lm4_good_turing" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |  FROM base),
+         |cnt AS (SELECT bigram, COUNT(*) AS r FROM bg GROUP BY bigram),
+         |nr AS (SELECT r, COUNT(*) AS n_r FROM cnt GROUP BY r)
+         |SELECT a.r, a.n_r,
+         |  COALESCE((a.r + 1) * b.n_r * 1000000 // a.n_r, 0)
+         |    AS r_star_micro
+         |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1""".stripMargin,
+    "dd11_boilerplate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, source, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT id, source,
+         |    CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(0, len(toks) - 7),
+         |      i -> array_to_string(toks[i+1:i+8], ' ')) END AS shingles
+         |  FROM docs),
+         |hx AS (
+         |  SELECT id, source,
+         |    unnest(list_distinct(list_transform(list_distinct(shingles),
+         |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS h
+         |  FROM sh),
+         |rep AS (
+         |  SELECT source, h FROM hx GROUP BY source, h
+         |  HAVING COUNT(*) >= 2),
+         |per AS (
+         |  SELECT hx.id, COUNT(*) AS n_spans,
+         |    CAST(SUM(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_boiler
+         |  FROM hx LEFT JOIN rep
+         |    ON hx.source = rep.source AND hx.h = rep.h
+         |  GROUP BY hx.id)
+         |SELECT id AS doc_id, n_spans, n_boiler,
+         |  CAST(n_boiler AS DOUBLE) / CAST(n_spans AS DOUBLE)
+         |    AS boiler_ratio
+         |FROM per""".stripMargin,
     "dd5_repeated_spans" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
