@@ -49,10 +49,15 @@ object Bench {
     // accepting the number — threshold 2 s: every query in the catalog
     // runs under that warm, so anything above is a stall, and the extra
     // runs cost nothing when the query really is slow.
-    def timeOne(name: String): Double = {
+    // A throw returns None — never a ~0 s "time" that silently deflates
+    // the total while hiding a broken query (round-5 lesson).
+    def timeOne(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try materialize(name) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { materialize(name); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
+      }
     }
     // Optional comma-separated query filter for focused local runs
     // (absent on driver runs → full catalog).
@@ -61,9 +66,11 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val firstPass = names.map { name =>
-      var best = math.min(timeOne(name), timeOne(name))
+      var best = (timeOne(name) ++ timeOne(name)).reduceOption(_ min _)
       var extra = 0
-      while (best > 2.0 && extra < 2) { best = math.min(best, timeOne(name)); extra += 1 }
+      while (best.exists(_ > 2.0) && extra < 2) {
+        best = (best ++ timeOne(name)).reduceOption(_ min _); extra += 1
+      }
       name -> best
     }
     // Second chance for stall victims: immediate retries don't help when a
@@ -71,9 +78,12 @@ object Bench {
     // 1.1 s query report 9.1 s that way). Re-time anything still above the
     // stall threshold once more at the END of the catalog — minutes later,
     // when the burst has usually passed — and keep the min.
-    val results = firstPass.map { case (name, best) =>
-      name -> (if (best > 2.0) math.min(best, timeOne(name)) else best)
+    val retimed = firstPass.map { case (name, best) =>
+      name -> (if (best.exists(_ > 2.0))
+        (best ++ timeOne(name)).reduceOption(_ min _) else best)
     }
+    val failed = retimed.collect { case (name, None) => name }
+    val results = retimed.collect { case (name, Some(v)) => name -> v }
     // The harness captures only the last ~2000 chars of output, so the
     // JSON line must stay short: 3-decimal seconds, and the per-query dict
     // capped to a character budget — slowest queries first (the ones worth
@@ -91,7 +101,8 @@ object Bench {
         if (sb.nonEmpty) sb.append(','); sb.append(e)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$sb},"omitted":$omitted,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$sb},"omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

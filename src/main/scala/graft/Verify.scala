@@ -13,8 +13,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-      // rejects by default; surface it as long nanos instead.
+      // If events.parquet carries TIMESTAMP(NANOS) (one of the fixture's
+      // historical contracts), surface it as long nanos instead of
+      // rejecting it; a timestamp[us] fixture ignores this flag and
+      // Tables.eventsUs adapts either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -24,6 +26,12 @@ object Verify {
     // driver runs → full catalog; oracle_sql.json always covers it all).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // A throwing query must leave a driver-visible record, not a silent
+    // gap: every failure lands in errors.json (always written, {} when
+    // clean) so a registered query with no output dir reads as FAIL, not
+    // as "not run" (round-5 lesson: 26 broken queries hid behind an
+    // all-green 216-row report).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -31,6 +39,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +58,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${
+        if (errors.size == 1) "y" else "ies"} FAILED: ${
+        errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

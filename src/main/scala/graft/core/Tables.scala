@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table access over the harness star schema (TESTDATA.md).
   *
@@ -36,6 +38,29 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+
+  /** Event time as long epoch-microseconds, whatever the fixture's physical
+    * type. The harness has shipped `events.ts` both as parquet
+    * TIMESTAMP(NANOS) (surfaced as long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as timestamp[us]
+    * (TIMESTAMP_NTZ); queries must not bake in either contract. With the
+    * session timezone pinned to UTC (GraftSession), `cast("timestamp")` on
+    * an NTZ value is a re-tag, so `unix_micros` yields the same integer
+    * DuckDB's `epoch_us(ts)` does — both engines then agree bit-for-bit on
+    * every downstream integer `div`. */
+  def eventTimeUs(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case LongType => expr(s"`$name` div 1000")
+      case _        => unix_micros(col(name).cast("timestamp"))
+    }
+
+  /** `events` with `ts` normalized in place to long epoch-µs via
+    * [[eventTimeUs]] — the canonical input for every event-time query, so
+    * the adaptivity lives here once instead of in 26 query bodies. */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    e.withColumn("ts", eventTimeUs(e))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

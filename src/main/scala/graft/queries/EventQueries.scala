@@ -13,23 +13,25 @@ import graft.core.Tables
   * declaratively — the Structured Streaming variants live in
   * graft.streaming).
   *
-  * `events.ts` arrives as parquet TIMESTAMP(NANOS), surfaced as long nanos
-  * via `spark.sql.legacy.parquet.nanosAsLong` (DuckDB side: `epoch_ns`).
+  * `events.ts` has shipped under two physical contracts (TIMESTAMP(NANOS)
+  * read as long nanos, and timestamp[us] read as TIMESTAMP_NTZ);
+  * `Tables.eventsUs` normalizes both to long epoch-µs at the scan, so every
+  * query below sees one integer contract (DuckDB side: `epoch_us(ts)`).
   */
 object EventQueries {
 
   private val gapUs = 30L * 60 * 1000000L // 30-min sessionization gap, µs
 
-  /** Event time as long microseconds — exact integer `div`, matching
-    * DuckDB's truncate-to-µs parquet read of TIMESTAMP(NANOS). */
-  private def tsUs = expr("ts div 1000")
+  /** Event time as long microseconds — `Tables.eventsUs` already rewrote
+    * `ts` to epoch-µs (type-adaptively), so this is just the column. */
+  private def tsUs = col("ts")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-user inter-event gap via lag over event time.
     "ev1_event_gaps" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(tsUs, col("event_id"))
-      Tables.events(s, dir).select(
+      Tables.eventsUs(s, dir).select(
         col("user_id"), col("event_id"), col("event_type"),
         ((tsUs - lag(tsUs, 1).over(w)) / lit(1000000.0))
           .as("gap_seconds"))
@@ -44,7 +46,7 @@ object EventQueries {
         .orderBy(tsUs, col("event_id"))
       val running = byTime.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
-      Tables.events(s, dir)
+      Tables.eventsUs(s, dir)
         .withColumn("is_new_session",
           when(tsUs - lag(tsUs, 1).over(byTime) > gapUs ||
             lag(tsUs, 1).over(byTime).isNull, 1L).otherwise(0L))
@@ -58,7 +60,7 @@ object EventQueries {
     // the same operator the streaming tumbling counts use. Start/end in
     // epoch-µs longs for engine-exact comparison.
     "ev7_tumbling_counts" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
+      val ev = Tables.eventsUs(s, dir)
         .withColumn("__ts", timestamp_micros(tsUs))
       ev.groupBy(window(col("__ts"), "6 hours"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
@@ -73,7 +75,7 @@ object EventQueries {
     // event + gap. One shuffle on the session-window key; state merges
     // map-side. Emitted in epoch-µs longs for engine-exact comparison.
     "ev6_session_window" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
+      val ev = Tables.eventsUs(s, dir)
         .withColumn("__ts", timestamp_micros(tsUs))
       ev.groupBy(col("user_id"), session_window(col("__ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
@@ -88,8 +90,8 @@ object EventQueries {
     // lacks natively, composed in graft.operators.AsOfJoin.
     "ev4_asof_last_order" -> { (s, dir) =>
       import graft.operators.AsOfJoin
-      val ev = Tables.events(s, dir).select(col("event_id"),
-        col("user_id"), expr("ts div 1000").as("ts_us"))
+      val ev = Tables.eventsUs(s, dir).select(col("event_id"),
+        col("user_id"), col("ts").as("ts_us"))
       val orders = Tables.orders(s, dir).select(
         col("o_custkey").as("user_id"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
@@ -111,8 +113,8 @@ object EventQueries {
       val orders = Tables.orders(s, dir).select(col("o_orderkey"),
         col("o_custkey").as("user_id"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
-      val ev = Tables.events(s, dir).select(col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_id"), col("event_type"))
+      val ev = Tables.eventsUs(s, dir).select(col("user_id"),
+        col("ts").as("ts_us"), col("event_id"), col("event_type"))
       val deduped = AsOfJoin.dedupeRight(ev, "user_id", "ts_us", "event_id")
       AsOfJoin.asofJoin(orders, deduped, "user_id", "order_us", "ts_us",
           Seq("event_id", "event_type"), direction = "forward")
@@ -128,8 +130,8 @@ object EventQueries {
     // fall through to an older click).
     "ev11_asof_tolerance" -> { (s, dir) =>
       import graft.operators.AsOfJoin
-      val ev = Tables.events(s, dir).select(col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_id"), col("event_type"))
+      val ev = Tables.eventsUs(s, dir).select(col("user_id"),
+        col("ts").as("ts_us"), col("event_id"), col("event_type"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts_us").as("view_us"),
           col("event_id").as("view_id"))
@@ -150,9 +152,9 @@ object EventQueries {
     // every double derived through the identical expression tree. The
     // monitoring pass an ingest pipeline runs on its own volume curve.
     "ts1_anomaly" -> { (s, dir) =>
-      val daily = Tables.events(s, dir)
+      val daily = Tables.eventsUs(s, dir)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(-7, -1)
@@ -204,9 +206,9 @@ object EventQueries {
     // (documented contract shared with ts3), so the per-group fold is a
     // bounded array, not a corpus-sized collect.
     "ts7_holt" -> { (s, dir) =>
-      Tables.events(s, dir)
+      Tables.eventsUs(s, dir)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
         .groupBy("event_type")
         .agg(sort_array(collect_list(struct(col("day"), col("n"))))
@@ -243,7 +245,7 @@ object EventQueries {
     // scales with users, not corpus². Purchases with no prior touch drop
     // out (no attributable credit) on both engines.
     "ev21_linear_attribution" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
+      val ev = Tables.eventsUs(s, dir)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
           tsUs.as("p_ts"),
@@ -270,9 +272,9 @@ object EventQueries {
     },
 
     "ts3_ewma" -> { (s, dir) =>
-      Tables.events(s, dir)
+      Tables.eventsUs(s, dir)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
         .groupBy("event_type")
         .agg(sort_array(collect_list(struct(col("day"), col("n"))))
@@ -300,9 +302,9 @@ object EventQueries {
     // compute bit-identical doubles. One shuffle (daily rollup); the lag
     // window rides the same partitioning.
     "ts4_autocorr" -> { (s, dir) =>
-      val daily = Tables.events(s, dir)
+      val daily = Tables.eventsUs(s, dir)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val st = daily.withColumn("a", lag(col("n"), 1).over(w))
@@ -329,9 +331,9 @@ object EventQueries {
     // broadcast back over the daily rollup; the mean and residual are
     // the same fixed IEEE tree in both engines.
     "ts5_dow_profile" -> { (s, dir) =>
-      val daily = Tables.events(s, dir)
+      val daily = Tables.eventsUs(s, dir)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       val prof = daily
         .groupBy(col("event_type").as("et"), (col("day") % 7).as("dow"))
@@ -353,9 +355,9 @@ object EventQueries {
     // floor-quantized to cents per row so the sum is an exact integer.
     "ev19_rfm" -> { (s, dir) =>
       import graft.operators.GlobalRank
-      val rfm = Tables.events(s, dir)
+      val rfm = Tables.eventsUs(s, dir)
         .select(col("user_id"),
-          expr("(ts div 1000) div 86400000000").as("day"),
+          expr("ts div 86400000000").as("day"),
           expr("cast(floor(value * 100) as bigint)").as("cents"))
         .groupBy("user_id")
         .agg(max(col("day")).as("r_day"), count(lit(1)).as("f_cnt"),
@@ -387,7 +389,7 @@ object EventQueries {
         .orderBy(tsUs, col("event_id"))
       val running = byTime.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
-      val sess = Tables.events(s, dir)
+      val sess = Tables.eventsUs(s, dir)
         .withColumn("is_new_session",
           when(tsUs - lag(tsUs, 1).over(byTime) > gapUs ||
             lag(tsUs, 1).over(byTime).isNull, 1L).otherwise(0L))
@@ -409,9 +411,9 @@ object EventQueries {
     // one window + one groupBy finds every island without self-joins or
     // iteration. Engagement/retention feature; all integer arithmetic.
     "ev18_streaks" -> { (s, dir) =>
-      val ud = Tables.events(s, dir)
+      val ud = Tables.eventsUs(s, dir)
         .select(col("user_id"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .distinct()
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       ud.withColumn("grp", col("day") - row_number().over(w))
@@ -429,8 +431,8 @@ object EventQueries {
     // null lag rather than dropping out — the cohort denominator stays
     // honest.
     "ev15_conversion_lag" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select(col("user_id"),
-        col("event_type"), expr("ts div 1000").as("us"))
+      val ev = Tables.eventsUs(s, dir).select(col("user_id"),
+        col("event_type"), col("ts").as("us"))
       val su = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(col("us")).as("signup_us"))
       val p = ev.filter(col("event_type") === "purchase")
@@ -454,9 +456,9 @@ object EventQueries {
     // rollup shuffle; the scalar (m, T) stats broadcast back; running sum
     // and argmax ride per-series windows.
     "ts6_changepoint" -> { (s, dir) =>
-      val daily = Tables.events(s, dir)
+      val daily = Tables.eventsUs(s, dir)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       val st = daily.groupBy(col("event_type").as("et"))
         .agg(count(lit(1)).as("m"), sum(col("n")).as("t"))
@@ -482,10 +484,10 @@ object EventQueries {
     // scale path (mergeable HLL sketches per day, unioned over the
     // frame) is d18_hll_union's shape.
     "ev13_rolling_distinct" -> { (s, dir) =>
-      val ud = Tables.events(s, dir)
+      val ud = Tables.eventsUs(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .distinct()
       val days = ud.select(col("day")).distinct()
       ud.select(col("user_id"),
@@ -504,10 +506,10 @@ object EventQueries {
     // datasketches HLL-12 is exact-mode below ~4k distincts, ~1.6% rsd
     // beyond), so the oracle pins the exact column and the bound.
     "ev14_hll_sliding" -> { (s, dir) =>
-      val ud = Tables.events(s, dir)
+      val ud = Tables.eventsUs(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
       val udd = ud.distinct()
       val days = udd.select("day").distinct()
       val exact = udd.select(col("user_id"),
@@ -531,9 +533,9 @@ object EventQueries {
     },
 
     "ts2_gap_fill" -> { (s, dir) =>
-      val sparse = Tables.events(s, dir)
+      val sparse = Tables.eventsUs(s, dir)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
         .filter(col("day") % 3 =!= 0)
       val bounds = sparse.groupBy("event_type")
@@ -557,7 +559,7 @@ object EventQueries {
     "ev12_transitions" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
+      Tables.eventsUs(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
@@ -578,7 +580,7 @@ object EventQueries {
     "ev16_markov_anomaly" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val seq = Tables.events(s, dir)
+      val seq = Tables.eventsUs(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
@@ -603,7 +605,7 @@ object EventQueries {
     "ev17_motifs" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
+      Tables.eventsUs(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
         .withColumn("t1", lag(col("event_type"), 2).over(w))
@@ -618,7 +620,7 @@ object EventQueries {
     // .attributeClicksFullOuter): views matched to clicks within 30 min,
     // PLUS unconverted views and orphan clicks null-extended.
     "ev5_interval_fullouter" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
+      val ev = Tables.eventsUs(s, dir)
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), tsUs.as("view_us"),
           col("event_id").as("view_id"))
@@ -642,9 +644,9 @@ object EventQueries {
     "j3_interval_bucket_join" -> { (s, dir) =>
       import graft.operators.IntervalJoin
       val hourUs = 3600L * 1000000L
-      val ev = Tables.events(s, dir).select(col("event_id"),
+      val ev = Tables.eventsUs(s, dir).select(col("event_id"),
         col("user_id"), tsUs.as("ts_us"))
-      val incidents = Tables.events(s, dir)
+      val incidents = Tables.eventsUs(s, dir)
         .filter(col("event_type") === "error")
         .select(col("event_id").as("incident_id"),
           col("user_id").as("i_user"), tsUs.as("lo_us"))
@@ -657,7 +659,7 @@ object EventQueries {
 
     // Per-user/event-type pivot-style conditional aggregation.
     "ev3_type_counts" -> { (s, dir) =>
-      Tables.events(s, dir).groupBy("user_id").agg(
+      Tables.eventsUs(s, dir).groupBy("user_id").agg(
         count(when(col("event_type") === "view", 1)).as("n_view"),
         count(when(col("event_type") === "click", 1)).as("n_click"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
@@ -673,7 +675,7 @@ object EventQueries {
     // depth-k funnels stay k co-partitioned passes — never a per-user
     // event-list collect.
     "ev8_funnel" -> { (s, dir) =>
-      val e = Tables.events(s, dir)
+      val e = Tables.eventsUs(s, dir)
         .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
       val v = e.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
@@ -697,8 +699,8 @@ object EventQueries {
     // reused); day arithmetic in exact integer epoch-µs days, so the
     // week offset is engine-exact integer division of non-negatives.
     "ev9_retention" -> { (s, dir) =>
-      val d = Tables.events(s, dir)
-        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+      val d = Tables.eventsUs(s, dir)
+        .selectExpr("user_id", "ts div 86400000000 AS day")
       val first = d.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
       val active = d.distinct()
       active.join(first, "user_id")

@@ -313,9 +313,9 @@ object ScoringQueries {
     // math. The statistics are exact integer sums; slope and intercept
     // are the same fixed IEEE tree in both engines.
     "ml6_ols_fit" -> { (s, dir) =>
-      val daily = Tables.events(s, dir)
+      val daily = Tables.eventsUs(s, dir)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       val st = daily.groupBy("event_type").agg(
         count(lit(1)).as("m"),

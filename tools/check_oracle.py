@@ -35,9 +35,25 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
+    # errors.json (written by Verify since round 6) names every registered
+    # query that threw; a partial run (SPARK_GRAFT_ONLY) is detected by the
+    # env var so a missing dir in a FULL run is a hard FAIL, never a skip.
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
+    partial = bool(os.environ.get("SPARK_GRAFT_ONLY"))
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
-            continue  # filtered-out query in a SPARK_GRAFT_ONLY partial run
+            if name in errors:
+                print(f"FAIL {name}: query threw in Verify: {errors[name][:200]}")
+                n_fail += 1
+            elif partial:
+                continue  # filtered-out query in a SPARK_GRAFT_ONLY partial run
+            else:
+                print(f"FAIL {name}: no output dir and no error record (full run)")
+                n_fail += 1
+            continue
         try:
             spark_df = ds.dataset(f"{out_dir}/{name}").to_table().to_pandas()
             duck_df = con.execute(sql).fetchdf()

@@ -25,11 +25,12 @@ sbt -batch compile test
 echo "== preflight: Verify -> DuckDB differential (sf0.01) =="
 rm -rf "$OUT"
 VLOG=/tmp/preflight_verify.log
+# Exported (not per-command) so check_oracle.py also sees it: since round 6
+# it treats a missing output dir in an UNfiltered run as a hard FAIL.
 if [ -n "$ONLY" ]; then
-  SPARK_GRAFT_ONLY="$ONLY" sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$VLOG"
-else
-  sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$VLOG"
+  export SPARK_GRAFT_ONLY="$ONLY"
 fi
+sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$VLOG"
 # A query that THROWS inside Verify writes no output dir, and the filtered
 # oracle check would silently skip it (this bit once: ts5's ambiguous
 # self-join error "passed" a filtered gate). Fail hard on any verify error.
