@@ -657,6 +657,61 @@ object EventQueries {
         .groupBy("incident_id").agg(count(lit(1)).as("n_events"))
     },
 
+    // NEAREST as-of join — the fourth direction of the as-of family
+    // (backward ev4, forward ev10, tolerance ev11): each event picks the
+    // user's order closest in time on EITHER side, ties to the earlier
+    // order (pandas merge_asof direction='nearest'). Composed as the
+    // backward and forward passes (each one sorted-window shuffle on
+    // user_id) re-joined on event_id — the hash partitioning from the
+    // as-of passes is reused, and unmatched events survive with nulls so
+    // the denominator stays honest. Never a per-user fan-out join: cost
+    // is 2× the one-directional as-of, independent of orders-per-user.
+    "j8_asof_nearest" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = Tables.eventsUs(s, dir).select(col("event_id"),
+        col("user_id"), col("ts").as("ts_us"))
+      val orders = Tables.orders(s, dir).select(
+        col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        col("o_orderkey"))
+      val deduped = AsOfJoin.dedupeRight(orders, "user_id", "order_us",
+        "o_orderkey")
+      val back = AsOfJoin.asofJoin(ev,
+          deduped.withColumnRenamed("o_orderkey", "b_key"),
+          "user_id", "ts_us", "order_us", Seq("b_key", "order_us"))
+        .select(col("event_id"), col("b_key"),
+          col("order_us").as("b_us"))
+      val fwd = AsOfJoin.asofJoin(ev,
+          deduped.withColumnRenamed("o_orderkey", "f_key"),
+          "user_id", "ts_us", "order_us", Seq("f_key", "order_us"),
+          direction = "forward")
+        .select(col("event_id"), col("f_key"),
+          col("order_us").as("f_us"))
+      ev.join(back, Seq("event_id"), "left")
+        .join(fwd, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("b_us").isNull && col("f_us").isNull,
+            lit(null).cast("bigint"))
+            .when(col("f_us").isNull, col("b_key"))
+            .when(col("b_us").isNull, col("f_key"))
+            .when(col("ts_us") - col("b_us") <= col("f_us") - col("ts_us"),
+              col("b_key"))
+            .otherwise(col("f_key")).as("nearest_order"),
+          when(col("b_us").isNull && col("f_us").isNull,
+            lit(null).cast("bigint"))
+            .when(col("f_us").isNull, col("ts_us") - col("b_us"))
+            .when(col("b_us").isNull, col("f_us") - col("ts_us"))
+            .otherwise(least(col("ts_us") - col("b_us"),
+              col("f_us") - col("ts_us"))).as("gap_us"),
+          when(col("b_us").isNull && col("f_us").isNull,
+            lit(null).cast("string"))
+            .when(col("f_us").isNull, lit("backward"))
+            .when(col("b_us").isNull, lit("forward"))
+            .when(col("ts_us") - col("b_us") <= col("f_us") - col("ts_us"),
+              lit("backward"))
+            .otherwise(lit("forward")).as("side"))
+    },
+
     // Per-user/event-type pivot-style conditional aggregation.
     "ev3_type_counts" -> { (s, dir) =>
       Tables.eventsUs(s, dir).groupBy("user_id").agg(
@@ -763,6 +818,28 @@ object EventQueries {
         |  rd.o_orderkey AS last_order, rd.o_totalprice AS last_order_price
         |FROM l ASOF JOIN rd
         |  ON l.user_id = rd.user_id AND l.ts_us >= rd.order_us""".stripMargin,
+    "j8_asof_nearest" ->
+      """WITH rd AS (
+        |  SELECT user_id, order_us, o_orderkey FROM (
+        |    SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS order_us,
+        |      o_orderkey,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) t WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |cand AS (
+        |  SELECT e.event_id, rd.o_orderkey, rd.order_us,
+        |    abs(e.ts_us - rd.order_us) AS gap,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(e.ts_us - rd.order_us), rd.order_us) AS pick
+        |  FROM e JOIN rd ON e.user_id = rd.user_id)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |  c.o_orderkey AS nearest_order, c.gap AS gap_us,
+        |  CASE WHEN c.order_us IS NULL THEN NULL
+        |       WHEN c.order_us <= e.ts_us THEN 'backward'
+        |       ELSE 'forward' END AS side
+        |FROM e LEFT JOIN (SELECT * FROM cand WHERE pick = 1) c
+        |  ON e.event_id = c.event_id""".stripMargin,
     "ev10_asof_next_event" ->
       """WITH rd AS (
         |  SELECT user_id, ts_us, event_id, event_type FROM (

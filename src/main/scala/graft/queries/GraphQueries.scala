@@ -130,6 +130,48 @@ object GraphQueries {
         rounds = 2)
     },
 
+    // Modularity of gr8's label assignment on the undirected simple link
+    // graph — the partition-quality score a community pipeline reports
+    // next to its labels. Q = Σ_c [in_c/m − (deg_c/2m)²]; each
+    // community's contribution comes from three exact integers (m, in_c,
+    // deg_c) through one fixed IEEE tree, so both engines agree bitwise.
+    // Unlabeled nodes are excluded (not a community); m counts the whole
+    // graph so excluded mass still penalizes. One edge shuffle for
+    // degrees, the (|nodes|-sized) assignment joined onto edges — never
+    // a per-community subgraph materialization.
+    "gr12_modularity" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("bigint").as("node"),
+          col("label").cast("bigint").as("label"),
+          (col("vec_id") % 5 === 0).as("seed"))
+      val labels = Graph.labelSpread(emb,
+          Graph.syntheticLinks(emb.select("node"), idCol = "node"),
+          rounds = 2)
+        .filter(col("label").isNotNull)
+        .select(col("node"), col("label").as("lab"))
+      val und = Graph.syntheticLinks(emb.select("node"), idCol = "node")
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val m = und.agg(count(lit(1)).as("m"))
+      val deg = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val cdeg = deg.join(labels, "node")
+        .groupBy("lab").agg(sum(col("d")).as("deg_c"))
+      val cin = und
+        .join(labels.select(col("node").as("u"), col("lab").as("la")), "u")
+        .join(labels.select(col("node").as("v"), col("lab").as("lb")), "v")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lab")).agg(count(lit(1)).as("in_c"))
+      cdeg.join(cin, Seq("lab"), "left").crossJoin(broadcast(m))
+        .select(col("lab").as("community"),
+          coalesce(col("in_c"), lit(0L)).as("in_edges"), col("deg_c"),
+          ((lit(4L) * col("m") * coalesce(col("in_c"), lit(0L)) -
+            col("deg_c") * col("deg_c")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double")).as("q_contrib"))
+    },
+
     // k-core peeling (k = 6) pinned to 8 rounds on the undirected simple
     // projection: every node's peel round (0 = survived). The synthetic
     // graph's 6-core collapses over ~6 rounds at sf0.01, so the output
@@ -212,6 +254,33 @@ object GraphQueries {
 
   /** One unrolled label-propagation round: votes from labeled neighbors,
     * per-node argmax with smallest-label ties, seeds immutable. */
+  /** gr8's label-propagation chain (embeddings graph, seeds = vec_id%5,
+    * 2 rounds) as DuckDB CTEs ending in `l_2 (node, lab, seed)` — shared
+    * by the gr8 oracle and gr12's modularity score over the same
+    * assignment. Also defines `raw` (the directed link fixture), which
+    * gr12 re-projects to the undirected simple graph. */
+  private def labelCtes: String =
+    s"""nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
+       |nd AS MATERIALIZED (SELECT vec_id AS node, label FROM embeddings),
+       |raw AS (
+       |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+       |    FROM nd CROSS JOIN nn
+       |  UNION ALL SELECT node, (node * 13 + 1) % nn.n
+       |    FROM nd CROSS JOIN nn
+       |  UNION ALL SELECT node, (node * 31 + 2) % nn.n
+       |    FROM nd CROSS JOIN nn),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM raw
+       |    UNION ALL SELECT dst, src FROM raw) z
+       |  WHERE src <> dst),
+       |l_0 AS MATERIALIZED (
+       |  SELECT node,
+       |    CASE WHEN node % 5 = 0 THEN CAST(label AS BIGINT) END AS lab,
+       |    (node % 5 = 0) AS seed FROM nd),
+       |${lpRound(1)},
+       |${lpRound(2)}""".stripMargin
+
   private def lpRound(i: Int): String = {
     val p = i - 1
     s"""v_$i AS MATERIALIZED (
@@ -325,29 +394,35 @@ object GraphQueries {
         |FROM cn LEFT JOIN ue e ON cn.p = e.u AND cn.q = e.v
         |WHERE e.u IS NULL AND cn.common_neighbors >= 2""".stripMargin,
     "gr8_label_spread" ->
-      s"""WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
-         |nd AS MATERIALIZED (SELECT vec_id AS node, label FROM embeddings),
-         |raw AS (
-         |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
-         |    FROM nd CROSS JOIN nn
-         |  UNION ALL SELECT node, (node * 13 + 1) % nn.n
-         |    FROM nd CROSS JOIN nn
-         |  UNION ALL SELECT node, (node * 31 + 2) % nn.n
-         |    FROM nd CROSS JOIN nn),
-         |sym AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst FROM raw
-         |    UNION ALL SELECT dst, src FROM raw) z
-         |  WHERE src <> dst),
-         |l_0 AS MATERIALIZED (
-         |  SELECT node,
-         |    CASE WHEN node % 5 = 0 THEN CAST(label AS BIGINT) END AS lab,
-         |    (node % 5 = 0) AS seed FROM nd),
-         |${lpRound(1)},
-         |${lpRound(2)}
+      s"""WITH $labelCtes
          |SELECT node, lab AS label,
          |  CASE WHEN seed THEN CAST(1 AS BIGINT) ELSE 0 END AS is_seed
          |FROM l_2""".stripMargin,
+    "gr12_modularity" ->
+      s"""WITH $labelCtes,
+         |lab AS (SELECT node, lab FROM l_2 WHERE lab IS NOT NULL),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM raw WHERE src <> dst),
+         |mm AS (SELECT COUNT(*) AS m FROM und),
+         |deg AS (
+         |  SELECT node, COUNT(*) AS d FROM (
+         |    SELECT u AS node FROM und
+         |    UNION ALL SELECT v AS node FROM und) z
+         |  GROUP BY node),
+         |cdeg AS (
+         |  SELECT l.lab, CAST(SUM(d.d) AS BIGINT) AS deg_c
+         |  FROM deg d JOIN lab l USING (node) GROUP BY l.lab),
+         |cin AS (
+         |  SELECT la.lab, COUNT(*) AS in_c FROM und e
+         |  JOIN lab la ON e.u = la.node
+         |  JOIN lab lb ON e.v = lb.node
+         |  WHERE la.lab = lb.lab GROUP BY la.lab)
+         |SELECT c.lab AS community,
+         |  CAST(COALESCE(i.in_c, 0) AS BIGINT) AS in_edges, c.deg_c,
+         |  CAST(4 * mm.m * COALESCE(i.in_c, 0) - c.deg_c * c.deg_c
+         |    AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_contrib
+         |FROM cdeg c LEFT JOIN cin i ON c.lab = i.lab CROSS JOIN mm""".stripMargin,
     "gr6_bfs_hops" ->
       """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
         |nd AS (SELECT doc_id AS node FROM documents),

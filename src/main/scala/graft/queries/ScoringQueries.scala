@@ -126,6 +126,36 @@ object ScoringQueries {
             .as("auc"))
     },
 
+    // Average precision (area under the PR curve) of ml1's score vs the
+    // lang='en' label — the imbalanced-class twin of ml4's ROC AUC:
+    // AP = (1/P)·Σ_{positives} Precision@rank. The ranking order is
+    // total (score desc, doc_id), so both engines agree on every rank;
+    // Precision@k for the k-th positive is pos_rank/rn, quantized to
+    // integer NANO-units by pure integer division BEFORE summation, so
+    // the sum is order-free and engine-exact (no float accumulation
+    // across the curve). Both ranking passes run through GlobalRank's
+    // two-pass range layout — never a one-task global window. (The
+    // nano-unit products cap pos_rank at ~9·10⁹ before long overflow;
+    // past that the term moves to decimal(38,0), same as tx20's sums.)
+    "ml8_average_precision" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val d = docsSpread(s, dir)
+      val labeled = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+        .select(col("doc_id"), col("score"), col("label"))
+      val ranked = GlobalRank.withGlobalRowNumber(labeled,
+        Seq(-col("score"), col("doc_id")), "rn")
+      val pos = GlobalRank.withGlobalRowNumber(ranked.filter(col("label")),
+        Seq(col("rn")), "pos_rank")
+      pos.select(expr("pos_rank * 1000000000 div rn").as("prec_nano"))
+        .agg(count(lit(1)).as("n_pos"),
+          sum(col("prec_nano")).as("sum_prec_nano"))
+        .select(col("n_pos"), col("sum_prec_nano"),
+          (col("sum_prec_nano").cast("double") / lit(1e9) /
+            col("n_pos").cast("double")).as("average_precision"))
+    },
+
     // ML5 (beyond reference): NDCG@10 ranking evaluation — the metric a
     // retrieval/reranking pipeline reports. System ranking = account
     // balance per market segment (stand-in for any scorer), graded
@@ -496,6 +526,27 @@ object ScoringQueries {
          |  CAST(SUM(two_rank_sum) - SUM(npos) * (SUM(npos) + 1) AS DOUBLE) /
          |    (2.0e0 * CAST(SUM(npos) * SUM(n - npos) AS DOUBLE)) AS auc
          |FROM contrib""".stripMargin,
+    "ml8_average_precision" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score,
+         |    label
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |r AS (
+         |  SELECT doc_id, score, label,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM sc),
+         |p AS (
+         |  SELECT rn, ROW_NUMBER() OVER (ORDER BY rn) AS pos_rank
+         |  FROM r WHERE label),
+         |t AS (SELECT (pos_rank * 1000000000) // rn AS prec_nano FROM p)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+         |  CAST(SUM(prec_nano) AS BIGINT) AS sum_prec_nano,
+         |  CAST(SUM(prec_nano) AS DOUBLE) / 1e9 /
+         |    CAST(COUNT(*) AS DOUBLE) AS average_precision
+         |FROM t""".stripMargin,
     "ml3_calibration" ->
       s"""WITH sc AS (
          |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->

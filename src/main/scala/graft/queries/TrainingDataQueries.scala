@@ -864,6 +864,30 @@ object TrainingDataQueries {
 
     // Weighted corpus mixture: per-source deterministic sampling rates
     // with provenance — corpus assembly's mixing step.
+    // Epoch/repeat planning for a token-budgeted mixture: rebalance the
+    // corpus toward EQUAL per-source token shares under a hard 2-epoch
+    // repeat cap — the upsample-the-tail / downsample-the-head step
+    // between s7's mixture weights and actual sampling (a source short of
+    // its share repeats up to the cap; an over-long source samples down).
+    // Everything is integer micro-units (epochs_micro = min(cap,
+    // share·1e6 div n_toks)), so the plan is engine-exact: one map-side-
+    // combined count per source, broadcast scalar, per-source math after.
+    "mix3_epoch_plan" -> { (s, dir) =>
+      val n = docsSpread(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_toks"))
+        .filter(col("n_toks") > 0)
+      val k = n.agg(count(lit(1)).as("k"))
+      n.crossJoin(broadcast(k))
+        .select(col("source"), col("n_toks"),
+          expr("40000 div k").as("target_toks"))
+        .select(col("source"), col("n_toks"), col("target_toks"),
+          least(lit(2000000L),
+            expr("target_toks * 1000000 div n_toks")).as("epochs_micro"))
+        .withColumn("planned_toks",
+          expr("n_toks * epochs_micro div 1000000"))
+    },
+
     "mix1_corpus_mix" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "lang")
       Sampling.mixCorpus(Seq(
@@ -1095,27 +1119,132 @@ object TrainingDataQueries {
     },
 
     "lm2_bigram_surprisal" -> { (s, dir) =>
-      val toks = split(TextAnalysis.normalizeText(col("text")), " ")
-      val bigrams = docsSpread(s, dir)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      val ctx = counts.groupBy("w1").agg(sum(col("c")).as("cctx"))
-      val probs = counts.join(ctx, "w1")
-        .select(col("w1"), col("w2"),
-          floor(log(col("c").cast("double") / col("cctx").cast("double"))
-            * lit(1e6)).cast("bigint").as("micro_nats"))
-      bigrams.join(probs, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("micro_nats")).as("sum_micro_nats"))
+      docSurprisal(s, dir)
         .select(col("doc_id"), col("n_bigrams"), col("sum_micro_nats"),
           (-col("sum_micro_nats").cast("double") / lit(1e6) /
             col("n_bigrams").cast("double")).as("mean_surprisal_nats"))
+    },
+
+    // CCNet-style perplexity partition: each document scored by its own
+    // corpus bigram LM (lm2's engine-exact micro-nat sum), then split per
+    // LANGUAGE into head/middle/tail tertiles of mean surprisal — the
+    // quality gate CCNet applies before anything else touches a crawl
+    // (head = fluent text the LM predicts well, tail = noise). The bucket
+    // uses the closed form ((rn−1)·3) div n + 1 on an integer-exact order
+    // key (micro-nat sum div bigram count — truncating div in both
+    // engines), so bucket edges never ride a float comparison. The
+    // per-lang window parallelizes by language; a corpus whose single
+    // language dominates would use GlobalRank's two-pass layout instead
+    // (e17/e18 show both shapes).
+    "lm5_ppl_buckets" -> { (s, dir) =>
+      val scored = docsSpread(s, dir).select(col("doc_id"), col("lang"))
+        .join(docSurprisal(s, dir), "doc_id")
+        .withColumn("surprisal_micro",
+          expr("(-sum_micro_nats) div n_bigrams"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("surprisal_micro"), col("doc_id"))
+      val n = Window.partitionBy(col("lang"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .select(col("doc_id"), col("lang"), col("surprisal_micro"),
+          expr("((rn - 1) * 3) div n + 1").as("ppl_bucket"))
+    },
+
+    // Winnowing (MOSS) fingerprints: hash every 7-char gram of the
+    // normalized text, keep the minimum hash of each 4-gram window, and
+    // report document pairs sharing ≥ half the smaller side's selected
+    // fingerprints — the
+    // guaranteed-detection near-dup/plagiarism sketch (any shared run of
+    // ≥ w+k−1 = 10 chars shares a fingerprint; character-level, so it
+    // catches splice edits MinHash's word shingles smear out). Per doc the
+    // gram hashing and window minima run entirely inside codegen HOFs (no
+    // explode until the bucket join); pair generation is a fingerprint-
+    // bucket equi-join with a document-frequency cap — boilerplate
+    // fingerprints shared by >50 docs are dropped (cf. FuzzyJoin's
+    // maxGramDf), so the join fans out per-fingerprint, never all-pairs.
+    "dd12_winnowing" -> { (s, dir) =>
+      import graft.functions.HashExpressions.md5Prefix60
+      // ROW form, not array-HOF form: grams explode to (doc, pos, hash)
+      // rows and the window minimum is a codegen'd ROWS frame over the
+      // doc_id partition. A nested transform(...slice(hs)...) expression
+      // re-evaluates its outer subtree per array element (the normalize
+      // regex per gram, the whole gram-hash array per window — O(n²) per
+      // doc, and CollapseProject happily inlines the aliases into the
+      // lambdas); the row form hashes each gram exactly once, and is the
+      // shape that spills/parallelizes per gram rather than per document
+      // at corpus scale.
+      val grams = docsSpread(s, dir)
+        .select(col("doc_id"), TextAnalysis.normalizeText(col("text"))
+          .as("t"))
+        .withColumn("n_grams", greatest(length(col("t")) - lit(6), lit(1)))
+        .select(col("doc_id"), col("n_grams"), col("t"),
+          explode(sequence(lit(1), col("n_grams"))).as("i"))
+        .select(col("doc_id"), col("n_grams"), col("i"),
+          md5Prefix60(col("t").substr(col("i"), lit(7))).as("h"))
+      val wmin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.currentRow, 3)
+      val fps = grams.withColumn("fp", min(col("h")).over(wmin))
+        .filter(col("i") <= greatest(col("n_grams") - lit(3), lit(1)))
+        .select(col("doc_id"), col("fp")).distinct()
+      val perDoc = fps.join(
+        fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
+      val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("fp")
+      val kept = perDoc.join(keep, "fp")
+      kept.select(col("fp"), col("doc_id").as("id_a"),
+          col("nfp").as("nfp_a"))
+        .join(kept.select(col("fp"), col("doc_id").as("id_b"),
+          col("nfp").as("nfp_b")), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "nfp_a", "nfp_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            least(col("nfp_a"), col("nfp_b")).cast("double")).as("overlap"))
+        // ≥ half the smaller doc's fingerprints shared: on this corpus the
+        // background (common-phrase) overlap sits at ~0.07 and true
+        // near-dups at ≥ 0.5 — the same containment bar dd10 uses.
+        .filter(col("overlap") >= 0.5)
+    },
+
+    // Zipf-law fit of the corpus token-frequency spectrum: OLS of
+    // ln(freq) on ln(rank) — the one-line sanity check that a crawl's
+    // unigram distribution looks like natural language (exponent ≈ −1)
+    // rather than template spam (flat head) or boilerplate (cliff). Each
+    // ln is quantized to integer micro-nats BEFORE summation (the
+    // Retrieval idiom: libm vs JVM may differ by 1 ulp; integer sums are
+    // order-free and engine-exact), the five sufficient statistics
+    // accumulate in decimal(38,0) (ANSI-safe at any vocabulary size), and
+    // slope/intercept are one fixed IEEE tree over those exact integers.
+    // Ranking uses GlobalRank's two-pass layout, not a one-task global
+    // window — vocabulary can be 10⁸ types at corpus scale.
+    "tx20_zipf_fit" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val freq = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")),
+          " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val ranked = GlobalRank.withGlobalRowNumber(freq,
+        Seq(-col("c"), col("tok")), "rn")
+      val q = ranked.select(
+        floor(log(col("rn").cast("double")) * lit(1e6))
+          .cast("bigint").as("x"),
+        floor(log(col("c").cast("double")) * lit(1e6))
+          .cast("bigint").as("y"))
+      val st = q.agg(count(lit(1)).as("m"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      val slope =
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+      st.select(col("m"), slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("m").cast("double")).as("intercept"))
     },
 
     // Interpolated Kneser-Ney bigram probabilities (discount d = 3/4) —
@@ -1286,6 +1415,32 @@ object TrainingDataQueries {
     },
   )
 
+  /** Per-document corpus-bigram-LM surprisal sufficient statistics
+    * (doc_id, n_bigrams, sum_micro_nats) — lm2's pipeline, shared with
+    * lm5's perplexity partition. Each bigram's ln p is quantized to
+    * integer micro-nats before the per-doc sum, so the frame is
+    * engine/order-exact (docs with <2 tokens drop out in both engines). */
+  private def docSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+    val bigrams = docsSpread(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctx = counts.groupBy("w1").agg(sum(col("c")).as("cctx"))
+    val probs = counts.join(ctx, "w1")
+      .select(col("w1"), col("w2"),
+        floor(log(col("c").cast("double") / col("cctx").cast("double"))
+          * lit(1e6)).cast("bigint").as("micro_nats"))
+    bigrams.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("micro_nats")).as("sum_micro_nats"))
+  }
+
   /** Brute-force quantized cosine top-10 for queries vec_id<5 — the exact
     * ANN ground truth (broadcast queries, integer-exact quantized math).
     * Shared by sim1 and the sim5 recall evaluation. */
@@ -1319,6 +1474,30 @@ object TrainingDataQueries {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
       ncells = 8, nprobe = 3)
   }
+
+  /** lm2's corpus-bigram-LM chain as DuckDB CTEs ending in
+    * `ds (doc_id, n_bigrams, sum_micro_nats)` — the oracle twin of
+    * [[docSurprisal]], shared by lm2 and lm5. */
+  private def surprisalCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(toks[1:len(toks)-1]) AS w1,
+       |    unnest(toks[2:len(toks)]) AS w2
+       |  FROM base),
+       |counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       |ctx AS (SELECT w1, SUM(c) AS cctx FROM counts GROUP BY w1),
+       |probs AS (
+       |  SELECT counts.w1, counts.w2,
+       |    CAST(FLOOR(ln(CAST(c AS DOUBLE) / CAST(cctx AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS micro_nats
+       |  FROM counts JOIN ctx ON counts.w1 = ctx.w1),
+       |ds AS (
+       |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(micro_nats) AS BIGINT) AS sum_micro_nats
+       |  FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+       |  GROUP BY bg.doc_id)""".stripMargin
 
   /** The MinHash-LSH pipeline as a DuckDB CTE chain ending in `scored`
     * (id_a, id_b, jaccard) — shared by the dd2 pair oracle and the dd4
@@ -1974,6 +2153,29 @@ object TrainingDataQueries {
          |       WHEN ${bucketSql("split", "group_id")} < 900 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM grouped""".stripMargin,
+    "mix3_epoch_plan" ->
+      s"""WITH st AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS nt
+         |  FROM documents),
+         |n AS (SELECT source, SUM(nt) AS n_toks FROM st GROUP BY source
+         |      HAVING SUM(nt) > 0),
+         |k AS (SELECT COUNT(*) AS k FROM n),
+         |tgt AS (
+         |  SELECT source, CAST(n_toks AS BIGINT) AS n_toks,
+         |    CAST(40000 // k.k AS BIGINT) AS target_toks
+         |  FROM n CROSS JOIN k),
+         |ep AS (
+         |  SELECT source, n_toks, target_toks,
+         |    CAST(least(2000000, (target_toks * 1000000) // n_toks)
+         |      AS BIGINT) AS epochs_micro
+         |  FROM tgt)
+         |SELECT source, n_toks, target_toks, epochs_micro,
+         |  CAST((n_toks * epochs_micro) // 1000000 AS BIGINT)
+         |    AS planned_toks
+         |FROM ep""".stripMargin,
     "mix2_token_budget" ->
       s"""WITH st AS (
          |  SELECT doc_id, source,
@@ -2586,26 +2788,66 @@ object TrainingDataQueries {
     // bigram lists are two zipped array slices, so docs with < 2 tokens
     // contribute no rows on either engine.
     "lm2_bigram_surprisal" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         |bg AS (
-         |  SELECT doc_id,
-         |    unnest(toks[1:len(toks)-1]) AS w1,
-         |    unnest(toks[2:len(toks)]) AS w2
-         |  FROM base),
-         |counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
-         |ctx AS (SELECT w1, SUM(c) AS cctx FROM counts GROUP BY w1),
-         |probs AS (
-         |  SELECT counts.w1, counts.w2,
-         |    CAST(FLOOR(ln(CAST(c AS DOUBLE) / CAST(cctx AS DOUBLE)) * 1e6)
-         |      AS BIGINT) AS micro_nats
-         |  FROM counts JOIN ctx ON counts.w1 = ctx.w1)
-         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-         |  CAST(SUM(micro_nats) AS BIGINT) AS sum_micro_nats,
-         |  -CAST(SUM(micro_nats) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+      s"""WITH $surprisalCtes
+         |SELECT doc_id, n_bigrams, sum_micro_nats,
+         |  -CAST(sum_micro_nats AS DOUBLE) / 1e6 / CAST(n_bigrams AS DOUBLE)
          |    AS mean_surprisal_nats
-         |FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
-         |GROUP BY bg.doc_id""".stripMargin,
+         |FROM ds""".stripMargin,
+    "lm5_ppl_buckets" ->
+      s"""WITH $surprisalCtes,
+         |j AS (
+         |  SELECT d.doc_id, d.lang,
+         |    (-ds.sum_micro_nats) // ds.n_bigrams AS surprisal_micro
+         |  FROM documents d JOIN ds ON d.doc_id = ds.doc_id)
+         |SELECT doc_id, lang, surprisal_micro,
+         |  ((ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY surprisal_micro, doc_id) - 1) * 3)
+         |    // (COUNT(*) OVER (PARTITION BY lang)) + 1 AS ppl_bucket
+         |FROM j""".stripMargin,
+    "dd12_winnowing" ->
+      s"""WITH d AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+         |hs AS (
+         |  SELECT id, list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+         |    i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 7)),
+         |      1, 15)) AS BIGINT)) AS hs
+         |  FROM d),
+         |wins AS (
+         |  SELECT id, list_distinct(list_transform(
+         |    range(1, greatest(len(hs) - 3, 1) + 1),
+         |    j -> list_min(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)])))
+         |    AS fps
+         |  FROM hs),
+         |fp AS (SELECT id, len(fps) AS nfp, unnest(fps) AS fp FROM wins),
+         |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50),
+         |k AS (SELECT fp.* FROM fp JOIN keep USING (fp))
+         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(least(a.nfp, b.nfp) AS DOUBLE)
+         |    AS overlap
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.id < b.id
+         |GROUP BY a.id, b.id, a.nfp, b.nfp
+         |HAVING CAST(COUNT(*) AS DOUBLE) /
+         |  CAST(least(a.nfp, b.nfp) AS DOUBLE) >= 0.5""".stripMargin,
+    "tx20_zipf_fit" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         |f AS (SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> ''
+         |      GROUP BY tok),
+         |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn
+         |      FROM f),
+         |q AS (SELECT
+         |    CAST(FLOOR(ln(CAST(rn AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |    CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM r),
+         |st AS (SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM q)
+         |SELECT m,
+         |  CAST(m * sxy - sx * sy AS DOUBLE) /
+         |    CAST(m * sxx - sx * sx AS DOUBLE) AS slope,
+         |  (CAST(sy AS DOUBLE) -
+         |    (CAST(m * sxy - sx * sy AS DOUBLE) /
+         |      CAST(m * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+         |    CAST(m AS DOUBLE) AS intercept
+         |FROM st""".stripMargin,
     "bpe1_merge_pairs" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
