@@ -118,6 +118,41 @@ object Dedup {
       .otherwise(filter(chained, x => x.isNotNull))
   }
 
+  /** Winnowing (Schleimer–Wilkerson–Aiken, the MOSS algorithm)
+    * fingerprint selection: hash every `k`-char gram of the normalized
+    * text, keep the minimum hash of each `w`-gram window. GUARANTEE: any
+    * shared substring of length ≥ w + k − 1 contributes at least one
+    * shared fingerprint — character-level near-dup detection is
+    * deterministic, not MinHash-probabilistic, and catches splice edits
+    * word-shingle signatures smear out. ROW form throughout: gram
+    * positions explode to rows, each gram hashes ONCE, and the window
+    * minimum is a codegen'd ROWS frame over the id partition. (The
+    * array-HOF formulation — transform over positions with
+    * `array_min(slice(hs, j, w))` — is O(n²) per document:
+    * CollapseProject inlines the non-cheap normalize/hash aliases into
+    * the lambda bodies, re-running them per element; see SCALE.md.)
+    * Short docs (< k chars) yield their whole text as the single gram in
+    * both this and the oracle formulation. Returns one row per distinct
+    * (id, fp). */
+  def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         k: Int = 7, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k, w >= 1, got k=$k w=$w")
+    val grams = df
+      .select(col(idCol), normalizeText(col(textCol)).as("t"))
+      .withColumn("n_grams",
+        greatest(length(col("t")) - lit(k - 1), lit(1)))
+      .select(col(idCol), col("n_grams"), col("t"),
+        explode(sequence(lit(1), col("n_grams"))).as("i"))
+      .select(col(idCol), col("n_grams"), col("i"),
+        md5Prefix60(col("t").substr(col("i"), lit(k))).as("h"))
+    val wmin = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.withColumn("fp", min(col("h")).over(wmin))
+      .filter(col("i") <= greatest(col("n_grams") - lit(w - 1), lit(1)))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** MinHash+LSH near-dup candidate pairs: split the signature into
     * `bands` bands of `rowsPerBand`, bucket on (band index, band slice),
     * and emit intra-bucket pairs. Shuffle cost: one explode×bands plus a

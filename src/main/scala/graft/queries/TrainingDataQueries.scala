@@ -1164,29 +1164,9 @@ object TrainingDataQueries {
     // fingerprints shared by >50 docs are dropped (cf. FuzzyJoin's
     // maxGramDf), so the join fans out per-fingerprint, never all-pairs.
     "dd12_winnowing" -> { (s, dir) =>
-      import graft.functions.HashExpressions.md5Prefix60
-      // ROW form, not array-HOF form: grams explode to (doc, pos, hash)
-      // rows and the window minimum is a codegen'd ROWS frame over the
-      // doc_id partition. A nested transform(...slice(hs)...) expression
-      // re-evaluates its outer subtree per array element (the normalize
-      // regex per gram, the whole gram-hash array per window — O(n²) per
-      // doc, and CollapseProject happily inlines the aliases into the
-      // lambdas); the row form hashes each gram exactly once, and is the
-      // shape that spills/parallelizes per gram rather than per document
-      // at corpus scale.
-      val grams = docsSpread(s, dir)
-        .select(col("doc_id"), TextAnalysis.normalizeText(col("text"))
-          .as("t"))
-        .withColumn("n_grams", greatest(length(col("t")) - lit(6), lit(1)))
-        .select(col("doc_id"), col("n_grams"), col("t"),
-          explode(sequence(lit(1), col("n_grams"))).as("i"))
-        .select(col("doc_id"), col("n_grams"), col("i"),
-          md5Prefix60(col("t").substr(col("i"), lit(7))).as("h"))
-      val wmin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-        .rowsBetween(Window.currentRow, 3)
-      val fps = grams.withColumn("fp", min(col("h")).over(wmin))
-        .filter(col("i") <= greatest(col("n_grams") - lit(3), lit(1)))
-        .select(col("doc_id"), col("fp")).distinct()
+      // Fingerprint selection lives in Dedup.winnowFingerprints (row
+      // form — the array-HOF form is O(n²) per doc, see its scaladoc).
+      val fps = Dedup.winnowFingerprints(docsSpread(s, dir))
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))

@@ -37,6 +37,29 @@ class OperatorsSpec extends SparkSpec {
     assert(dupGroup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("winnowing: a shared >= w+k-1 char run guarantees a shared fingerprint") {
+    import spark.implicits._
+    // defaults k=7, w=4 => guarantee threshold 10 chars. Doc 1 and 2
+    // share a 26-char run inside otherwise different text; doc 3 shares
+    // nothing. The winnowing guarantee makes the (1,2) overlap certain,
+    // not probabilistic.
+    val shared = "abcdefghij klmnopqrstuvwxy"
+    val docs = Seq(
+      (1L, s"left context one $shared and a distinct tail here"),
+      (2L, s"totally other opening $shared closing words differ"),
+      (3L, "zz qq ww ee rr tt yy uu ii oo pp completely disjoint"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs)
+    val byDoc = fps.collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // every fingerprint must be one of the doc's own gram minima — spot
+    // check cardinality: selected fingerprints are far fewer than grams
+    assert(byDoc(1L).size < docs.filter($"doc_id" === 1L)
+      .select(org.apache.spark.sql.functions.length($"text")).head().getInt(0))
+  }
+
   test("minhash finds the planted near-duplicate and skips the rest") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 5

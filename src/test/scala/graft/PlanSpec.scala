@@ -306,6 +306,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p.take(2000))
   }
 
+  test("winnowing pairs: bucket equi-join, no cartesian; window is per-doc") {
+    val p = plan(SparkEntry.queries("dd12_winnowing")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(2000))
+    // the window minimum must be partitioned by doc_id — a global
+    // (empty-partition) window would funnel every gram through one task
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(2000))
+  }
+
+  test("nearest as-of composes two sorted-window passes, no range join") {
+    val p = plan(SparkEntry.queries("j8_asof_nearest")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(2000))
+  }
+
   test("corpus mix and z-order value plans are narrow (no exchange)") {
     val mix = plan(SparkEntry.queries("mix1_corpus_mix")(spark, sf))
     assert(!mix.contains("Exchange"), mix.take(2000))
