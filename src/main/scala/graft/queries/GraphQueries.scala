@@ -40,6 +40,38 @@ object GraphQueries {
           coalesce(col("out_deg"), lit(0L)).as("out_deg"))
     },
 
+    // Degree assortativity (Newman's r) of the skewed link graph's
+    // undirected simple projection — does the graph wire hub-to-hub
+    // (r>0, social) or hub-to-leaf (r<0, web/link farms)? The one-number
+    // topology probe that decides whether degree-targeted sampling will
+    // bias a crawl corpus. Exact integer sufficient statistics per edge
+    // (M, Σjk, Σ(j+k), Σ(j²+k²)) via Newman's stub form
+    // r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²); the final
+    // ratio is one IEEE division over exact integers, so both engines
+    // agree bitwise. One degree aggregate + two broadcast-able joins of
+    // the degree table onto edges — no adjacency materialization.
+    "gr13_assortativity" -> { (s, dir) =>
+      val und = Graph.syntheticSkewedLinks(Tables.documents(s, dir))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val deg = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val st = und
+        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+        .agg(count(lit(1)).as("m"),
+          sum(col("du") * col("dv")).as("s_jk"),
+          sum(col("du") + col("dv")).as("s_sum"),
+          sum(col("du") * col("du") + col("dv") * col("dv")).as("s_sq"))
+      st.select(col("m"), col("s_jk"), col("s_sum"), col("s_sq"),
+        ((lit(4L) * col("m") * col("s_jk") -
+          col("s_sum") * col("s_sum")).cast("double") /
+          (lit(2L) * col("m") * col("s_sq") -
+            col("s_sum") * col("s_sum")).cast("double")).as("assortativity"))
+    },
+
     // Hierarchy flattening by pointer doubling: every doc's root and
     // depth in the synthetic decimal forest (parent = doc_id div 10,
     // roots < 10) in O(log depth) keyed self-joins — Spark's answer to
@@ -398,6 +430,34 @@ object GraphQueries {
          |SELECT node, lab AS label,
          |  CASE WHEN seed THEN CAST(1 AS BIGINT) ELSE 0 END AS is_seed
          |FROM l_2""".stripMargin,
+    "gr13_assortativity" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |edges AS (
+        |  SELECT node AS src, (node * node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * node * 13 + 1) % nn.n
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * node * 31 + 2) % nn.n
+        |    FROM nd CROSS JOIN nn),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM edges WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS d FROM (
+        |    SELECT u AS node FROM und
+        |    UNION ALL SELECT v AS node FROM und) z
+        |  GROUP BY node),
+        |st AS (
+        |  SELECT COUNT(*) AS m,
+        |    CAST(SUM(a.d * b.d) AS BIGINT) AS s_jk,
+        |    CAST(SUM(a.d + b.d) AS BIGINT) AS s_sum,
+        |    CAST(SUM(a.d * a.d + b.d * b.d) AS BIGINT) AS s_sq
+        |  FROM und e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node)
+        |SELECT m, s_jk, s_sum, s_sq,
+        |  CAST(4 * m * s_jk - s_sum * s_sum AS DOUBLE) /
+        |    CAST(2 * m * s_sq - s_sum * s_sum AS DOUBLE) AS assortativity
+        |FROM st""".stripMargin,
     "gr12_modularity" ->
       s"""WITH $labelCtes,
          |lab AS (SELECT node, lab FROM l_2 WHERE lab IS NOT NULL),

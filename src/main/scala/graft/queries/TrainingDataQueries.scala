@@ -864,6 +864,43 @@ object TrainingDataQueries {
 
     // Weighted corpus mixture: per-source deterministic sampling rates
     // with provenance — corpus assembly's mixing step.
+    // Cross-modal alignment probe (the LAION/CLIP-style curation gate,
+    // re-expressed over the harness's opaque embeddings): cosine between
+    // each document's TEXT-derived hashed bag-of-words vector (64 md5
+    // buckets, integer counts) and its stored embedding, quantized to
+    // integer micro-units. A mismatched caption/payload pair scores low
+    // and gets filtered before training. ROW form end to end (token
+    // buckets and embedding lanes explode to (id, dim) rows; dot and both
+    // norms are exact integer sums over an equi-join on (id, dim)), so
+    // the cosine is one fixed IEEE tree over exact integers — engine-
+    // bitwise — and nothing holds a per-doc dense vector in an
+    // aggregation buffer.
+    "mm7_crossmodal_align" -> { (s, dir) =>
+      import graft.functions.HashExpressions.md5Prefix60
+      val tb = docsSpread(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("t"))
+        .select(col("doc_id"), (md5Prefix60(col("t")) % 64).as("dim"))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("f"))
+      val fn = tb.groupBy("doc_id")
+        .agg(sum(col("f") * col("f")).as("f_nrm"))
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("bigint").as("dim"),
+          floor(col("col").cast("double") * 1000000).cast("long").as("q"))
+      val qn = q.groupBy("vec_id").agg(sum(col("q") * col("q")).as("q_nrm"))
+      val dot = tb
+        .join(q, tb("doc_id") === q("vec_id") && tb("dim") === q("dim"))
+        .groupBy(tb("doc_id")).agg(sum(col("f") * col("q")).as("dot"))
+      dot.join(fn, "doc_id")
+        .join(qn, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("dot"), col("f_nrm"), col("q_nrm"),
+          (col("dot").cast("double") /
+            (sqrt(col("f_nrm").cast("double")) *
+              sqrt(col("q_nrm").cast("double")))).as("alignment"))
+    },
+
     // Epoch/repeat planning for a token-budgeted mixture: rebalance the
     // corpus toward EQUAL per-source token shares under a hard 2-epoch
     // repeat cap — the upsample-the-tail / downsample-the-head step
@@ -2133,6 +2170,35 @@ object TrainingDataQueries {
          |       WHEN ${bucketSql("split", "group_id")} < 900 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM grouped""".stripMargin,
+    "mm7_crossmodal_align" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS dim,
+         |    COUNT(*) AS f
+         |  FROM tok GROUP BY doc_id, dim),
+         |fn AS (SELECT doc_id, CAST(SUM(f * f) AS BIGINT) AS f_nrm
+         |       FROM tb GROUP BY doc_id),
+         |q AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+         |      AS q
+         |  FROM embeddings,
+         |       unnest(generate_series(1, len(embedding))) AS s(i)),
+         |qn AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS q_nrm
+         |       FROM q GROUP BY vec_id),
+         |dt AS (
+         |  SELECT tb.doc_id, CAST(SUM(tb.f * q.q) AS BIGINT) AS dot
+         |  FROM tb JOIN q ON tb.doc_id = q.vec_id AND tb.dim = q.dim
+         |  GROUP BY tb.doc_id)
+         |SELECT d.doc_id, d.dot, f.f_nrm, n.q_nrm,
+         |  CAST(d.dot AS DOUBLE) /
+         |    (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(n.q_nrm AS DOUBLE)))
+         |    AS alignment
+         |FROM dt d JOIN fn f ON d.doc_id = f.doc_id
+         |JOIN qn n ON d.doc_id = n.vec_id""".stripMargin,
     "mix3_epoch_plan" ->
       s"""WITH st AS (
          |  SELECT source,
