@@ -109,4 +109,37 @@ object AsOfJoin {
     gated.select(leftCols.map(col) ++
       payload.map(p => col("__p").getField(p).as(p)): _*)
   }
+
+  /** NEAREST as-of (pandas merge_asof direction='nearest'): for each left
+    * row, the right row minimizing |leftTime − rightTime| within the key;
+    * equal distances go to the EARLIER right time (the backward
+    * candidate). Composed from one backward and one forward pass re-joined
+    * on `rowId` (a unique left row key), so the cost is 2× a
+    * one-directional as-of — independent of how many right rows a key has,
+    * never a per-key fan-out join. Unlike the one-directional passes this
+    * is LEFT-OUTER: a row matched on only one side falls back to it, and a
+    * row matched on neither survives with null payload (the honest-
+    * denominator contract, cf. ev15). Output: every left column, then
+    * `payload` and the matched right time, null when unmatched. */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftTime: String, rightTime: String,
+                  payload: Seq[String], rowId: String): DataFrame = {
+    val probe = left.select(col(rowId), col(keyCol), col(leftTime))
+    val carry = (payload :+ rightTime).distinct
+    def pass(dir: String, tag: String): DataFrame =
+      asofJoin(probe, right, keyCol, leftTime, rightTime, carry,
+          direction = dir)
+        .select(col(rowId) +:
+          carry.map(p => col(p).as(s"__${tag}_$p")): _*)
+    val joined = left
+      .join(pass("backward", "b"), Seq(rowId), "left")
+      .join(pass("forward", "f"), Seq(rowId), "left")
+    val bt = col(s"__b_$rightTime")
+    val ft = col(s"__f_$rightTime")
+    // ft null → backward branch (itself null when both missed)
+    val useBackward = ft.isNull ||
+      (bt.isNotNull && (col(leftTime) - bt <= ft - col(leftTime)))
+    joined.select(left.columns.map(col) ++ carry.map(p =>
+      when(useBackward, col(s"__b_$p")).otherwise(col(s"__f_$p")).as(p)): _*)
+  }
 }

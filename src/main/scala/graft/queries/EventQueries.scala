@@ -676,40 +676,52 @@ object EventQueries {
         col("o_orderkey"))
       val deduped = AsOfJoin.dedupeRight(orders, "user_id", "order_us",
         "o_orderkey")
-      val back = AsOfJoin.asofJoin(ev,
-          deduped.withColumnRenamed("o_orderkey", "b_key"),
-          "user_id", "ts_us", "order_us", Seq("b_key", "order_us"))
-        .select(col("event_id"), col("b_key"),
-          col("order_us").as("b_us"))
-      val fwd = AsOfJoin.asofJoin(ev,
-          deduped.withColumnRenamed("o_orderkey", "f_key"),
-          "user_id", "ts_us", "order_us", Seq("f_key", "order_us"),
-          direction = "forward")
-        .select(col("event_id"), col("f_key"),
-          col("order_us").as("f_us"))
-      ev.join(back, Seq("event_id"), "left")
-        .join(fwd, Seq("event_id"), "left")
+      AsOfJoin.asofNearest(ev, deduped, "user_id", "ts_us", "order_us",
+          Seq("o_orderkey"), rowId = "event_id")
         .select(col("event_id"), col("user_id"), col("ts_us"),
-          when(col("b_us").isNull && col("f_us").isNull,
-            lit(null).cast("bigint"))
-            .when(col("f_us").isNull, col("b_key"))
-            .when(col("b_us").isNull, col("f_key"))
-            .when(col("ts_us") - col("b_us") <= col("f_us") - col("ts_us"),
-              col("b_key"))
-            .otherwise(col("f_key")).as("nearest_order"),
-          when(col("b_us").isNull && col("f_us").isNull,
-            lit(null).cast("bigint"))
-            .when(col("f_us").isNull, col("ts_us") - col("b_us"))
-            .when(col("b_us").isNull, col("f_us") - col("ts_us"))
-            .otherwise(least(col("ts_us") - col("b_us"),
-              col("f_us") - col("ts_us"))).as("gap_us"),
-          when(col("b_us").isNull && col("f_us").isNull,
-            lit(null).cast("string"))
-            .when(col("f_us").isNull, lit("backward"))
-            .when(col("b_us").isNull, lit("forward"))
-            .when(col("ts_us") - col("b_us") <= col("f_us") - col("ts_us"),
-              lit("backward"))
+          col("o_orderkey").as("nearest_order"),
+          abs(col("ts_us") - col("order_us")).as("gap_us"),
+          when(col("order_us").isNull, lit(null).cast("string"))
+            .when(col("order_us") <= col("ts_us"), lit("backward"))
             .otherwise(lit("forward")).as("side"))
+    },
+
+    // Watermark sizing audit — choose `withWatermark`'s delay FROM data,
+    // not folklore: an event's lateness is (max event-time already
+    // arrived in its user's stream) − its own event-time; the output is
+    // the cumulative coverage curve per candidate watermark (6-hour
+    // buckets), and the row where coverage_micro crosses the SLO is the
+    // delay to configure on graft.streaming.EventStreams. The fixture's
+    // event_ids arrive exactly in event-time order (zero lateness), so
+    // arrival disorder is SYNTHESIZED deterministically — every 7th
+    // event_id is displaced +400 arrival slots (the tx7 contract: the
+    // oracle rebuilds the identical disorder). One sorted window per
+    // user for the running max (co-partitioned, no global pass), a
+    // bucket rollup, and a bucket-grain (metadata-sized) cumulative
+    // window; all integer arithmetic.
+    "ev22_watermark_audit" -> { (s, dir) =>
+      val bucketUs = 6L * 3600L * 1000000L
+      val arrival = Window.partitionBy(col("user_id"))
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("arr", col("event_id") +
+          when(col("event_id") % 7 === 0, 400L).otherwise(0L))
+        .withColumn("seen_max", max(col("ts")).over(arrival))
+        .select(when(col("seen_max").isNull || col("seen_max") < col("ts"),
+          0L).otherwise(col("seen_max") - col("ts")).as("late_us"))
+      val buckets = late
+        .select(expr(s"late_us div $bucketUs").as("late_bucket_6h"))
+        .groupBy("late_bucket_6h").agg(count(lit(1)).as("n"))
+      val cum = Window.orderBy(col("late_bucket_6h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      buckets
+        .withColumn("cum_n", sum(col("n")).over(cum))
+        .withColumn("total", sum(col("n")).over(all))
+        .select(col("late_bucket_6h"), col("n"), col("cum_n"),
+          expr("cum_n * 1000000 div total").as("coverage_micro"))
     },
 
     // Per-user/event-type pivot-style conditional aggregation.
@@ -840,6 +852,30 @@ object EventQueries {
         |       ELSE 'forward' END AS side
         |FROM e LEFT JOIN (SELECT * FROM cand WHERE pick = 1) c
         |  ON e.event_id = c.event_id""".stripMargin,
+    "ev22_watermark_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    event_id + CASE WHEN event_id % 7 = 0 THEN 400 ELSE 0 END
+        |      AS arr,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |mx AS (
+        |  SELECT ts_us, MAX(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM e),
+        |l AS (
+        |  SELECT CASE WHEN mx IS NULL OR mx < ts_us THEN 0
+        |    ELSE mx - ts_us END AS late_us FROM mx),
+        |b AS (
+        |  SELECT late_us // 21600000000 AS late_bucket_6h, COUNT(*) AS n
+        |  FROM l GROUP BY 1)
+        |SELECT late_bucket_6h, n,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+        |  CAST((SUM(n) OVER w * 1000000) // SUM(n) OVER () AS BIGINT)
+        |    AS coverage_micro
+        |FROM b
+        |WINDOW w AS (ORDER BY late_bucket_6h
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "ev10_asof_next_event" ->
       """WITH rd AS (
         |  SELECT user_id, ts_us, event_id, event_type FROM (

@@ -88,6 +88,33 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest as-of: closest either side, ties backward, outer fallback") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, 1, 10L), // right 8 (gap 2) vs 15 (gap 5) → backward 8
+      (11L, 1, 13L), // right 8 (gap 5) vs 15 (gap 2) → forward 15
+      (12L, 1, 12L), // gap 4 vs 3 → forward 15
+      (13L, 1, 11L), // gap 3 both sides → TIE → earlier (backward) 8
+      (14L, 1, 15L), // exact hit, gap 0 both directions pick t=15
+      (15L, 2, 5L),  // key 2 has only a later right row → forward fallback
+      (16L, 3, 9L))  // key absent on right → survives with null payload
+      .toDF("id", "k", "t")
+    val right = Seq((1, 8L, 100), (1, 15L, 200), (2, 9L, 300))
+      .toDF("k", "rt", "price")
+    val out = AsOfJoin
+      .asofNearest(left, right, "k", "t", "rt", Seq("price"), rowId = "id")
+      .collect().map(r => (r.getAs[Long]("id"),
+        Option(r.getAs[Any]("price")), Option(r.getAs[Any]("rt")))).toSet
+    assert(out == Set(
+      (10L, Some(100), Some(8L)),
+      (11L, Some(200), Some(15L)),
+      (12L, Some(200), Some(15L)),
+      (13L, Some(100), Some(8L)),
+      (14L, Some(200), Some(15L)),
+      (15L, Some(300), Some(9L)),
+      (16L, None, None)))
+  }
+
   test("dedupeRight keeps one row per (key, time) by tie-break") {
     import spark.implicits._
     val right = Seq((1, 8L, 100, 1), (1, 8L, 200, 2), (1, 9L, 300, 3))
