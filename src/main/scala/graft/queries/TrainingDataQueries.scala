@@ -1362,6 +1362,63 @@ object TrainingDataQueries {
         .groupBy("s1", "s2").agg(sum(col("f")).as("cnt"))
     },
 
+    // BPE step 3: the TRAINING LOOP — three argmax-merge iterations end
+    // to end (bpe2 runs one), each merge's pair drawn from the corpus at
+    // that iteration, never hard-coded. Merge i travels as sentinel
+    // chr(32−i) (U+001F/1E/1D, absent from the corpus); a rule's symbols
+    // may themselves be earlier sentinels, so the output pieces expand
+    // through the chained reverse-order replaces (later sentinels first —
+    // an expansion can only introduce EARLIER sentinels, which the
+    // remaining replaces resolve). Per iteration: one pair-count shuffle
+    // over the word-frequency table (type grain, not token grain) and a
+    // broadcast of the single argmax row — the exact shape a distributed
+    // BPE trainer keeps for its thousands of merges.
+    "bpe3_train_merges" -> { (s, dir) =>
+      def argmaxPair(wf: DataFrame, i: Int): DataFrame =
+        wf.select(col("f"), explode(expr(
+            """transform(sequence(1, length(w) - 1),
+              |  i -> struct(substring(w, i, 1) as c1,
+              |              substring(w, i + 1, 1) as c2))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("c1"), col("c2")).limit(1)
+          .select(col("c1").as(s"m$i"), col("c2").as(s"n$i"),
+            col("cnt").as(s"cnt$i"))
+      var wf = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")),
+          " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .localCheckpoint(true)
+      var rules: DataFrame = null
+      (1 to 3).foreach { i =>
+        val top = argmaxPair(wf, i).localCheckpoint(true)
+        rules = if (rules == null) top else rules.crossJoin(broadcast(top))
+        wf = wf.crossJoin(broadcast(top))
+          .withColumn("w",
+            expr(s"replace(w, concat(m$i, n$i), chr(${32 - i}))"))
+          .filter(length(col("w")) >= 2)
+          .select("w", "f").localCheckpoint(true)
+      }
+      val piece1 = expr("concat(m1, n1)")
+      val piece2 =
+        expr("replace(concat(m2, n2), chr(31), concat(m1, n1))")
+      val piece3 = expr(
+        """replace(replace(concat(m3, n3),
+          |  chr(30), concat(m2, n2)),
+          |  chr(31), concat(m1, n1))""".stripMargin)
+      rules.select(explode(array(
+          struct(lit(1L).as("iter"), piece1.as("piece"),
+            col("cnt1").as("cnt")),
+          struct(lit(2L).as("iter"), piece2.as("piece"),
+            col("cnt2").as("cnt")),
+          struct(lit(3L).as("iter"), piece3.as("piece"),
+            col("cnt3").as("cnt")))).as("r"))
+        .select(col("r.iter").as("iter"), col("r.piece").as("piece"),
+          col("r.cnt").as("cnt"))
+    },
+
     // Character-level Shannon entropy per document (gibberish / encoded-
     // blob detector: natural language sits in a narrow entropy band).
     // Explode to (doc, char) → map-side-combined count → per-doc exact
@@ -1399,6 +1456,34 @@ object TrainingDataQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Packing.overlapChunks(withTokens, tokensCol = col("n_tokens"),
         size = 256, stride = 192)
+    },
+
+    // Inference-side batching plan: docs grouped into power-of-two
+    // length buckets (the bucketed-batching trick that replaces
+    // pad-to-global-max), with the padding cost of batching at the
+    // bucket boundary vs at the global max — the report that justifies
+    // length-bucketed serving/eval loaders. The bucket is integer-exact:
+    // next-pow2(n) = 1 << len(bin(n−1)) (no float log2 whose edge
+    // rounding could differ across engines); the global max rides a
+    // broadcast-scalar window over the bucket-grain rollup.
+    "pk4_length_buckets" -> { (s, dir) =>
+      val t = docsSpread(s, dir).select(
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .filter(col("n") > 0)
+      val bucketed = t.withColumn("bucket",
+        when(col("n") === 1, lit(1L)).otherwise(
+          expr("shiftleft(1L, length(bin(n - 1)))")))
+      val rolled = bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_toks"),
+          max(col("n")).as("max_toks"))
+      val all = Window.partitionBy()
+      rolled
+        .withColumn("global_max", max(col("max_toks")).over(all))
+        .select(col("bucket"), col("n_docs"), col("sum_toks"),
+          (col("n_docs") * col("bucket") - col("sum_toks"))
+            .as("pad_bucketed"),
+          (col("n_docs") * col("global_max") - col("sum_toks"))
+            .as("pad_global"))
     },
 
     // Packing efficiency report: per-stream padding waste of pad-per-doc
@@ -2199,6 +2284,25 @@ object TrainingDataQueries {
          |    AS alignment
          |FROM dt d JOIN fn f ON d.doc_id = f.doc_id
          |JOIN qn n ON d.doc_id = n.vec_id""".stripMargin,
+    "pk4_length_buckets" ->
+      s"""WITH t AS (
+         |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |    AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT n, CASE WHEN n = 1 THEN 1
+         |    ELSE CAST(1 AS BIGINT) << len(bin(n - 1)) END AS bucket
+         |  FROM t WHERE n > 0),
+         |r AS (
+         |  SELECT bucket, COUNT(*) AS n_docs,
+         |    CAST(SUM(n) AS BIGINT) AS sum_toks,
+         |    MAX(n) AS max_toks
+         |  FROM b GROUP BY bucket)
+         |SELECT bucket, n_docs, sum_toks,
+         |  n_docs * bucket - sum_toks AS pad_bucketed,
+         |  n_docs * (MAX(max_toks) OVER ()) - sum_toks AS pad_global
+         |FROM r""".stripMargin,
     "mix3_epoch_plan" ->
       s"""WITH st AS (
          |  SELECT source,
@@ -2904,6 +3008,45 @@ object TrainingDataQueries {
          |  FROM wf, unnest(generate_series(1, len(w) - 1)) AS t(i))
          |SELECT c1, c2, CAST(SUM(f) AS BIGINT) AS cnt
          |FROM pairs GROUP BY c1, c2""".stripMargin,
+    "bpe3_train_merges" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+         |wf1 AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w),
+         |t1 AS MATERIALIZED (
+         |  SELECT c1, c2, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, f
+         |    FROM wf1, unnest(generate_series(1, len(w) - 1)) AS t(i))
+         |  GROUP BY c1, c2 ORDER BY cnt DESC, c1, c2 LIMIT 1),
+         |wf2 AS MATERIALIZED (
+         |  SELECT w, f FROM (
+         |    SELECT replace(w, t1.c1 || t1.c2, chr(31)) AS w, f
+         |    FROM wf1 CROSS JOIN t1) z WHERE len(w) >= 2),
+         |t2 AS MATERIALIZED (
+         |  SELECT c1, c2, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, f
+         |    FROM wf2, unnest(generate_series(1, len(w) - 1)) AS t(i))
+         |  GROUP BY c1, c2 ORDER BY cnt DESC, c1, c2 LIMIT 1),
+         |wf3 AS MATERIALIZED (
+         |  SELECT w, f FROM (
+         |    SELECT replace(w, t2.c1 || t2.c2, chr(30)) AS w, f
+         |    FROM wf2 CROSS JOIN t2) z WHERE len(w) >= 2),
+         |t3 AS MATERIALIZED (
+         |  SELECT c1, c2, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, f
+         |    FROM wf3, unnest(generate_series(1, len(w) - 1)) AS t(i))
+         |  GROUP BY c1, c2 ORDER BY cnt DESC, c1, c2 LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS iter, t1.c1 || t1.c2 AS piece,
+         |  t1.cnt AS cnt FROM t1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT),
+         |  replace(t2.c1 || t2.c2, chr(31), t1.c1 || t1.c2), t2.cnt
+         |FROM t2 CROSS JOIN t1
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT),
+         |  replace(replace(t3.c1 || t3.c2, chr(30), t2.c1 || t2.c2),
+         |    chr(31), t1.c1 || t1.c2), t3.cnt
+         |FROM t3 CROSS JOIN t2 CROSS JOIN t1""".stripMargin,
     "bpe2_apply_merge" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
