@@ -92,9 +92,10 @@ object EventQueries {
       import graft.operators.AsOfJoin
       val ev = Tables.eventsUs(s, dir).select(col("event_id"),
         col("user_id"), col("ts").as("ts_us"))
-      val orders = Tables.orders(s, dir).select(
+      val o = Tables.orders(s, dir)
+      val orders = o.select(
         col("o_custkey").as("user_id"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        Tables.eventTimeUs(o, "o_orderdate").as("order_us"),
         col("o_orderkey"), col("o_totalprice"))
       val deduped = AsOfJoin.dedupeRight(orders, "user_id", "order_us",
         "o_orderkey")
@@ -110,9 +111,10 @@ object EventQueries {
     // next"), the mirror of ev4's backward point-in-time lookup.
     "ev10_asof_next_event" -> { (s, dir) =>
       import graft.operators.AsOfJoin
-      val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+      val o = Tables.orders(s, dir)
+      val orders = o.select(col("o_orderkey"),
         col("o_custkey").as("user_id"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+        Tables.eventTimeUs(o, "o_orderdate").as("order_us"))
       val ev = Tables.eventsUs(s, dir).select(col("user_id"),
         col("ts").as("ts_us"), col("event_id"), col("event_type"))
       val deduped = AsOfJoin.dedupeRight(ev, "user_id", "ts_us", "event_id")
@@ -670,9 +672,10 @@ object EventQueries {
       import graft.operators.AsOfJoin
       val ev = Tables.eventsUs(s, dir).select(col("event_id"),
         col("user_id"), col("ts").as("ts_us"))
-      val orders = Tables.orders(s, dir).select(
+      val o = Tables.orders(s, dir)
+      val orders = o.select(
         col("o_custkey").as("user_id"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        Tables.eventTimeUs(o, "o_orderdate").as("order_us"),
         col("o_orderkey"))
       val deduped = AsOfJoin.dedupeRight(orders, "user_id", "order_us",
         "o_orderkey")
