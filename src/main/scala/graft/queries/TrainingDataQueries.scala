@@ -249,6 +249,44 @@ object TrainingDataQueries {
             .as("tv_numerator"))
     },
 
+    // Embedding-space drift / class-separation matrix — the EMBEDDING
+    // view of drift monitoring (drift1 watches cells, drift2 vocabulary):
+    // per-label centroid in integer micro-units (Σq div n per dimension,
+    // truncating div — engine-exact), then the full pairwise
+    // centroid-cosine matrix. Row form throughout (mm7's contract): two
+    // hash aggregates over (label, dim) rows and one dim-grain self-join
+    // of the labels×dims centroid table — never a dense vector in an
+    // aggregation buffer, so 4096-dim embeddings cost more rows, not
+    // wider state. Two clusters whose centroid cosine jumps between
+    // ingest batches have collapsed — the alarm this feeds.
+    "drift3_centroid_shift" -> { (s, dir) =>
+      val q = Tables.embeddings(s, dir)
+        .select(col("label").cast("bigint").as("label"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("bigint").as("dim"),
+          floor(col("col").cast("double") * 1000000).cast("long").as("q"))
+      val cent = q.groupBy("label", "dim")
+        .agg(expr("sum(q) div count(1)").as("c"))
+      val dots = cent.select(col("label").as("la"), col("dim"),
+          col("c").as("ca"))
+        .join(cent.select(col("label").as("lb"), col("dim"),
+          col("c").as("cb")), "dim")
+        .filter(col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+      val nrm = cent.groupBy("label")
+        .agg(sum(col("c") * col("c")).as("nrm"))
+      dots
+        .join(nrm.select(col("label").as("la"), col("nrm").as("nrm_a")),
+          "la")
+        .join(nrm.select(col("label").as("lb"), col("nrm").as("nrm_b")),
+          "lb")
+        .select(col("la"), col("lb"),
+          (col("dot").cast("double") /
+            (sqrt(col("nrm_a").cast("double")) *
+              sqrt(col("nrm_b").cast("double")))).as("centroid_cos"))
+    },
+
     // Token-frequency drift between corpus generations: per-top-50-token
     // counts in the old half (even doc_id) vs the new — the text twin of
     // drift1, same exact integer TV numerator. A vocabulary whose mass
@@ -2343,6 +2381,31 @@ object TrainingDataQueries {
          |  FROM st)
          |SELECT doc_id, source, n_toks, cum_toks FROM c
          |WHERE cum_toks <= 800""".stripMargin,
+    "drift3_centroid_shift" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT)
+        |      AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS s(i)),
+        |cent AS (
+        |  SELECT label, dim, CAST(SUM(q) // COUNT(*) AS BIGINT) AS c
+        |  FROM q GROUP BY label, dim),
+        |d AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY a.label, b.label),
+        |n AS (
+        |  SELECT label, CAST(SUM(c * c) AS BIGINT) AS nrm
+        |  FROM cent GROUP BY label)
+        |SELECT d.la, d.lb,
+        |  CAST(d.dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+        |    AS centroid_cos
+        |FROM d JOIN n na ON d.la = na.label
+        |JOIN n nb ON d.lb = nb.label""".stripMargin,
     "drift2_vocab_shift" ->
       s"""WITH toks AS (
          |  SELECT doc_id % 2 = 0 AS is_old,

@@ -89,6 +89,85 @@ object WindowProps extends Properties("WindowOps") {
 /** Pure-JVM properties of the fused hash/signature kernels: each is
   * checked against an independent naive reimplementation of the
   * documented math (no Spark session needed). */
+/** asofNearest against the obvious brute force: for every left row, the
+  * deduped right row with minimal |t − rt|, ties to the EARLIER rt. */
+object AsOfProps extends Properties("AsOfJoin.asofNearest") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+
+  private val gen = for {
+    nl <- Gen.choose(1, 10)
+    nr <- Gen.choose(0, 8)
+    ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 30L)))
+    rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 30L),
+      Gen.choose(0, 100)))
+  } yield (ls, rs)
+
+  property("equals brute-force nearest with backward tie-break") =
+    Prop.forAll(gen) { case (ls, rs) =>
+      import graft.operators.AsOfJoin
+      import spark.implicits._
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "t")
+      val right = AsOfJoin.dedupeRight(
+        rs.toDF("k", "rt", "price"), "k", "rt", "price")
+      val dedup = right.collect()
+        .map(r => (r.getAs[Int]("k"), r.getAs[Long]("rt"),
+          r.getAs[Int]("price")))
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cand = dedup.filter(_._1 == k)
+        i.toLong -> (if (cand.isEmpty) None
+        else {
+          val (_, rt, price) =
+            cand.minBy { case (_, rt, _) => (math.abs(rt - t), rt) }
+          Some((rt, price))
+        })
+      }.toMap
+      val got = AsOfJoin
+        .asofNearest(left, right, "k", "t", "rt", Seq("price"), "id")
+        .collect().map { r =>
+          r.getAs[Long]("id") -> (if (r.isNullAt(r.fieldIndex("rt"))) None
+          else Some((r.getAs[Long]("rt"), r.getAs[Int]("price"))))
+        }.toMap
+      got == expected
+    }
+}
+
+/** The winnowing guarantee (Schleimer et al. §2): any substring of length
+  * ≥ w + k − 1 shared by two documents forces ≥ 1 shared fingerprint —
+  * detection is deterministic, never a MinHash-style probabilistic miss. */
+object WinnowProps extends Properties("Dedup.winnowFingerprints") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+
+  private val word = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val phrase = Gen.choose(1, 5)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+  // 6 single-space-joined words ≥ 11 chars ≥ w + k − 1 = 10 (k=7, w=4)
+  private val sharedRun = Gen.listOfN(6, word).map(_.mkString(" "))
+
+  property("a shared >= 10-char run forces a shared fingerprint") =
+    Prop.forAll(phrase, phrase, sharedRun, phrase, phrase) {
+      (a, b, shared, c, d) =>
+        import graft.operators.Dedup
+        import spark.implicits._
+        val docs = Seq((1L, s"$a $shared $b"), (2L, s"$c $shared $d"))
+          .toDF("doc_id", "text")
+        val byDoc = Dedup.winnowFingerprints(docs).collect()
+          .groupBy(_.getAs[Long]("doc_id"))
+          .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+        (byDoc(1L) intersect byDoc(2L)).nonEmpty
+    }
+}
+
 object KernelProps extends Properties("Kernels") {
 
   import org.apache.spark.sql.catalyst.util.GenericArrayData
