@@ -380,9 +380,54 @@ object ScoringQueries {
             .as("postings"))
         .filter(col("df") >= 40)
     },
+
+    // Positional phrase retrieval: the exact-phrase step an index serves
+    // AFTER the term-level candidate fetch (ir4's postings say which docs
+    // hold both words; positions say whether they are ADJACENT). The
+    // phrase itself is data-derived (the corpus argmax bigram, bpe-style
+    // deterministic tie-break) so the query is scale-invariant; adjacency
+    // comes from one lead() over the doc-partitioned position order — the
+    // co-partitioned shape a positional index evaluates phrases with,
+    // never a doc-text rescan.
+    "ir7_phrase_match" -> { (s, dir) =>
+      val tp = docsSpread(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(TextAnalysis.normalizeText(col("text")), " ")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("col").as("tok"))
+      val order = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tp.withColumn("nxt", lead(col("tok"), 1).over(order))
+        .filter(col("nxt").isNotNull)
+      val top = big.groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("nxt")).limit(1)
+        .select(col("tok").as("p1"), col("nxt").as("p2"))
+      big.crossJoin(broadcast(top))
+        .filter(col("tok") === col("p1") && col("nxt") === col("p2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ir7_phrase_match" ->
+      s"""WITH tp AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |        FROM documents),
+         |       unnest(generate_series(1, len(toks))) AS s(i)),
+         |big AS (
+         |  SELECT doc_id, pos, tok,
+         |    LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM tp),
+         |bg AS (SELECT * FROM big WHERE nxt IS NOT NULL),
+         |top AS (
+         |  SELECT tok AS p1, nxt AS p2 FROM bg
+         |  GROUP BY tok, nxt
+         |  ORDER BY COUNT(*) DESC, tok, nxt LIMIT 1)
+         |SELECT doc_id, COUNT(*) AS n_matches, MIN(pos) AS first_pos
+         |FROM bg CROSS JOIN top
+         |WHERE tok = p1 AND nxt = p2
+         |GROUP BY doc_id""".stripMargin,
     "fe7_feature_cross" ->
       """SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n,
         |  CAST(('0x' || substr(md5(o_orderstatus || '|' ||

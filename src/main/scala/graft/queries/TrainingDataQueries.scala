@@ -1211,6 +1211,42 @@ object TrainingDataQueries {
     // per-lang window parallelizes by language; a corpus whose single
     // language dominates would use GlobalRank's two-pass layout instead
     // (e17/e18 show both shapes).
+    // Cross-domain perplexity matrix — corpus cartography: a bigram LM
+    // per SOURCE, every source's text scored under every other source's
+    // LM (the diagonal is the self-fit baseline). Two domains that score
+    // each other well are stylistic neighbors — the similarity map that
+    // drives mixing/curriculum decisions. Scoring happens at TYPE grain:
+    // per-source bigram counts join the LM table on (w1, w2) and weight
+    // by occurrence count, so the cross fan-out is |bigram types| × the
+    // sources sharing the type — never occurrences × sources. OOV
+    // bigrams drop per LM (inner join) and n_scored keeps the
+    // denominator honest; micro-nat quantization before the weighted
+    // integer sum keeps the matrix engine-exact.
+    "lm6_domain_xppl" -> { (s, dir) =>
+      val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+      val bigrams = docsSpread(s, dir)
+        .select(col("source"), toks.as("toks"))
+        .select(col("source"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val counts = bigrams.groupBy("source", "w1", "w2")
+        .agg(count(lit(1)).as("c"))
+      val ctx = counts.groupBy("source", "w1").agg(sum(col("c")).as("cctx"))
+      val lm = counts.join(ctx, Seq("source", "w1"))
+        .select(col("source").as("lm_source"), col("w1"), col("w2"),
+          floor(log(col("c").cast("double") / col("cctx").cast("double"))
+            * lit(1e6)).cast("bigint").as("micro"))
+      counts.join(lm, Seq("w1", "w2"))
+        .groupBy(col("source").as("doc_source"), col("lm_source"))
+        .agg(sum(col("c")).as("n_scored"),
+          sum(col("c") * col("micro")).as("sum_micro"))
+        .select(col("doc_source"), col("lm_source"), col("n_scored"),
+          (-col("sum_micro").cast("double") / lit(1e6) /
+            col("n_scored").cast("double")).as("mean_surprisal"))
+    },
+
     "lm5_ppl_buckets" -> { (s, dir) =>
       val scored = docsSpread(s, dir).select(col("doc_id"), col("lang"))
         .join(docSurprisal(s, dir), "doc_id")
@@ -3006,6 +3042,33 @@ object TrainingDataQueries {
          |  -CAST(sum_micro_nats AS DOUBLE) / 1e6 / CAST(n_bigrams AS DOUBLE)
          |    AS mean_surprisal_nats
          |FROM ds""".stripMargin,
+    "lm6_domain_xppl" ->
+      s"""WITH base AS (
+         |  SELECT source, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT source,
+         |    unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM base),
+         |counts AS (
+         |  SELECT source, w1, w2, COUNT(*) AS c
+         |  FROM bg GROUP BY source, w1, w2),
+         |ctx AS (
+         |  SELECT source, w1, SUM(c) AS cctx
+         |  FROM counts GROUP BY source, w1),
+         |lm AS (
+         |  SELECT counts.source AS lm_source, counts.w1, counts.w2,
+         |    CAST(FLOOR(ln(CAST(c AS DOUBLE) / CAST(cctx AS DOUBLE)) * 1e6)
+         |      AS BIGINT) AS micro
+         |  FROM counts JOIN ctx
+         |    ON counts.source = ctx.source AND counts.w1 = ctx.w1)
+         |SELECT c.source AS doc_source, lm.lm_source,
+         |  CAST(SUM(c.c) AS BIGINT) AS n_scored,
+         |  -CAST(SUM(c.c * lm.micro) AS DOUBLE) / 1e6 /
+         |    CAST(SUM(c.c) AS DOUBLE) AS mean_surprisal
+         |FROM counts c JOIN lm ON c.w1 = lm.w1 AND c.w2 = lm.w2
+         |GROUP BY c.source, lm.lm_source""".stripMargin,
     "lm5_ppl_buckets" ->
       s"""WITH $surprisalCtes,
          |j AS (
