@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.GoldQueries.queries ++
       graft.queries.SqlQueries.queries ++
       graft.queries.ScoringQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.ExperimentQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.queries.GoldQueries.oracleSql ++
       graft.queries.SqlQueries.oracleSql ++
       graft.queries.ScoringQueries.oracleSql ++
-      graft.queries.GraphQueries.oracleSql
+      graft.queries.GraphQueries.oracleSql ++
+      graft.queries.ExperimentQueries.oracleSql
 }

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.operators.Sampling
+
+/** Experimentation analytics over the event stream — the A/B-platform
+  * tier (beyond reference): deterministic hash assignment, integrity
+  * checks, and variance-reduced effect readouts. Everything reduces to
+  * exact integer sufficient statistics plus one fixed IEEE tree, so the
+  * DuckDB oracles match bitwise (the catalog's standard contract).
+  */
+object ExperimentQueries {
+
+  /** Deterministic 50/50 arm from the salted md5 bucket — the same
+    * assignment gate s1/s3 sample with, so a user's arm is stable across
+    * runs, engines, and re-ingests. */
+  private def arm(key: Column): Column =
+    Sampling.bucket(key, "ab1") % 2
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUPED variance reduction (Deng et al. 2013): the experiment
+    // readout every mature A/B platform ships. Pre-period spend (first
+    // 15 days from the corpus min day — the fixture spans 30 — a broadcast scalar) is the
+    // covariate X, post-period spend the metric Y; θ = cov(X,Y)/var(X)
+    // is computed POOLED across arms from five exact integer sufficient
+    // statistics (decimal(38,0) sums — ANSI-safe at any user count),
+    // and each arm's adjusted mean is ȳ_a − θ·(x̄_a − x̄). One groupBy
+    // per user, one broadcast scalar row, one 2-row arm rollup: the
+    // 100 TB plan is the per-user rollup's single shuffle.
+    "ab1_cuped" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val pooled = per.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      val theta =
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val byArm = per.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sum_x_cents"), sum(col("y")).as("sum_y_cents"))
+      byArm.crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n_users"), col("sum_x_cents"),
+          col("sum_y_cents"),
+          (col("sum_y_cents").cast("double") /
+            col("n_users").cast("double")).as("mean_y"),
+          (col("sum_y_cents").cast("double") /
+            col("n_users").cast("double") -
+            theta * (col("sum_x_cents").cast("double") /
+              col("n_users").cast("double") -
+              col("sx").cast("double") / col("n").cast("double")))
+            .as("mean_y_adjusted"))
+    },
+
+    // Welch difference-in-means readout — the baseline ab1 improves on:
+    // per-arm mean of per-user post-period spend and the t statistic
+    // from exact integer (n, Σy, Σy²) per arm, variance and the final
+    // ratio as one fixed IEEE tree (d15's exact-moments idiom). Same
+    // single per-user shuffle as ab1; the 2-arm rollup is metadata.
+    "ab3_diff_in_means" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val st = per.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("y").cast(d38)).as("sy"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+      def m(n: Column, sy: Column): Column =
+        sy.cast("double") / n.cast("double")
+      def v(n: Column, sy: Column, syy: Column): Column =
+        (n * syy - sy * sy).cast("double") /
+          (n * (n - 1)).cast("double")
+      val a0 = st.filter(col("arm") === 0).select(col("n").as("n0"),
+        col("sy").as("sy0"), col("syy").as("syy0"))
+      val a1 = st.filter(col("arm") === 1).select(col("n").as("n1"),
+        col("sy").as("sy1"), col("syy").as("syy1"))
+      a0.crossJoin(a1).select(
+        col("n0"), col("n1"),
+        m(col("n0"), col("sy0")).as("mean0"),
+        m(col("n1"), col("sy1")).as("mean1"),
+        (m(col("n1"), col("sy1")) - m(col("n0"), col("sy0"))).as("diff"),
+        ((m(col("n1"), col("sy1")) - m(col("n0"), col("sy0"))) /
+          sqrt(v(col("n0"), col("sy0"), col("syy0")) /
+            col("n0").cast("double") +
+            v(col("n1"), col("sy1"), col("syy1")) /
+              col("n1").cast("double"))).as("t_stat"))
+    },
+
+    // Sample-ratio mismatch check — the assignment-integrity alarm run
+    // BEFORE any effect is read (a skewed split invalidates the
+    // experiment): χ² against the expected 50/50 collapses to
+    // (n0 − n1)²/(n0 + n1), one exact integer numerator over the user
+    // count, flagged at the 95% critical value. Distinct users, one
+    // 2-cell rollup — nothing here grows with event volume.
+    "ab2_srm_check" -> { (s, dir) =>
+      val users = Tables.eventsUs(s, dir).select("user_id").distinct()
+        .withColumn("arm", arm(col("user_id")))
+      users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(col("n0"), col("n1"),
+          (((col("n0") - col("n1")) * (col("n0") - col("n1")))
+            .cast("double") / (col("n0") + col("n1")).cast("double"))
+            .as("chi2"),
+          ((((col("n0") - col("n1")) * (col("n0") - col("n1")))
+            .cast("double") / (col("n0") + col("n1")).cast("double"))
+            > 3.841).cast("bigint").as("srm_flag"))
+    },
+  )
+
+  private val armSql =
+    "(CAST(('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) % 2"
+
+  def oracleSql: Map[String, String] = Map(
+    "ab1_cuped" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |pooled AS (
+         |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         |  FROM per),
+         |by_arm AS (
+         |  SELECT arm, COUNT(*) AS n_users,
+         |    CAST(SUM(x) AS BIGINT) AS sum_x_cents,
+         |    CAST(SUM(y) AS BIGINT) AS sum_y_cents
+         |  FROM per GROUP BY arm)
+         |SELECT arm, n_users, sum_x_cents, sum_y_cents,
+         |  CAST(sum_y_cents AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+         |  CAST(sum_y_cents AS DOUBLE) / CAST(n_users AS DOUBLE) -
+         |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+         |     CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |    (CAST(sum_x_cents AS DOUBLE) / CAST(n_users AS DOUBLE) -
+         |     CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_y_adjusted
+         |FROM by_arm CROSS JOIN pooled""".stripMargin,
+    "ab3_diff_in_means" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |st AS (
+         |  SELECT arm, COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+         |  FROM per GROUP BY arm),
+         |a0 AS (SELECT n AS n0, sy AS sy0, syy AS syy0 FROM st WHERE arm = 0),
+         |a1 AS (SELECT n AS n1, sy AS sy1, syy AS syy1 FROM st WHERE arm = 1)
+         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         |  CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+         |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+         |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+         |  (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |   CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+         |  sqrt(CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
+         |         CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE) +
+         |       CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) /
+         |         CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |    AS t_stat
+         |FROM a0 CROSS JOIN a1""".stripMargin,
+    "ab2_srm_check" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT $armSql AS arm FROM u)
+         |SELECT
+         |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST((SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+         |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) *
+         |       (SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+         |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS chi2,
+         |  CAST(CAST((SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+         |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) *
+         |       (SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+         |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) > 3.841 AS BIGINT) AS srm_flag
+         |FROM a""".stripMargin,
+  )
+}
