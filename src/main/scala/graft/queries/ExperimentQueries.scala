@@ -107,6 +107,44 @@ object ExperimentQueries {
               col("n1").cast("double"))).as("t_stat"))
     },
 
+    // Ratio-metric readout with DELTA-METHOD variance — the correction
+    // every platform needs for per-user-ratio metrics like CTR: the
+    // naive binomial variance is wrong because users, not impressions,
+    // are the randomization unit. R = Σclicks/Σviews per arm;
+    // Var(R) ≈ (Vy − 2R·Cxy + R²·Vx) / (n·x̄²) with all (co)variances
+    // from exact integer (n, Σx, Σy, Σxx, Σyy, Σxy) per arm — one
+    // per-user rollup shuffle, a 2-row arm table, one pinned IEEE tree.
+    "ab4_ratio_delta" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val per = Tables.eventsUs(s, dir)
+        .select(col("user_id"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("v")).as("x"), sum(col("c")).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val st = per.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"))
+      val nD = col("n").cast("double")
+      val r = col("sy").cast("double") / col("sx").cast("double")
+      val xbar = col("sx").cast("double") / nD
+      def cm(spq: Column, sp: Column, sq: Column): Column =
+        (col("n") * spq - sp * sq).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")
+      val vx = cm(col("sxx"), col("sx"), col("sx"))
+      val vy = cm(col("syy"), col("sy"), col("sy"))
+      val cxy = cm(col("sxy"), col("sx"), col("sy"))
+      st.select(col("arm"), col("n"),
+        col("sx").cast("long").as("views"),
+        col("sy").cast("long").as("clicks"),
+        r.as("ctr"),
+        ((vy - lit(2.0) * r * cxy + r * r * vx) / (nD * xbar * xbar))
+          .as("var_delta"))
+    },
+
     // Sample-ratio mismatch check — the assignment-integrity alarm run
     // BEFORE any effect is read (a skewed split invalidates the
     // experiment): χ² against the expected 50/50 collapses to
@@ -194,6 +232,34 @@ object ExperimentQueries {
          |         CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
          |    AS t_stat
          |FROM a0 CROSS JOIN a1""".stripMargin,
+    "ab4_ratio_delta" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM events GROUP BY user_id),
+         |st AS (
+         |  SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+         |  FROM per GROUP BY arm)
+         |SELECT arm, n,
+         |  CAST(sx AS BIGINT) AS views, CAST(sy AS BIGINT) AS clicks,
+         |  CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS ctr,
+         |  (CAST(n * syy - sy * sy AS DOUBLE) /
+         |     CAST(n * (n - 1) AS DOUBLE) -
+         |   2.0e0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+         |     (CAST(n * sxy - sx * sy AS DOUBLE) /
+         |      CAST(n * (n - 1) AS DOUBLE)) +
+         |   (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+         |     (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+         |     (CAST(n * sxx - sx * sx AS DOUBLE) /
+         |      CAST(n * (n - 1) AS DOUBLE))) /
+         |  (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS var_delta
+         |FROM st""".stripMargin,
     "ab2_srm_check" ->
       s"""WITH u AS (
          |  SELECT DISTINCT user_id FROM events),
