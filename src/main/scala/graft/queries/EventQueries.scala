@@ -744,6 +744,37 @@ object EventQueries {
     // groupBy reuses it (one logical shuffle for the whole funnel), so
     // depth-k funnels stay k co-partitioned passes — never a per-user
     // event-list collect.
+    // TIME-CONSTRAINED funnel — ev8 with conversion windows, the form
+    // funnel products actually ship (an unbounded funnel credits a
+    // purchase months after the click): first view, first click within
+    // 1 day of it, first purchase within 7 days of that. The window is
+    // a residual predicate on the same co-partitioned join+min chain as
+    // ev8 — one logical shuffle for the whole funnel, never a per-user
+    // event-list collect, and depth-k funnels stay k passes.
+    "ev23_windowed_funnel" -> { (s, dir) =>
+      val dayUs = 86400000000L
+      val e = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_us") > col("t1") &&
+          col("ts_us") <= col("t1") + lit(dayUs))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_us") > col("t2") &&
+          col("ts_us") <= col("t2") + lit(7L * dayUs))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage(v, "1_view")
+        .unionByName(stage(c, "2_click_1d"))
+        .unionByName(stage(p, "3_purchase_7d"))
+    },
+
     "ev8_funnel" -> { (s, dir) =>
       val e = Tables.eventsUs(s, dir)
         .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
@@ -1229,6 +1260,20 @@ object EventQueries {
         |FROM events e JOIN i ON e.user_id = i.i_user
         |  AND epoch_us(e.ts) >= lo_us AND epoch_us(e.ts) <= hi_us
         |GROUP BY incident_id""".stripMargin,
+    "ev23_windowed_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t1
+        |        AND ts_us <= t1 + 86400000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t2
+        |        AND ts_us <= t2 + 604800000000 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click_1d', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase_7d', COUNT(*) FROM p""".stripMargin,
     "ev8_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
