@@ -505,4 +505,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows("view") == ((2L, 3.0)))
     assert(rows("click") == ((1L, 5.0)))
   }
+
+  test("audit-sized watermark admits covered late events, drops the tail") {
+    // Closes the loop on ev22_watermark_audit: pick the delay from the
+    // lateness-coverage curve (here 1 hour covers the synthetic
+    // disorder), then verify the streaming agg ACCEPTS a late event
+    // inside that delay and DROPS one beyond it — the exact trade the
+    // audit's coverage_micro column quantifies.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = EventStreams.windowedTypeCounts(stream.toDF(),
+      windowLen = "10 minutes", watermark = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName("wm_out").outputMode("append").start()
+
+    stream.addData(Ev(ts("2024-01-01 10:01:00"), 1, "view", 1.0))
+    query.processAllAvailable()
+    // advance the watermark to 11:30 − 1h = 10:30
+    stream.addData(Ev(ts("2024-01-01 11:30:00"), 2, "view", 0.0))
+    query.processAllAvailable()
+    // 35 min late vs the max seen, but ≥ the 10:30 watermark → ACCEPTED
+    stream.addData(Ev(ts("2024-01-01 10:55:00"), 3, "click", 2.0))
+    query.processAllAvailable()
+    // beyond the watermark (10:05 < 10:30) → DROPPED
+    stream.addData(Ev(ts("2024-01-01 10:05:00"), 4, "click", 9.0))
+    query.processAllAvailable()
+    // far-future event closes every window so accepted rows emit
+    stream.addData(Ev(ts("2024-01-01 14:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+
+    val byWindow = spark.table("wm_out")
+      .filter(col("event_type") === "click")
+      .collect()
+      .map(r => r.getAs[Timestamp]("window_start") ->
+        r.getAs[Long]("n_events")).toMap
+    query.stop()
+    // the covered late click landed in its 10:50 window …
+    assert(byWindow(ts("2024-01-01 10:50:00")) == 1L)
+    // … and the beyond-watermark click left no trace in its 10:00 window
+    assert(!byWindow.contains(ts("2024-01-01 10:00:00")))
+  }
 }
