@@ -1299,6 +1299,60 @@ object TrainingDataQueries {
         .filter(col("overlap") >= 0.5)
     },
 
+    // Dedup-strategy IMPACT report — the question a curation owner
+    // actually asks before turning a dedup stage on: how many documents
+    // and tokens does each strategy cost? Three corpora side by side:
+    // untouched, exact-fingerprint dedup (keep the lowest id per
+    // normalized-text md5), and winnowing near-dup dedup (dd12's ≥0.5
+    // containment pairs → ccStar components → keep each component's
+    // minimum + all singletons). Every stage reuses the audited
+    // operators (exactDedup, winnowFingerprints, ccStar); the oracle
+    // replays the winnow closure as a recursive CTE. Costs: the winnow
+    // pair pipeline plus one O(log n)-round contraction on a pairs-sized
+    // edge set — nothing rescans text.
+    "pipe2_dedup_impact" -> { (s, dir) =>
+      import graft.operators.Graph
+      val docs = docsSpread(s, dir)
+      val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      val exactKept = Dedup.exactDedup(docs)
+        .select(col("keep_id").as("doc_id"))
+      val fps = Dedup.winnowFingerprints(docs)
+      val perDoc = fps.join(
+        fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
+      val hot = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("fp")
+      val kept = perDoc.join(hot, "fp")
+      val pairs = kept.select(col("fp"), col("doc_id").as("id_a"),
+          col("nfp").as("nfp_a"))
+        .join(kept.select(col("fp"), col("doc_id").as("id_b"),
+          col("nfp").as("nfp_b")), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "nfp_a", "nfp_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b")).cast("double") >= 0.5)
+      val comp = Graph.ccStar(
+        pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      val winnowKept = docs.select("doc_id")
+        .join(comp, docs("doc_id") === comp("node"), "left")
+        .filter(col("component").isNull ||
+          col("component") === col("doc_id"))
+        .select("doc_id")
+      def stat(keptIds: DataFrame, name: String): DataFrame =
+        keptIds.join(toks, "doc_id")
+          .agg(count(lit(1)).as("docs_kept"),
+            sum(col("nt")).as("tokens_kept"))
+          .select(lit(name).as("strategy"), col("docs_kept"),
+            col("tokens_kept"))
+      toks.agg(count(lit(1)).as("docs_kept"),
+          sum(col("nt")).as("tokens_kept"))
+        .select(lit("0_none").as("strategy"), col("docs_kept"),
+          col("tokens_kept"))
+        .unionByName(stat(exactKept, "1_exact"))
+        .unionByName(stat(winnowKept, "2_winnow"))
+    },
+
     // Zipf-law fit of the corpus token-frequency spectrum: OLS of
     // ln(freq) on ln(rank) — the one-line sanity check that a crawl's
     // unigram distribution looks like natural language (exponent ≈ −1)
@@ -3103,6 +3157,56 @@ object TrainingDataQueries {
          |GROUP BY a.id, b.id, a.nfp, b.nfp
          |HAVING CAST(COUNT(*) AS DOUBLE) /
          |  CAST(least(a.nfp, b.nfp) AS DOUBLE) >= 0.5""".stripMargin,
+    "pipe2_dedup_impact" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id AS id, $normSql AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id AS id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS nt
+         |  FROM documents),
+         |hs AS (
+         |  SELECT id, list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+         |    i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 7)),
+         |      1, 15)) AS BIGINT)) AS hs
+         |  FROM d),
+         |wins AS (
+         |  SELECT id, list_distinct(list_transform(
+         |    range(1, greatest(len(hs) - 3, 1) + 1),
+         |    j -> list_min(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)])))
+         |    AS fps
+         |  FROM hs),
+         |fp AS (SELECT id, len(fps) AS nfp, unnest(fps) AS fp FROM wins),
+         |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50),
+         |k AS (SELECT fp.* FROM fp JOIN keep USING (fp)),
+         |pairs AS (
+         |  SELECT a.id AS ia, b.id AS ib
+         |  FROM k a JOIN k b ON a.fp = b.fp AND a.id < b.id
+         |  GROUP BY a.id, b.id, a.nfp, b.nfp
+         |  HAVING CAST(COUNT(*) AS DOUBLE) /
+         |    CAST(least(a.nfp, b.nfp) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT ia AS a, ib AS b FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |lbl(node, l) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, lbl.l FROM edges e JOIN lbl ON e.b = lbl.node),
+         |comp AS (SELECT node, MIN(l) AS component FROM lbl GROUP BY node),
+         |wkept AS (
+         |  SELECT t.id FROM tok t LEFT JOIN comp c ON t.id = c.node
+         |  WHERE c.component IS NULL OR c.component = t.id),
+         |ekept AS (
+         |  SELECT MIN(id) AS id FROM (SELECT id, md5(t) AS h FROM d) z
+         |  GROUP BY h)
+         |SELECT '0_none' AS strategy, COUNT(*) AS docs_kept,
+         |  CAST(SUM(nt) AS BIGINT) AS tokens_kept FROM tok
+         |UNION ALL
+         |SELECT '1_exact', COUNT(*), CAST(SUM(nt) AS BIGINT)
+         |FROM ekept JOIN tok USING (id)
+         |UNION ALL
+         |SELECT '2_winnow', COUNT(*), CAST(SUM(nt) AS BIGINT)
+         |FROM wkept JOIN tok USING (id)""".stripMargin,
     "tx20_zipf_fit" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
