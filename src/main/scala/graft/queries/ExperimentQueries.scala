@@ -145,6 +145,40 @@ object ExperimentQueries {
           .as("var_delta"))
     },
 
+    // Power / minimum-detectable-effect readout — the planning number an
+    // experiment review asks first ("could this test even see a 1%
+    // move?"): MDE at 80% power / 5% two-sided α is (1.96 + 0.8416) ·
+    // √(s²/n₀ + s²/n₁) with the POOLED variance from the same exact
+    // integer moments as ab3. Constants are literals, variance one fixed
+    // IEEE tree, the whole readout a 1-row reduction off the per-user
+    // rollup.
+    "ab5_power_mde" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val st = per.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("y").cast(d38)).as("sy"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+      val pooled = st.agg(sum(col("n")).as("n"), sum(col("sy")).as("sy"),
+        sum(col("syy")).as("syy"),
+        sum(when(col("arm") === 0, col("n")).otherwise(lit(0L))).as("n0"),
+        sum(when(col("arm") === 1, col("n")).otherwise(lit(0L))).as("n1"))
+      val variance =
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")
+      pooled.select(col("n0"), col("n1"), variance.as("pooled_var"),
+        (lit(1.96 + 0.8416) *
+          sqrt(variance / col("n0").cast("double") +
+            variance / col("n1").cast("double"))).as("mde_cents"))
+    },
+
     // Sample-ratio mismatch check — the assignment-integrity alarm run
     // BEFORE any effect is read (a skewed split invalidates the
     // experiment): χ² against the expected 50/50 collapses to
@@ -260,6 +294,36 @@ object ExperimentQueries {
          |  (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
          |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS var_delta
          |FROM st""".stripMargin,
+    "ab5_power_mde" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |st AS (
+         |  SELECT arm, COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+         |  FROM per GROUP BY arm),
+         |pooled AS (
+         |  SELECT SUM(n) AS n, SUM(sy) AS sy, SUM(syy) AS syy,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1
+         |  FROM st)
+         |SELECT n0, n1,
+         |  CAST(n * syy - sy * sy AS DOUBLE) /
+         |    CAST(n * (n - 1) AS DOUBLE) AS pooled_var,
+         |  (1.96e0 + 0.8416e0) *
+         |    sqrt(CAST(n * syy - sy * sy AS DOUBLE) /
+         |           CAST(n * (n - 1) AS DOUBLE) / CAST(n0 AS DOUBLE) +
+         |         CAST(n * syy - sy * sy AS DOUBLE) /
+         |           CAST(n * (n - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |    AS mde_cents
+         |FROM pooled""".stripMargin,
     "ab2_srm_check" ->
       s"""WITH u AS (
          |  SELECT DISTINCT user_id FROM events),
