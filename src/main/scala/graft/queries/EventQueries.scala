@@ -727,6 +727,27 @@ object EventQueries {
           expr("cum_n * 1000000 div total").as("coverage_micro"))
     },
 
+    // DAU / trailing-7-day WAU stickiness per day — the engagement
+    // headline on every product dashboard. WAU reuses ev13's
+    // window-anchor fan-out (each distinct user-day serves its ≤7
+    // anchors; shuffle volume is 7×|user-days|, independent of raw event
+    // volume); stickiness is exact integer micro-units (dau·1e6 div
+    // wau), so the ratio never rides a float division.
+    "ev24_stickiness" -> { (s, dir) =>
+      val ud = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      val days = ud.select("day").distinct()
+      val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 div wau").as("stickiness_micro"))
+    },
+
     // Per-user/event-type pivot-style conditional aggregation.
     "ev3_type_counts" -> { (s, dir) =>
       Tables.eventsUs(s, dir).groupBy("user_id").agg(
@@ -1260,6 +1281,22 @@ object EventQueries {
         |FROM events e JOIN i ON e.user_id = i.i_user
         |  AND epoch_us(e.ts) >= lo_us AND epoch_us(e.ts) <= hi_us
         |GROUP BY incident_id""".stripMargin,
+    "ev24_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY day),
+        |f AS (
+        |  SELECT user_id, day + o AS day
+        |  FROM ud, unnest(generate_series(0, 6)) AS t(o)),
+        |wau AS (
+        |  SELECT f.day, COUNT(DISTINCT user_id) AS wau
+        |  FROM f JOIN days USING (day) GROUP BY f.day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_micro
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "ev23_windowed_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

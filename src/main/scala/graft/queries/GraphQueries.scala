@@ -40,6 +40,26 @@ object GraphQueries {
           coalesce(col("out_deg"), lit(0L)).as("out_deg"))
     },
 
+    // Edge reciprocity of the DIRECTED skewed link graph: the fraction
+    // of distinct non-loop edges whose reverse also exists — the
+    // follow-back probe that separates mutual-link communities from
+    // one-way link farms (with assortativity and modularity, the third
+    // number of a link-graph QA datasheet). One distinct pass + one
+    // self-semi-join on the reversed key; exact integers and a single
+    // IEEE division.
+    "gr14_reciprocity" -> { (s, dir) =>
+      val e = Graph.syntheticSkewedLinks(Tables.documents(s, dir))
+        .filter(col("src") =!= col("dst")).distinct()
+      val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("m"))
+        .crossJoin(broadcast(mutual.agg(count(lit(1)).as("mu"))))
+        .select(col("m"), col("mu"),
+          (col("mu").cast("double") / col("m").cast("double"))
+            .as("reciprocity"))
+    },
+
     // Degree assortativity (Newman's r) of the skewed link graph's
     // undirected simple projection — does the graph wire hub-to-hub
     // (r>0, social) or hub-to-leaf (r<0, web/link farms)? The one-number
@@ -430,6 +450,25 @@ object GraphQueries {
          |SELECT node, lab AS label,
          |  CASE WHEN seed THEN CAST(1 AS BIGINT) ELSE 0 END AS is_seed
          |FROM l_2""".stripMargin,
+    "gr14_reciprocity" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT node AS src, (node * node * 7 + 0) % nn.n AS dst
+        |      FROM nd CROSS JOIN nn
+        |    UNION ALL SELECT node, (node * node * 13 + 1) % nn.n
+        |      FROM nd CROSS JOIN nn
+        |    UNION ALL SELECT node, (node * node * 31 + 2) % nn.n
+        |      FROM nd CROSS JOIN nn) z
+        |  WHERE src <> dst),
+        |mu AS (
+        |  SELECT COUNT(*) AS mu FROM e
+        |  WHERE EXISTS (SELECT 1 FROM e r
+        |                WHERE r.src = e.dst AND r.dst = e.src))
+        |SELECT m, mu,
+        |  CAST(mu AS DOUBLE) / CAST(m AS DOUBLE) AS reciprocity
+        |FROM (SELECT COUNT(*) AS m FROM e) CROSS JOIN mu""".stripMargin,
     "gr13_assortativity" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         |nd AS (SELECT doc_id AS node FROM documents),
