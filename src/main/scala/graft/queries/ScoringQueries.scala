@@ -126,6 +126,75 @@ object ScoringQueries {
             .as("auc"))
     },
 
+    // Population Stability Index of the score distribution between two
+    // corpus generations (even vs odd doc_id, drift2's split) — THE
+    // deployed-model monitor: PSI = Σ_bins (p_new − p_old)·ln(p_new/p_old),
+    // alarm thresholds 0.1/0.25. Exact formulation: per ml3-style score
+    // bin, the difference is the exact rational (n_n·t_o − n_o·t_n)/(t_n·t_o)
+    // and the log ratio ln((n_n·t_o)/(n_o·t_n)) is floor-quantized to
+    // micro-nats, so the per-bin terms and their sum are exact integers;
+    // the one division to a double happens at the end. Bins empty on
+    // either side drop (both engines identically) — the no-epsilon
+    // convention, documented in place of the usual fudge factor.
+    "ml11_psi" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val binned = Scoring.hashedLinearScore(d)
+        .select(col("doc_id"), expr("score div 4").as("bin"),
+          (col("doc_id") % 2 === 0).as("is_old"))
+      val cells = binned.groupBy("bin")
+        .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_o"),
+          sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_n"))
+        .filter(col("n_o") > 0 && col("n_n") > 0)
+      val all = Window.partitionBy()
+      val withTot = cells
+        .withColumn("t_o", sum(col("n_o")).over(all))
+        .withColumn("t_n", sum(col("n_n")).over(all))
+        .withColumn("diff_num",
+          col("n_n") * col("t_o") - col("n_o") * col("t_n"))
+        .withColumn("ln_micro",
+          floor(log((col("n_n") * col("t_o")).cast("double") /
+            (col("n_o") * col("t_n")).cast("double")) * lit(1e6))
+            .cast("bigint"))
+      withTot.agg(max(col("t_o")).as("n_old"), max(col("t_n")).as("n_new"),
+          sum(col("diff_num") * col("ln_micro")).as("psi_num_micro"))
+        .select(col("n_old"), col("n_new"), col("psi_num_micro"),
+          (col("psi_num_micro").cast("double") /
+            (col("n_old") * col("n_new")).cast("double") / lit(1e6))
+            .as("psi"))
+    },
+
+    // Kolmogorov–Smirnov separation of ml1's score distributions
+    // (positives vs negatives) — the credit-scoring/classifier-QA
+    // staple: KS = max_t |CDF⁺(t) − CDF⁻(t)|. Aggregated to distinct
+    // scores first (the cumulative window sees score-cardinality rows,
+    // ml4's shape), and the max runs over the EXACT integer numerator
+    // |cum_pos·N⁻ − cum_neg·N⁺| — order-free, no float CDFs compared;
+    // the one division happens after the max.
+    "ml10_ks_stat" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val labeled = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+      val byScore = labeled.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("npos"))
+      val asc = Window.orderBy(col("score").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      val cum = byScore
+        .withColumn("cum_pos", sum(col("npos")).over(asc))
+        .withColumn("cum_neg", sum(col("n") - col("npos")).over(asc))
+        .withColumn("tot_pos", sum(col("npos")).over(all))
+        .withColumn("tot_neg", sum(col("n") - col("npos")).over(all))
+      cum.agg(max(col("tot_pos")).as("n_pos"),
+          max(col("tot_neg")).as("n_neg"),
+          max(abs(col("cum_pos") * col("tot_neg") -
+            col("cum_neg") * col("tot_pos"))).as("ks_num"))
+        .select(col("n_pos"), col("n_neg"), col("ks_num"),
+          (col("ks_num").cast("double") /
+            (col("n_pos") * col("n_neg")).cast("double")).as("ks"))
+    },
+
     // Average precision (area under the PR curve) of ml1's score vs the
     // lang='en' label — the imbalanced-class twin of ml4's ROC AUC:
     // AP = (1/P)·Σ_{positives} Precision@rank. The ranking order is
@@ -571,6 +640,64 @@ object ScoringQueries {
          |  CAST(SUM(two_rank_sum) - SUM(npos) * (SUM(npos) + 1) AS DOUBLE) /
          |    (2.0e0 * CAST(SUM(npos) * SUM(n - npos) AS DOUBLE)) AS auc
          |FROM contrib""".stripMargin,
+    "ml11_psi" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |        FROM documents)),
+         |b AS (SELECT score // 4 AS bin, doc_id % 2 = 0 AS is_old FROM sc),
+         |cells AS (
+         |  SELECT bin,
+         |    SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS n_o,
+         |    SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS n_n
+         |  FROM b GROUP BY bin
+         |  HAVING SUM(CASE WHEN is_old THEN 1 ELSE 0 END) > 0
+         |     AND SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) > 0),
+         |w AS (
+         |  SELECT n_o, n_n,
+         |    SUM(n_o) OVER () AS t_o, SUM(n_n) OVER () AS t_n
+         |  FROM cells),
+         |t AS (
+         |  SELECT t_o, t_n,
+         |    n_n * t_o - n_o * t_n AS diff_num,
+         |    CAST(FLOOR(ln(CAST(n_n * t_o AS DOUBLE) /
+         |      CAST(n_o * t_n AS DOUBLE)) * 1e6) AS BIGINT) AS ln_micro
+         |  FROM w)
+         |SELECT CAST(MAX(t_o) AS BIGINT) AS n_old,
+         |  CAST(MAX(t_n) AS BIGINT) AS n_new,
+         |  CAST(SUM(diff_num * ln_micro) AS BIGINT) AS psi_num_micro,
+         |  CAST(SUM(diff_num * ln_micro) AS DOUBLE) /
+         |    CAST(MAX(t_o) * MAX(t_n) AS DOUBLE) / 1e6 AS psi
+         |FROM t""".stripMargin,
+    "ml10_ks_stat" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score,
+         |    label
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |by_score AS (
+         |  SELECT score, COUNT(*) AS n,
+         |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+         |  FROM sc GROUP BY score),
+         |cum AS (
+         |  SELECT
+         |    SUM(npos) OVER w AS cum_pos,
+         |    SUM(n - npos) OVER w AS cum_neg,
+         |    SUM(npos) OVER () AS tot_pos,
+         |    SUM(n - npos) OVER () AS tot_neg
+         |  FROM by_score
+         |  WINDOW w AS (ORDER BY score ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT CAST(MAX(tot_pos) AS BIGINT) AS n_pos,
+         |  CAST(MAX(tot_neg) AS BIGINT) AS n_neg,
+         |  CAST(MAX(abs(cum_pos * tot_neg - cum_neg * tot_pos)) AS BIGINT)
+         |    AS ks_num,
+         |  CAST(MAX(abs(cum_pos * tot_neg - cum_neg * tot_pos)) AS DOUBLE) /
+         |    CAST(MAX(tot_pos) * MAX(tot_neg) AS DOUBLE) AS ks
+         |FROM cum""".stripMargin,
     "ml8_average_precision" ->
       s"""WITH sc AS (
          |  SELECT doc_id,
