@@ -1353,6 +1353,31 @@ object TrainingDataQueries {
         .unionByName(stat(winnowKept, "2_winnow"))
     },
 
+    // Source-concentration Gini over token mass — "how much of the
+    // corpus comes from how few sources": the inequality number a
+    // datasheet (tx11) headline needs next to the per-source rows, and
+    // the trigger for mix3's rebalancing. Exact closed form on sorted
+    // ranks, G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx), with the rank from
+    // GlobalRank's two-pass layout (sources here, but the same query
+    // audits million-key contributor tables) and every numerator an
+    // exact integer.
+    "tx22_source_gini" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val n = docsSpread(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("x"))
+      val ranked = GlobalRank.withGlobalRowNumber(n,
+        Seq(col("x"), col("source")), "rn")
+      ranked.agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total"),
+          sum(col("rn") * col("x")).as("rx"))
+        .select(col("n_sources"), col("total"),
+          (lit(2L) * col("rx") - (col("n_sources") + 1) * col("total"))
+            .as("gini_num"),
+          ((lit(2L) * col("rx") -
+            (col("n_sources") + 1) * col("total")).cast("double") /
+            (col("n_sources") * col("total")).cast("double")).as("gini"))
+    },
+
     // Zipf-law fit of the corpus token-frequency spectrum: OLS of
     // ln(freq) on ln(rank) — the one-line sanity check that a crawl's
     // unigram distribution looks like natural language (exponent ≈ −1)
@@ -3207,6 +3232,23 @@ object TrainingDataQueries {
          |UNION ALL
          |SELECT '2_winnow', COUNT(*), CAST(SUM(nt) AS BIGINT)
          |FROM wkept JOIN tok USING (id)""".stripMargin,
+    "tx22_source_gini" ->
+      s"""WITH st AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS nt
+         |  FROM documents),
+         |n AS (SELECT source, SUM(nt) AS x FROM st GROUP BY source),
+         |r AS (SELECT x,
+         |    ROW_NUMBER() OVER (ORDER BY x, source) AS rn FROM n)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |  CAST(SUM(x) AS BIGINT) AS total,
+         |  CAST(2 * SUM(rn * x) - (COUNT(*) + 1) * SUM(x) AS BIGINT)
+         |    AS gini_num,
+         |  CAST(2 * SUM(rn * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
+         |    CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+         |FROM r""".stripMargin,
     "tx20_zipf_fit" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
