@@ -748,6 +748,47 @@ object EventQueries {
           expr("dau * 1000000 div wau").as("stickiness_micro"))
     },
 
+    // Theta-sketch SET ALGEBRA audit — the sketch family HLL can't be:
+    // HLL unions only, theta sketches intersect and subtract, so
+    // "viewers who also purchased" comes from two mergeable sketches
+    // instead of a distinct-distinct join. Both algebra results are
+    // audited in-query against the exact set counts (d18/ev14's
+    // estimate-vs-exact contract; datasketches theta is exact below its
+    // 4096-entry nominal, ~2% rsd beyond, so the oracle pins the exact
+    // columns and the ≤2% flags). At warehouse scale the per-segment
+    // sketch TABLE is materialized once and any audience intersection
+    // is sketch algebra — no re-scan, no pairwise distinct joins.
+    "d27_theta_algebra" -> { (s, dir) =>
+      val ev = Tables.eventsUs(s, dir)
+      val sk = ev.agg(
+        expr("theta_sketch_agg(CASE WHEN event_type = 'view' " +
+          "THEN user_id END)").as("sv"),
+        expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' " +
+          "THEN user_id END)").as("sp"))
+      val est = sk.select(
+        expr("theta_sketch_estimate(theta_intersection(sv, sp))")
+          .cast("bigint").as("est_both"),
+        expr("theta_sketch_estimate(theta_difference(sv, sp))")
+          .cast("bigint").as("est_view_only"))
+      val v = ev.filter(col("event_type") === "view")
+        .select("user_id").distinct()
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      val exBoth = v.join(p, "user_id")
+        .agg(count(lit(1)).as("exact_both"))
+      val exViewOnly = v.join(p, Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_view_only"))
+      exBoth.crossJoin(exViewOnly).crossJoin(est)
+        .select(col("exact_both"), col("exact_view_only"),
+          (abs(col("est_both") - col("exact_both")).cast("double") <=
+            lit(0.02) * col("exact_both").cast("double"))
+            .as("both_within_2pct"),
+          (abs(col("est_view_only") - col("exact_view_only"))
+            .cast("double") <=
+            lit(0.02) * col("exact_view_only").cast("double"))
+            .as("view_only_within_2pct"))
+    },
+
     // Per-user/event-type pivot-style conditional aggregation.
     "ev3_type_counts" -> { (s, dir) =>
       Tables.eventsUs(s, dir).groupBy("user_id").agg(
@@ -1281,6 +1322,17 @@ object EventQueries {
         |FROM events e JOIN i ON e.user_id = i.i_user
         |  AND epoch_us(e.ts) >= lo_us AND epoch_us(e.ts) <= hi_us
         |GROUP BY incident_id""".stripMargin,
+    "d27_theta_algebra" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT COUNT(*) FROM v JOIN p USING (user_id)) AS exact_both,
+        |  (SELECT COUNT(*) FROM v WHERE user_id NOT IN
+        |    (SELECT user_id FROM p)) AS exact_view_only,
+        |  TRUE AS both_within_2pct,
+        |  TRUE AS view_only_within_2pct""".stripMargin,
     "ev24_stickiness" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
