@@ -294,6 +294,38 @@ object ScoringQueries {
     // sum it. Same two-aggregate broadcast shape; the single ln is
     // floor-quantized to integer micro-nats, everything else is exact
     // integer counts through a fixed IEEE tree.
+    // Feature↔label MUTUAL INFORMATION — the model-agnostic feature-
+    // selection primitive (fe9's WoE ranks one bin; MI ranks the whole
+    // feature): I(F;Y) = Σ_cells p(f,y)·ln(p(f,y)/(p(f)p(y))). Feature =
+    // doc-length quartile from GlobalRank's closed form ((rn−1)·4) div
+    // n + 1 (integer-exact bucket edges), label = lang='en'. Each
+    // cell's ln is floor-quantized to micro-nats and weighted by the
+    // exact cell count, so the sum is an order-free integer and the
+    // nats conversion is one division at the end. Cell table is
+    // 4×2 — metadata — after one count shuffle.
+    "fe10_feature_mi" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val d = docsSpread(s, dir).select(col("doc_id"), col("n_chars"),
+        (col("lang") === "en").as("label"))
+      val n = d.count()
+      val ranked = GlobalRank.withGlobalRowNumber(d,
+        Seq(col("n_chars"), col("doc_id")), "rn")
+        .withColumn("bucket", expr(s"((rn - 1) * 4) div $n + 1"))
+      val cells = ranked.groupBy("bucket", "label")
+        .agg(count(lit(1)).as("nc"))
+      val fTot = cells.groupBy("bucket").agg(sum(col("nc")).as("nf"))
+      val yTot = cells.groupBy("label").agg(sum(col("nc")).as("ny"))
+      cells.join(fTot, "bucket").join(yTot, "label")
+        .select(col("nc"),
+          floor(log((col("nc") * lit(n)).cast("double") /
+            (col("nf") * col("ny")).cast("double")) * lit(1e6))
+            .cast("bigint").as("ln_micro"))
+        .agg(sum(col("nc") * col("ln_micro")).as("mi_num_micro"))
+        .select(col("mi_num_micro"),
+          (col("mi_num_micro").cast("double") / lit(n.toDouble) / lit(1e6))
+            .as("mi_nats"))
+    },
+
     "fe9_woe" -> { (s, dir) =>
       val c = docsSpread(s, dir).groupBy("source")
         .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("good"),
@@ -640,6 +672,30 @@ object ScoringQueries {
          |  CAST(SUM(two_rank_sum) - SUM(npos) * (SUM(npos) + 1) AS DOUBLE) /
          |    (2.0e0 * CAST(SUM(npos) * SUM(n - npos) AS DOUBLE)) AS auc
          |FROM contrib""".stripMargin,
+    "fe10_feature_mi" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, lang = 'en' AS label FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |r AS (
+        |  SELECT doc_id, label,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn FROM d),
+        |b AS (
+        |  SELECT label, ((rn - 1) * 4) // nn.n + 1 AS bucket
+        |  FROM r CROSS JOIN nn),
+        |cells AS (
+        |  SELECT bucket, label, COUNT(*) AS nc FROM b GROUP BY 1, 2),
+        |ft AS (SELECT bucket, SUM(nc) AS nf FROM cells GROUP BY bucket),
+        |yt AS (SELECT label, SUM(nc) AS ny FROM cells GROUP BY label),
+        |t AS (
+        |  SELECT c.nc,
+        |    CAST(FLOOR(ln(CAST(c.nc * nn.n AS DOUBLE) /
+        |      CAST(f.nf * y.ny AS DOUBLE)) * 1e6) AS BIGINT) AS ln_micro
+        |  FROM cells c JOIN ft f USING (bucket) JOIN yt y USING (label)
+        |  CROSS JOIN nn)
+        |SELECT CAST(SUM(nc * ln_micro) AS BIGINT) AS mi_num_micro,
+        |  CAST(SUM(nc * ln_micro) AS DOUBLE) /
+        |    CAST((SELECT n FROM nn) AS DOUBLE) / 1e6 AS mi_nats
+        |FROM t""".stripMargin,
     "ml11_psi" ->
       s"""WITH sc AS (
          |  SELECT doc_id,
