@@ -856,6 +856,32 @@ object EventQueries {
         .unionByName(stage(p, "3_purchase"))
     },
 
+    // Cohort LTV: cumulative purchase value per signup cohort by week —
+    // ev9's retention with money attached, the growth-accounting curve
+    // ("when does a cohort pay back?"). Value is floor-quantized to
+    // cents per event so every sum is an exact integer; the cumulative
+    // ride is a per-cohort window over the (cohort, week) rollup —
+    // metadata grain. Same exchange-reuse as ev9: everything hashes on
+    // user_id once, then cohort_day.
+    "ev25_cohort_ltv" -> { (s, dir) =>
+      val d = Tables.eventsUs(s, dir)
+        .selectExpr("user_id", "ts div 86400000000 AS day",
+          "event_type", "cast(floor(value * 100) as bigint) AS cents")
+      val first = d.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      val weekly = d.filter(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .selectExpr("cohort_day", "(day - cohort_day) div 7 AS week_offset",
+          "cents")
+        .groupBy("cohort_day", "week_offset")
+        .agg(sum(col("cents")).as("cents"))
+      val cum = Window.partitionBy(col("cohort_day"))
+        .orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly.select(col("cohort_day"), col("week_offset"), col("cents"),
+        sum(col("cents")).over(cum).as("cum_cents"))
+    },
+
     // Cohort retention: users grouped by first-activity day, activity
     // rolled up to (cohort_day, week_offset) distinct-user counts. Two
     // aggregates + one join, all hash-partitioned on user_id (exchange
@@ -1375,6 +1401,23 @@ object EventQueries {
         |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', COUNT(*) FROM c
         |UNION ALL SELECT '3_purchase', COUNT(*) FROM p""".stripMargin,
+    "ev25_cohort_ltv" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+        |w AS (
+        |  SELECT f.cohort_day, (d.day - f.cohort_day) // 7 AS week_offset,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM d JOIN f USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, week_offset, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM w""".stripMargin,
     "ev9_retention" ->
       """WITH d AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
