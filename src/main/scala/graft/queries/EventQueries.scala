@@ -882,6 +882,45 @@ object EventQueries {
         sum(col("cents")).over(cum).as("cum_cents"))
     },
 
+    // Per-day PEAK CONCURRENT SESSIONS — the interval sweep ("how many
+    // sessions are open at once?") that sizes serving capacity. Sessions
+    // come from the same native session_window as ev6; each becomes a
+    // +1 at start / −1 at end delta, and the peak is the max prefix sum
+    // of the deltas in time order. Distributed shape: the sweep is
+    // partitioned by DAY with a carry-in (concurrency at midnight)
+    // computed from per-day delta totals — the only unpartitioned window
+    // runs over #days rows, metadata grain. At corpus scale the shard
+    // key drops to the hour the same way. Tie convention: ends sort
+    // before starts at the same µs (delta ASC), matching the
+    // half-open [start, end) session window — touching sessions do not
+    // overlap.
+    "ev26_peak_concurrency" -> { (s, dir) =>
+      val ev = Tables.eventsUs(s, dir)
+        .withColumn("__ts", timestamp_micros(tsUs))
+      val sess = ev
+        .groupBy(col("user_id"), session_window(col("__ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"))
+      val deltas = sess.select(col("start_us").as("t"), lit(1L).as("delta"))
+        .union(sess.select(col("end_us").as("t"), lit(-1L).as("delta")))
+        .withColumn("day", expr("t div 86400000000"))
+      val dayAgg = deltas.groupBy("day").agg(sum(col("delta")).as("day_delta"))
+      val wDays = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = dayAgg.select(col("day"),
+        coalesce(sum(col("day_delta")).over(wDays), lit(0L)).as("carry_in"))
+      val wIn = Window.partitionBy(col("day"))
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val peak = deltas.withColumn("run", sum(col("delta")).over(wIn))
+        .groupBy("day").agg(max(col("run")).as("peak_rel"))
+      peak.join(carry, "day")
+        .select(col("day"),
+          greatest(col("carry_in"), col("carry_in") + col("peak_rel"))
+            .as("peak_concurrency"))
+    },
+
     // Cohort retention: users grouped by first-activity day, activity
     // rolled up to (cohort_day, week_offset) distinct-user counts. Two
     // aggregates + one join, all hash-partitioned on user_id (exchange
@@ -939,6 +978,39 @@ object EventQueries {
         |  MAX(ts_us) + 1800000000 AS session_end_us,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "ev26_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN LAG(ts_us) OVER w IS NULL
+        |      OR ts_us - LAG(ts_us) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |b AS (SELECT MIN(ts_us) AS start_us,
+        |        MAX(ts_us) + 1800000000 AS end_us
+        |      FROM s GROUP BY user_id, sid),
+        |d AS (SELECT start_us AS t, 1 AS delta FROM b
+        |      UNION ALL SELECT end_us, -1 FROM b),
+        |dd AS (SELECT t // 86400000000 AS day, t, delta FROM d),
+        |da AS (SELECT day, SUM(delta) AS day_delta FROM dd GROUP BY 1),
+        |ca AS (SELECT day, COALESCE(SUM(day_delta) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS carry_in
+        |       FROM da),
+        |r AS (SELECT day, SUM(delta) OVER (PARTITION BY day
+        |        ORDER BY t, delta
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM dd),
+        |p AS (SELECT day, MAX(run) AS peak_rel FROM r GROUP BY 1)
+        |SELECT p.day,
+        |  CAST(GREATEST(ca.carry_in, ca.carry_in + p.peak_rel) AS BIGINT)
+        |    AS peak_concurrency
+        |FROM p JOIN ca USING (day)""".stripMargin,
     "ev4_asof_last_order" ->
       """WITH rd AS (
         |  SELECT user_id, order_us, o_orderkey, o_totalprice FROM (

@@ -648,6 +648,42 @@ object RelationalQueries {
         .withColumn("pass", col("violations") === 0L)
     },
 
+    // Schema-WIDE referential-integrity audit — dq1 checks one FK edge;
+    // this walks every edge of the star schema's FK graph (7 edges) and
+    // reports orphan counts per edge. Each edge is one anti join whose
+    // parent side is a key-only projection (dims broadcast under AQE;
+    // the lineitem→orders edge shuffles on the key — at corpus scale
+    // that is the one genuinely big-big check and it stays a single
+    // hash anti-join, no fallback to per-row lookups). NULL FKs are
+    // excluded on both engines (SQL RI semantics: a null reference is
+    // "not asserted", not an orphan — Spark's anti join would otherwise
+    // count them, DuckDB's NOT EXISTS would not).
+    "dq2_fk_graph" -> { (s, dir) =>
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck)).filter(col(ck).isNotNull)
+          .join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit(name).as("edge"), col("orphans"))
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cu = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val pa = Tables.part(s, dir)
+      val na = Tables.nation(s, dir)
+      val re = Tables.region(s, dir)
+      Seq(
+        edge("lineitem_orderkey_fk", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem_partkey_fk", li, "l_partkey", pa, "p_partkey"),
+        edge("lineitem_suppkey_fk", li, "l_suppkey", su, "s_suppkey"),
+        edge("orders_custkey_fk", o, "o_custkey", cu, "c_custkey"),
+        edge("customer_nationkey_fk", cu, "c_nationkey", na, "n_nationkey"),
+        edge("supplier_nationkey_fk", su, "s_nationkey", na, "n_nationkey"),
+        edge("nation_regionkey_fk", na, "n_regionkey", re, "r_regionkey"))
+        .reduce(_ union _)
+        .withColumn("pass", col("orphans") === 0L)
+    },
+
     // D19 (beyond reference): equal-width histogram — the distribution
     // profile every column-stats pass wants. Bucket = floor(x / width)
     // on exact 2-decimal doubles, so both engines bin identically; one
@@ -1190,6 +1226,31 @@ object RelationalQueries {
         |  WHERE c.c_custkey IS NULL)
         |SELECT check_name, violations, violations = 0 AS pass
         |FROM checks""".stripMargin,
+    "dq2_fk_graph" -> {
+      def edgeSql(name: String, child: String, ck: String,
+                  parent: String, pk: String): String =
+        s"""SELECT '$name' AS edge, CAST(COUNT(*) AS BIGINT) AS orphans
+           |  FROM $child c WHERE c.$ck IS NOT NULL AND NOT EXISTS
+           |  (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)""".stripMargin
+      val edges = Seq(
+        edgeSql("lineitem_orderkey_fk", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edgeSql("lineitem_partkey_fk", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edgeSql("lineitem_suppkey_fk", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edgeSql("orders_custkey_fk", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edgeSql("customer_nationkey_fk", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edgeSql("supplier_nationkey_fk", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        edgeSql("nation_regionkey_fk", "nation", "n_regionkey",
+          "region", "r_regionkey"))
+      s"""WITH edges AS (
+         |${edges.mkString("\n  UNION ALL\n")})
+         |SELECT edge, orphans, orphans = 0 AS pass FROM edges""".stripMargin
+    },
     "d19_histogram" ->
       s"""SELECT CAST(FLOOR(o_totalprice / 50000.0e0) AS BIGINT) AS bucket,
          |COUNT(*) AS n_orders,

@@ -287,6 +287,41 @@ object ScoringQueries {
         .select(col("doc_id"), col("source"), col("te_rate"))
     },
 
+    // K-FOLD out-of-fold target encoding — fe5 with the self-leakage
+    // removed: each row's encoding is computed from the OTHER folds'
+    // counts only (leave-fold-out), the standard guard against a
+    // high-cardinality categorical memorizing its own label. No K-way
+    // re-aggregation: one (source × fold) count pass, the per-source
+    // totals roll up from it, and leave-out counts are differences
+    // (total − own fold) — so the extra cost over fe5 is a K×-larger
+    // (still tiny) broadcast, not a second scan. Fold assignment is the
+    // stable md5 bucket (Sampling.bucket div 200 → 5 folds), so the
+    // encoding is reproducible forever and across engines.
+    "fe8_kfold_target_encode" -> { (s, dir) =>
+      import graft.operators.Sampling
+      val d = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("label"))
+        .withColumn("b", Sampling.bucket(col("doc_id"), "fold"))
+        .withColumn("fold", expr("b div 200"))
+        .drop("b")
+      val glob = d.agg(count(lit(1)).as("tn"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("tp"))
+      val perFold = d.groupBy("source", "fold").agg(
+        count(lit(1)).as("nf"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("posf"))
+      val perSrc = perFold.groupBy("source").agg(
+        sum(col("nf")).as("n"), sum(col("posf")).as("npos"))
+      val enc = perFold.join(perSrc, "source").crossJoin(broadcast(glob))
+        .select(col("source"), col("fold"),
+          (((col("npos") - col("posf")).cast("double") +
+            lit(10.0) * (col("tp").cast("double") / col("tn").cast("double")))
+            / ((col("n") - col("nf")).cast("double") + lit(10.0)))
+            .as("te_oof"))
+      d.join(broadcast(enc), Seq("source", "fold"))
+        .select(col("doc_id"), col("source"), col("fold"), col("te_oof"))
+    },
+
     // Weight-of-evidence encoding of source against the lang=en target:
     // ln of the smoothed good/bad rate ratio (+0.5 Laplace counts, the
     // standard credit-scoring formulation) — fe5's target-encode sibling
@@ -833,6 +868,26 @@ object ScoringQueries {
         |      FROM p CROSS JOIN g)
         |SELECT d.doc_id, d.source, e.te_rate
         |FROM d JOIN e USING (source)""".stripMargin,
+    "fe8_kfold_target_encode" ->
+      """WITH d AS (SELECT doc_id, source, lang = 'en' AS label,
+        |    CAST(('0x' || substr(md5('fold' || ':' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 // 200
+        |      AS fold
+        |  FROM documents),
+        |g AS (SELECT COUNT(*) AS tn,
+        |        SUM(CASE WHEN label THEN 1 ELSE 0 END) AS tp FROM d),
+        |pf AS (SELECT source, fold, COUNT(*) AS nf,
+        |         SUM(CASE WHEN label THEN 1 ELSE 0 END) AS posf
+        |       FROM d GROUP BY 1, 2),
+        |ps AS (SELECT source, SUM(nf) AS n, SUM(posf) AS npos
+        |       FROM pf GROUP BY 1),
+        |e AS (SELECT pf.source, pf.fold,
+        |        (CAST(npos - posf AS DOUBLE) +
+        |          10.0e0 * (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))) /
+        |        (CAST(n - nf AS DOUBLE) + 10.0e0) AS te_oof
+        |      FROM pf JOIN ps USING (source) CROSS JOIN g)
+        |SELECT d.doc_id, d.source, d.fold, e.te_oof
+        |FROM d JOIN e USING (source, fold)""".stripMargin,
     "ir2_tfidf" -> ir2Sql,
     "cdc2_merge_apply" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -150,6 +150,36 @@ object TrainingDataQueries {
         .orderBy(col("n").desc, col("token").asc).limit(50)
     },
 
+    // VOCABULARY GROWTH (Heaps-law) curve by ingest batch — "how much NEW
+    // vocabulary does each data increment contribute?", the diminishing-
+    // returns readout that tells a curation pipeline when more of the
+    // same source stops adding lexical diversity. Batch = doc_id div 100
+    // (ingest-order proxy); a token's contribution lands on the batch of
+    // its FIRST occurrence (min over one token-keyed shuffle — the only
+    // big exchange; the batch grain after it is metadata, so the
+    // cumulative windows run over #batches rows). No per-batch rescans:
+    // the classic "distinct-so-far per prefix" is answered by first-seen
+    // attribution + one running sum.
+    "tx23_vocab_growth" -> { (s, dir) =>
+      val toks = docsSpread(s, dir)
+        .select(expr("doc_id div 100").as("batch"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+      val perBatch = toks.groupBy("batch")
+        .agg(count(lit(1)).as("batch_tokens"))
+      val firstSeen = toks.groupBy("token")
+        .agg(min(col("batch")).as("batch"))
+        .groupBy("batch").agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy(col("batch"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBatch.join(firstSeen, Seq("batch"), "left")
+        .na.fill(0L, Seq("new_types"))
+        .select(col("batch"), col("batch_tokens"), col("new_types"),
+          sum(col("new_types")).over(w).as("cum_types"),
+          sum(col("batch_tokens")).over(w).as("cum_tokens"))
+    },
+
     // Count-Min heavy hitters over the token stream: exact top-20 counts
     // with the mergeable-sketch estimate audited in-bounds per winner
     // (d10/d16's estimate-vs-exact trick, now for frequencies).
@@ -2353,6 +2383,23 @@ object TrainingDataQueries {
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "tx23_vocab_growth" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id // 100 AS batch,
+         |    unnest(string_split($normSql, ' ')) AS token FROM documents),
+         |t AS (SELECT batch, token FROM toks WHERE length(token) > 0),
+         |pb AS (SELECT batch, COUNT(*) AS batch_tokens FROM t GROUP BY 1),
+         |fs AS (SELECT MIN(batch) AS batch FROM t GROUP BY token),
+         |nt AS (SELECT batch, COUNT(*) AS new_types FROM fs GROUP BY 1)
+         |SELECT pb.batch, pb.batch_tokens,
+         |  CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+         |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY pb.batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_types,
+         |  CAST(SUM(pb.batch_tokens) OVER (ORDER BY pb.batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |FROM pb LEFT JOIN nt USING (batch)""".stripMargin,
     "pipe1_curation_funnel" ->
       s"""WITH RECURSIVE gate AS ($tx9Sql),
          |${lshCtes("l.id < r.id")},
