@@ -881,6 +881,66 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"),
           coalesce(col("component"), col("c_custkey")).as("entity_id"))
     },
+
+    // DQ3 (beyond reference): k-anonymity / l-diversity audit — the
+    // privacy datasheet a release review asks for before a table ships:
+    // every quasi-identifier equivalence class (nation × segment) with
+    // its size (k) and the number of distinct sensitive-value bands it
+    // contains (l, on thousand-dollar acctbal bands). One map-side-
+    // combined aggregate keyed by the QI tuple; class count is bounded
+    // by the QI domain product, and the distinct-l term is a bounded
+    // partial-distinct expand — at 100 TB still a single shuffle whose
+    // key space is the QI domain, not the row count.
+    "dq3_k_anonymity" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+            .as("l_distinct"))
+        .withColumn("k_anonymous", col("class_size") >= 15L)
+    },
+
+    // ER2 (beyond reference): Fellegi–Sunter probabilistic record
+    // linkage — er1 decides match/non-match by a hard edit-distance cut;
+    // this scores every blocked candidate pair with per-field agreement
+    // weights ln(m/u) (match vs chance-agreement probability, the
+    // Splink/classic-FS model) and classifies by score thresholds. The
+    // weights are PRE-COMPUTED micro-nat integer literals, so the score
+    // is an order-free integer sum both engines reproduce bit-for-bit.
+    // Candidate generation is er1's skew-proof stop-gram blocking (never
+    // the cross product); attribute lookup is two broadcast joins
+    // against the key-projected dimension.
+    "er2_fellegi_sunter" -> { (s, dir) =>
+      import graft.operators.FuzzyJoin
+      val cust = Tables.customer(s, dir)
+      val names = cust.select(col("c_custkey"), col("c_name"))
+      val pairs = FuzzyJoin.fuzzyJoin(
+          names, col("c_custkey"), col("c_name"),
+          names, col("c_custkey"), col("c_name"),
+          maxDistance = 3, ngram = 4, maxGramDf = 50)
+        .filter(col("lid") < col("rid"))
+      def attrs(side: String) = broadcast(
+        cust.select(col("c_custkey").as(side),
+          col("c_nationkey").as(s"${side.head}_nat"),
+          col("c_mktsegment").as(s"${side.head}_seg")))
+      pairs
+        .join(attrs("lid"), Seq("lid"))
+        .join(attrs("rid"), Seq("rid"))
+        .select(col("lid"), col("rid"), col("dist"),
+          // ln(m/u) in micro-nats: name exact ln(0.95/0.001), close
+          // ln(0.30/0.01), far ln(0.03/0.10); nation ln(0.9/0.04) /
+          // ln(0.1/0.96); segment ln(0.85/0.2) / ln(0.15/0.8).
+          (when(col("dist") === 0L, 6856462L)
+            .when(col("dist") <= 2L, 3401197L).otherwise(-1203973L)
+            + when(col("l_nat") === col("r_nat"), 3113515L)
+              .otherwise(-2261763L)
+            + when(col("l_seg") === col("r_seg"), 1446919L)
+              .otherwise(-1673976L)).as("score_micro"))
+        .withColumn("decision",
+          when(col("score_micro") >= 9000000L, "match")
+            .when(col("score_micro") >= 3000000L, "possible")
+            .otherwise("nonmatch"))
+    },
   )
 
   /** Typed row for the Dataset-API queries. */
@@ -1366,6 +1426,41 @@ object RelationalQueries {
         |SELECT c.c_custkey, c.c_name,
         |  COALESCE(p.component, c.c_custkey) AS entity_id
         |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.node""".stripMargin,
+    "dq3_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size,
+        |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0e0) AS BIGINT))
+        |    AS BIGINT) AS l_distinct,
+        |  COUNT(*) >= 15 AS k_anonymous
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "er2_fellegi_sunter" ->
+      """WITH nm AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |lg AS (SELECT id, s, unnest(list_distinct(list_transform(
+        |  range(1, greatest(length(s) - 3, 1) + 1),
+        |  i -> substr(s, CAST(i AS INTEGER), 4)))) AS g FROM nm),
+        |keep AS (SELECT g FROM (SELECT g FROM lg UNION ALL SELECT g FROM lg)
+        |         GROUP BY g HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.id AS lid, a.s AS lstr,
+        |                b.id AS rid, b.s AS rstr
+        |         FROM lg a JOIN keep USING (g) JOIN lg b USING (g)),
+        |pairs AS (SELECT lid, rid,
+        |            CAST(levenshtein(lstr, rstr) AS BIGINT) AS dist
+        |          FROM cand
+        |          WHERE lid < rid AND levenshtein(lstr, rstr) <= 3),
+        |sc AS (SELECT p.lid, p.rid, p.dist,
+        |  (CASE WHEN p.dist = 0 THEN 6856462
+        |        WHEN p.dist <= 2 THEN 3401197 ELSE -1203973 END
+        |   + CASE WHEN l.c_nationkey = r.c_nationkey THEN 3113515
+        |          ELSE -2261763 END
+        |   + CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1446919
+        |          ELSE -1673976 END) AS score_micro
+        |  FROM pairs p JOIN customer l ON p.lid = l.c_custkey
+        |               JOIN customer r ON p.rid = r.c_custkey)
+        |SELECT lid, rid, dist, CAST(score_micro AS BIGINT) AS score_micro,
+        |  CASE WHEN score_micro >= 9000000 THEN 'match'
+        |       WHEN score_micro >= 3000000 THEN 'possible'
+        |       ELSE 'nonmatch' END AS decision
+        |FROM sc""".stripMargin,
   )
 
   /** Generated Morton-interleave SQL: bit b of x → position 2b, of y →
