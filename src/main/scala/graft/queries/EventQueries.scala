@@ -937,6 +937,71 @@ object EventQueries {
         .groupBy("cohort_day", "week_offset")
         .agg(countDistinct(col("user_id")).as("n_users"))
     },
+
+    // TS8 (beyond reference): classical seasonal decomposition
+    // (STL-by-moving-average): trend = centered ±3-day mean over a RANGE
+    // frame (well-defined at series edges and across gap days), seasonal
+    // = day-of-week mean of the detrended series, residual = the rest.
+    // All three components are exact integer micro-units — the window
+    // mean and the per-dow mean are integer divisions of exact sums, so
+    // both engines agree bit-for-bit, negative values included (Spark
+    // `div` and DuckDB `//` both truncate toward zero). One daily-rollup
+    // shuffle; the trend window rides its partitioning; the 7×|series|
+    // seasonal profile broadcasts back.
+    "ts8_stl_decompose" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-3, 3)
+      val dt = daily
+        .withColumn("wsum", sum(col("n")).over(w))
+        .withColumn("wcnt", count(lit(1)).over(w))
+        .withColumn("trend_micro", expr("(wsum * 1000000) div wcnt"))
+        .withColumn("det", expr("n * 1000000 - trend_micro"))
+      val seasonal = dt.groupBy(col("event_type"),
+          (col("day") % 7).as("dow"))
+        .agg(sum(col("det")).as("dsum"), count(lit(1)).as("dcnt"))
+        .select(col("event_type").as("se_type"), col("dow"),
+          expr("dsum div dcnt").as("seasonal_micro"))
+      dt.join(broadcast(seasonal),
+          dt("event_type") === col("se_type") && col("day") % 7 === col("dow"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("trend_micro"), col("seasonal_micro"),
+          (col("det") - col("seasonal_micro")).as("resid_micro"))
+    },
+
+    // SEQ1 (beyond reference): sequential pattern mining at 2-gram depth
+    // — "users who do A tend to do B later the same day", the ordered
+    // (first-occurrence-of-A before first-occurrence-of-B) association
+    // rule with per-antecedent confidence. Collapsing to FIRST
+    // occurrences per (user, day, type) bounds the self-join at
+    // |types|² per user-day — never the raw-event cross product — and
+    // the join is co-partitioned on (user_id, day), so it is one
+    // exchange-reused shuffle however large the event log grows; the
+    // |types|² support table then broadcasts against the antecedent
+    // counts. Strict `<` on first timestamps makes ties drop from both
+    // directions identically in both engines.
+    "seq1_behavior_pairs" -> { (s, dir) =>
+      val firsts = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          col("event_type"), col("ts"))
+        .groupBy("user_id", "day", "event_type")
+        .agg(min(col("ts")).as("first_ts"))
+      val a = firsts.select(col("user_id"), col("day"),
+        col("event_type").as("etype_a"), col("first_ts").as("ts_a"))
+      val b = firsts.select(col("user_id"), col("day"),
+        col("event_type").as("etype_b"), col("first_ts").as("ts_b"))
+      val support = a.join(b, Seq("user_id", "day"))
+        .filter(col("ts_a") < col("ts_b"))
+        .groupBy("etype_a", "etype_b")
+        .agg(count(lit(1)).as("support"))
+      val na = firsts.groupBy(col("event_type").as("etype_a"))
+        .agg(count(lit(1)).as("n_a"))
+      support.join(broadcast(na), Seq("etype_a"))
+        .select(col("etype_a"), col("etype_b"), col("support"), col("n_a"),
+          expr("(support * 1000000) div n_a").as("confidence_micro"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1507,5 +1572,45 @@ object EventQueries {
          |COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
          |${Det.sqlMoneySum("value")} AS total_value
          |FROM events GROUP BY user_id""".stripMargin,
+    "ts8_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, n,
+        |    ((SUM(n) OVER w * 1000000) // COUNT(*) OVER w) AS trend_micro
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT event_type, day, n, trend_micro,
+        |         n * 1000000 - trend_micro AS det FROM tr),
+        |se AS (SELECT event_type, day % 7 AS dow,
+        |         (SUM(det) // COUNT(*)) AS seasonal_micro
+        |       FROM dt GROUP BY 1, 2)
+        |SELECT dt.event_type, dt.day, CAST(dt.n AS BIGINT) AS n,
+        |  CAST(dt.trend_micro AS BIGINT) AS trend_micro,
+        |  CAST(se.seasonal_micro AS BIGINT) AS seasonal_micro,
+        |  CAST(dt.det - se.seasonal_micro AS BIGINT) AS resid_micro
+        |FROM dt JOIN se
+        |  ON dt.event_type = se.event_type AND dt.day % 7 = se.dow""".stripMargin,
+    "seq1_behavior_pairs" ->
+      """WITH f AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) AS day, event_type,
+        |    MIN(epoch_us(ts)) AS first_ts
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+        |        COUNT(*) AS support
+        |      FROM f a JOIN f b
+        |        ON a.user_id = b.user_id AND a.day = b.day
+        |        AND a.first_ts < b.first_ts
+        |      GROUP BY 1, 2),
+        |na AS (SELECT event_type AS etype_a, COUNT(*) AS n_a
+        |       FROM f GROUP BY 1)
+        |SELECT p.etype_a, p.etype_b, CAST(p.support AS BIGINT) AS support,
+        |  CAST(na.n_a AS BIGINT) AS n_a,
+        |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
+        |    AS confidence_micro
+        |FROM p JOIN na USING (etype_a)""".stripMargin,
   )
 }
