@@ -1698,6 +1698,54 @@ object TrainingDataQueries {
           coalesce(col("cluster_id") === col("doc_id"), lit(false))
             .as("is_representative"))
     },
+
+    // TX24 (beyond reference): pairwise Jensen–Shannon divergence matrix
+    // between source unigram distributions — the "which sources are
+    // lexically redundant / which are outliers" readout that complements
+    // tx11's per-source datasheet and drives mix1-style re-weighting.
+    // JSD(a,b) = ½KL(p‖m)+½KL(q‖m) with m the midpoint: each KL term is
+    // cnt·ln(2·cnt_a·N_b / (cnt_a·N_b + cnt_b·N_a)) — the log argument
+    // is a ratio of exact integer products (kept < 2^53, so the double
+    // division is exact-input), floor-quantized to micro-nats and
+    // weighted by the exact count, making each side's sum an order-free
+    // integer; the final division happens once per pair. Work is
+    // vocab-bounded: one (source × token) count shuffle, the |src|²
+    // pair table broadcasts against it, and tokens missing from one side
+    // surface via a left join (ratio exactly 2 → ln 2), never a full
+    // cross product.
+    "tx24_source_jsd" -> { (s, dir) =>
+      val tc = docsSpread(s, dir)
+        .select(col("source"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      val tot = tc.groupBy("source").agg(sum(col("n")).as("nt"))
+      val pairs = tot.select(col("source").as("src_a"), col("nt").as("n_a"))
+        .join(tot.select(col("source").as("src_b"), col("nt").as("n_b")),
+          col("src_a") < col("src_b"))
+      // one side's weighted micro-nat KL sum (roles swappable)
+      def klSum(aSrc: String, bSrc: String, aN: String, bN: String,
+                out: String): DataFrame =
+        tc.select(col("source").as(aSrc), col("token"),
+            col("n").as("cnt_a"))
+          .join(broadcast(pairs), Seq(aSrc))
+          .join(tc.select(col("source").as(bSrc), col("token"),
+            col("n").as("cnt_b")), Seq(bSrc, "token"), "left")
+          .na.fill(0L, Seq("cnt_b"))
+          .select(col("src_a"), col("src_b"),
+            (col("cnt_a") * floor(log(
+              (lit(2.0) * (col("cnt_a") * col(bN)).cast("double")) /
+                (col("cnt_a") * col(bN) + col("cnt_b") * col(aN))
+                  .cast("double")) * lit(1e6)).cast("bigint")).as("term"))
+          .groupBy("src_a", "src_b").agg(sum(col("term")).as(out))
+      val sa = klSum("src_a", "src_b", "n_a", "n_b", "s_a")
+      val sb = klSum("src_b", "src_a", "n_b", "n_a", "s_b")
+      sa.join(sb, Seq("src_a", "src_b"))
+        .join(broadcast(pairs), Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"),
+          expr("((s_a div n_a) + (s_b div n_b)) div 2").as("jsd_micro"))
+    },
   )
 
   /** Per-document corpus-bigram-LM surprisal sufficient statistics
@@ -2310,6 +2358,45 @@ object TrainingDataQueries {
        |GROUP BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "tx24_source_jsd" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt
+         |        FROM tc GROUP BY 1),
+         |pairs AS (SELECT a.source AS src_a, a.nt AS n_a,
+         |                 b.source AS src_b, b.nt AS n_b
+         |          FROM tot a JOIN tot b ON a.source < b.source),
+         |ea AS (
+         |  SELECT p.src_a, p.src_b,
+         |    ta.n * CAST(FLOOR(ln(
+         |      (2.0e0 * CAST(ta.n * p.n_b AS DOUBLE)) /
+         |      CAST(ta.n * p.n_b + COALESCE(tb.n, 0) * p.n_a AS DOUBLE))
+         |      * 1e6) AS BIGINT) AS term
+         |  FROM pairs p
+         |  JOIN tc ta ON ta.source = p.src_a
+         |  LEFT JOIN tc tb ON tb.source = p.src_b AND tb.token = ta.token),
+         |sa AS (SELECT src_a, src_b, CAST(SUM(term) AS BIGINT) AS s_a
+         |       FROM ea GROUP BY 1, 2),
+         |eb AS (
+         |  SELECT p.src_a, p.src_b,
+         |    tb.n * CAST(FLOOR(ln(
+         |      (2.0e0 * CAST(tb.n * p.n_a AS DOUBLE)) /
+         |      CAST(tb.n * p.n_a + COALESCE(ta.n, 0) * p.n_b AS DOUBLE))
+         |      * 1e6) AS BIGINT) AS term
+         |  FROM pairs p
+         |  JOIN tc tb ON tb.source = p.src_b
+         |  LEFT JOIN tc ta ON ta.source = p.src_a AND ta.token = tb.token),
+         |sb AS (SELECT src_a, src_b, CAST(SUM(term) AS BIGINT) AS s_b
+         |       FROM eb GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b,
+         |  CAST(((sa.s_a // p.n_a) + (sb.s_b // p.n_b)) // 2 AS BIGINT)
+         |    AS jsd_micro
+         |FROM pairs p
+         |JOIN sa ON sa.src_a = p.src_a AND sa.src_b = p.src_b
+         |JOIN sb ON sb.src_a = p.src_a AND sb.src_b = p.src_b""".stripMargin,
     "tx5_clean_text" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
