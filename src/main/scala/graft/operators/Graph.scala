@@ -255,6 +255,37 @@ object Graph {
     dist
   }
 
+  /** Multi-source BFS: shortest hop counts from EVERY node in `sources`
+    * at once, keyed (root, node) — the landmark pass behind
+    * landmark-based centrality/closeness estimation (Potamias et al.'s
+    * classic trick: exact all-pairs distances are O(n·m) and dead at
+    * scale; k landmarks make it k BFS sweeps that here share one frontier
+    * join per round, with the root carried as part of the state key).
+    * Frontier size is bounded by k·n, each round is one keyed join + one
+    * min-combine on (root, node), and per-round `localCheckpoint`
+    * truncates the growing lineage exactly as [[bfsHops]] does. */
+  def multiSourceBfsHops(edges: DataFrame, sources: Seq[Long],
+                         maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
+    require(sources.nonEmpty, "need at least one source")
+    val e = edges.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst")).localCheckpoint(true)
+    val s = e.sparkSession
+    import s.implicits._
+    var dist = sources.toDF("root")
+      .select(col("root"), col("root").as("node"), lit(0L).as("hops"))
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1))
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("root"), col("dst").as("node"),
+          lit(h.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy("root", "node").agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** k-core PEELING, pinned to exactly `rounds` rounds: each round drops
     * every node whose degree in the surviving edge set is below `k`
     * (one degree aggregate + two semi-joins), the textbook iterative

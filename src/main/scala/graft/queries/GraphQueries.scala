@@ -242,6 +242,23 @@ object GraphQueries {
       val docs = Tables.documents(s, dir)
       Graph.hits(docs.select("doc_id"), Graph.syntheticSkewedLinks(docs))
     },
+
+    // Landmark HARMONIC centrality (hop-bounded): Σ 1/d(root, v) over 4
+    // deterministic landmark roots, distances from one shared
+    // multi-source BFS — the scale answer to closeness/centrality
+    // ranking, where exact all-pairs is O(n·m): k landmarks give a
+    // stable ranking proxy at k× BFS cost. Per-landmark reciprocal in
+    // exact integer micro-units (self excluded at d=0, unreached
+    // contributes nothing), summed order-free.
+    "gr15_harmonic" -> { (s, dir) =>
+      Graph.multiSourceBfsHops(
+          Graph.syntheticLinks(Tables.documents(s, dir)),
+          sources = Seq(0L, 1L, 2L, 3L), maxHops = 5)
+        .filter(col("hops") > 0)
+        .groupBy("node")
+        .agg(sum(expr("1000000 div hops")).as("harmonic_micro"),
+          count(lit(1)).as("n_reached_from"))
+    },
   )
 
   /** Shared CTE prefix: the synthetic multigraph, out-degrees, and K
@@ -603,5 +620,24 @@ object GraphQueries {
         |  FROM documents d JOIN t ON (d.doc_id // 10) = t.node
         |  WHERE d.doc_id >= 10)
         |SELECT node, root_id, depth FROM t""".stripMargin,
+    "gr15_harmonic" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |edges AS (
+        |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+        |walk(root, node, d) AS (
+        |  SELECT CAST(r AS BIGINT), CAST(r AS BIGINT), 0
+        |  FROM range(0, 4) t(r)
+        |  UNION
+        |  SELECT w.root, e.dst, w.d + 1
+        |  FROM walk w JOIN edges e ON w.node = e.src WHERE w.d < 5),
+        |md AS (SELECT root, node, MIN(d) AS hops
+        |       FROM walk GROUP BY 1, 2)
+        |SELECT node, CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_micro,
+        |  CAST(COUNT(*) AS BIGINT) AS n_reached_from
+        |FROM md WHERE hops > 0 GROUP BY node""".stripMargin,
   )
 }
