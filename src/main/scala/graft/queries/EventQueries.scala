@@ -26,6 +26,37 @@ object EventQueries {
     * `ts` to epoch-µs (type-adaptively), so this is just the column. */
   private def tsUs = col("ts")
 
+  /** ts8's classical seasonal decomposition (trend = centered ±3-day
+    * RANGE-frame mean, seasonal = day-of-week mean of the detrended
+    * series, residual = the rest), shared with ts9's anomaly test.
+    * Exact integer micro-units throughout — window mean and dow mean are
+    * truncating integer divisions of exact sums, identical in both
+    * engines for negative values too. One daily-rollup shuffle; the
+    * trend window rides its partitioning; the 7×|series| profile
+    * broadcasts back. */
+  private def stlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsUs(s, dir)
+      .select(col("event_type"), expr("ts div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-3, 3)
+    val dt = daily
+      .withColumn("wsum", sum(col("n")).over(w))
+      .withColumn("wcnt", count(lit(1)).over(w))
+      .withColumn("trend_micro", expr("(wsum * 1000000) div wcnt"))
+      .withColumn("det", expr("n * 1000000 - trend_micro"))
+    val seasonal = dt.groupBy(col("event_type"),
+        (col("day") % 7).as("dow"))
+      .agg(sum(col("det")).as("dsum"), count(lit(1)).as("dcnt"))
+      .select(col("event_type").as("se_type"), col("dow"),
+        expr("dsum div dcnt").as("seasonal_micro"))
+    dt.join(broadcast(seasonal),
+        dt("event_type") === col("se_type") && col("day") % 7 === col("dow"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("trend_micro"), col("seasonal_micro"),
+        (col("det") - col("seasonal_micro")).as("resid_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-user inter-event gap via lag over event time.
     "ev1_event_gaps" -> { (s, dir) =>
@@ -948,27 +979,34 @@ object EventQueries {
     // `div` and DuckDB `//` both truncate toward zero). One daily-rollup
     // shuffle; the trend window rides its partitioning; the 7×|series|
     // seasonal profile broadcasts back.
-    "ts8_stl_decompose" -> { (s, dir) =>
-      val daily = Tables.eventsUs(s, dir)
-        .select(col("event_type"), expr("ts div 86400000000").as("day"))
-        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-        .rangeBetween(-3, 3)
-      val dt = daily
-        .withColumn("wsum", sum(col("n")).over(w))
-        .withColumn("wcnt", count(lit(1)).over(w))
-        .withColumn("trend_micro", expr("(wsum * 1000000) div wcnt"))
-        .withColumn("det", expr("n * 1000000 - trend_micro"))
-      val seasonal = dt.groupBy(col("event_type"),
-          (col("day") % 7).as("dow"))
-        .agg(sum(col("det")).as("dsum"), count(lit(1)).as("dcnt"))
-        .select(col("event_type").as("se_type"), col("dow"),
-          expr("dsum div dcnt").as("seasonal_micro"))
-      dt.join(broadcast(seasonal),
-          dt("event_type") === col("se_type") && col("day") % 7 === col("dow"))
-        .select(col("event_type"), col("day"), col("n"),
-          col("trend_micro"), col("seasonal_micro"),
-          (col("det") - col("seasonal_micro")).as("resid_micro"))
+    "ts8_stl_decompose" -> ((s, dir) => stlDecompose(s, dir)),
+
+    // TS9 (beyond reference): seasonality-AWARE anomaly flags — ts1's
+    // z-score fires every Saturday on a weekday-seasonal series; this
+    // tests ts8's RESIDUAL against the residual distribution instead.
+    // The |z| > 2.5 test is evaluated as the cross-multiplied integer
+    // inequality 4·(m·r − Σr)² > 25·(m·Σr² − (Σr)²) (both sides exact —
+    // decimal(38,0) on the Spark side, HUGEINT in DuckDB — so the flag
+    // is bit-deterministic; no float σ is ever formed). One extra
+    // metadata-grain aggregate + broadcast join over ts8's plan.
+    "ts9_stl_anomaly" -> { (s, dir) =>
+      val d = stlDecompose(s, dir)
+      val dec = DecimalType(38, 0)
+      val st = d.groupBy(col("event_type").as("st_type"))
+        .agg(count(lit(1)).as("m"), sum(col("resid_micro")).as("sr"),
+          sum(col("resid_micro").cast(dec) * col("resid_micro").cast(dec))
+            .as("srr"))
+      d.join(broadcast(st), d("event_type") === col("st_type"))
+        .select(col("event_type"), col("day"), col("n"), col("resid_micro"),
+          (lit(4).cast(dec) *
+            (col("resid_micro").cast(dec) * col("m").cast(dec) -
+              col("sr").cast(dec)) *
+            (col("resid_micro").cast(dec) * col("m").cast(dec) -
+              col("sr").cast(dec)) >
+            lit(25).cast(dec) *
+              (col("m").cast(dec) * col("srr") -
+                col("sr").cast(dec) * col("sr").cast(dec)))
+            .as("is_anomaly"))
     },
 
     // SEQ1 (beyond reference): sequential pattern mining at 2-gram depth
@@ -1594,6 +1632,36 @@ object EventQueries {
         |  CAST(dt.det - se.seasonal_micro AS BIGINT) AS resid_micro
         |FROM dt JOIN se
         |  ON dt.event_type = se.event_type AND dt.day % 7 = se.dow""".stripMargin,
+    "ts9_stl_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, n,
+        |    ((SUM(n) OVER w * 1000000) // COUNT(*) OVER w) AS trend_micro
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT event_type, day, n,
+        |         n * 1000000 - trend_micro AS det FROM tr),
+        |se AS (SELECT event_type, day % 7 AS dow,
+        |         (SUM(det) // COUNT(*)) AS seasonal_micro
+        |       FROM dt GROUP BY 1, 2),
+        |r AS (SELECT dt.event_type, dt.day, dt.n,
+        |        CAST(dt.det - se.seasonal_micro AS BIGINT) AS resid_micro
+        |      FROM dt JOIN se
+        |        ON dt.event_type = se.event_type AND dt.day % 7 = se.dow),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS m,
+        |         CAST(SUM(resid_micro) AS HUGEINT) AS sr,
+        |         SUM(CAST(resid_micro AS HUGEINT)
+        |             * CAST(resid_micro AS HUGEINT)) AS srr
+        |       FROM r GROUP BY 1)
+        |SELECT r.event_type, r.day, CAST(r.n AS BIGINT) AS n, r.resid_micro,
+        |  (4 * (CAST(r.resid_micro AS HUGEINT) * st.m - st.sr)
+        |     * (CAST(r.resid_micro AS HUGEINT) * st.m - st.sr)
+        |   > 25 * (st.m * st.srr - st.sr * st.sr)) AS is_anomaly
+        |FROM r JOIN st USING (event_type)""".stripMargin,
     "seq1_behavior_pairs" ->
       """WITH f AS (
         |  SELECT user_id, (epoch_us(ts) // 86400000000) AS day, event_type,

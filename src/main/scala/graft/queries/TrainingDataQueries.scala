@@ -1746,6 +1746,36 @@ object TrainingDataQueries {
         .select(col("src_a"), col("src_b"),
           expr("((s_a div n_a) + (s_b div n_b)) div 2").as("jsd_micro"))
     },
+
+    // TX25 (beyond reference): per-source PARETO SKYLINE of documents on
+    // (length, lexical diversity) — the non-dominated set no weighting of
+    // the two criteria can beat, the principled shortlist when "keep the
+    // long AND diverse docs" has no agreed trade-off. 2-D skyline via the
+    // sort-scan identity: order by x desc, then a point is non-dominated
+    // iff its y exceeds the running max of all preceding y — one window
+    // per source (range-partitioned by the grouping key, never a global
+    // single-reducer sort; an ungrouped skyline would run the same scan
+    // per range partition and merge, since skyline is distributive).
+    // Duplicate (x,y) points keep one representative (lowest doc_id) —
+    // the sort makes that convention engine-identical. Both features are
+    // single-pass array expressions on the row, no token shuffle.
+    "tx25_pareto_skyline" -> { (s, dir) =>
+      val toks = filter(split(TextAnalysis.normalizeText(col("text")), " "),
+        t => length(t) > 0)
+      val st = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars").as("x"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_types"))
+        .filter(col("n_toks") > 0)
+        .select(col("doc_id"), col("source"), col("x"),
+          expr("(cast(n_types as bigint) * 1000000) div n_toks").as("y"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("x").desc, col("y").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      st.withColumn("prev_max", max(col("y")).over(w))
+        .filter(col("prev_max").isNull || col("y") > col("prev_max"))
+        .select(col("source"), col("doc_id"), col("x"), col("y"))
+    },
   )
 
   /** Per-document corpus-bigram-LM surprisal sufficient statistics
@@ -2397,6 +2427,26 @@ object TrainingDataQueries {
          |FROM pairs p
          |JOIN sa ON sa.src_a = p.src_a AND sa.src_b = p.src_b
          |JOIN sb ON sb.src_a = p.src_a AND sb.src_b = p.src_b""".stripMargin,
+    "tx25_pareto_skyline" ->
+      s"""WITH st AS (
+         |  SELECT doc_id, source, n_chars AS x,
+         |    len(list_filter(string_split($normSql, ' '),
+         |      t -> length(t) > 0)) AS n_toks,
+         |    len(list_distinct(list_filter(string_split($normSql, ' '),
+         |      t -> length(t) > 0))) AS n_types
+         |  FROM documents),
+         |xy AS (SELECT doc_id, source, x,
+         |         (n_types * 1000000) // n_toks AS y
+         |       FROM st WHERE n_toks > 0),
+         |sc AS (SELECT source, doc_id, x, y,
+         |         MAX(y) OVER (PARTITION BY source
+         |           ORDER BY x DESC, y DESC, doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS prev_max
+         |       FROM xy)
+         |SELECT source, doc_id, CAST(x AS BIGINT) AS x,
+         |  CAST(y AS BIGINT) AS y
+         |FROM sc WHERE prev_max IS NULL OR y > prev_max""".stripMargin,
     "tx5_clean_text" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
