@@ -1776,6 +1776,63 @@ object TrainingDataQueries {
         .filter(col("prev_max").isNull || col("y") > col("prev_max"))
         .select(col("source"), col("doc_id"), col("x"), col("y"))
     },
+
+    // SIM14 (beyond reference): HARD-NEGATIVE mining for contrastive
+    // training — for each query embedding, the top-5 most-similar
+    // vectors carrying a DIFFERENT label (the negatives that actually
+    // move an embedding model; random negatives are trivially separable).
+    // sim1's exact integer-quantized cosine kernel with the label
+    // inequality pushed below the top-k, so the heap never fills with
+    // positives; scale path is the same as retrieval (IVF/PQ prune the
+    // candidate set, the label filter rides along — sim3/sim9 machinery).
+    "sim14_hard_negatives" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dotL
+      val quant = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+      val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+      val q = broadcast(withNorm.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("nrm").as("q_nrm")))
+      val scored = withNorm.select(col("vec_id").as("corpus_id"),
+          col("label").as("neg_label"), col("qv").as("c_qv"),
+          col("nrm").as("c_nrm"))
+        .crossJoin(q)
+        .filter(col("neg_label") =!= col("q_label"))
+        .select(col("query_id"), col("q_label"), col("corpus_id"),
+          col("neg_label"),
+          (dotL(col("q_qv"), col("c_qv")).cast("double") /
+            (sqrt(col("q_nrm").cast("double")) *
+              sqrt(col("c_nrm").cast("double")))).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+    },
+
+    // PK5 (beyond reference): deterministic EPOCH SHUFFLE — the global
+    // training-order generator: each epoch permutes the corpus by the
+    // md5 of (doc_id, epoch) (seeded pseudo-randomness, the s1/jlSign
+    // hash-gate contract — reproducible on any engine, no RNG state),
+    // assigns the global ordinal with GlobalRank's two-pass
+    // range-partitioned layout (never a single-reducer sort), and cuts
+    // fixed-size shards off the ordinal. Re-running an epoch is
+    // bit-identical — the property that makes training resumable — and
+    // consecutive epochs decorrelate because the hash input changes.
+    "pk5_epoch_shuffle" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val docs = docsSpread(s, dir).select("doc_id")
+      Seq(0, 1).map { ep =>
+        GlobalRank.withGlobalRowNumber(
+          docs.withColumn("epoch", lit(ep.toLong))
+            .withColumn("k",
+              md5(concat_ws("_", col("doc_id"), lit(ep)))),
+          Seq(col("k"), col("doc_id")), "ordinal")
+      }.reduce(_ unionByName _)
+        .select(col("epoch"), col("doc_id"), col("ordinal"),
+          expr("(ordinal - 1) div 64").as("shard"))
+    },
   )
 
   /** Per-document corpus-bigram-LM surprisal sufficient statistics
@@ -2447,6 +2504,42 @@ object TrainingDataQueries {
          |SELECT source, doc_id, CAST(x AS BIGINT) AS x,
          |  CAST(y AS BIGINT) AS y
          |FROM sc WHERE prev_max IS NULL OR y > prev_max""".stripMargin,
+    "sim14_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, qv,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, CAST(q.label AS INTEGER) AS q_label,
+        |    c.vec_id AS corpus_id, CAST(c.label AS INTEGER) AS neg_label,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cos_sim
+        |  FROM n q, n c
+        |  WHERE q.vec_id < 20 AND c.label <> q.label)
+        |SELECT query_id, q_label, corpus_id, neg_label, cos_sim, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, corpus_id ASC) AS BIGINT) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin,
+    "pk5_epoch_shuffle" ->
+      """WITH ep AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+        |k AS (SELECT ep.epoch, d.doc_id,
+        |        md5(concat(d.doc_id, '_', ep.epoch)) AS k
+        |      FROM documents d CROSS JOIN ep),
+        |r AS (SELECT epoch, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY epoch
+        |          ORDER BY k, doc_id) AS ordinal
+        |      FROM k)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |  CAST(ordinal AS BIGINT) AS ordinal,
+        |  CAST((ordinal - 1) // 64 AS BIGINT) AS shard
+        |FROM r""".stripMargin,
     "tx5_clean_text" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
