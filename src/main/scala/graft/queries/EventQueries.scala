@@ -1040,6 +1040,29 @@ object EventQueries {
         .select(col("etype_a"), col("etype_b"), col("support"), col("n_a"),
           expr("(support * 1000000) div n_a").as("confidence_micro"))
     },
+
+    // EV27 (beyond reference): exponentially time-DECAYED counters —
+    // freshness-weighted popularity (the signal behind recency-aware
+    // sampling and trending detection), with half-life decay kept
+    // integer-exact: weight = 1e6 >> age_weeks (a power-of-two halving
+    // schedule — no float pow), age measured against the corpus
+    // max-timestamp watermark (one metadata-grain scalar, broadcast).
+    // Shift clamped at 40 so the weight bottoms out at 0 without
+    // overflow; the weighted count is then one map-side-combined
+    // aggregate — same cost as a plain count at any scale.
+    "ev27_decay_counter" -> { (s, dir) =>
+      val d = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+      val mx = d.agg(max(col("day")).as("max_day"))
+      d.crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          expr("""1000000 div shiftleft(cast(1 as bigint),
+                 |cast(least((max_day - day) div 7, 40) as int))"""
+            .stripMargin.replace("\n", " ")).as("w_micro"))
+        .groupBy("event_type")
+        .agg(sum(col("w_micro")).as("decayed_micro"),
+          count(lit(1)).as("n_events"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1680,5 +1703,17 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev27_decay_counter" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM d),
+        |w AS (SELECT event_type,
+        |        1000000 // (CAST(1 AS BIGINT) <<
+        |          least((mx.max_day - day) // 7, 40)) AS w_micro
+        |      FROM d CROSS JOIN mx)
+        |SELECT event_type, CAST(SUM(w_micro) AS BIGINT) AS decayed_micro,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1""".stripMargin,
   )
 }

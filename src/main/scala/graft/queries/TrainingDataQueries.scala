@@ -1833,6 +1833,31 @@ object TrainingDataQueries {
         .select(col("epoch"), col("doc_id"), col("ordinal"),
           expr("(ordinal - 1) div 64").as("shard"))
     },
+
+    // FE12 (beyond reference): the HASHING TRICK (Weinberger et al.) —
+    // unbounded token vocabulary → fixed 128-dim signed feature vector
+    // with NO dictionary state: bucket and sign both derive from the
+    // 60-bit md5 prefix (the s1/jlSign seeded-hash contract), the signed
+    // sum cancels collision bias in expectation. The featurizer every
+    // streaming/out-of-core linear model uses when fe1's dict-encode
+    // can't hold the vocabulary; stateless per token, so it's one
+    // map-side-combined aggregate keyed (doc, bucket) — no vocabulary
+    // shuffle, no OOV path, any corpus size.
+    "fe12_hashed_features" -> { (s, dir) =>
+      import graft.functions.HashExpressions.md5Prefix60
+      docsSpread(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col("doc_id"),
+          (md5Prefix60(concat(lit("fh:"), col("token"))) % 128)
+            .as("bucket"),
+          when(md5Prefix60(concat(lit("fs:"), col("token"))) % 2 === 0,
+            1L).otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn")).as("feat_val"), count(lit(1)).as("n_toks"))
+    },
   )
 
   /** Per-document corpus-bigram-LM surprisal sufficient statistics
@@ -2540,6 +2565,20 @@ object TrainingDataQueries {
         |  CAST(ordinal AS BIGINT) AS ordinal,
         |  CAST((ordinal - 1) // 64 AS BIGINT) AS shard
         |FROM r""".stripMargin,
+    "fe12_hashed_features" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5('fh:' || token), 1, 15))
+         |          AS BIGINT) % 128 AS bucket,
+         |        CASE WHEN CAST(('0x' || substr(md5('fs:' || token), 1, 15))
+         |          AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |      FROM t)
+         |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS feat_val,
+         |  CAST(COUNT(*) AS BIGINT) AS n_toks
+         |FROM h GROUP BY 1, 2""".stripMargin,
     "tx5_clean_text" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
