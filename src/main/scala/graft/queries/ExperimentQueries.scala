@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -199,6 +200,55 @@ object ExperimentQueries {
             .cast("double") / (col("n0") + col("n1")).cast("double"))
             > 3.841).cast("bigint").as("srm_flag"))
     },
+
+    // AB6 (beyond reference): SEQUENTIAL monitoring trajectory — the
+    // "can we stop early?" readout: the day-by-day cumulative two-sample
+    // z² with a fixed Pocock-style boundary (10.273 ≈ 10-look α=0.05),
+    // the curve an experiment dashboard plots instead of one end-of-test
+    // p-value (naively re-testing daily at 3.84 inflates false
+    // positives; the boundary prices the peeking in). Cumulative
+    // sufficient statistics are exact integer window sums per arm
+    // (decimal(38) here, HUGEINT in the oracle), and the z² is the same
+    // fixed IEEE tree as ab3 evaluated per day — bit-identical engines.
+    // One daily rollup shuffle + one per-arm cumulative window + a
+    // day-aligned self-join of the two 1-row-per-day arm tracks.
+    "ab6_sequential_monitor" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+        .withColumn("arm", arm(col("user_id")))
+      val daily = d.groupBy("arm", "day")
+        .agg(count(lit(1)).as("n"), sum(col("cents").cast(d38)).as("sc"),
+          sum((col("cents") * col("cents")).cast(d38)).as("scc"))
+      val w = Window.partitionBy(col("arm")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily.select(col("arm"), col("day"),
+        sum(col("n")).over(w).as("cn"),
+        sum(col("sc")).over(w).as("cs"),
+        sum(col("scc")).over(w).as("css"))
+      val a0 = cum.filter(col("arm") === 0).select(col("day"),
+        col("cn").as("cn0"), col("cs").as("cs0"), col("css").as("css0"))
+      val a1 = cum.filter(col("arm") === 1).select(col("day").as("day1"),
+        col("cn").as("cn1"), col("cs").as("cs1"), col("css").as("css1"))
+      def mean(cs: Column, cn: Column): Column =
+        cs.cast("double") / cn.cast("double")
+      def se2(cn: Column, cs: Column, css: Column): Column =
+        (cn.cast(d38) * css - cs * cs).cast("double") /
+          (cn.cast(d38) * (cn - 1).cast(d38)).cast("double") /
+          cn.cast("double")
+      a0.join(a1, col("day") === col("day1"))
+        .filter(col("cn0") > 1 && col("cn1") > 1)
+        .select(col("day"), col("cn0"), col("cn1"),
+          (mean(col("cs1"), col("cn1")) - mean(col("cs0"), col("cn0")))
+            .as("diff"),
+          (se2(col("cn0"), col("cs0"), col("css0")) +
+            se2(col("cn1"), col("cs1"), col("css1"))).as("se2"))
+        .select(col("day"), col("cn0"), col("cn1"), col("diff"),
+          (col("diff") * col("diff") / col("se2")).as("z2"),
+          (col("diff") * col("diff") / col("se2") > 10.273)
+            .as("crossed"))
+    },
   )
 
   private val armSql =
@@ -342,5 +392,39 @@ object ExperimentQueries {
          |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE) > 3.841 AS BIGINT) AS srm_flag
          |FROM a""".stripMargin,
+    "ab6_sequential_monitor" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents, $armSql AS arm
+         |  FROM events),
+         |daily AS (
+         |  SELECT arm, day, COUNT(*) AS n, SUM(cents) AS sc,
+         |    SUM(CAST(cents AS HUGEINT) * cents) AS scc
+         |  FROM d GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT arm, day, SUM(n) OVER w AS cn, SUM(sc) OVER w AS cs,
+         |    SUM(scc) OVER w AS css
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY arm ORDER BY day
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |j AS (
+         |  SELECT a0.day, a0.cn AS cn0, a0.cs AS cs0, a0.css AS css0,
+         |         a1.cn AS cn1, a1.cs AS cs1, a1.css AS css1
+         |  FROM cum a0 JOIN cum a1
+         |    ON a0.day = a1.day AND a0.arm = 0 AND a1.arm = 1
+         |  WHERE a0.cn > 1 AND a1.cn > 1),
+         |z AS (
+         |  SELECT day, cn0, cn1,
+         |    CAST(cs1 AS DOUBLE) / CAST(cn1 AS DOUBLE) -
+         |      CAST(cs0 AS DOUBLE) / CAST(cn0 AS DOUBLE) AS diff,
+         |    CAST(cn0 * css0 - cs0 * cs0 AS DOUBLE) /
+         |      CAST(cn0 * (cn0 - 1) AS DOUBLE) / CAST(cn0 AS DOUBLE)
+         |    + CAST(cn1 * css1 - cs1 * cs1 AS DOUBLE) /
+         |      CAST(cn1 * (cn1 - 1) AS DOUBLE) / CAST(cn1 AS DOUBLE) AS se2
+         |  FROM j)
+         |SELECT day, CAST(cn0 AS BIGINT) AS cn0, CAST(cn1 AS BIGINT) AS cn1,
+         |  diff, diff * diff / se2 AS z2,
+         |  diff * diff / se2 > 10.273e0 AS crossed
+         |FROM z""".stripMargin,
   )
 }
