@@ -69,6 +69,23 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("multiSourceBfsHops: per-root distances match single-source runs") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 1L), (0L, 3L))
+      .toDF("src", "dst")
+    val multi = Graph.multiSourceBfsHops(edges, Seq(0L, 1L), maxHops = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    for (root <- Seq(0L, 1L)) {
+      val single = Graph.bfsHops(edges, source = root, maxHops = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(multi.collect { case ((`root`, n), d) => n -> d }.toMap
+        == single, s"root $root")
+    }
+    // no cross-talk: node 9 is reachable from neither root
+    assert(!multi.keySet.exists(_._2 == 9L))
+  }
+
   test("kcorePeel: pendant chain peels outside-in, triangle core survives") {
     import spark.implicits._
     // triangle 0-1-2 plus a chain 2-3-4: at k=2 the chain peels from the
