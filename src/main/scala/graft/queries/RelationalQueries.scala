@@ -941,6 +941,32 @@ object RelationalQueries {
             .when(col("score_micro") >= 3000000L, "possible")
             .otherwise("nonmatch"))
     },
+
+    // PROF3 (beyond reference): per-column Shannon ENTROPY profile —
+    // prof1 reports cardinalities; entropy tells you how the mass is
+    // spread (the difference between "1M distinct, uniform" and "1M
+    // distinct, 99% one value" — what sort keys, dictionary encodings,
+    // and skew-salting decisions actually need). Identity used:
+    // H = ln N − (Σ n_v·ln n_v)/N, so with ln floor-quantized to
+    // micro-nats every term is an exact integer weighted sum — one
+    // value-keyed count per column, then a scalar reduce. The
+    // n·qlog(n) products stay < 2^63 up to ~1e11 rows; past that,
+    // widen to decimal(38) like ab6.
+    "prof3_column_entropy" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey").map { c =>
+        o.groupBy(col(c).cast("string").as("v"))
+          .agg(count(lit(1)).as("nv"))
+          .agg(sum(col("nv")).as("n"), count(lit(1)).as("n_distinct"),
+            sum(col("nv") *
+              floor(log(col("nv").cast("double")) * lit(1e6))
+                .cast("bigint")).as("snl"))
+          .select(lit(c).as("col_name"), col("n"), col("n_distinct"),
+            expr("""(n * cast(floor(ln(cast(n as double)) * 1e6)
+                   |as bigint) - snl) div n"""
+              .stripMargin.replace("\n", " ")).as("entropy_micro"))
+      }.reduce(_ unionByName _)
+    },
   )
 
   /** Typed row for the Dataset-API queries. */
@@ -1461,6 +1487,19 @@ object RelationalQueries {
         |       WHEN score_micro >= 3000000 THEN 'possible'
         |       ELSE 'nonmatch' END AS decision
         |FROM sc""".stripMargin,
+    "prof3_column_entropy" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS col_name, CAST(SUM(nv) AS BIGINT) AS n,
+           |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           |  CAST((SUM(nv) *
+           |      CAST(FLOOR(ln(CAST(SUM(nv) AS DOUBLE)) * 1e6) AS BIGINT)
+           |    - SUM(nv * CAST(FLOOR(ln(CAST(nv AS DOUBLE)) * 1e6)
+           |        AS BIGINT))) // SUM(nv) AS BIGINT) AS entropy_micro
+           |FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS nv
+           |      FROM orders GROUP BY 1) t""".stripMargin
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey").map(one)
+        .mkString("", "\nUNION ALL\n", "")
+    },
   )
 
   /** Generated Morton-interleave SQL: bit b of x → position 2b, of y →

@@ -1858,6 +1858,33 @@ object TrainingDataQueries {
         .groupBy("doc_id", "bucket")
         .agg(sum(col("sgn")).as("feat_val"), count(lit(1)).as("n_toks"))
     },
+
+    // S9 (beyond reference): deterministic BOOTSTRAP confidence interval
+    // — "how stable is this corpus statistic under resampling?", the
+    // error bar a datasheet should put on every mean. 50 m-out-of-n
+    // replicates (80% each), every replicate membership a salted
+    // md5 gate (the s1 contract — reproducible, no RNG state, and a
+    // row's inclusion is decided WHERE THE ROW IS, so the fan-out is a
+    // map-side explode, one shuffle at replicate grain). Replicate
+    // means are exact integer micro-units; the 5th/95th percentile pick
+    // is a rank on the 50-row replicate table (metadata grain — the
+    // only unpartitioned window, bounded by B, never by data).
+    "s9_bootstrap_ci" -> { (s, dir) =>
+      import graft.functions.HashExpressions.md5Prefix60
+      val reps = docsSpread(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(49))).as("rep"))
+        .filter(md5Prefix60(concat(lit("bs"), col("rep"), lit(":"),
+          col("doc_id"))) % 1000 < 800)
+      val means = reps.groupBy("rep")
+        .agg(expr("(sum(n_chars) * 1000000) div count(1)")
+          .as("mean_micro"))
+      val ranked = means.withColumn("rk",
+        row_number().over(Window.orderBy(col("mean_micro"), col("rep"))))
+      ranked.agg(count(lit(1)).as("b"),
+        sum(when(col("rk") === 3, col("mean_micro"))).as("lo_micro"),
+        sum(when(col("rk") === 48, col("mean_micro"))).as("hi_micro"))
+    },
   )
 
   /** Per-document corpus-bigram-LM surprisal sufficient statistics
@@ -2579,6 +2606,25 @@ object TrainingDataQueries {
          |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS feat_val,
          |  CAST(COUNT(*) AS BIGINT) AS n_toks
          |FROM h GROUP BY 1, 2""".stripMargin,
+    "s9_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT d.doc_id, d.n_chars, t.r AS rep
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 50)) AS r) t
+        |  WHERE CAST(('0x' || substr(md5('bs' || t.r || ':' ||
+        |    CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 800),
+        |m AS (SELECT rep, (SUM(n_chars) * 1000000) // COUNT(*)
+        |        AS mean_micro
+        |      FROM reps GROUP BY 1),
+        |rk AS (SELECT mean_micro,
+        |         ROW_NUMBER() OVER (ORDER BY mean_micro, rep) AS rk
+        |       FROM m)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN rk = 3 THEN mean_micro END) AS BIGINT)
+        |    AS lo_micro,
+        |  CAST(SUM(CASE WHEN rk = 48 THEN mean_micro END) AS BIGINT)
+        |    AS hi_micro
+        |FROM rk""".stripMargin,
     "tx5_clean_text" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
