@@ -1063,6 +1063,68 @@ object EventQueries {
         .agg(sum(col("w_micro")).as("decayed_micro"),
           count(lit(1)).as("n_events"))
     },
+
+    // EV28 (beyond reference): per-state ENTROPY of the behavior Markov
+    // chain — how predictable is what users do AFTER each event type
+    // (H(next|s) = Σ_t P(t|s)·(ln n_s − ln n_t,s))? Low entropy after
+    // 'view' means funnels are deterministic; high entropy after
+    // 'error' means recovery paths scatter — the sequence-complexity
+    // readout behind ev16's anomaly scoring. Transition extraction is
+    // ev12's lag-over-user-order; each log is floor-quantized to
+    // micro-nats and weighted by the exact transition count, so the
+    // per-state sum is an order-free integer divided once. |states|²
+    // cells — metadata after one user-keyed window + one count shuffle.
+    "ev28_markov_entropy" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("nst"))
+      val perState = trans.groupBy("prev_type")
+        .agg(sum(col("nst")).as("ns"), count(lit(1)).as("n_next_types"))
+      trans.join(broadcast(perState), Seq("prev_type"))
+        .select(col("prev_type"), col("ns"), col("n_next_types"),
+          (col("nst") *
+            (floor(log(col("ns").cast("double")) * lit(1e6))
+              .cast("bigint") -
+              floor(log(col("nst").cast("double")) * lit(1e6))
+                .cast("bigint"))).as("term"))
+        .groupBy("prev_type")
+        .agg(max(col("ns")).as("n_s"),
+          max(col("n_next_types")).as("n_next_types"),
+          expr("sum(term) div max(ns)").as("h_micro"))
+    },
+
+    // TS10 (beyond reference): BURST detection with episode merging —
+    // days where a series runs over 1.25× its trailing-7-day mean,
+    // collapsed into contiguous episodes (the "what happened this week"
+    // alert unit, not a per-day flag storm). The 1.25× test is the exact
+    // integer cross-multiplication 4·n·cnt > 5·Σ (no float mean); episode
+    // grouping is the gaps-and-islands rownum-difference trick inside
+    // the same event_type partition, so the whole query is one daily
+    // rollup + two windows riding one partitioning.
+    "ts10_burst_episodes" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-7, -1)
+      val flagged = daily
+        .withColumn("wsum", sum(col("n")).over(wt))
+        .withColumn("wcnt", count(lit(1)).over(wt))
+        .filter(col("wcnt") > 0 &&
+          lit(4) * col("n") * col("wcnt") > lit(5) * col("wsum"))
+      val wi = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      flagged
+        .withColumn("island", col("day") - row_number().over(wi))
+        .groupBy("event_type", "island")
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"), sum(col("n")).as("total_events"))
+        .drop("island")
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1715,5 +1777,46 @@ object EventQueries {
         |SELECT event_type, CAST(SUM(w_micro) AS BIGINT) AS decayed_micro,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM w GROUP BY 1""".stripMargin,
+    "ev28_markov_entropy" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS nst
+        |       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |ps AS (SELECT prev_type, CAST(SUM(nst) AS BIGINT) AS ns,
+        |         CAST(COUNT(*) AS BIGINT) AS n_next_types
+        |       FROM tr GROUP BY 1),
+        |terms AS (
+        |  SELECT tr.prev_type, ps.ns, ps.n_next_types,
+        |    tr.nst * (CAST(FLOOR(ln(CAST(ps.ns AS DOUBLE)) * 1e6) AS BIGINT)
+        |      - CAST(FLOOR(ln(CAST(tr.nst AS DOUBLE)) * 1e6) AS BIGINT))
+        |      AS term
+        |  FROM tr JOIN ps USING (prev_type))
+        |SELECT prev_type, CAST(MAX(ns) AS BIGINT) AS n_s,
+        |  CAST(MAX(n_next_types) AS BIGINT) AS n_next_types,
+        |  CAST(SUM(term) // MAX(ns) AS BIGINT) AS h_micro
+        |FROM terms GROUP BY prev_type""".stripMargin,
+    "ts10_burst_episodes" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT event_type, day, n,
+        |    SUM(n) OVER w AS wsum, COUNT(*) OVER w AS wcnt
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |b AS (SELECT event_type, day, n,
+        |        day - ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY day) AS island
+        |      FROM fl WHERE wcnt > 0 AND 4 * n * wcnt > 5 * wsum)
+        |SELECT event_type, CAST(MIN(day) AS BIGINT) AS start_day,
+        |  CAST(MAX(day) AS BIGINT) AS end_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(n) AS BIGINT) AS total_events
+        |FROM b GROUP BY event_type, island""".stripMargin,
   )
 }
