@@ -1885,6 +1885,23 @@ object TrainingDataQueries {
         sum(when(col("rk") === 3, col("mean_micro"))).as("lo_micro"),
         sum(when(col("rk") === 48, col("mean_micro"))).as("hi_micro"))
     },
+
+    // S10 (beyond reference): k-center CORESET — pick the 4 embeddings
+    // that SPAN the space (Gonzalez farthest-first, a 2-approx of the
+    // optimal cover) and report every point's covering center and
+    // radius. The diversity-maximizing dual of mix/sampling: curation
+    // uses it to seed annotation pools and dedup sweeps where density
+    // sampling would pick 4 near-identical popular docs. Exact
+    // integer-quantized distances; per-round cost is one distributed
+    // min-update + a 1-row argmax collect (k driver rows total — the
+    // KMeans contract). Oracle: 4 unrolled CTE rounds.
+    "s10_kcenter_coreset" -> { (s, dir) =>
+      import graft.operators.Coreset
+      val quant = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+      Coreset.kCenterGreedy(quant, "vec_id", "qv", k = 4)
+    },
   )
 
   /** Per-document corpus-bigram-LM surprisal sufficient statistics
@@ -2625,6 +2642,43 @@ object TrainingDataQueries {
         |  CAST(SUM(CASE WHEN rk = 48 THEN mean_micro END) AS BIGINT)
         |    AS hi_micro
         |FROM rk""".stripMargin,
+    "s10_kcenter_coreset" -> {
+      // one farthest-first round: argmax-of-min pick, then the strict-<
+      // min/assignment update (matching Coreset.kCenterGreedy exactly)
+      def round(i: Int): String =
+        s"""c$i AS (SELECT vec_id, qv FROM s${i - 1}
+           |       ORDER BY min_d2 DESC, vec_id LIMIT 1),
+           |s$i AS (
+           |  SELECT vec_id, qv,
+           |    CASE WHEN nd < min_d2 THEN nd ELSE min_d2 END AS min_d2,
+           |    CASE WHEN nd < min_d2 THEN cid ELSE assigned END AS assigned
+           |  FROM (
+           |    SELECT s.vec_id, s.qv, s.min_d2, s.assigned,
+           |      c.vec_id AS cid,
+           |      CAST(list_sum(list_transform(range(1, len(s.qv) + 1),
+           |        i -> (s.qv[i] - c.qv[i]) * (s.qv[i] - c.qv[i])))
+           |        AS BIGINT) AS nd
+           |    FROM s${i - 1} s CROSS JOIN c$i c) t)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c1 AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 1),
+         |s1 AS (
+         |  SELECT e.vec_id, e.qv,
+         |    CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+         |      i -> (e.qv[i] - c.qv[i]) * (e.qv[i] - c.qv[i])))
+         |      AS BIGINT) AS min_d2,
+         |    c.vec_id AS assigned
+         |  FROM e CROSS JOIN c1 c),
+         |${(2 to 4).map(round).mkString(",\n")}
+         |SELECT vec_id AS pid, assigned, min_d2,
+         |  vec_id IN (SELECT vec_id FROM c1 UNION ALL
+         |             SELECT vec_id FROM c2 UNION ALL
+         |             SELECT vec_id FROM c3 UNION ALL
+         |             SELECT vec_id FROM c4) AS is_center
+         |FROM s4""".stripMargin
+    },
     "tx5_clean_text" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,

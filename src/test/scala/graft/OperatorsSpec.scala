@@ -278,6 +278,24 @@ class OperatorsSpec extends SparkSpec {
     assert(fit1 == fit2)
   }
 
+  test("kCenterGreedy picks spread-out centers and covers by first pick") {
+    import spark.implicits._
+    import graft.operators.Coreset
+    // four 1-d points in two far pairs: seed = lowest id (0 at x=0),
+    // farthest-first must then take 11 (x=110), then the farthest
+    // remaining from {0, 110} is 10 (x=100); assignment covers 1→0.
+    val pts = Seq((0L, Seq(0L)), (1L, Seq(10L)), (10L, Seq(1000L)),
+      (11L, Seq(1100L))).toDF("vec_id", "qv")
+    val out = Coreset.kCenterGreedy(pts, "vec_id", "qv", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((0L, 0L, true)))
+    assert(out(11L) == ((11L, 0L, true)))
+    assert(out(10L) == ((10L, 0L, true)))
+    // non-center point assigned to its nearest center with exact d²
+    assert(out(1L) == ((0L, 100L, false)))
+  }
+
   test("trained IVF with full probing matches brute-force membership") {
     import spark.implicits._
     import graft.operators.{KMeans, Similarity}
