@@ -304,6 +304,77 @@ object EventQueries {
           count(lit(1)).as("n_touches"))
     },
 
+    // EV29 (beyond reference): U-SHAPED (position-based 40/20/40)
+    // attribution — ev21's linear split treats a 9-touch path's middle
+    // browse as equal to discovery and close; the U-shape pays the
+    // first and last touch 40% each and spreads 20% over the middles
+    // (the marketing-analytics default). Exact-mass integer split:
+    // 40% = cents·2 div 5 to first and last, remainder to the middles
+    // (div + modulo-to-earliest-middle), degenerate paths defined
+    // deterministically (1 touch → all; 2 → first 40%, last the rest).
+    // Same single bounded-range user join as ev21 — position logic is
+    // pure per-row arithmetic on the rank.
+    "ev29_position_attribution" -> { (s, dir) =>
+      val ev = Tables.eventsUs(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          tsUs.as("p_ts"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+          col("event_type"), tsUs.as("t_ts"))
+      val pairs = p.join(t, col("user_id") === col("t_user") &&
+        col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - lit(604800000000L))
+      val nt = pairs.groupBy(col("p_id").as("p_id2"))
+        .agg(count(lit(1)).as("n_touch"))
+      val firstTouch = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_ts"), col("t_id"))
+      pairs.join(nt, col("p_id") === col("p_id2"))
+        .withColumn("rk", row_number().over(firstTouch).cast("bigint"))
+        .withColumn("c40", expr("cents * 2 div 5"))
+        .withColumn("rem", expr("cents - 2 * c40"))
+        .withColumn("credit_cents",
+          when(col("n_touch") === 1L, col("cents"))
+            .when(col("rk") === 1L, col("c40"))
+            .when(col("rk") === col("n_touch") && col("n_touch") === 2L,
+              col("cents") - col("c40"))
+            .when(col("rk") === col("n_touch"), col("c40"))
+            .otherwise(expr("rem div (n_touch - 2)") +
+              when(col("rk") === 2L, expr("rem % (n_touch - 2)"))
+                .otherwise(lit(0L))))
+        .groupBy("event_type")
+        .agg(sum(col("credit_cents")).as("cents"),
+          count(lit(1)).as("n_touches"))
+    },
+
+    // EV30 (beyond reference): inter-event BURSTINESS per user — the
+    // squared coefficient of variation of a user's event gaps, the
+    // classic bot/human separator (machines fire metronomically,
+    // CV² ≈ 0; humans are bursty, CV² > 1). Gap second moments exceed
+    // 2^63 (µs² over month-long gaps), so the sufficient statistics
+    // accumulate in decimal(38) (HUGEINT in the oracle); the CV² is
+    // then one fixed IEEE tree over the exact integers, ts4's contract.
+    // One user-partitioned lag window + one rollup on its partitioning.
+    "ev30_gap_burstiness" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("g", col("ts") - lag(col("ts"), 1).over(w))
+        .filter(col("g").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("g").cast(d38)).as("sg"),
+          sum((col("g").cast(d38) * col("g").cast(d38))).as("sgg"))
+        .filter(col("n") >= 2 && col("sg") > 0)
+        .select(col("user_id"), col("n"),
+          expr("cast(floor(sg / n) as bigint)").as("mean_gap_us"),
+          ((col("n").cast(d38) * col("sgg") - col("sg") * col("sg"))
+            .cast("double") /
+            (col("sg") * col("sg")).cast("double")).as("cv2"))
+    },
+
     "ts3_ewma" -> { (s, dir) =>
       Tables.eventsUs(s, dir)
         .select(col("event_type"),
@@ -1511,6 +1582,53 @@ object EventQueries {
         |SELECT event_type, CAST(SUM(credit_cents) AS BIGINT) AS cents,
         |  COUNT(*) AS n_touches
         |FROM credit GROUP BY event_type""".stripMargin,
+    "ev29_position_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS t_id, user_id, event_type,
+        |    epoch_us(ts) AS t_ts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT p.p_id, p.cents, t.t_id, t.event_type, t.t_ts
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 604800000000),
+        |nt AS (SELECT p_id, COUNT(*) AS n_touch FROM pairs GROUP BY p_id),
+        |rk AS (
+        |  SELECT pr.p_id, pr.t_id, pr.event_type, pr.cents, nt.n_touch,
+        |    ROW_NUMBER() OVER (PARTITION BY pr.p_id
+        |      ORDER BY pr.t_ts, pr.t_id) AS rk,
+        |    pr.cents * 2 // 5 AS c40,
+        |    pr.cents - 2 * (pr.cents * 2 // 5) AS rem
+        |  FROM pairs pr JOIN nt USING (p_id)),
+        |credit AS (
+        |  SELECT event_type,
+        |    CASE WHEN n_touch = 1 THEN cents
+        |         WHEN rk = 1 THEN c40
+        |         WHEN rk = n_touch AND n_touch = 2 THEN cents - c40
+        |         WHEN rk = n_touch THEN c40
+        |         ELSE rem // (n_touch - 2) +
+        |           CASE WHEN rk = 2 THEN rem % (n_touch - 2) ELSE 0 END
+        |    END AS credit_cents
+        |  FROM rk)
+        |SELECT event_type, CAST(SUM(credit_cents) AS BIGINT) AS cents,
+        |  COUNT(*) AS n_touches
+        |FROM credit GROUP BY event_type""".stripMargin,
+    "ev30_gap_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(g) AS HUGEINT) AS sg,
+        |    SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sgg
+        |  FROM g WHERE g IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n, CAST(sg // n AS BIGINT) AS mean_gap_us,
+        |  CAST(n * sgg - sg * sg AS DOUBLE) /
+        |    CAST(sg * sg AS DOUBLE) AS cv2
+        |FROM st WHERE n >= 2 AND sg > 0""".stripMargin,
     "ts3_ewma" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
