@@ -259,6 +259,24 @@ object GraphQueries {
         .agg(sum(expr("1000000 div hops")).as("harmonic_micro"),
           count(lit(1)).as("n_reached_from"))
     },
+
+    // Two-hop REACH (friend-of-friend count): |{v : d(u,v) ≤ 2}| per
+    // node — the influence/fanout metric feeding audience estimation
+    // and supernode detection before deeper traversals. One self-join
+    // on the deduped edge list + one distinct union; fan-out is Σ deg²,
+    // so at scale the same degree cap as gr9's wedge enumeration
+    // applies before the join (harness degrees are ~3 — never binds).
+    "gr17_two_hop_reach" -> { (s, dir) =>
+      val e = Graph.syntheticLinks(Tables.documents(s, dir))
+        .select(col("src"), col("dst")).distinct()
+      val two = e.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select(col("src"), col("dst"))
+      e.unionByName(two).filter(col("src") =!= col("dst"))
+        .distinct()
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("reach2"))
+    },
   )
 
   /** Shared CTE prefix: the synthetic multigraph, out-degrees, and K
@@ -639,5 +657,18 @@ object GraphQueries {
         |SELECT node, CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_micro,
         |  CAST(COUNT(*) AS BIGINT) AS n_reached_from
         |FROM md WHERE hops > 0 GROUP BY node""".stripMargin,
+    "gr17_two_hop_reach" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |edges AS (
+        |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+        |e AS (SELECT DISTINCT src, dst FROM edges),
+        |two AS (SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+        |r AS (SELECT src, dst FROM e UNION SELECT src, dst FROM two)
+        |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS reach2
+        |FROM r WHERE src <> dst GROUP BY 1""".stripMargin,
   )
 }

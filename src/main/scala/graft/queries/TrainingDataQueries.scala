@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.operators.{Contamination, Dedup, KMeans, Packing, ProductQuantization, Retrieval, Sampling, Similarity, TextAnalysis}
@@ -1902,6 +1903,48 @@ object TrainingDataQueries {
           x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
       Coreset.kCenterGreedy(quant, "vec_id", "qv", k = 4)
     },
+
+    // TX27 (beyond reference): token DISPERSION (Gries' DP) across
+    // sources — "is this token everywhere or is it one source's
+    // boilerplate?": DP = ½·Σ_parts |f_i/f − s_i/s|, 0 = perfectly
+    // even, →1 = concentrated (the corpus-linguistics complement of
+    // tx10's heavy hitters, and the detector behind dd11-style
+    // boilerplate screens). Every |·| term is the exact integer
+    // |f_i·s − s_i·f| over the common denominator, summed order-free in
+    // decimal(38) (the cross products pass 2^63 at corpus scale), with
+    // ONE division at the end: dp_micro = num·1e6 / (2·f·s). Work is
+    // (source × token)-bounded — one count shuffle, the 20-row source
+    // size table broadcasts.
+    "tx27_token_dispersion" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val tc = docsSpread(s, dir)
+        .select(col("source"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("source", "token").agg(count(lit(1)).as("fi"))
+      val sizes = tc.groupBy("source").agg(sum(col("fi")).as("si"))
+      val totals = sizes.agg(sum(col("si")).as("s_tot"))
+      val freqs = tc.groupBy("token").agg(sum(col("fi")).as("f"))
+        .filter(col("f") >= 50)
+      tc.join(broadcast(sizes), Seq("source"))
+        .join(freqs, Seq("token"))
+        .crossJoin(broadcast(totals))
+        .select(col("token"), col("f"), col("s_tot"), col("si"),
+          abs(col("fi").cast(d38) * col("s_tot").cast(d38) -
+            col("si").cast(d38) * col("f").cast(d38)).as("term"))
+        .groupBy("token")
+        // sources where the token never occurs still carry |0 − s_i·f|
+        // mass: added in closed form as (s − Σ_present s_i)·f, so the
+        // join never has to manufacture zero rows.
+        .agg(max(col("f")).as("f"), max(col("s_tot")).as("s_tot"),
+          sum(col("term")).as("num_p"),
+          sum(col("si").cast(d38)).as("sip"))
+        .select(col("token"), col("f"),
+          expr("""cast(floor(((num_p + (s_tot - sip) * f) * 1000000)
+                 |/ (2 * f * s_tot)) as bigint)"""
+            .stripMargin.replace("\n", " ")).as("dp_micro"))
+    },
   )
 
   /** Per-document corpus-bigram-LM surprisal sufficient statistics
@@ -2679,6 +2722,28 @@ object TrainingDataQueries {
          |             SELECT vec_id FROM c4) AS is_center
          |FROM s4""".stripMargin
     },
+    "tx27_token_dispersion" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS fi
+         |       FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+         |sz AS (SELECT source, CAST(SUM(fi) AS BIGINT) AS si
+         |       FROM tc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(si) AS BIGINT) AS s_tot FROM sz),
+         |fr AS (SELECT token, CAST(SUM(fi) AS BIGINT) AS f
+         |       FROM tc GROUP BY 1 HAVING SUM(fi) >= 50),
+         |terms AS (
+         |  SELECT tc.token, fr.f, tot.s_tot, sz.si,
+         |    abs(CAST(tc.fi AS HUGEINT) * tot.s_tot -
+         |        CAST(sz.si AS HUGEINT) * fr.f) AS term
+         |  FROM tc JOIN sz USING (source) JOIN fr USING (token)
+         |  CROSS JOIN tot)
+         |SELECT token, CAST(MAX(f) AS BIGINT) AS f,
+         |  CAST(((SUM(term) + (MAX(s_tot) - SUM(CAST(si AS HUGEINT)))
+         |      * MAX(f)) * 1000000)
+         |    // (2 * MAX(f) * MAX(s_tot)) AS BIGINT) AS dp_micro
+         |FROM terms GROUP BY token""".stripMargin,
     "tx5_clean_text" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
