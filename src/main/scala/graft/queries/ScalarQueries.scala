@@ -201,6 +201,25 @@ object ScalarQueries {
         array_max(transform(words, w => length(w))).cast("bigint").as("max_len"),
         array_contains(words, "green").as("has_green"))
     },
+
+    // H18: calendar-function family — year/quarter/month/day, ISO week,
+    // month-end, and month-clamped date addition (Jan 31 + 3 months =
+    // Apr 30 in BOTH engines: Spark's add_months and DuckDB's
+    // date + INTERVAL share the clamp-to-month-end rule). The fiscal/
+    // reporting scalar surface every partition scheme and cohort rollup
+    // leans on; pure per-row codegen, no shuffle.
+    "h18_calendar" -> { (s, dir) =>
+      val d = col("o_orderdate").cast("date")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(d).cast("bigint").as("y"),
+        quarter(d).cast("bigint").as("q"),
+        month(d).cast("bigint").as("m"),
+        dayofmonth(d).cast("bigint").as("dom"),
+        weekofyear(d).cast("bigint").as("iso_week"),
+        last_day(d).cast("string").as("month_end"),
+        add_months(d, 3).cast("string").as("plus_quarter"))
+    },
   )
 
   /** Raw team-name roster for h6 and the canon each must map to
@@ -337,5 +356,17 @@ object ScalarQueries {
         |  w -> strlen(w))) AS BIGINT) AS max_len,
         |list_contains(string_split(p_name, ' '), 'green') AS has_green
         |FROM part""".stripMargin,
+    "h18_calendar" ->
+      """SELECT o_orderkey,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q,
+        |  CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+        |  CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+        |  CAST(CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)
+        |    AS VARCHAR) AS month_end,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |    AS VARCHAR) AS plus_quarter
+        |FROM orders""".stripMargin,
   )
 }

@@ -1945,6 +1945,25 @@ object TrainingDataQueries {
                  |/ (2 * f * s_tot)) as bigint)"""
             .stripMargin.replace("\n", " ")).as("dp_micro"))
     },
+
+    // FE13 (beyond reference): RARE-LABEL grouping — collapse categories
+    // below a share threshold into one '__other__' level before
+    // encoding (the guard that keeps fe1/fe5-style encoders from
+    // minting a column per typo; share-based 10% cut, so the rule is
+    // scale-free). One count aggregate broadcast back over the rows,
+    // then the encoded distribution — the before/after audit a feature
+    // review wants.
+    "fe13_rare_label_encode" -> { (s, dir) =>
+      val d = docsSpread(s, dir).select("doc_id", "lang")
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("tot"))
+      d.join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          when(col("n") * 10 >= col("tot"), col("lang"))
+            .otherwise(lit("__other__")).as("lang_enc"))
+        .groupBy("lang_enc").agg(count(lit(1)).as("n_docs"))
+    },
   )
 
   /** Per-document corpus-bigram-LM surprisal sufficient statistics
@@ -2744,6 +2763,15 @@ object TrainingDataQueries {
          |      * MAX(f)) * 1000000)
          |    // (2 * MAX(f) * MAX(s_tot)) AS BIGINT) AS dp_micro
          |FROM terms GROUP BY token""".stripMargin,
+    "fe13_rare_label_encode" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+        |SELECT CASE WHEN c.n * 10 >= t.tot THEN d.lang
+        |            ELSE '__other__' END AS lang_enc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents d JOIN c USING (lang) CROSS JOIN t
+        |GROUP BY 1""".stripMargin,
     "tx5_clean_text" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
