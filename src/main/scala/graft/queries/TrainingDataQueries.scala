@@ -1946,6 +1946,45 @@ object TrainingDataQueries {
             .stripMargin.replace("\n", " ")).as("dp_micro"))
     },
 
+    // DD13 (beyond reference): near-dup STRATEGY AGREEMENT audit — the
+    // side-by-side a curation review wants before standardizing on one
+    // detector: how many candidate pairs do word-shingle MinHash (dd2,
+    // Jaccard ≥ 0.5) and character-winnowing (dd12, containment ≥ 0.5)
+    // agree on, and what does each find alone (MinHash smears splice
+    // edits; winnowing misses word-order paraphrase). Both pair sets
+    // come from the already-audited blocked pipelines — no new
+    // quadratic surface — and meet in one full-outer join on the pair
+    // key, reduced to three counts.
+    "dd13_strategy_agreement" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val mh = Dedup.minhashDedup(docs, threshold = 0.5)
+        .select(col("id_a"), col("id_b")).withColumn("in_mh", lit(1L))
+      val fps = Dedup.winnowFingerprints(docs)
+      val perDoc = fps.join(
+        fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
+      val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("fp")
+      val kept = perDoc.join(keep, "fp")
+      val wn = kept.select(col("fp"), col("doc_id").as("id_a"),
+          col("nfp").as("nfp_a"))
+        .join(kept.select(col("fp"), col("doc_id").as("id_b"),
+          col("nfp").as("nfp_b")), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "nfp_a", "nfp_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b")).cast("double") >= 0.5)
+        .select(col("id_a"), col("id_b")).withColumn("in_wn", lit(1L))
+      mh.join(wn, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("in_mh").isNotNull && col("in_wn").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("in_mh").isNotNull && col("in_wn").isNull, 1L)
+            .otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("in_mh").isNull && col("in_wn").isNotNull, 1L)
+            .otherwise(0L)).as("n_winnow_only"))
+    },
+
     // FE13 (beyond reference): RARE-LABEL grouping — collapse categories
     // below a share threshold into one '__other__' level before
     // encoding (the guard that keeps fe1/fe5-style encoders from
@@ -2763,6 +2802,40 @@ object TrainingDataQueries {
          |      * MAX(f)) * 1000000)
          |    // (2 * MAX(f) * MAX(s_tot)) AS BIGINT) AS dp_micro
          |FROM terms GROUP BY token""".stripMargin,
+    "dd13_strategy_agreement" ->
+      s"""WITH $dd2Ctes,
+         |mh AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+         |w_d AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+         |w_hs AS (
+         |  SELECT id, list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+         |    i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 7)),
+         |      1, 15)) AS BIGINT)) AS hs
+         |  FROM w_d),
+         |w_wins AS (
+         |  SELECT id, list_distinct(list_transform(
+         |    range(1, greatest(len(hs) - 3, 1) + 1),
+         |    j -> list_min(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)])))
+         |    AS fps
+         |  FROM w_hs),
+         |w_fp AS (SELECT id, len(fps) AS nfp, unnest(fps) AS fp FROM w_wins),
+         |w_keep AS (SELECT fp FROM w_fp GROUP BY fp HAVING COUNT(*) <= 50),
+         |w_k AS (SELECT w_fp.* FROM w_fp JOIN w_keep USING (fp)),
+         |wn AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared,
+         |      MAX(least(a.nfp, b.nfp)) AS mnfp
+         |    FROM w_k a JOIN w_k b ON a.fp = b.fp AND a.id < b.id
+         |    GROUP BY a.id, b.id) z
+         |  WHERE CAST(n_shared AS DOUBLE) / CAST(mnfp AS DOUBLE) >= 0.5)
+         |SELECT
+         |  CAST(SUM(CASE WHEN m.id_a IS NOT NULL AND w.id_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN m.id_a IS NOT NULL AND w.id_a IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+         |  CAST(SUM(CASE WHEN m.id_a IS NULL AND w.id_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
+         |FROM mh m FULL OUTER JOIN wn w
+         |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
     "fe13_rare_label_encode" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM documents GROUP BY 1),
