@@ -542,6 +542,91 @@ object ScoringQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
     },
+
+    // ML12 (beyond reference): DECILE LIFT / GAINS table — "if we only
+    // review the top 10/20/…% by score, what share of positives do we
+    // catch?", the campaign-targeting readout that complements ml4's
+    // scalar AUC with an actionable curve. Deciles come from
+    // GlobalRank's range layout and the (rn−1)·10 div N closed form
+    // (never a one-task window over the corpus); the cumulative window
+    // runs over 10 decile rows — metadata. Lift is exact-integer
+    // cross-products cast once to double, so both engines emit
+    // identical curves.
+    "ml12_decile_lift" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val d = docsSpread(s, dir)
+      val labeled = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+        .select(col("doc_id"), col("score"), col("label"))
+      val n = labeled.count()
+      val ranked = GlobalRank.withGlobalRowNumber(
+          labeled.withColumn("neg", -col("score")),
+          Seq(col("neg"), col("doc_id")), "rn")
+        .withColumn("decile", expr(s"((rn - 1) * 10) div $n + 1"))
+      val per = ranked.groupBy("decile").agg(count(lit(1)).as("n_rows"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("npos"))
+      val tot = per.agg(sum(col("n_rows")).as("nt"),
+        sum(col("npos")).as("pt"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("cum_n", sum(col("n_rows")).over(w))
+        .withColumn("cum_pos", sum(col("npos")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_rows"), col("npos"), col("cum_pos"),
+          ((col("cum_pos") * col("nt")).cast("double") /
+            (col("cum_n") * col("pt")).cast("double")).as("lift"),
+          (col("cum_pos").cast("double") / col("pt").cast("double"))
+            .as("gain"))
+    },
+
+    // ML13 (beyond reference): Murphy DECOMPOSITION of the Brier score —
+    // reliability (calibration error), resolution (how much forecasts
+    // separate outcomes), uncertainty (base-rate entropy): the readout
+    // that says WHY a probabilistic quality score is good or bad, where
+    // ml3 only plots it. Forecast = score clamped into {0..32}/32, so
+    // every group statistic is an exact rational; each component term is
+    // floor-quantized to micro AFTER its exact integer numerator/
+    // denominator form (decimal(38) — the (npos·N − P·n)² cross terms
+    // pass 2^63), summed order-free, divided once. Brier = REL − RES +
+    // UNC holds up to quantization (each side also reported).
+    "ml13_brier_decomposition" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = docsSpread(s, dir)
+      val sc = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+        .select(expr("least(greatest(score + 16, 0), 32)").as("s"),
+          col("label"))
+      val per = sc.groupBy("s").agg(count(lit(1)).as("nk"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pk"))
+      val tot = per.agg(sum(col("nk")).as("n"), sum(col("pk")).as("p"))
+      per.crossJoin(broadcast(tot))
+        .select(col("nk"), col("pk"), col("s"), col("n"), col("p"),
+          // n_k·p_k² − 2·p_k·pos_k + pos_k in 1/1024 units → exact
+          (col("nk") * col("s") * col("s") - lit(64) * col("s") * col("pk")
+            + lit(1024) * col("pk")).as("brier_num"),
+          // n_k·(p_k − pos_k/n_k)² = (s·n_k − 32·pos_k)² / (1024·n_k)
+          expr("""cast(cast((s * nk - 32 * pk) as decimal(38,0))
+                 |* (s * nk - 32 * pk) * 1000000
+                 |div (1024 * nk) as bigint)"""
+            .stripMargin.replace("\n", " ")).as("rel_term_micro"),
+          // n_k·(pos_k/n_k − P/N)² = (pos_k·N − P·n_k)² / (n_k·N²)
+          expr("""cast(cast((pk * n - p * nk) as decimal(38,0))
+                 |* (pk * n - p * nk) * 1000000
+                 |div (cast(nk as decimal(38,0)) * n * n) as bigint)"""
+            .stripMargin.replace("\n", " ")).as("res_term_micro"))
+        .groupBy()
+        .agg(max(col("n")).as("n"), max(col("p")).as("p"),
+          sum(col("brier_num")).as("bn"),
+          sum(col("rel_term_micro")).as("rel_sum"),
+          sum(col("res_term_micro")).as("res_sum"))
+        .select(col("n"), col("p"),
+          expr("(bn * 1000000) div (1024 * n)").as("brier_micro"),
+          expr("rel_sum div n").as("rel_micro"),
+          expr("res_sum div n").as("res_micro"),
+          expr("(p * (n - p) * 1000000) div (n * n)").as("unc_micro"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -905,6 +990,68 @@ object ScoringQueries {
          |    AS rrf_micro,
          |  ra.r_a, rb.r_b
          |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id""".stripMargin,
+    "ml12_decile_lift" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score,
+         |    label
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+         |rk AS (SELECT label,
+         |         ROW_NUMBER() OVER (ORDER BY -score, doc_id) AS rn
+         |       FROM sc),
+         |dec AS (SELECT ((rn - 1) * 10) // nn.n + 1 AS decile, label
+         |        FROM rk CROSS JOIN nn),
+         |per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS npos
+         |        FROM dec GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS nt,
+         |          CAST(SUM(npos) AS BIGINT) AS pt FROM per),
+         |cum AS (SELECT decile, n_rows, npos,
+         |          CAST(SUM(n_rows) OVER w AS BIGINT) AS cum_n,
+         |          CAST(SUM(npos) OVER w AS BIGINT) AS cum_pos
+         |        FROM per
+         |        WINDOW w AS (ORDER BY decile
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT decile, n_rows, npos, cum_pos,
+         |  CAST(cum_pos * nt AS DOUBLE) / CAST(cum_n * pt AS DOUBLE)
+         |    AS lift,
+         |  CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE) AS gain
+         |FROM cum CROSS JOIN tot""".stripMargin,
+    "ml13_brier_decomposition" ->
+      s"""WITH sc AS (
+         |  SELECT least(greatest(CAST(-3 + list_sum(list_transform(toks,
+         |      t -> $weightSql)) AS BIGINT) + 16, 0), 32) AS s,
+         |    label
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |per AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nk,
+         |          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS pk
+         |        FROM sc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n,
+         |          CAST(SUM(pk) AS BIGINT) AS p FROM per),
+         |terms AS (
+         |  SELECT nk, pk, s, n, p,
+         |    nk * s * s - 64 * s * pk + 1024 * pk AS brier_num,
+         |    CAST(CAST(s * nk - 32 * pk AS HUGEINT)
+         |      * (s * nk - 32 * pk) * 1000000
+         |      // (1024 * nk) AS BIGINT) AS rel_term_micro,
+         |    CAST(CAST(pk * n - p * nk AS HUGEINT)
+         |      * (pk * n - p * nk) * 1000000
+         |      // (CAST(nk AS HUGEINT) * n * n) AS BIGINT)
+         |      AS res_term_micro
+         |  FROM per CROSS JOIN tot)
+         |SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(p) AS BIGINT) AS p,
+         |  CAST((SUM(brier_num) * 1000000) // (1024 * MAX(n)) AS BIGINT)
+         |    AS brier_micro,
+         |  CAST(SUM(rel_term_micro) // MAX(n) AS BIGINT) AS rel_micro,
+         |  CAST(SUM(res_term_micro) // MAX(n) AS BIGINT) AS res_micro,
+         |  CAST((MAX(p) * (MAX(n) - MAX(p)) * 1000000)
+         |    // (MAX(n) * MAX(n)) AS BIGINT) AS unc_micro
+         |FROM terms""".stripMargin,
     "cdc1_snapshot_diff" ->
       """WITH snap_a AS (
         |  SELECT o_orderkey,
