@@ -1169,6 +1169,61 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // TS11 (beyond reference): rolling-origin forecast BACKTEST — which
+    // baseline should the anomaly/forecast tier trust, last-value naive
+    // or seasonal-naive (same weekday last week)? Every observed day
+    // after a 7-row warmup scores both one-step forecasts; MAE in exact
+    // integer micro-units decides. The honest-evaluation loop (forecast
+    // only from the past) expressed as two lags over the daily rollup —
+    // no refit per origin, both "models" are pure window lookups riding
+    // one partitioning.
+    "ts11_forecast_backtest" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val scored = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("naive", lag(col("n"), 1).over(w))
+        .withColumn("snaive", lag(col("n"), 7).over(w))
+        .filter(col("rn") > 7)
+      def mae(fc: String, name: String) =
+        scored.groupBy("event_type")
+          .agg(count(lit(1)).as("n_evals"),
+            expr(s"sum(abs(n - $fc)) * 1000000 div count(1)")
+              .as("mae_micro"))
+          .select(col("event_type"), lit(name).as("method"),
+            col("n_evals"), col("mae_micro"))
+      mae("naive", "naive").unionByName(mae("snaive", "seasonal_naive"))
+    },
+
+    // EV31 (beyond reference): exact audience-OVERLAP matrix — Jaccard
+    // of distinct-user sets per event-type pair ("are clickers just
+    // viewers?"), the exact twin of d27's theta-sketch set algebra for
+    // when the group count is small enough to afford one distinct
+    // shuffle. Intersections come from a user-keyed self-join of the
+    // distinct (type, user) table — fan-out per user is |types|², never
+    // corpus²; set sizes broadcast.
+    "ev31_audience_overlap" -> { (s, dir) =>
+      val du = Tables.eventsUs(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = du.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val inter = du.select(col("event_type").as("type_a"), col("user_id"))
+        .join(du.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("nu").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("nu").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_inter"), col("n_a"),
+          col("n_b"),
+          expr("(n_inter * 1000000) div (n_a + n_b - n_inter)")
+            .as("jaccard_micro"))
+    },
+
     // TS10 (beyond reference): BURST detection with episode merging —
     // days where a series runs over 1.25× its trailing-7-day mean,
     // collapsed into contiguous episodes (the "what happened this week"
@@ -1883,6 +1938,47 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ts11_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, day, n,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    LAG(n, 1) OVER w AS naive,
+        |    LAG(n, 7) OVER w AS snaive
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |f AS (SELECT * FROM sc WHERE rn > 7)
+        |SELECT event_type, 'naive' AS method,
+        |  CAST(COUNT(*) AS BIGINT) AS n_evals,
+        |  CAST(SUM(abs(n - naive)) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS mae_micro
+        |FROM f GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 'seasonal_naive',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(abs(n - snaive)) * 1000000 // COUNT(*) AS BIGINT)
+        |FROM f GROUP BY 1""".stripMargin,
+    "ev31_audience_overlap" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu
+        |       FROM du GROUP BY 1),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM du a JOIN du b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, i.n_inter,
+        |  sa.nu AS n_a, sb.nu AS n_b,
+        |  CAST((i.n_inter * 1000000) // (sa.nu + sb.nu - i.n_inter)
+        |    AS BIGINT) AS jaccard_micro
+        |FROM inter i
+        |JOIN sz sa ON sa.event_type = i.type_a
+        |JOIN sz sb ON sb.event_type = i.type_b""".stripMargin,
     "ev27_decay_counter" ->
       """WITH d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
