@@ -330,4 +330,41 @@ class PlanSpec extends SparkSpec {
     assert(zv.contains("WholeStageCodegen") || zv.contains("*(1)"),
       zv.take(2000))
   }
+
+  test("Fellegi-Sunter scoring broadcasts both attribute lookups") {
+    val p = plan(SparkEntry.queries("er2_fellegi_sunter")(spark, sf))
+    // the pair scorer must never sort-merge the dimension lookups
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("sequential pair mining joins on the (user, day) key, no cartesian") {
+    val p = plan(SparkEntry.queries("seq1_behavior_pairs")(spark, sf))
+    // the self-join must stay an equi-join keyed (user_id, day) — the
+    // |types|² fan-out happens inside a key, never as a cross product
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop") ||
+      // the final broadcast of the 5-row antecedent table is the one
+      // permitted nested-loop-free broadcast
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("hashing-trick featurizer has one aggregation exchange, no vocab join") {
+    val p = plan(SparkEntry.queries("fe12_hashed_features")(spark, sf))
+    // stateless bucketing: no join anywhere in the plan, a single hash
+    // exchange for the (doc, bucket) combine beyond the spread
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("decile lift sorts the corpus per-partition, not globally") {
+    val p = plan(SparkEntry.queries("ml12_decile_lift")(spark, sf))
+    // GlobalRank's range layout means the corpus-level sort on the score
+    // key is partition-LOCAL (global=false in the Sort node); the only
+    // SinglePartition exchange feeds the 10-row decile window — metadata
+    val corpusSort = p.linesIterator.find(l =>
+      l.contains("Sort [neg") || l.contains("Sort [score"))
+    assert(corpusSort.exists(_.contains("false, 0")),
+      corpusSort.getOrElse(p.take(2000)))
+  }
 }
