@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -276,6 +277,39 @@ object GraphQueries {
         .distinct()
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("reach2"))
+    },
+
+    // Deterministic RANDOM-WALK sampling (DeepWalk/node2vec corpus
+    // prep): one length-4 walk per node, the next hop drawn from the
+    // ranked neighbor list by a seeded md5 index (the jlSign/s1
+    // pseudo-randomness contract — walks are a pure function of the
+    // graph, so re-runs, engines, and the oracle all emit identical
+    // paths). Each step is ONE equi-join of the frontier against the
+    // rank-indexed edge list — walk count × steps joins total, never a
+    // per-walk loop; at web scale the frontier join shuffles on the
+    // current node exactly like BFS.
+    "gr18_random_walks" -> { (s, dir) =>
+      import graft.functions.HashExpressions.md5Prefix60
+      val docs = Tables.documents(s, dir)
+      val er = Graph.syntheticLinks(docs)
+        .select(col("src"), col("dst")).distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))))
+        .withColumn("deg", count(lit(1)).over(
+          Window.partitionBy(col("src"))))
+      val w0 = docs.select(col("doc_id").cast("bigint").as("walk_id"))
+        .select(col("walk_id"), lit(0L).as("step"),
+          col("walk_id").as("node"))
+      val steps = (1 to 4).scanLeft(w0) { (front, i) =>
+        front.select(col("walk_id"), col("node").as("cur"))
+          .join(er, col("cur") === col("src"))
+          .filter(col("rn") ===
+            md5Prefix60(concat(lit("rw"), col("walk_id"),
+              lit(s"_$i"))) % col("deg") + 1)
+          .select(col("walk_id"), lit(i.toLong).as("step"),
+            col("dst").as("node"))
+      }
+      steps.reduce(_ unionByName _)
     },
   )
 
@@ -657,6 +691,35 @@ object GraphQueries {
         |SELECT node, CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_micro,
         |  CAST(COUNT(*) AS BIGINT) AS n_reached_from
         |FROM md WHERE hops > 0 GROUP BY node""".stripMargin,
+    "gr18_random_walks" -> {
+      def step(i: Int): String =
+        s"""w$i AS (
+           |  SELECT w.walk_id, CAST($i AS BIGINT) AS step, er.dst AS node
+           |  FROM w${i - 1} w JOIN er ON er.src = w.node
+           |    AND er.rn = CAST(('0x' || substr(md5('rw' ||
+           |      w.walk_id || '_$i'), 1, 15)) AS BIGINT) % er.deg + 1)"""
+          .stripMargin
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |nd AS (SELECT doc_id AS node FROM documents),
+         |edges AS (
+         |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+         |    FROM nd CROSS JOIN nn
+         |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+         |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |er AS (SELECT src, dst,
+         |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         |         COUNT(*) OVER (PARTITION BY src) AS deg
+         |       FROM e),
+         |w0 AS (SELECT node AS walk_id, CAST(0 AS BIGINT) AS step, node
+         |       FROM nd),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |SELECT walk_id, step, node FROM w0
+         |UNION ALL SELECT walk_id, step, node FROM w1
+         |UNION ALL SELECT walk_id, step, node FROM w2
+         |UNION ALL SELECT walk_id, step, node FROM w3
+         |UNION ALL SELECT walk_id, step, node FROM w4""".stripMargin
+    },
     "gr17_two_hop_reach" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         |nd AS (SELECT doc_id AS node FROM documents),
