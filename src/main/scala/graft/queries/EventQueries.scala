@@ -1169,6 +1169,50 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // EV33 (beyond reference): CHURN labeling — the supervised-learning
+    // label factory: per user, tenure span, active-day count, and a
+    // churned flag (no activity in the trailing 14 days before the
+    // corpus watermark). Labels derive from the data's own max-day
+    // watermark (broadcast scalar), so the query is reproducible on any
+    // snapshot; one distinct rollup + one user aggregate, both on the
+    // user_id exchange.
+    "ev33_churn_labels" -> { (s, dir) =>
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      val mx = d.agg(max(col("day")).as("max_day"))
+      d.groupBy("user_id")
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+          count(lit(1)).as("n_active_days"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), col("first_day"), col("last_day"),
+          col("n_active_days"),
+          (col("last_day") - col("first_day") + 1).as("tenure_days"),
+          (col("last_day") < col("max_day") - 14).as("churned"))
+    },
+
+    // FE15 (beyond reference): temporal LAG-FEATURE matrix — the
+    // feature table a daily-grain model trains on: per (user, day),
+    // yesterday's count, same-weekday-last-week's count, and the
+    // trailing-7-day total/active-day count (RANGE frame, gap-correct).
+    // One daily rollup; every feature is a window riding the same
+    // (user) partitioning — the no-self-join formulation of temporal
+    // features (a naive approach joins the table to itself once per
+    // lag).
+    "fe15_lag_features" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val trail = byDay.rangeBetween(-7, -1)
+      daily
+        .withColumn("lag_1d", sum(col("n")).over(byDay.rangeBetween(-1, -1)))
+        .withColumn("lag_7d", sum(col("n")).over(byDay.rangeBetween(-7, -7)))
+        .withColumn("trail7_sum", sum(col("n")).over(trail))
+        .withColumn("trail7_days", count(lit(1)).over(trail))
+        .na.fill(0L, Seq("lag_1d", "lag_7d", "trail7_sum", "trail7_days"))
+    },
+
     // TS11 (beyond reference): rolling-origin forecast BACKTEST — which
     // baseline should the anomaly/forecast tier trust, last-value naive
     // or seasonal-naive (same weekday last week)? Every observed day
@@ -1938,6 +1982,33 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev33_churn_labels" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM d)
+        |SELECT user_id, CAST(MIN(day) AS BIGINT) AS first_day,
+        |  CAST(MAX(day) AS BIGINT) AS last_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active_days,
+        |  CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS tenure_days,
+        |  MAX(day) < MAX(mx.max_day) - 14 AS churned
+        |FROM d CROSS JOIN mx GROUP BY user_id""".stripMargin,
+    "fe15_lag_features" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, CAST(n AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(n) OVER (w RANGE BETWEEN 1 PRECEDING
+        |    AND 1 PRECEDING), 0) AS BIGINT) AS lag_1d,
+        |  CAST(COALESCE(SUM(n) OVER (w RANGE BETWEEN 7 PRECEDING
+        |    AND 7 PRECEDING), 0) AS BIGINT) AS lag_7d,
+        |  CAST(COALESCE(SUM(n) OVER (w RANGE BETWEEN 7 PRECEDING
+        |    AND 1 PRECEDING), 0) AS BIGINT) AS trail7_sum,
+        |  CAST(COUNT(*) OVER (w RANGE BETWEEN 7 PRECEDING
+        |    AND 1 PRECEDING) AS BIGINT) AS trail7_days
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day)""".stripMargin,
     "ts11_forecast_backtest" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
