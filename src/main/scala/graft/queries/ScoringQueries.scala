@@ -543,6 +543,51 @@ object ScoringQueries {
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
     },
 
+    // IR8 (beyond reference): CHAMPION LISTS (impact-ordered postings
+    // truncation): keep only each term's top-10 highest-tf documents —
+    // the index-time pruning that lets query evaluation touch champions
+    // first and skip the tail (Manning et al.'s classic early-
+    // termination structure). Runs on the custom TopKPerKey physical
+    // operator: per-term bounded heaps BELOW the exchange, so the
+    // shuffle carries at most term-cardinality × 10 rows — at web scale
+    // the difference between shipping postings and shipping champions.
+    "ir8_champion_lists" -> { (s, dir) =>
+      val postings = docsSpread(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      graft.plans.TopKPerKey.topKPerKey(postings,
+        keys = Seq(col("term")),
+        order = Seq(col("tf").desc, col("doc_id").asc),
+        k = 10)
+    },
+
+    // S11 (beyond reference): word2vec NEGATIVE-SAMPLING distribution —
+    // the f^(3/4)-smoothed unigram table every skip-gram trainer draws
+    // negatives from. The ¾ power is computed as sqrt(sqrt(f³)) — two
+    // correctly-rounded IEEE sqrts on an exact-integer input, so both
+    // engines produce bit-identical weights with no libm pow — then
+    // milli-quantized per term BEFORE the normalizing sum, making the
+    // denominator an order-free integer. One vocabulary aggregate, one
+    // broadcast scalar.
+    "s11_negative_sampling" -> { (s, dir) =>
+      val tf = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("f"))
+        .filter(col("f") >= 10)
+        .withColumn("wq",
+          floor(sqrt(sqrt((col("f") * col("f") * col("f")).cast("double")))
+            * lit(1000)).cast("bigint"))
+      val tot = tf.agg(sum(col("wq")).as("wt"))
+      tf.crossJoin(broadcast(tot))
+        .select(col("term"), col("f"), col("wq"),
+          expr("(wq * 1000000) div wt").as("p_micro"))
+    },
+
     // ML12 (beyond reference): DECILE LIFT / GAINS table — "if we only
     // review the top 10/20/…% by score, what share of positives do we
     // catch?", the campaign-targeting readout that complements ml4's
@@ -990,6 +1035,33 @@ object ScoringQueries {
          |    AS rrf_micro,
          |  ra.r_a, rb.r_b
          |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id""".stripMargin,
+    "ir8_champion_lists" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks WHERE length(term) > 0 GROUP BY 1, 2)
+         |SELECT term, doc_id, tf FROM (
+         |  SELECT term, doc_id, tf,
+         |    ROW_NUMBER() OVER (PARTITION BY term
+         |      ORDER BY tf DESC, doc_id ASC) AS rk
+         |  FROM tf) z
+         |WHERE rk <= 10""".stripMargin,
+    "s11_negative_sampling" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+         |       FROM toks WHERE length(term) > 0
+         |       GROUP BY 1 HAVING COUNT(*) >= 10),
+         |wq AS (SELECT term, f,
+         |         CAST(FLOOR(sqrt(sqrt(CAST(f * f * f AS DOUBLE))) * 1000)
+         |           AS BIGINT) AS wq
+         |       FROM tf),
+         |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wt FROM wq)
+         |SELECT term, f, wq,
+         |  CAST((wq * 1000000) // tot.wt AS BIGINT) AS p_micro
+         |FROM wq CROSS JOIN tot""".stripMargin,
     "ml12_decile_lift" ->
       s"""WITH sc AS (
          |  SELECT doc_id, CAST(-3 + list_sum(list_transform(toks, t ->
