@@ -942,6 +942,24 @@ object RelationalQueries {
             .otherwise("nonmatch"))
     },
 
+    // D28 (beyond reference): BITMAP aggregation — fold each order's
+    // line numbers into one bit_or mask (bit i set ⟺ line i present),
+    // then profile the mask distribution. The bitmap-index building
+    // block: set-membership rollups as single integers that later AND/OR
+    // cheaply (the exact counterpart of d27's theta sketches for small
+    // universes). Map-side-combined bit_or — commutative, order-free,
+    // engine-exact.
+    "d28_bitmask_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(expr("""bit_or(shiftleft(cast(1 as bigint),
+               |cast(l_linenumber as int)))"""
+          .stripMargin.replace("\n", " ")).as("line_mask"),
+          count(lit(1)).as("n_lines"))
+        .groupBy("line_mask")
+        .agg(count(lit(1)).as("n_orders"), max(col("n_lines")).as("max_lines"))
+    },
+
     // PROF3 (beyond reference): per-column Shannon ENTROPY profile —
     // prof1 reports cardinalities; entropy tells you how the mass is
     // spread (the difference between "1M distinct, uniform" and "1M
@@ -1487,6 +1505,15 @@ object RelationalQueries {
         |       WHEN score_micro >= 3000000 THEN 'possible'
         |       ELSE 'nonmatch' END AS decision
         |FROM sc""".stripMargin,
+    "d28_bitmask_agg" ->
+      """WITH m AS (
+        |  SELECT l_orderkey,
+        |    bit_or(CAST(1 AS BIGINT) << l_linenumber) AS line_mask,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT line_mask, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(MAX(n_lines) AS BIGINT) AS max_lines
+        |FROM m GROUP BY 1""".stripMargin,
     "prof3_column_entropy" -> {
       def one(c: String): String =
         s"""SELECT '$c' AS col_name, CAST(SUM(nv) AS BIGINT) AS n,

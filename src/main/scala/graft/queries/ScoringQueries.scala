@@ -361,6 +361,35 @@ object ScoringQueries {
             .as("mi_nats"))
     },
 
+    // FE16 (beyond reference): INFORMATION VALUE — fe9 gives each
+    // source bin a WoE; IV = Σ_bins (good%−bad%)·WoE collapses the
+    // whole feature to the one screening number credit-scoring practice
+    // thresholds on (<0.02 useless, >0.3 strong). The share difference
+    // is kept as an exact integer rational over the common smoothed
+    // denominator ((2g+1)(2bt+1) − (2b+1)(2gt+1)), multiplied by the
+    // micro-quantized WoE and divided ONCE — order-free integer sum.
+    // Same two-aggregate broadcast shape as fe9.
+    "fe16_information_value" -> { (s, dir) =>
+      val c = docsSpread(s, dir).groupBy("source")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("good"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("bad"))
+      val tot = c.agg(sum(col("good")).as("gt"), sum(col("bad")).as("bt"))
+      // fe9's exact WoE expression tree, micro-quantized
+      val woeRatio =
+        ((col("good").cast("double") + lit(0.5)) /
+          (col("gt").cast("double") + lit(0.5))) /
+          ((col("bad").cast("double") + lit(0.5)) /
+            (col("bt").cast("double") + lit(0.5)))
+      c.crossJoin(broadcast(tot))
+        .select(
+          floor(log(woeRatio) * lit(1e6)).cast("bigint").as("woe_micro"),
+          ((lit(2) * col("good") + 1) * (lit(2) * col("bt") + 1) -
+            (lit(2) * col("bad") + 1) * (lit(2) * col("gt") + 1)).as("num"),
+          ((lit(2) * col("gt") + 1) * (lit(2) * col("bt") + 1)).as("den"))
+        .agg(count(lit(1)).as("n_bins"),
+          expr("sum(num * woe_micro) div max(den)").as("iv_micro"))
+    },
+
     "fe9_woe" -> { (s, dir) =>
       val c = docsSpread(s, dir).groupBy("source")
         .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("good"),
@@ -1035,6 +1064,30 @@ object ScoringQueries {
          |    AS rrf_micro,
          |  ra.r_a, rb.r_b
          |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id""".stripMargin,
+    "fe16_information_value" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS good,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS bad
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(good) AS BIGINT) AS gt,
+        |        CAST(SUM(bad) AS BIGINT) AS bt FROM c),
+        |terms AS (
+        |  SELECT
+        |    CAST(FLOOR(ln(((CAST(good AS DOUBLE) + 0.5) /
+        |        (CAST(gt AS DOUBLE) + 0.5)) /
+        |      ((CAST(bad AS DOUBLE) + 0.5) /
+        |        (CAST(bt AS DOUBLE) + 0.5))) * 1e6) AS BIGINT)
+        |      AS woe_micro,
+        |    (2 * good + 1) * (2 * bt + 1) - (2 * bad + 1) * (2 * gt + 1)
+        |      AS num,
+        |    (2 * gt + 1) * (2 * bt + 1) AS den
+        |  FROM c CROSS JOIN t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(num * woe_micro) // MAX(den) AS BIGINT) AS iv_micro
+        |FROM terms""".stripMargin,
     "ir8_champion_lists" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
