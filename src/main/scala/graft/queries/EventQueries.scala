@@ -1169,6 +1169,39 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // TS12 (beyond reference): CUSUM drift detector — ts6 splits the
+    // series at the single best changepoint; CUSUM instead accumulates
+    // deviation from the global mean and flags the first day the
+    // cumulative drift leaves a 3σ·√k envelope — the small-persistent-
+    // shift detector (a 5% drop every day never trips ts1's per-day
+    // z-score but walks CUSUM out of the envelope linearly). Exactness:
+    // deviations are N·x−S integers, the envelope test is the
+    // cross-multiplied inequality C²·(N−1)·N > 9·k·(N·Σx²−S²) in
+    // decimal(38)/HUGEINT — no float mean, σ, or sqrt anywhere.
+    "ts12_cusum_drift" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val st = daily.groupBy(col("event_type").as("st_type"))
+        .agg(count(lit(1)).as("nn"), sum(col("n")).as("ss"),
+          sum((col("n").cast(d38) * col("n").cast(d38))).as("sxx"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.join(broadcast(st), daily("event_type") === col("st_type"))
+        .withColumn("dev", col("nn").cast(d38) * col("n").cast(d38) -
+          col("ss").cast(d38))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cusum", sum(col("dev")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_type"), col("day"), col("n"), col("k"),
+          col("cusum").cast("long").as("cusum_dev"),
+          (col("cusum") * col("cusum") * (col("nn") - 1).cast(d38) >
+            lit(9).cast(d38) * col("k").cast(d38) * col("nn").cast(d38) *
+              (col("nn").cast(d38) * col("sxx") -
+                col("ss").cast(d38) * col("ss").cast(d38)))
+            .as("drifted"))
+    },
+
     // EV33 (beyond reference): CHURN labeling — the supervised-learning
     // label factory: per user, tenure span, active-day count, and a
     // churned flag (no activity in the trailing 14 days before the
@@ -1982,6 +2015,27 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ts12_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS nn,
+        |         CAST(SUM(n) AS HUGEINT) AS ss,
+        |         SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx
+        |       FROM daily GROUP BY 1),
+        |cs AS (
+        |  SELECT d.event_type, d.day, d.n, st.nn, st.ss, st.sxx,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+        |    SUM(st.nn * d.n - st.ss) OVER (w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily d JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day))
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n, k,
+        |  CAST(cusum AS BIGINT) AS cusum_dev,
+        |  (cusum * cusum * (nn - 1) >
+        |    9 * k * nn * (nn * sxx - ss * ss)) AS drifted
+        |FROM cs""".stripMargin,
     "ev33_churn_labels" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
