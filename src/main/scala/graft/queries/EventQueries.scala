@@ -1169,6 +1169,35 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // EV38 (beyond reference): next-event BASELINE accuracy — the
+    // sanity number every sequence model must beat: predict each
+    // transition's next type as the source state's majority class
+    // (ev12's matrix argmax, ties to the lexicographically first type)
+    // and score accuracy per state. acc = n_majority / n_s — all exact
+    // counts from one transition shuffle; the argmax is a 25-row
+    // metadata sort inside each state.
+    "ev38_next_event_baseline" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("nst"))
+      val pick = Window.partitionBy(col("prev_type"))
+        .orderBy(col("nst").desc, col("event_type").asc)
+      trans.withColumn("rk", row_number().over(pick))
+        .groupBy("prev_type")
+        .agg(sum(col("nst")).as("n_s"),
+          sum(when(col("rk") === 1, col("nst")).otherwise(0L))
+            .as("n_majority"),
+          max(when(col("rk") === 1, col("event_type"))).as("predicted"))
+        .select(col("prev_type"), col("predicted"), col("n_s"),
+          col("n_majority"),
+          expr("(n_majority * 1000000) div n_s").as("accuracy_micro"))
+    },
+
     // TS12 (beyond reference): CUSUM drift detector — ts6 splits the
     // series at the single best changepoint; CUSUM instead accumulates
     // deviation from the global mean and flags the first day the
@@ -2015,6 +2044,26 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev38_next_event_baseline" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS nst
+        |       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |rk AS (SELECT prev_type, event_type, nst,
+        |         ROW_NUMBER() OVER (PARTITION BY prev_type
+        |           ORDER BY nst DESC, event_type ASC) AS rk
+        |       FROM tr)
+        |SELECT prev_type,
+        |  MAX(CASE WHEN rk = 1 THEN event_type END) AS predicted,
+        |  CAST(SUM(nst) AS BIGINT) AS n_s,
+        |  CAST(SUM(CASE WHEN rk = 1 THEN nst ELSE 0 END) AS BIGINT)
+        |    AS n_majority,
+        |  CAST((SUM(CASE WHEN rk = 1 THEN nst ELSE 0 END) * 1000000)
+        |    // SUM(nst) AS BIGINT) AS accuracy_micro
+        |FROM rk GROUP BY prev_type""".stripMargin,
     "ts12_cusum_drift" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -942,6 +942,31 @@ object RelationalQueries {
             .otherwise("nonmatch"))
     },
 
+    // C14 (beyond reference): join-FANOUT audit — the pre-flight a
+    // pipeline runs before shipping a join: per-key multiplicities on
+    // both sides give the EXACT output cardinality (Σ nL·nR), the worst
+    // single-key fan-out (the skew bomb), match coverage, and orphan
+    // mass — all from two key-grain aggregates and one key-keyed
+    // full-outer join, never by running the join itself. The "why did
+    // my join explode 40×" answer at any scale.
+    "c14_join_fanout_audit" -> { (s, dir) =>
+      val lk = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("n_left"))
+      val rk = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey").as("key")).agg(count(lit(1)).as("n_right"))
+      lk.join(rk, Seq("key"), "full_outer")
+        .na.fill(0L, Seq("n_left", "n_right"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n_left") * col("n_right")).as("join_rows"),
+          max(col("n_left") * col("n_right")).as("max_fanout"),
+          sum(when(col("n_left") > 0 && col("n_right") > 0, 1L)
+            .otherwise(0L)).as("n_matched_keys"),
+          sum(when(col("n_right") === 0, col("n_left")).otherwise(0L))
+            .as("left_orphan_rows"),
+          sum(when(col("n_left") === 0, col("n_right")).otherwise(0L))
+            .as("right_orphan_rows"))
+    },
+
     // D28 (beyond reference): BITMAP aggregation — fold each order's
     // line numbers into one bit_or mask (bit i set ⟺ line i present),
     // then profile the mask distribution. The bitmap-index building
@@ -1505,6 +1530,24 @@ object RelationalQueries {
         |       WHEN score_micro >= 3000000 THEN 'possible'
         |       ELSE 'nonmatch' END AS decision
         |FROM sc""".stripMargin,
+    "c14_join_fanout_audit" ->
+      """WITH lk AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT)
+        |              AS n_left FROM lineitem GROUP BY 1),
+        |rk AS (SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT)
+        |         AS n_right FROM orders GROUP BY 1),
+        |j AS (SELECT COALESCE(l.n_left, 0) AS n_left,
+        |        COALESCE(r.n_right, 0) AS n_right
+        |      FROM lk l FULL OUTER JOIN rk r ON l.key = r.key)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(n_left * n_right) AS BIGINT) AS join_rows,
+        |  CAST(MAX(n_left * n_right) AS BIGINT) AS max_fanout,
+        |  CAST(SUM(CASE WHEN n_left > 0 AND n_right > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched_keys,
+        |  CAST(SUM(CASE WHEN n_right = 0 THEN n_left ELSE 0 END)
+        |    AS BIGINT) AS left_orphan_rows,
+        |  CAST(SUM(CASE WHEN n_left = 0 THEN n_right ELSE 0 END)
+        |    AS BIGINT) AS right_orphan_rows
+        |FROM j""".stripMargin,
     "d28_bitmask_agg" ->
       """WITH m AS (
         |  SELECT l_orderkey,
