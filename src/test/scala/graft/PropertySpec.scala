@@ -374,4 +374,42 @@ object GraphProps extends Properties("Graph") {
         }
       }
     }
+
+  private val pointsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(4, 20)
+    xs <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+  } yield xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+
+  property("kCenterGreedy matches reference farthest-first exactly") =
+    Prop.forAll(pointsGen) { pts =>
+      import spark.implicits._
+      val k = 3
+      // reference: greedy farthest-first on 1-d points, lowest-id seed,
+      // strict-< assignment updates, ties to the lowest id
+      def d2(a: Long, b: Long): Long = (a - b) * (a - b)
+      val byId = pts.toMap
+      val seed = pts.map(_._1).min
+      var centers = List(seed)
+      var minD = pts.map { case (id, x) =>
+        id -> (d2(x, byId(seed)), seed)
+      }.toMap
+      for (_ <- 2 to k) {
+        val far = minD.toList
+          .sortBy { case (id, (d, _)) => (-d, id) }.head._1
+        centers :+= far
+        minD = minD.map { case (id, (d, c)) =>
+          val nd = d2(byId(id), byId(far))
+          id -> (if (nd < d) (nd, far) else (d, c))
+        }
+      }
+      val got = graft.operators.Coreset.kCenterGreedy(
+          pts.map { case (id, x) => (id, Seq(x)) }.toDF("vec_id", "qv"),
+          "vec_id", "qv", k = k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      got == minD.map { case (id, (d, c)) =>
+        id -> ((c, d, centers.contains(id)))
+      }
+    }
 }
