@@ -942,6 +942,77 @@ object RelationalQueries {
             .otherwise("nonmatch"))
     },
 
+    // D29 (beyond reference): one-way ANOVA — does the grouping explain
+    // the variance? Between/within sum-of-squares via the exact
+    // identities SSB = Σ S_g²/n_g − S²/N and SSW = Σx² − Σ S_g²/n_g,
+    // every per-group ratio floor-quantized to micro (cents² units)
+    // BEFORE the cross-group sum so the totals are order-free integers;
+    // the F statistic is one fixed IEEE tree at the end. One group
+    // aggregate + one metadata-grain reduce — the "is this dimension
+    // worth partitioning on" screen at any scale.
+    "d29_anova" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      // whole-dollar units keep every quantized ratio inside int64
+      // headroom (~1e17 at sf0.1); the ≤1-unit floor error per group is
+      // negligible against ~1e16 sums and identical in both engines
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          expr("cast(round(o_totalprice) as bigint)").as("v"))
+      val per = o.groupBy("grp").agg(count(lit(1)).as("ng"),
+        sum(col("v").cast(d38)).as("sg"),
+        sum(col("v").cast(d38) * col("v").cast(d38)).as("sxx"))
+        .withColumn("sg2n", expr("cast(sg * sg div ng as bigint)"))
+      val tot = per.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"), sum(col("sxx")).as("xx"),
+        sum(col("sg2n")).as("sum_sg2n"))
+      tot.select(col("k"), col("n"),
+          (col("sum_sg2n") - expr("cast(s * s div n as bigint)"))
+            .as("ssb"),
+          (col("xx").cast("long") - col("sum_sg2n")).as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          ((col("ssb").cast("double") / (col("k") - 1).cast("double"))
+            / (col("ssw").cast("double") /
+              (col("n") - col("k")).cast("double"))).as("f_stat"))
+    },
+
+    // D30 (beyond reference): WINSORIZATION report — clamp each group's
+    // tails at the exact p5/p95 values (ceil-rank order statistics, the
+    // robust-preprocessing cousin of d17's MAD outliers) and report how
+    // much mass moved: clamp counts and exact before/after means. One
+    // in-group rank window; the two cut values per group are a
+    // metadata-grain table broadcast back — the clamp itself is then a
+    // per-row expression, so at scale this costs one sort-window pass,
+    // not a quantile self-join.
+    "d30_winsorize" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("grp"),
+          col("l_orderkey"), col("l_linenumber"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = li.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      val cuts = ranked
+        .filter(col("rn") === expr("(n * 5 + 99) div 100") ||
+          col("rn") === expr("(n * 95 + 99) div 100"))
+        .groupBy(col("grp").as("c_grp"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      ranked.join(broadcast(cuts), col("grp") === col("c_grp"))
+        .withColumn("clamped",
+          when(col("cents") < col("lo"), col("lo"))
+            .when(col("cents") > col("hi"), col("hi"))
+            .otherwise(col("cents")))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), max(col("lo")).as("lo_cents"),
+          max(col("hi")).as("hi_cents"),
+          sum(when(col("cents") < col("lo"), 1L).otherwise(0L))
+            .as("n_clamped_low"),
+          sum(when(col("cents") > col("hi"), 1L).otherwise(0L))
+            .as("n_clamped_high"),
+          expr("sum(cents) div count(1)").as("mean_before_cents"),
+          expr("sum(clamped) div count(1)").as("mean_after_cents"))
+    },
+
     // C14 (beyond reference): join-FANOUT audit — the pre-flight a
     // pipeline runs before shipping a join: per-key multiplicities on
     // both sides give the EXACT output cardinality (Σ nL·nR), the worst
@@ -1530,6 +1601,61 @@ object RelationalQueries {
         |       WHEN score_micro >= 3000000 THEN 'possible'
         |       ELSE 'nonmatch' END AS decision
         |FROM sc""".stripMargin,
+    "d29_anova" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |             CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+        |per AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(v) AS HUGEINT) AS sg,
+        |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx,
+        |    CAST(CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT)
+        |      // COUNT(*) AS BIGINT) AS sg2n
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |        CAST(SUM(ng) AS BIGINT) AS n,
+        |        CAST(SUM(sg) AS HUGEINT) AS s,
+        |        CAST(SUM(sxx) AS BIGINT) AS xx,
+        |        CAST(SUM(sg2n) AS BIGINT) AS sum_sg2n
+        |      FROM per)
+        |SELECT k, n,
+        |  CAST(sum_sg2n - CAST(s * s // n AS BIGINT) AS BIGINT) AS ssb,
+        |  CAST(xx - sum_sg2n AS BIGINT) AS ssw,
+        |  (CAST(sum_sg2n - CAST(s * s // n AS BIGINT) AS DOUBLE) /
+        |     CAST(k - 1 AS DOUBLE)) /
+        |  (CAST(xx - sum_sg2n AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |    AS f_stat
+        |FROM t""".stripMargin,
+    "d30_winsorize" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS grp, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT grp, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM li),
+        |cuts AS (
+        |  SELECT grp AS c_grp, CAST(MIN(cents) AS BIGINT) AS lo,
+        |    CAST(MAX(cents) AS BIGINT) AS hi
+        |  FROM rk
+        |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+        |  GROUP BY 1)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(lo) AS BIGINT) AS lo_cents,
+        |  CAST(MAX(hi) AS BIGINT) AS hi_cents,
+        |  CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_low,
+        |  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_high,
+        |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_before_cents,
+        |  CAST(SUM(CASE WHEN cents < lo THEN lo
+        |                WHEN cents > hi THEN hi
+        |                ELSE cents END) // COUNT(*) AS BIGINT)
+        |    AS mean_after_cents
+        |FROM rk JOIN cuts ON rk.grp = cuts.c_grp
+        |GROUP BY grp""".stripMargin,
     "c14_join_fanout_audit" ->
       """WITH lk AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT)
         |              AS n_left FROM lineitem GROUP BY 1),
