@@ -39,6 +39,21 @@ object SqlQueries {
       |GROUP BY c_custkey, c_name
       |ORDER BY spend DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  private val marketShare =
+    """WITH rev AS (
+      |  SELECT s_nationkey, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS revenue
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY s_nationkey, l_suppkey),
+      |ranked AS (
+      |  SELECT n_name, l_suppkey, revenue,
+      |    CAST(RANK() OVER (PARTITION BY s_nationkey
+      |      ORDER BY revenue DESC, l_suppkey ASC) AS BIGINT) AS rk
+      |  FROM rev JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT n_name, l_suppkey, revenue, rk
+      |FROM ranked WHERE rk <= 3""".stripMargin
+
   private val windowSql =
     """SELECT o_custkey, o_orderkey,
       |CAST(RANK() OVER (PARTITION BY o_custkey
@@ -122,6 +137,13 @@ object SqlQueries {
           |  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
           |""".stripMargin)
     },
+    // CTE + join + partitioned rank + filter-on-rank in one
+    // dialect-neutral statement — the "top-N per group through pure
+    // SQL" surface (QUALIFY's portable form).
+    "sql7_market_share" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(marketShare)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,6 +154,7 @@ object SqlQueries {
          |(${TrainingDataQueries.sqlDotChain("embedding", "embedding")}) AS self_dot
          |FROM embeddings ORDER BY self_dot DESC, vec_id LIMIT 25""".stripMargin,
     "sql4_window_sql" -> windowSql,
+    "sql7_market_share" -> marketShare,
     "sql6_lsh_pairs" ->
       s"""WITH ${TrainingDataQueries.lshCtes("l.id < r.id")}
          |SELECT id_a, id_b FROM cands""".stripMargin,
