@@ -1169,6 +1169,45 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // EV42 (beyond reference): KAPLAN–MEIER survival curve — "what
+    // fraction of users survive to tenure t?", with still-active users
+    // correctly treated as CENSORED (the error every naive churn-rate
+    // query makes is dropping them). The product Π(1 − dᵢ/nᵢ) is kept
+    // exact in log space: each factor contributes qlog(nᵢ−dᵢ) −
+    // qlog(nᵢ) micro-nats, cumulated by one window — order-free
+    // integers, no float product. Risk sets come from a descending
+    // cumulative count over the tenure-grain rollup; everything after
+    // the per-user label pass is metadata-sized.
+    "ev42_kaplan_meier" -> { (s, dir) =>
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      val mx = d.agg(max(col("day")).as("max_day"))
+      val users = d.groupBy("user_id")
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .crossJoin(broadcast(mx))
+        .select((col("last_day") - col("first_day")).as("tenure"),
+          (col("last_day") < col("max_day") - 14).as("churned"))
+      val byTenure = users.groupBy("tenure")
+        .agg(count(lit(1)).as("n_here"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("d_t"))
+      val wAsc = Window.orderBy(col("tenure"))
+      val wDesc = Window.orderBy(col("tenure").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byTenure
+        .withColumn("n_risk", sum(col("n_here")).over(wDesc))
+        .withColumn("log_factor_micro",
+          when(col("d_t") > 0,
+            floor(log((col("n_risk") - col("d_t")).cast("double")) *
+              lit(1e6)).cast("bigint") -
+              floor(log(col("n_risk").cast("double")) * lit(1e6))
+                .cast("bigint")).otherwise(lit(0L)))
+        .withColumn("log_surv_micro", sum(col("log_factor_micro")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("tenure"), col("n_risk"), col("d_t"),
+          col("log_surv_micro"))
+    },
+
     // EV38 (beyond reference): next-event BASELINE accuracy — the
     // sanity number every sequence model must beat: predict each
     // transition's next type as the source state's majority class
@@ -2044,6 +2083,37 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev42_kaplan_meier" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM d),
+        |u AS (
+        |  SELECT MAX(day) - MIN(day) AS tenure,
+        |    MAX(day) < MAX(mx.max_day) - 14 AS churned
+        |  FROM d CROSS JOIN mx GROUP BY user_id),
+        |bt AS (SELECT tenure, CAST(COUNT(*) AS BIGINT) AS n_here,
+        |         CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS d_t
+        |       FROM u GROUP BY 1),
+        |rs AS (
+        |  SELECT tenure, n_here, d_t,
+        |    CAST(SUM(n_here) OVER (ORDER BY tenure DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM bt),
+        |lf AS (
+        |  SELECT tenure, n_risk, d_t,
+        |    CASE WHEN d_t > 0 THEN
+        |      CAST(FLOOR(ln(CAST(n_risk - d_t AS DOUBLE)) * 1e6) AS BIGINT)
+        |      - CAST(FLOOR(ln(CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+        |    ELSE 0 END AS log_factor_micro
+        |  FROM rs)
+        |SELECT tenure, n_risk, d_t,
+        |  CAST(SUM(log_factor_micro) OVER (ORDER BY tenure
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS log_surv_micro
+        |FROM lf""".stripMargin,
     "ev38_next_event_baseline" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

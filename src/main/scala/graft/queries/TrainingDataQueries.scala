@@ -1985,6 +1985,49 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // FE17 (beyond reference): James–Stein SHRUNK mean encoder — fe5's
+    // raw per-source target mean overfits small sources; shrinking
+    // toward the global mean by n/(n+m) (empirical-Bayes, m=20 pseudo-
+    // observations) is the standard fix. The shrunk mean is ONE exact
+    // rational (S_g·N + m·S)/(N·(n_g+m)), micro-quantized with a single
+    // floor-div — no float mean is ever formed, so both engines agree
+    // exactly. Same two-aggregate broadcast shape as fe5/fe9.
+    "fe17_shrunk_encode" -> { (s, dir) =>
+      val per = docsSpread(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("ng"), sum(col("n_chars")).as("sg"))
+      val tot = per.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("ng"),
+          expr("(sg * 1000000) div ng").as("raw_mean_micro"),
+          expr("((sg * n + 20 * st) * 1000000) div (n * (ng + 20))")
+            .as("shrunk_mean_micro"))
+    },
+
+    // PK7 (beyond reference): chunk-level DEDUP ratio — the storage-
+    // dedup readout: slice every document into fixed 64-char chunks,
+    // fingerprint each, and report how much of the corpus is repeated
+    // chunk content (the block-level view dd1's whole-doc checksum
+    // can't see — two docs sharing one paragraph dedup at chunk grain).
+    // Chunking is a per-row array expression (no shuffle until the
+    // fingerprint count); the shuffle carries 16-byte digests, never
+    // text.
+    "pk7_chunk_dedup" -> { (s, dir) =>
+      val chunks = docsSpread(s, dir)
+        .select(explode(expr(
+          """transform(sequence(0,
+            |cast((length(trim(regexp_replace(lower(text), '\\s+', ' ')))
+            |  + 63) div 64 - 1 as int)),
+            |i -> substr(trim(regexp_replace(lower(text), '\\s+', ' ')),
+            |  i * 64 + 1, 64))"""
+            .stripMargin.replace("\n", " "))).as("chunk"))
+        .select(md5(col("chunk")).as("h"))
+      chunks.agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col("n_chunks"), col("n_distinct"),
+          expr("(n_distinct * 1000000) div n_chunks").as("unique_micro"),
+          ((col("n_chunks") - col("n_distinct")) * 64).as("chars_saved"))
+    },
+
     // FE13 (beyond reference): RARE-LABEL grouping — collapse categories
     // below a share threshold into one '__other__' level before
     // encoding (the guard that keeps fe1/fe5-style encoders from
@@ -2836,6 +2879,32 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "fe17_shrunk_encode" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sg
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |        CAST(SUM(sg) AS BIGINT) AS st FROM per)
+        |SELECT source, ng,
+        |  CAST((sg * 1000000) // ng AS BIGINT) AS raw_mean_micro,
+        |  CAST(((sg * n + 20 * st) * 1000000) // (n * (ng + 20))
+        |    AS BIGINT) AS shrunk_mean_micro
+        |FROM per CROSS JOIN t""".stripMargin,
+    "pk7_chunk_dedup" ->
+      s"""WITH ch AS (
+         |  SELECT md5(unnest(list_transform(
+         |    range(0, (length($normSql) + 63) // 64),
+         |    i -> substr($normSql, CAST(i * 64 + 1 AS INTEGER), 64))))
+         |    AS h
+         |  FROM documents)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+         |  CAST((COUNT(DISTINCT h) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS unique_micro,
+         |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 64 AS BIGINT)
+         |    AS chars_saved
+         |FROM ch""".stripMargin,
     "fe13_rare_label_encode" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM documents GROUP BY 1),
