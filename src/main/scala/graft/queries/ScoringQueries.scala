@@ -572,6 +572,36 @@ object ScoringQueries {
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
     },
 
+    // IR9 (beyond reference): SNIPPET extraction — the search-result
+    // preview: for every document matching ir7's corpus-argmax phrase,
+    // the ±2-token window around the FIRST match, joined back to text.
+    // Window selection is per-row array slicing on the already-held
+    // token array (1-based slice over the 0-based position — both
+    // engines clamp identically via greatest), so snippets cost one
+    // phrase-match pass plus a projection — no text re-scan, no UDF.
+    "ir9_snippets" -> { (s, dir) =>
+      val toksCol = split(TextAnalysis.normalizeText(col("text")), " ")
+      val docs = docsSpread(s, dir).select(col("doc_id"),
+        toksCol.as("toks"))
+      val tp = docs.select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("col").as("tok"))
+      val order = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tp.withColumn("nxt", lead(col("tok"), 1).over(order))
+        .filter(col("nxt").isNotNull)
+      val top = big.groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("nxt")).limit(1)
+        .select(col("tok").as("p1"), col("nxt").as("p2"))
+      val firsts = big.crossJoin(broadcast(top))
+        .filter(col("tok") === col("p1") && col("nxt") === col("p2"))
+        .groupBy("doc_id").agg(min(col("pos")).as("first_pos"))
+      docs.join(firsts, "doc_id")
+        .select(col("doc_id"), col("first_pos"),
+          array_join(slice(col("toks"),
+            greatest(col("first_pos") - 1, lit(1)).cast("int"),
+            lit(6)), " ").as("snippet"))
+    },
+
     // IR8 (beyond reference): CHAMPION LISTS (impact-ordered postings
     // truncation): keep only each term's top-10 highest-tf documents —
     // the index-time pruning that lets query evaluation touch champions
@@ -1064,6 +1094,32 @@ object ScoringQueries {
          |    AS rrf_micro,
          |  ra.r_a, rb.r_b
          |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id""".stripMargin,
+    "ir9_snippets" ->
+      s"""WITH dt AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |            FROM documents),
+         |tp AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+         |  FROM dt, unnest(generate_series(1, len(toks))) AS s(i)),
+         |big AS (
+         |  SELECT doc_id, pos, tok,
+         |    LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM tp),
+         |bg AS (SELECT * FROM big WHERE nxt IS NOT NULL),
+         |top AS (
+         |  SELECT tok AS p1, nxt AS p2 FROM bg
+         |  GROUP BY tok, nxt
+         |  ORDER BY COUNT(*) DESC, tok, nxt LIMIT 1),
+         |fp AS (
+         |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS first_pos
+         |  FROM bg CROSS JOIN top
+         |  WHERE tok = p1 AND nxt = p2
+         |  GROUP BY doc_id)
+         |SELECT dt.doc_id, fp.first_pos,
+         |  array_to_string(dt.toks[
+         |    CAST(greatest(fp.first_pos - 1, 1) AS INTEGER) :
+         |    CAST(greatest(fp.first_pos - 1, 1) + 5 AS INTEGER)], ' ')
+         |    AS snippet
+         |FROM dt JOIN fp USING (doc_id)""".stripMargin,
     "fe16_information_value" ->
       """WITH c AS (
         |  SELECT source,
