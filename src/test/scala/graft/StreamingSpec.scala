@@ -365,6 +365,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful anomaly flags match a reference loop across batch splits") {
+    import spark.implicits._
+    import graft.streaming.StatefulAnomaly
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // steady series with one obvious spike at t=6
+      val xs = Seq(10L, 11L, 9L, 10L, 11L, 10L, 60L, 10L)
+      val obs = xs.zipWithIndex.map { case (x, t) =>
+        StatefulAnomaly.Obs("s", t.toLong, x)
+      }
+      // reference: same one-step-ahead test in a plain loop
+      var (n, s, ss) = (0L, 0L, 0L)
+      val expect = obs.map { o =>
+        val f = n >= 3 && {
+          val dev = BigInt(o.x) * n - s
+          dev * dev * 4 > BigInt(25) * (BigInt(n) * ss - BigInt(s) * s)
+        }
+        n += 1; s += o.x; ss += o.x * o.x
+        o.t -> f
+      }.toMap
+      def run(splits: Seq[Seq[StatefulAnomaly.Obs]], name: String)
+      : Map[Long, Boolean] = {
+        val stream = MemoryStream[StatefulAnomaly.Obs]
+        val query = StatefulAnomaly.flagAnomalies(stream.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        splits.foreach { b =>
+          stream.addData(b: _*); query.processAllAvailable()
+        }
+        query.stop()
+        spark.table(name).collect()
+          .map(r => r.getAs[Long]("t") -> r.getAs[Boolean]("isAnomaly"))
+          .toMap
+      }
+      // two different micro-batch splits of the same sequence
+      val a = run(Seq(obs.take(3), obs.drop(3)), "anom_a")
+      val b = run(Seq(obs.take(5), obs.slice(5, 6), obs.drop(6)), "anom_b")
+      assert(a == expect, a)
+      assert(b == expect, b)
+      assert(expect(6L) && expect.count(_._2) == 1) // only the spike fires
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replayed ids with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
