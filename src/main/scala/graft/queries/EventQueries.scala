@@ -1169,6 +1169,39 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // TS13 (beyond reference): THEIL–SEN robust trend — the median of
+    // all pairwise slopes, immune to the outlier days that bend an OLS
+    // fit (ml6): the robust "is this series growing?" number. Slopes
+    // are micro-quantized integers ((Δn·1e6) div Δday — exact, same
+    // truncation both engines), the median is the lower-middle order
+    // statistic by (slope, day-pair) rank. Pair count is days²/2 per
+    // series — bounded by the CALENDAR (≤ ~66k pairs/series/year), not
+    // by event volume, so the self-join stays metadata-grain at any
+    // corpus size.
+    "ts13_theil_sen" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("n").as("n1"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("day").as("d2"), col("n").as("n2"))
+      val slopes = a.join(b, col("event_type") === col("et2") &&
+          col("d1") < col("d2"))
+        .select(col("event_type"),
+          expr("((n2 - n1) * 1000000) div (d2 - d1)").as("slope_micro"),
+          col("d1"), col("d2"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope_micro"), col("d1"), col("d2"))
+      slopes
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rk") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          col("slope_micro").as("sen_slope_micro"))
+    },
+
     // EV42 (beyond reference): KAPLAN–MEIER survival curve — "what
     // fraction of users survive to tenure t?", with still-active users
     // correctly treated as CENSORED (the error every naive churn-rate
@@ -2083,6 +2116,27 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ts13_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type,
+        |    CAST(((b.n - a.n) * 1000000) // (b.day - a.day) AS BIGINT)
+        |      AS slope_micro,
+        |    a.day AS d1, b.day AS d2
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |rk AS (
+        |  SELECT event_type, slope_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope_micro, d1, d2) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM sl)
+        |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+        |  slope_micro AS sen_slope_micro
+        |FROM rk WHERE rk = (np + 1) // 2""".stripMargin,
     "ev42_kaplan_meier" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
