@@ -1985,6 +1985,38 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // PIPE3 (beyond reference): cross-SIGNAL correlation — do two
+    // independent quality signals (document length, lexical diversity)
+    // agree? The screen run before adding a new filter to the curation
+    // stack: a signal highly correlated with one already in use adds
+    // thresholding complexity but no information. Pearson r via six
+    // exact integer sufficient statistics (both features integer-
+    // valued: n_chars and the micro-quantized type/token ratio), then
+    // ts4's fixed IEEE tree — engines agree bitwise. One token-free
+    // array pass per row, one scalar reduce.
+    "pipe3_signal_correlation" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val toks = filter(split(TextAnalysis.normalizeText(col("text")), " "),
+        t => length(t) > 0)
+      val xy = docsSpread(s, dir)
+        .select(col("n_chars").as("x"), size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_types"))
+        .filter(col("n_toks") > 0)
+        .select(col("x"),
+          expr("(cast(n_types as bigint) * 1000000) div n_toks").as("y"))
+      val st = xy.agg(count(lit(1)).as("m"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+      val vx = col("m").cast(d38) * col("sxx") - col("sx") * col("sx")
+      val vy = col("m").cast(d38) * col("syy") - col("sy") * col("sy")
+      st.select(col("m"),
+        ((col("m").cast(d38) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("r"))
+    },
+
     // FE17 (beyond reference): James–Stein SHRUNK mean encoder — fe5's
     // raw per-source target mean overfits small sources; shrinking
     // toward the global mean by n/(n+m) (empirical-Bayes, m=20 pseudo-
@@ -2879,6 +2911,28 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "pipe3_signal_correlation" ->
+      s"""WITH xy AS (
+         |  SELECT n_chars AS x,
+         |    (CAST(len(list_filter(string_split($normSql, ' '),
+         |       t -> length(t) > 0)) AS BIGINT)) AS n_toks,
+         |    (CAST(len(list_distinct(list_filter(string_split($normSql,
+         |       ' '), t -> length(t) > 0))) AS BIGINT)) AS n_types
+         |  FROM documents),
+         |v AS (SELECT x, (n_types * 1000000) // n_toks AS y
+         |      FROM xy WHERE n_toks > 0),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM v)
+         |SELECT m,
+         |  CAST(m * sxy - sx * sy AS DOUBLE) /
+         |  (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+         |   sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS r
+         |FROM st""".stripMargin,
     "fe17_shrunk_encode" ->
       """WITH per AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
