@@ -201,6 +201,60 @@ object ExperimentQueries {
             > 3.841).cast("bigint").as("srm_flag"))
     },
 
+    // AB7 (beyond reference): HETEROGENEOUS treatment effects — ab3
+    // answers "did it work on average"; this answers "for whom": the
+    // per-segment diff-in-means with its z statistic, segments defined
+    // from pre-treatment behavior (the user's modal event type,
+    // deterministic tie-break) so the split is independent of
+    // assignment. Same exact decimal sufficient statistics and fixed
+    // IEEE tree as ab3, one extra segment key in the rollup — the HTE
+    // table a launch review reads before shipping to everyone.
+    "ab7_uplift_by_segment" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val ev = Tables.eventsUs(s, dir)
+      // segment: modal event type per user (ties → lexicographic)
+      val seg = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("n").desc, col("event_type").asc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("segment"))
+      val mn = ev.select(expr("ts div 86400000000").as("day"))
+        .agg(min(col("day")).as("d0"))
+      val per = ev.select(col("user_id"),
+          expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+        .crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+        .join(seg, "user_id")
+      val st = per.groupBy("segment", "arm")
+        .agg(count(lit(1)).as("n"), sum(col("y").cast(d38)).as("sy"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+      val a0 = st.filter(col("arm") === 0).select(col("segment"),
+        col("n").as("n0"), col("sy").as("sy0"), col("syy").as("syy0"))
+      val a1 = st.filter(col("arm") === 1).select(
+        col("segment").as("seg1"), col("n").as("n1"),
+        col("sy").as("sy1"), col("syy").as("syy1"))
+      def m(n: Column, sy: Column): Column =
+        sy.cast("double") / n.cast("double")
+      def v(n: Column, sy: Column, syy: Column): Column =
+        (n.cast(d38) * syy - sy * sy).cast("double") /
+          (n.cast(d38) * (n - 1).cast(d38)).cast("double")
+      a0.join(a1, col("segment") === col("seg1"))
+        .filter(col("n0") > 1 && col("n1") > 1)
+        .select(col("segment"), col("n0"), col("n1"),
+          (m(col("n1"), col("sy1")) - m(col("n0"), col("sy0"))).as("diff"),
+          ((m(col("n1"), col("sy1")) - m(col("n0"), col("sy0"))) /
+            sqrt(v(col("n1"), col("sy1"), col("syy1")) /
+              col("n1").cast("double") +
+              v(col("n0"), col("sy0"), col("syy0")) /
+                col("n0").cast("double"))).as("z"))
+    },
+
     // AB6 (beyond reference): SEQUENTIAL monitoring trajectory — the
     // "can we stop early?" readout: the day-by-day cumulative two-sample
     // z² with a fixed Pocock-style boundary (10.273 ≈ 10-look α=0.05),
@@ -392,6 +446,46 @@ object ExperimentQueries {
          |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE) > 3.841 AS BIGINT) AS srm_flag
          |FROM a""".stripMargin,
+    "ab7_uplift_by_segment" ->
+      s"""WITH seg AS (
+         |  SELECT user_id, event_type AS segment FROM (
+         |    SELECT user_id, event_type,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+         |    FROM events GROUP BY user_id, event_type) z
+         |  WHERE rk = 1),
+         |mn AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= mn.d0 + 15
+         |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM events CROSS JOIN mn GROUP BY user_id),
+         |j AS (SELECT p.y, p.arm, s.segment
+         |      FROM per p JOIN seg s USING (user_id)),
+         |st AS (
+         |  SELECT segment, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS HUGEINT) AS sy,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM j GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a0.segment, a0.n AS n0, a0.sy AS sy0, a0.syy AS syy0,
+         |         a1.n AS n1, a1.sy AS sy1, a1.syy AS syy1
+         |  FROM st a0 JOIN st a1
+         |    ON a0.segment = a1.segment AND a0.arm = 0 AND a1.arm = 1
+         |  WHERE a0.n > 1 AND a1.n > 1)
+         |SELECT segment, n0, n1,
+         |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+         |  (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+         |  sqrt(
+         |    CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) /
+         |      CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) +
+         |    CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
+         |      CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)) AS z
+         |FROM p""".stripMargin,
     "ab6_sequential_monitor" ->
       s"""WITH d AS (
          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
