@@ -106,6 +106,23 @@ object MultimodalQueries {
                  |0L, (acc, x) -> acc + x)""".stripMargin).as("l1"))
         .filter(col("l1") <= 64)
     },
+
+    // MM8 (beyond reference): payload BYTE-VALUE histogram — the
+    // format-forensics profile of a binary column (uniform histogram ⇒
+    // compressed/encrypted content; spiked ⇒ structured headers worth a
+    // parser). Bytes stream out of the hex view two characters at a
+    // time via a per-row array expression — no UDF, no byte-level
+    // explode of raw binary through the shuffle; only the 256-bucket
+    // rollup moves.
+    "mm8_byte_histogram" -> { (s, dir) =>
+      Multimodal.syntheticMedia(s, Tables.documents(s, dir)).toDF()
+        .select(explode(expr(
+          """transform(sequence(0, cast(octet_length(content) as int) - 1),
+            |i -> conv(substr(hex(content), i * 2 + 1, 2), 16, 10))"""
+            .stripMargin.replace("\n", " "))).as("b"))
+        .select(col("b").cast("bigint").as("byte_val"))
+        .groupBy("byte_val").agg(count(lit(1)).as("n"))
+    },
   )
 
   private val mediaTypeSql =
@@ -185,5 +202,13 @@ object MultimodalQueries {
          |CAST(ts // 25000 AS BIGINT) AS frame_idx,
          |ts AS frame_ts_ms
          |FROM v, unnest(range(0, greatest(duration_ms, 1), 25000)) AS t(ts)""".stripMargin,
+    "mm8_byte_histogram" ->
+      """WITH h AS (SELECT md5(text) AS hx FROM documents),
+        |b AS (SELECT CAST(('0x' ||
+        |         substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)) AS BIGINT)
+        |         AS byte_val
+        |      FROM h, unnest(range(0, 16)) AS t(i))
+        |SELECT byte_val, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1""".stripMargin,
   )
 }
