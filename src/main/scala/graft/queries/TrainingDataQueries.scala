@@ -1985,6 +1985,36 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // DD14 (beyond reference): b-BIT MINHASH (Li & König) audited —
+    // keep only the PARITY bit of each minhash component (16 bits ≈ 2
+    // bytes per doc instead of 128) and estimate Jaccard from the
+    // agreement rate via Ĵ = 2·A − 1; the audit reports each candidate
+    // pair's 1-bit estimate against the exact Jaccard. The memory
+    // format that makes planet-scale dedup signatures fit in RAM —
+    // candidates still come from the banded LSH index, so nothing here
+    // is all-pairs; the bit fold is a per-row codegen HOF.
+    "dd14_bbit_minhash" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val pairs = Dedup.minhashDedup(docs, threshold = 0.3)
+      val bits = Dedup.minhashSignatures(docs)
+        .select(col("id"), expr("transform(sig, h -> h % 2)").as("bits"))
+      pairs
+        .join(bits.select(col("id").as("id_a"), col("bits").as("ba")),
+          "id_a")
+        .join(bits.select(col("id").as("id_b"), col("bits").as("bb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          expr("""aggregate(zip_with(ba, bb,
+                 |(x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"""
+            .stripMargin.replace("\n", " ")).as("agree"))
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("agree"),
+          expr("((2 * agree - 16) * 1000000) div 16")
+            .as("bbit_est_micro"))
+        .withColumn("err_micro",
+          abs(floor(col("jaccard") * lit(1e6)).cast("bigint") -
+            col("bbit_est_micro")))
+    },
+
     // PIPE3 (beyond reference): cross-SIGNAL correlation — do two
     // independent quality signals (document length, lexical diversity)
     // agree? The screen run before adding a new filter to the curation
@@ -2911,6 +2941,25 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "dd14_bbit_minhash" ->
+      s"""WITH ${lshCtes("l.id < r.id")},
+         |pa AS (SELECT id_a, id_b, jaccard FROM scored
+         |       WHERE jaccard >= 0.3),
+         |bits AS (SELECT id, list_transform(sig, x -> x % 2) AS bits
+         |         FROM sig),
+         |ag AS (
+         |  SELECT p.id_a, p.id_b, p.jaccard,
+         |    CAST(list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN a.bits[i] = b.bits[i] THEN 1 ELSE 0 END))
+         |      AS BIGINT) AS agree
+         |  FROM pa p JOIN bits a ON p.id_a = a.id
+         |            JOIN bits b ON p.id_b = b.id)
+         |SELECT id_a, id_b, jaccard, agree,
+         |  CAST(((2 * agree - 16) * 1000000) // 16 AS BIGINT)
+         |    AS bbit_est_micro,
+         |  CAST(abs(CAST(FLOOR(jaccard * 1e6) AS BIGINT) -
+         |    ((2 * agree - 16) * 1000000) // 16) AS BIGINT) AS err_micro
+         |FROM ag""".stripMargin,
     "pipe3_signal_correlation" ->
       s"""WITH xy AS (
          |  SELECT n_chars AS x,
