@@ -1985,6 +1985,29 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // MIX4 (beyond reference): data-DERIVED rebalancing plan — mix1/s2
+    // apply HAND-PICKED per-stratum rates; this computes them: target =
+    // uniform share per language, keep-permille = min(1000,
+    // target_n·1000 div stratum_n) (never upsample), with the resulting
+    // expected kept counts and the residual imbalance — the plan table
+    // a curation pipeline feeds INTO s2. Two metadata-grain aggregates;
+    // the rule is share-based, so the plan is identical at any corpus
+    // size with the same composition.
+    "mix4_rebalance_plan" -> { (s, dir) =>
+      val counts = docsSpread(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          expr("total div k").as("target_n"),
+          expr("least(1000, (total div k) * 1000 div n)")
+            .as("keep_permille"))
+        .withColumn("expected_kept", expr("n * keep_permille div 1000"))
+        .withColumn("residual",
+          expr("n * keep_permille div 1000 - target_n"))
+    },
+
     // DD14 (beyond reference): b-BIT MINHASH (Li & König) audited —
     // keep only the PARITY bit of each minhash component (16 bits ≈ 2
     // bytes per doc instead of 128) and estimate Jaccard from the
@@ -2941,6 +2964,20 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "mix4_rebalance_plan" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |        CAST(COUNT(*) AS BIGINT) AS k FROM c)
+        |SELECT lang, n,
+        |  CAST(total // k AS BIGINT) AS target_n,
+        |  CAST(least(1000, (total // k) * 1000 // n) AS BIGINT)
+        |    AS keep_permille,
+        |  CAST(n * least(1000, (total // k) * 1000 // n) // 1000
+        |    AS BIGINT) AS expected_kept,
+        |  CAST(n * least(1000, (total // k) * 1000 // n) // 1000
+        |    - total // k AS BIGINT) AS residual
+        |FROM c CROSS JOIN t""".stripMargin,
     "dd14_bbit_minhash" ->
       s"""WITH ${lshCtes("l.id < r.id")},
          |pa AS (SELECT id_a, id_b, jaccard FROM scored
