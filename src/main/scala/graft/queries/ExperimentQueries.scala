@@ -255,6 +255,42 @@ object ExperimentQueries {
                 col("n0").cast("double"))).as("z"))
     },
 
+    // AB8 (beyond reference): FUNNEL by arm — WHERE in the journey does
+    // the treatment act? ev8's strictly-ordered first-occurrence funnel
+    // split by assignment: per arm, users reaching each stage plus the
+    // stage-to-stage conversion (exact integer micro ratio). The
+    // readout that turns ab3's "spend went up" into "clicks convert to
+    // purchases 8% more often" — same three min-aggregates as ev8 with
+    // the arm key riding the user_id exchange.
+    "ab8_funnel_by_arm" -> { (s, dir) =>
+      val e = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts").as("ts_us"))
+        .withColumn("arm", arm(col("user_id")))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "arm").agg(min(col("ts_us")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v.select("user_id", "t1"), "user_id")
+        .filter(col("ts_us") > col("t1"))
+        .groupBy("user_id", "arm").agg(min(col("ts_us")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(col("ts_us") > col("t2"))
+        .groupBy("user_id", "arm").agg(min(col("ts_us")).as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.groupBy("arm").agg(count(lit(1)).as("n_users"))
+          .select(col("arm"), lit(name).as("stage"), col("n_users"))
+      val stages = stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+      val w = Window.partitionBy(col("arm")).orderBy(col("stage"))
+      stages
+        .withColumn("prev_n", lag(col("n_users"), 1).over(w))
+        .withColumn("conv_micro",
+          when(col("prev_n").isNotNull,
+            expr("(n_users * 1000000) div prev_n")))
+        .drop("prev_n")
+    },
+
     // AB6 (beyond reference): SEQUENTIAL monitoring trajectory — the
     // "can we stop early?" readout: the day-by-day cumulative two-sample
     // z² with a fixed Pocock-style boundary (10.273 ≈ 10-look α=0.05),
@@ -446,6 +482,34 @@ object ExperimentQueries {
          |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE) > 3.841 AS BIGINT) AS srm_flag
          |FROM a""".stripMargin,
+    "ab8_funnel_by_arm" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         |    $armSql AS arm
+         |  FROM events),
+         |v AS (SELECT user_id, arm, MIN(ts_us) AS t1 FROM e
+         |      WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT e.user_id, e.arm, MIN(e.ts_us) AS t2
+         |      FROM e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts_us > v.t1
+         |      GROUP BY 1, 2),
+         |p AS (SELECT e.user_id, e.arm, MIN(e.ts_us) AS t3
+         |      FROM e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t2
+         |      GROUP BY 1, 2),
+         |st AS (
+         |  SELECT arm, '1_view' AS stage, CAST(COUNT(*) AS BIGINT)
+         |    AS n_users FROM v GROUP BY arm
+         |  UNION ALL SELECT arm, '2_click', CAST(COUNT(*) AS BIGINT)
+         |    FROM c GROUP BY arm
+         |  UNION ALL SELECT arm, '3_purchase', CAST(COUNT(*) AS BIGINT)
+         |    FROM p GROUP BY arm)
+         |SELECT arm, stage, n_users,
+         |  CASE WHEN LAG(n_users, 1) OVER w IS NOT NULL THEN
+         |    CAST((n_users * 1000000) // LAG(n_users, 1) OVER w AS BIGINT)
+         |  END AS conv_micro
+         |FROM st
+         |WINDOW w AS (PARTITION BY arm ORDER BY stage)""".stripMargin,
     "ab7_uplift_by_segment" ->
       s"""WITH seg AS (
          |  SELECT user_id, event_type AS segment FROM (
