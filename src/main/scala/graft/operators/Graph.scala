@@ -189,6 +189,37 @@ object Graph {
       .select(col("a").as("node"), col("wedges"), col("triangles"))
   }
 
+  /** Per-NODE triangle membership: (node, n_triangles) counting every
+    * triangle at each of its three corners — the input LCC and
+    * cohesion metrics need, where [[triangles]] attributes each
+    * triangle only to its degree-ordered pivot. Same oriented wedge
+    * enumeration (fan-out capped at O(√m) by the degree order); the
+    * one extra step EXPLODES each found triangle to its three corners
+    * before the count, so the shuffle carries 3 rows per triangle. */
+  def triangleCorners(edges: DataFrame): DataFrame = {
+    val ue = edges
+      .select(least(col("src"), col("dst")).cast("bigint").as("u"),
+        greatest(col("src"), col("dst")).cast("bigint").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = ue.select(col("u").as("node"))
+      .unionByName(ue.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = ue
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
+        when(uLower, col("v")).otherwise(col("u")).as("b"))
+    val wedges = o.select(col("a"), col("b").as("p"))
+      .join(o.select(col("a"), col("b").as("q")), Seq("a"))
+      .filter(col("p") =!= col("q"))
+    wedges
+      .join(o.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+      .select(explode(array(col("a"), col("p"), col("q"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Root and depth of every node in a forest (parent pointers, roots
     * have null parent) by POINTER DOUBLING: each round every node's
     * ancestor pointer jumps to its ancestor's ancestor and the hop

@@ -279,6 +279,31 @@ object GraphQueries {
         .agg(count(lit(1)).as("reach2"))
     },
 
+    // LOCAL clustering coefficient — how tightly knit is each node's
+    // neighborhood (2·T_v / d(d−1)): the per-node cohesion score behind
+    // community seeding and spam-farm detection, where gr4's global
+    // count can't localize. Per-corner triangle attribution via
+    // Graph.triangleCorners (3 rows per triangle through the shuffle),
+    // degrees on the undirected simple projection, exact integer micro
+    // ratio; nodes below degree 2 are undefined and excluded on both
+    // engines.
+    "gr19_local_clustering" -> { (s, dir) =>
+      val edges = Graph.syntheticLinks(Tables.documents(s, dir))
+      val ue = edges
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val deg = ue.select(col("u").as("node"))
+        .unionByName(ue.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      deg.filter(col("d") >= 2)
+        .join(Graph.triangleCorners(edges), Seq("node"), "left")
+        .na.fill(0L, Seq("n_triangles"))
+        .select(col("node"), col("d"), col("n_triangles"),
+          expr("(2 * n_triangles * 1000000) div (d * (d - 1))")
+            .as("lcc_micro"))
+    },
+
     // Deterministic RANDOM-WALK sampling (DeepWalk/node2vec corpus
     // prep): one length-4 walk per node, the next hop drawn from the
     // ranked neighbor list by a seeded md5 index (the jlSign/s1
@@ -691,6 +716,33 @@ object GraphQueries {
         |SELECT node, CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_micro,
         |  CAST(COUNT(*) AS BIGINT) AS n_reached_from
         |FROM md WHERE hops > 0 GROUP BY node""".stripMargin,
+    "gr19_local_clustering" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |raw AS (
+        |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM raw WHERE src <> dst),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |          SELECT u AS node FROM e
+        |          UNION ALL SELECT v FROM e) z GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) z GROUP BY 1)
+        |SELECT deg.node, deg.d, COALESCE(c.n_triangles, 0) AS n_triangles,
+        |  CAST((2 * COALESCE(c.n_triangles, 0) * 1000000)
+        |    // (deg.d * (deg.d - 1)) AS BIGINT) AS lcc_micro
+        |FROM deg LEFT JOIN corners c ON deg.node = c.node
+        |WHERE deg.d >= 2""".stripMargin,
     "gr18_random_walks" -> {
       def step(i: Int): String =
         s"""w$i AS (
