@@ -69,6 +69,16 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("triangleCorners attributes each triangle to all three corners") {
+    import spark.implicits._
+    // two triangles sharing node 2, plus a pendant edge
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (4L, 2L), (4L, 9L)).toDF("src", "dst")
+    val out = Graph.triangleCorners(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("multiSourceBfsHops: per-root distances match single-source runs") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 1L), (0L, 3L))
