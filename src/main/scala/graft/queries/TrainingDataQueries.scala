@@ -1985,6 +1985,38 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // DD15 (beyond reference): CONTENT-DEFINED chunking — pk7's fixed
+    // 64-char grid breaks at insertions (one shifted byte re-keys every
+    // following chunk); CDC cuts where the hash of the trailing 8-gram
+    // hits a target (≈1/64 rate), so boundaries move WITH the content
+    // and edits stay local — the rsync/LBFS trick storage dedup relies
+    // on. Cut detection and chunk slicing run entirely in per-row array
+    // HOFs over the registered md5_prefix60 kernel (no explode until
+    // the digest rollup); chunk-size distribution and dedup ratio come
+    // out of one digest-keyed aggregate.
+    "dd15_cdc_chunking" -> { (s, dir) =>
+      val t = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+      val chunks = docsSpread(s, dir).selectExpr(
+          s"""explode(filter(zip_with(
+             |  concat(array(1), transform(
+             |    filter(sequence(8, length($t)),
+             |      i -> md5_prefix60(substr($t, i - 7, 8)) % 64 = 0),
+             |    c -> c + 1)),
+             |  concat(
+             |    filter(sequence(8, length($t)),
+             |      i -> md5_prefix60(substr($t, i - 7, 8)) % 64 = 0),
+             |    array(length($t))),
+             |  (s2, e) -> if(e >= s2, substr($t, s2, e - s2 + 1), null)),
+             |  x -> x is not null)) AS chunk"""
+            .stripMargin.replace("\n", " "))
+      chunks.select(md5(col("chunk")).as("h"),
+          length(col("chunk")).cast("bigint").as("len"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct"),
+          expr("sum(len) div count(1)").as("mean_len"),
+          min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+    },
+
     // MIX4 (beyond reference): data-DERIVED rebalancing plan — mix1/s2
     // apply HAND-PICKED per-stratum rates; this computes them: target =
     // uniform share per language, keep-permille = min(1000,
@@ -2964,6 +2996,32 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "dd15_cdc_chunking" ->
+      s"""WITH d AS (SELECT $normSql AS t FROM documents),
+         |cuts AS (
+         |  SELECT t, list_filter(range(8, length(t) + 1),
+         |    i -> CAST(('0x' || substr(md5(substr(t,
+         |      CAST(i - 7 AS INTEGER), 8)), 1, 15)) AS BIGINT) % 64 = 0)
+         |    AS c
+         |  FROM d),
+         |se AS (SELECT t,
+         |         list_prepend(1, list_transform(c, x -> x + 1)) AS starts,
+         |         list_append(c, length(t)) AS ends
+         |       FROM cuts),
+         |ch AS (
+         |  SELECT unnest(list_filter(list_transform(
+         |    range(1, len(starts) + 1),
+         |    i -> CASE WHEN ends[i] >= starts[i]
+         |         THEN substr(t, CAST(starts[i] AS INTEGER),
+         |           CAST(ends[i] - starts[i] + 1 AS INTEGER)) END),
+         |    x -> x IS NOT NULL)) AS chunk
+         |  FROM se)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(length(chunk)) // COUNT(*) AS BIGINT) AS mean_len,
+         |  CAST(MIN(length(chunk)) AS BIGINT) AS min_len,
+         |  CAST(MAX(length(chunk)) AS BIGINT) AS max_len
+         |FROM ch""".stripMargin,
     "mix4_rebalance_plan" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM documents GROUP BY 1),
