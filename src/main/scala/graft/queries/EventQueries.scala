@@ -1169,6 +1169,49 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // TS14 (beyond reference): dominant-PERIOD detection — ts4 reads
+    // one lag; this scans the ACF over lags 1..14 and reports each
+    // series' best lag (the data-derived seasonality ts5/ts8 currently
+    // assume is 7). Fourteen row-based lag columns unpivot to
+    // (series, lag) rows; per cell the same six exact integer
+    // sufficient statistics as ts4 feed one fixed IEEE Pearson tree,
+    // and the argmax is a 14-row-per-series rank (ties → smaller lag).
+    // Degenerate cells (zero variance either side) drop before the
+    // argmax on both engines.
+    "ts14_period_detect" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = (1 to 14).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("n"), k).over(w))
+      }
+      val arr = array((1 to 14).map(k =>
+        struct(lit(k.toLong).as("k"), col(s"l$k").as("a"))): _*)
+      val cells = lagged.select(col("event_type"), col("n"),
+          explode(arr).as("r"))
+        .select(col("event_type"), col("r.k").as("k"),
+          col("r.a").as("a"), col("n"))
+        .filter(col("a").isNotNull)
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).as("m"), sum(col("a")).as("sa"),
+          sum(col("n")).as("sb"), sum(col("a") * col("n")).as("sab"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("n") * col("n")).as("sbb"))
+      val va = col("m") * col("saa") - col("sa") * col("sa")
+      val vb = col("m") * col("sbb") - col("sb") * col("sb")
+      val acf = cells.filter(va > 0 && vb > 0)
+        .select(col("event_type"), col("k"),
+          ((col("m") * col("sab") - col("sa") * col("sb")).cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+            .as("acf"))
+      acf.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("acf").desc, col("k").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("k").as("best_lag"), col("acf"))
+    },
+
     // TS13 (beyond reference): THEIL–SEN robust trend — the median of
     // all pairwise slopes, immune to the outlier days that bend an OLS
     // fit (ml6): the robust "is this series growing?" number. Slopes
@@ -2116,6 +2159,44 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ts14_period_detect" -> {
+      val lagCols = (1 to 14)
+        .map(k => s"LAG(n, $k) OVER w AS l$k").mkString(",\n    ")
+      val unpiv = (1 to 14)
+        .map(k => s"SELECT event_type, CAST($k AS BIGINT) AS k, " +
+          s"l$k AS a, n FROM lg WHERE l$k IS NOT NULL")
+        .mkString("\n  UNION ALL ")
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |lg AS (
+         |  SELECT event_type, day, n,
+         |    $lagCols
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |cells AS (
+         |  $unpiv),
+         |st AS (
+         |  SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         |    CAST(SUM(a * b) AS BIGINT) AS sab,
+         |    CAST(SUM(a * a) AS BIGINT) AS saa,
+         |    CAST(SUM(b * b) AS BIGINT) AS sbb
+         |  FROM (SELECT event_type, k, a, n AS b FROM cells) z
+         |  GROUP BY 1, 2),
+         |acf AS (
+         |  SELECT event_type, k,
+         |    CAST(m * sab - sa * sb AS DOUBLE) /
+         |    (sqrt(CAST(m * saa - sa * sa AS DOUBLE)) *
+         |     sqrt(CAST(m * sbb - sb * sb AS DOUBLE))) AS acf
+         |  FROM st
+         |  WHERE m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0)
+         |SELECT event_type, k AS best_lag, acf FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY acf DESC, k ASC) AS rk FROM acf) t
+         |WHERE rk = 1""".stripMargin
+    },
     "ts13_theil_sen" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -1985,6 +1985,34 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // TX28 (beyond reference): MATTR — moving-average type-token ratio
+    // (window 50): raw TTR monotonically penalizes LONG documents (more
+    // tokens ⇒ more repeats), so tx25-style diversity misranks by
+    // length; MATTR averages the distinct-ratio over every 50-token
+    // sliding window, giving a length-stable diversity score (Covington
+    // & McFall). Distinct counts per window are exact integers; the
+    // per-doc mean is one integer division of their sum. All work is a
+    // per-row O(n·w) array HOF — no shuffle beyond the scan spread;
+    // docs shorter than the window fall back to whole-doc TTR,
+    // identically on both engines.
+    "tx28_mattr" -> { (s, dir) =>
+      val t = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+      docsSpread(s, dir).selectExpr("doc_id",
+          s"filter(split($t, ' '), x -> length(x) > 0) AS toks")
+        .selectExpr("doc_id", "size(toks) AS n_toks",
+          """CASE WHEN size(toks) <= 50 THEN
+            |  cast(size(array_distinct(toks)) as bigint) * 1000000
+            |    div size(toks)
+            |ELSE
+            |  aggregate(transform(sequence(1, size(toks) - 49),
+            |      i -> cast(size(array_distinct(slice(toks, i, 50)))
+            |        as bigint)),
+            |    0L, (acc, x) -> acc + x) * 1000000
+            |    div (cast(size(toks) - 49 as bigint) * 50)
+            |END AS mattr_micro"""
+            .stripMargin.replace("\n", " "))
+    },
+
     // DD15 (beyond reference): CONTENT-DEFINED chunking — pk7's fixed
     // 64-char grid breaks at insertions (one shifted byte re-keys every
     // following chunk); CDC cuts where the hash of the trailing 8-gram
@@ -2996,6 +3024,22 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "tx28_mattr" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |    x -> length(x) > 0) AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+         |  CASE WHEN len(toks) <= 50 THEN
+         |    CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+         |      // len(toks)
+         |  ELSE
+         |    CAST(list_sum(list_transform(range(1, len(toks) - 48),
+         |        i -> len(list_distinct(toks[CAST(i AS INTEGER):
+         |          CAST(i + 49 AS INTEGER)])))) AS BIGINT) * 1000000
+         |      // (CAST(len(toks) - 49 AS BIGINT) * 50)
+         |  END AS mattr_micro
+         |FROM d""".stripMargin,
     "dd15_cdc_chunking" ->
       s"""WITH d AS (SELECT $normSql AS t FROM documents),
          |cuts AS (
