@@ -1169,6 +1169,26 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // EV43 (beyond reference): conversion MILESTONES — per user, the
+    // elapsed time from their first event to their 1st/2nd/3rd
+    // purchase (the "time to Aha / time to habit" ladder activation
+    // teams steer by). One user-partitioned rank over purchases + a
+    // broadcast-scale min-per-user join; exact integer µs elapsed,
+    // milestones beyond a user's purchase count simply absent.
+    "ev43_purchase_milestones" -> { (s, dir) =>
+      val e = Tables.eventsUs(s, dir)
+      val first = e.groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("milestone", row_number().over(w).cast("long"))
+        .filter(col("milestone") <= 3)
+        .join(first, "user_id")
+        .select(col("user_id"), col("milestone"),
+          (col("ts") - col("t0")).as("elapsed_us"))
+    },
+
     // TS14 (beyond reference): dominant-PERIOD detection — ts4 reads
     // one lag; this scans the ACF over lags 1..14 and reports each
     // series' best lag (the data-derived seasonality ts5/ts8 currently
@@ -2159,6 +2179,18 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev43_purchase_milestones" ->
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+        |           FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS milestone
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.milestone,
+        |  CAST(p.ts - f.t0 AS BIGINT) AS elapsed_us
+        |FROM p JOIN f USING (user_id)
+        |WHERE p.milestone <= 3""".stripMargin,
     "ts14_period_detect" -> {
       val lagCols = (1 to 14)
         .map(k => s"LAG(n, $k) OVER w AS l$k").mkString(",\n    ")

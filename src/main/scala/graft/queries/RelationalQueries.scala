@@ -942,6 +942,33 @@ object RelationalQueries {
             .otherwise("nonmatch"))
     },
 
+    // D32 (beyond reference): GEOMETRIC mean (log-domain) with the
+    // AM ≥ GM audit — the right average for multiplicative quantities
+    // (price ratios, growth factors) where the arithmetic mean
+    // overweights spikes. Each ln is floor-quantized to micro-nats and
+    // weighted 1 per row, so the log-mean is an order-free integer sum
+    // divided once (no float product, no overflow however many rows);
+    // the arithmetic mean rides the same aggregate and the classic
+    // inequality is asserted per group as an output flag.
+    "d32_geo_mean" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("grp"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        .filter(col("cents") > 0)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          sum(floor(log(col("cents").cast("double")) * lit(1e6))
+            .cast("bigint")).as("slog"))
+        .select(col("grp"), col("n"),
+          expr("cast(cast(sc as decimal(38,0)) * 1000000 div n as bigint)")
+            .as("arith_mean_micro"),
+          expr("slog div n").as("log_gm_micronats"),
+          // AM ≥ GM ⟺ ln(AM) ≥ ln(GM); compare in micro-nats
+          (floor(log((col("sc").cast("double") / col("n").cast("double")))
+            * lit(1e6)).cast("bigint") >= expr("slog div n") - lit(1))
+            .as("am_ge_gm"))
+    },
+
     // D29 (beyond reference): one-way ANOVA — does the grouping explain
     // the variance? Between/within sum-of-squares via the exact
     // identities SSB = Σ S_g²/n_g − S²/N and SSW = Σx² − Σ S_g²/n_g,
@@ -1601,6 +1628,24 @@ object RelationalQueries {
         |       WHEN score_micro >= 3000000 THEN 'possible'
         |       ELSE 'nonmatch' END AS decision
         |FROM sc""".stripMargin,
+    "d32_geo_mean" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sc,
+        |    CAST(SUM(CAST(FLOOR(ln(CAST(cents AS DOUBLE)) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS slog
+        |  FROM li WHERE cents > 0 GROUP BY 1)
+        |SELECT grp, n,
+        |  CAST((CAST(sc AS HUGEINT) * 1000000) // n AS BIGINT)
+        |    AS arith_mean_micro,
+        |  CAST(slog // n AS BIGINT) AS log_gm_micronats,
+        |  CAST(FLOOR(ln(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+        |    AS BIGINT) >= slog // n - 1 AS am_ge_gm
+        |FROM st""".stripMargin,
     "d29_anova" ->
       """WITH o AS (SELECT o_orderpriority AS grp,
         |             CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
