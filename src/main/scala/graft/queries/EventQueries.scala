@@ -1169,6 +1169,35 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // EV45 (beyond reference): GROWTH ACCOUNTING — every active
+    // user-day classified new / retained / resurrected (returning after
+    // a >14-day gap), rolled up per day with the growth QUICK RATIO
+    // ((new + resurrected) per lost... approximated here at daily grain
+    // as the incoming-state mix since churn needs the future) — the
+    // decomposition behind "DAU grew, but is it new users or
+    // resurrection?". One distinct rollup + one lag window on the
+    // user_id exchange; day arithmetic in exact integer days.
+    "ev45_growth_accounting" -> { (s, dir) =>
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      d.withColumn("prev_day", lag(col("day"), 1).over(w))
+        .withColumn("state",
+          when(col("prev_day").isNull, "new")
+            .when(col("day") - col("prev_day") > 14, "resurrected")
+            .otherwise("retained"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"),
+          sum(when(col("state") === "retained", 1L).otherwise(0L))
+            .as("n_retained"))
+        .withColumn("incoming_share_micro",
+          expr("((n_new + n_resurrected) * 1000000) div dau"))
+    },
+
     // EV43 (beyond reference): conversion MILESTONES — per user, the
     // elapsed time from their first event to their 1st/2nd/3rd
     // purchase (the "time to Aha / time to habit" ladder activation
@@ -2179,6 +2208,32 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev45_growth_accounting" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, day,
+        |    LAG(day, 1) OVER (PARTITION BY user_id ORDER BY day)
+        |      AS prev_day
+        |  FROM d),
+        |cl AS (
+        |  SELECT day,
+        |    CASE WHEN prev_day IS NULL THEN 'new'
+        |         WHEN day - prev_day > 14 THEN 'resurrected'
+        |         ELSE 'retained' END AS state
+        |  FROM st)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+        |  CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(((SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) +
+        |    SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END))
+        |    * 1000000) // COUNT(*) AS BIGINT) AS incoming_share_micro
+        |FROM cl GROUP BY day""".stripMargin,
     "ev43_purchase_milestones" ->
       """WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
         |           FROM events GROUP BY 1),

@@ -1985,6 +1985,27 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // TX29 (beyond reference): HAPAX ratio per source — the share of a
+    // source's vocabulary seen exactly once (hapax legomena): high ⇒
+    // productive/creative text (or OCR noise — read with tx13), low ⇒
+    // templated boilerplate; the per-source datasheet cousin of lm4's
+    // corpus-level Good-Turing singleton mass. One (source, token)
+    // count shuffle, then a vocabulary-grain rollup.
+    "tx29_hapax_ratio" -> { (s, dir) =>
+      docsSpread(s, dir)
+        .select(col("source"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("source", "token").agg(count(lit(1)).as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(col("f")).as("n_tokens"))
+        .withColumn("hapax_share_micro",
+          expr("(n_hapax * 1000000) div vocab"))
+    },
+
     // TX28 (beyond reference): MATTR — moving-average type-token ratio
     // (window 50): raw TTR monotonically penalizes LONG documents (more
     // tokens ⇒ more repeats), so tx25-style diversity misranks by
@@ -3024,6 +3045,19 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "tx29_hapax_ratio" ->
+      s"""WITH tc AS (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT source, unnest(string_split($normSql, ' ')) AS token
+         |    FROM documents) z
+         |  WHERE length(token) > 0 GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+         |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(SUM(f) AS BIGINT) AS n_tokens,
+         |  CAST((SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS hapax_share_micro
+         |FROM tc GROUP BY source""".stripMargin,
     "tx28_mattr" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_filter(string_split($normSql, ' '),
