@@ -1169,6 +1169,40 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // EV46 (beyond reference): usage METERING — billable session-
+    // seconds attributed to the CALENDAR DAY they occurred in, sessions
+    // split at midnight (the attribution step billing and capacity
+    // dashboards need, where ev6 reports sessions whole). Sessions are
+    // ev2's 30-min gaps-and-islands; each session explodes into only
+    // the days it spans (bounded by duration, not corpus) and
+    // contributes clamp(overlap) exact µs per day. One user window +
+    // one session rollup + a day-grain combine.
+    "ev46_usage_metering" -> { (s, dir) =>
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = byTime.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sess = Tables.eventsUs(s, dir)
+        .withColumn("is_new",
+          when(col("ts") - lag(col("ts"), 1).over(byTime) > gapUs ||
+            lag(col("ts"), 1).over(byTime).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("is_new")).over(running))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+      sess
+        .select(col("user_id"),
+          col("t_start"), col("t_end"),
+          explode(sequence(expr("t_start div 86400000000"),
+            expr("t_end div 86400000000"))).as("day"))
+        .select(col("day"),
+          (least(col("t_end"), (col("day") + 1) * lit(86400000000L) - 1) -
+            greatest(col("t_start"), col("day") * lit(86400000000L)))
+            .as("overlap_us"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_session_days"),
+          sum(col("overlap_us")).as("usage_us"))
+    },
+
     // EV45 (beyond reference): GROWTH ACCOUNTING — every active
     // user-day classified new / retained / resurrected (returning after
     // a >14-day gap), rolled up per day with the growth QUICK RATIO
@@ -2208,6 +2242,35 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev46_usage_metering" ->
+      """WITH fl AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w
+        |           > 1800000000
+        |         OR LAG(epoch_us(ts), 1) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM fl),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(ts_us) AS t_start, MAX(ts_us) AS t_end
+        |  FROM sid GROUP BY 1, 2),
+        |days AS (
+        |  SELECT t_start, t_end, d.day
+        |  FROM sess, unnest(range(t_start // 86400000000,
+        |    t_end // 86400000000 + 1)) AS d(day)),
+        |ov AS (
+        |  SELECT day,
+        |    least(t_end, (day + 1) * 86400000000 - 1) -
+        |      greatest(t_start, day * 86400000000) AS overlap_us
+        |  FROM days)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_session_days,
+        |  CAST(SUM(overlap_us) AS BIGINT) AS usage_us
+        |FROM ov GROUP BY day""".stripMargin,
     "ev45_growth_accounting" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
