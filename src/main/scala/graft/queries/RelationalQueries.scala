@@ -942,6 +942,31 @@ object RelationalQueries {
             .otherwise("nonmatch"))
     },
 
+    // DQ4 (beyond reference): sequence-INTEGRITY audit — are event ids
+    // assigned in time order? Adjacent inversions (id decreasing while
+    // time advances) per user, rolled up to the corpus summary — the
+    // check that catches clock skew, replayed batches, and id-generator
+    // races before an as-of join silently mis-sorts on them. One lag
+    // window riding the user exchange; linear, unlike full inversion
+    // counting.
+    "dq4_sequence_integrity" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .select(col("user_id"),
+          when(col("prev_id").isNotNull && col("event_id") < col("prev_id"),
+            1L).otherwise(0L).as("inv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("inv")).as("n_inv"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("n_inv")).as("n_inversions"),
+          sum(when(col("n_inv") > 0, 1L).otherwise(0L))
+            .as("n_affected_users"))
+    },
+
     // D32 (beyond reference): GEOMETRIC mean (log-domain) with the
     // AM ≥ GM audit — the right average for multiplicative quantities
     // (price ratios, growth factors) where the arithmetic mean
@@ -1628,6 +1653,23 @@ object RelationalQueries {
         |       WHEN score_micro >= 3000000 THEN 'possible'
         |       ELSE 'nonmatch' END AS decision
         |FROM sc""".stripMargin,
+    "dq4_sequence_integrity" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id,
+        |    LAG(event_id, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_id
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inv
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(n_inv) AS BIGINT) AS n_inversions,
+        |  CAST(SUM(CASE WHEN n_inv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_affected_users
+        |FROM per""".stripMargin,
     "d32_geo_mean" ->
       """WITH li AS (
         |  SELECT l_returnflag AS grp,
