@@ -1169,6 +1169,22 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // EV47 (beyond reference): L28 engagement HISTOGRAM — users binned
+    // by how many of the trailing 28 days they were active (the L5/L28
+    // family product teams grade stickiness by; the histogram's shape —
+    // smile vs slump — is the health readout). Watermark-anchored
+    // window, one distinct rollup, user-grain count, 28-bucket combine.
+    "ev47_l28_histogram" -> { (s, dir) =>
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      val mx = d.agg(max(col("day")).as("max_day"))
+      d.crossJoin(broadcast(mx))
+        .filter(col("day") > col("max_day") - 28)
+        .groupBy("user_id").agg(count(lit(1)).as("l28"))
+        .groupBy("l28").agg(count(lit(1)).as("n_users"))
+    },
+
     // EV46 (beyond reference): usage METERING — billable session-
     // seconds attributed to the CALENDAR DAY they occurred in, sessions
     // split at midnight (the attribution step billing and capacity
@@ -2242,6 +2258,16 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev47_l28_histogram" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM d),
+        |l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS l28
+        |      FROM d CROSS JOIN mx
+        |      WHERE day > mx.max_day - 28 GROUP BY user_id)
+        |SELECT l28, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM l GROUP BY 1""".stripMargin,
     "ev46_usage_metering" ->
       """WITH fl AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,

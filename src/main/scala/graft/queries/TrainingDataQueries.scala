@@ -1985,6 +1985,30 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // IR10 (beyond reference): Mean Reciprocal Rank — the navigational-
+    // search metric (one right answer; how deep did the user scroll to
+    // find it?) completing the eval set next to AUC (ml4), AP (ml8),
+    // NDCG (ml5): per query the reciprocal of the FIRST relevant rank
+    // (same-label neighbor on sim1's exact ranking), micro-quantized so
+    // the mean is one integer division. Queries with no relevant
+    // neighbor in the cutoff contribute rr = 0 — stated, not skipped.
+    "ir10_mrr" -> { (s, dir) =>
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"))
+      val ranked = sim1Frame(s, dir)
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), "query_id")
+        .join(labels.select(col("vec_id").as("corpus_id"),
+          col("label").as("c_label")), "corpus_id")
+      val firstRel = ranked.filter(col("q_label") === col("c_label"))
+        .groupBy("query_id").agg(min(col("rk")).as("first_rel"))
+      sim1Frame(s, dir).select(col("query_id")).distinct()
+        .join(firstRel, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(coalesce(1000000 div first_rel, 0L)) div count(1)")
+            .as("mrr_micro"))
+    },
+
     // TX29 (beyond reference): HAPAX ratio per source — the share of a
     // source's vocabulary seen exactly once (hapax legomena): high ⇒
     // productive/creative text (or OCR noise — read with tx13), low ⇒
@@ -3045,6 +3069,17 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "ir10_mrr" ->
+      s"""WITH ex AS ($sim1Sql),
+         |fr AS (SELECT ex.query_id, MIN(ex.rk) AS first_rel
+         |       FROM ex JOIN embeddings q ON ex.query_id = q.vec_id
+         |               JOIN embeddings c ON ex.corpus_id = c.vec_id
+         |       WHERE q.label = c.label GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(COALESCE(1000000 // fr.first_rel, 0)) // COUNT(*)
+         |    AS BIGINT) AS mrr_micro
+         |FROM qs LEFT JOIN fr USING (query_id)""".stripMargin,
     "tx29_hapax_ratio" ->
       s"""WITH tc AS (
          |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f FROM (
