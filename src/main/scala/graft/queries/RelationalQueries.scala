@@ -942,6 +942,34 @@ object RelationalQueries {
             .otherwise("nonmatch"))
     },
 
+    // D36 (beyond reference): chi-square test of INDEPENDENCE — are
+    // two categorical columns related (status × priority), d29's
+    // counterpart for categorical-vs-categorical? Each cell's
+    // (o·N − r·c)² / (r·c·N) term is an exact integer rational
+    // floor-quantized to micro before the cross-cell sum (HUGEINT/
+    // decimal(38) for the squared numerator), so the statistic is an
+    // order-free integer; cells are the contingency table — metadata
+    // after one count shuffle.
+    "d36_chi2_independence" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val cells = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("a"),
+          col("o_orderpriority").as("b"))
+        .agg(count(lit(1)).as("o"))
+      val ra = cells.groupBy("a").agg(sum(col("o")).as("rc"))
+      val cb = cells.groupBy("b").agg(sum(col("o")).as("cc"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("o"),
+          expr("""cast(cast((o * n - rc * cc) as decimal(38,0))
+                 |* (o * n - rc * cc) * 1000000
+                 |div (cast(rc as decimal(38,0)) * cc * n) as bigint)"""
+            .stripMargin.replace("\n", " ")).as("term_micro"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("term_micro")).as("chi2_micro"))
+    },
+
     // DQ4 (beyond reference): sequence-INTEGRITY audit — are event ids
     // assigned in time order? Adjacent inversions (id decreasing while
     // time advances) per user, rolled up to the corpus summary — the
@@ -1653,6 +1681,26 @@ object RelationalQueries {
         |       WHEN score_micro >= 3000000 THEN 'possible'
         |       ELSE 'nonmatch' END AS decision
         |FROM sc""".stripMargin,
+    "d36_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rc
+        |       FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cc
+        |       FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT cells.a, cells.b, cells.o,
+        |    CAST(CAST(cells.o * t.n - ra.rc * cb.cc AS HUGEINT)
+        |      * (cells.o * t.n - ra.rc * cb.cc) * 1000000
+        |      // (CAST(ra.rc AS HUGEINT) * cb.cc * t.n) AS BIGINT)
+        |      AS term_micro
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+        |FROM terms""".stripMargin,
     "dq4_sequence_integrity" ->
       """WITH l AS (
         |  SELECT user_id, event_id,

@@ -1985,6 +1985,42 @@ object TrainingDataQueries {
             .otherwise(0L)).as("n_winnow_only"))
     },
 
+    // SIM15 (beyond reference): TRIPLET mining — the (anchor, hardest
+    // positive, hardest negative) table a metric-learning trainer
+    // consumes: within each anchor's exact top-10 neighborhood, the
+    // LEAST-similar same-label neighbor (the positive that still needs
+    // pulling in) and the MOST-similar other-label neighbor (the
+    // negative about to invade), with the margin between them — margin
+    // < 0 flags anchors whose neighborhood is already violated. One
+    // pass over sim1's ranking joined to labels; ties break on id.
+    "sim15_triplet_mining" -> { (s, dir) =>
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"))
+      val ranked = sim1Frame(s, dir)
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), "query_id")
+        .join(labels.select(col("vec_id").as("corpus_id"),
+          col("label").as("c_label")), "corpus_id")
+      val pos = ranked.filter(col("q_label") === col("c_label"))
+        .withColumn("rk2", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").asc, col("corpus_id").asc)))
+        .filter(col("rk2") === 1)
+        .select(col("query_id"), col("corpus_id").as("pos_id"),
+          col("cos_sim").as("pos_cos"))
+      val neg = ranked.filter(col("q_label") =!= col("c_label"))
+        .withColumn("rk2", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("corpus_id").asc)))
+        .filter(col("rk2") === 1)
+        .select(col("query_id").as("q2"), col("corpus_id").as("neg_id"),
+          col("cos_sim").as("neg_cos"))
+      pos.join(neg, col("query_id") === col("q2"))
+        .select(col("query_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          (col("pos_cos") - col("neg_cos")).as("margin"))
+    },
+
     // IR10 (beyond reference): Mean Reciprocal Rank — the navigational-
     // search metric (one right answer; how deep did the user scroll to
     // find it?) completing the eval set next to AUC (ml4), AP (ml8),
@@ -3069,6 +3105,28 @@ object TrainingDataQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_only
          |FROM mh m FULL OUTER JOIN wn w
          |  ON m.id_a = w.id_a AND m.id_b = w.id_b""".stripMargin,
+    "sim15_triplet_mining" ->
+      s"""WITH ex AS ($sim1Sql),
+         |lab AS (
+         |  SELECT ex.query_id, ex.corpus_id, ex.cos_sim,
+         |    q.label AS q_label, c.label AS c_label
+         |  FROM ex JOIN embeddings q ON ex.query_id = q.vec_id
+         |          JOIN embeddings c ON ex.corpus_id = c.vec_id),
+         |pos AS (
+         |  SELECT query_id, corpus_id AS pos_id, cos_sim AS pos_cos
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim ASC, corpus_id ASC) AS rk2
+         |        FROM lab WHERE q_label = c_label) z
+         |  WHERE rk2 = 1),
+         |neg AS (
+         |  SELECT query_id, corpus_id AS neg_id, cos_sim AS neg_cos
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, corpus_id ASC) AS rk2
+         |        FROM lab WHERE q_label <> c_label) z
+         |  WHERE rk2 = 1)
+         |SELECT p.query_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+         |  p.pos_cos - n.neg_cos AS margin
+         |FROM pos p JOIN neg n USING (query_id)""".stripMargin,
     "ir10_mrr" ->
       s"""WITH ex AS ($sim1Sql),
          |fr AS (SELECT ex.query_id, MIN(ex.rk) AS first_rel
