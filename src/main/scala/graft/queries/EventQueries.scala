@@ -1169,6 +1169,39 @@ object EventQueries {
           expr("sum(term) div max(ns)").as("h_micro"))
     },
 
+    // EV48 (beyond reference): STATIONARY distribution of the behavior
+    // Markov chain — where does a long session settle? Six power-
+    // iteration rounds v' = vP over ev12's transition matrix, vector
+    // and matrix both in integer micro-units (each round sums exact
+    // products then divides once — same integer-iteration contract as
+    // gr1's PageRank, so the oracle unrolls the identical six CTE
+    // rounds bit-for-bit). The matrix is |states|² metadata; rounds are
+    // joins on a 5-row table after one transition shuffle.
+    "ev48_stationary_mix" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val p = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("nst"))
+        .withColumn("p_micro", expr(
+          "nst * 1000000 div sum(nst) over (partition by prev_type)"))
+        .select(col("prev_type").as("s"), col("event_type").as("t"),
+          col("p_micro"))
+      val states = p.select(col("s").as("state")).distinct()
+      val k = states.count()
+      var v = states.withColumn("v_micro", lit(1000000L / k))
+      for (_ <- 1 to 6) {
+        v = p.join(v, col("s") === col("state"))
+          .groupBy(col("t"))
+          .agg(expr("sum(v_micro * p_micro) div 1000000").as("v_micro"))
+          .select(col("t").as("state"), col("v_micro"))
+      }
+      v
+    },
+
     // EV47 (beyond reference): L28 engagement HISTOGRAM — users binned
     // by how many of the trailing 28 days they were active (the L5/L28
     // family product teams grade stickiness by; the histogram's shape —
@@ -2258,6 +2291,32 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev48_stationary_mix" -> {
+      def round(i: Int): String =
+        s"""v$i AS (
+           |  SELECT p.t AS state,
+           |    SUM(v${i - 1}.v_micro * p.p_micro) // 1000000 AS v_micro
+           |  FROM p JOIN v${i - 1} ON p.s = v${i - 1}.state
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    LAG(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         |tr AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT)
+         |         AS nst
+         |       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |p AS (SELECT prev_type AS s, event_type AS t,
+         |        nst * 1000000 // SUM(nst) OVER (PARTITION BY prev_type)
+         |          AS p_micro
+         |      FROM tr),
+         |kk AS (SELECT COUNT(DISTINCT s) AS k FROM p),
+         |v0 AS (SELECT DISTINCT s AS state, 1000000 // kk.k AS v_micro
+         |       FROM p CROSS JOIN kk),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |SELECT state, CAST(v_micro AS BIGINT) AS v_micro FROM v6"""
+        .stripMargin
+    },
     "ev47_l28_histogram" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
