@@ -1202,6 +1202,45 @@ object EventQueries {
       v
     },
 
+    // EV49 (beyond reference): expected STEPS-TO-PURCHASE per state —
+    // treating 'purchase' as the absorbing state of ev12's chain, the
+    // expected transition count to absorption from each other state
+    // (the "how far is each behavior from converting" distance the
+    // funnel can't see). Exact answer needs (I−Q)⁻¹; here the Neumann
+    // series E = Σ Qᵏ·1 is truncated at 8 integer micro-iterations
+    // e' = 1e6 + Q·e (same unrolled-integer-rounds contract as ev48 /
+    // gr1, so the oracle replays it bit-for-bit). Mass that never
+    // reaches 'purchase' within 8 steps simply stops accumulating —
+    // a documented lower bound, not an estimate error.
+    "ev49_steps_to_purchase" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val p = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("nst"))
+        .withColumn("p_micro", expr(
+          "nst * 1000000 div sum(nst) over (partition by prev_type)"))
+        .select(col("prev_type").as("s"), col("event_type").as("t"),
+          col("p_micro"))
+        .filter(col("s") =!= "purchase")
+      val q = p.filter(col("t") =!= "purchase")
+      val states = p.select(col("s").as("state")).distinct()
+      var e = states.withColumn("e_micro", lit(0L))
+      for (_ <- 1 to 8) {
+        e = states.join(
+            q.join(e, col("t") === col("state"))
+              .groupBy(col("s"))
+              .agg(expr("sum(p_micro * e_micro) div 1000000").as("acc")),
+            states("state") === col("s"), "left")
+          .select(col("state"),
+            (lit(1000000L) + coalesce(col("acc"), lit(0L))).as("e_micro"))
+      }
+      e
+    },
+
     // EV47 (beyond reference): L28 engagement HISTOGRAM — users binned
     // by how many of the trailing 28 days they were active (the L5/L28
     // family product teams grade stickiness by; the histogram's shape —
@@ -2291,6 +2330,35 @@ object EventQueries {
         |  CAST((p.support * 1000000) // na.n_a AS BIGINT)
         |    AS confidence_micro
         |FROM p JOIN na USING (etype_a)""".stripMargin,
+    "ev49_steps_to_purchase" -> {
+      def round(i: Int): String =
+        s"""e$i AS (
+           |  SELECT st.state,
+           |    1000000 + COALESCE(acc.acc, 0) AS e_micro
+           |  FROM st LEFT JOIN (
+           |    SELECT q.s, SUM(q.p_micro * e${i - 1}.e_micro) // 1000000
+           |      AS acc
+           |    FROM q JOIN e${i - 1} ON q.t = e${i - 1}.state
+           |    GROUP BY 1) acc ON st.state = acc.s)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    LAG(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         |tr AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT)
+         |         AS nst
+         |       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |p AS (SELECT prev_type AS s, event_type AS t,
+         |        nst * 1000000 // SUM(nst) OVER (PARTITION BY prev_type)
+         |          AS p_micro
+         |      FROM tr WHERE prev_type <> 'purchase'),
+         |q AS (SELECT * FROM p WHERE t <> 'purchase'),
+         |st AS (SELECT DISTINCT s AS state FROM p),
+         |e0 AS (SELECT state, CAST(0 AS BIGINT) AS e_micro FROM st),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT state, CAST(e_micro AS BIGINT) AS e_micro FROM e8"""
+        .stripMargin
+    },
     "ev48_stationary_mix" -> {
       def round(i: Int): String =
         s"""v$i AS (
