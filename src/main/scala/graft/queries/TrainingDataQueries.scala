@@ -1887,6 +1887,29 @@ object TrainingDataQueries {
         sum(when(col("rk") === 48, col("mean_micro"))).as("hi_micro"))
     },
 
+    // S13 (beyond reference): HORVITZ–THOMPSON estimation audit — the
+    // design-based estimator that justifies sampling at all: blow the
+    // s1 hash-sample (π = 250/1000) back up by 1/π and compare against
+    // the TRUE corpus total, reporting the exact relative error in
+    // micro units. The certificate a sampling pipeline ships next to
+    // every sampled metric; both totals are exact integer sums, the
+    // blow-up is integer arithmetic (π is a permille literal), and the
+    // audit needs one extra aggregate over the same scan.
+    "s13_horvitz_thompson" -> { (s, dir) =>
+      val d = docsSpread(s, dir).select(col("doc_id"), col("n_chars"))
+      val sample = Sampling.hashSample(d, col("doc_id"), keepPermille = 250)
+      val est = sample.agg(count(lit(1)).as("n_sampled"),
+        expr("sum(n_chars) * 1000 div 250").as("ht_total"))
+      val truth = d.agg(count(lit(1)).as("n_total"),
+        sum(col("n_chars")).as("true_total"))
+      est.crossJoin(broadcast(truth))
+        .select(col("n_sampled"), col("n_total"), col("ht_total"),
+          col("true_total"),
+          expr("""abs(ht_total - true_total) * 1000000
+                 |div true_total""".stripMargin.replace("\n", " "))
+            .as("rel_err_micro"))
+    },
+
     // S10 (beyond reference): k-center CORESET — pick the 4 embeddings
     // that SPAN the space (Gonzalez farthest-first, a 2-approx of the
     // optimal cover) and report every point's covering center and
@@ -3012,6 +3035,21 @@ object TrainingDataQueries {
         |  CAST(SUM(CASE WHEN rk = 48 THEN mean_micro END) AS BIGINT)
         |    AS hi_micro
         |FROM rk""".stripMargin,
+    "s13_horvitz_thompson" -> {
+      val gate = "CAST(('0x' || substr(md5('sample:' || " +
+        "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 250"
+      s"""WITH est AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         |    CAST(SUM(n_chars) * 1000 // 250 AS BIGINT) AS ht_total
+         |  FROM documents WHERE $gate),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         |        CAST(SUM(n_chars) AS BIGINT) AS true_total
+         |      FROM documents)
+         |SELECT n_sampled, n_total, ht_total, true_total,
+         |  CAST(abs(ht_total - true_total) * 1000000 // true_total
+         |    AS BIGINT) AS rel_err_micro
+         |FROM est CROSS JOIN t""".stripMargin
+    },
     "s10_kcenter_coreset" -> {
       // one farthest-first round: argmax-of-min pick, then the strict-<
       // min/assignment update (matching Coreset.kCenterGreedy exactly)
