@@ -102,6 +102,21 @@ object Bench {
       } else omitted += 1
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The stdout line is budget-capped (the harness keeps only its tail),
+    // but round-over-round regression detection needs EVERY per-query
+    // time, not just the slow tail — persist the complete map to a file
+    // the repo can commit and diff against next round.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${
+        entries.mkString(",")}},"failed":$failedJson,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$sb},"omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

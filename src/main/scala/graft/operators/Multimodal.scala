@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   * own column so Parquet column pruning skips the bytes entirely unless a
   * stage actually decodes.
   *
-  * The codec layer itself is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic pseudo-features from the
-  * payload bytes. The Spark-side contract — schema, batching, partitioning,
-  * output shape — is real and tested; swap `decodeStub` for a real decoder
-  * to productionize.
+  * The codec layer: image payloads (PNG/BMP/GIF/JPEG, detected by magic
+  * bytes) are REALLY decoded with `javax.imageio` (pure-JVM, ships with the
+  * JDK) and featurized over their decoded RGB pixel stream; payloads that
+  * are not a decodable image — audio/video blobs (no pure-JDK codec
+  * exists) and the harness's synthetic digest payloads — are featurized
+  * over their raw bytes by the same lane-sum kernel, keeping every output
+  * deterministic and oracle-reproducible. Swap/extend `decodeBytes` per
+  * codec to add audio/video decode.
   */
 object Multimodal {
 
@@ -67,24 +70,68 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder: real systems call an image/audio codec here. Produces a
-    * deterministic 8-dim pseudo-feature from the payload so the pipeline
-    * shape (bytes → feature vector) is exercised end-to-end. The integer
-    * lane sums are the primitive (exact, engine-reproducible — the oracle
-    * hash-checks them); the float view divides once at the end, so the
-    * two are consistent by construction. */
-  private[operators] def decodeQuant(content: Array[Byte]): Array[Long] = {
-    // ??? <- real codec goes here; deterministic fake below.
-    val out = new Array[Long](8)
-    if (content != null) {
-      var i = 0
-      while (i < content.length) {
-        out(i % 8) += (content(i) & 0xFF)
-        i += 1
+  // ImageIO's default disk-backed stream cache costs a temp file per
+  // decode — executors decode thousands of payloads per task, so keep
+  // the stream cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Cheap magic-byte gate so non-image payloads (audio blobs, digest
+    * fixtures) never pay an ImageIO reader probe. */
+  private[operators] def looksLikeImage(content: Array[Byte]): Boolean =
+    content != null && content.length >= 8 && {
+      val b0 = content(0) & 0xFF; val b1 = content(1) & 0xFF
+      (b0 == 0x89 && b1 == 'P' && content(2) == 'N' && content(3) == 'G') ||
+      (b0 == 'B' && b1 == 'M') ||
+      (b0 == 'G' && b1 == 'I' && content(2) == 'F') ||
+      (b0 == 0xFF && b1 == 0xD8)
+    }
+
+  /** REAL image decode (`javax.imageio`: PNG/BMP/GIF/JPEG) → the decoded
+    * RGB pixel stream in row-major [R0,G0,B0,R1,…] order. None when the
+    * payload is not a decodable image — callers fall back to the raw
+    * bytes, so the featurizer total function stays deterministic. */
+  private[operators] def decodeBytes(content: Array[Byte]): Option[Array[Byte]] =
+    if (!looksLikeImage(content)) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](w * h * 3)
+        var p = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // ARGB, color-model-normalized
+            out(p) = ((rgb >> 16) & 0xFF).toByte
+            out(p + 1) = ((rgb >> 8) & 0xFF).toByte
+            out(p + 2) = (rgb & 0xFF).toByte
+            p += 3; x += 1
+          }
+          y += 1
+        }
+        out
       }
+    } catch { case _: Throwable => None }
+
+  /** 8-lane round-robin byte sums — the exact-integer feature primitive
+    * (engine-reproducible; the oracle hash-checks it). */
+  private def laneSums(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % 8) += (bytes(i) & 0xFF)
+      i += 1
     }
     out
   }
+
+  /** Featurize one payload: decode real images to pixels, lane-sum the
+    * decoded stream; lane-sum raw bytes for everything else. The integer
+    * lane sums are the primitive; the float view divides once at the end,
+    * so the two are consistent by construction. */
+  private[operators] def decodeQuant(content: Array[Byte]): Array[Long] =
+    laneSums(decodeBytes(content).getOrElse(
+      if (content == null) Array.emptyByteArray else content))
 
   private[operators] def decodeStub(content: Array[Byte]): Array[Float] =
     decodeQuant(content).map(_ / 255.0f)

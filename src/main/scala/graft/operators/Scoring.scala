@@ -50,7 +50,29 @@ object Scoring {
     * and a `keep` verdict at threshold 0 alongside the raw score. */
   def hashedLinearScore(docs: DataFrame, dim: Int = 64, bias: Long = -3L,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    scoreWith(docs, b => formulaWeight(b), dim, bias, idCol, textCol)
+
+  /** [[hashedLinearScore]] with EXTERNALLY-SUPPLIED trained weights: the
+    * learned weight vector (quantized to integers — the lossless
+    * cross-engine trick used throughout) rides into the plan as a literal
+    * array, so the per-token lookup is a codegen `element_at` against a
+    * broadcast constant: still zero shuffles, zero vocabulary table, and
+    * swapping models means swapping one array. `weights.length` is the
+    * feature dimension. */
+  def linearScoreWithWeights(docs: DataFrame, weights: Array[Long],
+                             bias: Long = 0L, idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "weight vector must be non-empty")
+    val w = typedLit(weights.toSeq)
+    scoreWith(docs,
+      b => element_at(w, (b + 1).cast("int")),
+      weights.length, bias, idCol, textCol)
+  }
+
+  private def scoreWith(docs: DataFrame, weight: Column => Column, dim: Int,
+                        bias: Long, idCol: String,
+                        textCol: String): DataFrame = {
     require(dim > 0, "feature dimension must be positive")
     val toks = split(TextAnalysis.normalizeText(col(textCol)), " ")
     docs
@@ -58,7 +80,7 @@ object Scoring {
       .select(col(idCol),
         size(col("toks")).cast("bigint").as("n_terms"),
         aggregate(col("toks"), lit(bias),
-          (acc, t) => acc + formulaWeight(tokenBucket(t, dim)))
+          (acc, t) => acc + weight(tokenBucket(t, dim)))
           .as("score"))
       .withColumn("keep", col("score") >= 0)
   }

@@ -9,8 +9,9 @@ import graft.operators.Multimodal
 /** Multimodal-column plumbing exposed to the oracle harness. The payload
   * bytes come from a deterministic synthetic media table derived from
   * `documents` (no media files ship with the harness), so metadata/plan
-  * queries are fully oracle-checkable; the stubbed decode path
-  * (`extractFeatures`) is covered by ScalaTest + a rows-only entry.
+  * queries are fully oracle-checkable; the decode path (`extractFeatures`
+  * — real `javax.imageio` for image payloads, raw-byte lane sums for the
+  * digest fixtures here) is covered by ScalaTest incl. a real-PNG decode.
   */
 object MultimodalQueries {
 
@@ -51,11 +52,12 @@ object MultimodalQueries {
           col("frame_ts_ms"))
     },
 
-    // Batched stub decode: bytes → 8-dim feature vector. The decode runs
-    // through the real mapPartitions path; the emitted integer lane sums
-    // are exact, so the whole decode pipeline is hash-checked against a
-    // DuckDB reconstruction of the md5-payload bytes (the float view is
-    // f_q/255f — consistent by construction, checked in ScalaTest).
+    // Batched decode: bytes → 8-dim feature vector through the real
+    // mapPartitions codec path (the fixture's digest payloads take the
+    // raw-byte lane-sum branch — they are not images); the emitted
+    // integer lane sums are exact, so the whole pipeline is hash-checked
+    // against a DuckDB reconstruction of the md5-payload bytes (the
+    // float view is f_q/255f — consistent by construction, ScalaTest).
     "mm4_decode_features" -> { (s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(s, Tables.documents(s, dir))).toDF()

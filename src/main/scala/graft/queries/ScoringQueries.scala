@@ -33,12 +33,30 @@ object ScoringQueries {
 
   private val tfidfTerms: Seq[String] = Seq("dup", "key", "the", "batch")
 
+  /** A stand-in "trained" 64-dim integer weight vector (what a quantized
+    * learned model exports); deliberately NOT the formulaWeight sequence,
+    * so ml13 only matches its oracle if the externally-supplied array
+    * really drives the score. */
+  private val trainedWeights: Array[Long] =
+    Array.tabulate(64)(i => ((i * 13) % 17).toLong - 8L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Hashed-feature linear quality classifier: narrow codegen fold over
     // the token array, zero shuffles — the fastText-style score-everything
     // pass of corpus curation.
     "ml1_linear_score" -> { (s, dir) =>
       Scoring.hashedLinearScore(docsSpread(s, dir))
+    },
+
+    // ml1 with EXTERNALLY-SUPPLIED trained weights (the deployment path):
+    // the integer weight vector enters the plan as a literal array and the
+    // per-token lookup is a codegen element_at against that broadcast
+    // constant — same zero-shuffle scan; the oracle replays the identical
+    // weights, proving the scoring path is model-agnostic, not formula-
+    // baked.
+    "ml14_trained_score" -> { (s, dir) =>
+      Scoring.linearScoreWithWeights(docsSpread(s, dir),
+        trainedWeights, bias = 5L)
     },
 
     // Precision/recall threshold sweep of ml1's scores against the
@@ -846,6 +864,17 @@ object ScoringQueries {
          |      $weightSql)) AS BIGINT) AS score
          |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
          |        FROM documents))""".stripMargin,
+    "ml14_trained_score" -> {
+      val wList = trainedWeights.mkString("[", ",", "]")
+      s"""SELECT doc_id, n_terms, score, score >= 0 AS keep FROM (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_terms,
+         |    CAST(5 + list_sum(list_transform(toks, t ->
+         |      ($wList)[CAST(CAST(('0x' || substr(md5(t), 1, 15))
+         |        AS BIGINT) % 64 AS INTEGER) + 1])) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |        FROM documents))""".stripMargin
+    },
     "ml2_threshold_sweep" ->
       s"""WITH sc AS (
          |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->

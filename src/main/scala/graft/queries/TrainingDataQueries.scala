@@ -2103,6 +2103,7 @@ object TrainingDataQueries {
       val t = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
       docsSpread(s, dir).selectExpr("doc_id",
           s"filter(split($t, ' '), x -> length(x) > 0) AS toks")
+        .filter("size(toks) > 0") // empty docs: 0-div diverges vs oracle
         .selectExpr("doc_id", "size(toks) AS n_toks",
           """CASE WHEN size(toks) <= 50 THEN
             |  cast(size(array_distinct(toks)) as bigint) * 1000000
@@ -2128,16 +2129,19 @@ object TrainingDataQueries {
     // out of one digest-keyed aggregate.
     "dd15_cdc_chunking" -> { (s, dir) =>
       val t = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+      // Guard: Spark's sequence(8, stop) steps DOWN when stop < 8
+      // (docs shorter than one 8-gram), enumerating bogus cut
+      // candidates; clamp the stop to 8 and re-filter i <= length so
+      // short docs yield zero cuts — exactly DuckDB's empty range(8, n+1).
+      val cuts =
+        s"""filter(sequence(8, greatest(length($t), 8)),
+           |  i -> i <= length($t)
+           |    and md5_prefix60(substr($t, i - 7, 8)) % 64 = 0)"""
+          .stripMargin.replace("\n", " ")
       val chunks = docsSpread(s, dir).selectExpr(
           s"""explode(filter(zip_with(
-             |  concat(array(1), transform(
-             |    filter(sequence(8, length($t)),
-             |      i -> md5_prefix60(substr($t, i - 7, 8)) % 64 = 0),
-             |    c -> c + 1)),
-             |  concat(
-             |    filter(sequence(8, length($t)),
-             |      i -> md5_prefix60(substr($t, i - 7, 8)) % 64 = 0),
-             |    array(length($t))),
+             |  concat(array(1), transform($cuts, c -> c + 1)),
+             |  concat($cuts, array(length($t))),
              |  (s2, e) -> if(e >= s2, substr($t, s2, e - s2 + 1), null)),
              |  x -> x is not null)) AS chunk"""
             .stripMargin.replace("\n", " "))
@@ -2261,11 +2265,17 @@ object TrainingDataQueries {
     // fingerprint count); the shuffle carries 16-byte digests, never
     // text.
     "pk7_chunk_dedup" -> { (s, dir) =>
+      // Guard: an empty normalized text makes the chunk-count stop
+      // (0+63) div 64 - 1 = -1, and Spark's sequence(0, -1) steps DOWN
+      // to [0, -1] — two phantom empty chunks vs DuckDB's empty
+      // range(0, 0). Clamp the stop to 0 and re-filter i*64 < length.
       val chunks = docsSpread(s, dir)
         .select(explode(expr(
-          """transform(sequence(0,
-            |cast((length(trim(regexp_replace(lower(text), '\\s+', ' ')))
-            |  + 63) div 64 - 1 as int)),
+          """transform(filter(sequence(0,
+            |greatest(cast((length(trim(regexp_replace(lower(text),
+            |  '\\s+', ' '))) + 63) div 64 - 1 as int), 0)),
+            |i -> i * 64 <
+            |  length(trim(regexp_replace(lower(text), '\\s+', ' ')))),
             |i -> substr(trim(regexp_replace(lower(text), '\\s+', ' ')),
             |  i * 64 + 1, 64))"""
             .stripMargin.replace("\n", " "))).as("chunk"))
@@ -3204,7 +3214,7 @@ object TrainingDataQueries {
          |          CAST(i + 49 AS INTEGER)])))) AS BIGINT) * 1000000
          |      // (CAST(len(toks) - 49 AS BIGINT) * 50)
          |  END AS mattr_micro
-         |FROM d""".stripMargin,
+         |FROM d WHERE len(toks) > 0""".stripMargin,
     "dd15_cdc_chunking" ->
       s"""WITH d AS (SELECT $normSql AS t FROM documents),
          |cuts AS (

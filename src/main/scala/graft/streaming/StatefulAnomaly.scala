@@ -14,7 +14,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * 4·(x·n − S)² > 25·(n·Σx² − S²) evaluated in BigInt, so the flag
   * sequence is a pure function of the OBSERVATION ORDER — replaying the
   * same per-series sequence through any micro-batch split yields
-  * identical flags (in-batch rows are ordered by their time key). State
+  * identical flags (in-batch rows are ordered by the total (t, x) key,
+  * so equal-timestamp ties cannot flip with the batch split). State
   * is three longs per series regardless of stream length; TTL and store
   * come from the transformWithState runtime like [[StatefulTopK]].
   */
@@ -42,7 +43,11 @@ object StatefulAnomaly {
     override def handleInputRows(key: String, rows: Iterator[Obs],
                                  timerValues: TimerValues): Iterator[Flag] = {
       var st = Option(state.get()).getOrElse(Stats(0L, 0L, 0L))
-      val out = rows.toSeq.sortBy(_.t).map { o =>
+      // Sort by the TOTAL key (t, x): ordering by t alone leaves rows
+      // with equal timestamps in arrival order, so different micro-batch
+      // splits could process them in different orders and flip flags —
+      // the total key restores the documented split-invariance guarantee.
+      val out = rows.toSeq.sortBy(o => (o.t, o.x)).map { o =>
         val flagged = st.n >= 3 && {
           val dev = BigInt(o.x) * st.n - st.s
           dev * dev * 4 > BigInt(25) *

@@ -694,4 +694,39 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(m =>
       m.feature.toSeq == m.feature_q.map(_ / 255.0f).toSeq))
   }
+
+  test("image payloads are really decoded (javax.imageio), not byte-summed") {
+    import Multimodal.MediaRecord
+    // a 4x2 PNG with known pixel values, encoded in-memory
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, (x * 40 << 16) | (y * 100 << 8) | (x + y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    // expected: lane sums over the DECODED row-major RGB stream
+    val pixelBytes = for (y <- 0 until 2; x <- 0 until 4;
+                          c <- Seq(x * 40, y * 100, x + y)) yield c.toLong
+    val want = pixelBytes.zipWithIndex
+      .groupBy(_._2 % 8).map { case (l, xs) => l -> xs.map(_._1).sum }
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", png, 4, 2, 0L, "png"),
+      // same bytes, but declared audio: magic gate still decodes by
+      // CONTENT, so the declared type does not change the feature
+      MediaRecord(2L, "audio", png, 0, 0, 0L, "opus"),
+      // non-image payload falls back to raw-byte lane sums
+      MediaRecord(3L, "audio", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9),
+        0, 0, 0L, "opus")))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(m => m.media_id -> m.feature_q.toSeq).toMap
+    assert(got(1L) == (0 until 8).map(want(_)))
+    assert(got(2L) == got(1L))
+    // PNG container bytes differ from pixel bytes — a byte-summed "decode"
+    // could not produce the pixel lane sums
+    assert(got(1L) != png.zipWithIndex.groupBy(_._2 % 8).toSeq
+      .sortBy(_._1).map(_._2.map(b => (b._1 & 0xFF).toLong).sum))
+    assert(got(3L) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).updated(0, 10L))
+  }
 }

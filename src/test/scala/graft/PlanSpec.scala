@@ -163,13 +163,23 @@ class PlanSpec extends SparkSpec {
     graft.io.ParquetSink.writeBucketed(
       (1 to 2000).map(i => ((i % 500 + 1).toLong, i)).toDF("k", "qty"),
       "graft_bkt_lines", "k", 4)
-    val joined = spark.table("graft_bkt_lines")
-      .join(spark.table("graft_bkt_orders"), "k")
-    val p = joined.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
-    assert(joined.count() == 2000)
-    spark.sql("DROP TABLE graft_bkt_orders")
-    spark.sql("DROP TABLE graft_bkt_lines")
+    // Disable auto-broadcast: the 500-row side would otherwise broadcast
+    // and pass the no-exchange assertion vacuously — the point is that
+    // the SHUFFLE join reads co-located buckets.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bkt_lines")
+        .join(spark.table("graft_bkt_orders"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+      assert(joined.count() == 2000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.sql("DROP TABLE graft_bkt_orders")
+      spark.sql("DROP TABLE graft_bkt_lines")
+    }
   }
 
   test("metadata-only multimodal stages prune the payload column") {
@@ -342,10 +352,8 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("seq1_behavior_pairs")(spark, sf))
     // the self-join must stay an equi-join keyed (user_id, day) — the
     // |types|² fan-out happens inside a key, never as a cross product
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop") ||
-      // the final broadcast of the 5-row antecedent table is the one
-      // permitted nested-loop-free broadcast
-      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("NestedLoop"), p.take(2000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       p.take(2000))
   }
@@ -366,5 +374,64 @@ class PlanSpec extends SparkSpec {
       l.contains("Sort [neg") || l.contains("Sort [score"))
     assert(corpusSort.exists(_.contains("false, 0")),
       corpusSort.getOrElse(p.take(2000)))
+  }
+
+  // ---- round-7 pins for the round-6 tiers --------------------------------
+
+  test("A/B tier crossjoins resolve to broadcast nested loops over scalar frames") {
+    // every crossJoin in ab1/ab3 carries a broadcast 1-row stats frame —
+    // a CartesianProduct (or a non-broadcast NLJ) would mean the scalar
+    // frame lost its broadcast and the per-user table is being looped
+    for (q <- Seq("ab1_cuped", "ab3_diff_in_means")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("Kaplan-Meier windows run over the tenure-bucket rollup, not raw events") {
+    val p = plan(SparkEntry.queries("ev42_kaplan_meier")(spark, sf))
+    // root-first print: every (unpartitioned, bucket-grain) Window node
+    // must sit ABOVE the event-grain HashAggregate that rolls events up
+    // to tenure buckets — a Window printing below the deepest aggregate
+    // would mean it consumes raw event rows through one task
+    val iWindow = p.lastIndexOf("Window")
+    val iAgg = p.lastIndexOf("HashAggregate")
+    assert(iWindow >= 0 && iAgg >= 0, p.take(2000))
+    assert(iWindow < iAgg, p.take(2000))
+  }
+
+  test("CDC chunking stays narrow until the chunk-digest rollup — no joins") {
+    // the shared test session has no GraftExtensions; expose the hash
+    // kernel the chunker's selectExpr references
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix60",
+      exprs => graft.functions.Md5Prefix60(exprs.head), "built-in")
+    val p = plan(SparkEntry.queries("dd15_cdc_chunking")(spark, sf))
+    // cut detection + slicing are per-row array HOFs; the only wide ops
+    // are the digest aggregate's exchanges — any Join in the plan means
+    // the chunker grew a pairwise shape
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000)) // the explode is columnar
+  }
+
+  test("shrunk-mean encoder broadcasts its totals frame") {
+    val p = plan(SparkEntry.queries("fe17_shrunk_encode")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("b-bit minhash audit joins only LSH candidates — never all pairs") {
+    val p = plan(SparkEntry.queries("dd14_bbit_minhash")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("trained-weight scoring is a zero-shuffle scan like ml1") {
+    val p = plan(SparkEntry.queries("ml14_trained_score")(spark, sf))
+    // the weight array is a plan literal: no join, no vocabulary shuffle;
+    // the only exchange is the docsSpread repartition
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      p.take(2000))
   }
 }
