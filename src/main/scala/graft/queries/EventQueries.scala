@@ -184,6 +184,38 @@ object EventQueries {
     // fe4's determinism contract: exact decimal Σx/Σx² in the frame,
     // every double derived through the identical expression tree. The
     // monitoring pass an ingest pipeline runs on its own volume curve.
+    // TS15 (beyond reference): ONE-STEP-AHEAD online anomaly flags — the
+    // exact batch twin of streaming/StatefulAnomaly: each day's count is
+    // tested against the running statistics of STRICTLY PRIOR days
+    // (cumulative ROWS .. 1 PRECEDING window), so the anomaly can't
+    // inflate the variance it is judged against — ts1's honest online
+    // formulation. The |z| > 2.5 test is the cross-multiplied integer
+    // inequality 4·(x·n − S)² > 25·(n·Σx² − S²) in decimal(38,0) — the
+    // same arithmetic the streaming processor runs in BigInt, so replaying
+    // a backfill through either tier yields identical flags (equivalence
+    // pinned in StreamingSpec). One (type, day) rollup shuffle; the window
+    // is co-partitioned by series.
+    "ts15_online_anomaly" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      daily
+        .withColumn("n_prior", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("n").cast(d38)).over(w))
+        .withColumn("s2", sum((col("n") * col("n")).cast(d38)).over(w))
+        .select(col("event_type"), col("day"), col("n"), col("n_prior"),
+          when(col("n_prior") >= 3, {
+            val dev = col("n").cast(d38) * col("n_prior").cast(d38) -
+              col("s1")
+            (dev * dev * lit(4) >
+              lit(25) * (col("n_prior").cast(d38) * col("s2") -
+                col("s1") * col("s1"))).cast("bigint")
+          }).otherwise(0L).as("is_anomaly"))
+    },
+
     "ts1_anomaly" -> { (s, dir) =>
       val daily = Tables.eventsUs(s, dir)
         .select(col("event_type"),
@@ -1806,6 +1838,26 @@ object EventQueries {
         |        ON v.user_id = c.user_id AND v.view_us >= c.ts_us)
         |SELECT view_id, user_id, view_us, click_id FROM m
         |WHERE view_us - click_us <= 1800000000""".stripMargin,
+    "ts15_online_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT event_type, day, n,
+        |    COUNT(*) OVER tw AS n_prior,
+        |    SUM(CAST(n AS HUGEINT)) OVER tw AS s1,
+        |    SUM(CAST(n AS HUGEINT) * n) OVER tw AS s2
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, CAST(n_prior AS BIGINT) AS n_prior,
+        |  CAST(CASE WHEN n_prior >= 3 AND
+        |    4 * (CAST(n AS HUGEINT) * n_prior - s1)
+        |      * (CAST(n AS HUGEINT) * n_prior - s1)
+        |    > 25 * (n_prior * s2 - s1 * s1)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM fr""".stripMargin,
     "ts1_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,

@@ -70,6 +70,43 @@ object ScoringQueries {
       Scoring.thresholdSweep(labeled)
     },
 
+    // FE18 (beyond reference): pairwise COVARIANCE/CORRELATION matrix of
+    // the first 16 embedding lanes — the screen for redundant feature
+    // dimensions (|corr| ≈ 1 pairs carry no extra signal; near-zero rows
+    // mark dead lanes) run before any projection/whitening decision.
+    // Lanes quantize to exact integers (floor micro), every moment is an
+    // exact decimal(38,0) sum at (i, j) grain — the shuffle carries
+    // dim²/2 cells × a handful of integers, never vectors — and
+    // cov/corr are single fixed IEEE trees, so both engines agree
+    // bitwise. At 100 TB the lane-pair fan-out is per-ROW compute
+    // (dim² bounded by model width, not corpus), map-side-combined into
+    // the 136-cell rollup.
+    "fe18_feature_covariance" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val lanes = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(transform(
+          slice(col("embedding"), 1, 16),
+          x => floor(x.cast("double") * 1000000).cast("long")))
+          .as(Seq("i", "q")))
+      val pairs = lanes.as("a").join(lanes.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          col("a.q").as("x"), col("b.q").as("y"))
+      val st = pairs.groupBy("i", "j").agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      val num = col("n").cast(d38) * col("sxy") - col("sx") * col("sy")
+      val vx = col("n").cast(d38) * col("sxx") - col("sx") * col("sx")
+      val vy = col("n").cast(d38) * col("syy") - col("sy") * col("sy")
+      st.select(col("i"), col("j"), col("n"),
+        (num.cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("cov"),
+        (num.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("corr"))
+    },
+
     // Per-group z-score feature normalization: one map-side-combined
     // aggregate to (source, n, Σx, Σx²) — exact decimal sums, group count
     // = source cardinality — broadcast back over the scan. Every double
@@ -110,6 +147,66 @@ object ScoringQueries {
         .select(col("bin"), col("n"), col("npos"),
           (col("npos").cast("double") / col("n").cast("double"))
             .as("pos_rate"))
+    },
+
+    // ML15 (beyond reference): EXPECTED CALIBRATION ERROR — ml3 shows the
+    // per-bin reliability table; ECE/MCE compress it into the two numbers
+    // a model card reports (mean and max |accuracy − confidence| gap,
+    // bin-weighted). Confidence is the score mapped affinely onto [0, 1]
+    // in micro units (clamp AFTER the division, so the one negative-
+    // numerator case where Spark's div truncates and DuckDB's // floors is
+    // clamped identically to 0 by both); accuracy is an exact integer
+    // micro-ratio per bin. Everything stays integer until the report —
+    // the per-bin rollup is one map-side-combined shuffle, the summary is
+    // bin-count-sized.
+    "ml15_ece" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val binned = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+        .select(col("score"), col("label"),
+          expr("least(1000000L, greatest(0L, (score + 20) * 1000000 div 40))")
+            .as("conf_micro"))
+        .groupBy(floor(col("score") / lit(4.0)).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("npos"),
+          sum(col("conf_micro")).as("sum_conf"))
+        .select(col("n"),
+          expr("abs(npos * 1000000 div n - sum_conf div n)")
+            .as("gap_micro"))
+      binned.agg(sum(col("n")).as("n_total"),
+        expr("sum(n * gap_micro) div sum(n)").as("ece_micro"),
+        max(col("gap_micro")).as("mce_micro"))
+    },
+
+    // ML16 (beyond reference): COHEN'S KAPPA between ml1's keep verdict
+    // and the lang='en' label — chance-corrected agreement, the honest
+    // replacement for raw accuracy when classes are imbalanced (a gate
+    // that keeps everything "agrees" with a mostly-positive label). The
+    // 2×2 confusion is one conditional-count aggregate; kappa is written
+    // as ONE division of two exact integer polynomials
+    // (N·(n11+n00) − Σ marginal products) / (N² − Σ marginal products),
+    // so both engines produce the identical double.
+    "ml16_cohens_kappa" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val cells = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+        .agg(
+          sum(when(col("keep") && col("label"), 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("keep") && !col("label"), 1L).otherwise(0L))
+            .as("n10"),
+          sum(when(!col("keep") && col("label"), 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(!col("keep") && !col("label"), 1L).otherwise(0L))
+            .as("n00"))
+      val n = col("n11") + col("n10") + col("n01") + col("n00")
+      val chance = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00"))
+      cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        ((n * (col("n11") + col("n00")) - chance).cast("double") /
+          (n * n - chance).cast("double")).as("kappa"))
     },
 
     // Exact AUC of ml1's score vs the lang='en' label via the rank-sum
@@ -1028,6 +1125,57 @@ object ScoringQueries {
          |  CAST(SUM(prec_nano) AS DOUBLE) / 1e9 /
          |    CAST(COUNT(*) AS DOUBLE) AS average_precision
          |FROM t""".stripMargin,
+    "ml15_ece" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score,
+         |    label
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |conf AS (
+         |  SELECT score, label,
+         |    least(1000000, greatest(0, (score + 20) * 1000000 // 40))
+         |      AS conf_micro
+         |  FROM sc),
+         |bins AS (
+         |  SELECT CAST(FLOOR(score / 4.0e0) AS BIGINT) AS bin,
+         |    COUNT(*) AS n,
+         |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos,
+         |    SUM(conf_micro) AS sum_conf
+         |  FROM conf GROUP BY 1),
+         |gaps AS (
+         |  SELECT n, abs(npos * 1000000 // n - sum_conf // n) AS gap_micro
+         |  FROM bins)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |  CAST(SUM(n * gap_micro) // SUM(n) AS BIGINT) AS ece_micro,
+         |  CAST(MAX(gap_micro) AS BIGINT) AS mce_micro
+         |FROM gaps""".stripMargin,
+    "ml16_cohens_kappa" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) >= 0 AS keep,
+         |    label
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |cells AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN keep AND label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n11,
+         |    CAST(SUM(CASE WHEN keep AND NOT label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n10,
+         |    CAST(SUM(CASE WHEN NOT keep AND label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n01,
+         |    CAST(SUM(CASE WHEN NOT keep AND NOT label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n00
+         |  FROM sc)
+         |SELECT n11, n10, n01, n00,
+         |  CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+         |    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         |    AS DOUBLE) /
+         |  CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+         |    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         |    AS DOUBLE) AS kappa
+         |FROM cells""".stripMargin,
     "ml3_calibration" ->
       s"""WITH sc AS (
          |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
@@ -1041,6 +1189,31 @@ object ScoringQueries {
          |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE) AS pos_rate
          |FROM sc GROUP BY 1""".stripMargin,
+    "fe18_feature_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding[1:16],
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |l AS (
+        |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+        |    qv[CAST(i + 1 AS INTEGER)] AS q
+        |  FROM e, unnest(range(0, 16)) AS t(i)),
+        |st AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+        |    SUM(CAST(a.q AS HUGEINT)) AS sx,
+        |    SUM(CAST(b.q AS HUGEINT)) AS sy,
+        |    SUM(CAST(a.q AS HUGEINT) * b.q) AS sxy,
+        |    SUM(CAST(a.q AS HUGEINT) * a.q) AS sxx,
+        |    SUM(CAST(b.q AS HUGEINT) * b.q) AS syy
+        |  FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * (n - 1) AS DOUBLE) AS cov,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        |FROM st""".stripMargin,
     "fe4_zscore" ->
       """WITH stats AS (
         |  SELECT source, COUNT(*) AS n,

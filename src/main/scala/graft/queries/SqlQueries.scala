@@ -64,7 +64,47 @@ object SqlQueries {
       |  AS running_spend
       |FROM orders""".stripMargin
 
+  /** Recursive-CTE BFS over the deterministic synthetic link graph
+    * (gr-tier fixture: dst = (src·p + j) mod n for three (p, j) maps):
+    * hop distance from node 0 and path multiplicity, depth-capped at 4.
+    * The recursion fans 3^depth rows from one seed — bounded by the cap,
+    * not the corpus — and each round is one equi-join against the edge
+    * relation, so the iterative-query surface scales like any keyed
+    * join chain. Dialect-neutral: the SAME text runs on both engines
+    * (Spark 4's WITH RECURSIVE and DuckDB's agree on UNION ALL
+    * semantics here). */
+  private val recursiveReach =
+    """WITH RECURSIVE
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |edges AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS src,
+      |    (CAST(doc_id AS BIGINT) * 7 + 0) % (SELECT n FROM nn) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS BIGINT),
+      |    (CAST(doc_id AS BIGINT) * 13 + 1) % (SELECT n FROM nn)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS BIGINT),
+      |    (CAST(doc_id AS BIGINT) * 31 + 2) % (SELECT n FROM nn)
+      |  FROM documents),
+      |reach(node, dist) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+      |  UNION ALL
+      |  SELECT e.dst AS node, r.dist + 1 AS dist
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.dist < 4)
+      |SELECT node, CAST(MIN(dist) AS BIGINT) AS hops,
+      |  CAST(COUNT(*) AS BIGINT) AS n_paths
+      |FROM reach GROUP BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Iterative graph traversal through pure SQL text — WITH RECURSIVE
+    // as a first-class front-end capability (BFS hops + path counts).
+    "sql8_recursive_reach" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(recursiveReach)
+    },
     // TPC-H Q1-shaped pricing summary through the SQL front end.
     "sql1_pricing_summary" -> { (s, dir) =>
       registerViews(s, dir)
@@ -147,6 +187,7 @@ object SqlQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sql8_recursive_reach" -> recursiveReach,
     "sql1_pricing_summary" -> pricingSummary,
     "sql2_top_customers" -> topCustomers,
     "sql3_dotf_selfsim" ->

@@ -900,6 +900,47 @@ object TrainingDataQueries {
             .as("recall"))
     },
 
+    // SIM16 (beyond reference): MATRYOSHKA truncation eval — score the
+    // corpus with only the FIRST 16 of 64 embedding lanes (the
+    // matryoshka-representation trick: a prefix of a well-trained
+    // embedding is itself an embedding) and report top-10 recall against
+    // the full-dimension ranking. The number that licenses running ANN
+    // at a quarter of the memory/compute; same micro-quantized integer
+    // dot + one-IEEE-tree cosine as sim1, same broadcast query set —
+    // prefix slicing is free at scan time (narrower arrays through every
+    // buffer), which IS the 100 TB point.
+    "sim16_matryoshka_recall" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dotL
+      val full = sim1Frame(s, dir).select("query_id", "corpus_id")
+      val quant = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 16),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+      val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+      val q = broadcast(withNorm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("nrm").as("q_nrm")))
+      val scored = withNorm.select(col("vec_id").as("corpus_id"),
+          col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+        .crossJoin(q)
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          (dotL(col("q_qv"), col("c_qv")).cast("double") /
+            (sqrt(col("q_nrm").cast("double")) *
+              sqrt(col("c_nrm").cast("double")))).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+      val pref = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select("query_id", "corpus_id")
+      val hits = full.join(pref, Seq("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      full.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0)
+            .as("recall"))
+    },
+
     // Benchmark decontamination: training docs (doc_id % 10 != 0) sharing
     // any 3-gram shingle with the held-out "benchmark" slice (% 10 == 0).
     // Benchmark hash set broadcast; corpus scanned once.
@@ -1276,6 +1317,50 @@ object TrainingDataQueries {
         .select(col("doc_source"), col("lm_source"), col("n_scored"),
           (-col("sum_micro").cast("double") / lit(1e6) /
             col("n_scored").cast("double")).as("mean_surprisal"))
+    },
+
+    // LM7 (beyond reference): JELINEK-MERCER interpolated bigram LM —
+    // lm3's Kneser-Ney is the high end; JM (λ=0.5 linear mix of the
+    // bigram MLE and the corpus unigram) is the cheap smoother every LM
+    // scoring stack starts from, and unlike the raw MLE (lm2) it assigns
+    // finite surprisal to bigrams whose CONTEXT is rare. Scoring stays at
+    // TYPE grain (per-source bigram-type counts join the smoothed LM
+    // table and weight by occurrence count — lm6's shape); the
+    // interpolated probability is one fixed IEEE tree over four exact
+    // integers, micro-nat-quantized before the weighted integer sum, so
+    // the per-source cross-entropies are engine-exact. Shuffles: the
+    // bigram-type rollup and the vocabulary rollup — both vocabulary-
+    // grain, never corpus-grain.
+    "lm7_jelinek_mercer" -> { (s, dir) =>
+      val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+      val base = docsSpread(s, dir).select(col("source"), toks.as("toks"))
+      val bigrams = base.select(col("source"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val perSource = bigrams.groupBy("source", "w1", "w2")
+        .agg(count(lit(1)).as("c"))
+      val counts = perSource.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
+      val ctx = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val uni = base.select(explode(col("toks")).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("c2"))
+      val tot = uni.agg(sum(col("c2")).as("tt"))
+      val lm = counts.join(ctx, "w1").join(uni, "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"),
+          floor(log(lit(0.5) *
+              (col("c12").cast("double") / col("c1").cast("double")) +
+            lit(0.5) *
+              (col("c2").cast("double") / col("tt").cast("double")))
+            * lit(1e6)).cast("bigint").as("micro"))
+      perSource.join(lm, Seq("w1", "w2"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("micro")).as("sum_micro"))
+        .select(col("source"), col("n_bigrams"),
+          (-col("sum_micro").cast("double") / lit(1e6) /
+            col("n_bigrams").cast("double")).as("mean_surprisal"))
     },
 
     "lm5_ppl_buckets" -> { (s, dir) =>
@@ -4038,6 +4123,38 @@ object TrainingDataQueries {
     "sim3_ivf_topk" -> sim3Sql,
     "drift1_cell_divergence" -> drift1Sql,
     "sim6_semdedup" -> sim6Sql,
+    "sim16_matryoshka_recall" ->
+      s"""WITH ex AS ($sim1Sql),
+         |ep AS (
+         |  SELECT vec_id, list_transform(embedding[1:16],
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |np AS (
+         |  SELECT vec_id, qv,
+         |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+         |      i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+         |  FROM ep),
+         |pp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+         |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE) /
+         |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+         |      AS cos_sim
+         |  FROM np q, np c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |pr AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, corpus_id ASC) AS rk FROM pp) t
+         |  WHERE rk <= 10),
+         |hits AS (
+         |  SELECT e.query_id, COUNT(*) AS n_hits
+         |  FROM ex e JOIN pr p
+         |    ON e.query_id = p.query_id AND e.corpus_id = p.corpus_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) q
+         |LEFT JOIN hits USING (query_id)""".stripMargin,
     "sim5_ivf_recall" ->
       s"""WITH ex AS ($sim1Sql),
          |ivf AS ($sim3Sql),
@@ -4216,6 +4333,37 @@ object TrainingDataQueries {
          |    CAST(SUM(c.c) AS DOUBLE) AS mean_surprisal
          |FROM counts c JOIN lm ON c.w1 = lm.w1 AND c.w2 = lm.w2
          |GROUP BY c.source, lm.lm_source""".stripMargin,
+    "lm7_jelinek_mercer" ->
+      s"""WITH base AS (
+         |  SELECT source, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT source,
+         |    unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM base),
+         |per_source AS (
+         |  SELECT source, w1, w2, COUNT(*) AS c
+         |  FROM bg GROUP BY 1, 2, 3),
+         |counts AS (
+         |  SELECT w1, w2, SUM(c) AS c12 FROM per_source GROUP BY 1, 2),
+         |ctx AS (SELECT w1, SUM(c12) AS c1 FROM counts GROUP BY 1),
+         |uni AS (
+         |  SELECT w2, COUNT(*) AS c2
+         |  FROM (SELECT unnest(toks) AS w2 FROM base) GROUP BY 1),
+         |tot AS (SELECT SUM(c2) AS tt FROM uni),
+         |lm AS (
+         |  SELECT w1, w2,
+         |    CAST(FLOOR(ln(0.5 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |      + 0.5 * (CAST(c2 AS DOUBLE) / CAST(tt AS DOUBLE))) * 1e6)
+         |      AS BIGINT) AS micro
+         |  FROM counts JOIN ctx USING (w1) JOIN uni USING (w2)
+         |  CROSS JOIN tot)
+         |SELECT p.source, CAST(SUM(p.c) AS BIGINT) AS n_bigrams,
+         |  -CAST(SUM(p.c * lm.micro) AS DOUBLE) / 1e6 /
+         |    CAST(SUM(p.c) AS DOUBLE) AS mean_surprisal
+         |FROM per_source p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+         |GROUP BY p.source""".stripMargin,
     "lm5_ppl_buckets" ->
       s"""WITH $surprisalCtes,
          |j AS (

@@ -409,6 +409,33 @@ class StreamingSpec extends SparkSpec {
       assert(a == expect, a)
       assert(b == expect, b)
       assert(expect(6L) && expect.count(_._2) == 1) // only the spike fires
+
+      // BATCH twin equivalence: ts15_online_anomaly's window arithmetic
+      // (cumulative prior stats + the same cross-multiplied inequality)
+      // must reproduce the streaming flags on the identical series — one
+      // backfill/replay contract across both tiers.
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val daily = obs.toDF("series", "day", "n")
+      val w = Window.partitionBy(col("series")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val batch = daily
+        .withColumn("n_prior", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("n").cast(d38)).over(w))
+        .withColumn("s2", sum((col("n") * col("n")).cast(d38)).over(w))
+        .select(col("day"),
+          when(col("n_prior") >= 3, {
+            val dev = col("n").cast(d38) * col("n_prior").cast(d38) -
+              col("s1")
+            dev * dev * lit(4) >
+              lit(25) * (col("n_prior").cast(d38) * col("s2") -
+                col("s1") * col("s1"))
+          }).otherwise(false).as("flag"))
+        .collect().map(r => r.getAs[Long]("day") -> r.getAs[Boolean]("flag"))
+        .toMap
+      assert(batch == expect, batch)
     } finally {
       prevProvider match {
         case Some(p) =>
