@@ -36,13 +36,13 @@ object FuzzyJoin {
       sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
       i => s.substr(i, lit(n))))
 
-  /** Candidate pairs and exact distances: rows of `left` and `right`
-    * whose strings share a sub-`maxGramDf` n-gram AND are within
-    * `maxDistance` edits. Output: (lid, lstr, rid, rstr, dist). */
-  def fuzzyJoin(left: DataFrame, leftId: Column, leftStr: Column,
-                right: DataFrame, rightId: Column, rightStr: Column,
-                maxDistance: Int, ngram: Int = 4, maxGramDf: Long = 1000)
-  : DataFrame = {
+  /** The BLOCKING stage alone: candidate pairs of `left` × `right` that
+    * share at least one sub-`maxGramDf` n-gram — no distance verify yet.
+    * Exposed separately so the blocking's recall/reduction can be audited
+    * (er3) without paying the verify. Output: (lid, lstr, rid, rstr). */
+  def candidatePairs(left: DataFrame, leftId: Column, leftStr: Column,
+                     right: DataFrame, rightId: Column, rightStr: Column,
+                     ngram: Int = 4, maxGramDf: Long = 1000): DataFrame = {
     val lg = left.select(leftId.as("lid"), leftStr.as("lstr"))
       .select(col("lid"), col("lstr"),
         explode(charNgrams(col("lstr"), ngram)).as("g"))
@@ -56,11 +56,20 @@ object FuzzyJoin {
       .select("g")
     // one keep-join suffices: the g equi-join key is already confined to
     // kept grams by the left side
-    val cands = lg.join(keep, "g").join(rg, "g")
+    lg.join(keep, "g").join(rg, "g")
       .select("lid", "lstr", "rid", "rstr").distinct()
-    cands
+  }
+
+  /** Candidate pairs and exact distances: rows of `left` and `right`
+    * whose strings share a sub-`maxGramDf` n-gram AND are within
+    * `maxDistance` edits. Output: (lid, lstr, rid, rstr, dist). */
+  def fuzzyJoin(left: DataFrame, leftId: Column, leftStr: Column,
+                right: DataFrame, rightId: Column, rightStr: Column,
+                maxDistance: Int, ngram: Int = 4, maxGramDf: Long = 1000)
+  : DataFrame =
+    candidatePairs(left, leftId, leftStr, right, rightId, rightStr,
+        ngram, maxGramDf)
       .withColumn("dist",
         levenshtein(col("lstr"), col("rstr")).cast("bigint"))
       .filter(col("dist") <= maxDistance)
-  }
 }

@@ -23,6 +23,20 @@ object GraphQueries {
       Graph.pagerank(docs.select("doc_id"), Graph.syntheticLinks(docs))
     },
 
+    // GR20 (beyond reference): PERSONALIZED PageRank from a trusted seed
+    // set (doc_id % 50 == 0) — TrustRank-style corpus expansion: rank =
+    // link-proximity to the seeds, the signal that upweights the
+    // neighborhood of a hand-curated high-quality slice (or conversely
+    // demotes spam-adjacent regions). Same unrolled integer micro-unit
+    // rounds as gr1; the teleport rides a per-node seed flag instead of
+    // the uniform vector.
+    "gr20_personalized_pagerank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Graph.personalizedPagerank(docs.select("doc_id"),
+        Graph.syntheticLinks(docs),
+        docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
+    },
+
     // In/out-degree profile of the same graph joined back to rank: the
     // sanity report a link-graph ingest runs first (degree skew decides
     // the salting plan for the rank iterations).
@@ -646,6 +660,39 @@ object GraphQueries {
     "gr1_pagerank" ->
       s"""WITH ${pagerankCtes(3)}
          |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r_3""".stripMargin,
+    "gr20_personalized_pagerank" -> {
+      val scale = Graph.Scale
+      val iterCtes = (1 to 3).map { i =>
+        s"""r_$i AS (
+           |  SELECT nds.node,
+           |    nds.is_seed * ((15 * $scale) // (100 * ns.n)) +
+           |      ((85 * COALESCE(s.c, 0)) // 100) AS r
+           |  FROM nds CROSS JOIN ns LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(r_${i - 1}.r // od.od) AS c
+           |    FROM edges e
+           |    JOIN r_${i - 1} ON e.src = r_${i - 1}.node
+           |    JOIN od ON e.src = od.src
+           |    GROUP BY e.dst) s ON nds.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |nd AS (SELECT doc_id AS node FROM documents),
+         |edges AS (
+         |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+         |    FROM nd CROSS JOIN nn
+         |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+         |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+         |od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+         |sd AS (SELECT DISTINCT doc_id AS node FROM documents
+         |       WHERE doc_id % 50 = 0),
+         |ns AS (SELECT COUNT(*) AS n FROM sd),
+         |nds AS (SELECT nd.node,
+         |          CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |        FROM nd LEFT JOIN sd ON nd.node = sd.node),
+         |r_0 AS (SELECT node, is_seed * ($scale // ns.n) AS r
+         |        FROM nds CROSS JOIN ns),
+         |$iterCtes
+         |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r_3""".stripMargin
+    },
     "gr2_degree_rank" ->
       s"""WITH ${pagerankCtes(3)},
          |indeg AS (SELECT dst AS node, COUNT(*) AS in_deg

@@ -882,6 +882,44 @@ object RelationalQueries {
           coalesce(col("component"), col("c_custkey")).as("entity_id"))
     },
 
+    // ER3 (beyond reference): BLOCKING-quality audit — before trusting
+    // er1/er2's stop-gram blocking at scale, measure what it loses and
+    // what it saves: pair RECALL (which truly-close pairs survive
+    // blocking) against a brute-force ground truth on a deterministic
+    // 1/37 sample, and the REDUCTION RATIO (candidate pairs vs all
+    // pairs) — the two numbers every record-linkage methodology reports.
+    // The quadratic truth is confined to the bounded sample (a broadcast
+    // nested loop over ~n/37 rows — an audit cost, not a pipeline cost;
+    // at 100 TB the sample rate keeps it constant-sized) while the
+    // candidate set comes from the production blocking path itself.
+    "er3_blocking_eval" -> { (s, dir) =>
+      import graft.operators.FuzzyJoin
+      val slice = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      val truth = slice.select(col("id").as("lid"), col("nm").as("lnm"))
+        .crossJoin(broadcast(
+          slice.select(col("id").as("rid"), col("nm").as("rnm"))))
+        .filter(col("lid") < col("rid") &&
+          levenshtein(col("lnm"), col("rnm")) <= 2)
+        .select("lid", "rid")
+      val blocked = FuzzyJoin.candidatePairs(
+          slice, col("id"), col("nm"), slice, col("id"), col("nm"),
+          ngram = 4, maxGramDf = 50)
+        .filter(col("lid") < col("rid")).select("lid", "rid")
+      val found = truth.join(blocked, Seq("lid", "rid"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .crossJoin(broadcast(blocked.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(slice.agg(count(lit(1)).as("n_rows"))))
+        .select(col("n_truth"), col("n_found"), col("n_candidates"),
+          expr("""case when n_truth = 0 then 1000000L
+                 |else n_found * 1000000 div n_truth end"""
+            .stripMargin.replace("\n", " ")).as("recall_micro"),
+          expr("1000000 - n_candidates * 2000000 div (n_rows * (n_rows - 1))")
+            .as("reduction_micro"))
+    },
+
     // DQ3 (beyond reference): k-anonymity / l-diversity audit — the
     // privacy datasheet a release review asks for before a table ships:
     // every quasi-identifier equivalence class (nation × segment) with
@@ -1646,6 +1684,35 @@ object RelationalQueries {
         |SELECT c.c_custkey, c.c_name,
         |  COALESCE(p.component, c.c_custkey) AS entity_id
         |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.node""".stripMargin,
+    "er3_blocking_eval" ->
+      """WITH nm AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |            WHERE c_custkey % 37 = 0),
+        |lg AS (SELECT id, s, unnest(list_distinct(list_transform(
+        |  range(1, greatest(length(s) - 3, 1) + 1),
+        |  i -> substr(s, CAST(i AS INTEGER), 4)))) AS g FROM nm),
+        |keep AS (SELECT g FROM (SELECT g FROM lg UNION ALL SELECT g FROM lg)
+        |         GROUP BY g HAVING COUNT(*) <= 50),
+        |candp AS (SELECT DISTINCT a.id AS lid, b.id AS rid
+        |          FROM lg a JOIN keep USING (g) JOIN lg b USING (g)
+        |          WHERE a.id < b.id),
+        |truth AS (SELECT a.id AS lid, b.id AS rid FROM nm a, nm b
+        |          WHERE a.id < b.id AND levenshtein(a.s, b.s) <= 2),
+        |found AS (SELECT t.lid, t.rid FROM truth t
+        |          JOIN candp c ON t.lid = c.lid AND t.rid = c.rid),
+        |counts AS (SELECT
+        |  (SELECT COUNT(*) FROM truth) AS n_truth,
+        |  (SELECT COUNT(*) FROM found) AS n_found,
+        |  (SELECT COUNT(*) FROM candp) AS n_candidates,
+        |  (SELECT COUNT(*) FROM nm) AS n_rows)
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_found AS BIGINT) AS n_found,
+        |  CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(CASE WHEN n_truth = 0 THEN 1000000
+        |       ELSE n_found * 1000000 // n_truth END AS BIGINT)
+        |    AS recall_micro,
+        |  CAST(1000000 - n_candidates * 2000000 // (n_rows * (n_rows - 1))
+        |    AS BIGINT) AS reduction_micro
+        |FROM counts""".stripMargin,
     "dq3_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) AS class_size,

@@ -59,6 +59,42 @@ object ScoringQueries {
         trainedWeights, bias = 5L)
     },
 
+    // ML17 (beyond reference): McNEMAR'S paired test — is the trained
+    // model (ml14) actually BETTER than the formula baseline (ml1), or
+    // do they just disagree randomly? Accuracy deltas on the same corpus
+    // are paired data: only the discordant cells carry signal, and
+    // χ² = (b−c)²/(b+c) tests them. The 2×2 discordance table is one
+    // conditional-count aggregate over the joined verdicts; the
+    // statistic is a single IEEE division of exact integers.
+    "ml17_mcnemar" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val a = Scoring.hashedLinearScore(d)
+        .select(col("doc_id"), col("keep").as("keep_a"))
+      val b = Scoring.linearScoreWithWeights(d, trainedWeights, bias = 5L)
+        .select(col("doc_id"), col("keep").as("keep_b"))
+      val j = a.join(b, "doc_id")
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+          "doc_id")
+        .select((col("keep_a") === col("label")).as("ca"),
+          (col("keep_b") === col("label")).as("cb"))
+      j.agg(
+          sum(when(col("ca") && col("cb"), 1L).otherwise(0L))
+            .as("n_both_right"),
+          sum(when(!col("ca") && !col("cb"), 1L).otherwise(0L))
+            .as("n_both_wrong"),
+          sum(when(col("ca") && !col("cb"), 1L).otherwise(0L))
+            .as("n_a_only"),
+          sum(when(!col("ca") && col("cb"), 1L).otherwise(0L))
+            .as("n_b_only"))
+        .select(col("n_both_right"), col("n_both_wrong"),
+          col("n_a_only"), col("n_b_only"),
+          when(col("n_a_only") + col("n_b_only") > 0,
+            ((col("n_a_only") - col("n_b_only")) *
+              (col("n_a_only") - col("n_b_only"))).cast("double") /
+              (col("n_a_only") + col("n_b_only")).cast("double"))
+            .as("chi2"))
+    },
+
     // Precision/recall threshold sweep of ml1's scores against the
     // lang='en' label: distinct-score aggregation first (map-side
     // combined), then the cumulative window over score-cardinality rows.
@@ -1125,6 +1161,36 @@ object ScoringQueries {
          |  CAST(SUM(prec_nano) AS DOUBLE) / 1e9 /
          |    CAST(COUNT(*) AS DOUBLE) AS average_precision
          |FROM t""".stripMargin,
+    "ml17_mcnemar" -> {
+      val wList = trainedWeights.mkString("[", ",", "]")
+      s"""WITH sc AS (
+         |  SELECT
+         |    (CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) >= 0) = label AS ca,
+         |    (CAST(5 + list_sum(list_transform(toks, t ->
+         |      ($wList)[CAST(CAST(('0x' || substr(md5(t), 1, 15))
+         |        AS BIGINT) % 64 AS INTEGER) + 1])) AS BIGINT) >= 0) = label
+         |      AS cb
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS label FROM documents)),
+         |cells AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_both_right,
+         |    CAST(SUM(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_both_wrong,
+         |    CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a_only,
+         |    CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b_only
+         |  FROM sc)
+         |SELECT n_both_right, n_both_wrong, n_a_only, n_b_only,
+         |  CASE WHEN n_a_only + n_b_only > 0 THEN
+         |    CAST((n_a_only - n_b_only) * (n_a_only - n_b_only) AS DOUBLE)
+         |      / CAST(n_a_only + n_b_only AS DOUBLE)
+         |  END AS chi2
+         |FROM cells""".stripMargin
+    },
     "ml15_ece" ->
       s"""WITH sc AS (
          |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->

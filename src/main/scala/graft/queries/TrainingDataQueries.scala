@@ -548,6 +548,51 @@ object TrainingDataQueries {
       TextAnalysis.repetitionStats(docsSpread(s, dir))
     },
 
+    // TX30 (beyond reference): the GOPHER rule battery (Rae et al. 2021)
+    // — the published heuristic set tx9's gate doesn't cover: mean word
+    // length in [3, 10], symbol-to-word ratio (# and ... marks) < 0.1,
+    // bullet-started line share < 0.9, share of words containing an
+    // alphabetic character > 0.8, plus the ALL-CAPS share as a report
+    // column. Raw-text tokens (not normalized — capitalization is
+    // signal here), every ratio an exact micro integer, every rule a
+    // per-row array/regex op — the scan streams, nothing shuffles.
+    "tx30_gopher_rules" -> { (s, dir) =>
+      val t = col("text")
+      val base = docsSpread(s, dir).select(col("doc_id"),
+        filter(split(t, "\\s+"), x => length(x) > 0).as("toks"),
+        split(t, "\n").as("lines"),
+        expr("length(text) - length(replace(text, '#', ''))").as("n_hash"),
+        expr("(length(text) - length(replace(text, '...', ''))) div 3")
+          .as("n_ellipsis"))
+      val m = base.selectExpr("doc_id",
+        "cast(size(toks) as bigint) AS n_words",
+        """CASE WHEN size(toks) = 0 THEN NULL ELSE
+          |  aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000
+          |    div size(toks) END AS mean_word_len_micro"""
+          .stripMargin.replace("\n", " "),
+        """CASE WHEN size(toks) = 0 THEN NULL ELSE
+          |  (n_hash + n_ellipsis) * 1000000 div size(toks)
+          |END AS symbol_ratio_micro""".stripMargin.replace("\n", " "),
+        """cast(size(filter(lines, l -> l rlike '^\\s*[-*•]')) as bigint)
+          |  * 1000000 div size(lines) AS bullet_frac_micro"""
+          .stripMargin.replace("\n", " "),
+        """CASE WHEN size(toks) = 0 THEN NULL ELSE
+          |  cast(size(filter(toks, x -> x rlike '[A-Za-z]')) as bigint)
+          |    * 1000000 div size(toks) END AS alpha_frac_micro"""
+          .stripMargin.replace("\n", " "),
+        """CASE WHEN size(toks) = 0 THEN NULL ELSE
+          |  cast(size(filter(toks, x -> x rlike '^[A-Z]{2,}$')) as bigint)
+          |    * 1000000 div size(toks) END AS caps_frac_micro"""
+          .stripMargin.replace("\n", " "))
+      m.withColumn("gopher_pass", expr(
+        """CASE WHEN n_words = 0 THEN 0
+          |WHEN mean_word_len_micro BETWEEN 3000000 AND 10000000
+          |  AND symbol_ratio_micro < 100000
+          |  AND bullet_frac_micro < 900000
+          |  AND alpha_frac_micro > 800000 THEN 1 ELSE 0 END"""
+          .stripMargin.replace("\n", " ")).cast("bigint"))
+    },
+
     // Quality-weighted sampling: keep probability proportional to a
     // per-document signal (token count here, standing in for any quality
     // score), clamped to [100, 900] permille — soft downweighting instead
@@ -2216,13 +2261,18 @@ object TrainingDataQueries {
       val t = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
       // Guard: Spark's sequence(8, stop) steps DOWN when stop < 8
       // (docs shorter than one 8-gram), enumerating bogus cut
-      // candidates; clamp the stop to 8 and re-filter i <= length so
-      // short docs yield zero cuts — exactly DuckDB's empty range(8, n+1).
+      // candidates; gate the whole enumeration behind one per-row CASE
+      // so short docs yield zero cuts — exactly DuckDB's empty
+      // range(8, n+1). Deliberately NOT a per-element `i <= length(t)`
+      // re-filter: $t is the full normalize regex and CollapseProject
+      // inlines it into lambda bodies, so a per-element guard re-runs
+      // the regex per POSITION (measured 1.9 s → 3.6 s at sf0.1 — the
+      // dd12 lesson); the CASE runs it once per row.
       val cuts =
-        s"""filter(sequence(8, greatest(length($t), 8)),
-           |  i -> i <= length($t)
-           |    and md5_prefix60(substr($t, i - 7, 8)) % 64 = 0)"""
-          .stripMargin.replace("\n", " ")
+        s"""case when length($t) >= 8 then
+           |  filter(sequence(8, length($t)),
+           |    i -> md5_prefix60(substr($t, i - 7, 8)) % 64 = 0)
+           |else array() end""".stripMargin.replace("\n", " ")
       val chunks = docsSpread(s, dir).selectExpr(
           s"""explode(filter(zip_with(
              |  concat(array(1), transform($cuts, c -> c + 1)),
@@ -3765,6 +3815,46 @@ object TrainingDataQueries {
          |    SELECT unnest(string_split($normSql, ' ')) AS token
          |    FROM documents)
          |  WHERE length(token) > 0 GROUP BY token)""".stripMargin,
+    "tx30_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0) AS toks,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS n_ellipsis
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+        |      CAST(list_sum(list_transform(toks, x -> length(x))) * 1000000
+        |        // len(toks) AS BIGINT) END AS mean_word_len_micro,
+        |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+        |      CAST((n_hash + n_ellipsis) * 1000000 // len(toks) AS BIGINT)
+        |    END AS symbol_ratio_micro,
+        |    CAST(len(list_filter(lines,
+        |        l -> regexp_matches(l, '^\s*[-*•]'))) * 1000000
+        |      // len(lines) AS BIGINT) AS bullet_frac_micro,
+        |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+        |      CAST(len(list_filter(toks,
+        |          x -> regexp_matches(x, '[A-Za-z]'))) * 1000000
+        |        // len(toks) AS BIGINT) END AS alpha_frac_micro,
+        |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+        |      CAST(len(list_filter(toks,
+        |          x -> regexp_matches(x, '^[A-Z]{2,}$'))) * 1000000
+        |        // len(toks) AS BIGINT) END AS caps_frac_micro
+        |  FROM d)
+        |SELECT doc_id, n_words, mean_word_len_micro, symbol_ratio_micro,
+        |  bullet_frac_micro, alpha_frac_micro, caps_frac_micro,
+        |  CAST(CASE WHEN n_words = 0 THEN 0
+        |    WHEN mean_word_len_micro BETWEEN 3000000 AND 10000000
+        |      AND symbol_ratio_micro < 100000
+        |      AND bullet_frac_micro < 900000
+        |      AND alpha_frac_micro > 800000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS gopher_pass
+        |FROM m""".stripMargin,
     "tx10_heavy_hitters" ->
       s"""SELECT token, COUNT(*) AS n_exact, TRUE AS est_in_bounds FROM (
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)

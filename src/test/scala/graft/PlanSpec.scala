@@ -426,6 +426,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("blocking audit: truth loop broadcasts the bounded sample, candidates stay equi") {
+    val p = plan(SparkEntry.queries("er3_blocking_eval")(spark, sf))
+    // the deliberate quadratic ground truth must ride a BROADCAST nested
+    // loop over the 1/37 sample; the production blocking path stays an
+    // n-gram equi-join — an unbroadcast CartesianProduct anywhere means
+    // either side lost its bound
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("matryoshka recall broadcasts the query set on both rankings") {
+    val p = plan(SparkEntry.queries("sim16_matryoshka_recall")(spark, sf))
+    // both the full-dim and prefix-dim scorers cross the corpus with a
+    // BROADCAST 5-row query frame — never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("online anomaly window is co-partitioned by series") {
+    val p = plan(SparkEntry.queries("ts15_online_anomaly")(spark, sf))
+    // the prior-stats window must ride the event_type hash exchange, not
+    // a single partition
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("trained-weight scoring is a zero-shuffle scan like ml1") {
     val p = plan(SparkEntry.queries("ml14_trained_score")(spark, sf))
     // the weight array is a plan literal: no join, no vocabulary shuffle;
