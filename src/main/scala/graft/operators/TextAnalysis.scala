@@ -109,7 +109,7 @@ object TextAnalysis {
 
   // C4-style cleaning patterns. Explicit ASCII classes (not \w) so the
   // match set is identical between Java regex and RE2-based engines.
-  private[operators] val urlPattern = "https?://[^ \\t\\n\\r]+"
+  val urlPattern = "https?://[^ \\t\\n\\r]+"
   private[operators] val emailPattern =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

@@ -184,6 +184,22 @@ object EventQueries {
     // fe4's determinism contract: exact decimal Σx/Σx² in the frame,
     // every double derived through the identical expression tree. The
     // monitoring pass an ingest pipeline runs on its own volume curve.
+    // DQ5 (beyond reference): ingestion FRESHNESS audit — per stream
+    // (event_type), last-seen lag against the corpus high-water mark and
+    // a 24 h SLA flag: the ops table that catches a stalled upstream
+    // feed before a training snapshot silently ships without it. One
+    // metadata-grain rollup + a broadcast scalar; exact integer hours.
+    "dq5_freshness_audit" -> { (s, dir) =>
+      val per = Tables.eventsUs(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("max_ts"))
+      per.crossJoin(broadcast(per.agg(max(col("max_ts")).as("corpus_max"))))
+        .select(col("event_type"), col("n_events"),
+          expr("(corpus_max - max_ts) div 3600000000").as("lag_hours"),
+          (col("corpus_max") - col("max_ts") <= 86400000000L)
+            .cast("bigint").as("fresh_24h"))
+    },
+
     // TS15 (beyond reference): ONE-STEP-AHEAD online anomaly flags — the
     // exact batch twin of streaming/StatefulAnomaly: each day's count is
     // tested against the running statistics of STRICTLY PRIOR days
@@ -1838,6 +1854,17 @@ object EventQueries {
         |        ON v.user_id = c.user_id AND v.view_us >= c.ts_us)
         |SELECT view_id, user_id, view_us, click_id FROM m
         |WHERE view_us - click_us <= 1800000000""".stripMargin,
+    "dq5_freshness_audit" ->
+      """WITH per AS (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |    MAX(epoch_us(ts)) AS max_ts
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT MAX(max_ts) AS corpus_max FROM per)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((corpus_max - max_ts) // 3600000000 AS BIGINT) AS lag_hours,
+        |  CAST(CASE WHEN corpus_max - max_ts <= 86400000000 THEN 1 ELSE 0
+        |    END AS BIGINT) AS fresh_24h
+        |FROM per CROSS JOIN c""".stripMargin,
     "ts15_online_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,

@@ -143,6 +143,56 @@ object ScoringQueries {
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("corr"))
     },
 
+    // FE19 (beyond reference): top PRINCIPAL COMPONENT by four unrolled
+    // power-iteration rounds over fe18's exact-moment covariance —
+    // distributed PCA direction without any linear-algebra library. The
+    // corpus is touched ONCE (the (i, j) moment rollup); every iteration
+    // is metadata-sized (16 cells × 16 v-entries). Integer contract
+    // throughout: covariance cells truncate to integer units, each round
+    // renormalizes v to max|v| = 1e6 with sign-split divisions (abs
+    // before div, so Spark's truncating `div` and DuckDB's flooring `//`
+    // agree on negatives), and the widened products run in
+    // decimal(38,0)/HUGEINT — both engines replay the identical four
+    // rounds bit for bit (gr1/ev48's unrolled-iteration contract).
+    "fe19_pca_direction" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val lanes = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(transform(
+          slice(col("embedding"), 1, 16),
+          x => floor(x.cast("double") * 1000000).cast("long")))
+          .as(Seq("i", "q")))
+      val st = lanes.as("a").join(lanes.as("b"),
+          col("a.vec_id") === col("b.vec_id"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          col("a.q").as("x"), col("b.q").as("y"))
+        .groupBy("i", "j").agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"))
+      val cells = st.select(col("i"), col("j"),
+        expr("""cast(case when n * sxy - sx * sy >= 0 then
+               |  (n * sxy - sx * sy) div (n * (n - 1)) div 1000000
+               |else -((-(n * sxy - sx * sy)) div (n * (n - 1))
+               |  div 1000000) end as bigint)"""
+          .stripMargin.replace("\n", " ")).as("c"))
+        .localCheckpoint(true)
+      var v = cells.select(col("i")).distinct()
+        .withColumn("v", lit(1000000L))
+      for (_ <- 1 to 4) {
+        val nv = cells
+          .join(v.select(col("i").as("j"), col("v")), "j")
+          .groupBy("i").agg(sum(col("c") * col("v")).as("nv"))
+        val m = nv.agg(max(abs(col("nv"))).as("m"))
+        v = nv.crossJoin(broadcast(m)).select(col("i"),
+          expr("""cast(case when m = 0 then 0
+                 |when nv >= 0 then cast(nv as decimal(38,0)) * 1000000 div m
+                 |else -(cast(-nv as decimal(38,0)) * 1000000 div m)
+                 |end as bigint)""".stripMargin.replace("\n", " ")).as("v"))
+          .localCheckpoint(true)
+      }
+      v.select(col("i"), col("v").as("component_micro"))
+    },
+
     // Per-group z-score feature normalization: one map-side-combined
     // aggregate to (source, n, Σx, Σx²) — exact decimal sums, group count
     // = source cardinality — broadcast back over the scan. Every double
@@ -1255,6 +1305,44 @@ object ScoringQueries {
          |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE) AS pos_rate
          |FROM sc GROUP BY 1""".stripMargin,
+    "fe19_pca_direction" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""nv_$r AS (
+           |  SELECT c.i, SUM(c.c * v.v) AS nv
+           |  FROM cells c JOIN v_${r - 1} v ON c.j = v.i GROUP BY c.i),
+           |m_$r AS (SELECT MAX(ABS(nv)) AS m FROM nv_$r),
+           |v_$r AS (
+           |  SELECT i, CAST(CASE WHEN m = 0 THEN 0
+           |    WHEN nv >= 0 THEN CAST(nv AS HUGEINT) * 1000000 // m
+           |    ELSE -(CAST(-nv AS HUGEINT) * 1000000 // m)
+           |  END AS BIGINT) AS v
+           |  FROM nv_$r CROSS JOIN m_$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding[1:16],
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |l AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         |    qv[CAST(i + 1 AS INTEGER)] AS q
+         |  FROM e, unnest(range(0, 16)) AS t(i)),
+         |st AS (
+         |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+         |    SUM(CAST(a.q AS HUGEINT)) AS sx,
+         |    SUM(CAST(b.q AS HUGEINT)) AS sy,
+         |    SUM(CAST(a.q AS HUGEINT) * b.q) AS sxy
+         |  FROM l a JOIN l b ON a.vec_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT i, j, CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN
+         |      (n * sxy - sx * sy) // (n * (n - 1)) // 1000000
+         |    ELSE -((-(n * sxy - sx * sy)) // (n * (n - 1)) // 1000000)
+         |  END AS BIGINT) AS c FROM st),
+         |v_0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v
+         |        FROM cells),
+         |$rounds
+         |SELECT i, v AS component_micro FROM v_4""".stripMargin
+    },
     "fe18_feature_covariance" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding[1:16],

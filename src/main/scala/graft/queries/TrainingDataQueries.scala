@@ -548,6 +548,62 @@ object TrainingDataQueries {
       TextAnalysis.repetitionStats(docsSpread(s, dir))
     },
 
+    // TX31 (beyond reference): URL DOMAIN census — extract every URL,
+    // reduce to its host, and report per-domain URL/document counts:
+    // the table C4-style curation keys its domain blocklists and
+    // per-site caps off (one spam domain dominating the corpus is the
+    // first thing this surfaces). The harness text carries no URLs, so
+    // each doc is augmented with two deterministic ones (same
+    // synthetic-fixture contract as mm's media table) — the regex
+    // extraction, host reduction, and rollup are the real machinery.
+    // Per-row regex, no shuffle before the domain rollup; the shuffle
+    // carries hosts, never documents.
+    "tx31_url_domains" -> { (s, dir) =>
+      docsSpread(s, dir)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" see https://"), col("source"), lit(".example.com/page/"),
+          col("doc_id").cast("string"),
+          lit(" and http://mirror-"), (col("doc_id") % 3).cast("string"),
+          lit(".example.org/x?id="), col("doc_id").cast("string"))
+          .as("text"))
+        .select(col("doc_id"), explode(
+          regexp_extract_all(col("text"),
+            lit(TextAnalysis.urlPattern), lit(0))).as("u"))
+        .select(col("doc_id"),
+          regexp_extract(col("u"), "https?://([^/]+)", 1).as("domain"),
+          col("u"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("u")).as("n_distinct_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    },
+
+    // TX32 (beyond reference): SENTENCE segmentation stats — sentences
+    // per document and mean/max sentence length in words (regex
+    // terminator split; the same segmentation a context-window packer or
+    // a readability score keys off — tx17 estimates syllables, this
+    // measures structure). Pure per-row array ops; empty docs guarded
+    // identically on both engines.
+    "tx32_sentence_stats" -> { (s, dir) =>
+      val sents = expr(
+        """filter(transform(split(text, '[.!?]+'), x -> trim(x)),
+          |  x -> length(x) > 0)""".stripMargin.replace("\n", " "))
+      docsSpread(s, dir)
+        .select(col("doc_id"), sents.as("sents"))
+        .selectExpr("doc_id",
+          "cast(size(sents) as bigint) AS n_sentences",
+          """transform(sents,
+            |  x -> size(filter(split(x, ' '), w -> length(w) > 0)))
+            |AS wc""".stripMargin.replace("\n", " "))
+        .selectExpr("doc_id", "n_sentences",
+          """CASE WHEN n_sentences = 0 THEN NULL ELSE
+            |  aggregate(wc, 0L, (a, x) -> a + x) * 1000000
+            |    div n_sentences END AS mean_sentence_words_micro"""
+            .stripMargin.replace("\n", " "),
+          "CASE WHEN n_sentences = 0 THEN NULL ELSE " +
+            "cast(array_max(wc) as bigint) END AS max_sentence_words")
+    },
+
     // TX30 (beyond reference): the GOPHER rule battery (Rae et al. 2021)
     // — the published heuristic set tx9's gate doesn't cover: mean word
     // length in [3, 10], symbol-to-word ratio (# and ... marks) < 0.1,
@@ -2288,6 +2344,42 @@ object TrainingDataQueries {
           min(col("len")).as("min_len"), max(col("len")).as("max_len"))
     },
 
+    // MIX5 (beyond reference): token-budget WATER-FILLING — given a
+    // total token budget (60% of the corpus here), find the exact cap τ
+    // such that allocating min(n_source, τ) to every source spends the
+    // budget: small sources keep everything, big sources are capped at
+    // one common level — the max-min-fair allocation a mixture planner
+    // uses to spend a fixed training budget without letting one crawl
+    // dominate. τ comes out of ONE sorted prefix-sum pass over the
+    // source rollup (the classic closed form: at the boundary row,
+    // τ = (B − prefix_below) div #capped) — no search loop. The
+    // unpartitioned window is source-cardinality (bounded by provenance
+    // count, ~20 here), per the SCALE.md window rule. Exact integers
+    // end to end.
+    "mix5_token_waterfill" -> { (s, dir) =>
+      val per = docsSpread(s, dir)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n"))
+      val byN = Window.orderBy(col("n").asc, col("source").asc)
+      val ranked = per
+        .withColumn("rn", row_number().over(byN))
+        .withColumn("prefix", sum(col("n")).over(byN
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = per.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("nk"))
+      val chosen = ranked.crossJoin(broadcast(tot))
+        .withColumn("tau",
+          expr("(total * 60 div 100 - (prefix - n)) div (nk - rn + 1)"))
+        .filter(col("tau") < col("n") && col("tau") >= 0)
+        .orderBy(col("rn")).limit(1)
+        .agg(min(col("tau")).as("tau_star"))
+      ranked.crossJoin(broadcast(chosen))
+        .select(col("source"), col("n").as("n_tokens"),
+          expr("least(n, coalesce(tau_star, n))").as("alloc_tokens"),
+          col("tau_star"))
+    },
+
     // MIX4 (beyond reference): data-DERIVED rebalancing plan — mix1/s2
     // apply HAND-PICKED per-stratum rates; this computes them: target =
     // uniform share per language, keep-permille = min(1000,
@@ -3376,6 +3468,36 @@ object TrainingDataQueries {
          |  CAST(MIN(length(chunk)) AS BIGINT) AS min_len,
          |  CAST(MAX(length(chunk)) AS BIGINT) AS max_len
          |FROM ch""".stripMargin,
+    "mix5_token_waterfill" ->
+      """WITH per AS (
+        |  SELECT source, CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |    AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |ranked AS (
+        |  SELECT source, n,
+        |    ROW_NUMBER() OVER (ORDER BY n ASC, source ASC) AS rn,
+        |    SUM(n) OVER (ORDER BY n ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        |  FROM per),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |          CAST(COUNT(*) AS BIGINT) AS nk FROM per),
+        |chosen AS (
+        |  SELECT MIN(tau) AS tau_star FROM (
+        |    SELECT rn, (total * 60 // 100 - (prefix - n)) // (nk - rn + 1)
+        |      AS tau, n
+        |    FROM ranked CROSS JOIN tot) t
+        |  WHERE tau < n AND tau >= 0
+        |    AND rn = (SELECT MIN(rn) FROM (
+        |      SELECT rn, (total * 60 // 100 - (prefix - n))
+        |        // (nk - rn + 1) AS tau, n
+        |      FROM ranked CROSS JOIN tot) t2
+        |      WHERE tau < n AND tau >= 0))
+        |SELECT r.source, r.n AS n_tokens,
+        |  CAST(least(r.n, COALESCE(c.tau_star, r.n)) AS BIGINT)
+        |    AS alloc_tokens,
+        |  CAST(c.tau_star AS BIGINT) AS tau_star
+        |FROM ranked r CROSS JOIN chosen c""".stripMargin,
     "mix4_rebalance_plan" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM documents GROUP BY 1),
@@ -3815,6 +3937,41 @@ object TrainingDataQueries {
          |    SELECT unnest(string_split($normSql, ' ')) AS token
          |    FROM documents)
          |  WHERE length(token) > 0 GROUP BY token)""".stripMargin,
+    "tx32_sentence_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |      x -> trim(x)), x -> length(x) > 0) AS sents
+        |  FROM documents),
+        |ws AS (
+        |  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+        |    list_transform(sents,
+        |      x -> len(list_filter(string_split(x, ' '),
+        |        t -> length(t) > 0))) AS wc
+        |  FROM d)
+        |SELECT doc_id, n_sentences,
+        |  CASE WHEN n_sentences = 0 THEN NULL ELSE
+        |    CAST(list_sum(wc) * 1000000 // n_sentences AS BIGINT) END
+        |    AS mean_sentence_words_micro,
+        |  CASE WHEN n_sentences = 0 THEN NULL ELSE
+        |    CAST(list_max(wc) AS BIGINT) END AS max_sentence_words
+        |FROM ws""".stripMargin,
+    "tx31_url_domains" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' see https://' || source ||
+        |    '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+        |    ' and http://mirror-' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    '.example.org/x?id=' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS u
+        |  FROM aug)
+        |SELECT regexp_extract(u, 'https?://([^/]+)', 1) AS domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_distinct_urls,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1""".stripMargin,
     "tx30_gopher_rules" ->
       """WITH d AS (
         |  SELECT doc_id,
