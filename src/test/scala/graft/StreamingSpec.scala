@@ -446,6 +446,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming count-min keeps heavy hitters in bounded per-shard state") {
+    import spark.implicits._
+    import graft.streaming.StreamingCms
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 3
+      val batch1 = Seq.fill(20)("hot") ++ (1 to 15).map(i => s"one_$i")
+      val batch2 = Seq.fill(20)("hot") ++ Seq.fill(10)("warm") ++
+        (16 to 30).map(i => s"one_$i") :+ "hot"
+      val stream = MemoryStream[StreamingCms.Tok]
+      val query = StreamingCms.heavyHitters(stream.toDS(),
+          nShards = 4, depth = 4, width = 64, k = k)
+        .writeStream.format("memory").queryName("cms_out")
+        .outputMode("update").start()
+      stream.addData(batch1.map(StreamingCms.Tok): _*)
+      query.processAllAvailable()
+      stream.addData(batch2.map(StreamingCms.Tok): _*)
+      query.processAllAvailable()
+      query.stop()
+      val rows = spark.table("cms_out").collect()
+        .map(r => (r.getAs[Int]("shard"), r.getAs[String]("token"),
+          r.getAs[Long]("est")))
+      // one-sided estimate: every emission for 'hot' is >= its true count
+      // so far, and the FINAL one is bounded by exact + collision slack
+      val hotFinal = rows.filter(_._2 == "hot").map(_._3).max
+      assert(hotFinal >= 41L && hotFinal <= 41L + 10L, hotFinal)
+      val warmFinal = rows.filter(_._2 == "warm").map(_._3).max
+      assert(warmFinal >= 10L && warmFinal <= 10L + 10L, warmFinal)
+      // candidate sets are bounded: no emission batch of a shard exceeds k
+      // (distinct tokens per shard over the whole run can exceed k, but
+      // the STATE never holds more than k — approximate via final batch)
+      val perShard = rows.groupBy(_._1).map(_._2.map(_._2).distinct.size)
+      assert(perShard.forall(_ <= 2 * k), perShard) // turnover-bounded
+      // the deterministic shard function sends every occurrence of a
+      // token to one shard
+      assert(rows.filter(_._2 == "hot").map(_._1).distinct.length == 1)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replayed ids with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
