@@ -184,6 +184,96 @@ object EventQueries {
     // fe4's determinism contract: exact decimal Σx/Σx² in the frame,
     // every double derived through the identical expression tree. The
     // monitoring pass an ingest pipeline runs on its own volume curve.
+    // PREF1 (beyond reference): BRADLEY-TERRY strength fitting — the
+    // preference-data primitive of RLHF curation (rank models/annotators
+    // /prompt variants from pairwise win counts). Comparisons derive
+    // deterministically from behavior: on each (user, day), the event
+    // type with more events "beats" the other for every type pair (ties
+    // dropped). Three unrolled MM rounds (Hunter 2004:
+    // s_i ← W_i / Σ_j n_ij/(s_i+s_j), renormalized to Σs = k·1e6) in
+    // exact integer micro units — gr1/fe19's unrolled-iteration
+    // contract, so both engines replay the fit bit for bit. The only
+    // corpus-sized work is the (user, day, type) rollup; the pair table
+    // and every MM round are type²-sized metadata.
+    "pref1_bradley_terry" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          col("event_type"))
+        .groupBy("user_id", "day", "event_type").agg(count(lit(1)).as("n"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ia"), col("b.event_type").as("ib"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .filter(col("na") =!= col("nb"))
+      val stats = pairs.groupBy("ia", "ib").agg(
+        count(lit(1)).as("n_ij"),
+        sum(when(col("na") > col("nb"), 1L).otherwise(0L)).as("w_a"))
+      val npairs = stats
+        .select(col("ia").as("i"), col("ib").as("j"), col("n_ij"))
+        .unionByName(stats
+          .select(col("ib").as("i"), col("ia").as("j"), col("n_ij")))
+        .localCheckpoint(true)
+      val wins = stats.select(col("ia").as("i"), col("w_a").as("w"))
+        .unionByName(stats
+          .select(col("ib").as("i"), (col("n_ij") - col("w_a")).as("w")))
+        .groupBy("i").agg(sum(col("w")).as("w")).localCheckpoint(true)
+      var sf = wins.select(col("i"), lit(1000000L).as("s"))
+      for (_ <- 1 to 3) {
+        val denom = npairs
+          .join(sf.select(col("i"), col("s").as("si")), "i")
+          .join(sf.select(col("i").as("j"), col("s").as("sj")), "j")
+          .groupBy("i")
+          .agg(sum(expr("n_ij * 1000000000000 div (si + sj)")).as("denom"))
+        val raw = wins.join(denom, "i")
+          .select(col("i"),
+            expr("""greatest(case when denom = 0 then 1000000L
+                   |else w * 1000000000000 div denom end, 1L)"""
+              .stripMargin.replace("\n", " ")).as("s"))
+        val tot = raw.agg(sum(col("s")).as("ts"), count(lit(1)).as("k"))
+        sf = raw.crossJoin(broadcast(tot))
+          .select(col("i"),
+            expr("greatest(s * (k * 1000000) div ts, 1L)").as("s"))
+          .localCheckpoint(true)
+      }
+      wins.join(sf, "i").select(col("i").as("event_type"),
+        col("w").as("n_wins"), col("s").as("strength_micro"))
+    },
+
+    // PREF2 (beyond reference): pairwise WIN RATES with a Wilson lower
+    // bound (z = 2) — pref1 fits global strengths; this is the per-pair
+    // readout with uncertainty, the table that decides which preference
+    // pairs have enough evidence to train on (a 3/4 win rate and a
+    // 300/400 one have the same p̂ and very different lower bounds).
+    // Same comparison rollup as pref1; the bound is one fixed IEEE tree
+    // over exact integer (w, n) — in the n-normalized Wilson form
+    // lb = (w + z²/2 − z·sqrt(w(n−w)/n + z²/4)) / (n + z²).
+    "pref2_winrate_wilson" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          col("event_type"))
+        .groupBy("user_id", "day", "event_type").agg(count(lit(1)).as("n"))
+      val stats = daily.as("a").join(daily.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ia"), col("b.event_type").as("ib"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .filter(col("na") =!= col("nb"))
+        .groupBy("ia", "ib").agg(
+          count(lit(1)).as("n_ij"),
+          sum(when(col("na") > col("nb"), 1L).otherwise(0L)).as("w_a"))
+      stats.select(col("ia"), col("ib"), col("n_ij"), col("w_a"),
+        (col("w_a").cast("double") / col("n_ij").cast("double"))
+          .as("win_rate"),
+        ((col("w_a").cast("double") + 2.0 -
+          lit(2.0) * sqrt(
+            (col("w_a") * (col("n_ij") - col("w_a"))).cast("double") /
+              col("n_ij").cast("double") + lit(1.0))) /
+          (col("n_ij").cast("double") + 4.0)).as("wilson_lb"))
+    },
+
     // DQ5 (beyond reference): ingestion FRESHNESS audit — per stream
     // (event_type), last-seen lag against the corpus high-water mark and
     // a 24 h SLA flag: the ops table that catches a stalled upstream
@@ -1854,6 +1944,73 @@ object EventQueries {
         |        ON v.user_id = c.user_id AND v.view_us >= c.ts_us)
         |SELECT view_id, user_id, view_us, click_id FROM m
         |WHERE view_us - click_us <= 1800000000""".stripMargin,
+    "pref1_bradley_terry" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""d_$r AS (
+           |  SELECT np.i,
+           |    SUM(np.n_ij * 1000000000000 // (si.s + sj.s)) AS denom
+           |  FROM np JOIN s_${r - 1} si ON np.i = si.i
+           |          JOIN s_${r - 1} sj ON np.j = sj.i
+           |  GROUP BY np.i),
+           |raw_$r AS (
+           |  SELECT w.i, greatest(CASE WHEN d.denom = 0 THEN 1000000
+           |    ELSE w.w * 1000000000000 // d.denom END, 1) AS s
+           |  FROM wins w JOIN d_$r d ON w.i = d.i),
+           |t_$r AS (SELECT SUM(s) AS ts, COUNT(*) AS k FROM raw_$r),
+           |s_$r AS (
+           |  SELECT i, greatest(s * (k * 1000000) // ts, 1) AS s
+           |  FROM raw_$r CROSS JOIN t_$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH daily AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    event_type, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2, 3),
+         |p AS (
+         |  SELECT a.event_type AS ia, b.event_type AS ib,
+         |    a.n AS na, b.n AS nb
+         |  FROM daily a JOIN daily b
+         |    ON a.user_id = b.user_id AND a.day = b.day
+         |   AND a.event_type < b.event_type
+         |  WHERE a.n <> b.n),
+         |stats AS (
+         |  SELECT ia, ib, COUNT(*) AS n_ij,
+         |    SUM(CASE WHEN na > nb THEN 1 ELSE 0 END) AS w_a
+         |  FROM p GROUP BY 1, 2),
+         |np AS (SELECT ia AS i, ib AS j, n_ij FROM stats
+         |       UNION ALL SELECT ib, ia, n_ij FROM stats),
+         |wins AS (
+         |  SELECT i, CAST(SUM(w) AS BIGINT) AS w FROM (
+         |    SELECT ia AS i, w_a AS w FROM stats
+         |    UNION ALL SELECT ib, n_ij - w_a FROM stats) z
+         |  GROUP BY i),
+         |s_0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM wins),
+         |$rounds
+         |SELECT w.i AS event_type, w.w AS n_wins,
+         |  CAST(s.s AS BIGINT) AS strength_micro
+         |FROM wins w JOIN s_3 s ON w.i = s.i""".stripMargin
+    },
+    "pref2_winrate_wilson" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT a.event_type AS ia, b.event_type AS ib,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ij,
+        |    CAST(SUM(CASE WHEN a.n > b.n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS w_a
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type < b.event_type
+        |  WHERE a.n <> b.n
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, n_ij, w_a,
+        |  CAST(w_a AS DOUBLE) / CAST(n_ij AS DOUBLE) AS win_rate,
+        |  (CAST(w_a AS DOUBLE) + 2.0 -
+        |   2.0 * sqrt(CAST(w_a * (n_ij - w_a) AS DOUBLE) /
+        |     CAST(n_ij AS DOUBLE) + 1.0)) /
+        |  (CAST(n_ij AS DOUBLE) + 4.0) AS wilson_lb
+        |FROM stats""".stripMargin,
     "dq5_freshness_audit" ->
       """WITH per AS (
         |  SELECT event_type, COUNT(*) AS n_events,

@@ -98,12 +98,29 @@ object SqlQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_paths
       |FROM reach GROUP BY node""".stripMargin
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — "top order per
+    * customer" as the row-correlated form (Catalyst decorrelates it into
+    * a join + per-key cut, so the per-row subquery never executes
+    * per-row). Dialect-neutral: DuckDB runs the identical text. */
+  private val lateralTopk =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
+      |WHERE c.c_custkey % 10 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Iterative graph traversal through pure SQL text — WITH RECURSIVE
     // as a first-class front-end capability (BFS hops + path counts).
     "sql8_recursive_reach" -> { (s, dir) =>
       registerViews(s, dir)
       s.sql(recursiveReach)
+    },
+    // Correlated LATERAL through the SQL front end.
+    "sql9_lateral_topk" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(lateralTopk)
     },
     // TPC-H Q1-shaped pricing summary through the SQL front end.
     "sql1_pricing_summary" -> { (s, dir) =>
@@ -188,6 +205,7 @@ object SqlQueries {
 
   def oracleSql: Map[String, String] = Map(
     "sql8_recursive_reach" -> recursiveReach,
+    "sql9_lateral_topk" -> lateralTopk,
     "sql1_pricing_summary" -> pricingSummary,
     "sql2_top_customers" -> topCustomers,
     "sql3_dotf_selfsim" ->
