@@ -1001,6 +1001,41 @@ object TrainingDataQueries {
             .as("recall"))
     },
 
+    // SIM17 (beyond reference): FILTERED vector search — top-5 cosine
+    // neighbors restricted to corpus vectors sharing the query's label
+    // (the "where category = X" every production vector store bolts onto
+    // ANN). Spark-first answer: the metadata predicate BECOMES the join
+    // key — scoring is an equi-join on label (broadcast query set), so
+    // the filter prunes candidates BEFORE any dot product instead of
+    // post-filtering a top-k that may then starve; at scale this is a
+    // label-partitioned index, and the plan is the same keyed join.
+    // Same micro-quantized integer dot + IEEE-tree cosine as sim1.
+    "sim17_filtered_topk" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dotL
+      val quant = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+      val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+      val q = broadcast(withNorm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("nrm").as("q_nrm")))
+      val scored = withNorm.select(col("vec_id").as("corpus_id"),
+          col("label").as("c_label"), col("qv").as("c_qv"),
+          col("nrm").as("c_nrm"))
+        .join(q, col("c_label") === col("q_label"))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label").as("label"),
+          col("corpus_id"),
+          (dotL(col("q_qv"), col("c_qv")).cast("double") /
+            (sqrt(col("q_nrm").cast("double")) *
+              sqrt(col("c_nrm").cast("double")))).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+    },
+
     // SIM16 (beyond reference): MATRYOSHKA truncation eval — score the
     // corpus with only the FIRST 16 of 64 embedding lanes (the
     // matryoshka-representation trick: a prefix of a well-trained
@@ -2344,6 +2379,38 @@ object TrainingDataQueries {
           min(col("len")).as("min_len"), max(col("len")).as("max_len"))
     },
 
+    // S15 (beyond reference): NEYMAN optimal allocation — s2 samples
+    // strata at hand-picked rates and mix5 waterfills counts; Neyman
+    // allocates a fixed audit budget ∝ N_h·σ_h (big AND variable strata
+    // get the samples), the design that minimizes the estimator variance
+    // s13's Horvitz-Thompson blow-up then rides on. σ_h comes from exact
+    // integer moments through one IEEE tree (sqrt is correctly rounded,
+    // so both engines agree), is floor-quantized to micro BEFORE the
+    // integer allocation arithmetic, and the final n_h is a pure integer
+    // proportional split capped at the stratum size. One metadata-grain
+    // rollup; the plan is scale-free.
+    "s15_neyman_allocation" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val per = docsSpread(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("nh"),
+          sum(col("n_chars").cast(d38)).as("sx"),
+          sum((col("n_chars") * col("n_chars")).cast(d38)).as("sxx"))
+        .select(col("source"), col("nh"),
+          when(col("nh") > 1, floor(sqrt(
+            (col("nh").cast(d38) * col("sxx") - col("sx") * col("sx"))
+              .cast("double") /
+              (col("nh") * (col("nh") - 1)).cast("double"))
+            * lit(1e6)).cast("bigint")).otherwise(0L).as("sigma_micro"))
+        .withColumn("wh", col("nh") * col("sigma_micro"))
+      val tot = per.agg(sum(col("wh")).as("wtot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("nh").as("n_rows"), col("sigma_micro"),
+          expr("""least(nh, case when wtot = 0 then 0
+                 |else 100 * wh div wtot end)"""
+            .stripMargin.replace("\n", " ")).as("alloc_n"))
+    },
+
     // MIX5 (beyond reference): token-budget WATER-FILLING — given a
     // total token budget (60% of the corpus here), find the exact cap τ
     // such that allocating min(n_source, τ) to every source spends the
@@ -3468,6 +3535,26 @@ object TrainingDataQueries {
          |  CAST(MIN(length(chunk)) AS BIGINT) AS min_len,
          |  CAST(MAX(length(chunk)) AS BIGINT) AS max_len
          |FROM ch""".stripMargin,
+    "s15_neyman_allocation" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+        |  FROM documents GROUP BY 1),
+        |sig AS (
+        |  SELECT source, nh,
+        |    CASE WHEN nh > 1 THEN
+        |      CAST(FLOOR(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE) /
+        |        CAST(nh * (nh - 1) AS DOUBLE)) * 1e6) AS BIGINT)
+        |    ELSE 0 END AS sigma_micro
+        |  FROM per),
+        |w AS (SELECT source, nh, sigma_micro,
+        |        nh * sigma_micro AS wh FROM sig),
+        |t AS (SELECT SUM(wh) AS wtot FROM w)
+        |SELECT source, nh AS n_rows, sigma_micro,
+        |  CAST(least(nh, CASE WHEN wtot = 0 THEN 0
+        |    ELSE 100 * wh // wtot END) AS BIGINT) AS alloc_n
+        |FROM w CROSS JOIN t""".stripMargin,
     "mix5_token_waterfill" ->
       """WITH per AS (
         |  SELECT source, CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -4370,6 +4457,30 @@ object TrainingDataQueries {
     "sim3_ivf_topk" -> sim3Sql,
     "drift1_cell_divergence" -> drift1Sql,
     "sim6_semdedup" -> sim6Sql,
+    "sim17_filtered_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, qv,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, q.label AS label,
+        |    c.vec_id AS corpus_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+        |      AS cos_sim
+        |  FROM n q JOIN n c ON q.label = c.label
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, label, corpus_id, cos_sim, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, corpus_id ASC) AS BIGINT) AS rk
+        |  FROM p) t
+        |WHERE rk <= 5""".stripMargin,
     "sim16_matryoshka_recall" ->
       s"""WITH ex AS ($sim1Sql),
          |ep AS (
