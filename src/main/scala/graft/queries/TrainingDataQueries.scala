@@ -815,6 +815,44 @@ object TrainingDataQueries {
           .select("id_a", "id_b"))
     },
 
+    // DD16 (beyond reference): cluster DOWNWEIGHTING — the soft
+    // alternative to dd6's hard dedup apply: instead of dropping
+    // near-duplicates, every document gets training weight
+    // 1/cluster_size (a cluster of five counts once in expectation —
+    // the policy several labs prefer because borderline near-dups keep
+    // a vote instead of being guillotined by a threshold). Reuses the
+    // LSH candidate graph + star-contraction clusters; singletons weight
+    // 1.0. One left join over the cluster table; no new corpus pass.
+    "dd16_cluster_downweight" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashDedup(docs, threshold = 0.5).select("id_a", "id_b"))
+      val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .join(sizes, Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("csize"), lit(1L)).as("cluster_size"),
+          expr("1000000 div coalesce(csize, 1L)").as("weight_micro"))
+    },
+
+    // CX3 (beyond reference): PARAPHRASE-level decontamination — cx1's
+    // exact shingle probe misses rewordings; here the held-out benchmark
+    // slice (doc_id % 10 == 0) probes the corpus MinHash-LSH bucket
+    // index and pairs verify by exact Jaccard ≥ 0.3 — near-duplicate
+    // (not just verbatim) benchmark leakage, via dd8's incremental-probe
+    // shape: one bucket equi-join, never a corpus self-join.
+    "cx3_fuzzy_contamination" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      Dedup.minhashDedupIncremental(
+          existing = docs.filter(col("doc_id") % 10 =!= 0),
+          incoming = docs.filter(col("doc_id") % 10 === 0),
+          threshold = 0.3)
+        .select(col("id_b").as("bench_id"), col("id_a").as("corpus_id"),
+          col("jaccard"))
+    },
+
     // Brute-force cosine top-10 for query vectors vec_id<5, on exact
     // integer-quantized embeddings (reproducible cross-engine).
     "sim1_cosine_topk" -> { (s, dir) => sim1Frame(s, dir) },
@@ -4404,6 +4442,29 @@ object TrainingDataQueries {
          |SELECT h AS span_hash, COUNT(*) AS n_docs,
          |  MIN(id) AS min_doc, MAX(id) AS max_doc
          |FROM hx GROUP BY h HAVING COUNT(*) >= 2""".stripMargin,
+    "dd16_cluster_downweight" ->
+      s"""WITH RECURSIVE $dd2Ctes,
+         |edges AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+         |und AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION SELECT id_b, id_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |         FROM reach GROUP BY a),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS csize
+         |          FROM comp GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // COALESCE(s.csize, 1) AS BIGINT) AS weight_micro
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |LEFT JOIN sizes s ON c.cluster_id = s.cluster_id""".stripMargin,
+    "cx3_fuzzy_contamination" ->
+      s"""WITH ${lshCtes("l.id % 10 <> 0 AND r.id % 10 = 0")}
+         |SELECT id_b AS bench_id, id_a AS corpus_id, jaccard
+         |FROM scored WHERE jaccard >= 0.3""".stripMargin,
     "dd4_dup_clusters" ->
       s"""WITH RECURSIVE $dd2Ctes,
          |edges AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
