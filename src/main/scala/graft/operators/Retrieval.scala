@@ -138,12 +138,18 @@ object Retrieval {
     val stats = withTf.agg(sum(col("dl")).as("ctot"),
       terms.map(t => sum(col(tfCol(t))).as(s"cf_$t")): _*)
     val scored = withTf.crossJoin(broadcast(stats))
-    // per-term integer micro-nats; the fold is an exact bigint sum
+    // per-term integer micro-nats; the fold is an exact bigint sum.
+    // A term with ZERO corpus frequency has p = 0 for every document —
+    // ln(0) diverges between engines (Spark null vs DuckDB error), and
+    // the term carries no ranking signal anyway, so it contributes 0
+    // (the documented convention; this also guards ctot = 0).
     val score = terms.map { t =>
-      floor(log((col(tfCol(t)).cast("double") +
-          lit(mu) * (col(s"cf_$t").cast("double") /
-            col("ctot").cast("double"))) /
-          (col("dl").cast("double") + lit(mu))) * lit(1e6)).cast("bigint")
+      when(col(s"cf_$t") === 0L, lit(0L)).otherwise(
+        floor(log((col(tfCol(t)).cast("double") +
+            lit(mu) * (col(s"cf_$t").cast("double") /
+              col("ctot").cast("double"))) /
+            (col("dl").cast("double") + lit(mu))) * lit(1e6))
+          .cast("bigint"))
     }.reduce(_ + _)
     scored.select(col(idCol) +: col("dl") +:
       terms.map(t => col(tfCol(t))) :+ score.as("qlm_micro"): _*)

@@ -132,10 +132,15 @@ object GraphQueries {
     // long — min-label propagation would need n/10 rounds; star
     // contraction collapses them in O(log n).
     "gr5_components" -> { (s, dir) =>
-      val edges = Tables.documents(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") >= 10)
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = docs.filter(col("doc_id") >= 10)
         .select(col("doc_id").as("u"), (col("doc_id") - 10).as("v"))
-      Graph.ccStar(edges)
+      val comp = Graph.ccStar(edges)
+      // isolated nodes (no incident edge) are their own component — the
+      // edge-fixture sweep caught ccStar emitting edge-touched nodes only
+      docs.join(comp, docs("doc_id") === comp("node"), "left")
+        .select(docs("doc_id").as("node"),
+          coalesce(col("component"), docs("doc_id")).as("component"))
     },
 
     // Bounded-hop BFS from node 0 on the synthetic link graph: 5 rounds

@@ -322,8 +322,13 @@ object ScoringQueries {
           sum(col("n") - col("npos")).as("nneg"),
           sum(col("two_rank_sum")).as("two_ranks"))
         .select(col("npos"), col("nneg"),
-          ((col("two_ranks") - col("npos") * (col("npos") + 1)).cast("double")
-            / (lit(2.0) * (col("npos") * col("nneg")).cast("double")))
+          // single-class corpus: AUC is undefined — NULL, not a
+          // divide-by-zero (ANSI throws on it; found by the edge-fixture
+          // sweep)
+          when(col("npos") > 0 && col("nneg") > 0,
+            (col("two_ranks") - col("npos") * (col("npos") + 1))
+              .cast("double")
+              / (lit(2.0) * (col("npos") * col("nneg")).cast("double")))
             .as("auc"))
     },
 
@@ -392,8 +397,10 @@ object ScoringQueries {
           max(abs(col("cum_pos") * col("tot_neg") -
             col("cum_neg") * col("tot_pos"))).as("ks_num"))
         .select(col("n_pos"), col("n_neg"), col("ks_num"),
-          (col("ks_num").cast("double") /
-            (col("n_pos") * col("n_neg")).cast("double")).as("ks"))
+          // single-class corpus: KS undefined — NULL (edge-fixture sweep)
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("ks_num").cast("double") /
+              (col("n_pos") * col("n_neg")).cast("double")).as("ks"))
     },
 
     // Average precision (area under the PR curve) of ml1's score vs the
@@ -1105,8 +1112,10 @@ object ScoringQueries {
          |  FROM ranked)
          |SELECT CAST(SUM(npos) AS BIGINT) AS npos,
          |  CAST(SUM(n - npos) AS BIGINT) AS nneg,
-         |  CAST(SUM(two_rank_sum) - SUM(npos) * (SUM(npos) + 1) AS DOUBLE) /
-         |    (2.0e0 * CAST(SUM(npos) * SUM(n - npos) AS DOUBLE)) AS auc
+         |  CASE WHEN SUM(npos) > 0 AND SUM(n - npos) > 0 THEN
+         |    CAST(SUM(two_rank_sum) - SUM(npos) * (SUM(npos) + 1)
+         |      AS DOUBLE) /
+         |    (2.0e0 * CAST(SUM(npos) * SUM(n - npos) AS DOUBLE)) END AS auc
          |FROM contrib""".stripMargin,
     "fe10_feature_mi" ->
       """WITH d AS (
@@ -1187,8 +1196,9 @@ object ScoringQueries {
          |  CAST(MAX(tot_neg) AS BIGINT) AS n_neg,
          |  CAST(MAX(abs(cum_pos * tot_neg - cum_neg * tot_pos)) AS BIGINT)
          |    AS ks_num,
-         |  CAST(MAX(abs(cum_pos * tot_neg - cum_neg * tot_pos)) AS DOUBLE) /
-         |    CAST(MAX(tot_pos) * MAX(tot_neg) AS DOUBLE) AS ks
+         |  CASE WHEN MAX(tot_pos) > 0 AND MAX(tot_neg) > 0 THEN
+         |    CAST(MAX(abs(cum_pos * tot_neg - cum_neg * tot_pos)) AS DOUBLE)
+         |      / CAST(MAX(tot_pos) * MAX(tot_neg) AS DOUBLE) END AS ks
          |FROM cum""".stripMargin,
     "ml8_average_precision" ->
       s"""WITH sc AS (

@@ -3168,9 +3168,10 @@ object TrainingDataQueries {
     val cfAggs = bm25Terms.map(t =>
       s"CAST(SUM(tf_$t) AS BIGINT) AS cf_$t").mkString(",\n    ")
     val chain = bm25Terms.map { t =>
-      s"CAST(FLOOR(ln((CAST(tf_$t AS DOUBLE) + ${mu}e0 * " +
+      s"CASE WHEN cf_$t = 0 THEN 0 ELSE " +
+        s"CAST(FLOOR(ln((CAST(tf_$t AS DOUBLE) + ${mu}e0 * " +
         s"(CAST(cf_$t AS DOUBLE) / CAST(ctot AS DOUBLE))) / " +
-        s"(CAST(dl AS DOUBLE) + ${mu}e0)) * 1e6) AS BIGINT)"
+        s"(CAST(dl AS DOUBLE) + ${mu}e0)) * 1e6) AS BIGINT) END"
     }.mkString(" +\n  ")
     s"""WITH base AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS toks,
