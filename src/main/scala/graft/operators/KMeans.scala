@@ -127,6 +127,9 @@ object KMeans {
       .join(assigned.select(col(idCol).as("corpus_id"),
         col("cluster").as("cell")), "corpus_id")
       .withColumn("nrm", dotL(col("qv"), col("qv")))
+      // zero-norm (or quantized-to-zero) vectors: cosine undefined —
+      // excluded from the scored index, mirrored in the km2 oracle
+      .filter(col("nrm") > 0)
     val centDf = broadcast(cents.toDF("cell", "cv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("pdist").asc, col("cell").asc)
@@ -138,6 +141,7 @@ object KMeans {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .withColumn("qnrm", dotL(col("qqv"), col("qqv")))
+      .filter(col("qnrm") > 0)
       .select("query_id", "qqv", "qnrm", "cell"))
     val scored = corpusSide.join(probes, "cell")
       .filter(col("query_id") =!= col("corpus_id"))

@@ -180,14 +180,19 @@ object Similarity {
               ncells: Int = 16, nprobe: Int = 4, seed: Int = 7,
               idCol: String = "vec_id", vecCol: String = "embedding",
               dim: Int = 64): DataFrame = {
+    // zero-norm vectors have no direction — cosine is undefined (and the
+    // ANSI division would throw); they are excluded from both sides, the
+    // normalize-or-drop ingest rule every oracle mirrors
     val assigned = ivfAssign(corpus, ncells, seed, vecCol, dim)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
         norm(col(vecCol)).as("c_norm"), col("cell"))
+      .filter(col("c_norm") > 0)
     val vec = col(vecCol)
     val probes = broadcast(queries
       .select(col(idCol).as("query_id"), vec.as("q_vec"),
         norm(vec).as("q_norm"),
         probeCells(vec, ncells, nprobe, seed, dim).as("top_cells"))
+      .filter(col("q_norm") > 0)
       .select(col("query_id"), col("q_vec"), col("q_norm"),
         explode(col("top_cells")).as("cell")))
     val scored = assigned.join(probes, "cell")
@@ -233,8 +238,12 @@ object Similarity {
     val assigned = ivfAssign(corpus, ncells, seed, vecCol, dim)
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"), col("cell"))
-    val l = assigned.as("l")
-    val r = assigned.as("r")
+    // zero-norm rows can't be near-dups of anything (cosine undefined) —
+    // they stay in the output with keep = 1 but never enter the pairwise
+    // phase (ANSI would throw on the 0-norm division)
+    val directed = assigned.filter(col("nrm") > 0)
+    val l = directed.as("l")
+    val r = directed.as("r")
     // a row is removed when a lower-id row in its cell is close enough
     val removed = l.join(r, col("l.cell") === col("r.cell") &&
         col("l.vec_id") < col("r.vec_id"))
@@ -255,6 +264,7 @@ object Similarity {
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),
       lshSignature(col(vecCol), planes, dim = dim).as("sig"))
+      .filter(col("nrm") > 0) // zero-norm: cosine undefined, excluded
     val l = sig.as("l")
     val r = sig.as("r")
     l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))

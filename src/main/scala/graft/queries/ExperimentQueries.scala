@@ -101,11 +101,14 @@ object ExperimentQueries {
         m(col("n0"), col("sy0")).as("mean0"),
         m(col("n1"), col("sy1")).as("mean1"),
         (m(col("n1"), col("sy1")) - m(col("n0"), col("sy0"))).as("diff"),
-        ((m(col("n1"), col("sy1")) - m(col("n0"), col("sy0"))) /
-          sqrt(v(col("n0"), col("sy0"), col("syy0")) /
-            col("n0").cast("double") +
-            v(col("n1"), col("sy1"), col("syy1")) /
-              col("n1").cast("double"))).as("t_stat"))
+        // single-user arm: the sample variance (and so the t) is
+        // undefined — NULL, not a divide-by-zero (edge-fixture sweep)
+        when(col("n0") > 1 && col("n1") > 1,
+          (m(col("n1"), col("sy1")) - m(col("n0"), col("sy0"))) /
+            sqrt(v(col("n0"), col("sy0"), col("syy0")) /
+              col("n0").cast("double") +
+              v(col("n1"), col("sy1"), col("syy1")) /
+                col("n1").cast("double"))).as("t_stat"))
     },
 
     // Ratio-metric readout with DELTA-METHOD variance — the correction
@@ -141,8 +144,11 @@ object ExperimentQueries {
       st.select(col("arm"), col("n"),
         col("sx").cast("long").as("views"),
         col("sy").cast("long").as("clicks"),
-        r.as("ctr"),
-        ((vy - lit(2.0) * r * cxy + r * r * vx) / (nD * xbar * xbar))
+        // zero-view arm / single-user arm: ratio or variance undefined —
+        // NULL, not a divide-by-zero (edge-fixture sweep)
+        when(col("sx") > 0, r).as("ctr"),
+        when(col("n") > 1 && col("sx") > 0,
+          (vy - lit(2.0) * r * cxy + r * r * vx) / (nD * xbar * xbar))
           .as("var_delta"))
     },
 
@@ -398,13 +404,14 @@ object ExperimentQueries {
          |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
          |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
          |    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
-         |  (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
-         |   CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
-         |  sqrt(CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
-         |         CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE) +
-         |       CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) /
-         |         CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
-         |    AS t_stat
+         |  CASE WHEN n0 > 1 AND n1 > 1 THEN
+         |    (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |     CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+         |    sqrt(CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
+         |           CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE) +
+         |         CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) /
+         |           CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |  END AS t_stat
          |FROM a0 CROSS JOIN a1""".stripMargin,
     "ab4_ratio_delta" ->
       s"""WITH per AS (
@@ -421,18 +428,21 @@ object ExperimentQueries {
          |  FROM per GROUP BY arm)
          |SELECT arm, n,
          |  CAST(sx AS BIGINT) AS views, CAST(sy AS BIGINT) AS clicks,
-         |  CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS ctr,
-         |  (CAST(n * syy - sy * sy AS DOUBLE) /
-         |     CAST(n * (n - 1) AS DOUBLE) -
-         |   2.0e0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
-         |     (CAST(n * sxy - sx * sy AS DOUBLE) /
-         |      CAST(n * (n - 1) AS DOUBLE)) +
-         |   (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+         |  CASE WHEN sx > 0 THEN
+         |    CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) END AS ctr,
+         |  CASE WHEN n > 1 AND sx > 0 THEN
+         |    (CAST(n * syy - sy * sy AS DOUBLE) /
+         |       CAST(n * (n - 1) AS DOUBLE) -
+         |     2.0e0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+         |       (CAST(n * sxy - sx * sy AS DOUBLE) /
+         |        CAST(n * (n - 1) AS DOUBLE)) +
          |     (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
-         |     (CAST(n * sxx - sx * sx AS DOUBLE) /
-         |      CAST(n * (n - 1) AS DOUBLE))) /
-         |  (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
-         |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS var_delta
+         |       (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+         |       (CAST(n * sxx - sx * sx AS DOUBLE) /
+         |        CAST(n * (n - 1) AS DOUBLE))) /
+         |    (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+         |  END AS var_delta
          |FROM st""".stripMargin,
     "ab5_power_mde" ->
       s"""WITH d AS (

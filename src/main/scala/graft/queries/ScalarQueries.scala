@@ -118,10 +118,12 @@ object ScalarQueries {
     // H11: regexp_extract from a JSON-ish payload (partition value recovery
     // pattern, sessions_transform.py:115-125).
     "h11_regexp_extract" -> { (s, dir) =>
+      // no-match extracts return '' — NULL it before the cast (ANSI
+      // throws on CAST('' AS BIGINT); the oracle already NULLIFs)
+      val ex = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
       Tables.events(s, dir).select(
         col("event_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint")
-          .as("k_value"))
+        when(ex =!= "", ex).cast("bigint").as("k_value"))
     },
 
     // H16 (beyond reference): PROPER JSON-path extraction from the props

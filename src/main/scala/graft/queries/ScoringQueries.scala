@@ -725,9 +725,12 @@ object ScoringQueries {
         sum(col("day")).as("sx"), sum(col("n")).as("sy"),
         sum(col("day") * col("n")).as("sxy"),
         sum(col("day") * col("day")).as("sxx"))
-      val slope =
+      // a one-day (or constant-day) series has a singular normal
+      // equation — slope/intercept NULL, not a divide-by-zero
+      val det = col("m") * col("sxx") - col("sx") * col("sx")
+      val slope = when(det =!= 0,
         (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+          det.cast("double"))
       st.select(col("event_type"), col("m"), slope.as("slope"),
         ((col("sy").cast("double") - slope * col("sx").cast("double")) /
           col("m").cast("double")).as("intercept"))
@@ -1001,12 +1004,14 @@ object ScoringQueries {
         |    CAST(SUM(CAST(day AS HUGEINT) * day) AS BIGINT) AS sxx
         |  FROM daily GROUP BY 1)
         |SELECT event_type, m,
-        |  CAST(m * sxy - sx * sy AS DOUBLE) /
-        |    CAST(m * sxx - sx * sx AS DOUBLE) AS slope,
-        |  (CAST(sy AS DOUBLE) -
-        |    (CAST(m * sxy - sx * sy AS DOUBLE) /
-        |     CAST(m * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
-        |    CAST(m AS DOUBLE) AS intercept
+        |  CASE WHEN m * sxx - sx * sx <> 0 THEN
+        |    CAST(m * sxy - sx * sy AS DOUBLE) /
+        |      CAST(m * sxx - sx * sx AS DOUBLE) END AS slope,
+        |  CASE WHEN m * sxx - sx * sx <> 0 THEN
+        |    (CAST(sy AS DOUBLE) -
+        |      (CAST(m * sxy - sx * sy AS DOUBLE) /
+        |       CAST(m * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+        |      CAST(m AS DOUBLE) END AS intercept
         |FROM s""".stripMargin,
     "ir4_postings" ->
       s"""WITH toks AS (

@@ -897,6 +897,7 @@ object TrainingDataQueries {
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
       val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+        .filter(col("nrm") > 0) // zero-norm: cosine undefined, excluded
       val q = broadcast(withNorm.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
           col("nrm").as("q_nrm")))
@@ -989,6 +990,7 @@ object TrainingDataQueries {
           x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
       import graft.functions.VectorExpressions.dotL
       val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+        .filter(col("nrm") > 0) // zero-norm: cosine undefined, excluded
       val a = withNorm.select(col("vec_id").as("id_a"),
         col("qv").as("qa"), col("nrm").as("na"))
       val b = withNorm.select(col("vec_id").as("id_b"),
@@ -1055,6 +1057,7 @@ object TrainingDataQueries {
           transform(col("embedding"),
             x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
       val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+        .filter(col("nrm") > 0) // zero-norm: cosine undefined, excluded
       val q = broadcast(withNorm.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("label").as("q_label"),
           col("qv").as("q_qv"), col("nrm").as("q_nrm")))
@@ -1090,6 +1093,7 @@ object TrainingDataQueries {
         transform(slice(col("embedding"), 1, 16),
           x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
       val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+        .filter(col("nrm") > 0) // zero-norm prefix: cosine undefined
       val q = broadcast(withNorm.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
           col("nrm").as("q_nrm")))
@@ -1179,6 +1183,9 @@ object TrainingDataQueries {
         .groupBy(tb("doc_id")).agg(sum(col("f") * col("q")).as("dot"))
       dot.join(fn, "doc_id")
         .join(qn, col("doc_id") === col("vec_id"))
+        // zero-norm side (all-zero embedding / quantized-to-zero): the
+        // alignment cosine is undefined — excluded, mirrored in oracle
+        .filter(col("f_nrm") > 0 && col("q_nrm") > 0)
         .select(col("doc_id"), col("dot"), col("f_nrm"), col("q_nrm"),
           (col("dot").cast("double") /
             (sqrt(col("f_nrm").cast("double")) *
@@ -2052,6 +2059,7 @@ object TrainingDataQueries {
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
       val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+        .filter(col("nrm") > 0) // zero-norm: cosine undefined, excluded
       val q = broadcast(withNorm.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("label").as("q_label"),
           col("qv").as("q_qv"), col("nrm").as("q_nrm")))
@@ -2323,7 +2331,8 @@ object TrainingDataQueries {
       sim1Frame(s, dir).select(col("query_id")).distinct()
         .join(firstRel, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
-          expr("sum(coalesce(1000000 div first_rel, 0L)) div count(1)")
+          expr("case when count(1) = 0 then null else " +
+            "sum(coalesce(1000000 div first_rel, 0L)) div count(1) end")
             .as("mrr_micro"))
     },
 
@@ -2673,7 +2682,11 @@ object TrainingDataQueries {
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
     import graft.functions.VectorExpressions.dotL
+    // zero-norm vectors have no direction — cosine is undefined, and the
+    // ANSI division would throw; they are EXCLUDED (normalize-or-drop,
+    // the standard ANN ingest rule), mirrored in every oracle
     val withNorm = quant.withColumn("nrm", dotL(col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
     val q = broadcast(withNorm.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm")))
@@ -2978,9 +2991,10 @@ object TrainingDataQueries {
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
        |  FROM embeddings),
-       |nr AS MATERIALIZED (SELECT vec_id, qv,
-       |  CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))
-       |    AS BIGINT) AS nrm FROM pts),
+       |nr AS MATERIALIZED (SELECT * FROM (
+       |  SELECT vec_id, qv,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))
+       |      AS BIGINT) AS nrm FROM pts) z WHERE nrm > 0),
        |sc0 AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.qv, c.nrm,
        |    ${cosSql("q", "c")} AS cos_sim
@@ -3006,8 +3020,9 @@ object TrainingDataQueries {
       "CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT)"
     s"""WITH ${kmeansCtes(8, 3)},
        |qn AS (
-       |  SELECT id AS query_id, qv, $qnrm AS qnrm
-       |  FROM pts WHERE id < 5),
+       |  SELECT * FROM (
+       |    SELECT id AS query_id, qv, $qnrm AS qnrm
+       |    FROM pts WHERE id < 5) z WHERE qnrm > 0),
        |probes AS (
        |  SELECT query_id, qv, qnrm, cell FROM (
        |    SELECT q.query_id, q.qv, q.qnrm, c.cluster AS cell,
@@ -3015,8 +3030,9 @@ object TrainingDataQueries {
        |        ORDER BY ${kmDistSql("q.qv", "c.cv")} ASC, c.cluster ASC) AS rn
        |    FROM qn q CROSS JOIN cents_2 c) WHERE rn <= 3),
        |cn AS (
-       |  SELECT p.id AS corpus_id, p.qv, $qnrm AS nrm, a.cluster AS cell
-       |  FROM pts p JOIN a_3 a USING (id)),
+       |  SELECT * FROM (
+       |    SELECT p.id AS corpus_id, p.qv, $qnrm AS nrm, a.cluster AS cell
+       |    FROM pts p JOIN a_3 a USING (id)) z WHERE nrm > 0),
        |scored AS (
        |  SELECT pr.query_id, c.corpus_id,
        |    CAST(CAST(list_sum(list_transform(range(1, 65),
@@ -3315,10 +3331,11 @@ object TrainingDataQueries {
         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
         |  FROM embeddings),
         |n AS (
-        |  SELECT vec_id, label, qv,
-        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * qv[i])) AS BIGINT) AS nrm
-        |  FROM e),
+        |  SELECT * FROM (
+        |    SELECT vec_id, label, qv,
+        |      CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |        i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |    FROM e) z WHERE nrm > 0),
         |p AS (
         |  SELECT q.vec_id AS query_id, CAST(q.label AS INTEGER) AS q_label,
         |    c.vec_id AS corpus_id, CAST(c.label AS INTEGER) AS neg_label,
@@ -3516,8 +3533,9 @@ object TrainingDataQueries {
          |       WHERE q.label = c.label GROUP BY 1),
          |qs AS (SELECT DISTINCT query_id FROM ex)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-         |  CAST(SUM(COALESCE(1000000 // fr.first_rel, 0)) // COUNT(*)
-         |    AS BIGINT) AS mrr_micro
+         |  CAST(CASE WHEN COUNT(*) = 0 THEN NULL
+         |    ELSE SUM(COALESCE(1000000 // fr.first_rel, 0)) // COUNT(*)
+         |  END AS BIGINT) AS mrr_micro
          |FROM qs LEFT JOIN fr USING (query_id)""".stripMargin,
     "tx29_hapax_ratio" ->
       s"""WITH tc AS (
@@ -3887,7 +3905,8 @@ object TrainingDataQueries {
          |    (sqrt(CAST(f.f_nrm AS DOUBLE)) * sqrt(CAST(n.q_nrm AS DOUBLE)))
          |    AS alignment
          |FROM dt d JOIN fn f ON d.doc_id = f.doc_id
-         |JOIN qn n ON d.doc_id = n.vec_id""".stripMargin,
+         |JOIN qn n ON d.doc_id = n.vec_id
+         |WHERE f.f_nrm > 0 AND n.q_nrm > 0""".stripMargin,
     "pk4_length_buckets" ->
       s"""WITH t AS (
          |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -4511,10 +4530,11 @@ object TrainingDataQueries {
          |     CASE WHEN (${sqlProjChain("embedding", 2)}) > 0 THEN 4 ELSE 0 END +
          |     CASE WHEN (${sqlProjChain("embedding", 3)}) > 0 THEN 8 ELSE 0 END) AS sig
          |  FROM embeddings),
+         |sz AS (SELECT * FROM s WHERE nrm > 0),
          |p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    (${sqlDotChain("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos_sim
-         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |  FROM sz a JOIN sz b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2""".stripMargin,
     "sim3_ivf_topk" -> sim3Sql,
     "drift1_cell_divergence" -> drift1Sql,
@@ -4525,10 +4545,11 @@ object TrainingDataQueries {
         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
         |  FROM embeddings),
         |n AS (
-        |  SELECT vec_id, label, qv,
-        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * qv[i])) AS BIGINT) AS nrm
-        |  FROM e),
+        |  SELECT * FROM (
+        |    SELECT vec_id, label, qv,
+        |      CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |        i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |    FROM e) z WHERE nrm > 0),
         |p AS (
         |  SELECT q.vec_id AS query_id, q.label AS label,
         |    c.vec_id AS corpus_id,
@@ -4550,10 +4571,11 @@ object TrainingDataQueries {
          |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
          |  FROM embeddings),
          |np AS (
-         |  SELECT vec_id, qv,
-         |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
-         |      i -> qv[i] * qv[i])) AS BIGINT) AS nrm
-         |  FROM ep),
+         |  SELECT * FROM (
+         |    SELECT vec_id, qv,
+         |      CAST(list_sum(list_transform(range(1, len(qv) + 1),
+         |        i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+         |    FROM ep) z WHERE nrm > 0),
          |pp AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
          |    CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -4593,9 +4615,10 @@ object TrainingDataQueries {
         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
         |  FROM embeddings),
         |n AS (
-        |  SELECT vec_id, qv,
-        |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
-        |  FROM e),
+        |  SELECT * FROM (
+        |    SELECT vec_id, qv,
+        |      CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |    FROM e) z WHERE nrm > 0),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    CAST(CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
@@ -5064,9 +5087,10 @@ object TrainingDataQueries {
       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       |  FROM embeddings),
       |n AS (
-      |  SELECT vec_id, qv,
-      |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
-      |  FROM e),
+      |  SELECT * FROM (
+      |    SELECT vec_id, qv,
+      |      CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+      |    FROM e) z WHERE nrm > 0),
       |p AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
       |    CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -5098,7 +5122,8 @@ object TrainingDataQueries {
        |  SELECT DISTINCT r.vec_id AS rm_id
        |  FROM assigned l JOIN assigned r
        |    ON l.cell = r.cell AND l.vec_id < r.vec_id
-       |  WHERE (${sqlDotChain("l.embedding", "r.embedding")}) / (l.nrm * r.nrm) >= 0.2)
+       |  WHERE l.nrm > 0 AND r.nrm > 0
+       |    AND (${sqlDotChain("l.embedding", "r.embedding")}) / (l.nrm * r.nrm) >= 0.2)
        |SELECT a.vec_id, a.cell,
        |  CASE WHEN rm.rm_id IS NULL THEN 1 ELSE 0 END AS keep
        |FROM assigned a LEFT JOIN removed rm ON a.vec_id = rm.rm_id""".stripMargin
@@ -5146,14 +5171,15 @@ object TrainingDataQueries {
        |  FROM embeddings),
        |assigned AS (
        |  SELECT vec_id AS corpus_id, embedding, nrm, $cellCase AS cell
-       |  FROM (SELECT *, GREATEST(s0,s1,s2,s3,s4,s5,s6,s7) AS g FROM base)),
+       |  FROM (SELECT *, GREATEST(s0,s1,s2,s3,s4,s5,s6,s7) AS g FROM base)
+       |  WHERE nrm > 0),
        |probes AS (
        |  SELECT vec_id AS query_id, embedding, nrm, cell FROM (
        |    SELECT b.*, c.c AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
        |        ORDER BY $probeScore DESC, c.c DESC) AS rn
        |    FROM base b CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c
-       |    WHERE b.vec_id < 5) WHERE rn <= 3),
+       |    WHERE b.vec_id < 5 AND b.nrm > 0) WHERE rn <= 3),
        |scored AS (
        |  SELECT p.query_id, a.corpus_id,
        |    (${sqlDotChain("p.embedding", "a.embedding")}) / (p.nrm * a.nrm) AS cos_sim

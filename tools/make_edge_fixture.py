@@ -1,22 +1,29 @@
 #!/usr/bin/env python3
-"""Build the EDGE-CASE fixture: a documents table of pathological texts
-(empty, whitespace-only, shorter than one shingle/chunk/window) with the
-other tables copied from a source sf dir, for a full-catalog divergence
-sweep:
+"""Build the EDGE-CASE fixture: pathological documents (empty,
+whitespace-only, shorter than one shingle/chunk/window), pathological
+events (a lone single-event user, EQUAL-timestamp ties, a one-day-only
+user, zero/negative values), and pathological embeddings (the ZERO
+vector, duplicates, tiny magnitudes) — other tables copied from a
+source sf dir — for a full-catalog divergence sweep:
 
     python3 tools/make_edge_fixture.py /root/testdata/sf0.01 /tmp/edge_sf
     sbt -batch "runMain graft.Verify /tmp/edge_sf /tmp/edge_out"
     python3 tools/check_oracle.py /tmp/edge_sf /tmp/edge_out
 
 Why: Spark's sequence(a, b) steps DOWN when b < a, integer `div`
-truncates while DuckDB's `//` floors, ANSI division throws where DuckDB
-errors differently — the class of silent engine divergences that only
-pathological inputs expose. The round-7 sweep over this fixture found
-(and fixed) dd15/pk7/tx28 descending-sequence bugs, ml4/ml10
-single-class divide-by-zero, gr5 dropping isolated nodes, and ir6's
-ln(0) on corpus-absent probe terms. Expected residual: gr20 requires a
-non-empty seed set (doc_id % 50 == 0 matches nothing in 7 docs) — a
-documented API contract, not a divergence.
+truncates while DuckDB's `//` floors, ANSI arithmetic throws where
+DuckDB errors differently — the class of silent engine divergences that
+only pathological inputs expose. The round-7 sweeps over this fixture
+found (and fixed) 25 latent issues: dd15/pk7/tx28 descending-sequence
+bugs; ml4/ml10 single-class and ab3/ab4/ml6 single-sample
+divide-by-zero; gr5 dropping isolated nodes; ir6's ln(0) on
+corpus-absent probe terms; zero-norm-vector divide-by-zero across the
+whole cosine tier (sim1-6, sim11-17, km2, mm7, ir10 — zero-norm rows
+are now excluded, the normalize-or-drop rule, mirrored in every
+oracle); and h11's unguarded CAST of a no-match extract. Expected
+residual: exactly one — gr20 requires a non-empty seed set
+(doc_id % 50 == 0 matches nothing in 7 docs), a documented API
+contract, not a divergence.
 
 Dev tooling only (pyarrow is driver-side, not part of the Scala build).
 """
@@ -50,10 +57,52 @@ def main(src: str, dst: str) -> None:
         "n_chars": [len(t) for t in TEXTS],
     }
     pq.write_table(pa.table(rows), os.path.join(dst, "documents.parquet"))
+
+    # pathological events: a single-event user, EQUAL-timestamp ties,
+    # a one-day-only user, zero/negative values, missing-key JSON props
+    base = 1_700_000_000_000_000  # epoch micros
+    ev = [
+        # (event_id, ts_us, user_id, event_type, value, props)
+        (1, base, 1, "view", 0.0, "{}"),                   # lone event
+        (2, base + 1000, 2, "click", -5.5, '{"k": 1}'),    # tie pair a
+        (3, base + 1000, 2, "view", 2.5, '{"k": 2}'),      # tie pair b
+        (4, base + 2000, 2, "view", 2.5, '{"k": 3}'),
+        (5, base + 3_600_000_000, 3, "purchase", 0.0, "{}"),
+        (6, base + 3_700_000_000, 3, "purchase", 1.0, '{"k": 9}'),
+    ]
+    pq.write_table(pa.table({
+        "event_id": [e[0] for e in ev],
+        "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+        "user_id": [e[2] for e in ev],
+        "event_type": [e[3] for e in ev],
+        "value": [e[4] for e in ev],
+        "props": [e[5] for e in ev],
+    }), os.path.join(dst, "events.parquet"))
+
+    # pathological embeddings: the ZERO vector (cosine undefined), two
+    # identical vectors, a tiny-magnitude one, a negative one
+    dim = 64
+    vecs = [
+        [0.0] * dim,                                  # zero norm
+        [1.0] + [0.0] * (dim - 1),                    # unit-x (dup a)
+        [1.0] + [0.0] * (dim - 1),                    # unit-x (dup b)
+        [1e-8] * dim,                                 # tiny magnitude
+        [-1.0 if i % 2 else 1.0 for i in range(dim)],  # signed
+        [float(i) / dim for i in range(dim)],          # generic
+    ]
+    pq.write_table(pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, 1, 1, 1], pa.int32()),
+    }), os.path.join(dst, "embeddings.parquet"))
+
     for f in glob.glob(os.path.join(src, "*.parquet")):
-        if os.path.basename(f) != "documents.parquet":
-            shutil.copy(f, os.path.join(dst, os.path.basename(f)))
+        b = os.path.basename(f)
+        if b not in ("documents.parquet", "events.parquet",
+                     "embeddings.parquet"):
+            shutil.copy(f, os.path.join(dst, b))
     print(f"edge fixture at {dst}: {len(TEXTS)} pathological docs, "
+          f"{len(ev)} events, {len(vecs)} embeddings; "
           f"other tables from {src}")
 
 
