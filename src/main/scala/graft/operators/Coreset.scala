@@ -40,7 +40,11 @@ object Coreset {
         lit(cvec.map(v => v * v).sum)
     }
 
-    val first = pts.orderBy(col("pid")).limit(1).collect()(0)
+    val firstArr = pts.orderBy(col("pid")).limit(1).collect()
+    if (firstArr.isEmpty) // empty corpus: empty coreset, not an index error
+      return pts.select(col("pid"), col("pid").as("assigned"),
+        lit(0L).as("min_d2"), lit(false).as("is_center"))
+    val first = firstArr(0)
     var centerIds = Seq(first.getLong(0))
     var state = pts.select(col("pid"), col("qv"),
         d2To(first.getSeq[Long](1)).as("min_d2"),

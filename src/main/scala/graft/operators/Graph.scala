@@ -131,6 +131,8 @@ object Graph {
     val nd = nodes.select(col(nodes.columns.head).cast("bigint").as("node"))
       .localCheckpoint(true)
     val n = nd.count()
+    if (n == 0) // empty graph: empty rank table, not a driver 0-division
+      return nd.select(col("node"), lit(0L).as("rank_micro"))
     val tele = ((100L - dampingPct) * Scale) / (100L * n)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val e = edges.join(outdeg, "src").localCheckpoint(true)
@@ -167,15 +169,19 @@ object Graph {
     val sd = seeds.select(col(seeds.columns.head).cast("bigint").as("node"))
       .distinct().withColumn("is_seed", lit(1L)).localCheckpoint(true)
     val ns = sd.count()
-    require(ns > 0, "seed set must be non-empty")
-    val tele = ((100L - dampingPct) * Scale) / (100L * ns)
+    // empty seed set: the teleport vector is zero everywhere, so every
+    // rank is exactly 0 — well-defined, and what the oracle's guarded
+    // division produces (no require: an empty corpus slice is data, not
+    // a caller bug)
+    val tele =
+      if (ns == 0) 0L else ((100L - dampingPct) * Scale) / (100L * ns)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val e = edges.join(outdeg, "src").localCheckpoint(true)
     val ndSeed = nd.join(sd, Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       .localCheckpoint(true)
     var ranks = ndSeed.select(col("node"),
-      (col("is_seed") * lit(Scale / ns)).as("r"))
+      (col("is_seed") * lit(if (ns == 0) 0L else Scale / ns)).as("r"))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), expr("r div od").as("contrib"))

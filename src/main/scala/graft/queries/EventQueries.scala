@@ -1329,7 +1329,9 @@ object EventQueries {
         .select(col("prev_type").as("s"), col("event_type").as("t"),
           col("p_micro"))
       val states = p.select(col("s").as("state")).distinct()
-      val k = states.count()
+      // max(k, 1): an empty chain yields an empty state set — the init
+      // literal is then never used, but the driver division must not throw
+      val k = math.max(states.count(), 1L)
       var v = states.withColumn("v_micro", lit(1000000L / k))
       for (_ <- 1 to 6) {
         v = p.join(v, col("s") === col("state"))

@@ -71,7 +71,9 @@ object GraphQueries {
       e.agg(count(lit(1)).as("m"))
         .crossJoin(broadcast(mutual.agg(count(lit(1)).as("mu"))))
         .select(col("m"), col("mu"),
-          (col("mu").cast("double") / col("m").cast("double"))
+          // edgeless graph: reciprocity undefined — NULL (empty-table sweep)
+          when(col("m") > 0,
+            col("mu").cast("double") / col("m").cast("double"))
             .as("reciprocity"))
     },
 
@@ -580,7 +582,8 @@ object GraphQueries {
         |  WHERE EXISTS (SELECT 1 FROM e r
         |                WHERE r.src = e.dst AND r.dst = e.src))
         |SELECT m, mu,
-        |  CAST(mu AS DOUBLE) / CAST(m AS DOUBLE) AS reciprocity
+        |  CASE WHEN m > 0 THEN
+        |    CAST(mu AS DOUBLE) / CAST(m AS DOUBLE) END AS reciprocity
         |FROM (SELECT COUNT(*) AS m FROM e) CROSS JOIN mu""".stripMargin,
     "gr13_assortativity" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
@@ -670,7 +673,8 @@ object GraphQueries {
       val iterCtes = (1 to 3).map { i =>
         s"""r_$i AS (
            |  SELECT nds.node,
-           |    nds.is_seed * ((15 * $scale) // (100 * ns.n)) +
+           |    nds.is_seed * (CASE WHEN ns.n = 0 THEN 0
+           |      ELSE (15 * $scale) // (100 * ns.n) END) +
            |      ((85 * COALESCE(s.c, 0)) // 100) AS r
            |  FROM nds CROSS JOIN ns LEFT JOIN (
            |    SELECT e.dst AS node, SUM(r_${i - 1}.r // od.od) AS c
@@ -693,7 +697,9 @@ object GraphQueries {
          |nds AS (SELECT nd.node,
          |          CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
          |        FROM nd LEFT JOIN sd ON nd.node = sd.node),
-         |r_0 AS (SELECT node, is_seed * ($scale // ns.n) AS r
+         |r_0 AS (SELECT node,
+         |          is_seed * (CASE WHEN ns.n = 0 THEN 0
+         |            ELSE $scale // ns.n END) AS r
          |        FROM nds CROSS JOIN ns),
          |$iterCtes
          |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r_3""".stripMargin

@@ -764,6 +764,9 @@ object TrainingDataQueries {
           .select(lit(b.toLong).as("bands"),
             lit(r.toLong).as("rows_per_band"),
             col("n_buckets"), col("candidate_pairs"))
+          // empty corpus: no plan rows (matches the oracle's grouped
+          // aggregation, which emits nothing without data)
+          .filter(col("n_buckets") > 0)
       }.reduce(_ unionByName _)
     },
 
@@ -2624,7 +2627,9 @@ object TrainingDataQueries {
       chunks.agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("h")).as("n_distinct"))
         .select(col("n_chunks"), col("n_distinct"),
-          expr("(n_distinct * 1000000) div n_chunks").as("unique_micro"),
+          expr("case when n_chunks = 0 then null " +
+            "else (n_distinct * 1000000) div n_chunks end")
+            .as("unique_micro"),
           ((col("n_chunks") - col("n_distinct")) * 64).as("chars_saved"))
     },
 
@@ -3718,8 +3723,9 @@ object TrainingDataQueries {
          |  FROM documents)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
          |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
-         |  CAST((COUNT(DISTINCT h) * 1000000) // COUNT(*) AS BIGINT)
-         |    AS unique_micro,
+         |  CAST(CASE WHEN COUNT(*) = 0 THEN NULL
+         |    ELSE (COUNT(DISTINCT h) * 1000000) // COUNT(*)
+         |  END AS BIGINT) AS unique_micro,
          |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 64 AS BIGINT)
          |    AS chars_saved
          |FROM ch""".stripMargin,

