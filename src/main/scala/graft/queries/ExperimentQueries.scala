@@ -152,6 +152,53 @@ object ExperimentQueries {
           .as("var_delta"))
     },
 
+    // AB9 (beyond reference): WINSORIZED difference-in-means — ab3's
+    // readout after clamping each arm's per-user spend to its [p05, p95]
+    // (d30's exact rank-cut winsorization, per arm): the robust variant
+    // every revenue experiment runs because one whale in one arm can
+    // fabricate a "win". Quantile cuts come from the arm-partitioned
+    // rank (no float percentile), clamped sums stay exact integers, and
+    // only the two means divide at the end. Same single per-user
+    // shuffle; the rank window rides the arm key.
+    "ab9_winsorized_diff" -> { (s, dir) =>
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val w = Window.partitionBy(col("arm"))
+        .orderBy(col("y"), col("user_id"))
+      val ranked = per.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("arm"))))
+      val cuts = ranked
+        .filter(col("rn") === expr("(n * 5 + 99) div 100") ||
+          col("rn") === expr("(n * 95 + 99) div 100"))
+        .groupBy(col("arm").as("c_arm"))
+        .agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
+      val st = ranked.join(broadcast(cuts), col("arm") === col("c_arm"))
+        .withColumn("wy", when(col("y") < col("lo"), col("lo"))
+          .when(col("y") > col("hi"), col("hi")).otherwise(col("y")))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("wy")).as("swy"))
+      val a0 = st.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("swy").as("s0"))
+      val a1 = st.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("swy").as("s1"))
+      a0.crossJoin(a1).select(col("n0"), col("n1"),
+        (col("s0").cast("double") / col("n0").cast("double"))
+          .as("wmean0"),
+        (col("s1").cast("double") / col("n1").cast("double"))
+          .as("wmean1"),
+        (col("s1").cast("double") / col("n1").cast("double") -
+          col("s0").cast("double") / col("n0").cast("double"))
+          .as("wdiff"))
+    },
+
     // Power / minimum-detectable-effect readout — the planning number an
     // experiment review asks first ("could this test even see a 1%
     // move?"): MDE at 80% power / 5% two-sided α is (1.96 + 0.8416) ·
@@ -351,6 +398,41 @@ object ExperimentQueries {
     "(CAST(('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) % 2"
 
   def oracleSql: Map[String, String] = Map(
+    "ab9_winsorized_diff" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |ranked AS (
+         |  SELECT user_id, y, arm,
+         |    ROW_NUMBER() OVER (PARTITION BY arm ORDER BY y, user_id)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY arm) AS n
+         |  FROM per),
+         |cuts AS (
+         |  SELECT arm AS c_arm, MIN(y) AS lo, MAX(y) AS hi FROM ranked
+         |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+         |  GROUP BY 1),
+         |st AS (
+         |  SELECT r.arm, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN y < lo THEN lo WHEN y > hi THEN hi
+         |      ELSE y END) AS BIGINT) AS swy
+         |  FROM ranked r JOIN cuts c ON r.arm = c.c_arm GROUP BY 1),
+         |a0 AS (SELECT n AS n0, swy AS s0 FROM st WHERE arm = 0),
+         |a1 AS (SELECT n AS n1, swy AS s1 FROM st WHERE arm = 1)
+         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS wmean0,
+         |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS wmean1,
+         |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS wdiff
+         |FROM a0 CROSS JOIN a1""".stripMargin,
     "ab1_cuped" ->
       s"""WITH d AS (
          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,

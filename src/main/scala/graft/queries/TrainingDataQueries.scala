@@ -1503,6 +1503,38 @@ object TrainingDataQueries {
             col("n_scored").cast("double")).as("mean_surprisal"))
     },
 
+    // LM8 (beyond reference): CHARACTER-trigram LM cross-entropy per
+    // language — the gibberish/encoding-noise detector that works where
+    // token LMs can't (no tokenizer assumption; OCR garbage and
+    // mojibake light up immediately). Corpus char-trigram MLE
+    // p(tri) = c(tri)/c(prefix-bigram), micro-nat quantized at TYPE
+    // grain, re-weighted by per-language type counts — lm6/lm7's shape
+    // one level down. The trigram explode is n_chars per row; the
+    // shuffles are trigram-vocabulary-grain.
+    "lm8_char_trigram" -> { (s, dir) =>
+      val t = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+      val tris = docsSpread(s, dir)
+        .filter(expr(s"length($t) >= 3"))
+        .selectExpr("lang",
+          s"explode(transform(sequence(1, length($t) - 2), " +
+            s"i -> substr($t, i, 3))) AS tri")
+      val perLang = tris.groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+      val c3 = perLang.groupBy("tri").agg(sum(col("c")).as("c3"))
+        .withColumn("pre", expr("substr(tri, 1, 2)"))
+      val c2 = c3.groupBy("pre").agg(sum(col("c3")).as("c2"))
+      val lm = c3.join(c2, "pre")
+        .select(col("tri"),
+          floor(log(col("c3").cast("double") / col("c2").cast("double"))
+            * lit(1e6)).cast("bigint").as("micro"))
+      perLang.join(lm, "tri")
+        .groupBy("lang")
+        .agg(sum(col("c")).as("n_trigrams"),
+          sum(col("c") * col("micro")).as("sum_micro"))
+        .select(col("lang"), col("n_trigrams"),
+          (-col("sum_micro").cast("double") / lit(1e6) /
+            col("n_trigrams").cast("double")).as("mean_surprisal"))
+    },
+
     // LM7 (beyond reference): JELINEK-MERCER interpolated bigram LM —
     // lm3's Kneser-Ney is the high end; JM (λ=0.5 linear mix of the
     // bigram MLE and the corpus unigram) is the cheap smoother every LM
@@ -2427,6 +2459,40 @@ object TrainingDataQueries {
           countDistinct(col("h")).as("n_distinct"),
           expr("sum(len) div count(1)").as("mean_len"),
           min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+    },
+
+    // PROF4 (beyond reference): pairwise WELCH-t matrix between sources
+    // on document length — "which providers actually differ?" as a
+    // source²-sized screen (the multiple-comparison table a datasheet
+    // review reads before trusting any per-source mean difference). Per-
+    // source exact moments once (one metadata-grain rollup), then a
+    // broadcast self-join over the ~k² source pairs; each t is one fixed
+    // IEEE tree, NULL when either side has a single document. Scale-
+    // free: the pair fan-out is provenance-count², never rows.
+    "prof4_source_welch_matrix" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val st = docsSpread(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast(d38)).as("sx"),
+          sum((col("n_chars") * col("n_chars")).cast(d38)).as("sxx"))
+        .localCheckpoint(true)
+      def mv(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+             sxx: org.apache.spark.sql.Column) = (
+        sx.cast("double") / n.cast("double"),
+        (n.cast(d38) * sxx - sx * sx).cast("double") /
+          (n * (n - 1)).cast("double"))
+      val a = st.select(col("source").as("src_a"), col("n").as("na"),
+        col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = st.select(col("source").as("src_b"), col("n").as("nb"),
+        col("sx").as("sxb"), col("sxx").as("sxxb"))
+      val (ma, va) = mv(col("na"), col("sxa"), col("sxxa"))
+      val (mb, vb) = mv(col("nb"), col("sxb"), col("sxxb"))
+      a.join(broadcast(b), col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          (ma - mb).as("mean_diff"),
+          when(col("na") > 1 && col("nb") > 1,
+            (ma - mb) / sqrt(va / col("na").cast("double") +
+              vb / col("nb").cast("double"))).as("t_stat"))
     },
 
     // S15 (beyond reference): NEYMAN optimal allocation — s2 samples
@@ -3597,6 +3663,25 @@ object TrainingDataQueries {
          |  CAST(MIN(length(chunk)) AS BIGINT) AS min_len,
          |  CAST(MAX(length(chunk)) AS BIGINT) AS max_len
          |FROM ch""".stripMargin,
+    "prof4_source_welch_matrix" ->
+      """WITH st AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+        |  FROM documents GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  a.n AS na, b.n AS nb,
+        |  CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) -
+        |    CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_diff,
+        |  CASE WHEN a.n > 1 AND b.n > 1 THEN
+        |    (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) -
+        |     CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE)) /
+        |    sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE) /
+        |           CAST(a.n * (a.n - 1) AS DOUBLE) / CAST(a.n AS DOUBLE) +
+        |         CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE) /
+        |           CAST(b.n * (b.n - 1) AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |  END AS t_stat
+        |FROM st a JOIN st b ON a.source < b.source""".stripMargin,
     "s15_neyman_allocation" ->
       """WITH per AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
@@ -4782,6 +4867,29 @@ object TrainingDataQueries {
          |    CAST(SUM(c.c) AS DOUBLE) AS mean_surprisal
          |FROM counts c JOIN lm ON c.w1 = lm.w1 AND c.w2 = lm.w2
          |GROUP BY c.source, lm.lm_source""".stripMargin,
+    "lm8_char_trigram" ->
+      s"""WITH d AS (
+         |  SELECT lang, $normSql AS t FROM documents),
+         |tri AS (
+         |  SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS tri
+         |  FROM d, unnest(range(1, length(t) - 1)) AS u(i)
+         |  WHERE length(t) >= 3),
+         |per_lang AS (
+         |  SELECT lang, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+         |c3 AS (
+         |  SELECT tri, substr(tri, 1, 2) AS pre, SUM(c) AS c3
+         |  FROM per_lang GROUP BY 1, 2),
+         |c2 AS (SELECT pre, SUM(c3) AS c2 FROM c3 GROUP BY 1),
+         |lm AS (
+         |  SELECT tri,
+         |    CAST(FLOOR(ln(CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE)) * 1e6)
+         |      AS BIGINT) AS micro
+         |  FROM c3 JOIN c2 USING (pre))
+         |SELECT p.lang, CAST(SUM(p.c) AS BIGINT) AS n_trigrams,
+         |  -CAST(SUM(p.c * lm.micro) AS DOUBLE) / 1e6 /
+         |    CAST(SUM(p.c) AS DOUBLE) AS mean_surprisal
+         |FROM per_lang p JOIN lm USING (tri)
+         |GROUP BY p.lang""".stripMargin,
     "lm7_jelinek_mercer" ->
       s"""WITH base AS (
          |  SELECT source, string_split($normSql, ' ') AS toks
