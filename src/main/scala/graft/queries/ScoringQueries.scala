@@ -143,6 +143,49 @@ object ScoringQueries {
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("corr"))
     },
 
+    // FE20 (beyond reference): feature REDUNDANCY groups — connected
+    // components over the |corr| > 0.5 edges of fe18's lane-correlation
+    // matrix: lanes in one group carry (mostly) shared signal, so a
+    // model keeps one representative per group. The matrix is dim²
+    // metadata; the contraction runs on ≤dim nodes — everything after
+    // the one corpus moment-rollup is free. Lanes with no strong
+    // partner are their own group.
+    "fe20_redundancy_groups" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val lanes = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(transform(
+          slice(col("embedding"), 1, 16),
+          x => floor(x.cast("double") * 1000000).cast("long")))
+          .as(Seq("i", "q")))
+      val st = lanes.as("a").join(lanes.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") < col("b.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          col("a.q").as("x"), col("b.q").as("y"))
+        .groupBy("i", "j").agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+      val num = col("n").cast(d38) * col("sxy") - col("sx") * col("sy")
+      val vx = col("n").cast(d38) * col("sxx") - col("sx") * col("sx")
+      val vy = col("n").cast(d38) * col("syy") - col("sy") * col("sy")
+      val edges = st
+        .select(col("i"), col("j"),
+          when(vx > 0 && vy > 0, num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+            .as("corr"))
+        .filter(abs(col("corr")) > 0.5)
+        .select(col("i").cast("bigint").as("id_a"),
+          col("j").cast("bigint").as("id_b"))
+      val comp = graft.operators.Dedup.connectedComponents(edges)
+      val allLanes = lanes.select(col("i").cast("bigint").as("lane"))
+        .distinct()
+      allLanes.join(comp, allLanes("lane") === comp("doc_id"), "left")
+        .select(col("lane"),
+          coalesce(col("cluster_id"), col("lane")).as("group_id"))
+    },
+
     // FE19 (beyond reference): top PRINCIPAL COMPONENT by four unrolled
     // power-iteration rounds over fe18's exact-moment covariance —
     // distributed PCA direction without any linear-algebra library. The
@@ -1320,6 +1363,40 @@ object ScoringQueries {
          |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE) AS pos_rate
          |FROM sc GROUP BY 1""".stripMargin,
+    "fe20_redundancy_groups" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding[1:16],
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |l AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |    qv[CAST(i + 1 AS INTEGER)] AS q
+        |  FROM e, unnest(range(0, 16)) AS t(i)),
+        |st AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+        |    SUM(CAST(a.q AS HUGEINT)) AS sx,
+        |    SUM(CAST(b.q AS HUGEINT)) AS sy,
+        |    SUM(CAST(a.q AS HUGEINT) * b.q) AS sxy,
+        |    SUM(CAST(a.q AS HUGEINT) * a.q) AS sxx,
+        |    SUM(CAST(b.q AS HUGEINT) * b.q) AS syy
+        |  FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT i AS a, j AS b FROM st
+        |  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    AND abs(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) > 0.5),
+        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+        |         FROM reach GROUP BY a),
+        |lanes AS (SELECT DISTINCT i AS lane FROM l)
+        |SELECT lane, COALESCE(c.cluster_id, lane) AS group_id
+        |FROM lanes LEFT JOIN comp c ON lane = c.node""".stripMargin,
     "fe19_pca_direction" -> {
       val rounds = (1 to 4).map { r =>
         s"""nv_$r AS (

@@ -1336,6 +1336,46 @@ object TrainingDataQueries {
       Retrieval.bm25(docsSpread(s, dir), bm25Terms)
     },
 
+    // IR11 (beyond reference): BM25F — field-weighted BM25 (title ×2,
+    // body ×1) in the simple-BM25F form: weight the term frequencies
+    // and the document length per field BEFORE the saturation curve, so
+    // a title hit is worth two body hits but still saturates like one
+    // stream. The harness corpus has no field structure, so the first 5
+    // tokens stand in as the title (deterministic, mirrored by the
+    // oracle). Same one-scan + broadcast-scalar shape as ir1; the idf
+    // is micro-nat-quantized identically.
+    "ir11_bm25f" -> { (s, dir) =>
+      val k1 = 1.2; val b = 0.75; val wTitle = 2L
+      val base = docsSpread(s, dir).select(col("doc_id"),
+        split(TextAnalysis.normalizeText(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          slice(col("toks"), 1, 5).as("title"),
+          expr("slice(toks, 6, greatest(size(toks) - 5, 0))").as("body"))
+      def cnt(f: String, t: String) =
+        size(filter(col(f), x => x === lit(t))).cast("bigint")
+      val withTf = base.select(col("doc_id") +:
+        (expr("least(size(title), 5)") * wTitle +
+          expr("size(body)")).cast("bigint").as("wdl") +:
+        bm25Terms.map(t =>
+          (cnt("title", t) * wTitle + cnt("body", t)).as(s"wtf_$t")): _*)
+      val stats = withTf.agg(count(lit(1)).as("n"),
+        sum(col("wdl")).as("swdl") +: bm25Terms.map(t =>
+          sum(when(col(s"wtf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      val scored = withTf.crossJoin(broadcast(stats))
+      val avgwdl = col("swdl").cast("double") / col("n").cast("double")
+      val lenNorm = lit(k1) * (lit(1 - b) +
+        lit(b) * col("wdl").cast("double") / avgwdl)
+      val score = bm25Terms.foldLeft(lit(0.0)) { (acc, t) =>
+        val tf = col(s"wtf_$t").cast("double")
+        val df = col(s"df_$t").cast("double")
+        val idf = floor(log((col("n").cast("double") - df + 0.5) /
+          (df + 0.5) + 1.0) * lit(1e6)).cast("double") / lit(1e6)
+        acc + idf * (tf * lit(k1 + 1)) / (tf + lenNorm)
+      }
+      scored.select(col("doc_id") +: col("wdl") +:
+        bm25Terms.map(t => col(s"wtf_$t")) :+ score.as("bm25f"): _*)
+    },
+
     // Dirichlet query likelihood over the same probe terms — the LM
     // ranker complement to BM25 (same one-scan + broadcast-scalar shape,
     // integer micro-nat per-term quantization makes the sum exact).
@@ -3242,6 +3282,45 @@ object TrainingDataQueries {
        |FROM tf CROSS JOIN stats""".stripMargin
   }
 
+  /** ir11 oracle: the bm25Sql chain over FIELD-WEIGHTED tf/dl (title =
+    * first 5 tokens ×2, body ×1) — sub-expression-identical to the Spark
+    * side's simple-BM25F fold. */
+  private def bm25fSql: String = {
+    val k1 = 1.2
+    val b = 0.75
+    val tfCols = bm25Terms.map(t =>
+      s"CAST(2 * len(list_filter(title, x -> x = '$t')) + " +
+        s"len(list_filter(body, x -> x = '$t')) AS BIGINT) AS wtf_$t")
+      .mkString(",\n    ")
+    val dfAggs = bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN wtf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n    ")
+    val lenNorm = s"($k1 * (${1 - b} + ($b * CAST(wdl AS DOUBLE)) / " +
+      "(CAST(swdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+    val chain = "0.0" + bm25Terms.map { t =>
+      val idf = s"(CAST(FLOOR(ln((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) " +
+        s"+ 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0) * 1e6) AS DOUBLE) / 1e6)"
+      s" +\n  $idf * (CAST(wtf_$t AS DOUBLE) * ${k1 + 1}) / " +
+        s"(CAST(wtf_$t AS DOUBLE) + $lenNorm)"
+    }.mkString
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS toks
+       |  FROM documents),
+       |fields AS (
+       |  SELECT doc_id, toks[1:5] AS title, toks[6:len(toks)] AS body
+       |  FROM base),
+       |tf AS (
+       |  SELECT doc_id,
+       |    CAST(2 * len(title) + len(body) AS BIGINT) AS wdl,
+       |    $tfCols
+       |  FROM fields),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(wdl) AS BIGINT) AS swdl,
+       |    $dfAggs FROM tf)
+       |SELECT doc_id, wdl, ${bm25Terms.map(t => s"wtf_$t").mkString(", ")},
+       |  $chain AS bm25f
+       |FROM tf CROSS JOIN stats""".stripMargin
+  }
+
   /** ir6 oracle, generated from the SAME [[bm25Terms]]: per-term Dirichlet
     * log-probability floor-quantized to micro-nats (bigint) before the
     * exact integer sum — mirrors
@@ -4770,6 +4849,7 @@ object TrainingDataQueries {
          |  q.label = v.n_label AS label_match
          |FROM voted v JOIN embeddings q ON v.query_id = q.vec_id""".stripMargin,
     "ir1_bm25" -> bm25Sql,
+    "ir11_bm25f" -> bm25fSql,
     "ir6_qlm" -> qlmSql,
     "tx19_keywords" ->
       s"""WITH toks AS (
