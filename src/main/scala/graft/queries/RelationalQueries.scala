@@ -1101,6 +1101,23 @@ object RelationalQueries {
     // metadata-grain table broadcast back — the clamp itself is then a
     // per-row expression, so at scale this costs one sort-window pass,
     // not a quantile self-join.
+    // D39 (beyond reference): exact per-group MODE with a total
+    // tie-break (count desc, value asc) — the categorical "typical
+    // value" the profiling tier (prof1) reports min/max for but never
+    // the most frequent. One map-side-combined (group, value) rollup,
+    // then a group-keyed window over value-cardinality rows.
+    "d39_group_mode" -> { (s, dir) =>
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_value"),
+          col("n").as("n_occurrences"))
+    },
+
     "d30_winsorize" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("grp"),
@@ -1684,6 +1701,15 @@ object RelationalQueries {
         |SELECT c.c_custkey, c.c_name,
         |  COALESCE(p.component, c.c_custkey) AS entity_id
         |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.node""".stripMargin,
+    "d39_group_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_value,
+        |  CAST(n AS BIGINT) AS n_occurrences
+        |FROM (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY 1, 2) t
+        |WHERE rn = 1""".stripMargin,
     "er3_blocking_eval" ->
       """WITH nm AS (SELECT c_custkey AS id, c_name AS s FROM customer
         |            WHERE c_custkey % 37 = 0),

@@ -143,6 +143,36 @@ object ScoringQueries {
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("corr"))
     },
 
+    // FE21 (beyond reference): hashing-trick COLLISION audit — for each
+    // candidate feature dimension (16/64/256), how many distinct tokens
+    // share each bucket and what fraction of tokens collide at all: the
+    // measurement behind choosing ml1's `dim` (too small ⇒ features
+    // alias; expected load is vocab/dim, and the audit shows the actual
+    // tail). One vocabulary rollup, then three bucket rollups at
+    // vocabulary grain — never corpus-sized.
+    "fe21_hashing_collision_audit" -> { (s, dir) =>
+      val vocab = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      Seq(16, 64, 256).map { dim =>
+        vocab
+          .select(Scoring.tokenBucket(col("token"), dim).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+          .agg(count(lit(1)).as("n_used_buckets"),
+            sum(col("n_tokens")).as("vocab"),
+            sum(when(col("n_tokens") > 1, col("n_tokens")).otherwise(0L))
+              .as("n_colliding"),
+            max(col("n_tokens")).as("max_load"))
+          .select(lit(dim.toLong).as("dim"), col("n_used_buckets"),
+            col("vocab"), col("n_colliding"), col("max_load"),
+            expr("n_colliding * 1000000 div vocab").as("collide_micro"))
+          .filter(col("n_used_buckets") > 0)
+      }.reduce(_ unionByName _)
+    },
+
     // FE20 (beyond reference): feature REDUNDANCY groups — connected
     // components over the |corr| > 0.5 edges of fe18's lane-correlation
     // matrix: lanes in one group carry (mostly) shared signal, so a
@@ -1363,6 +1393,32 @@ object ScoringQueries {
          |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE) AS pos_rate
          |FROM sc GROUP BY 1""".stripMargin,
+    "fe21_hashing_collision_audit" -> {
+      def one(dim: Int) =
+        s"""SELECT CAST($dim AS BIGINT) AS dim,
+           |  CAST(COUNT(*) AS BIGINT) AS n_used_buckets,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS vocab,
+           |  CAST(SUM(CASE WHEN n_tokens > 1 THEN n_tokens ELSE 0 END)
+           |    AS BIGINT) AS n_colliding,
+           |  CAST(MAX(n_tokens) AS BIGINT) AS max_load,
+           |  CAST(SUM(CASE WHEN n_tokens > 1 THEN n_tokens ELSE 0 END)
+           |    * 1000000 // SUM(n_tokens) AS BIGINT) AS collide_micro
+           |FROM (
+           |  SELECT CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+           |    % $dim AS bucket, COUNT(*) AS n_tokens
+           |  FROM vocab GROUP BY 1) b
+           |HAVING COUNT(*) > 0""".stripMargin
+      s"""WITH vocab AS (
+         |  SELECT token FROM (
+         |    SELECT unnest(string_split($normSql, ' ')) AS token
+         |    FROM documents) z
+         |  WHERE length(token) > 0 GROUP BY token)
+         |${one(16)}
+         |UNION ALL
+         |${one(64)}
+         |UNION ALL
+         |${one(256)}""".stripMargin
+    },
     "fe20_redundancy_groups" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, list_transform(embedding[1:16],
