@@ -1553,11 +1553,16 @@ object TrainingDataQueries {
     // shuffles are trigram-vocabulary-grain.
     "lm8_char_trigram" -> { (s, dir) =>
       val t = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+      // ROW form (the dd12/dd15 lesson): materialize the normalized text
+      // as a column BELOW the explode so the regex runs O(1) per
+      // document — the array-HOF form re-ran it per POSITION (measured
+      // 3.8 s → 1.3 s at sf0.1)
       val tris = docsSpread(s, dir)
-        .filter(expr(s"length($t) >= 3"))
-        .selectExpr("lang",
-          s"explode(transform(sequence(1, length($t) - 2), " +
-            s"i -> substr($t, i, 3))) AS tri")
+        .select(col("lang"), expr(t).as("t"))
+        .filter(length(col("t")) >= 3)
+        .select(col("lang"), col("t"),
+          explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+        .selectExpr("lang", "substr(t, i, 3) AS tri")
       val perLang = tris.groupBy("lang", "tri").agg(count(lit(1)).as("c"))
       val c3 = perLang.groupBy("tri").agg(sum(col("c")).as("c3"))
         .withColumn("pre", expr("substr(tri, 1, 2)"))
