@@ -413,3 +413,85 @@ object GraphProps extends Properties("Graph") {
       }
     }
 }
+
+/** Round-7 operator invariants: seeded PageRank mass, blocking-verify
+  * containment, and the trained-weights scorer's equivalence contract. */
+object Round7Props extends Properties("Round7Ops") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkSpec.session
+
+  private val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.choose(2, 12)
+    nEdges <- Gen.choose(0, 20)
+    edges <- Gen.listOfN(nEdges, for {
+      s <- Gen.choose(0L, n - 1L); d <- Gen.choose(0L, n - 1L)
+    } yield (s, d))
+  } yield (n, edges)
+
+  property("personalized pagerank: non-negative, mass <= Scale, empty seeds -> all zero") =
+    Prop.forAll(graphGen, Gen.choose(0, 3)) { case ((n, edges), nSeeds) =>
+      import spark.implicits._
+      val nodes = (0L until n.toLong).toDF("node")
+      val e = if (edges.isEmpty) Seq((0L, 0L)).toDF("src", "dst").limit(0)
+        else edges.toDF("src", "dst")
+      val seeds = (0L until math.min(nSeeds, n).toLong).toDF("node")
+      val ranks = graft.operators.Graph
+        .personalizedPagerank(nodes, e, seeds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = ranks.values.sum
+      ranks.values.forall(_ >= 0L) &&
+        total <= graft.operators.Graph.Scale &&
+        (nSeeds > 0 || total == 0L)
+    }
+
+  private val namesGen: Gen[List[(Long, String)]] = for {
+    k <- Gen.choose(2, 12)
+    names <- Gen.listOfN(k,
+      Gen.listOfN(8, Gen.oneOf("abcdef".toSeq)).map(_.mkString))
+  } yield names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+
+  property("fuzzy join results are contained in the blocking candidates") =
+    Prop.forAll(namesGen) { rows =>
+      import graft.operators.FuzzyJoin
+      import spark.implicits._
+      val df = rows.toDF("id", "nm")
+      val cands = FuzzyJoin.candidatePairs(df, col("id"), col("nm"),
+          df, col("id"), col("nm"), ngram = 3, maxGramDf = 100)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val matched = FuzzyJoin.fuzzyJoin(df, col("id"), col("nm"),
+          df, col("id"), col("nm"), maxDistance = 2, ngram = 3,
+          maxGramDf = 100)
+        .collect()
+        .map(r => (r.getAs[Long]("lid"), r.getAs[Long]("rid"),
+          r.getAs[Long]("dist")))
+      matched.forall { case (l, r, d) =>
+        cands.contains((l, r)) && d <= 2
+      }
+    }
+
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    k <- Gen.choose(1, 8)
+    texts <- Gen.listOfN(k, Gen.listOfN(6,
+      Gen.oneOf("dup", "key", "the", "batch", "x", "zz"))
+      .map(_.mkString(" ")))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("trained-weight scorer with the formula's weights equals the formula scorer") =
+    Prop.forAll(docsGen) { rows =>
+      import graft.operators.Scoring
+      import spark.implicits._
+      val df = rows.toDF("doc_id", "text")
+      val formulaWeights =
+        Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10)
+      val a = Scoring.hashedLinearScore(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val b = Scoring
+        .linearScoreWithWeights(df, formulaWeights, bias = -3L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      a == b
+    }
+}
