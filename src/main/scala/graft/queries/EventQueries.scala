@@ -274,6 +274,32 @@ object EventQueries {
           (col("n_ij").cast("double") + 4.0)).as("wilson_lb"))
     },
 
+    // DQ6 (beyond reference): FINITE-VALUES audit — NaN / ±Infinity /
+    // absurd-magnitude counts for the double metric column, per stream:
+    // the ingest gate that makes the rest of the catalog's finite-value
+    // assumption EXPLICIT (a single NaN silently poisons every
+    // float aggregate downstream; a 1e300 overflows any cents
+    // quantization). One map-side-combined rollup; flags are exact
+    // integers.
+    "dq6_finite_values_audit" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(isnan(col("value")), 1L).otherwise(0L)).as("n_nan"),
+          sum(when(col("value") === Double.PositiveInfinity ||
+            col("value") === Double.NegativeInfinity, 1L).otherwise(0L))
+            .as("n_inf"),
+          sum(when(!isnan(col("value")) &&
+            col("value") =!= Double.PositiveInfinity &&
+            col("value") =!= Double.NegativeInfinity &&
+            abs(col("value")) > 1e15, 1L)
+            .otherwise(0L)).as("n_absurd"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"))
+        .withColumn("clean",
+          (col("n_nan") + col("n_inf") + col("n_absurd") + col("n_null")
+            === 0).cast("bigint"))
+    },
+
     // DQ5 (beyond reference): ingestion FRESHNESS audit — per stream
     // (event_type), last-seen lag against the corpus high-water mark and
     // a 24 h SLA flag: the ops table that catches a stalled upstream
@@ -2013,6 +2039,29 @@ object EventQueries {
         |     CAST(n_ij AS DOUBLE) + 1.0)) /
         |  (CAST(n_ij AS DOUBLE) + 4.0) AS wilson_lb
         |FROM stats""".stripMargin,
+    "dq6_finite_values_audit" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nan,
+        |  CAST(SUM(CASE WHEN value = 'infinity'::DOUBLE
+        |    OR value = '-infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inf,
+        |  CAST(SUM(CASE WHEN NOT isnan(value)
+        |    AND value <> 'infinity'::DOUBLE AND value <> '-infinity'::DOUBLE
+        |    AND abs(value) > 1e15
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_absurd,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(CASE WHEN SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) +
+        |    SUM(CASE WHEN value = 'infinity'::DOUBLE
+        |      OR value = '-infinity'::DOUBLE THEN 1 ELSE 0 END) +
+        |    SUM(CASE WHEN NOT isnan(value)
+        |      AND value <> 'infinity'::DOUBLE
+        |      AND value <> '-infinity'::DOUBLE AND abs(value) > 1e15
+        |      THEN 1 ELSE 0 END) +
+        |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+        |  THEN 1 ELSE 0 END AS BIGINT) AS clean
+        |FROM events GROUP BY 1""".stripMargin,
     "dq5_freshness_audit" ->
       """WITH per AS (
         |  SELECT event_type, COUNT(*) AS n_events,

@@ -695,6 +695,28 @@ class OperatorsSpec extends SparkSpec {
       m.feature.toSeq == m.feature_q.map(_ / 255.0f).toSeq))
   }
 
+  test("finite-values audit detects NaN, infinities, absurd magnitudes, nulls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq6").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "dirty",
+        Double.NaN, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "dirty",
+        Double.PositiveInfinity, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "dirty",
+        1e300, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 1L, "clean",
+        42.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("dq6_finite_values_audit")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_nan"), r.getAs[Long]("n_inf"),
+          r.getAs[Long]("n_absurd"), r.getAs[Long]("clean")))).toMap
+    assert(rows("dirty") == ((1L, 1L, 1L, 0L)), rows)
+    assert(rows("clean") == ((0L, 0L, 0L, 1L)), rows)
+  }
+
   test("image payloads are really decoded (javax.imageio), not byte-summed") {
     import Multimodal.MediaRecord
     // a 4x2 PNG with known pixel values, encoded in-memory
