@@ -1031,6 +1031,29 @@ object TrainingDataQueries {
     // ANN quality evaluation: recall@10 of the IVF probe against the
     // exact brute-force ranking — the measurement that justifies the
     // nprobe/ncells cost-recall trade before relying on it at scale.
+    // SIM18 (beyond reference): recall@k CURVE — sim5 reports IVF recall
+    // at one cutoff; the tuning decision needs the curve: recall@1/@5/@10
+    // of the probed index against the exact ranking in one table (how
+    // fast does the ANN "catch up" as k grows — shallow cutoffs are where
+    // IVF loses). Reuses both ranked frames; the rollup is
+    // queries × 3 rows.
+    "sim18_recall_curve" -> { (s, dir) =>
+      val ex = sim1Frame(s, dir).select("query_id", "corpus_id", "rk")
+      val ivf = sim3Frame(s, dir).select(col("query_id"),
+        col("corpus_id"), col("rk").as("ivf_rk"))
+      Seq(1, 5, 10).map { k =>
+        val hits = ex.filter(col("rk") <= k)
+          .join(ivf.filter(col("ivf_rk") <= k), Seq("query_id", "corpus_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        ex.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), lit(k.toLong).as("k"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") /
+              k.toDouble).as("recall"))
+      }.reduce(_ unionByName _)
+    },
+
     "sim5_ivf_recall" -> { (s, dir) =>
       val ex = sim1Frame(s, dir).select("query_id", "corpus_id")
       val ivf = sim3Frame(s, dir).select("query_id", "corpus_id")
@@ -2572,6 +2595,33 @@ object TrainingDataQueries {
             .stripMargin.replace("\n", " ")).as("alloc_n"))
     },
 
+    // MIX6 (beyond reference): two-phase ANNEAL plan — modern pretraining
+    // ends on a high-quality anneal mix: phase 1 samples every source by
+    // its share of the corpus; phase 2 restricts to documents passing
+    // the tx9 quality gate and re-shares by the gated counts. This emits
+    // both share tables side by side (plus the gate pass-rate) — the
+    // planner handed to the sampler at the phase switch. Two metadata-
+    // grain rollups over one gated scan; shares are exact micro
+    // integers.
+    "mix6_anneal_plan" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val gated = TextAnalysis.qualityGate(docs).select("doc_id", "keep")
+      val per = docs.select(col("doc_id"), col("source"))
+        .join(gated, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_gated"))
+      val tot = per.agg(sum(col("n_all")).as("t_all"),
+        sum(col("n_gated")).as("t_gated"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_all"), col("n_gated"),
+          expr("n_all * 1000000 div t_all").as("pretrain_share_micro"),
+          expr("""case when t_gated = 0 then 0
+                 |else n_gated * 1000000 div t_gated end"""
+            .stripMargin.replace("\n", " ")).as("anneal_share_micro"),
+          expr("n_gated * 1000000 div n_all").as("gate_pass_micro"))
+    },
+
     // MIX5 (beyond reference): token-budget WATER-FILLING — given a
     // total token budget (60% of the corpus here), find the exact cap τ
     // such that allocating min(n_source, τ) to every source spends the
@@ -3932,6 +3982,24 @@ object TrainingDataQueries {
          |     ELSE 'test' END AS split
          |FROM documents""".stripMargin,
     "tx9_quality_gate" -> tx9Sql,
+    "mix6_anneal_plan" ->
+      s"""WITH gate AS ($tx9Sql),
+         |per AS (
+         |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_all,
+         |    CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_gated
+         |  FROM documents d JOIN gate g ON d.doc_id = g.doc_id
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_all) AS BIGINT) AS t_all,
+         |        CAST(SUM(n_gated) AS BIGINT) AS t_gated FROM per)
+         |SELECT source, n_all, n_gated,
+         |  CAST(n_all * 1000000 // t_all AS BIGINT)
+         |    AS pretrain_share_micro,
+         |  CAST(CASE WHEN t_gated = 0 THEN 0
+         |    ELSE n_gated * 1000000 // t_gated END AS BIGINT)
+         |    AS anneal_share_micro,
+         |  CAST(n_gated * 1000000 // n_all AS BIGINT) AS gate_pass_micro
+         |FROM per CROSS JOIN t""".stripMargin,
     "tx11_source_datasheet" ->
       s"""WITH gate AS ($tx9Sql),
          |st AS (
@@ -4772,6 +4840,27 @@ object TrainingDataQueries {
          |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0 AS recall
          |FROM (SELECT DISTINCT query_id FROM ex) q
          |LEFT JOIN hits USING (query_id)""".stripMargin,
+    "sim18_recall_curve" -> {
+      def one(k: Int) =
+        s"""SELECT q.query_id, CAST($k AS BIGINT) AS k,
+           |  COALESCE(h.n_hits, 0) AS n_hits,
+           |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${k.toDouble}
+           |    AS recall
+           |FROM (SELECT DISTINCT query_id FROM ex) q
+           |LEFT JOIN (
+           |  SELECT e.query_id, COUNT(*) AS n_hits
+           |  FROM ex e JOIN ivf i
+           |    ON e.query_id = i.query_id AND e.corpus_id = i.corpus_id
+           |   AND e.rk <= $k AND i.rk <= $k
+           |  GROUP BY e.query_id) h USING (query_id)""".stripMargin
+      s"""WITH ex AS ($sim1Sql),
+         |ivf AS ($sim3Sql)
+         |${one(1)}
+         |UNION ALL
+         |${one(5)}
+         |UNION ALL
+         |${one(10)}""".stripMargin
+    },
     "sim5_ivf_recall" ->
       s"""WITH ex AS ($sim1Sql),
          |ivf AS ($sim3Sql),
