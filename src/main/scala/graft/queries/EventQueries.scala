@@ -1216,6 +1216,34 @@ object EventQueries {
     // seasonal profile broadcasts back.
     "ts8_stl_decompose" -> ((s, dir) => stlDecompose(s, dir)),
 
+    // TS16 (beyond reference): SEASONAL STRENGTH — Hyndman's
+    // F_s = max(0, 1 − Var(resid)/Var(seasonal + resid)) per series from
+    // ts8's decomposition: the one-number answer to "does this series
+    // actually have weekly structure worth modeling?" (≈0 noise, →1
+    // strongly seasonal). Both variances reduce to exact integer
+    // second-moment forms (m·Σx² − (Σx)², common factors cancel), so
+    // only the final ratio divides — engine-bitwise. Metadata-grain
+    // rollup over ts8's plan.
+    "ts16_stl_strength" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val d = stlDecompose(s, dir)
+        .select(col("event_type"), col("resid_micro"),
+          (col("seasonal_micro") + col("resid_micro")).as("det"))
+      val st = d.groupBy("event_type")
+        .agg(count(lit(1)).as("m"),
+          sum(col("resid_micro").cast(dec)).as("sr"),
+          sum(col("resid_micro").cast(dec) * col("resid_micro").cast(dec))
+            .as("srr"),
+          sum(col("det").cast(dec)).as("sd"),
+          sum(col("det").cast(dec) * col("det").cast(dec)).as("sdd"))
+      val vr = col("m").cast(dec) * col("srr") - col("sr") * col("sr")
+      val vd = col("m").cast(dec) * col("sdd") - col("sd") * col("sd")
+      st.select(col("event_type"), col("m"),
+        when(vd > 0, greatest(lit(0.0),
+          lit(1.0) - vr.cast("double") / vd.cast("double")))
+          .as("seasonal_strength"))
+    },
+
     // TS9 (beyond reference): seasonality-AWARE anomaly flags — ts1's
     // z-score fires every Saturday on a weekday-seasonal series; this
     // tests ts8's RESIDUAL against the residual distribution instead.
@@ -2547,6 +2575,39 @@ object EventQueries {
          |COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
          |${Det.sqlMoneySum("value")} AS total_value
          |FROM events GROUP BY user_id""".stripMargin,
+    "ts16_stl_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, n,
+        |    ((SUM(n) OVER w * 1000000) // COUNT(*) OVER w) AS trend_micro
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT event_type, day, n,
+        |         n * 1000000 - trend_micro AS det FROM tr),
+        |se AS (SELECT event_type, day % 7 AS dow,
+        |         (SUM(det) // COUNT(*)) AS seasonal_micro
+        |       FROM dt GROUP BY 1, 2),
+        |r AS (SELECT dt.event_type,
+        |        CAST(dt.det - se.seasonal_micro AS BIGINT) AS resid_micro,
+        |        CAST(dt.det AS BIGINT) AS det
+        |      FROM dt JOIN se
+        |        ON dt.event_type = se.event_type AND dt.day % 7 = se.dow),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+        |         CAST(SUM(resid_micro) AS HUGEINT) AS sr,
+        |         SUM(CAST(resid_micro AS HUGEINT) * resid_micro) AS srr,
+        |         CAST(SUM(det) AS HUGEINT) AS sd,
+        |         SUM(CAST(det AS HUGEINT) * det) AS sdd
+        |       FROM r GROUP BY 1)
+        |SELECT event_type, m,
+        |  CASE WHEN m * sdd - sd * sd > 0 THEN
+        |    greatest(0.0, 1.0 - CAST(m * srr - sr * sr AS DOUBLE) /
+        |      CAST(m * sdd - sd * sd AS DOUBLE))
+        |  END AS seasonal_strength
+        |FROM st""".stripMargin,
     "ts8_stl_decompose" ->
       """WITH daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
