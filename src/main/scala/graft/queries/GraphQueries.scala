@@ -37,6 +37,26 @@ object GraphQueries {
         docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
     },
 
+    // GR21 (beyond reference): SEED-BIAS shift — gr20's seeded ranks
+    // joined against gr1's global ranks with the per-node delta: the
+    // audit that shows what the trusted-seed teleport actually did to
+    // the corpus ordering (who got pulled up near the seeds, who sank).
+    // Both fits reuse their operators; the diff is one keyed join.
+    "gr21_seed_bias_shift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val base = Graph.pagerank(docs.select("doc_id"),
+          Graph.syntheticLinks(docs))
+        .select(col("node"), col("rank_micro").as("global_micro"))
+      val seeded = Graph.personalizedPagerank(docs.select("doc_id"),
+          Graph.syntheticLinks(docs),
+          docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
+        .select(col("node"), col("rank_micro").as("seeded_micro"))
+      base.join(seeded, "node")
+        .select(col("node"), col("global_micro"), col("seeded_micro"),
+          (col("seeded_micro") - col("global_micro")).as("shift_micro"),
+          (col("node") % 50 === 0).cast("bigint").as("is_seed"))
+    },
+
     // In/out-degree profile of the same graph joined back to rank: the
     // sanity report a link-graph ingest runs first (degree skew decides
     // the salting plan for the rank iterations).
@@ -668,6 +688,40 @@ object GraphQueries {
     "gr1_pagerank" ->
       s"""WITH ${pagerankCtes(3)}
          |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r_3""".stripMargin,
+    "gr21_seed_bias_shift" -> {
+      val scale = Graph.Scale
+      val seededRounds = (1 to 3).map { i =>
+        s"""sr_$i AS (
+           |  SELECT nds.node,
+           |    nds.is_seed * (CASE WHEN ns.n = 0 THEN 0
+           |      ELSE (15 * $scale) // (100 * ns.n) END) +
+           |      ((85 * COALESCE(s.c, 0)) // 100) AS r
+           |  FROM nds CROSS JOIN ns LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(sr_${i - 1}.r // od.od) AS c
+           |    FROM edges e
+           |    JOIN sr_${i - 1} ON e.src = sr_${i - 1}.node
+           |    JOIN od ON e.src = od.src
+           |    GROUP BY e.dst) s ON nds.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${pagerankCtes(3)},
+         |sd AS (SELECT DISTINCT doc_id AS node FROM documents
+         |       WHERE doc_id % 50 = 0),
+         |ns AS (SELECT COUNT(*) AS n FROM sd),
+         |nds AS (SELECT nd.node,
+         |          CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |        FROM nd LEFT JOIN sd ON nd.node = sd.node),
+         |sr_0 AS (SELECT node,
+         |           is_seed * (CASE WHEN ns.n = 0 THEN 0
+         |             ELSE $scale // ns.n END) AS r
+         |         FROM nds CROSS JOIN ns),
+         |$seededRounds
+         |SELECT g.node, CAST(g.r AS BIGINT) AS global_micro,
+         |  CAST(s.r AS BIGINT) AS seeded_micro,
+         |  CAST(s.r - g.r AS BIGINT) AS shift_micro,
+         |  CAST(CASE WHEN g.node % 50 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_seed
+         |FROM r_3 g JOIN sr_3 s ON g.node = s.node""".stripMargin
+    },
     "gr20_personalized_pagerank" -> {
       val scale = Graph.Scale
       val iterCtes = (1 to 3).map { i =>

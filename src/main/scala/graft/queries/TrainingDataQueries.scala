@@ -2595,6 +2595,25 @@ object TrainingDataQueries {
             .stripMargin.replace("\n", " ")).as("alloc_n"))
     },
 
+    // PIPE4 (beyond reference): gate-REASON attribution — pipe1 counts
+    // what each funnel stage kills; this attributes every rejected doc
+    // to its failing rule(s) and, crucially, counts EXCLUSIVE kills
+    // (docs failing exactly one rule) — the number that says which gate
+    // would actually recover documents if relaxed (a rule with many
+    // hits but zero exclusive kills is redundant). One gated scan; the
+    // reason rollup is rule-cardinality metadata.
+    "pipe4_reason_attribution" -> { (s, dir) =>
+      val gate = TextAnalysis.qualityGate(docsSpread(s, dir))
+      gate.filter(!col("keep"))
+        .select(col("doc_id"), split(col("fail_reasons"), ",").as("rs"))
+        .select(col("doc_id"), size(col("rs")).as("n_reasons"),
+          explode(col("rs")).as("reason"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_reasons") === 1, 1L).otherwise(0L))
+            .as("n_exclusive"))
+    },
+
     // MIX6 (beyond reference): two-phase ANNEAL plan — modern pretraining
     // ends on a high-quality anneal mix: phase 1 samples every source by
     // its share of the corpus; phase 2 restricts to documents passing
@@ -3982,6 +4001,16 @@ object TrainingDataQueries {
          |     ELSE 'test' END AS split
          |FROM documents""".stripMargin,
     "tx9_quality_gate" -> tx9Sql,
+    "pipe4_reason_attribution" ->
+      s"""WITH gate AS ($tx9Sql),
+         |f AS (SELECT doc_id, string_split(fail_reasons, ',') AS rs
+         |      FROM gate WHERE NOT keep),
+         |e AS (SELECT doc_id, len(rs) AS n_reasons, unnest(rs) AS reason
+         |      FROM f)
+         |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_reasons = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exclusive
+         |FROM e GROUP BY 1""".stripMargin,
     "mix6_anneal_plan" ->
       s"""WITH gate AS ($tx9Sql),
          |per AS (
