@@ -1101,6 +1101,48 @@ object RelationalQueries {
     // metadata-grain table broadcast back — the clamp itself is then a
     // per-row expression, so at scale this costs one sort-window pass,
     // not a quantile self-join.
+    // D41 (beyond reference): SPEARMAN rank correlation per group — the
+    // outlier-robust monotone-association readout (Pearson's d-tier
+    // cousin answers "linear?", this answers "monotone?"). Tie-averaged
+    // ranks come from the ml4 idiom (value-grain rollup + cumulative
+    // window; 2·avg_rank = min_rn + max_rn stays integral), so every
+    // moment is an exact decimal(38,0) sum and only the final ratio
+    // divides. Two value-grain rank chains + one joined moment rollup,
+    // all riding the group key.
+    "d41_spearman_by_group" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("bigint").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
+      def rank2(vc: String) = {
+        val byVal = li.groupBy(col("g"), col(vc).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byVal.withColumn("max_rn", sum(col("cnt")).over(w))
+          .select(col("g"), col("v"),
+            (col("max_rn") - col("cnt") + 1 + col("max_rn")).as("r2"))
+      }
+      val rx = rank2("x")
+        .select(col("g"), col("v").as("x"), col("r2").as("a"))
+      val ry = rank2("y")
+        .select(col("g"), col("v").as("y"), col("r2").as("b"))
+      val st = li.join(rx, Seq("g", "x")).join(ry, Seq("g", "y"))
+        .groupBy("g").agg(count(lit(1)).as("n"),
+          sum(col("a").cast(d38)).as("sa"),
+          sum(col("b").cast(d38)).as("sb"),
+          sum((col("a") * col("b")).cast(d38)).as("sab"),
+          sum((col("a") * col("a")).cast(d38)).as("saa"),
+          sum((col("b") * col("b")).cast(d38)).as("sbb"))
+      val num = col("n").cast(d38) * col("sab") - col("sa") * col("sb")
+      val va = col("n").cast(d38) * col("saa") - col("sa") * col("sa")
+      val vb = col("n").cast(d38) * col("sbb") - col("sb") * col("sb")
+      st.select(col("g").as("l_returnflag"), col("n"),
+        when(va > 0 && vb > 0, num.cast("double") /
+          (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+          .as("spearman_rho"))
+    },
+
     // D39 (beyond reference): exact per-group MODE with a total
     // tie-break (count desc, value asc) — the categorical "typical
     // value" the profiling tier (prof1) reports min/max for but never
@@ -1701,6 +1743,40 @@ object RelationalQueries {
         |SELECT c.c_custkey, c.c_name,
         |  COALESCE(p.component, c.c_custkey) AS entity_id
         |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.node""".stripMargin,
+    "d41_spearman_by_group" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |bx AS (SELECT g, x AS v, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+        |rx AS (SELECT g, v,
+        |         (SUM(cnt) OVER w - cnt + 1 + SUM(cnt) OVER w) AS r2
+        |       FROM bx
+        |       WINDOW w AS (PARTITION BY g ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |by_ AS (SELECT g, y AS v, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+        |ry AS (SELECT g, v,
+        |         (SUM(cnt) OVER w - cnt + 1 + SUM(cnt) OVER w) AS r2
+        |       FROM by_
+        |       WINDOW w AS (PARTITION BY g ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |j AS (SELECT li.g, rx.r2 AS a, ry.r2 AS b
+        |      FROM li JOIN rx ON li.g = rx.g AND li.x = rx.v
+        |              JOIN ry ON li.g = ry.g AND li.y = ry.v),
+        |st AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS HUGEINT) AS sa, CAST(SUM(b) AS HUGEINT) AS sb,
+        |    SUM(CAST(a AS HUGEINT) * b) AS sab,
+        |    SUM(CAST(a AS HUGEINT) * a) AS saa,
+        |    SUM(CAST(b AS HUGEINT) * b) AS sbb
+        |  FROM j GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+        |    CAST(n * sab - sa * sb AS DOUBLE) /
+        |    (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+        |     sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+        |  END AS spearman_rho
+        |FROM st""".stripMargin,
     "d39_group_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_value,
         |  CAST(n AS BIGINT) AS n_occurrences

@@ -110,7 +110,26 @@ object SqlQueries {
       |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
       |WHERE c.c_custkey % 10 = 0""".stripMargin
 
+  /** INTERSECT / EXCEPT through the SQL front end — the set-operation
+    * keywords (the API tier's g1–g4 cover union shapes); one tagged
+    * summary row per operation, same text on both engines. */
+  private val setOps =
+    """SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders) t
+      |UNION ALL
+      |SELECT 'except', CAST(COUNT(*) AS BIGINT) FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders) u""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Set-operation keywords through pure SQL text.
+    "sql10_set_operations" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(setOps)
+    },
     // Iterative graph traversal through pure SQL text — WITH RECURSIVE
     // as a first-class front-end capability (BFS hops + path counts).
     "sql8_recursive_reach" -> { (s, dir) =>
@@ -206,6 +225,7 @@ object SqlQueries {
   def oracleSql: Map[String, String] = Map(
     "sql8_recursive_reach" -> recursiveReach,
     "sql9_lateral_topk" -> lateralTopk,
+    "sql10_set_operations" -> setOps,
     "sql1_pricing_summary" -> pricingSummary,
     "sql2_top_customers" -> topCustomers,
     "sql3_dotf_selfsim" ->
