@@ -274,6 +274,26 @@ object EventQueries {
           (col("n_ij").cast("double") + 4.0)).as("wilson_lb"))
     },
 
+    // EV53 (beyond reference): ENGAGEMENT inequality — Gini over
+    // per-user event counts (tx22's closed form at the user grain): the
+    // one-number answer to "is this product's activity a community or
+    // five whales?" — and for training-data purposes, whether user-keyed
+    // shuffles will be skew-bound. GlobalRank's two-pass layout keeps
+    // the rank global without a single-partition window.
+    "ev53_engagement_gini" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val n = Tables.eventsUs(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("x"))
+      val ranked = GlobalRank.withGlobalRowNumber(n,
+        Seq(col("x"), col("user_id")), "rn")
+      ranked.agg(count(lit(1)).as("n_users"), sum(col("x")).as("total"),
+          sum(col("rn") * col("x")).as("rx"))
+        .select(col("n_users"), col("total"),
+          ((lit(2L) * col("rx") - (col("n_users") + 1) * col("total"))
+            .cast("double") /
+            (col("n_users") * col("total")).cast("double")).as("gini"))
+    },
+
     // DQ6 (beyond reference): FINITE-VALUES audit — NaN / ±Infinity /
     // absurd-magnitude counts for the double metric column, per stream:
     // the ingest gate that makes the rest of the catalog's finite-value
@@ -2067,6 +2087,16 @@ object EventQueries {
         |     CAST(n_ij AS DOUBLE) + 1.0)) /
         |  (CAST(n_ij AS DOUBLE) + 4.0) AS wilson_lb
         |FROM stats""".stripMargin,
+    "ev53_engagement_gini" ->
+      """WITH n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT x,
+        |        ROW_NUMBER() OVER (ORDER BY x, user_id) AS rn FROM n)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(x) AS BIGINT) AS total,
+        |  CAST(2 * SUM(rn * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
+        |    CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+        |FROM r""".stripMargin,
     "dq6_finite_values_audit" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT)

@@ -109,6 +109,34 @@ object MultimodalQueries {
         .filter(col("l1") <= 64)
     },
 
+    // MM10 (beyond reference): payload MAGIC-BYTE census — count and
+    // size payloads by detected container format (PNG/JPEG/BMP prefix
+    // match on the first bytes — the same gate the real decoder uses),
+    // over a deterministically format-stamped slice of the corpus: the
+    // format inventory a binary lake audit starts with (and the table
+    // that says which codecs the decode tier must ship). Pure per-row
+    // prefix compare; only the format rollup shuffles.
+    "mm10_magic_census" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
+        .toDF()
+        .withColumn("payload", expr(
+          """case when media_id % 4 = 0
+            |  then concat(unhex('89504E470D0A1A0A'), content)
+            |when media_id % 4 = 1 then concat(unhex('FFD8FFE0'), content)
+            |when media_id % 4 = 2 then concat(unhex('424D'), content)
+            |else content end""".stripMargin.replace("\n", " ")))
+      media.select(expr(
+          """case when substring(hex(payload), 1, 16) = '89504E470D0A1A0A'
+            |  then 'png'
+            |when substring(hex(payload), 1, 4) = 'FFD8' then 'jpeg'
+            |when substring(hex(payload), 1, 4) = '424D' then 'bmp'
+            |else 'other' end""".stripMargin.replace("\n", " "))
+          .as("format"),
+          expr("octet_length(payload)").cast("bigint").as("nb"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"), sum(col("nb")).as("total_bytes"))
+    },
+
     // MM8 (beyond reference): payload BYTE-VALUE histogram — the
     // format-forensics profile of a binary column (uniform histogram ⇒
     // compressed/encrypted content; spiked ⇒ structured headers worth a
@@ -204,6 +232,23 @@ object MultimodalQueries {
          |CAST(ts // 25000 AS BIGINT) AS frame_idx,
          |ts AS frame_ts_ms
          |FROM v, unnest(range(0, greatest(duration_ms, 1), 25000)) AS t(ts)""".stripMargin,
+    "mm10_magic_census" ->
+      """WITH m AS (SELECT doc_id AS media_id, unhex(md5(text)) AS content
+        |           FROM documents),
+        |p AS (SELECT media_id,
+        |  CASE WHEN media_id % 4 = 0
+        |    THEN unhex('89504E470D0A1A0A') || content
+        |  WHEN media_id % 4 = 1 THEN unhex('FFD8FFE0') || content
+        |  WHEN media_id % 4 = 2 THEN unhex('424D') || content
+        |  ELSE content END AS payload FROM m)
+        |SELECT CASE WHEN substring(hex(payload), 1, 16) = '89504E470D0A1A0A'
+        |    THEN 'png'
+        |  WHEN substring(hex(payload), 1, 4) = 'FFD8' THEN 'jpeg'
+        |  WHEN substring(hex(payload), 1, 4) = '424D' THEN 'bmp'
+        |  ELSE 'other' END AS format,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+        |FROM p GROUP BY 1""".stripMargin,
     "mm8_byte_histogram" ->
       """WITH h AS (SELECT md5(text) AS hx FROM documents),
         |b AS (SELECT CAST(('0x' ||
