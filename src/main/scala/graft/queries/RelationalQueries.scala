@@ -882,6 +882,38 @@ object RelationalQueries {
           coalesce(col("component"), col("c_custkey")).as("entity_id"))
     },
 
+    // ER4 (beyond reference): CLUSTER-quality audit — er1's transitive
+    // closure can chain A~B~C into one entity even when A and C are far
+    // apart; per-cluster size + the MAXIMUM intra-cluster edit distance
+    // is the table that catches runaway chains before the merged
+    // entities ship. The intra-pair fan-out is per-cluster size² —
+    // bounded by chain length, and only clustered members (a small
+    // fraction of the corpus) enter it.
+    "er4_cluster_audit" -> { (s, dir) =>
+      import graft.operators.{FuzzyJoin, Graph}
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))
+      val pairs = FuzzyJoin.fuzzyJoin(
+          cust, col("c_custkey"), col("c_name"),
+          cust, col("c_custkey"), col("c_name"),
+          maxDistance = 2, ngram = 4, maxGramDf = 50)
+        .filter(col("lid") < col("rid"))
+      val comp = Graph.ccStar(
+        pairs.select(col("lid").as("u"), col("rid").as("v")))
+      val members = cust
+        .join(comp, cust("c_custkey") === comp("node"))
+        .select(col("component"), col("c_custkey").as("id"),
+          col("c_name").as("nm"))
+      val intra = members.as("a").join(members.as("b"),
+          col("a.component") === col("b.component") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.component").as("component"),
+          levenshtein(col("a.nm"), col("b.nm")).cast("bigint").as("dist"))
+      members.groupBy("component").agg(count(lit(1)).as("n_members"))
+        .join(intra.groupBy("component")
+          .agg(max(col("dist")).as("max_intra_dist")), Seq("component"))
+    },
+
     // ER3 (beyond reference): BLOCKING-quality audit — before trusting
     // er1/er2's stop-gram blocking at scale, measure what it loses and
     // what it saves: pair RECALL (which truly-close pairs survive
@@ -1786,6 +1818,37 @@ object RelationalQueries {
         |      ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
         |  FROM lineitem GROUP BY 1, 2) t
         |WHERE rn = 1""".stripMargin,
+    "er4_cluster_audit" ->
+      """WITH RECURSIVE nm AS (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer),
+        |lg AS (SELECT id, s, unnest(list_distinct(list_transform(
+        |  range(1, greatest(length(s) - 3, 1) + 1),
+        |  i -> substr(s, CAST(i AS INTEGER), 4)))) AS g FROM nm),
+        |keep AS (SELECT g FROM (SELECT g FROM lg UNION ALL SELECT g FROM lg)
+        |         GROUP BY g HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.id AS lid, a.s AS lstr,
+        |                b.id AS rid, b.s AS rstr
+        |         FROM lg a JOIN keep USING (g) JOIN lg b USING (g)),
+        |pairs AS (SELECT lid AS a, rid AS b FROM cand
+        |          WHERE lid < rid AND levenshtein(lstr, rstr) <= 2),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |lbl(node, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, lbl.l FROM edges e JOIN lbl ON e.b = lbl.node),
+        |comp AS (SELECT node, MIN(l) AS component FROM lbl GROUP BY node),
+        |mem AS (SELECT p.component, c.c_custkey AS id, c.c_name AS nmv
+        |        FROM comp p JOIN customer c ON c.c_custkey = p.node),
+        |intra AS (SELECT a.component,
+        |            CAST(levenshtein(a.nmv, b.nmv) AS BIGINT) AS dist
+        |          FROM mem a JOIN mem b
+        |            ON a.component = b.component AND a.id < b.id),
+        |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+        |       FROM mem GROUP BY 1),
+        |mx AS (SELECT component, MAX(dist) AS max_intra_dist
+        |       FROM intra GROUP BY 1)
+        |SELECT sz.component, sz.n_members, mx.max_intra_dist
+        |FROM sz JOIN mx USING (component)""".stripMargin,
     "er3_blocking_eval" ->
       """WITH nm AS (SELECT c_custkey AS id, c_name AS s FROM customer
         |            WHERE c_custkey % 37 = 0),
