@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 
 /** Plan-shape audit over the whole query catalog: prints, per query, the
   * number of shuffle exchanges, broadcast exchanges, whole-stage-codegen
@@ -10,6 +12,70 @@ import org.apache.spark.sql.SparkSession
   * Run: `sbt "runMain graft.PlanAudit [sfDir]"`.
   */
 object PlanAudit {
+
+  /** One window's measured shape: partition-key SQL, the distinct key
+    * count (= the window's parallelism ceiling — an unpartitioned window
+    * counts as 1), and its input row count. */
+  case class WindowShape(keys: Seq[String], groups: Long, rows: Long) {
+    def describe: String =
+      s"partitionBy(${keys.mkString(", ")}) groups=$groups rows=$rows"
+  }
+
+  /** MEASURED window-funnel audit — the executable form of SCALE.md's
+    * single-partition-window review rule. A window partitioned by a
+    * low-cardinality key (3 return flags, 2 experiment arms) over a
+    * corpus-sized frame is correct today and dead at 100×: parallelism
+    * = #groups no matter how many executors exist — and the shape is
+    * invisible to a static plan check because key cardinality is a DATA
+    * property. So measure it: collect every logical [[Window]] in the
+    * plan, wrap its child back into a DataFrame, and count input rows
+    * and distinct partition-key values. Flag when the parallelism
+    * ceiling is below `minGroups` AND the input exceeds
+    * `groups × rowsPerGroup` (i.e. the funnel is fed more than a
+    * bounded-domain frame). Windows over domain-bounded frames (score
+    * sweeps, calendar days, decile tables) stay under the row bound and
+    * pass; anything flagged must either move to
+    * [[graft.operators.GlobalRank]] or be added to the audited
+    * exception list that PlanSpec pins against SCALE.md's table. */
+  def windowFunnels(df: DataFrame, minGroups: Long, rowsPerGroup: Long)
+  : Seq[WindowShape] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    wins.flatMap { w =>
+      // GlobalRank's running-sum pass windows by its reserved `__pid`
+      // (= spark_partition_id of the pinned range layout): cardinality
+      // is the session's parallelism BY CONSTRUCTION — it scales with
+      // the cluster, which is exactly what this gate is measuring for.
+      // The name is safe to key on: GlobalRank require()s it absent
+      // from user frames.
+      if (w.partitionSpec.exists(_.references.exists(_.name == "__pid")))
+        None
+      else windowShape(df, w, minGroups, rowsPerGroup)
+    }
+  }
+
+  private def windowShape(
+      df: DataFrame,
+      w: org.apache.spark.sql.catalyst.plans.logical.Window,
+      minGroups: Long, rowsPerGroup: Long): Option[WindowShape] = {
+      val child = DatasetBridge.ofRows(df, w.child)
+      val (groups, rows) =
+        if (w.partitionSpec.isEmpty) (1L, child.count())
+        else {
+          val r = child.select(
+            count_distinct(
+              struct(w.partitionSpec.map(ColumnBridge.column): _*))
+              .as("g"),
+            count(lit(1)).as("n")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      if (groups < minGroups && rows > groups * rowsPerGroup)
+        Some(WindowShape(w.partitionSpec.map(_.sql), groups, rows))
+      else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = graft.core.GraftSession.local(appName = "graft-plan-audit")
@@ -34,6 +100,31 @@ object PlanAudit {
           println(f"$name%-22s ERROR ${e.getMessage.take(60)}")
       }
     }
+    spark.stop()
+  }
+}
+
+/** Catalog-wide measured window-funnel sweep (dev tool; PlanSpec runs
+  * the same check as a CI gate):
+  * `runMain graft.FunnelAudit [sfDir] [minGroups] [rowsPerGroup]`. */
+object FunnelAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val minGroups = if (args.length > 1) args(1).toLong else 32L
+    val rowsPerGroup = if (args.length > 2) args(2).toLong else 512L
+    val spark = graft.core.GraftSession.local(appName = "graft-funnel-audit")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        PlanAudit.windowFunnels(fn(spark, sfDir), minGroups, rowsPerGroup)
+          .foreach { sh => flagged += 1; println(s"FUNNEL $name ${sh.describe}") }
+      } catch {
+        case e: Throwable =>
+          println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
+      }
+    }
+    println(s"flagged: $flagged")
     spark.stop()
   }
 }

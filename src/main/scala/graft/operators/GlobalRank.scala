@@ -158,25 +158,141 @@ object GlobalRank {
                       order: Seq[Column], tieBreak: Seq[Column],
                       out: String = "rnk", pctOut: Option[String] = None)
   : DataFrame = {
-    val spark = df.sparkSession
-    require(group.nonEmpty, "use withGlobalRank for an empty group")
+    val groupCols = group.map(col)
+    val rn = groupedCore(df, group, groupCols ++ order ++ tieBreak)
+    // the scalable per-VALUE tie heal: rank = min row number per value —
+    // a hash-partitioned window over the HIGH-cardinality (group, order)
+    // key, parallelism = #distinct values
+    val byValue = Window.partitionBy(groupCols ++ order: _*)
+    val rankedDf = rn.withColumn(out, min(col("__grn")).over(byValue))
+    val withPct = pctOut match {
+      case Some(p) => rankedDf.withColumn(p,
+        (col(out) - 1).cast("double") /
+          greatest(col("__gn") - 1, lit(1L)).cast("double"))
+      case None => rankedDf
+    }
+    withPct.drop("__gn", "__grn")
+  }
+
+  /** Per-group ROW NUMBER over a TOTAL per-group `order` key — the same
+    * two-pass plan as [[withGroupedRank]] minus the per-value tie heal,
+    * so pass 2 adds ZERO shuffles beyond the range exchange. Only use
+    * when `order` is total within each group (include a unique tiebreak
+    * column); with duplicate keys the numbering among ties follows the
+    * pinned physical layout, which is deterministic per run but not a
+    * stable function of the data.
+    *
+    * `nOut` optionally exposes the per-group row count from the SAME
+    * pass-1 counts frame — use it instead of
+    * `count(*).over(Window.partitionBy(group))`, which funnels the whole
+    * corpus through #groups tasks exactly like the rank window this
+    * operator replaces. */
+  def withGroupedRowNumber(df: DataFrame, group: Seq[String],
+                           order: Seq[Column], out: String = "rn",
+                           nOut: Option[String] = None): DataFrame = {
+    val core = groupedCore(df, group, group.map(col) ++ order)
+      .withColumnRenamed("__grn", out)
+    nOut match {
+      case Some(n) => core.withColumnRenamed("__gn", n)
+      case None    => core.drop("__gn")
+    }
+  }
+
+  /** Grouped inclusive PREFIX SUM of `value` along `order` within each
+    * low-cardinality `group` — the weighted generalization of
+    * [[withGroupedRowNumber]] (`value = lit(1)` recovers row numbers).
+    * The cumulative-sum cousin of the rank funnel has the same disease
+    * (`sum(w).over(partitionBy(grp).orderBy(v))` runs #groups tasks over
+    * the corpus); the same two-pass medicine applies: range partition on
+    * (group ++ order), per-(partition, group) partial sums → broadcast
+    * offsets, then a per-PARTITION running sum (parallelism =
+    * #partitions, never #groups) corrected into the per-group
+    * cumulative. Unlike the ordinal trick, the running sum needs a real
+    * window keyed by the partition id, which costs one hash exchange on
+    * `__pid` — balanced by construction, since the range partitioner
+    * sized those partitions. `totOut` optionally exposes the per-group
+    * total from the SAME pass-1 frame (replacing the
+    * `sum(w).over(partitionBy(grp))` corpus window). Ties in `order`
+    * accumulate in layout order — the same contract as the built-in
+    * rowsBetween(unboundedPreceding, currentRow) running sum. */
+  def withGroupedPrefixSum(df: DataFrame, group: Seq[String],
+                           order: Seq[Column], value: Column,
+                           out: String = "cum",
+                           totOut: Option[String] = None): DataFrame = {
+    val sort = group.map(col) ++ order
+    val ranged = rangedLayout(df, group, sort)
+    val offRenamed = groupedOffsets(ranged, group, value)
+    val run = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged
+      .withColumn("__grn", sum(value).over(run))
+      .join(broadcast(offRenamed), offsetsJoinCond(group).reduce(_ && _),
+        "inner")
+      .withColumn(out, col("__grn") - col("__gstart") + col("__goff"))
+      .drop("__pid", "__opid", "__gstart", "__goff", "__grn")
+      .drop(group.zipWithIndex.map { case (_, i) => s"__og$i" }: _*)
+    totOut match {
+      case Some(t) => cum.withColumnRenamed("__gn", t)
+      case None    => cum.drop("__gn")
+    }
+  }
+
+  /** Grouped two-pass core shared by [[withGroupedRank]] and
+    * [[withGroupedRowNumber]]: range partition on the full `sort` key —
+    * groups lie contiguous within and across partitions — then local
+    * sort + per-partition ordinals, corrected into per-group row numbers
+    * by two broadcast quantities derived from ONE tiny counts frame (the
+    * group's start ordinal inside the partition and the group's prefix
+    * count over earlier partitions). Returns the input plus `__grn`
+    * (1-based per-group row number in `sort` order) and `__gn` (group
+    * total). The offsets frame has ≤ (#partitions + #groups) rows, so
+    * this targets LOW-cardinality groups — the exact case the plain
+    * window can't parallelize (with many groups the plain hash window is
+    * already scalable; use that). */
+  private def groupedCore(df: DataFrame, group: Seq[String],
+                          sort: Seq[Column]): DataFrame = {
+    val ranged = rangedLayout(df, group, sort)
+    val offRenamed = groupedOffsets(ranged, group, lit(1L))
+    // pass 2: local sort + ordinal, group-corrected — no shuffle
+    ranged.sortWithinPartitions(sort: _*)
+      .withColumn("__grn", ordinal)
+      .join(broadcast(offRenamed), offsetsJoinCond(group).reduce(_ && _),
+        "inner")
+      .withColumn("__grn",
+        col("__grn") - col("__gstart") + col("__goff") + 1L)
+      .drop("__pid", "__opid", "__gstart", "__goff")
+      .drop(group.zipWithIndex.map { case (_, i) => s"__og$i" }: _*)
+  }
+
+  /** Pinned range layout on `sort` with the partition id baked in — both
+    * passes must observe the SAME physical partitioning (see the
+    * class-level cost note). */
+  private def rangedLayout(df: DataFrame, group: Seq[String],
+                           sort: Seq[Column]): DataFrame = {
+    require(group.nonEmpty, "use the global forms for an empty group")
     val reserved = Seq("__pid", "__gcnt", "__gstart", "__goff", "__gn",
       "__grn")
     require(!df.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by GlobalRank")
-    val parts = spark.sparkContext.defaultParallelism
-    val groupCols = group.map(col)
-    val sort = groupCols ++ order ++ tieBreak
-    val ranged = df
-      .repartitionByRange(parts, sort: _*)
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(parts, sort: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    // pass 1: per-(pid, group) counts. Tiny frame (≤ parts + #groups
-    // rows) — the windows over it are free. Group order inside a
-    // partition follows the range partitioner's ascending key order, so
-    // the within-partition start ordinal is a prefix sum over groups.
+  }
+
+  /** Pass 1 over a pinned layout: per-(pid, group) totals of `value`.
+    * Tiny frame (≤ #partitions + #groups rows) — the windows over it are
+    * free. Group order inside a partition follows the range
+    * partitioner's ascending key order, so the within-partition start
+    * offset (`__gstart`) is a prefix sum over groups; `__goff` is the
+    * group's prefix total over earlier partitions, `__gn` its grand
+    * total. Group columns come back renamed `__og<i>` for the
+    * null-safe broadcast join ([[offsetsJoinCond]]). */
+  private def groupedOffsets(ranged: DataFrame, group: Seq[String],
+                             value: Column): DataFrame = {
+    val groupCols = group.map(col)
     val counts = ranged.groupBy(col("__pid") +: groupCols: _*)
-      .agg(count(lit(1)).as("__gcnt"))
+      .agg(sum(value).as("__gcnt"))
     val wStart = Window.partitionBy(col("__pid"))
       .orderBy(groupCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -190,27 +306,12 @@ object GlobalRank {
       .withColumn("__gn", sum(col("__gcnt")).over(wTot))
       .drop("__gcnt")
       .withColumnRenamed("__pid", "__opid")
-    val offRenamed = group.zipWithIndex.foldLeft(offsets) {
+    group.zipWithIndex.foldLeft(offsets) {
       case (f, (g, i)) => f.withColumnRenamed(g, s"__og$i")
     }
-    val joinCond = (col("__pid") === col("__opid")) +:
-      group.zipWithIndex.map { case (g, i) => col(g) <=> col(s"__og$i") }
-    // pass 2: local sort + ordinal, group-corrected — no shuffle — then
-    // the scalable per-VALUE tie heal
-    val rn = ranged.sortWithinPartitions(sort: _*)
-      .withColumn("__grn", ordinal)
-      .join(broadcast(offRenamed), joinCond.reduce(_ && _), "inner")
-      .withColumn("__grn",
-        col("__grn") - col("__gstart") + col("__goff") + 1L)
-    val byValue = Window.partitionBy(groupCols ++ order: _*)
-    val rankedDf = rn.withColumn(out, min(col("__grn")).over(byValue))
-    val withPct = pctOut match {
-      case Some(p) => rankedDf.withColumn(p,
-        (col(out) - 1).cast("double") /
-          greatest(col("__gn") - 1, lit(1L)).cast("double"))
-      case None => rankedDf
-    }
-    withPct.drop("__pid", "__opid", "__gstart", "__goff", "__gn", "__grn")
-      .drop(group.zipWithIndex.map { case (_, i) => s"__og$i" }: _*)
   }
+
+  private def offsetsJoinCond(group: Seq[String]): Seq[Column] =
+    (col("__pid") === col("__opid")) +:
+      group.zipWithIndex.map { case (g, i) => col(g) <=> col(s"__og$i") }
 }

@@ -86,32 +86,55 @@ object Multimodal {
       (b0 == 0xFF && b1 == 0xD8)
     }
 
+  /** Pixel-count ceiling (16.7M px ⇒ ≤ ~50 MB RGB buffer per task). The
+    * header dimensions are read BEFORE any pixel allocation, so a
+    * decompression bomb (tiny payload declaring a huge canvas) is
+    * rejected for free instead of OOMing the executor. */
+  private[operators] val MaxDecodePixels: Long = 1L << 24
+
   /** REAL image decode (`javax.imageio`: PNG/BMP/GIF/JPEG) → the decoded
     * RGB pixel stream in row-major [R0,G0,B0,R1,…] order. None when the
-    * payload is not a decodable image — callers fall back to the raw
-    * bytes, so the featurizer total function stays deterministic. */
+    * payload is not a decodable image or declares more than
+    * [[MaxDecodePixels]] — callers fall back to the raw bytes, so the
+    * featurizer stays a total function. Decoded output is deterministic
+    * for the LOSSLESS formats (PNG/BMP/GIF, bit-exact per spec); JPEG
+    * IDCT output is not guaranteed bit-identical across JVM versions, so
+    * oracle-checked fixtures stick to the lossless three. */
   private[operators] def decodeBytes(content: Array[Byte]): Option[Array[Byte]] =
     if (!looksLikeImage(content)) None
     else try {
-      Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(content))).map { img =>
-        val w = img.getWidth; val h = img.getHeight
-        val out = new Array[Byte](w * h * 3)
-        var p = 0; var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y) // ARGB, color-model-normalized
-            out(p) = ((rgb >> 16) & 0xFF).toByte
-            out(p + 1) = ((rgb >> 8) & 0xFF).toByte
-            out(p + 2) = (rgb & 0xFF).toByte
-            p += 3; x += 1
-          }
-          y += 1
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(in)
+            // header-only reads: no pixel buffer exists yet
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+            else Option(reader.read(0)).map { img =>
+              val out = new Array[Byte](w * h * 3)
+              var p = 0; var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y) // ARGB, color-model-normalized
+                  out(p) = ((rgb >> 16) & 0xFF).toByte
+                  out(p + 1) = ((rgb >> 8) & 0xFF).toByte
+                  out(p + 2) = (rgb & 0xFF).toByte
+                  p += 3; x += 1
+                }
+                y += 1
+              }
+              out
+            }
+          } finally reader.dispose()
         }
-        out
-      }
-    } catch { case _: Throwable => None }
+      } finally if (in != null) in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** 8-lane round-robin byte sums — the exact-integer feature primitive
     * (engine-reproducible; the oracle hash-checks it). */

@@ -30,14 +30,16 @@ object Outliers {
 
   /** Interpolated 0.5-quantile per group from a (group, value, count)
     * histogram — `(v(⌊(n-1)/2⌋) + v(⌊n/2⌋)) / 2`, the same interpolation
-    * rule as Spark `percentile` and DuckDB `quantile_cont`. */
+    * rule as Spark `percentile` and DuckDB `quantile_cont`. The
+    * cumulative pass rides [[GlobalRank.withGroupedPrefixSum]]: when the
+    * value DOMAIN itself scales with the corpus (price cents, byte
+    * sizes), the histogram is corpus-cardinality and a
+    * partitionBy(group) window would funnel it through #groups tasks —
+    * the shape the catalog's measured funnel gate (PlanSpec) rejects. */
   private def histMedian(hist: DataFrame, groupCol: String,
                          valCol: String): DataFrame = {
-    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
-    val cum = hist.select(col(groupCol), col(valCol), col("c"),
-      sum(col("c")).over(byVal.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)).as("cum"),
-      sum(col("c")).over(Window.partitionBy(col(groupCol))).as("n"))
+    val cum = GlobalRank.withGroupedPrefixSum(hist, Seq(groupCol),
+      Seq(col(valCol)), col("c"), out = "cum", totOut = Some("n"))
     cum.groupBy(col(groupCol)).agg(
       ((min(when(expr("cum >= ((n - 1) div 2) + 1"), col(valCol))) +
         min(when(expr("cum >= (n div 2) + 1"), col(valCol)))) / 2.0)

@@ -156,10 +156,9 @@ object ExperimentQueries {
     // readout after clamping each arm's per-user spend to its [p05, p95]
     // (d30's exact rank-cut winsorization, per arm): the robust variant
     // every revenue experiment runs because one whale in one arm can
-    // fabricate a "win". Quantile cuts come from the arm-partitioned
-    // rank (no float percentile), clamped sums stay exact integers, and
-    // only the two means divide at the end. Same single per-user
-    // shuffle; the rank window rides the arm key.
+    // fabricate a "win". Quantile cuts come from exact rank order
+    // statistics (no float percentile), clamped sums stay exact
+    // integers, and only the two means divide at the end.
     "ab9_winsorized_diff" -> { (s, dir) =>
       val d = Tables.eventsUs(s, dir)
         .select(col("user_id"), expr("ts div 86400000000").as("day"),
@@ -170,11 +169,14 @@ object ExperimentQueries {
         .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
           .otherwise(0L)).as("y"))
         .withColumn("arm", arm(col("user_id")))
-      val w = Window.partitionBy(col("arm"))
-        .orderBy(col("y"), col("user_id"))
-      val ranked = per.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy(col("arm"))))
+      // arm has 2 values and users are corpus-scale in a real
+      // experiment: a Window.partitionBy(arm) rank caps parallelism at
+      // 2. The grouped two-pass row number keeps the per-arm sort
+      // range-partitioned; nOut ships the arm totals from its pass-1
+      // counts (replacing the count-over-arm window, same funnel).
+      val ranked = graft.operators.GlobalRank.withGroupedRowNumber(per,
+        group = Seq("arm"), order = Seq(col("y"), col("user_id")),
+        out = "rn", nOut = Some("n"))
       val cuts = ranked
         .filter(col("rn") === expr("(n * 5 + 99) div 100") ||
           col("rn") === expr("(n * 95 + 99) div 100"))

@@ -467,12 +467,13 @@ object RelationalQueries {
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast("bigint").as("cents"),
         col("l_quantity").cast("bigint").as("w"))
-      val wc = Window.partitionBy(col("grp"))
-        .orderBy(col("cents"), col("w"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy(col("grp"))
-      v.withColumn("cumw", sum(col("w")).over(wc))
-        .withColumn("totw", sum(col("w")).over(wt))
+      // grp has 3 values — a partitionBy(grp) running sum would push the
+      // corpus through 3 tasks; the grouped PREFIX SUM keeps the
+      // cumulative weight range-partitioned and ships the group totals
+      // from its tiny pass-1 frame. The crossover rule is unchanged.
+      graft.operators.GlobalRank.withGroupedPrefixSum(v, Seq("grp"),
+          Seq(col("cents"), col("w")), col("w"),
+          out = "cumw", totOut = Some("totw"))
         .filter(col("cumw") * 2 >= col("totw"))
         .groupBy("grp").agg(min(col("cents")).as("wmedian_cents"))
     },
@@ -492,11 +493,13 @@ object RelationalQueries {
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast("bigint").as("cents"))
         .groupBy("grp", "cents").agg(count(lit(1)).as("c"))
-      val byVal = Window.partitionBy(col("grp")).orderBy(col("cents"))
-      val cum = hist.select(col("grp"), col("cents"), col("c"),
-        sum(col("c")).over(byVal.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)).as("cum"),
-        sum(col("c")).over(Window.partitionBy(col("grp"))).as("n"))
+      // price-cents cardinality SCALES with the corpus, so this
+      // "histogram" is not domain-bounded: the cumulative pass rides the
+      // grouped prefix sum (3-value grp would otherwise cap the window
+      // at 3 tasks), with n from its pass-1 totals.
+      val cum = graft.operators.GlobalRank.withGroupedPrefixSum(hist,
+        Seq("grp"), Seq(col("cents")), col("c"),
+        out = "cum", totOut = Some("n"))
       val pps = Seq(25, 50, 75, 95)
       val aggs = max(col("n")).as("n") +: pps.flatMap { pp =>
         val h = (col("n") - 1).cast("double") * lit(pp / 100.0)
@@ -884,17 +887,13 @@ object RelationalQueries {
 
     // ER4 (beyond reference): CLUSTER-quality audit — er1's transitive
     // closure can chain A~B~C into one entity even when A and C are far
-    // apart; per-cluster size + the maximum intra-cluster edit distance
-    // over a CAPPED member sample (first 20 by id) is the table that
-    // catches runaway chains before the merged entities ship. The cap is
-    // load-bearing: the uncapped size² pair fan IS the runaway the audit
-    // detects (measured 336 s at sf0.1 where sequential fixture names
-    // chain into one giant component; capped: pair work ≤ C(20,2) per
-    // cluster and the sampled diameter still flags the chain). Reported
-    // max is a lower bound for clusters above the cap — exactly the
-    // right direction for an alarm.
+    // apart; EntityAudit.clusterAudit reports per-cluster size + the
+    // maximum intra-cluster edit distance over a CAPPED member sample
+    // (first 20 by id). The cap is load-bearing — see the operator's
+    // scaladoc for the measured 336 s → 3.4 s story and the C(20,2)
+    // pair-work bound; OperatorsSpec pins both cap properties.
     "er4_cluster_audit" -> { (s, dir) =>
-      import graft.operators.{FuzzyJoin, Graph}
+      import graft.operators.{EntityAudit, FuzzyJoin, Graph}
       val cust = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"))
       val pairs = FuzzyJoin.fuzzyJoin(
@@ -906,19 +905,8 @@ object RelationalQueries {
         pairs.select(col("lid").as("u"), col("rid").as("v")))
       val members = cust
         .join(comp, cust("c_custkey") === comp("node"))
-        .select(col("component"), col("c_custkey").as("id"),
-          col("c_name").as("nm"))
-      val w = Window.partitionBy(col("component")).orderBy(col("id"))
-      val capped = members.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 20).select("component", "id", "nm")
-      val intra = capped.as("a").join(capped.as("b"),
-          col("a.component") === col("b.component") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.component").as("component"),
-          levenshtein(col("a.nm"), col("b.nm")).cast("bigint").as("dist"))
-      members.groupBy("component").agg(count(lit(1)).as("n_members"))
-        .join(intra.groupBy("component")
-          .agg(max(col("dist")).as("max_intra_dist")), Seq("component"))
+      EntityAudit.clusterAudit(members, col("component"),
+        col("c_custkey"), col("c_name"), cap = 20)
     },
 
     // ER3 (beyond reference): BLOCKING-quality audit — before trusting
@@ -955,7 +943,14 @@ object RelationalQueries {
           expr("""case when n_truth = 0 then 1000000L
                  |else n_found * 1000000 div n_truth end"""
             .stripMargin.replace("\n", " ")).as("recall_micro"),
-          expr("1000000 - n_candidates * 2000000 div (n_rows * (n_rows - 1))")
+          // ≤1 row in the sample: no orderable pairs exist, so blocking
+          // "kept" everything it could — report full reduction rather
+          // than divide by zero (edge-fixture hardening, matches the
+          // recall_micro guard above)
+          expr("""case when n_rows > 1
+                 |then 1000000 - n_candidates * 2000000
+                 |  div (n_rows * (n_rows - 1))
+                 |else 1000000L end""".stripMargin.replace("\n", " "))
             .as("reduction_micro"))
     },
 
@@ -1143,30 +1138,46 @@ object RelationalQueries {
     // D41 (beyond reference): SPEARMAN rank correlation per group — the
     // outlier-robust monotone-association readout (Pearson's d-tier
     // cousin answers "linear?", this answers "monotone?"). Tie-averaged
-    // ranks come from the ml4 idiom (value-grain rollup + cumulative
-    // window; 2·avg_rank = min_rn + max_rn stays integral), so every
+    // ranks stay integral as 2·avg_rank = min_rn + max_rn, so every
     // moment is an exact decimal(38,0) sum and only the final ratio
-    // divides. Two value-grain rank chains + one joined moment rollup,
-    // all riding the group key.
+    // divides. The small-DOMAIN x side uses the ml4 value-grain idiom;
+    // the corpus-cardinality y side uses GlobalRank's grouped two-pass
+    // (see the asymmetry note at the rank passes below).
     "d41_spearman_by_group" -> { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("g"),
+        col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("bigint").as("x"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
-      def rank2(vc: String) = {
-        val byVal = li.groupBy(col("g"), col(vc).as("v"))
-          .agg(count(lit(1)).as("cnt"))
-        val w = Window.partitionBy(col("g")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        byVal.withColumn("max_rn", sum(col("cnt")).over(w))
-          .select(col("g"), col("v"),
-            (col("max_rn") - col("cnt") + 1 + col("max_rn")).as("r2"))
-      }
-      val rx = rank2("x")
-        .select(col("g"), col("v").as("x"), col("r2").as("a"))
-      val ry = rank2("y")
-        .select(col("g"), col("v").as("y"), col("r2").as("b"))
-      val st = li.join(rx, Seq("g", "x")).join(ry, Seq("g", "y"))
+      // The two rank passes are deliberately ASYMMETRIC — do not "unify"
+      // them. x (quantity) has a ~50-value DOMAIN: its value-grain rollup
+      // keeps the in-group cumulative window at ≤ |domain| rows per
+      // group — bounded by the domain, never the corpus, so the plain
+      // window form is admissible (SCALE.md single-partition-window
+      // review rule) and the cheapest plan. y (price cents) has
+      // ≈ row-count cardinality: the same chain would push the whole
+      // corpus through a 3-way-parallel cumulative window.
+      val byValX = li.groupBy(col("g"), col("x").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wx = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rx = byValX.withColumn("max_rn", sum(col("cnt")).over(wx))
+        .select(col("g"), col("v").as("x"),
+          (col("max_rn") - col("cnt") + 1 + col("max_rn")).as("a"))
+      // y rides GlobalRank's grouped two-pass at ROW grain (range-
+      // partitioned; parallelism = #partitions), then recovers the
+      // doubled tie-averaged rank per row in closed form:
+      // 2·avg = min_rn + max_rn = 2·rank + cnt − 1, with cnt from a
+      // hash-partitioned (g, y) window at tie grain — scalable, and
+      // row-grain means no join-back for the y side.
+      val ry = graft.operators.GlobalRank.withGroupedRank(li,
+          group = Seq("g"), order = Seq(col("y")),
+          tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
+          out = "rky")
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("g"), col("y"))))
+        .withColumn("b", lit(2L) * col("rky") + col("cnt") - lit(1L))
+      val st = ry.join(rx, Seq("g", "x"))
         .groupBy("g").agg(count(lit(1)).as("n"),
           sum(col("a").cast(d38)).as("sa"),
           sum(col("b").cast(d38)).as("sb"),
@@ -1204,10 +1215,16 @@ object RelationalQueries {
         .select(col("l_returnflag").as("grp"),
           col("l_orderkey"), col("l_linenumber"),
           expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
-      val w = Window.partitionBy(col("grp"))
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-      val ranked = li.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      // grp has 3 values: a plain Window.partitionBy(grp) rank over the
+      // FULL corpus caps parallelism at 3 no matter how many executors
+      // exist. GlobalRank's grouped two-pass keeps the sort range-
+      // partitioned, and nOut ships the group totals from its pass-1
+      // counts — replacing the count(*)-over-group window that shares
+      // the same funnel.
+      val ranked = graft.operators.GlobalRank.withGroupedRowNumber(li,
+        group = Seq("grp"),
+        order = Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        out = "rn", nOut = Some("n"))
       val cuts = ranked
         .filter(col("rn") === expr("(n * 5 + 99) div 100") ||
           col("rn") === expr("(n * 95 + 99) div 100"))
@@ -1227,6 +1244,38 @@ object RelationalQueries {
             .as("n_clamped_high"),
           expr("sum(cents) div count(1)").as("mean_before_cents"),
           expr("sum(clamped) div count(1)").as("mean_after_cents"))
+    },
+
+    // D42 (beyond reference): LORENZ curve at decile grain — revenue
+    // concentration per group ("the cheapest 10%/20%/…/90% of line
+    // items carry what share of revenue?"), the distribution readout
+    // behind Gini (ev53/tx22 report the scalar; this emits the curve a
+    // skew dashboard actually plots). Ranks ride GlobalRank's grouped
+    // two-pass row number (3-value group key — the funnel shape
+    // FunnelSpec rejects), and each decile share is a conditional
+    // exact-decimal sum against the pass-1 group totals: one rank pass
+    // + one aggregate, no cumulative window, shares as exact micro
+    // integers.
+    "d42_lorenz_deciles" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("grp"),
+          col("l_orderkey"), col("l_linenumber"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val ranked = graft.operators.GlobalRank.withGroupedRowNumber(li,
+        group = Seq("grp"),
+        order = Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        out = "rn", nOut = Some("n"))
+      val shares = (1 to 9).map { k =>
+        expr(s"""cast((cast(1000000 as decimal(38,0)) *
+                |sum(case when rn <= n * $k div 10
+                |  then cast(cents as decimal(38,0))
+                |  else cast(0 as decimal(38,0)) end))
+                |div sum(cast(cents as decimal(38,0))) as bigint)"""
+            .stripMargin.replace("\n", " "))
+          .as(s"share_p${k}0_micro")
+      }
+      ranked.groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), shares: _*)
     },
 
     // C14 (beyond reference): join-FANOUT audit — the pre-flight a
@@ -1885,8 +1934,10 @@ object RelationalQueries {
         |  CAST(CASE WHEN n_truth = 0 THEN 1000000
         |       ELSE n_found * 1000000 // n_truth END AS BIGINT)
         |    AS recall_micro,
-        |  CAST(1000000 - n_candidates * 2000000 // (n_rows * (n_rows - 1))
-        |    AS BIGINT) AS reduction_micro
+        |  CAST(CASE WHEN n_rows > 1
+        |       THEN 1000000 - n_candidates * 2000000
+        |         // (n_rows * (n_rows - 1))
+        |       ELSE 1000000 END AS BIGINT) AS reduction_micro
         |FROM counts""".stripMargin,
     "dq3_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
@@ -2033,6 +2084,29 @@ object RelationalQueries {
         |    AS mean_after_cents
         |FROM rk JOIN cuts ON rk.grp = cuts.c_grp
         |GROUP BY grp""".stripMargin,
+    "d42_lorenz_deciles" -> {
+      val shares = (1 to 9).map { k =>
+        s"""  CAST((CAST(1000000 AS HUGEINT) *
+           |    SUM(CASE WHEN rn <= n * $k // 10
+           |      THEN CAST(cents AS HUGEINT)
+           |      ELSE CAST(0 AS HUGEINT) END))
+           |    // SUM(CAST(cents AS HUGEINT)) AS BIGINT)
+           |    AS share_p${k}0_micro""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT l_returnflag AS grp, l_orderkey, l_linenumber,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |rk AS (
+         |  SELECT grp, cents,
+         |    ROW_NUMBER() OVER (PARTITION BY grp
+         |      ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+         |    COUNT(*) OVER (PARTITION BY grp) AS n
+         |  FROM li)
+         |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |$shares
+         |FROM rk GROUP BY grp""".stripMargin
+    },
     "c14_join_fanout_audit" ->
       """WITH lk AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT)
         |              AS n_left FROM lineitem GROUP BY 1),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{ChangeCapture, Retrieval, Scoring, TextAnalysis}
+import graft.operators.{ChangeCapture, Retrieval, Sampling, Scoring, TextAnalysis}
 
 /** Model-scoring, evaluation, normalization, and change-capture operators
   * exposed to the oracle harness — the "score, evaluate, diff" tier of a
@@ -57,6 +57,37 @@ object ScoringQueries {
     "ml14_trained_score" -> { (s, dir) =>
       Scoring.linearScoreWithWeights(docsSpread(s, dir),
         trainedWeights, bias = 5L)
+    },
+
+    // ML18 (beyond reference): TRAIN → SCORE end-to-end — closes ml14's
+    // loop: instead of a fixture weight array, the 64-bucket integer
+    // weight vector is LEARNED from a deterministic md5 train split
+    // (per-bucket label purity in micro units: w_b = 2e6·P(en|b) − 1e6,
+    // exact integer division) and immediately drives scoring of the
+    // HELD-OUT split through the ml14 deployment path. Training is one
+    // map-side-combined token rollup to MODEL size (64 cells); the
+    // learned weights collect at model grain (≤64 longs — the
+    // KMeans-centroid bounded-collect pattern) and re-enter the plan as
+    // a literal array via linearScoreWithWeights, so the scoring pass
+    // itself stays the zero-shuffle hashed-linear scan. The oracle
+    // replays the whole composition — split, training rollup, weight
+    // formula, scoring — in one SQL statement.
+    "ml18_train_then_score" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val gate = Sampling.bucket(col("doc_id"), "ml18") % 2
+      val trainToks = d.filter(gate === 0)
+        .select((col("lang") === "en").as("en"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("t"))
+      val learned = trainToks
+        .groupBy(Scoring.tokenBucket(col("t"), 64).as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("en"), 1L).otherwise(0L)).as("ne"))
+        .select(col("b"), expr("ne * 2000000 div n - 1000000").as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val weights = Array.tabulate(64)(i => learned.getOrElse(i.toLong, 0L))
+      Scoring.linearScoreWithWeights(d.filter(gate =!= 0), weights,
+        bias = 0L)
     },
 
     // ML17 (beyond reference): McNEMAR'S paired test — is the trained
@@ -136,11 +167,38 @@ object ScoringQueries {
       val num = col("n").cast(d38) * col("sxy") - col("sx") * col("sy")
       val vx = col("n").cast(d38) * col("sxx") - col("sx") * col("sx")
       val vy = col("n").cast(d38) * col("syy") - col("sy") * col("sy")
+      // n = 1 (single vector) or a constant lane (vx/vy = 0) leave the
+      // sample moments undefined — NULL, not 0/0 (matches fe20's edge
+      // handling; edge-fixture sweep)
       st.select(col("i"), col("j"), col("n"),
-        (num.cast("double") /
+        when(col("n") > 1, num.cast("double") /
           (col("n") * (col("n") - 1)).cast("double")).as("cov"),
-        (num.cast("double") /
+        when(vx > 0 && vy > 0, num.cast("double") /
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("corr"))
+    },
+
+    // FE22 (beyond reference): EQUAL-FREQUENCY binning (quantile
+    // discretization) — the feature-engineering step that turns a
+    // skewed numeric column into 10 equal-population ordinal buckets
+    // per stratum (tree/monotonic models, drift dashboards, and dq
+    // monitors all consume bins, not raw values). Bucket assignment is
+    // pure rank arithmetic ((rn−1)·10 div n — no float percentile), and
+    // the rank rides GlobalRank's grouped two-pass row number with the
+    // group totals off its pass-1 counts, so no #sources-parallel
+    // window ever sees the corpus. Emits the per-bin boundary table
+    // (count + min/max value), i.e. the fitted discretizer itself.
+    "fe22_equal_freq_binning" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      graft.operators.GlobalRank.withGroupedRowNumber(d,
+          group = Seq("source"),
+          order = Seq(col("n_chars"), col("doc_id")),
+          out = "rn", nOut = Some("n"))
+        .withColumn("bucket", expr("(rn - 1) * 10 div n"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo_chars"),
+          max(col("n_chars")).as("hi_chars"))
     },
 
     // FE21 (beyond reference): hashing-trick COLLISION audit — for each
@@ -1143,6 +1201,33 @@ object ScoringQueries {
          |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
          |        FROM documents))""".stripMargin
     },
+    "ml18_train_then_score" -> {
+      val gateSql = "CAST(('0x' || substr(md5('ml18:' || " +
+        "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 % 2"
+      s"""WITH tr AS (
+         |  SELECT lang = 'en' AS en,
+         |    unnest(string_split($normSql, ' ')) AS t
+         |  FROM documents WHERE $gateSql = 0),
+         |wt AS (
+         |  SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64
+         |      AS b,
+         |    SUM(CASE WHEN en THEN 1 ELSE 0 END) * 2000000
+         |      // COUNT(*) - 1000000 AS w
+         |  FROM tr GROUP BY 1),
+         |ho AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks
+         |  FROM documents WHERE $gateSql <> 0),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM ho),
+         |sc AS (
+         |  SELECT tok.doc_id, SUM(COALESCE(wt.w, 0)) AS score
+         |  FROM tok LEFT JOIN wt
+         |    ON CAST(('0x' || substr(md5(tok.t), 1, 15)) AS BIGINT) % 64
+         |      = wt.b
+         |  GROUP BY 1)
+         |SELECT ho.doc_id, CAST(len(ho.toks) AS BIGINT) AS n_terms,
+         |  CAST(sc.score AS BIGINT) AS score, sc.score >= 0 AS keep
+         |FROM ho JOIN sc USING (doc_id)""".stripMargin
+    },
     "ml2_threshold_sweep" ->
       s"""WITH sc AS (
          |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
@@ -1491,6 +1576,18 @@ object ScoringQueries {
          |$rounds
          |SELECT i, v AS component_micro FROM v_4""".stripMargin
     },
+    "fe22_equal_freq_binning" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS lo_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS hi_chars
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "fe18_feature_covariance" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding[1:16],
@@ -1510,11 +1607,13 @@ object ScoringQueries {
         |  FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.i <= b.i
         |  GROUP BY 1, 2)
         |SELECT i, j, CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    CAST(n * (n - 1) AS DOUBLE) AS cov,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        |  CASE WHEN n > 1 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * (n - 1) AS DOUBLE) END AS cov,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr
         |FROM st""".stripMargin,
     "fe4_zscore" ->
       """WITH stats AS (

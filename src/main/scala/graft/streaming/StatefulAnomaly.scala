@@ -44,9 +44,13 @@ object StatefulAnomaly {
                                  timerValues: TimerValues): Iterator[Flag] = {
       var st = Option(state.get()).getOrElse(Stats(0L, 0L, 0L))
       // Sort by the TOTAL key (t, x): ordering by t alone leaves rows
-      // with equal timestamps in arrival order, so different micro-batch
-      // splits could process them in different orders and flip flags —
-      // the total key restores the documented split-invariance guarantee.
+      // with equal timestamps in arrival order, so re-ordering WITHIN a
+      // micro-batch could flip flags — the total key makes processing
+      // deterministic GIVEN a batch split. Residual caveat: two
+      // equal-timestamp rows landing in DIFFERENT micro-batches still
+      // process in stream-arrival order, which can differ from the
+      // in-batch (t, x) sort; only distinct-timestamp data is fully
+      // split-invariant.
       val out = rows.toSeq.sortBy(o => (o.t, o.x)).map { o =>
         val flagged = st.n >= 3 && {
           val dev = BigInt(o.x) * st.n - st.s

@@ -596,6 +596,31 @@ class OperatorsSpec extends SparkSpec {
       .contains("Exchange SinglePartition"))
   }
 
+  test("er4 cluster-audit cap bounds pair work and still flags chains") {
+    import graft.operators.EntityAudit
+    import spark.implicits._
+    // one 30-member CHAINED cluster (the er4 pathology): member i's name
+    // is i copies of 'x' padded with 'a' — Levenshtein(i, j) = |i - j|,
+    // so neighbors are near-duplicates while the chain ends are 29 apart
+    val chain = (1 to 30).map(i => (1L, i.toLong, "x" * i + "a" * (30 - i)))
+    // plus a below-cap cluster whose audit must stay EXACT
+    val small = Seq((2L, 101L, "abcdef"), (2L, 102L, "abcxyz"))
+    val members = (chain ++ small).toDF("component", "id", "nm")
+    val out = EntityAudit.clusterAudit(members, col("component"),
+        col("id"), col("nm"), cap = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // size is exact over ALL members; the diameter comes from the first
+    // 20 by id only: max |i - j| over i,j ≤ 20 is 19. An uncapped audit
+    // would report 29 — this pin fails if the cap silently regresses,
+    // and the 19 ≫ maxDistance=2 bound shows a capped sample still
+    // flags the chain. Pair work: C(20,2) = 190 comparisons, not
+    // C(30,2) = 435 (and not size² at sf0.1, the measured 336 s run).
+    assert(out(1L) == ((30L, 19L)))
+    // below the cap nothing is sampled away: exact distance 3
+    assert(out(2L) == ((2L, 3L)))
+  }
+
   test("pii redaction replaces emails, ips, and phones in order") {
     import spark.implicits._
     val doc = "mail bob@example.com or call +1 555-123-4567; " +

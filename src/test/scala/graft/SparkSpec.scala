@@ -16,6 +16,11 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // same extension tier as the product session (GraftSession.local):
+      // SQL-registered kernels (md5_prefix60 …) + custom planner
+      // strategies resolve in specs that sweep the whole catalog
+      .config("spark.sql.extensions",
+        classOf[graft.core.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

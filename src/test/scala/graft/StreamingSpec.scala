@@ -302,6 +302,88 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("cluster downweighting assigns identical weights on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dd16's ingest shape: the cluster table is a (periodically rebuilt)
+    // STATIC side; arriving documents pick up their training weight via
+    // a stream-static left join — membership and weights must agree with
+    // the batch assignment exactly
+    val comp = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 40L))
+      .toDF("doc_id", "cluster_id")
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    def assignWeights(docs: org.apache.spark.sql.DataFrame) = docs
+      .join(comp, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("csize"), lit(1L)).as("cluster_size"),
+        expr("1000000 div coalesce(csize, 1L)").as("weight_micro"))
+    val stream = MemoryStream[Long]
+    val query = assignWeights(stream.toDF().toDF("doc_id"))
+      .writeStream.format("memory").queryName("dd16_out")
+      .outputMode("append").start()
+    stream.addData(1L to 8L: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("dd16_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    query.stop()
+    val batch = assignWeights((1L to 8L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed == batch && streamed.size == 8)
+    // spot-pin the semantics: 3-member cluster → weight 333333 micro,
+    // singleton (doc 7 unclustered) → full weight
+    assert(streamed(1L) == ((10L, 3L, 333333L)))
+    assert(streamed(7L) == ((7L, 1L, 1000000L)))
+  }
+
+  test("neyman allocation converges to the batch plan on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    // s15's rollup is a standard streaming aggregation: run the SAME
+    // moment/σ/allocation program in complete mode and the final
+    // allocation table must equal the batch plan over the same rows
+    def neyman(docs: org.apache.spark.sql.DataFrame) = {
+      val per = docs.groupBy("source")
+        .agg(count(lit(1)).as("nh"),
+          sum(col("n_chars").cast(d38)).as("sx"),
+          sum((col("n_chars") * col("n_chars")).cast(d38)).as("sxx"))
+        .select(col("source"), col("nh"),
+          when(col("nh") > 1, floor(sqrt(
+            (col("nh").cast(d38) * col("sxx") - col("sx") * col("sx"))
+              .cast("double") /
+              (col("nh") * (col("nh") - 1)).cast("double"))
+            * lit(1e6)).cast("bigint")).otherwise(0L).as("sigma_micro"))
+        .withColumn("wh", col("nh") * col("sigma_micro"))
+      per
+    }
+    val rows = Seq(
+      ("web", 100L), ("web", 300L), ("web", 900L),
+      ("code", 50L), ("code", 52L), ("books", 4000L))
+    val stream = MemoryStream[(String, Long)]
+    val query = neyman(stream.toDF().toDF("source", "n_chars"))
+      .writeStream.format("memory").queryName("s15_out")
+      .outputMode("complete").start()
+    stream.addData(rows.take(3): _*)
+    query.processAllAvailable()
+    stream.addData(rows.drop(3): _*) // state merges across batches
+    query.processAllAvailable()
+    val streamed = spark.table("s15_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    query.stop()
+    val batch = neyman(rows.toDF("source", "n_chars")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed == batch && streamed.size == 3)
+    // σ must come from the exact cross-batch moments, not per-batch ones
+    assert(streamed("web")._1 == 3L && streamed("web")._2 > 0L)
+  }
+
   test("bloom decontamination gate filters a document stream statelessly") {
     import spark.implicits._
     import graft.operators.Contamination

@@ -20,10 +20,10 @@ divide-by-zero; gr5 dropping isolated nodes; ir6's ln(0) on
 corpus-absent probe terms; zero-norm-vector divide-by-zero across the
 whole cosine tier (sim1-6, sim11-17, km2, mm7, ir10 — zero-norm rows
 are now excluded, the normalize-or-drop rule, mirrored in every
-oracle); and h11's unguarded CAST of a no-match extract. Expected
-residual: exactly one — gr20 requires a non-empty seed set
-(doc_id % 50 == 0 matches nothing in 7 docs), a documented API
-contract, not a divergence.
+oracle); and h11's unguarded CAST of a no-match extract. No expected
+residuals: gr20's empty-seed case (doc_id % 50 == 0 matches nothing in
+7 docs) is guarded on both sides — all ranks 0, division guarded — and
+verified green on this fixture (round 8).
 
 Dev tooling only (pyarrow is driver-side, not part of the Scala build).
 """
