@@ -229,11 +229,13 @@ object GlobalRank {
       .join(broadcast(offRenamed), offsetsJoinCond(group).reduce(_ && _),
         "inner")
       .withColumn(out, col("__grn") - col("__gstart") + col("__goff"))
-      .drop("__pid", "__opid", "__gstart", "__goff", "__grn")
-      .drop(group.zipWithIndex.map { case (_, i) => s"__og$i" }: _*)
+    // emit input columns, then `out`, then the total — a deterministic
+    // order regardless of where the offsets join landed `__gn`
+    val inputCols = df.columns.toSeq.map(col)
     totOut match {
-      case Some(t) => cum.withColumnRenamed("__gn", t)
-      case None    => cum.drop("__gn")
+      case Some(t) =>
+        cum.select(inputCols ++ Seq(col(out), col("__gn").as(t)): _*)
+      case None => cum.select(inputCols :+ col(out): _*)
     }
   }
 

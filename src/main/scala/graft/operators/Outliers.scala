@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
   * survives heavy-tailed corpus statistics where mean/stddev gates do not
   * (one pathological document moves a mean; it cannot move a median).
   *
-  * Scale contract (exact path): the raw data is touched ONCE — a map-side
-  * combined (group, value) histogram — and every median/deviation/count
-  * phase runs over the histogram at DISTINCT-VALUE cardinality. That is
-  * the 100 TB-safe exact median: Spark's `percentile` buffers every value
-  * of a group inside one aggregation buffer (a single straggler task
-  * holding a group's entire column — memory-unbounded), while the
-  * histogram's interpolated median is two cumulative-count lookups. The
-  * histogram is locally checkpointed so the three phases don't re-scan
-  * the source. `exact = false` remains the mergeable GK-sketch path
-  * (`percentile_approx`, d16's bounded-error shape) for when even the
-  * distinct-value histogram is too large to window.
+  * Scale contract (exact path): each median is a grouped SELECTION —
+  * GlobalRank's two-pass row number (range-partitioned layout, ordinals
+  * corrected by broadcast pass-1 offsets; parallelism = #partitions,
+  * never #groups) picks the two order statistics by conditional min.
+  * That is the 100 TB-safe exact median: Spark's `percentile` buffers
+  * every value of a group inside one aggregation buffer (a single
+  * straggler task holding a group's entire column — memory-unbounded),
+  * a `partitionBy(group)` cumulative window caps parallelism at #groups
+  * (the funnel shape FunnelSpec rejects), and a distinct-value
+  * histogram does not save the profiled columns (price cents, byte
+  * sizes — domains that scale with the corpus). `exact = false` remains
+  * the mergeable GK-sketch path (`percentile_approx`, d16's
+  * bounded-error shape) when an approximate answer is acceptable.
   *
   * Determinism: values must be integer-quantized by the caller — the
   * interpolated median of integers is `(v_lo + v_hi) / 2` with both
@@ -28,21 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  /** Interpolated 0.5-quantile per group from a (group, value, count)
-    * histogram — `(v(⌊(n-1)/2⌋) + v(⌊n/2⌋)) / 2`, the same interpolation
-    * rule as Spark `percentile` and DuckDB `quantile_cont`. The
-    * cumulative pass rides [[GlobalRank.withGroupedPrefixSum]]: when the
-    * value DOMAIN itself scales with the corpus (price cents, byte
-    * sizes), the histogram is corpus-cardinality and a
-    * partitionBy(group) window would funnel it through #groups tasks —
-    * the shape the catalog's measured funnel gate (PlanSpec) rejects. */
-  private def histMedian(hist: DataFrame, groupCol: String,
-                         valCol: String): DataFrame = {
-    val cum = GlobalRank.withGroupedPrefixSum(hist, Seq(groupCol),
-      Seq(col(valCol)), col("c"), out = "cum", totOut = Some("n"))
-    cum.groupBy(col(groupCol)).agg(
-      ((min(when(expr("cum >= ((n - 1) div 2) + 1"), col(valCol))) +
-        min(when(expr("cum >= (n div 2) + 1"), col(valCol)))) / 2.0)
+  /** Interpolated 0.5-quantile per group at ROW grain —
+    * `(v(⌊(n-1)/2⌋) + v(⌊n/2⌋)) / 2`, the same interpolation rule as
+    * Spark `percentile` and DuckDB `quantile_cont`. Median is a
+    * SELECTION problem, so this rides
+    * [[GlobalRank.withGroupedRowNumber]] (zero shuffles beyond its
+    * range exchange; group totals off the pass-1 counts) and picks the
+    * two order statistics by conditional min — no cumulative window at
+    * all. The row number among equal values is layout-dependent, but
+    * the VALUE at a given rank is not, so the median is deterministic.
+    * A value-domain histogram would not help: for the columns this
+    * profiles (price cents, byte sizes) the domain scales with the
+    * corpus, and a partitionBy(group) cumulative pass over it is the
+    * funnel shape the catalog's measured gate (FunnelSpec) rejects. */
+  private def rowMedian(rows: DataFrame, groupCol: String,
+                        valCol: String): DataFrame = {
+    val rn = GlobalRank.withGroupedRowNumber(rows, Seq(groupCol),
+      Seq(col(valCol)), out = "__rn", nOut = Some("__n"))
+    rn.groupBy(col(groupCol)).agg(
+      ((min(when(expr("__rn = ((__n - 1) div 2) + 1"), col(valCol))) +
+        min(when(expr("__rn = (__n div 2) + 1"), col(valCol)))) / 2.0)
         .as("med"))
   }
 
@@ -66,20 +73,24 @@ object Outliers {
           count(when(abs(x - col("med")) > lit(k) * col("mad"), lit(1)))
             .as("n_outliers"))
     }
-    // exact path: one pass over raw data, then histogram-sized work only
-    val hist = df.groupBy(col(groupCol), x).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
-    val med = histMedian(hist, groupCol, valueCol)
-    val devHist = hist.join(broadcast(med), Seq(groupCol))
-      .select(col(groupCol), abs(x - col("med")).as("dev"), col("c"))
-      .groupBy(col(groupCol), col("dev")).agg(sum(col("c")).as("c"))
-    val mad = histMedian(devHist, groupCol, "dev")
+    // exact path: two grouped-rank SELECTION passes (values, then
+    // absolute deviations — the second depends on the first's median,
+    // so they are inherently sequential), then one counting aggregate.
+    // The three phases deliberately re-scan the narrow (group, value)
+    // projection rather than checkpoint it: a pruned columnar scan
+    // pipelines into each phase's exchange for free, while an extra
+    // materialization barrier measured ~25% slower at sf0.1.
+    val vals = df.select(col(groupCol), x.as("__val"))
+    val med = rowMedian(vals, groupCol, "__val")
+    val dev = vals.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col("__val") - col("med")).as("__dev"))
+    val mad = rowMedian(dev, groupCol, "__dev")
       .withColumnRenamed("med", "mad")
-    hist.join(broadcast(med), Seq(groupCol))
+    vals.join(broadcast(med), Seq(groupCol))
       .join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol), col("med"), col("mad"))
-      .agg(sum(col("c")).as("n_rows"),
-        sum(when(abs(x - col("med")) > lit(k) * col("mad"), col("c"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(abs(col("__val") - col("med")) > lit(k) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
 }

@@ -596,6 +596,43 @@ class OperatorsSpec extends SparkSpec {
       .contains("Exchange SinglePartition"))
   }
 
+  test("grouped row number and prefix sum match built-in windows") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // null group + long value runs so both offset corrections (group
+    // start inside a partition, group prefix across partitions) are
+    // exercised at every boundary
+    val df = (1L to 4000L).map { i =>
+      (i, if (i % 11 == 0) null else s"g${i % 3}", (i % 7).toDouble,
+        (i % 5) + 1L)
+    }.toDF("id", "grp", "v", "w")
+    // (v, id) is total within each group → both operators are
+    // bit-identical to the built-ins, not just equivalent
+    val rn = GlobalRank.withGroupedRowNumber(df, group = Seq("grp"),
+      order = Seq(col("v"), col("id")), out = "rn", nOut = Some("n"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    val rnB = df
+      .withColumn("rn", row_number().over(wOrd).cast("bigint"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("grp"))))
+    assert(rn.exceptAll(rnB).isEmpty && rnB.exceptAll(rn).isEmpty)
+    val ps = GlobalRank.withGroupedPrefixSum(df, group = Seq("grp"),
+      order = Seq(col("v"), col("id")), col("w"),
+      out = "cum", totOut = Some("tot"))
+    val psB = df
+      .withColumn("cum", sum(col("w")).over(wOrd
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot",
+        sum(col("w")).over(Window.partitionBy(col("grp"))))
+    assert(ps.exceptAll(psB).isEmpty && psB.exceptAll(ps).isEmpty)
+    // and neither plan contains a single-partition exchange
+    assert(!rn.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"))
+    assert(!ps.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"))
+  }
+
   test("er4 cluster-audit cap bounds pair work and still flags chains") {
     import graft.operators.EntityAudit
     import spark.implicits._
