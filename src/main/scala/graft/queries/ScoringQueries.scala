@@ -201,34 +201,6 @@ object ScoringQueries {
           max(col("n_chars")).as("hi_chars"))
     },
 
-    // FE23 (beyond reference): K-FOLD target encoding — the leakage-free
-    // form of the shrunk-mean encoder (fe17's cousin): a row's category
-    // encoding must not see its own label, so fold f's encoding uses
-    // only the OTHER folds' counts, (S − S_f + m·p̂) / (N − N_f + m),
-    // shrunk toward the global rate with m = 100. Folds come from the
-    // same deterministic md5 gate as the split tier (so encode folds
-    // never correlate with train/test membership), all counts are exact
-    // integers, and the encoding is one fixed IEEE tree — the output is
-    // the (category, fold) encoder TABLE itself, metadata-grain at any
-    // corpus size (two rollups + one broadcast of a 1-row global).
-    "fe23_kfold_target_encode" -> { (s, dir) =>
-      val d = docsSpread(s, dir).select(col("source"),
-        (Sampling.bucket(col("doc_id"), "fe23") % 5).as("fold"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      val perFold = d.groupBy("source", "fold")
-        .agg(count(lit(1)).as("nf"), sum(col("y")).as("sf"))
-      val perSrc = perFold.groupBy("source")
-        .agg(sum(col("nf")).as("n"), sum(col("sf")).as("s"))
-      val glob = perSrc.agg(sum(col("n")).as("gn"), sum(col("s")).as("gs"))
-      perFold.join(perSrc, "source").crossJoin(broadcast(glob))
-        .select(col("source"), col("fold"), col("nf").as("n_fold"),
-          (((col("s") - col("sf")).cast("double") +
-            lit(100.0) *
-              (col("gs").cast("double") / col("gn").cast("double"))) /
-            ((col("n") - col("nf")).cast("double") + lit(100.0)))
-            .as("enc"))
-    },
-
     // FE21 (beyond reference): hashing-trick COLLISION audit — for each
     // candidate feature dimension (16/64/256), how many distinct tokens
     // share each bucket and what fraction of tokens collide at all: the
@@ -1604,24 +1576,6 @@ object ScoringQueries {
          |$rounds
          |SELECT i, v AS component_micro FROM v_4""".stripMargin
     },
-    "fe23_kfold_target_encode" ->
-      """WITH d AS (
-        |  SELECT source,
-        |    CAST(('0x' || substr(md5('fe23:' || CAST(doc_id AS VARCHAR)),
-        |      1, 15)) AS BIGINT) % 1000 % 5 AS fold,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |pf AS (SELECT source, fold, COUNT(*) AS nf, SUM(y) AS sf
-        |       FROM d GROUP BY 1, 2),
-        |ps AS (SELECT source, SUM(nf) AS n, SUM(sf) AS s
-        |       FROM pf GROUP BY 1),
-        |g AS (SELECT SUM(n) AS gn, SUM(s) AS gs FROM ps)
-        |SELECT pf.source, CAST(pf.fold AS BIGINT) AS fold,
-        |  CAST(pf.nf AS BIGINT) AS n_fold,
-        |  ((CAST(ps.s - pf.sf AS DOUBLE)
-        |    + 100.0 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
-        |   / (CAST(ps.n - pf.nf AS DOUBLE) + 100.0)) AS enc
-        |FROM pf JOIN ps USING (source) CROSS JOIN g""".stripMargin,
     "fe22_equal_freq_binning" ->
       """WITH r AS (
         |  SELECT source, n_chars,

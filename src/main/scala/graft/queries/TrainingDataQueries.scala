@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{Contamination, Dedup, KMeans, Packing, ProductQuantization, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, KMeans, Packing, ProductQuantization, Retrieval, Sampling, Scoring, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, text analysis, similarity
   * search) exposed to the oracle harness over `documents` / `embeddings`.
@@ -602,6 +602,61 @@ object TrainingDataQueries {
             .stripMargin.replace("\n", " "),
           "CASE WHEN n_sentences = 0 THEN NULL ELSE " +
             "cast(array_max(wc) as bigint) END AS max_sentence_words")
+    },
+
+    // TX33 (beyond reference): tokenizer FERTILITY by lang × source —
+    // tokens per 100 characters under both tokenizers (whitespace and
+    // the BPE-ish regex). The multilingual-pipeline diagnostic: a
+    // language whose fertility sits far above the corpus norm is being
+    // over-fragmented (its token budget buys less text), which silently
+    // skews every token-denominated plan (mix2's budget, mix5's
+    // waterfill). One exact integer rollup to (lang, source) grain —
+    // metadata-sized at any corpus scale, counters all per-row codegen.
+    "tx33_fertility" -> { (s, dir) =>
+      val t = col("text")
+      docsSpread(s, dir)
+        .select(col("lang"), col("source"), length(t).as("nc"),
+          TextAnalysis.tokenCount(t).as("nw"),
+          TextAnalysis.bpeishTokenCount(t).as("nb"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+          sum(col("nw")).as("n_tokens_ws"),
+          sum(col("nb")).as("n_tokens_bpeish"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("n_chars"), col("n_tokens_ws"), col("n_tokens_bpeish"),
+          expr("""case when n_chars = 0 then null
+                 |else n_tokens_ws * 100000000 div n_chars end"""
+            .stripMargin.replace("\n", " ")).as("fert_ws_micro"),
+          expr("""case when n_chars = 0 then null
+                 |else n_tokens_bpeish * 100000000 div n_chars end"""
+            .stripMargin.replace("\n", " ")).as("fert_bpeish_micro"))
+    },
+
+    // TX34 (beyond reference): FLESCH reading ease per document — the
+    // classic readability feature: 206.835 − 1.015·(words/sentence) −
+    // 84.6·(syllables/word), with syllables estimated as vowel-group
+    // runs (the standard regex surrogate) and sentences as
+    // terminal-punctuation runs (min 1 so one-liners score). Three
+    // regexp counters of per-row codegen — the scan streams, nothing
+    // shuffles — and the score is one fixed IEEE tree floor-quantized
+    // to micro, so the cross-engine compare is exact.
+    "tx34_readability" -> { (s, dir) =>
+      val t = col("text")
+      docsSpread(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(t).as("nw"),
+          size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+            .cast("bigint").as("nsyl"),
+          greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0)))
+            .cast("bigint"), lit(1L)).as("nsent"))
+        .select(col("doc_id"), col("nw"), col("nsyl"), col("nsent"),
+          when(col("nw") > 0,
+            floor(lit(1e6) * (lit(206.835) -
+              lit(1.015) * (col("nw").cast("double") /
+                col("nsent").cast("double")) -
+              lit(84.6) * (col("nsyl").cast("double") /
+                col("nw").cast("double")))).cast("bigint"))
+            .as("flesch_micro"))
     },
 
     // TX30 (beyond reference): the GOPHER rule battery (Rae et al. 2021)
@@ -2653,6 +2708,76 @@ object TrainingDataQueries {
           expr("n_gated * 1000000 div n_all").as("gate_pass_micro"))
     },
 
+    // S16 (beyond reference): DSIR-style importance weights — data
+    // selection via importance resampling in its hashed-feature form:
+    // score every document by how much more likely its tokens are under
+    // the TARGET distribution (here the lang='en' slice stands in for
+    // "formal text") than under the raw corpus,
+    // log w(d) = Σ_tokens ln p_tgt(b(t)) − ln p_raw(b(t)), with 64
+    // hashed buckets (ml1's tokenBucket) and +1 Laplace smoothing. The
+    // two bucket distributions are ONE map-side-combined token rollup
+    // (64 cells — model grain); each bucket's log-ratio is
+    // floor-quantized to micro-nats once (the fe10 contract), so the
+    // per-doc weight is an order-free integer sum over a 64-row
+    // broadcast join. At 100 TB the token pass is embarrassingly
+    // parallel and the only corpus-sized shuffle is the doc_id rollup.
+    "s16_dsir_weights" -> { (s, dir) =>
+      val toks = docsSpread(s, dir)
+        .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("t"))
+        .select(col("doc_id"), col("tgt"),
+          Scoring.tokenBucket(col("t"), 64).as("b"))
+      val dist = toks.groupBy("b").agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      val ratio = dist.crossJoin(broadcast(tot))
+        .select(col("b"),
+          floor(lit(1e6) *
+            (log((col("ct") + lit(1L)).cast("double") /
+              (col("nt") + lit(64L)).cast("double")) -
+              log((col("cr") + lit(1L)).cast("double") /
+                (col("nr") + lit(64L)).cast("double"))))
+            .cast("bigint").as("lr_micro"))
+      toks.join(broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("lr_micro")).as("logw_micro"))
+    },
+
+    // MIX7 (beyond reference): DoReMi-style domain reweighting — one
+    // exponentiated-gradient step on per-domain EXCESS loss. Loss proxy
+    // = each source's non-English rate (what its quality gate loses);
+    // excess_s = rate_s − corpus rate, exact micro integers. The EG
+    // multiplier exp(η·excess) with η = 0.5 is the single float in the
+    // plan and is floor-quantized to micro immediately, so the
+    // normalization (share = m_s·1e6 div Σm) and DoReMi's uniform
+    // smoothing (1% mixed back toward 1/K) stay order-free integer
+    // arithmetic. K = #sources: a per-domain rollup plus two 1-row
+    // broadcasts — metadata grain at any corpus size.
+    "mix7_doremi_step" -> { (s, dir) =>
+      val per = docsSpread(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("bad"))
+      val tot = per.agg(sum(col("n")).as("tn"), sum(col("bad")).as("tbad"),
+        count(lit(1)).as("k"))
+      val m = per.crossJoin(broadcast(tot))
+        .withColumn("excess_micro",
+          expr("bad * 1000000 div n - tbad * 1000000 div tn"))
+        .withColumn("mult_micro",
+          floor(lit(1e6) *
+            exp(lit(0.5) * col("excess_micro").cast("double") / lit(1e6)))
+            .cast("bigint"))
+      val msum = m.agg(sum(col("mult_micro")).as("ms"))
+      m.crossJoin(broadcast(msum))
+        .select(col("source"), col("n").as("n_docs"), col("excess_micro"),
+          col("mult_micro"),
+          expr("""mult_micro * 1000000 div ms * 99 div 100
+                 |  + 1000000 div (100 * k)"""
+            .stripMargin.replace("\n", " ")).as("weight_micro"))
+    },
+
     // MIX5 (beyond reference): token-budget WATER-FILLING — given a
     // total token budget (60% of the corpus here), find the exact cap τ
     // such that allocating min(n_source, τ) to every source spends the
@@ -3847,6 +3972,86 @@ object TrainingDataQueries {
         |           CAST(b.n * (b.n - 1) AS DOUBLE) / CAST(b.n AS DOUBLE))
         |  END AS t_stat
         |FROM st a JOIN st b ON a.source < b.source""".stripMargin,
+    "s16_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang = 'en' AS tgt,
+         |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split($normSql, ' ')) AS t
+         |        FROM documents)),
+         |dist AS (
+         |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |    COUNT(*) AS cr
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dist),
+         |ratio AS (
+         |  SELECT b, CAST(FLOOR(1000000.0 * (
+         |      ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) -
+         |      ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE))))
+         |    AS BIGINT) AS lr_micro
+         |  FROM dist CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(lr_micro) AS BIGINT) AS logw_micro
+         |FROM tok JOIN ratio USING (b) GROUP BY 1""".stripMargin,
+    "mix7_doremi_step" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS bad
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS tn, SUM(bad) AS tbad,
+        |        COUNT(*) AS k FROM per),
+        |m AS (
+        |  SELECT source, n, k,
+        |    bad * 1000000 // n - tbad * 1000000 // tn AS excess_micro
+        |  FROM per CROSS JOIN tot),
+        |m2 AS (
+        |  SELECT source, n, k, excess_micro,
+        |    CAST(FLOOR(1000000.0 * exp(
+        |      0.5 * CAST(excess_micro AS DOUBLE) / 1000000.0))
+        |      AS BIGINT) AS mult_micro
+        |  FROM m),
+        |ms AS (SELECT SUM(mult_micro) AS ms FROM m2)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(excess_micro AS BIGINT) AS excess_micro, mult_micro,
+        |  CAST(mult_micro * 1000000 // ms * 99 // 100
+        |    + 1000000 // (100 * k) AS BIGINT) AS weight_micro
+        |FROM m2 CROSS JOIN ms""".stripMargin,
+    "tx33_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, source, length(text) AS nc,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS nw,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS nb
+        |  FROM documents)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(nw) AS BIGINT) AS n_tokens_ws,
+        |  CAST(SUM(nb) AS BIGINT) AS n_tokens_bpeish,
+        |  CASE WHEN SUM(nc) = 0 THEN NULL
+        |    ELSE CAST(SUM(nw) * 100000000 // SUM(nc) AS BIGINT)
+        |  END AS fert_ws_micro,
+        |  CASE WHEN SUM(nc) = 0 THEN NULL
+        |    ELSE CAST(SUM(nb) * 100000000 // SUM(nc) AS BIGINT)
+        |  END AS fert_bpeish_micro
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "tx34_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS nw,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS nsyl,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS nsent
+        |  FROM documents)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS nw,
+        |  CAST(nsyl AS BIGINT) AS nsyl, CAST(nsent AS BIGINT) AS nsent,
+        |  CASE WHEN nw > 0 THEN
+        |    CAST(FLOOR(1000000.0 * (206.835
+        |      - 1.015 * (CAST(nw AS DOUBLE) / CAST(nsent AS DOUBLE))
+        |      - 84.6 * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE))))
+        |      AS BIGINT)
+        |  ELSE NULL END AS flesch_micro
+        |FROM d""".stripMargin,
     "s15_neyman_allocation" ->
       """WITH per AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
