@@ -317,6 +317,78 @@ object ExperimentQueries {
     // readout that turns ab3's "spend went up" into "clicks convert to
     // purchases 8% more often" — same three min-aggregates as ev8 with
     // the arm key riding the user_id exchange.
+    // AB10 (beyond reference): BENJAMINI–HOCHBERG FDR control over
+    // ab7's per-segment z-tests — the multiple-testing correction every
+    // segment-sliced readout needs (at α=.05, six naive per-segment
+    // thresholds alone produce a false positive in ~1 of 4 null
+    // experiments). Two-sided p-values come from the Abramowitz–Stegun
+    // 7.1.26 erf polynomial (its one exp is the plan's only
+    // transcendental and is floor-quantized to micro immediately), and
+    // the BH step-up k = max{i : p_(i)·m ≤ α·1e6·i} plus the reject
+    // flags are exact integer arithmetic. Ranking rides the
+    // SEGMENT-grain table (≤ #event-type rows — metadata, per the
+    // SCALE.md window rule); the corpus-sized work is ab7's one
+    // per-user rollup.
+    "ab10_fdr_bh" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val ev = Tables.eventsUs(s, dir)
+      val seg = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("n").desc, col("event_type").asc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("segment"))
+      val mn = ev.select(expr("ts div 86400000000").as("day"))
+        .agg(min(col("day")).as("d0"))
+      val per = ev.select(col("user_id"),
+          expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+        .crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+        .join(seg, "user_id")
+      val st = per.groupBy("segment", "arm")
+        .agg(count(lit(1)).as("n"), sum(col("y").cast(d38)).as("sy"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+      val a0 = st.filter(col("arm") === 0).select(col("segment"),
+        col("n").as("n0"), col("sy").as("sy0"), col("syy").as("syy0"))
+      val a1 = st.filter(col("arm") === 1).select(
+        col("segment").as("seg1"), col("n").as("n1"),
+        col("sy").as("sy1"), col("syy").as("syy1"))
+      def m(n: Column, sy: Column): Column =
+        sy.cast("double") / n.cast("double")
+      def v(n: Column, sy: Column, syy: Column): Column =
+        (n.cast(d38) * syy - sy * sy).cast("double") /
+          (n.cast(d38) * (n - 1).cast(d38)).cast("double")
+      val perSeg = a0.join(a1, col("segment") === col("seg1"))
+        .filter(col("n0") > 1 && col("n1") > 1)
+        .select(col("segment"), col("n0"), col("n1"),
+          ((m(col("n1"), col("sy1")) - m(col("n0"), col("sy0"))) /
+            sqrt(v(col("n1"), col("sy1"), col("syy1")) /
+              col("n1").cast("double") +
+              v(col("n0"), col("sy0"), col("syy0")) /
+                col("n0").cast("double"))).as("z"))
+      val withP = perSeg
+        .withColumn("x", abs(col("z")) * lit(0.7071067811865476))
+        .withColumn("t",
+          lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+        .withColumn("p_micro", expr(pMicroSql))
+        .drop("x", "t")
+      val cnt = withP.agg(count(lit(1)).as("m"))
+      val ranked = withP.crossJoin(broadcast(cnt))
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("p_micro").asc, col("segment").asc))
+          .cast("bigint"))
+      val kbh = ranked.agg(max(when(expr("p_micro * m <= 50000 * i"),
+        col("i")).otherwise(0L)).as("kbh"))
+      ranked.crossJoin(broadcast(kbh))
+        .select(col("segment"), col("n0"), col("n1"), col("z"),
+          col("p_micro"), (col("i") <= col("kbh")).as("bh_reject"))
+    },
+
     "ab8_funnel_by_arm" -> { (s, dir) =>
       val e = Tables.eventsUs(s, dir)
         .select(col("user_id"), col("event_type"), col("ts").as("ts_us"))
@@ -398,6 +470,16 @@ object ExperimentQueries {
 
   private val armSql =
     "(CAST(('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) % 2"
+
+  /** Two-sided normal p-value in micro units from columns `x` (=|z|/√2)
+    * and `t` (=1/(1+0.3275911·x)): the Abramowitz–Stegun 7.1.26 erf
+    * polynomial in Horner form. The SAME text runs on both engines
+    * (Spark `expr` and the DuckDB oracle), so the fixed IEEE tree and
+    * its single exp round identically. */
+  private val pMicroSql =
+    "least(CAST(FLOOR(1000000.0 * ((t * (0.254829592 + t * " +
+      "(-0.284496736 + t * (1.421413741 + t * (-1.453152027 + " +
+      "t * 1.061405429))))) * exp(-(x * x)))) AS BIGINT), 1000000)"
 
   def oracleSql: Map[String, String] = Map(
     "ab9_winsorized_diff" ->
@@ -644,6 +726,59 @@ object ExperimentQueries {
          |    CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
          |      CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)) AS z
          |FROM p""".stripMargin,
+    "ab10_fdr_bh" ->
+      s"""WITH seg AS (
+         |  SELECT user_id, event_type AS segment FROM (
+         |    SELECT user_id, event_type,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+         |    FROM events GROUP BY user_id, event_type) z
+         |  WHERE rk = 1),
+         |mn AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= mn.d0 + 15
+         |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM events CROSS JOIN mn GROUP BY user_id),
+         |j AS (SELECT p.y, p.arm, s.segment
+         |      FROM per p JOIN seg s USING (user_id)),
+         |st AS (
+         |  SELECT segment, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS HUGEINT) AS sy,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM j GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a0.segment, a0.n AS n0, a0.sy AS sy0, a0.syy AS syy0,
+         |         a1.n AS n1, a1.sy AS sy1, a1.syy AS syy1
+         |  FROM st a0 JOIN st a1
+         |    ON a0.segment = a1.segment AND a0.arm = 0 AND a1.arm = 1
+         |  WHERE a0.n > 1 AND a1.n > 1),
+         |zs AS (
+         |  SELECT segment, n0, n1,
+         |    (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |      CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+         |    sqrt(
+         |      CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) /
+         |        CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) +
+         |      CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
+         |        CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)) AS z
+         |  FROM p),
+         |w1 AS (SELECT segment, n0, n1, z,
+         |         abs(z) * 0.7071067811865476 AS x FROM zs),
+         |w2 AS (SELECT segment, n0, n1, z, x,
+         |         1.0 / (1.0 + 0.3275911 * x) AS t FROM w1),
+         |pp AS (SELECT segment, n0, n1, z,
+         |         $pMicroSql AS p_micro FROM w2),
+         |cnt AS (SELECT COUNT(*) AS m FROM pp),
+         |rk AS (SELECT pp.*, m,
+         |    ROW_NUMBER() OVER (ORDER BY p_micro ASC, segment ASC) AS i
+         |  FROM pp CROSS JOIN cnt),
+         |kk AS (SELECT MAX(CASE WHEN p_micro * m <= 50000 * i
+         |         THEN i ELSE 0 END) AS kbh FROM rk)
+         |SELECT segment, n0, n1, z, p_micro, i <= kbh AS bh_reject
+         |FROM rk CROSS JOIN kk""".stripMargin,
     "ab6_sequential_monitor" ->
       s"""WITH d AS (
          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,

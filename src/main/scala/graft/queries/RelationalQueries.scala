@@ -1278,6 +1278,49 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"), shares: _*)
     },
 
+    // D43 (beyond reference): THEIL-INDEX inequality DECOMPOSITION —
+    // d42's Lorenz curve says how unequal revenue is; Theil says WHERE
+    // the inequality lives, because it decomposes exactly:
+    // T = Σ_g s_g·T_g (within groups) + Σ_g s_g·ln(μ_g/μ) (between).
+    // Per-row terms (x/μ_g)·ln(x/μ_g) are floor-quantized to micro so
+    // each group's sum is an order-free integer; group shares and the
+    // between terms are one fixed IEEE tree over broadcast scalars. The
+    // corpus is touched once (a broadcast join against the ≤5-row group
+    // stats and a rollup); every division that can see a negative
+    // numerator uses FLOOR on a double (never integer div — engines
+    // disagree on flooring vs truncation there).
+    "d43_theil_decomposition" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"),
+          expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+        .filter(col("cents") > 0)
+      val grp = o.groupBy("priority")
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("cents").cast(d38)).as("s_g"))
+      val tot = grp.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"))
+      val rg = col("cents").cast("double") * col("n_g").cast("double") /
+        col("s_g").cast("double")
+      val terms = o.join(broadcast(grp), "priority")
+        .select(col("priority"),
+          floor(lit(1e6) * (rg * log(rg))).cast("bigint")
+            .as("term_micro"))
+        .groupBy("priority").agg(sum(col("term_micro")).as("sum_term"))
+      grp.join(terms, "priority").crossJoin(broadcast(tot))
+        .select(col("priority"), col("n_g").as("n_orders"),
+          col("s_g").cast("bigint").as("sum_cents"),
+          floor(lit(1e6) * (col("s_g").cast("double") /
+            col("s").cast("double"))).cast("bigint").as("share_micro"),
+          floor(col("sum_term").cast("double") /
+            col("n_g").cast("double")).cast("bigint")
+            .as("theil_within_micro"),
+          floor(lit(1e6) * ((col("s_g").cast("double") /
+            col("s").cast("double")) *
+            log((col("s_g").cast("double") * col("n").cast("double")) /
+              (col("s").cast("double") * col("n_g").cast("double")))))
+            .cast("bigint").as("between_term_micro"))
+    },
+
     // C14 (beyond reference): join-FANOUT audit — the pre-flight a
     // pipeline runs before shipping a join: per-key multiplicities on
     // both sides give the EXACT output cardinality (Σ nL·nR), the worst
@@ -2107,6 +2150,35 @@ object RelationalQueries {
          |$shares
          |FROM rk GROUP BY grp""".stripMargin
     },
+    "d43_theil_decomposition" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > 0),
+        |grp AS (SELECT priority, COUNT(*) AS n_g,
+        |        CAST(SUM(cents) AS HUGEINT) AS s_g FROM o GROUP BY 1),
+        |tot AS (SELECT SUM(n_g) AS n, SUM(s_g) AS s FROM grp),
+        |terms AS (
+        |  SELECT priority,
+        |    SUM(CAST(FLOOR(1000000.0 * (
+        |      (CAST(cents AS DOUBLE) * CAST(n_g AS DOUBLE)
+        |        / CAST(s_g AS DOUBLE)) *
+        |      ln(CAST(cents AS DOUBLE) * CAST(n_g AS DOUBLE)
+        |        / CAST(s_g AS DOUBLE)))) AS BIGINT)) AS sum_term
+        |  FROM o JOIN grp USING (priority) GROUP BY 1)
+        |SELECT grp.priority, CAST(grp.n_g AS BIGINT) AS n_orders,
+        |  CAST(grp.s_g AS BIGINT) AS sum_cents,
+        |  CAST(FLOOR(1000000.0 * (CAST(s_g AS DOUBLE)
+        |    / CAST(s AS DOUBLE))) AS BIGINT) AS share_micro,
+        |  CAST(FLOOR(CAST(sum_term AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |    AS BIGINT) AS theil_within_micro,
+        |  CAST(FLOOR(1000000.0 * ((CAST(s_g AS DOUBLE)
+        |      / CAST(s AS DOUBLE)) *
+        |    ln((CAST(s_g AS DOUBLE) * CAST(n AS DOUBLE))
+        |      / (CAST(s AS DOUBLE) * CAST(n_g AS DOUBLE)))))
+        |    AS BIGINT) AS between_term_micro
+        |FROM grp JOIN terms USING (priority) CROSS JOIN tot""".stripMargin,
     "c14_join_fanout_audit" ->
       """WITH lk AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT)
         |              AS n_left FROM lineitem GROUP BY 1),

@@ -90,6 +90,85 @@ object ScoringQueries {
         bias = 0L)
     },
 
+    // CP1 (beyond reference): SPLIT-CONFORMAL calibration — the
+    // distribution-free coverage guarantee for ml1's classifier: on an
+    // md5 calibration split, rank the signed nonconformity score
+    // (−score for the true class, +score otherwise) and take the
+    // ⌈0.9·(n+1)⌉-th order statistic as the threshold q̂; on the
+    // held-out split, the prediction SET is every class whose
+    // nonconformity ≤ q̂, and the audit reports empirical coverage and
+    // mean set size (the conformal promise: coverage ≥ 90%). The order
+    // statistic rides GlobalRank's two-pass global row number
+    // (range-partitioned — no single-partition sort) and is picked by
+    // conditional min; everything downstream is exact integer
+    // arithmetic over two broadcast scalar rows.
+    "cp1_split_conformal" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val docs = docsSpread(s, dir)
+      val d = Scoring.hashedLinearScore(docs)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("en")), "doc_id")
+        .withColumn("a",
+          when(col("en"), -col("score")).otherwise(col("score")))
+        .withColumn("gate", Sampling.bucket(col("doc_id"), "cp1") % 2)
+      val cal = d.filter(col("gate") === 0)
+        .select(col("a"), col("doc_id"))
+      val nc = cal.agg(count(lit(1)).as("n_cal"))
+      val calr = GlobalRank.withGlobalRowNumber(cal,
+        Seq(col("a"), col("doc_id")), out = "rn")
+      val q = calr.crossJoin(broadcast(nc)).groupBy("n_cal")
+        .agg(min(when(
+          col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"),
+          col("a"))).as("qhat"))
+      d.filter(col("gate") =!= 0).crossJoin(broadcast(q))
+        .groupBy("n_cal", "qhat")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)).as("cov"),
+          sum(when(-col("score") <= col("qhat"), 1L).otherwise(0L) +
+            when(col("score") <= col("qhat"), 1L).otherwise(0L))
+            .as("ss"))
+        .select(col("n_cal"), col("qhat"), col("n_test"),
+          expr("cov * 1000000 div n_test").as("coverage_micro"),
+          expr("ss * 1000000 div n_test").as("avg_set_micro"))
+    },
+
+    // ML19 (beyond reference): CONFIDENT-LEARNING label-noise audit
+    // (Northcutt et al.): an example is counted as confidently class c
+    // when its score crosses class c's self-confidence threshold (the
+    // mean score of examples LABELED c); the (label, confident-class)
+    // joint's off-diagonal cells estimate how much of the corpus is
+    // mislabeled — the table that decides whether lang tags can be
+    // trusted as training labels. Thresholds are two broadcast scalars
+    // (kept as exact-ratio doubles — no negative integer division);
+    // scoring and the joint are one scan plus a 5-cell rollup.
+    "ml19_confident_learning" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val d = Scoring.hashedLinearScore(docs)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("en")), "doc_id")
+        .select(col("en"), col("score").as("sc"))
+        .withColumn("sd", col("sc").cast("double"))
+      val th = d.groupBy("en")
+        .agg(count(lit(1)).as("n"), sum(col("sc")).as("ssum"))
+        .select(col("en"),
+          (col("ssum").cast("double") / col("n").cast("double")).as("t"))
+      val t = th.agg(min(when(col("en"), col("t"))).as("t_en"),
+        min(when(!col("en"), col("t"))).as("t_other"))
+      val cnt = d.crossJoin(broadcast(t))
+        .withColumn("chat",
+          when(col("sd") >= col("t_en") && col("sd") <= col("t_other"),
+            when(col("sd") - col("t_en") >= col("t_other") - col("sd"),
+              lit("en")).otherwise(lit("other")))
+            .when(col("sd") >= col("t_en"), lit("en"))
+            .when(col("sd") <= col("t_other"), lit("other"))
+            .otherwise(lit(null).cast("string")))
+        .groupBy("en", "chat").agg(count(lit(1)).as("n"))
+      val perLab = cnt.groupBy("en").agg(sum(col("n")).as("n_label"))
+      cnt.join(perLab, "en")
+        .select(col("en"), col("chat"), col("n"),
+          expr("n * 1000000 div n_label").as("share_micro"))
+    },
+
     // ML17 (beyond reference): McNEMAR'S paired test — is the trained
     // model (ml14) actually BETTER than the formula baseline (ml1), or
     // do they just disagree randomly? Accuracy deltas on the same corpus
@@ -1190,6 +1269,69 @@ object ScoringQueries {
          |      $weightSql)) AS BIGINT) AS score
          |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
          |        FROM documents))""".stripMargin,
+    "cp1_split_conformal" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |        FROM documents)),
+         |lab AS (SELECT doc_id, lang = 'en' AS en FROM documents),
+         |d AS (
+         |  SELECT sc.doc_id, score, en,
+         |    CASE WHEN en THEN -score ELSE score END AS a,
+         |    CAST(('0x' || substr(md5('cp1:' ||
+         |      CAST(sc.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000 % 2 AS gate
+         |  FROM sc JOIN lab USING (doc_id)),
+         |cal AS (SELECT a, doc_id FROM d WHERE gate = 0),
+         |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+         |calr AS (SELECT a,
+         |    ROW_NUMBER() OVER (ORDER BY a, doc_id) AS rn FROM cal),
+         |q AS (
+         |  SELECT n_cal, MIN(CASE WHEN
+         |      rn = (9 * (n_cal + 1) + 9) // 10 THEN a END) AS qhat
+         |  FROM calr CROSS JOIN nc GROUP BY n_cal)
+         |SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+         |  CAST(q.qhat AS BIGINT) AS qhat,
+         |  CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  CAST(SUM(CASE WHEN a <= qhat THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS coverage_micro,
+         |  CAST(SUM((CASE WHEN -score <= qhat THEN 1 ELSE 0 END)
+         |    + (CASE WHEN score <= qhat THEN 1 ELSE 0 END))
+         |    * 1000000 // COUNT(*) AS BIGINT) AS avg_set_micro
+         |FROM d CROSS JOIN q WHERE gate <> 0
+         |GROUP BY 1, 2""".stripMargin,
+    "ml19_confident_learning" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |        FROM documents)),
+         |lab AS (SELECT doc_id, lang = 'en' AS en FROM documents),
+         |d AS (SELECT en, score AS sc2,
+         |        CAST(score AS DOUBLE) AS sd
+         |      FROM sc JOIN lab USING (doc_id)),
+         |th AS (
+         |  SELECT en,
+         |    CAST(SUM(sc2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS t
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT MIN(CASE WHEN en THEN t END) AS t_en,
+         |        MIN(CASE WHEN NOT en THEN t END) AS t_other FROM th),
+         |c AS (
+         |  SELECT en,
+         |    CASE WHEN sd >= t_en AND sd <= t_other THEN
+         |        (CASE WHEN sd - t_en >= t_other - sd
+         |         THEN 'en' ELSE 'other' END)
+         |      WHEN sd >= t_en THEN 'en'
+         |      WHEN sd <= t_other THEN 'other' END AS chat
+         |  FROM d CROSS JOIN t),
+         |cnt AS (SELECT en, chat, COUNT(*) AS n FROM c GROUP BY 1, 2),
+         |pl AS (SELECT en, SUM(n) AS n_label FROM cnt GROUP BY 1)
+         |SELECT cnt.en, cnt.chat, CAST(cnt.n AS BIGINT) AS n,
+         |  CAST(cnt.n * 1000000 // pl.n_label AS BIGINT) AS share_micro
+         |FROM cnt JOIN pl USING (en)""".stripMargin,
     "ml14_trained_score" -> {
       val wList = trainedWeights.mkString("[", ",", "]")
       s"""SELECT doc_id, n_terms, score, score >= 0 AS keep FROM (
