@@ -280,6 +280,55 @@ object EventQueries {
     // five whales?" — and for training-data purposes, whether user-keyed
     // shuffles will be skew-bound. GlobalRank's two-pass layout keeps
     // the rank global without a single-partition window.
+    // EV54 (beyond reference): KAPLAN–MEIER churn curve — the survival
+    // estimator over user lifetimes (last-minus-first active day), with
+    // users still active on the corpus's final day treated as CENSORED
+    // (the right-censoring that naive "days until last event"
+    // histograms get wrong). The product-limit Π(1 − d_i/n_i) runs in
+    // log space: each churn day's ln(1 − d/n) is floor-quantized to
+    // micro once, the cumulative sum is exact integers, and one exp at
+    // the end recovers S(t). If the risk set ever empties (d = n), S
+    // pins to exactly 0 from that day on via a windowed flag — no
+    // ln(0). The corpus-sized work is one per-user rollup; every window
+    // rides the DAY-grain lifetime table (bounded by the observation
+    // span, not the corpus — the ts-family contract).
+    "ev54_kaplan_meier" -> { (s, dir) =>
+      val ev = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      val mx = ev.agg(max(col("day")).as("maxd"))
+      val per = ev.groupBy("user_id")
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("ld") - col("fd")).as("t"),
+          (col("ld") < col("maxd")).as("churned"))
+      val u = per.agg(count(lit(1)).as("n_users"))
+      val byT = per.groupBy("t")
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+          sum(when(!col("churned"), 1L).otherwise(0L)).as("c"))
+      val w = Window.orderBy(col("t").asc)
+      val cumPrev = sum(col("d") + col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val risked = byT.crossJoin(broadcast(u))
+        .withColumn("n_risk",
+          col("n_users") - coalesce(cumPrev, lit(0L)))
+      val term = when(col("d") > 0 && col("n_risk") > col("d"),
+        floor(lit(1e6) *
+          log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double"))).cast("bigint"))
+        .otherwise(0L)
+      val cumw =
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      risked.withColumn("ls", sum(term).over(cumw))
+        .withColumn("dead", max(when(col("d") > 0 &&
+          col("n_risk") === col("d"), 1L).otherwise(0L)).over(cumw))
+        .select(col("t").as("t_days"), col("d").as("n_churn"),
+          col("c").as("n_censored"), col("n_risk"),
+          when(col("dead") === 1, 0L)
+            .otherwise(floor(lit(1e6) *
+              exp(col("ls").cast("double") / lit(1e6))).cast("bigint"))
+            .as("s_micro"))
+    },
+
     "ev53_engagement_gini" -> { (s, dir) =>
       import graft.operators.GlobalRank
       val n = Tables.eventsUs(s, dir).groupBy("user_id")
@@ -2087,6 +2136,47 @@ object EventQueries {
         |     CAST(n_ij AS DOUBLE) + 1.0)) /
         |  (CAST(n_ij AS DOUBLE) + 4.0) AS wilson_lb
         |FROM stats""".stripMargin,
+    "ev54_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id,
+        |        epoch_us(ts) // 86400000000 AS day FROM events),
+        |mx AS (SELECT MAX(day) AS maxd FROM ev),
+        |per AS (
+        |  SELECT user_id, MAX(day) - MIN(day) AS t,
+        |    MAX(day) < mx.maxd AS churned
+        |  FROM ev CROSS JOIN mx GROUP BY user_id, mx.maxd),
+        |u AS (SELECT COUNT(*) AS n_users FROM per),
+        |byt AS (SELECT t,
+        |    SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+        |    SUM(CASE WHEN NOT churned THEN 1 ELSE 0 END) AS c
+        |  FROM per GROUP BY 1),
+        |risked AS (
+        |  SELECT t, d, c,
+        |    n_users - COALESCE(SUM(d + c) OVER (ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM byt CROSS JOIN u),
+        |term AS (
+        |  SELECT t, d, c, n_risk,
+        |    CASE WHEN d > 0 AND n_risk > d THEN
+        |      CAST(FLOOR(1000000.0 * ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE))) AS BIGINT)
+        |    ELSE 0 END AS tm
+        |  FROM risked),
+        |fin AS (
+        |  SELECT t, d, c, n_risk,
+        |    SUM(tm) OVER (ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+        |    MAX(CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM term)
+        |SELECT t AS t_days, CAST(d AS BIGINT) AS n_churn,
+        |  CAST(c AS BIGINT) AS n_censored,
+        |  CAST(n_risk AS BIGINT) AS n_risk,
+        |  CASE WHEN dead = 1 THEN 0 ELSE
+        |    CAST(FLOOR(1000000.0 * exp(CAST(ls AS DOUBLE) / 1000000.0))
+        |      AS BIGINT) END AS s_micro
+        |FROM fin""".stripMargin,
     "ev53_engagement_gini" ->
       """WITH n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
         |           FROM events GROUP BY 1),

@@ -317,6 +317,51 @@ object ExperimentQueries {
     // readout that turns ab3's "spend went up" into "clicks convert to
     // purchases 8% more often" — same three min-aggregates as ev8 with
     // the arm key riding the user_id exchange.
+    // AB11 (beyond reference): DIFFERENCE-IN-DIFFERENCES — the readout
+    // when arms differ at baseline (a botched ramp, a pre-existing
+    // cohort skew): each arm's post-minus-pre change is computed from
+    // exact integer sufficient statistics and the effect is the change
+    // OF the changes, (ȳ₁−x̄₁) − (ȳ₀−x̄₀), cancelling any additive
+    // baseline gap that CUPED (ab1) would instead model away. One
+    // per-user rollup (the only corpus-sized shuffle), a 2-row arm
+    // rollup, and a 1-row pivot; the four means and the DiD are one
+    // fixed IEEE tree.
+    "ab11_diff_in_diff" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val byArm = per.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"))
+      val piv = byArm.agg(
+        min(when(col("arm") === 0, col("n"))).as("n0"),
+        min(when(col("arm") === 1, col("n"))).as("n1"),
+        min(when(col("arm") === 0, col("sx"))).as("sx0"),
+        min(when(col("arm") === 1, col("sx"))).as("sx1"),
+        min(when(col("arm") === 0, col("sy"))).as("sy0"),
+        min(when(col("arm") === 1, col("sy"))).as("sy1"))
+      def mm(sv: Column, n: Column): Column =
+        sv.cast("double") / n.cast("double")
+      piv.select(col("n0").cast("bigint").as("n0"),
+        col("n1").cast("bigint").as("n1"),
+        mm(col("sx0"), col("n0")).as("pre_mean0"),
+        mm(col("sy0"), col("n0")).as("post_mean0"),
+        mm(col("sx1"), col("n1")).as("pre_mean1"),
+        mm(col("sy1"), col("n1")).as("post_mean1"),
+        ((mm(col("sy1"), col("n1")) - mm(col("sx1"), col("n1"))) -
+          (mm(col("sy0"), col("n0")) - mm(col("sx0"), col("n0"))))
+          .as("did"))
+    },
+
     // AB10 (beyond reference): BENJAMINI–HOCHBERG FDR control over
     // ab7's per-segment z-tests — the multiple-testing correction every
     // segment-sliced readout needs (at α=.05, six naive per-segment
@@ -726,6 +771,40 @@ object ExperimentQueries {
          |    CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
          |      CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)) AS z
          |FROM p""".stripMargin,
+    "ab11_diff_in_diff" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |ba AS (SELECT arm, COUNT(*) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+         |       CAST(SUM(y) AS HUGEINT) AS sy FROM per GROUP BY 1),
+         |piv AS (SELECT
+         |    MIN(CASE WHEN arm = 0 THEN n END) AS n0,
+         |    MIN(CASE WHEN arm = 1 THEN n END) AS n1,
+         |    MIN(CASE WHEN arm = 0 THEN sx END) AS sx0,
+         |    MIN(CASE WHEN arm = 1 THEN sx END) AS sx1,
+         |    MIN(CASE WHEN arm = 0 THEN sy END) AS sy0,
+         |    MIN(CASE WHEN arm = 1 THEN sy END) AS sy1
+         |  FROM ba)
+         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         |  CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pre_mean0,
+         |  CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS post_mean0,
+         |  CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS pre_mean1,
+         |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS post_mean1,
+         |  (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |    - CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |  - (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         |    - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS did
+         |FROM piv""".stripMargin,
     "ab10_fdr_bh" ->
       s"""WITH seg AS (
          |  SELECT user_id, event_type AS segment FROM (

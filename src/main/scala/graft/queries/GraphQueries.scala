@@ -345,6 +345,48 @@ object GraphQueries {
             .as("lcc_micro"))
     },
 
+    // GR22 (beyond reference): ADAMIC–ADAR link prediction — score every
+    // non-edge pair by Σ_w 1/ln(deg(w)) over common neighbors w: the
+    // classic "which links are missing" signal (dup candidates in a
+    // citation graph, related-doc suggestions in a link corpus). The
+    // pair fan-out is the one real hazard at scale, so eligibility is
+    // decided BEFORE expansion: only hub-capped common neighbors
+    // (1 < deg ≤ 50) expand into pairs — exactly the doc-frequency cap
+    // the dedup tier uses, and harmless here because a huge hub's
+    // 1/ln(deg) carries ~no signal. Each eligible w's term is
+    // floor-quantized to micro once, so pair scores are order-free
+    // integer sums; existing edges are removed by one anti-join and
+    // only pairs clearing 2.0 (≈ two strong shared neighbors) are
+    // emitted, so the output is the candidate shortlist, not the pair
+    // fan. n_common counts the ELIGIBLE (capped) witnesses — the same
+    // set the score sums over.
+    "gr22_adamic_adar" -> { (s, dir) =>
+      val edges = Graph.syntheticLinks(Tables.documents(s, dir))
+      val ue = edges
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val adj = ue.select(col("u").as("node"), col("v").as("nb"))
+        .unionByName(ue.select(col("v").as("node"), col("u").as("nb")))
+      val wterm = adj.groupBy(col("nb").as("w"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") > 1 && col("d") <= 50)
+        .select(col("w"),
+          floor(lit(1e6) / log(col("d").cast("double")))
+            .cast("bigint").as("term_micro"))
+      val l = adj.select(col("nb").as("w"), col("node").as("a"))
+        .join(wterm, "w")
+      val r = adj.select(col("nb").as("w2"), col("node").as("b"))
+      val pairs = l.join(r,
+          col("w") === col("w2") && col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"),
+          sum(col("term_micro")).as("aa_micro"))
+      pairs.join(ue.select(col("u").as("a"), col("v").as("b")),
+          Seq("a", "b"), "left_anti")
+        .filter(col("aa_micro") >= 2000000L)
+    },
+
     // Deterministic RANDOM-WALK sampling (DeepWalk/node2vec corpus
     // prep): one length-4 walk per node, the next hop drawn from the
     // ranked neighbor list by a seeded md5 index (the jlSign/s1
@@ -828,6 +870,37 @@ object GraphQueries {
         |SELECT node, CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_micro,
         |  CAST(COUNT(*) AS BIGINT) AS n_reached_from
         |FROM md WHERE hops > 0 GROUP BY node""".stripMargin,
+    "gr22_adamic_adar" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nd AS (SELECT doc_id AS node FROM documents),
+        |raw AS (
+        |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 13 + 1) % nn.n
+        |    FROM nd CROSS JOIN nn
+        |  UNION ALL SELECT node, (node * 31 + 2) % nn.n
+        |    FROM nd CROSS JOIN nn),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM raw WHERE src <> dst),
+        |adj AS (SELECT u AS node, v AS nb FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |wterm AS (
+        |  SELECT nb AS w,
+        |    CAST(FLOOR(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)))
+        |      AS BIGINT) AS term_micro
+        |  FROM adj GROUP BY nb
+        |  HAVING COUNT(*) > 1 AND COUNT(*) <= 50),
+        |pairs AS (
+        |  SELECT l.node AS a, r.node AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    CAST(SUM(w.term_micro) AS BIGINT) AS aa_micro
+        |  FROM adj l JOIN wterm w ON l.nb = w.w
+        |       JOIN adj r ON r.nb = l.nb AND l.node < r.node
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_common, aa_micro FROM pairs
+        |WHERE aa_micro >= 2000000
+        |  AND NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.u = pairs.a AND e.v = pairs.b)""".stripMargin,
     "gr19_local_clustering" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         |nd AS (SELECT doc_id AS node FROM documents),
