@@ -317,6 +317,66 @@ object ExperimentQueries {
     // readout that turns ab3's "spend went up" into "clicks convert to
     // purchases 8% more often" — same three min-aggregates as ev8 with
     // the arm key riding the user_id exchange.
+    // AB12 (beyond reference): STRATIFIED IPW / standardization — the
+    // OBSERVATIONAL causal readout (no randomized arm): does being a
+    // purchase-dominant user CAUSE higher post-period spend, adjusting
+    // for activity volume? With a discrete confounder the inverse-
+    // propensity estimate collapses to exact stratification: within
+    // each activity stratum (log2-banded event count — a fixed integer
+    // CASE, no data-derived cut), the treated/control means difference
+    // is weighted by the stratum's population share. Output is
+    // stratum-grain: the propensity e_s, both means, and the stratum's
+    // additive contribution to the ATE (NULL when a stratum lacks one
+    // group — standard positivity failure, surfaced not hidden). One
+    // per-user rollup is the only corpus-sized shuffle.
+    "ab12_ipw_ate" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val ev = Tables.eventsUs(s, dir)
+      val modal = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("n").desc, col("event_type").asc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"),
+          (col("event_type") === "purchase").as("treated"))
+      val mn = ev.select(expr("ts div 86400000000").as("day"))
+        .agg(min(col("day")).as("d0"))
+      val per = ev.select(col("user_id"),
+          expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+        .crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("day") >= col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("y"))
+        .join(modal, "user_id")
+        .withColumn("stratum",
+          when(col("n_ev") >= 8, 3L).when(col("n_ev") >= 4, 2L)
+            .when(col("n_ev") >= 2, 1L).otherwise(0L))
+      val tot = per.agg(count(lit(1)).as("n_all"))
+      val st = per.groupBy("stratum")
+        .agg(count(lit(1)).as("n_s"),
+          sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+          sum(when(col("treated"), col("y").cast(d38))
+            .otherwise(lit(0).cast(d38))).as("sy1"),
+          sum(when(!col("treated"), col("y").cast(d38))
+            .otherwise(lit(0).cast(d38))).as("sy0"))
+      st.crossJoin(broadcast(tot))
+        .select(col("stratum"), col("n_s"),
+          expr("nt * 1000000 div n_s").as("e_micro"),
+          when(col("nt") > 0, col("sy1").cast("double") /
+            col("nt").cast("double")).as("mean_treated"),
+          when(col("n_s") - col("nt") > 0, col("sy0").cast("double") /
+            (col("n_s") - col("nt")).cast("double")).as("mean_control"),
+          when(col("nt") > 0 && col("n_s") - col("nt") > 0,
+            (col("n_s").cast("double") / col("n_all").cast("double")) *
+              (col("sy1").cast("double") / col("nt").cast("double") -
+                col("sy0").cast("double") /
+                  (col("n_s") - col("nt")).cast("double")))
+            .as("ate_contrib"))
+    },
+
     // AB11 (beyond reference): DIFFERENCE-IN-DIFFERENCES — the readout
     // when arms differ at baseline (a botched ramp, a pre-existing
     // cohort skew): each arm's post-minus-pre change is computed from
@@ -771,6 +831,49 @@ object ExperimentQueries {
          |    CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
          |      CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)) AS z
          |FROM p""".stripMargin,
+    "ab12_ipw_ate" ->
+      """WITH modal AS (
+        |  SELECT user_id, event_type = 'purchase' AS treated FROM (
+        |    SELECT user_id, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+        |    FROM events GROUP BY user_id, event_type) z
+        |  WHERE rk = 1),
+        |mn AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+        |per AS (
+        |  SELECT user_id, COUNT(*) AS n_ev,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= mn.d0 + 15
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events CROSS JOIN mn GROUP BY user_id),
+        |j AS (
+        |  SELECT p.user_id, p.y, m.treated,
+        |    CASE WHEN p.n_ev >= 8 THEN 3 WHEN p.n_ev >= 4 THEN 2
+        |      WHEN p.n_ev >= 2 THEN 1 ELSE 0 END AS stratum
+        |  FROM per p JOIN modal m USING (user_id)),
+        |tot AS (SELECT COUNT(*) AS n_all FROM j),
+        |st AS (
+        |  SELECT stratum, COUNT(*) AS n_s,
+        |    SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS nt,
+        |    CAST(SUM(CASE WHEN treated THEN y ELSE 0 END)
+        |      AS HUGEINT) AS sy1,
+        |    CAST(SUM(CASE WHEN NOT treated THEN y ELSE 0 END)
+        |      AS HUGEINT) AS sy0
+        |  FROM j GROUP BY 1)
+        |SELECT CAST(stratum AS BIGINT) AS stratum,
+        |  CAST(n_s AS BIGINT) AS n_s,
+        |  CAST(nt * 1000000 // n_s AS BIGINT) AS e_micro,
+        |  CASE WHEN nt > 0 THEN CAST(sy1 AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    END AS mean_treated,
+        |  CASE WHEN n_s - nt > 0 THEN
+        |    CAST(sy0 AS DOUBLE) / CAST(n_s - nt AS DOUBLE)
+        |    END AS mean_control,
+        |  CASE WHEN nt > 0 AND n_s - nt > 0 THEN
+        |    (CAST(n_s AS DOUBLE) / CAST(n_all AS DOUBLE)) *
+        |      (CAST(sy1 AS DOUBLE) / CAST(nt AS DOUBLE) -
+        |        CAST(sy0 AS DOUBLE) / CAST(n_s - nt AS DOUBLE))
+        |    END AS ate_contrib
+        |FROM st CROSS JOIN tot""".stripMargin,
     "ab11_diff_in_diff" ->
       s"""WITH d AS (
          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,

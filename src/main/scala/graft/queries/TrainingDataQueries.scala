@@ -2708,6 +2708,84 @@ object TrainingDataQueries {
           expr("n_gated * 1000000 div n_all").as("gate_pass_micro"))
     },
 
+    // S17 (beyond reference): RAKING (iterative proportional fitting) —
+    // the survey-statistics reweighting a curation pipeline uses when
+    // it must hit TWO margins at once: here, rebalance language shares
+    // to uniform while preserving each source's observed share. Two
+    // unrolled IPF rounds over the (lang × source) CELL table (metadata
+    // grain — L·S rows after one corpus rollup): round 1 scales every
+    // cell to the uniform language target, round 2 rescales to restore
+    // the source margins round 1 disturbed. Weights stay micro
+    // integers; every product runs in decimal(38,0) (HUGEINT in the
+    // oracle) so nothing overflows at corpus scale, and every division
+    // is nonneg div nonneg — engine-identical.
+    "s17_raking_weights" -> { (s, dir) =>
+      val cells = docsSpread(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("t"),
+        countDistinct(col("lang")).as("nl"))
+      val w1 = cells.groupBy("lang").agg(sum(col("n")).as("n_l"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"),
+          expr("""cast(t as decimal(38,0)) * 1000000 div nl * 1000000
+                 |  div (cast(n_l as decimal(38,0)) * 1000000)"""
+            .stripMargin.replace("\n", " ")).cast("bigint")
+            .as("w1_micro"))
+      val c1 = cells.join(broadcast(w1), "lang")
+      val f2 = c1.groupBy("source")
+        .agg(sum(col("n")).as("n_s"),
+          sum(expr("cast(n as decimal(38,0)) * w1_micro")).as("cur2"))
+        .select(col("source"),
+          expr("""cast(n_s as decimal(38,0)) * 1000000 * 1000000
+                 |  div cur2""".stripMargin.replace("\n", " "))
+            .cast("bigint").as("f2_micro"))
+      c1.join(broadcast(f2), "source")
+        .select(col("lang"), col("source"), col("n"), col("w1_micro"),
+          expr("""cast(w1_micro as decimal(38,0)) * f2_micro
+                 |  div 1000000""".stripMargin.replace("\n", " "))
+            .cast("bigint").as("w2_micro"))
+    },
+
+    // SIM19 (beyond reference): MAHALANOBIS OOD scoring — distance to
+    // the corpus's embedding distribution under a DIAGONAL covariance
+    // (the production OOD filter: full Σ⁻¹ is dim²·corpus work and
+    // numerically fragile; per-dimension standardization catches the
+    // same gross outliers). One lane rollup to DIM grain (64 rows of
+    // exact integer moments over micro-quantized lanes), broadcast
+    // back, and each (row, dim) term (x−μ)²/σ² is floor-quantized to
+    // micro so the per-row sum is order-free integers. `ood` flags
+    // md² > 2× its expectation (128 = 2·64 dims). Zero-variance lanes
+    // contribute 0 (the NaN/Inf guard is the `vr > 0` branch — both
+    // engines agree because the doubles are the same fixed tree).
+    "sim19_mahalanobis_ood" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val lanes = Tables.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000).cast("long"))))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").as("v"))
+      val st = lanes.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("sx"),
+          sum((col("v") * col("v")).cast(d38)).as("sxx"))
+        .select(col("dim"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+          ((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("n").cast(d38) * (col("n") - 1).cast(d38))
+              .cast("double")).as("vr"))
+      lanes.join(broadcast(st), "dim")
+        .select(col("vec_id"),
+          when(col("vr") > 0,
+            floor(lit(1e6) *
+              ((col("v").cast("double") - col("mu")) *
+                (col("v").cast("double") - col("mu")) / col("vr")))
+              .cast("bigint")).otherwise(0L).as("term_micro"))
+        .groupBy("vec_id")
+        .agg(sum(col("term_micro")).as("md2_micro"))
+        .withColumn("ood", col("md2_micro") > lit(128000000L))
+    },
+
     // S16 (beyond reference): DSIR-style importance weights — data
     // selection via importance resampling in its hashed-feature form:
     // score every document by how much more likely its tokens are under
@@ -3972,6 +4050,58 @@ object TrainingDataQueries {
         |           CAST(b.n * (b.n - 1) AS DOUBLE) / CAST(b.n AS DOUBLE))
         |  END AS t_stat
         |FROM st a JOIN st b ON a.source < b.source""".stripMargin,
+    "s17_raking_weights" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n) AS t, COUNT(DISTINCT lang) AS nl
+        |        FROM cells),
+        |w1 AS (
+        |  SELECT lang,
+        |    CAST(CAST(n_l0.t AS HUGEINT) * 1000000 // n_l0.nl * 1000000
+        |      // (CAST(n_l0.n_l AS HUGEINT) * 1000000) AS BIGINT)
+        |      AS w1_micro
+        |  FROM (SELECT lang, SUM(n) AS n_l, t, nl
+        |        FROM cells CROSS JOIN tot GROUP BY 1, 3, 4) n_l0),
+        |c1 AS (SELECT c.lang, c.source, c.n, w1.w1_micro
+        |       FROM cells c JOIN w1 USING (lang)),
+        |f2 AS (
+        |  SELECT source,
+        |    CAST(CAST(SUM(n) AS HUGEINT) * 1000000 * 1000000
+        |      // SUM(CAST(n AS HUGEINT) * w1_micro) AS BIGINT)
+        |      AS f2_micro
+        |  FROM c1 GROUP BY 1)
+        |SELECT c1.lang, c1.source, CAST(c1.n AS BIGINT) AS n,
+        |  c1.w1_micro,
+        |  CAST(CAST(c1.w1_micro AS HUGEINT) * f2.f2_micro // 1000000
+        |    AS BIGINT) AS w2_micro
+        |FROM c1 JOIN f2 USING (source)""".stripMargin,
+    "sim19_mahalanobis_ood" ->
+      """WITH lanes AS (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS v
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS t(i)),
+        |st AS (
+        |  SELECT dim, COUNT(*) AS n, CAST(SUM(v) AS HUGEINT) AS sx,
+        |    SUM(CAST(v AS HUGEINT) * v) AS sxx
+        |  FROM lanes GROUP BY 1),
+        |st2 AS (
+        |  SELECT dim, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) AS vr
+        |  FROM st),
+        |terms AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vr > 0 THEN
+        |      CAST(FLOOR(1000000.0 * ((CAST(v AS DOUBLE) - mu) *
+        |        (CAST(v AS DOUBLE) - mu) / vr)) AS BIGINT)
+        |    ELSE 0 END AS term_micro
+        |  FROM lanes JOIN st2 USING (dim))
+        |SELECT vec_id, CAST(SUM(term_micro) AS BIGINT) AS md2_micro,
+        |  SUM(term_micro) > 128000000 AS ood
+        |FROM terms GROUP BY 1""".stripMargin,
     "s16_dsir_weights" ->
       s"""WITH tok AS (
          |  SELECT doc_id, lang = 'en' AS tgt,
