@@ -1278,6 +1278,41 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"), shares: _*)
     },
 
+    // D44 (beyond reference): HILL tail-index estimator — how heavy is
+    // the revenue tail? γ̂ = (1/k)·Σ ln(x_(i)/x_(k+1)) over the k = 100
+    // largest values; α̂ = 1/γ̂ < 2 means infinite variance (means and
+    // z-tests stop being trustworthy — the diagnostic that tells the
+    // ab-family which metrics need winsorizing). The k+1 order
+    // statistics come from ONE GlobalRank descending pass (range
+    // partitioned, no single-partition sort at any corpus size); each
+    // log ratio is floor-quantized to micro (all ≥ 0 by construction,
+    // so integer division stays engine-identical), and the two scalars
+    // fold in a 1-row broadcast.
+    "d44_hill_estimator" -> { (s, dir) =>
+      val k = 100L
+      val o = Tables.orders(s, dir)
+        .select(expr("cast(floor(o_totalprice * 100) as bigint)")
+          .as("cents"), col("o_orderkey"))
+        .filter(col("cents") > 0)
+      val rn = graft.operators.GlobalRank.withGlobalRowNumber(o,
+        Seq(col("cents").desc, col("o_orderkey")), out = "rn")
+      val thr = rn.filter(col("rn") === (k + 1))
+        .agg(min(col("cents")).as("xk1"))
+      rn.filter(col("rn") <= k).crossJoin(broadcast(thr))
+        .agg(count(lit(1)).as("n_top"), min(col("xk1")).as("xk1"),
+          sum(floor(lit(1e6) *
+            log(col("cents").cast("double") / col("xk1").cast("double")))
+            .cast("bigint")).as("lsum"))
+        .select(col("n_top"), col("xk1"),
+          expr("case when n_top > 0 then lsum div n_top end")
+            .as("gamma_micro"),
+          expr("""case when n_top > 0 then
+                 |  case when lsum div n_top > 0
+                 |  then 1000000000000 div (lsum div n_top) end
+                 |end""".stripMargin.replace("\n", " "))
+            .as("alpha_micro"))
+    },
+
     // D43 (beyond reference): THEIL-INDEX inequality DECOMPOSITION —
     // d42's Lorenz curve says how unequal revenue is; Theil says WHERE
     // the inequality lives, because it decomposes exactly:
@@ -2150,6 +2185,31 @@ object RelationalQueries {
          |$shares
          |FROM rk GROUP BY grp""".stripMargin
     },
+    "d44_hill_estimator" ->
+      """WITH o AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey
+        |  FROM orders
+        |  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > 0),
+        |rn AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS rn
+        |  FROM o),
+        |thr AS (SELECT MIN(cents) AS xk1 FROM rn WHERE rn = 101),
+        |top AS (SELECT cents, xk1 FROM rn CROSS JOIN thr
+        |        WHERE rn <= 100),
+        |ag AS (SELECT COUNT(*) AS n_top, MIN(xk1) AS xk1,
+        |    SUM(CAST(FLOOR(1000000.0 * ln(CAST(cents AS DOUBLE)
+        |      / CAST(xk1 AS DOUBLE))) AS BIGINT)) AS lsum
+        |  FROM top)
+        |SELECT CAST(n_top AS BIGINT) AS n_top,
+        |  CAST(xk1 AS BIGINT) AS xk1,
+        |  CASE WHEN n_top > 0 THEN CAST(lsum // n_top AS BIGINT)
+        |    END AS gamma_micro,
+        |  CASE WHEN n_top > 0 THEN
+        |    CASE WHEN lsum // n_top > 0 THEN
+        |      CAST(1000000000000 // (lsum // n_top) AS BIGINT) END
+        |  END AS alpha_micro
+        |FROM ag""".stripMargin,
     "d43_theil_decomposition" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS priority,

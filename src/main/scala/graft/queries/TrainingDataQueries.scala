@@ -659,6 +659,75 @@ object TrainingDataQueries {
             .as("flesch_micro"))
     },
 
+    // TX35 (beyond reference): CODE detection — is this document prose
+    // or source code? The curation fork every mixed crawl needs (code
+    // goes to the code pipeline with different dedup/quality rules;
+    // code inside a prose corpus is usually boilerplate). Signals: code
+    // punctuation density ({};=() per char), indented-line share, and
+    // reserved-word hits — three regexp counters, all per-row codegen,
+    // ratios exact micro integers; the verdict is a fixed rule over
+    // them (≥2% symbols AND (≥20% indented lines OR ≥3 keywords)).
+    "tx35_code_detection" -> { (s, dir) =>
+      val t = col("text")
+      docsSpread(s, dir).select(col("doc_id"),
+          length(t).as("nc"),
+          split(t, "\n").as("lines"),
+          size(regexp_extract_all(t, lit("[{};=()]"), lit(0)))
+            .cast("bigint").as("n_sym"),
+          size(regexp_extract_all(t, lit(
+            "\\b(def|class|import|return|function|const|var|for|while)\\b"),
+            lit(0))).cast("bigint").as("n_kw"))
+        .select(col("doc_id"), col("nc"),
+          size(col("lines")).cast("bigint").as("n_lines"),
+          size(filter(col("lines"), l => l.rlike("^(\t|  )")))
+            .cast("bigint").as("n_indent"),
+          col("n_sym"), col("n_kw"))
+        .select(col("doc_id"), col("n_lines"), col("n_indent"),
+          col("n_sym"), col("n_kw"),
+          expr("""case when nc = 0 then null
+                 |else n_sym * 1000000 div nc end"""
+            .stripMargin.replace("\n", " ")).as("sym_frac_micro"),
+          expr("n_indent * 1000000 div n_lines")
+            .as("indent_frac_micro"))
+        .withColumn("is_code",
+          coalesce(col("sym_frac_micro"), lit(0L)) >= 20000L &&
+            (col("indent_frac_micro") >= 200000L || col("n_kw") >= 3L))
+    },
+
+    // DD17 (beyond reference): canonical-URL dedup — the provenance-
+    // level dedup pass that content hashing cannot do: the same page
+    // fetched as http://HOST/x?id=1 and https://host/x/ is one
+    // document. URLs (tx31's deterministic augmentation) are
+    // canonicalized — query/fragment stripped, trailing slash stripped,
+    // scheme+host lowercased, path kept case-sensitive — and grouped;
+    // each canonical group reports its mention count, distinct docs,
+    // and the kept doc (lowest id, the dd1 keeper rule). Pure per-row
+    // regex work plus one canonical-key rollup — the same shape (and
+    // scale story) as exact dedup.
+    "dd17_url_dedup" -> { (s, dir) =>
+      val aug = docsSpread(s, dir)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" see https://"), col("source"), lit(".example.com/page/"),
+          col("doc_id").cast("string"),
+          lit(" and http://mirror-"), (col("doc_id") % 3).cast("string"),
+          lit(".example.org/x?id="), col("doc_id").cast("string"))
+          .as("text"))
+      aug.select(col("doc_id"), explode(
+          regexp_extract_all(col("text"),
+            lit(TextAnalysis.urlPattern), lit(0))).as("u"))
+        .withColumn("u2", regexp_replace(col("u"), "[?#].*$", ""))
+        .withColumn("u3", regexp_replace(col("u2"), "/$", ""))
+        .withColumn("h", regexp_extract(col("u3"), "https?://[^/]+", 0))
+        .select(col("doc_id"),
+          concat(lower(col("h")),
+            expr("substr(u3, length(h) + 1)")).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper_doc"))
+        .withColumn("n_dup_docs", col("n_docs") - 1)
+    },
+
     // TX30 (beyond reference): the GOPHER rule battery (Rae et al. 2021)
     // — the published heuristic set tx9's gate doesn't cover: mean word
     // length in [3, 10], symbol-to-word ratio (# and ... marks) < 0.1,
@@ -4720,6 +4789,65 @@ object TrainingDataQueries {
         |  CASE WHEN n_sentences = 0 THEN NULL ELSE
         |    CAST(list_max(wc) AS BIGINT) END AS max_sentence_words
         |FROM ws""".stripMargin,
+    "tx35_code_detection" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    string_split(text, chr(10)) AS lines,
+        |    len(regexp_extract_all(text, '[{};=()]')) AS n_sym,
+        |    len(regexp_extract_all(text,
+        |      '\b(def|class|import|return|function|const|var|for|while)\b'))
+        |      AS n_kw
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, nc,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines,
+        |        l -> regexp_matches(l, '^(\t|  )'))) AS BIGINT)
+        |      AS n_indent,
+        |    CAST(n_sym AS BIGINT) AS n_sym,
+        |    CAST(n_kw AS BIGINT) AS n_kw
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, n_lines, n_indent, n_sym, n_kw,
+        |    CASE WHEN nc = 0 THEN NULL
+        |      ELSE CAST(n_sym * 1000000 // nc AS BIGINT)
+        |    END AS sym_frac_micro,
+        |    CAST(n_indent * 1000000 // n_lines AS BIGINT)
+        |      AS indent_frac_micro
+        |  FROM m)
+        |SELECT doc_id, n_lines, n_indent, n_sym, n_kw,
+        |  sym_frac_micro, indent_frac_micro,
+        |  COALESCE(sym_frac_micro, 0) >= 20000 AND
+        |    (indent_frac_micro >= 200000 OR n_kw >= 3) AS is_code
+        |FROM r""".stripMargin,
+    "dd17_url_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' see https://' || source ||
+        |    '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+        |    ' and http://mirror-' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    '.example.org/x?id=' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS u
+        |  FROM aug),
+        |c AS (
+        |  SELECT doc_id, u,
+        |    regexp_replace(regexp_replace(u, '[?#].*$', ''),
+        |      '/$', '') AS u3
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u3, 'https?://[^/]+', 0)) ||
+        |      substr(u3,
+        |        length(regexp_extract(u3, 'https?://[^/]+', 0)) + 1)
+        |      AS canon
+        |  FROM c)
+        |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+        |  CAST(COUNT(DISTINCT doc_id) - 1 AS BIGINT) AS n_dup_docs
+        |FROM canon GROUP BY 1""".stripMargin,
     "tx31_url_domains" ->
       """WITH aug AS (
         |  SELECT doc_id, text || ' see https://' || source ||
