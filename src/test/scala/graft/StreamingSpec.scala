@@ -302,6 +302,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("dsir weights stream through the trained-score path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Scoring, TextAnalysis}
+    // s16's serving shape: the 64-bucket log-ratio table is a
+    // (periodically rebuilt) MODEL, not a join side — arriving documents
+    // score through the ml14 deployment path (codegen fold over the
+    // token array against a literal weight vector), so the streaming
+    // pass is zero-shuffle. Batch (join-based) and stream (fold-based)
+    // forms must agree integer-for-integer.
+    val rows = Seq((1L, "the cat sat", "en"), (2L, "le chat", "fr"),
+      (3L, "the the dog", "en"), (4L, "der hund und", "de"),
+      (5L, "", "en"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val toks = docs.select(col("doc_id"),
+        (col("lang") === "en").as("tgt"),
+        explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("t"))
+      .select(col("doc_id"), col("tgt"),
+        Scoring.tokenBucket(col("t"), 64).as("b"))
+    val dist = toks.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val ratio = dist.crossJoin(broadcast(tot)).select(col("b"),
+      floor(lit(1e6) *
+        (log((col("ct") + lit(1L)).cast("double") /
+          (col("nt") + lit(64L)).cast("double")) -
+          log((col("cr") + lit(1L)).cast("double") /
+            (col("nr") + lit(64L)).cast("double"))))
+        .cast("bigint").as("lr_micro"))
+    val batch = toks.join(broadcast(ratio), "b").groupBy("doc_id")
+      .agg(sum(col("lr_micro")).as("logw_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // model export: ≤64 longs (the bounded KMeans-centroid collect)
+    val learned = ratio.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Array.tabulate(64)(i => learned.getOrElse(i.toLong, 0L))
+    val stream = MemoryStream[(Long, String)]
+    val scored = Scoring.linearScoreWithWeights(
+      stream.toDF().toDF("doc_id", "text"), w, bias = 0L)
+    val query = scored.writeStream.format("memory")
+      .queryName("s16_out").outputMode("append").start()
+    stream.addData(rows.map { case (id, t, _) => (id, t) }: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("s16_out").select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    query.stop()
+    assert(streamed == batch && streamed.size == rows.size)
+  }
+
   test("cluster downweighting assigns identical weights on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
