@@ -317,6 +317,119 @@ object ExperimentQueries {
     // readout that turns ab3's "spend went up" into "clicks convert to
     // purchases 8% more often" — same three min-aggregates as ev8 with
     // the arm key riding the user_id exchange.
+    // AB13 (beyond reference): POISSON BOOTSTRAP — the at-scale
+    // bootstrap (one pass, no resampling): each user enters replicate b
+    // with a Poisson(1)-distributed multiplicity derived from the
+    // stable md5 bucket of (user, b), pmf fixed as integer thresholds
+    // out of 1000 (368/736/920/981/996 — the standard production-A/B
+    // technique and fully engine-reproducible). 32 replicates of the
+    // arm-mean difference collapse map-side into a 64-cell (arm × b)
+    // rollup — the 32× row fan exists only inside one combine — and the
+    // replicate spread (min/max envelope + SE from micro-quantized
+    // diffs) is metadata arithmetic. The only corpus-sized shuffle is
+    // the per-user rollup.
+    "ab13_poisson_bootstrap" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val ev = Tables.eventsUs(s, dir)
+      val mn = ev.select(expr("ts div 86400000000").as("day"))
+        .agg(min(col("day")).as("d0"))
+      val per = ev.select(col("user_id"),
+          expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+        .crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val rep = per.select(col("user_id"), col("y"), col("arm"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("bk", Sampling.bucket(
+          concat(col("user_id").cast("string"), lit("_"),
+            col("b").cast("string")), "ab13"))
+        .withColumn("w",
+          when(col("bk") < 368, 0L).when(col("bk") < 736, 1L)
+            .when(col("bk") < 920, 2L).when(col("bk") < 981, 3L)
+            .when(col("bk") < 996, 4L).otherwise(5L))
+      val cells = rep.groupBy("arm", "b")
+        .agg(sum(col("w")).as("sw"),
+          sum((col("w") * col("y")).cast(d38)).as("swy"))
+      val diffs = cells.groupBy("b").agg(
+          min(when(col("arm") === 0, col("sw"))).as("sw0"),
+          min(when(col("arm") === 1, col("sw"))).as("sw1"),
+          min(when(col("arm") === 0, col("swy"))).as("swy0"),
+          min(when(col("arm") === 1, col("swy"))).as("swy1"))
+        .select(col("b"),
+          when(col("sw0") > 0 && col("sw1") > 0,
+            floor(lit(1e6) *
+              (col("swy1").cast("double") / col("sw1").cast("double") -
+                col("swy0").cast("double") / col("sw0").cast("double")))
+              .cast("bigint")).as("d_micro"))
+      diffs.agg(count(col("d_micro")).as("n_reps"),
+          min(col("d_micro")).as("lo_micro"),
+          max(col("d_micro")).as("hi_micro"),
+          sum(col("d_micro")).as("sd"),
+          sum(col("d_micro").cast(d38) * col("d_micro").cast(d38))
+            .as("sdd"))
+        .select(col("n_reps"), col("lo_micro"), col("hi_micro"),
+          when(col("n_reps") > 1,
+            sqrt((col("n_reps").cast(d38) * col("sdd") -
+              (col("sd").cast(d38) * col("sd").cast(d38))).cast("double") /
+              (col("n_reps").cast(d38) *
+                (col("n_reps") - 1).cast(d38)).cast("double")))
+            .as("se_boot_micro"))
+    },
+
+    // AB14 (beyond reference): QINI / uplift curve — does TARGETING by a
+    // score capture incremental value? Users rank by pre-period spend
+    // (the targeting proxy), deciles come from GlobalRank's closed form
+    // ((rn−1)·10 div n + 1 — no ntile window), and each cumulative
+    // decile reports the Qini value cum_y₁ − cum_y₀·(cum_n₁/cum_n₀):
+    // incremental spend had the control group been scaled to the
+    // treated group's size. The decile windows ride a 20-row (decile ×
+    // arm) rollup — metadata; the ranking pass is the range-partitioned
+    // two-pass row number.
+    "ab14_qini_curve" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val d38 = DecimalType(38, 0)
+      val ev = Tables.eventsUs(s, dir)
+      val mn = ev.select(expr("ts div 86400000000").as("day"))
+        .agg(min(col("day")).as("d0"))
+      val per = ev.select(col("user_id"),
+          expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+        .crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val nn = per.agg(count(lit(1)).as("n_all"))
+      val ranked = GlobalRank.withGlobalRowNumber(per,
+          Seq(col("x").desc, col("user_id")), out = "rn")
+        .crossJoin(broadcast(nn))
+        .withColumn("decile", expr("(rn - 1) * 10 div n_all + 1"))
+      val cells = ranked.groupBy("decile")
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("arm") === 1, col("y").cast(d38))
+            .otherwise(lit(0).cast(d38))).as("syt"),
+          sum(when(col("arm") === 0, col("y").cast(d38))
+            .otherwise(lit(0).cast(d38))).as("syc"))
+      val wc = Window.orderBy(col("decile").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cnt", sum(col("nt")).over(wc))
+        .withColumn("cnc", sum(col("nc")).over(wc))
+        .withColumn("cyt", sum(col("syt")).over(wc))
+        .withColumn("cyc", sum(col("syc")).over(wc))
+        .select(col("decile"), col("cnt").as("cum_treated"),
+          col("cnc").as("cum_control"),
+          when(col("cnc") > 0,
+            col("cyt").cast("double") - col("cyc").cast("double") *
+              (col("cnt").cast("double") / col("cnc").cast("double")))
+            .as("qini"))
+    },
+
     // AB12 (beyond reference): STRATIFIED IPW / standardization — the
     // OBSERVATIONAL causal readout (no randomized arm): does being a
     // purchase-dominant user CAUSE higher post-period spend, adjusting
@@ -831,6 +944,91 @@ object ExperimentQueries {
          |    CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) /
          |      CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)) AS z
          |FROM p""".stripMargin,
+    "ab13_poisson_bootstrap" ->
+      s"""WITH mn AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0
+         |           FROM events),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= mn.d0 + 15
+         |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM events CROSS JOIN mn GROUP BY user_id),
+         |rep AS (
+         |  SELECT arm, y, b,
+         |    CAST(('0x' || substr(md5('ab13:' ||
+         |      CAST(user_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 1000 AS bk
+         |  FROM per CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb),
+         |w AS (SELECT arm, b, y,
+         |    CASE WHEN bk < 368 THEN 0 WHEN bk < 736 THEN 1
+         |      WHEN bk < 920 THEN 2 WHEN bk < 981 THEN 3
+         |      WHEN bk < 996 THEN 4 ELSE 5 END AS w
+         |  FROM rep),
+         |cells AS (SELECT arm, b, CAST(SUM(w) AS BIGINT) AS sw,
+         |    CAST(SUM(CAST(w AS HUGEINT) * y) AS HUGEINT) AS swy
+         |  FROM w GROUP BY 1, 2),
+         |diffs AS (
+         |  SELECT b,
+         |    CASE WHEN MIN(CASE WHEN arm = 0 THEN sw END) > 0
+         |       AND MIN(CASE WHEN arm = 1 THEN sw END) > 0 THEN
+         |      CAST(FLOOR(1000000.0 * (
+         |        CAST(MIN(CASE WHEN arm = 1 THEN swy END) AS DOUBLE)
+         |          / CAST(MIN(CASE WHEN arm = 1 THEN sw END) AS DOUBLE)
+         |        - CAST(MIN(CASE WHEN arm = 0 THEN swy END) AS DOUBLE)
+         |          / CAST(MIN(CASE WHEN arm = 0 THEN sw END) AS DOUBLE)))
+         |        AS BIGINT) END AS d_micro
+         |  FROM cells GROUP BY b)
+         |SELECT CAST(COUNT(d_micro) AS BIGINT) AS n_reps,
+         |  CAST(MIN(d_micro) AS BIGINT) AS lo_micro,
+         |  CAST(MAX(d_micro) AS BIGINT) AS hi_micro,
+         |  CASE WHEN COUNT(d_micro) > 1 THEN
+         |    sqrt(CAST(COUNT(d_micro) *
+         |        SUM(CAST(d_micro AS HUGEINT) * d_micro)
+         |      - SUM(d_micro) * SUM(d_micro) AS DOUBLE)
+         |      / CAST(COUNT(d_micro) * (COUNT(d_micro) - 1) AS DOUBLE))
+         |  END AS se_boot_micro
+         |FROM diffs""".stripMargin,
+    "ab14_qini_curve" ->
+      s"""WITH mn AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0
+         |           FROM events),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < mn.d0 + 15
+         |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= mn.d0 + 15
+         |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM events CROSS JOIN mn GROUP BY user_id),
+         |nn AS (SELECT COUNT(*) AS n_all FROM per),
+         |ranked AS (SELECT user_id, x, y, arm,
+         |    ROW_NUMBER() OVER (ORDER BY x DESC, user_id) AS rn
+         |  FROM per),
+         |dec AS (SELECT y, arm, (rn - 1) * 10 // n_all + 1 AS decile
+         |  FROM ranked CROSS JOIN nn),
+         |cells AS (SELECT decile,
+         |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt,
+         |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nc,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)
+         |      AS HUGEINT) AS syt,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)
+         |      AS HUGEINT) AS syc
+         |  FROM dec GROUP BY 1),
+         |cum AS (SELECT decile,
+         |    SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+         |    SUM(syt) OVER w AS cyt, SUM(syc) OVER w AS cyc
+         |  FROM cells WINDOW w AS (ORDER BY decile ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(cnt AS BIGINT) AS cum_treated,
+         |  CAST(cnc AS BIGINT) AS cum_control,
+         |  CASE WHEN cnc > 0 THEN CAST(cyt AS DOUBLE)
+         |    - CAST(cyc AS DOUBLE) *
+         |      (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE))
+         |  END AS qini
+         |FROM cum""".stripMargin,
     "ab12_ipw_ate" ->
       """WITH modal AS (
         |  SELECT user_id, event_type = 'purchase' AS treated FROM (
