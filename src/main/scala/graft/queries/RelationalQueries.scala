@@ -1278,6 +1278,52 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"), shares: _*)
     },
 
+    // DQ7 (beyond reference): t-CLOSENESS — dq3's k-anonymity says the
+    // quasi-identifier classes are big; this asks whether a class's
+    // SENSITIVE-value distribution still leaks (a class can be
+    // 15-anonymous and 100% high-balance). For the ordered balance
+    // bands the distance is the 1-D earth-mover's: mean |ΔCDF| between
+    // the class and global band distributions, computed over the FULL
+    // class × band grid (absent bands matter — the CDF gap persists
+    // through them) as exact cross-multiplied integers
+    // |cq·N − cp·n_c| in decimal(38,0), one double division at the
+    // end. Grid and windows are metadata-grain (classes × ~12 bands);
+    // the corpus is touched once for the two band rollups.
+    "dq7_t_closeness" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val c = Tables.customer(s, dir).select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("cast(floor(c_acctbal / 1000.0e0) as bigint)").as("band"))
+      val cls = c.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("q"))
+      val glob = c.groupBy("band").agg(count(lit(1)).as("p"))
+      val m = glob.agg(count(lit(1)).as("m"),
+        sum(col("p")).as("n_total"))
+      val csize = cls.groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("q")).as("n_c"))
+      val grid = csize.crossJoin(broadcast(glob))
+        .join(cls, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .na.fill(0L, Seq("q"))
+        .crossJoin(broadcast(m))
+      val win = Window.partitionBy(col("c_nationkey"),
+          col("c_mktsegment")).orderBy(col("band").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cq", sum(col("q")).over(win))
+        .withColumn("cp", sum(col("p")).over(win))
+        .withColumn("term",
+          abs(col("cq").cast(d38) * col("n_total").cast(d38) -
+            col("cp").cast(d38) * col("n_c").cast(d38)))
+        .groupBy("c_nationkey", "c_mktsegment", "n_c", "n_total", "m")
+        .agg(sum(col("term")).as("st"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_c"),
+          when(col("m") > 1,
+            col("st").cast("double") /
+              (col("n_c").cast(d38) * col("n_total").cast(d38) *
+                (col("m") - 1).cast(d38)).cast("double"))
+            .otherwise(lit(0.0)).as("emd"))
+        .withColumn("t_close", col("emd") <= 0.2)
+    },
+
     // D44 (beyond reference): HILL tail-index estimator — how heavy is
     // the revenue tail? γ̂ = (1/k)·Σ ln(x_(i)/x_(k+1)) over the k = 100
     // largest values; α̂ = 1/γ̂ < 2 means infinite variance (means and
@@ -2185,6 +2231,45 @@ object RelationalQueries {
          |$shares
          |FROM rk GROUP BY grp""".stripMargin
     },
+    "dq7_t_closeness" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0e0) AS BIGINT) AS band
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, band,
+        |        COUNT(*) AS q FROM c GROUP BY 1, 2, 3),
+        |gb AS (SELECT band, COUNT(*) AS p FROM c GROUP BY 1),
+        |m AS (SELECT COUNT(*) AS m, SUM(p) AS n_total FROM gb),
+        |csize AS (SELECT c_nationkey, c_mktsegment, SUM(q) AS n_c
+        |          FROM cls GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT cs.c_nationkey, cs.c_mktsegment, cs.n_c,
+        |    g.band, g.p, COALESCE(cl.q, 0) AS q, m.m, m.n_total
+        |  FROM csize cs CROSS JOIN gb g
+        |  LEFT JOIN cls cl ON cl.c_nationkey = cs.c_nationkey
+        |    AND cl.c_mktsegment = cs.c_mktsegment AND cl.band = g.band
+        |  CROSS JOIN m),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n_c, m, n_total,
+        |    abs(CAST(SUM(q) OVER w AS HUGEINT) * n_total
+        |      - CAST(SUM(p) OVER w AS HUGEINT) * n_c) AS term
+        |  FROM grid WINDOW w AS (
+        |    PARTITION BY c_nationkey, c_mktsegment ORDER BY band ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT c_nationkey, c_mktsegment, n_c, m, n_total,
+        |    SUM(term) AS st
+        |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+        |SELECT c_nationkey, c_mktsegment, CAST(n_c AS BIGINT) AS n_c,
+        |  CASE WHEN m > 1 THEN
+        |    CAST(st AS DOUBLE) /
+        |      CAST(CAST(n_c AS HUGEINT) * n_total * (m - 1) AS DOUBLE)
+        |  ELSE 0.0 END AS emd,
+        |  CASE WHEN m > 1 THEN
+        |    CAST(st AS DOUBLE) /
+        |      CAST(CAST(n_c AS HUGEINT) * n_total * (m - 1) AS DOUBLE)
+        |  ELSE 0.0 END <= 0.2 AS t_close
+        |FROM agg""".stripMargin,
     "d44_hill_estimator" ->
       """WITH o AS (
         |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,

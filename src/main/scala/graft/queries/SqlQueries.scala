@@ -124,7 +124,38 @@ object SqlQueries {
       |  EXCEPT
       |  SELECT o_custkey FROM orders) u""".stripMargin
 
+  /** sql11: the PIVOT keyword through Spark's SQL front end. The oracle
+    * is the dialect-neutral CASE pivot of the same cells — PIVOT is
+    * syntax, not semantics, so the two must agree cell-for-cell
+    * (including NULL for absent (priority, status) combinations). */
+  private val pivotSpark =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |PIVOT (SUM(cents) FOR status IN
+      |  ('O' AS open_cents, 'F' AS done_cents, 'P' AS part_cents))"""
+      .stripMargin
+
+  private val pivotOracle =
+    """SELECT o_orderpriority AS priority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+      |    AS BIGINT) AS open_cents,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+      |    AS BIGINT) AS done_cents,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+      |    AS BIGINT) AS part_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PIVOT through pure SQL text (relational surface breadth).
+    "sql11_pivot" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(pivotSpark)
+    },
     // Set-operation keywords through pure SQL text.
     "sql10_set_operations" -> { (s, dir) =>
       registerViews(s, dir)
@@ -223,6 +254,7 @@ object SqlQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sql11_pivot" -> pivotOracle,
     "sql8_recursive_reach" -> recursiveReach,
     "sql9_lateral_topk" -> lateralTopk,
     "sql10_set_operations" -> setOps,
