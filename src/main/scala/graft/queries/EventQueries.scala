@@ -280,6 +280,42 @@ object EventQueries {
     // five whales?" — and for training-data purposes, whether user-keyed
     // shuffles will be skew-bound. GlobalRank's two-pass layout keeps
     // the rank global without a single-partition window.
+    // TS17 (beyond reference): exponential GAP fit — are inter-event
+    // times memoryless? The assumption behind every Poisson-process
+    // model of arrivals (and behind treating ev1's gaps as i.i.d.): fit
+    // λ by MLE (n/Σgap — exact integers until one division) and report
+    // the Kolmogorov–Smirnov distance max|F_emp − F_exp| against that
+    // exponential. Gaps are per-USER lag differences (the partition key
+    // is corpus-cardinality — no funnel), floored to minute grain so
+    // the distribution rollup is bounded by the observation span, not
+    // the corpus; each |ΔCDF| is floor-quantized to micro so the max is
+    // an integer. The one exp per distinct gap value is the usual
+    // quantize-at-the-boundary site.
+    "ts17_exp_gap_fit" -> { (s, dir) =>
+      val ev = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts"))
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gaps = ev.withColumn("prev", lag(col("ts"), 1).over(wu))
+        .filter(col("prev").isNotNull)
+        .select(expr("(ts - prev) div 60000000").as("g"))
+      val st = gaps.agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
+      val byv = gaps.groupBy("g").agg(count(lit(1)).as("c"))
+      val cum = byv.crossJoin(broadcast(st))
+        .withColumn("cc", sum(col("c")).over(Window.orderBy(col("g").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val dm = when(col("sg") > 0,
+        floor(lit(1e6) * abs(
+          col("cc").cast("double") / col("n").cast("double") -
+            (lit(1.0) - exp(-(col("n").cast("double") /
+              col("sg").cast("double") * col("g").cast("double"))))))
+          .cast("bigint"))
+      cum.select(col("n"), col("sg"), dm.as("dm"))
+        .groupBy("n", "sg")
+        .agg(max(col("dm")).as("ks_micro"))
+        .select(col("n").as("n_gaps"), col("sg").as("sum_gap_min"),
+          col("ks_micro"))
+    },
+
     // EV54 (beyond reference): KAPLAN–MEIER churn curve — the survival
     // estimator over user lifetimes (last-minus-first active day), with
     // users still active on the corpus's final day treated as CENSORED
@@ -2136,6 +2172,29 @@ object EventQueries {
         |     CAST(n_ij AS DOUBLE) + 1.0)) /
         |  (CAST(n_ij AS DOUBLE) + 4.0) AS wilson_lb
         |FROM stats""".stripMargin,
+    "ts17_exp_gap_fit" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |g0 AS (SELECT user_id, tus,
+        |    LAG(tus, 1) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+        |  FROM ev),
+        |gaps AS (SELECT (tus - prev) // 60000000 AS g FROM g0
+        |         WHERE prev IS NOT NULL),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS sg
+        |       FROM gaps),
+        |byv AS (SELECT g, COUNT(*) AS c FROM gaps GROUP BY 1),
+        |cum AS (SELECT g, n, sg,
+        |    SUM(c) OVER (ORDER BY g ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM byv CROSS JOIN st),
+        |dm AS (SELECT n, sg,
+        |    CASE WHEN sg > 0 THEN CAST(FLOOR(1000000.0 * abs(
+        |      CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (1.0 - exp(-(CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)
+        |        * CAST(g AS DOUBLE)))))) AS BIGINT) END AS dm
+        |  FROM cum)
+        |SELECT CAST(n AS BIGINT) AS n_gaps, sg AS sum_gap_min,
+        |  CAST(MAX(dm) AS BIGINT) AS ks_micro
+        |FROM dm GROUP BY 1, 2""".stripMargin,
     "ev54_kaplan_meier" ->
       """WITH ev AS (SELECT user_id,
         |        epoch_us(ts) // 86400000000 AS day FROM events),

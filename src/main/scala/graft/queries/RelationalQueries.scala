@@ -1278,6 +1278,45 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"), shares: _*)
     },
 
+    // D45 (beyond reference): PRICE ELASTICITY — the log-log OLS slope
+    // d ln(qty)/d ln(unit price) across line items: the econometric
+    // readout of how demand responds to price (|ε| > 1 = elastic). Both
+    // logs are floor-quantized to integer micro-nats PER ROW (the fe10
+    // contract), so the five OLS sufficient statistics are exact
+    // decimal(38,0) sums in one map-side-combined pass and the slope is
+    // one fixed IEEE tree. Nothing shuffles except the 1-row aggregate.
+    "d45_price_elasticity" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("bigint").as("q"),
+          expr("cast(floor(l_extendedprice * 100) as bigint)")
+            .as("cents"))
+        .filter(col("q") > 0 && col("cents") > 0)
+        .withColumn("unit", expr("cents div q"))
+        .filter(col("unit") > 0)
+        .select(
+          floor(lit(1e6) * log(col("unit").cast("double")))
+            .cast("bigint").as("x"),
+          floor(lit(1e6) * log(col("q").cast("double")))
+            .cast("bigint").as("y"))
+      val m = li.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+      m.select(col("n"),
+        when(col("n") > 1 &&
+          col("n").cast(d38) * col("sxx") - col("sx") * col("sx") =!=
+            lit(0).cast(d38),
+          (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("elasticity"),
+        when(col("n") > 0, col("sy").cast("double") /
+          col("n").cast("double")).as("mean_log_q_micro"),
+        when(col("n") > 0, col("sx").cast("double") /
+          col("n").cast("double")).as("mean_log_p_micro"))
+    },
+
     // DQ7 (beyond reference): t-CLOSENESS — dq3's k-anonymity says the
     // quasi-identifier classes are big; this asks whether a class's
     // SENSITIVE-value distribution still leaks (a class can be
@@ -2231,6 +2270,37 @@ object RelationalQueries {
          |$shares
          |FROM rk GROUP BY grp""".stripMargin
     },
+    "d45_price_elasticity" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE CAST(l_quantity AS BIGINT) > 0
+        |    AND CAST(FLOOR(l_extendedprice * 100) AS BIGINT) > 0),
+        |u AS (SELECT q, cents // q AS unit FROM li
+        |      WHERE cents // q > 0),
+        |xy AS (
+        |  SELECT
+        |    CAST(FLOOR(1000000.0 * ln(CAST(unit AS DOUBLE)))
+        |      AS BIGINT) AS x,
+        |    CAST(FLOOR(1000000.0 * ln(CAST(q AS DOUBLE)))
+        |      AS BIGINT) AS y
+        |  FROM u),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx <> 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)
+        |  END AS elasticity,
+        |  CASE WHEN n > 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END AS mean_log_q_micro,
+        |  CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END AS mean_log_p_micro
+        |FROM m""".stripMargin,
     "dq7_t_closeness" ->
       """WITH c AS (
         |  SELECT c_nationkey, c_mktsegment,
