@@ -90,6 +90,47 @@ object ScoringQueries {
         bias = 0L)
     },
 
+    // ML20 (beyond reference): FAIRNESS audit of the quality gate — a
+    // corpus filter that silently selects against a language group
+    // biases every model trained downstream. Per language: selection
+    // rate of ml1's keep verdict, TPR/FPR against the high-quality
+    // proxy label (tx9's length gate), and the disparate-impact ratio
+    // vs the CORPUS selection rate (the four-fifths rule: ratio <
+    // 800000 micro flags the group). All exact integer counts from one
+    // scan + a language rollup; ratios are integer micro or
+    // exact-ratio doubles. NULL rates where a group lacks
+    // positives/negatives are surfaced, not hidden.
+    "ml20_fairness_audit" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val d = Scoring.hashedLinearScore(docs)
+        .join(docs.select(col("doc_id"), col("lang"),
+          (length(col("text")) >= 100).as("hq")), "doc_id")
+      val glob = d.agg(count(lit(1)).as("gn"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("gk"))
+      val per = d.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
+          sum(when(col("hq"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("hq") && col("keep"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("hq") && col("keep"), 1L).otherwise(0L))
+            .as("fp"))
+      per.crossJoin(broadcast(glob))
+        .select(col("lang"), col("n"),
+          expr("k * 1000000 div n").as("sel_rate_micro"),
+          expr("""case when np > 0 then tp * 1000000 div np end""")
+            .as("tpr_micro"),
+          expr("""case when n - np > 0
+                 |then fp * 1000000 div (n - np) end"""
+            .stripMargin.replace("\n", " ")).as("fpr_micro"),
+          expr("""case when gk > 0
+                 |then (k * 1000000 div n) * gn div gk end"""
+            .stripMargin.replace("\n", " "))
+            .as("disparate_impact_micro"))
+        .withColumn("flagged",
+          col("disparate_impact_micro").isNotNull &&
+            col("disparate_impact_micro") < 800000L)
+    },
+
     // CP1 (beyond reference): SPLIT-CONFORMAL calibration — the
     // distribution-free coverage guarantee for ml1's classifier: on an
     // md5 calibration split, rank the signed nonconformity score
@@ -1269,6 +1310,38 @@ object ScoringQueries {
          |      $weightSql)) AS BIGINT) AS score
          |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
          |        FROM documents))""".stripMargin,
+    "ml20_fairness_audit" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |        FROM documents)),
+         |lab AS (SELECT doc_id, lang, length(text) >= 100 AS hq
+         |        FROM documents),
+         |d AS (SELECT sc.doc_id, score >= 0 AS keep, lang, hq
+         |      FROM sc JOIN lab USING (doc_id)),
+         |g AS (SELECT COUNT(*) AS gn,
+         |      SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS gk FROM d),
+         |per AS (SELECT lang, COUNT(*) AS n,
+         |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS k,
+         |    SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS np,
+         |    SUM(CASE WHEN hq AND keep THEN 1 ELSE 0 END) AS tp,
+         |    SUM(CASE WHEN NOT hq AND keep THEN 1 ELSE 0 END) AS fp
+         |  FROM d GROUP BY 1),
+         |r AS (SELECT lang, n, k, np, tp, fp,
+         |    CASE WHEN gk > 0 THEN (k * 1000000 // n) * gn // gk
+         |      END AS di
+         |  FROM per CROSS JOIN g)
+         |SELECT lang, CAST(n AS BIGINT) AS n,
+         |  CAST(k * 1000000 // n AS BIGINT) AS sel_rate_micro,
+         |  CASE WHEN np > 0 THEN CAST(tp * 1000000 // np AS BIGINT)
+         |    END AS tpr_micro,
+         |  CASE WHEN n - np > 0 THEN
+         |    CAST(fp * 1000000 // (n - np) AS BIGINT) END AS fpr_micro,
+         |  CAST(di AS BIGINT) AS disparate_impact_micro,
+         |  di IS NOT NULL AND di < 800000 AS flagged
+         |FROM r""".stripMargin,
     "cp1_split_conformal" ->
       s"""WITH sc AS (
          |  SELECT doc_id,
