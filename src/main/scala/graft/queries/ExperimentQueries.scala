@@ -684,6 +684,130 @@ object ExperimentQueries {
           (col("diff") * col("diff") / col("se2") > 10.273)
             .as("crossed"))
     },
+
+    // AB15 (beyond reference): MANN–WHITNEY U rank-sum test — the
+    // nonparametric two-sample readout for heavy-tailed metrics where
+    // ab3's Welch t is miscalibrated (per-user spend is exactly that
+    // shape). Tie-averaged ranks over the COMBINED per-user sample stay
+    // integral via d41's identity 2·avg_rank = 2·rank + cnt − 1, so the
+    // arm rank sums, U, and the tie correction Σ(t³−t) are exact
+    // decimal(38,0); only the final z (normal approximation with tie
+    // variance) divides. The per-user frame is corpus-sized, so the
+    // rank rides GlobalRank's range-partitioned two-pass — never an
+    // unpartitioned window; tie counts come from a hash-partitioned
+    // per-value window.
+    "ab15_mann_whitney" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val rk = graft.operators.GlobalRank.withGlobalRank(per,
+          order = Seq(col("y")), tieBreak = Seq(col("user_id")),
+          out = "rnk")
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("y"))))
+      val byArm = rk.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum((lit(2L) * col("rnk") + col("cnt") - lit(1L)).cast(d38))
+          .as("s2r"))
+      // cast BEFORE the cube: a single tie group past ~2·10⁶ rows (the
+      // y=0 mass at corpus scale) overflows t³ in int64
+      val ties = per.groupBy("y").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t").cast(d38) * col("t").cast(d38) *
+          col("t").cast(d38) - col("t").cast(d38)),
+          lit(0).cast(d38)).as("tsum"))
+      val a0 = byArm.filter(col("arm") === 0).select(col("n").as("n0"))
+      val a1 = byArm.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("s2r").as("s2r1"))
+      val base = a0.crossJoin(a1).crossJoin(broadcast(ties))
+        // 2·U₁ = Σ(2·avg_rank)₁ − n₁(n₁+1): exact integers end to end
+        .withColumn("u1_x2",
+          (col("s2r1") - col("n1").cast(d38) * (col("n1") + 1).cast(d38))
+            .cast("bigint"))
+        .withColumn("nn", (col("n0") + col("n1")).cast("double"))
+        // Var(U) with tie correction:
+        // n0·n1/12 · [(n+1) − Σ(t³−t)/(n(n−1))] — one fixed IEEE tree
+        .withColumn("var_u",
+          col("n0").cast("double") * col("n1").cast("double") / lit(12.0) *
+            ((col("nn") + lit(1.0)) - col("tsum").cast("double") /
+              (col("nn") * (col("nn") - lit(1.0)))))
+        .withColumn("z",
+          when(col("var_u") > 0,
+            (col("u1_x2").cast("double") -
+              col("n0").cast("double") * col("n1").cast("double")) /
+              (lit(2.0) * sqrt(col("var_u")))))
+        .withColumn("x", abs(col("z")) * lit(0.7071067811865476))
+        .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+      base.select(col("n0"), col("n1"), col("u1_x2"),
+        col("z").as("z_stat"),
+        when(col("z").isNotNull, expr(pMicroSql)).as("p_micro"))
+    },
+
+    // AB16 (beyond reference): PERMUTATION test via hash-seeded
+    // RERANDOMIZATION — the assumption-free p-value for the arm mean
+    // diff: re-assign every user to a pseudo-arm under R=200
+    // independent salted hashes, recompute the diff per replica, and
+    // report the rank of the observed |diff| in that null ensemble
+    // (p = (1+exceed)/(R_valid+1), the standard +1 bias guard). The
+    // replica expansion is one map-side explode of the per-user rollup
+    // (users × 200 rows, partially aggregated before the replica
+    // shuffle — never the raw event stream), and exceedance is decided
+    // on exact cross-multiplied integers |Δr|·n0·n1 ≥ |Δobs|·r0·r1, no
+    // float epsilon. Whole-DOLLAR units (d29's trick) keep those
+    // 4-factor products inside decimal(38) headroom at 10⁹-user scale.
+    "ab16_permutation_test" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(round(value) as bigint)").as("dollars"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") >= col("d0") + 15, col("dollars"))
+          .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val st = per.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(col("y").cast(d38)).as("sy"))
+      val obs = st.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("sy").as("sy0"))
+        .crossJoin(st.filter(col("arm") === 1)
+          .select(col("n").as("n1"), col("sy").as("sy1")))
+      val reps = per.select(col("user_id"), col("y"),
+          explode(expr("sequence(0, 199)")).as("r"))
+        .withColumn("parm",
+          graft.functions.HashExpressions.md5Prefix60(
+            concat(lit("perm"), col("r").cast("string"), lit(":"),
+              col("user_id").cast("string"))) % 1000 % 2)
+      val rst = reps.groupBy("r", "parm").agg(count(lit(1)).as("rn"),
+        sum(col("y").cast(d38)).as("rs"))
+      val r0 = rst.filter(col("parm") === 0).select(col("r"),
+        col("rn").as("rn0"), col("rs").as("rs0"))
+      val r1 = rst.filter(col("parm") === 1).select(col("r").as("r1"),
+        col("rn").as("rn1"), col("rs").as("rs1"))
+      val joined = r0.join(r1, col("r") === col("r1"))
+        .crossJoin(broadcast(obs))
+        .select((abs(col("rs1") * col("rn0").cast(d38) -
+          col("rs0") * col("rn1").cast(d38)) *
+          (col("n0").cast(d38) * col("n1").cast(d38)) >=
+          abs(col("sy1") * col("n0").cast(d38) -
+            col("sy0") * col("n1").cast(d38)) *
+            (col("rn0").cast(d38) * col("rn1").cast(d38)))
+          .as("exceed"))
+      val tallied = joined.agg(count(lit(1)).as("n_valid"),
+        sum(when(col("exceed"), 1L).otherwise(0L)).as("n_exceed"))
+      obs.crossJoin(broadcast(tallied)).select(
+        col("n0"), col("n1"),
+        (col("sy1").cast("double") / col("n1").cast("double") -
+          col("sy0").cast("double") / col("n0").cast("double"))
+          .as("diff_dollars"),
+        col("n_valid"), col("n_exceed"),
+        expr("(1 + n_exceed) * 1000000 div (n_valid + 1)").as("p_micro"))
+    },
   )
 
   private val armSql =
@@ -1193,5 +1317,103 @@ object ExperimentQueries {
          |  diff, diff * diff / se2 AS z2,
          |  diff * diff / se2 > 10.273e0 AS crossed
          |FROM z""".stripMargin,
+    "ab15_mann_whitney" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |rk AS (
+         |  SELECT arm, y, RANK() OVER (ORDER BY y) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY y) AS cnt
+         |  FROM per),
+         |byarm AS (
+         |  SELECT arm, COUNT(*) AS n,
+         |    SUM(CAST(2 * rnk + cnt - 1 AS HUGEINT)) AS s2r
+         |  FROM rk GROUP BY 1),
+         |ties AS (
+         |  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tsum
+         |  FROM (SELECT COUNT(*) AS t FROM per GROUP BY y)),
+         |uz AS (
+         |  SELECT n0, n1,
+         |    CAST(s2r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+         |      AS u1_x2,
+         |    CAST(n0 + n1 AS DOUBLE) AS nn, tsum
+         |  FROM (SELECT a0.n AS n0, a1.n AS n1, a1.s2r AS s2r1
+         |        FROM byarm a0, byarm a1
+         |        WHERE a0.arm = 0 AND a1.arm = 1)
+         |  CROSS JOIN ties),
+         |v AS (
+         |  SELECT n0, n1, u1_x2,
+         |    CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+         |      ((nn + 1.0) - CAST(tsum AS DOUBLE) / (nn * (nn - 1.0)))
+         |      AS var_u
+         |  FROM uz),
+         |z AS (
+         |  SELECT n0, n1, u1_x2,
+         |    CASE WHEN var_u > 0 THEN
+         |      (CAST(u1_x2 AS DOUBLE) -
+         |        CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) /
+         |      (2.0 * sqrt(var_u)) END AS z_stat
+         |  FROM v),
+         |w1 AS (SELECT n0, n1, u1_x2, z_stat,
+         |         abs(z_stat) * 0.7071067811865476 AS x FROM z),
+         |w2 AS (SELECT n0, n1, u1_x2, z_stat, x,
+         |         1.0 / (1.0 + 0.3275911 * x) AS t FROM w1)
+         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         |  u1_x2, z_stat,
+         |  CASE WHEN z_stat IS NOT NULL THEN $pMicroSql END AS p_micro
+         |FROM w2""".stripMargin,
+    "ab16_permutation_test" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(ROUND(value) AS BIGINT) AS dollars
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN dollars ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |st AS (SELECT arm, COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS sy
+         |       FROM per GROUP BY 1),
+         |obs AS (SELECT a0.n AS n0, a0.sy AS sy0, a1.n AS n1, a1.sy AS sy1
+         |        FROM st a0, st a1 WHERE a0.arm = 0 AND a1.arm = 1),
+         |reps AS (
+         |  SELECT user_id, y, r,
+         |    (CAST(('0x' || substr(md5('perm' || CAST(r AS VARCHAR) ||
+         |      ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000) % 2 AS parm
+         |  FROM per CROSS JOIN generate_series(0, 199) t(r)),
+         |rst AS (SELECT r, parm, COUNT(*) AS rn,
+         |          SUM(CAST(y AS HUGEINT)) AS rs
+         |        FROM reps GROUP BY 1, 2),
+         |j AS (
+         |  SELECT r0.rn AS rn0, r0.rs AS rs0, r1.rn AS rn1, r1.rs AS rs1
+         |  FROM rst r0 JOIN rst r1
+         |    ON r0.r = r1.r AND r0.parm = 0 AND r1.parm = 1),
+         |ex AS (
+         |  SELECT CASE WHEN
+         |      abs(rs1 * CAST(rn0 AS HUGEINT) - rs0 * CAST(rn1 AS HUGEINT))
+         |        * (CAST(n0 AS HUGEINT) * n1) >=
+         |      abs(sy1 * CAST(n0 AS HUGEINT) - sy0 * CAST(n1 AS HUGEINT))
+         |        * (CAST(rn0 AS HUGEINT) * rn1)
+         |    THEN 1 ELSE 0 END AS e
+         |  FROM j CROSS JOIN obs),
+         |tl AS (SELECT COUNT(*) AS n_valid, CAST(SUM(e) AS BIGINT)
+         |         AS n_exceed FROM ex)
+         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff_dollars,
+         |  n_valid, n_exceed,
+         |  (1 + n_exceed) * 1000000 // (n_valid + 1) AS p_micro
+         |FROM obs CROSS JOIN tl""".stripMargin,
   )
 }
