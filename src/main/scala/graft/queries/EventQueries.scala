@@ -291,6 +291,44 @@ object EventQueries {
     // the corpus; each |ΔCDF| is floor-quantized to micro so the max is
     // an integer. The one exp per distinct gap value is the usual
     // quantize-at-the-boundary site.
+    // TS18 (beyond reference): LAGGED CROSS-CORRELATION between the
+    // daily click and purchase series — the lead-lag readout ("do
+    // clicks predict purchases k days out?") that decides attribution
+    // windows and forecasting features. Both series are day-grain
+    // rollups (bounded by the calendar span), the ±7-lag expansion is
+    // one explode over that tiny frame, and each lag's Pearson r comes
+    // from exact decimal moments (counts cast before the cross product
+    // — two 10¹¹-event days overflow int64) through one fixed IEEE
+    // tree. The only corpus-sized work is the first daily rollup.
+    "ts18_lagged_xcorr" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val x = daily.filter(col("event_type") === "click")
+        .select(col("day"), col("n").as("x"))
+      val y = daily.filter(col("event_type") === "purchase")
+        .select(col("day").as("yday"), col("n").as("y"))
+      val lagged = x.select(col("day"), col("x"),
+          explode(expr("sequence(-7, 7)")).as("lag"))
+        .join(y, col("day") + col("lag") === col("yday"))
+      val st = lagged.groupBy("lag").agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+      val num = col("n_days").cast(d38) * col("sxy") -
+        col("sx") * col("sy")
+      val vx = col("n_days").cast(d38) * col("sxx") -
+        col("sx") * col("sx")
+      val vy = col("n_days").cast(d38) * col("syy") -
+        col("sy") * col("sy")
+      st.select(col("lag"), col("n_days"),
+        when(vx > 0 && vy > 0, num.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("xcorr"))
+    },
+
     "ts17_exp_gap_fit" -> { (s, dir) =>
       val ev = Tables.eventsUs(s, dir)
         .select(col("user_id"), col("ts"))
@@ -2172,6 +2210,33 @@ object EventQueries {
         |     CAST(n_ij AS DOUBLE) + 1.0)) /
         |  (CAST(n_ij AS DOUBLE) + 4.0) AS wilson_lb
         |FROM stats""".stripMargin,
+    "ts18_lagged_xcorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT day, n AS x FROM daily WHERE event_type = 'click'),
+        |y AS (SELECT day AS yday, n AS y FROM daily
+        |      WHERE event_type = 'purchase'),
+        |lagged AS (
+        |  SELECT lag, x.x, y.y
+        |  FROM x CROSS JOIN generate_series(-7, 7) t(lag)
+        |  JOIN y ON x.day + lag = y.yday),
+        |st AS (
+        |  SELECT lag, COUNT(*) AS n_days,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM lagged GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx > 0
+        |        AND n_days * syy - sy * sy > 0 THEN
+        |    CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+        |  END AS xcorr
+        |FROM st""".stripMargin,
     "ts17_exp_gap_fit" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
         |g0 AS (SELECT user_id, tus,

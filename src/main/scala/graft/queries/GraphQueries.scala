@@ -165,6 +165,37 @@ object GraphQueries {
           coalesce(col("component"), docs("doc_id")).as("component"))
     },
 
+    // GR23 (beyond reference): component SIZE DISTRIBUTION + giant-
+    // component flag — the dedup-cluster health readout at corpus
+    // scale: a near-dup graph whose mass concentrates in one giant
+    // component means the LSH threshold is too loose (transitive
+    // over-merge), while a flat histogram of small components is
+    // healthy. Same ccStar labels as gr5 (isolated nodes are their own
+    // singleton component), rolled to SIZE grain: the histogram is
+    // bounded by max component size, the giant flag by one broadcast
+    // max, and mass shares are exact integer micro.
+    "gr23_component_sizes" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("u"), (col("doc_id") - 10).as("v"))
+      val comp = Graph.ccStar(edges)
+      val labeled = docs.join(comp, docs("doc_id") === comp("node"),
+          "left")
+        .select(coalesce(col("component"), docs("doc_id"))
+          .as("component"))
+      val sizes = labeled.groupBy("component")
+        .agg(count(lit(1)).as("size"))
+      val hist = sizes.groupBy("size").agg(count(lit(1))
+        .as("n_components"))
+      val tot = labeled.agg(count(lit(1)).as("n_nodes"))
+      val giant = sizes.agg(max(col("size")).as("giant"))
+      hist.crossJoin(broadcast(tot)).crossJoin(broadcast(giant))
+        .select(col("size"), col("n_components"),
+          expr("size * n_components * 1000000 div n_nodes")
+            .as("mass_micro"),
+          (col("size") === col("giant")).as("is_giant"))
+    },
+
     // Bounded-hop BFS from node 0 on the synthetic link graph: 5 rounds
     // of frontier-join + min-combine — the seed-set reachability probe
     // (oracle: depth-bounded recursive CTE + MIN over path lengths).
@@ -842,6 +873,17 @@ object GraphQueries {
     "gr5_components" ->
       """SELECT doc_id AS node, doc_id % 10 AS component
         |FROM documents""".stripMargin,
+    "gr23_component_sizes" ->
+      """WITH c AS (SELECT doc_id % 10 AS component FROM documents),
+        |s AS (SELECT COUNT(*) AS size FROM c GROUP BY component),
+        |h AS (SELECT size, COUNT(*) AS n_components FROM s GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_nodes FROM documents),
+        |g AS (SELECT MAX(size) AS giant FROM s)
+        |SELECT size, n_components,
+        |  CAST(size * n_components * 1000000 // n_nodes AS BIGINT)
+        |    AS mass_micro,
+        |  size = giant AS is_giant
+        |FROM h CROSS JOIN t CROSS JOIN g""".stripMargin,
     "gr3_tree_paths" ->
       """WITH RECURSIVE t(node, root_id, depth) AS (
         |  SELECT doc_id, doc_id, CAST(0 AS BIGINT)

@@ -1373,6 +1373,62 @@ object RelationalQueries {
     // log ratio is floor-quantized to micro (all ≥ 0 by construction,
     // so integer division stays engine-identical), and the two scalars
     // fold in a 1-row broadcast.
+    // D46 (beyond reference): KRUSKAL–WALLIS rank test — the k-group
+    // nonparametric ANOVA (d29's robust cousin, ab15's k-group
+    // extension): does order value differ across the 5 priority
+    // classes when the distribution is too heavy-tailed for the F
+    // test? Tie-averaged ranks over the COMBINED corpus ride
+    // GlobalRank's range-partitioned two-pass (d41's doubled-rank
+    // identity keeps every rank sum an exact decimal); the per-group
+    // Σ(2R_g)²/n_g terms fold in GROUP order through a 5-row ordered
+    // window, so the cross-group double sum is order-deterministic and
+    // both engines walk the identical IEEE tree. Tie correction
+    // 1 − Σ(t³−t)/(N³−N) from a cents-grain rollup.
+    "d46_kruskal_wallis" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("grp"), col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+      val rk = graft.operators.GlobalRank.withGlobalRank(o,
+          order = Seq(col("cents")), tieBreak = Seq(col("o_orderkey")),
+          out = "rnk")
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("cents"))))
+      val per = rk.groupBy("grp").agg(count(lit(1)).as("ng"),
+        sum((lit(2L) * col("rnk") + col("cnt") - lit(1L)).cast(d38))
+          .as("s2r"))
+      val ties = o.groupBy("cents").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t").cast(d38) * col("t").cast(d38) *
+          col("t").cast(d38) - col("t").cast(d38)),
+          lit(0).cast(d38)).as("tsum"))
+      val tot = per.agg(sum(col("ng")).as("n"),
+        count(lit(1)).as("k_groups"))
+      // Σ_g R_g²/n_g with R_g = s2r_g/2 → Σ s2r_g²/(4n_g); the 3/(N(N+1))
+      // prefactor absorbs the 4: term_g = 3·s2r_g²/(N(N+1)·n_g)
+      val w = Window.orderBy(col("grp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = per.crossJoin(broadcast(tot))
+        .withColumn("term",
+          (lit(3.0) * (col("s2r") * col("s2r")).cast("double")) /
+            ((col("n").cast(d38) * (col("n") + 1).cast(d38))
+              .cast("double") * col("ng").cast("double")))
+        .withColumn("cum", sum(col("term")).over(w))
+        .withColumn("rn", row_number().over(Window.orderBy(col("grp"))))
+      terms.filter(col("rn") === col("k_groups"))
+        .crossJoin(broadcast(ties))
+        .withColumn("h_stat",
+          col("cum") - lit(3.0) * (col("n") + 1).cast("double"))
+        .withColumn("tie_d",
+          lit(1.0) - col("tsum").cast("double") /
+            (col("n").cast(d38) * col("n").cast(d38) * col("n").cast(d38)
+              - col("n").cast(d38)).cast("double"))
+        .select(col("n"), col("k_groups"), col("h_stat"),
+          // n=1 → N³−N = 0 → tie_d is 0/0 = NaN, and NaN > 0 is TRUE
+          // under both engines' NaN-is-greatest ordering — gate on n
+          when(col("n") > 1 && col("tie_d") > 0,
+            col("h_stat") / col("tie_d")).as("h_adjusted"))
+    },
+
     "d44_hill_estimator" -> { (s, dir) =>
       val k = 100L
       val o = Tables.orders(s, dir)
@@ -2340,6 +2396,40 @@ object RelationalQueries {
         |      CAST(CAST(n_c AS HUGEINT) * n_total * (m - 1) AS DOUBLE)
         |  ELSE 0.0 END <= 0.2 AS t_close
         |FROM agg""".stripMargin,
+    "d46_kruskal_wallis" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |rk AS (SELECT grp, RANK() OVER (ORDER BY cents) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY cents) AS cnt FROM o),
+        |per AS (SELECT grp, COUNT(*) AS ng,
+        |    SUM(CAST(2 * rnk + cnt - 1 AS HUGEINT)) AS s2r
+        |  FROM rk GROUP BY 1),
+        |ties AS (
+        |  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tsum
+        |  FROM (SELECT COUNT(*) AS t FROM o GROUP BY cents)),
+        |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    COUNT(*) AS k_groups FROM per),
+        |terms AS (SELECT grp, ng, s2r, n, k_groups,
+        |    (3.0 * CAST(s2r * s2r AS DOUBLE)) /
+        |      (CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) *
+        |        CAST(ng AS DOUBLE)) AS term
+        |  FROM per CROSS JOIN tot),
+        |cumt AS (SELECT k_groups, n,
+        |    SUM(term) OVER (ORDER BY grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    ROW_NUMBER() OVER (ORDER BY grp) AS rn
+        |  FROM terms),
+        |fin AS (SELECT n, k_groups,
+        |    cum - 3.0 * CAST(n + 1 AS DOUBLE) AS h_stat,
+        |    1.0 - CAST(tsum AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS tie_d
+        |  FROM cumt CROSS JOIN ties WHERE rn = k_groups)
+        |SELECT n, CAST(k_groups AS BIGINT) AS k_groups, h_stat,
+        |  CASE WHEN n > 1 AND tie_d > 0 THEN h_stat / tie_d END
+        |    AS h_adjusted
+        |FROM fin""".stripMargin,
     "d44_hill_estimator" ->
       """WITH o AS (
         |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,

@@ -173,6 +173,42 @@ object ScoringQueries {
           expr("ss * 1000000 div n_test").as("avg_set_micro"))
     },
 
+    // CP2 (beyond reference): MONDRIAN (group-conditional) split
+    // conformal — cp1's marginal guarantee stratified by class:
+    // calibrate a separate q̂ per group (en vs other), so each class
+    // gets its own ≥90% coverage instead of borrowing the easy class's
+    // slack — the standard fix when nonconformity distributions differ
+    // by group (exactly the fairness failure ml20 audits). The
+    // per-group ceil-rank selection rides GlobalRank's grouped two-pass
+    // (range-partitioned; n_cal from its pass-1 counts, never a
+    // count-over-group window), and the two (group, q̂) rows broadcast
+    // back over the test half.
+    "cp2_mondrian_conformal" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val docs = docsSpread(s, dir)
+      val d = Scoring.hashedLinearScore(docs)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("en")), "doc_id")
+        .withColumn("a",
+          when(col("en"), -col("score")).otherwise(col("score")))
+        .withColumn("gate", Sampling.bucket(col("doc_id"), "cp1") % 2)
+      val cal = d.filter(col("gate") === 0)
+        .select(col("en"), col("a"), col("doc_id"))
+      val calr = GlobalRank.withGroupedRowNumber(cal,
+        group = Seq("en"), order = Seq(col("a"), col("doc_id")),
+        out = "rn", nOut = Some("n_cal"))
+      val q = calr
+        .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+        .groupBy("en")
+        .agg(min(col("n_cal")).as("n_cal"), min(col("a")).as("qhat"))
+      d.filter(col("gate") =!= 0).join(broadcast(q), "en")
+        .groupBy("en", "n_cal", "qhat")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)).as("cov"))
+        .select(col("en"), col("n_cal"), col("qhat"), col("n_test"),
+          expr("cov * 1000000 div n_test").as("coverage_micro"))
+    },
+
     // ML19 (beyond reference): CONFIDENT-LEARNING label-noise audit
     // (Northcutt et al.): an example is counted as confidently class c
     // when its score crosses class c's self-confidence threshold (the
@@ -1375,6 +1411,36 @@ object ScoringQueries {
          |    * 1000000 // COUNT(*) AS BIGINT) AS avg_set_micro
          |FROM d CROSS JOIN q WHERE gate <> 0
          |GROUP BY 1, 2""".stripMargin,
+    "cp2_mondrian_conformal" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |        FROM documents)),
+         |lab AS (SELECT doc_id, lang = 'en' AS en FROM documents),
+         |d AS (
+         |  SELECT sc.doc_id, score, en,
+         |    CASE WHEN en THEN -score ELSE score END AS a,
+         |    CAST(('0x' || substr(md5('cp1:' ||
+         |      CAST(sc.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000 % 2 AS gate
+         |  FROM sc JOIN lab USING (doc_id)),
+         |cal AS (SELECT en, a, doc_id FROM d WHERE gate = 0),
+         |calr AS (SELECT en, a,
+         |    ROW_NUMBER() OVER (PARTITION BY en ORDER BY a, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY en) AS n_cal
+         |  FROM cal),
+         |q AS (SELECT en, MIN(n_cal) AS n_cal, MIN(a) AS qhat
+         |      FROM calr WHERE rn = (9 * (n_cal + 1) + 9) // 10
+         |      GROUP BY en)
+         |SELECT d.en, CAST(q.n_cal AS BIGINT) AS n_cal,
+         |  CAST(q.qhat AS BIGINT) AS qhat,
+         |  CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  CAST(SUM(CASE WHEN a <= qhat THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS coverage_micro
+         |FROM d JOIN q ON d.en = q.en WHERE gate <> 0
+         |GROUP BY 1, 2, 3""".stripMargin,
     "ml19_confident_learning" ->
       s"""WITH sc AS (
          |  SELECT doc_id,

@@ -659,6 +659,70 @@ object TrainingDataQueries {
             .as("flesch_micro"))
     },
 
+    // TX36 (beyond reference): YULE'S K lexical-diversity constant per
+    // language — the length-invariant repeat-rate readout
+    // 10⁴·(Σf² − N)/N² over type frequencies, separating formulaic from
+    // diverse text where raw TTR is length-confounded (tx28's MATTR
+    // fixes length by windowing; K fixes it in closed form from two
+    // frequency moments). One map-side-combined (lang, token) rollup,
+    // then a lang-grain reduce; exact decimal moments (f² casts before
+    // the square — a 10⁸-occurrence stopword overflows int64), one
+    // final IEEE division.
+    "tx36_yule_k" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val f = docsSpread(s, dir)
+        .select(col("lang"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("lang", "token").agg(count(lit(1)).as("f"))
+      f.groupBy("lang")
+        .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("f").cast(d38) * col("f").cast(d38)).as("s2"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          when(col("n_tokens") > 0,
+            lit(1e4) *
+              (col("s2") - col("n_tokens").cast(d38)).cast("double") /
+              (col("n_tokens").cast("double") *
+                col("n_tokens").cast("double"))).as("yule_k"))
+    },
+
+    // TX37 (beyond reference): token BURSTINESS (Church–Gale VMR) for
+    // the 30 highest-frequency tokens — variance-to-mean ratio of
+    // per-document counts INCLUDING the absent-doc zeros, in closed
+    // form from (Σc, Σc², n_docs): VMR = (n·Σc² − S²)/(n·S). ≈1 for
+    // Poisson-scattered glue words, ≫1 for bursty topical terms — the
+    // signal that separates content from function words when curating
+    // stopword lists or keyword extractors (tx19). The zero mass enters
+    // the moments in closed form (tx27's trick — never manufactured
+    // rows); the top-30 cut is a TakeOrdered over the vocab rollup,
+    // never a corpus sort; the ratio is exact integer micro
+    // (n·Σc² ≥ S² by Cauchy–Schwarz, so truncation = floor on both
+    // engines).
+    "tx37_burstiness" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val docs = docsSpread(s, dir)
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val perDoc = docs
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+      val perTok = perDoc.groupBy("token")
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("df"),
+          sum(col("c").cast(d38) * col("c").cast(d38)).as("s2"))
+        .orderBy(col("s").desc, col("token").asc).limit(30)
+      perTok.crossJoin(broadcast(nd))
+        .withColumn("num",
+          (col("n_docs").cast(d38) * col("s2") -
+            col("s").cast(d38) * col("s").cast(d38)) *
+            lit(1000000L).cast(d38))
+        .withColumn("den", col("n_docs").cast(d38) * col("s").cast(d38))
+        .select(col("token"), col("df"), col("s").as("total"),
+          expr("cast(num div den as bigint)").as("vmr_micro"))
+    },
+
     // TX35 (beyond reference): CODE detection — is this document prose
     // or source code? The curation fork every mixed crawl needs (code
     // goes to the code pipeline with different dedup/quality rules;
@@ -1533,6 +1597,43 @@ object TrainingDataQueries {
       }
       scored.select(col("doc_id") +: col("wdl") +:
         bm25Terms.map(t => col(s"wtf_$t")) :+ score.as("bm25f"): _*)
+    },
+
+    // IR12 (beyond reference): EXPECTED RECIPROCAL RANK — the cascade
+    // eval metric (Chapelle et al.) over the BM25 top-10: a user scans
+    // down the list and stops at the first satisfying doc, so rank r
+    // contributes R_r/r · Π_{i<r}(1−R_i). Graded relevance is the
+    // integer count of matched query terms capped at 3 (no float
+    // thresholds), so R = (2^g−1)/8 and 1−R = (9−2^g)/8 are exact
+    // dyadic rationals: the stopping-probability product is an exact
+    // int64 numerator (list-fold over ≤9 prior grades) over 8^r — no
+    // ln/exp in the chain, every contribution one exact-integer-fed
+    // IEEE division. All windows ride the 10-row top list.
+    "ir12_err" -> { (s, dir) =>
+      val top = Retrieval.bm25(docsSpread(s, dir), bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        .withColumn("m", bm25Terms.map(t =>
+          when(col(s"tf_$t") > 0, 1).otherwise(0)).reduce(_ + _))
+        .withColumn("g", least(col("m"), lit(3)))
+        .withColumn("relnum", expr("cast(shiftleft(1, g) - 1 as bigint)"))
+        .withColumn("k", expr("cast(9 - shiftleft(1, g) as bigint)"))
+      val ord = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val ranked = top
+        .withColumn("r", row_number().over(ord))
+        .withColumn("prodk", aggregate(
+          collect_list(col("k"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(1L), (acc, x) => acc * x))
+        .withColumn("contrib",
+          (col("relnum") * col("prodk")).cast("double") /
+            (expr("cast(shiftleft(1L, cast(3 * r as int)) as double)") *
+              col("r").cast("double")))
+      ranked
+        .withColumn("err_cum", sum(col("contrib")).over(
+          Window.orderBy(col("r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("r"), col("doc_id"), col("g").as("grade"),
+          col("contrib"), col("err_cum"))
     },
 
     // Dirichlet query likelihood over the same probe terms — the LM
@@ -4789,6 +4890,34 @@ object TrainingDataQueries {
         |  CASE WHEN n_sentences = 0 THEN NULL ELSE
         |    CAST(list_max(wc) AS BIGINT) END AS max_sentence_words
         |FROM ws""".stripMargin,
+    "tx36_yule_k" ->
+      s"""WITH t AS (
+         |  SELECT lang, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |f AS (SELECT lang, token, COUNT(*) AS f FROM t
+         |      WHERE length(token) > 0 GROUP BY 1, 2)
+         |SELECT lang, CAST(SUM(f) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_types,
+         |  CASE WHEN SUM(f) > 0 THEN
+         |    1e4 * CAST(SUM(CAST(f AS HUGEINT) * f) - SUM(f) AS DOUBLE) /
+         |    (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE))
+         |  END AS yule_k
+         |FROM f GROUP BY 1""".stripMargin,
+    "tx37_burstiness" ->
+      s"""WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |t AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |pd AS (SELECT token, doc_id, COUNT(*) AS c FROM t
+         |       WHERE length(token) > 0 GROUP BY 1, 2),
+         |pt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS s,
+         |         COUNT(*) AS df, SUM(CAST(c AS HUGEINT) * c) AS s2
+         |       FROM pd GROUP BY 1
+         |       ORDER BY s DESC, token ASC LIMIT 30)
+         |SELECT token, CAST(df AS BIGINT) AS df, s AS total,
+         |  CAST((n_docs * s2 - CAST(s AS HUGEINT) * s) * 1000000 //
+         |    (n_docs * CAST(s AS HUGEINT)) AS BIGINT) AS vmr_micro
+         |FROM pt CROSS JOIN nd""".stripMargin,
     "tx35_code_detection" ->
       """WITH d AS (
         |  SELECT doc_id, length(text) AS nc,
@@ -5447,6 +5576,34 @@ object TrainingDataQueries {
          |  q.label = v.n_label AS label_match
          |FROM voted v JOIN embeddings q ON v.query_id = q.vec_id""".stripMargin,
     "ir1_bm25" -> bm25Sql,
+    "ir12_err" -> {
+      val mexpr = bm25Terms.map(t =>
+        s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH scored AS ($bm25Sql),
+         |top AS (SELECT * FROM scored
+         |        ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+         |g AS (SELECT doc_id, bm25,
+         |    least($mexpr, 3) AS g FROM top),
+         |rk AS (SELECT doc_id, g,
+         |    CAST((1 << g) - 1 AS BIGINT) AS relnum,
+         |    CAST(9 - (1 << g) AS BIGINT) AS k,
+         |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+         |  FROM g),
+         |p AS (SELECT doc_id, g, relnum, r,
+         |    CAST(COALESCE(list_aggregate(array_agg(k) OVER (ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      'product'), 1) AS BIGINT) AS prodk
+         |  FROM rk),
+         |c AS (SELECT r, doc_id, g AS grade,
+         |    CAST(relnum * prodk AS DOUBLE) /
+         |      (CAST(1::BIGINT << (3 * r) AS DOUBLE) * CAST(r AS DOUBLE))
+         |      AS contrib
+         |  FROM p)
+         |SELECT r, doc_id, grade, contrib,
+         |  SUM(contrib) OVER (ORDER BY r
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_cum
+         |FROM c""".stripMargin
+    },
     "ir11_bm25f" -> bm25fSql,
     "ir6_qlm" -> qlmSql,
     "tx19_keywords" ->
