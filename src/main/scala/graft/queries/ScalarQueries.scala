@@ -180,6 +180,27 @@ object ScalarQueries {
         .filter(col("dist") <= 6)
     },
 
+    // H19 (beyond reference): JARO–WINKLER similarity — the prefix-
+    // rewarding name comparator Spark lacks (h13 covers edit distance),
+    // implemented as a native codegen BinaryExpression
+    // ([[graft.functions.JaroWinkler]]) that bit-mirrors the RapidFuzz
+    // arithmetic DuckDB embeds, so the oracle compares RAW doubles — no
+    // quantization anywhere. Probes: an in-name transposition (the
+    // classic typo JW rewards), a deletion, and an unrelated string.
+    // Pure narrow per-row compute inside whole-stage codegen.
+    "h19_jaro_winkler" -> { (s, dir) =>
+      import graft.functions.StringSimilarity.jaroWinkler
+      val swap = expr("concat(substring(c_name, 1, 9), " +
+        "substring(c_name, 11, 1), substring(c_name, 10, 1), " +
+        "substring(c_name, 12))")
+      val drop = expr("concat(substring(c_name, 1, 9), " +
+        "substring(c_name, 11))")
+      Tables.customer(s, dir).select(col("c_custkey"),
+        jaroWinkler(col("c_name"), swap).as("jw_swap"),
+        jaroWinkler(col("c_name"), drop).as("jw_drop"),
+        jaroWinkler(col("c_name"), col("c_mktsegment")).as("jw_seg"))
+    },
+
     // H15 (beyond reference): n-ary conditional scalars — greatest/least
     // across columns plus nullif/nvl round-trips.
     "h15_greatest_least" -> { (s, dir) =>
@@ -344,6 +365,15 @@ object ScalarQueries {
         |FROM nation a, nation b
         |WHERE a.n_name < b.n_name
         |  AND levenshtein(a.n_name, b.n_name) <= 6""".stripMargin,
+    "h19_jaro_winkler" ->
+      """SELECT c_custkey,
+        |  jaro_winkler_similarity(c_name,
+        |    substr(c_name, 1, 9) || substr(c_name, 11, 1) ||
+        |    substr(c_name, 10, 1) || substr(c_name, 12)) AS jw_swap,
+        |  jaro_winkler_similarity(c_name,
+        |    substr(c_name, 1, 9) || substr(c_name, 11)) AS jw_drop,
+        |  jaro_winkler_similarity(c_name, c_mktsegment) AS jw_seg
+        |FROM customer""".stripMargin,
     "h15_greatest_least" ->
       """SELECT l_orderkey, l_linenumber,
         |GREATEST(l_quantity, l_discount * 100, l_tax * 100) AS g3,

@@ -132,4 +132,31 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(positionsGained(lit(5), lit(2))) == 3)
     assert(eval(positionsGained(lit(null).cast("int"), lit(2))) == 0)
   }
+
+  test("jaroWinkler bit-matches the DuckDB/RapidFuzz golden values") {
+    import graft.functions.StringSimilarity.jaroWinkler
+    def jw(a: String, b: String): Double =
+      eval(jaroWinkler(lit(a), lit(b))).asInstanceOf[Double]
+    // goldens captured from duckdb.jaro_winkler_similarity (exact
+    // doubles — the h19 oracle compares unquantized)
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("DWAYNE", "DUANE") == 0.8400000000000001)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jw("CRATE", "TRACE") == 0.7333333333333334)
+    assert(jw("hello world", "hello word") == 0.9818181818181818)
+    // boost fires only above jaro 0.7, prefix capped at 4
+    assert(jw("abcdxxxx", "abcdyyyy") == 0.6666666666666666)
+    assert(jw("ab", "abcdefgh") == 0.8)
+    assert(jw("aaaaaaaaaa", "aaaa") == 0.88)
+    assert(jw("prefix_same", "prefix_diff") == 0.8545454545454545)
+    assert(jw("abcde", "abxyz") == 0.6)
+    // degenerate shapes: empties and zero-window length-1/2 strings
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "b") == 0.0)
+    assert(jw("ab", "ba") == 0.0)
+    // null propagates (BinaryExpression null-safety)
+    assert(eval(jaroWinkler(lit(null).cast("string"), lit("x"))) == null)
+  }
 }
