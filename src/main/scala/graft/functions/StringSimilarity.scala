@@ -109,9 +109,85 @@ object JaroWinkler {
   }
 }
 
+/** Unrestricted Damerau–Levenshtein distance (Lowrance–Wagner, the
+  * `da[]`-alphabet form) as a native codegen expression — edit distance
+  * where a transposition of ADJACENT characters costs 1 instead of 2,
+  * the variant that prices real keyboard typos correctly ("marhta" is
+  * 1 edit from "martha", not 2). Spark ships only plain `levenshtein`;
+  * DuckDB's `damerau_levenshtein` is the same unrestricted algorithm
+  * (probe: CA→ABC = 2, not OSA's 3), and the output is an exact integer
+  * — zero float-divergence surface. Byte-level like [[JaroWinkler]];
+  * O(l1·l2) time/space per pair, so intended for NAME-length strings
+  * (the ER tier), not documents.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "damerau_levenshtein"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DamerauLevenshtein.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+  def compute(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.getBytes
+    val b = ub.getBytes
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = l1 + l2
+    // (l1+2) × (l2+2) DP with the sentinel row/col at index 0
+    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= l1) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new Array[Int](256) // last DP row each byte was seen at
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      j = 1
+      while (j <= l2) {
+        val k = da(b(j - 1) & 0xFF)
+        val l = db
+        var cost = 1
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) =
+          math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      da(a(i - 1) & 0xFF) = i
+      i += 1
+    }
+    d(l1 + 1)(l2 + 1)
+  }
+}
+
 /** Column-level entry points for the string-similarity expressions. */
 object StringSimilarity {
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.column(
       JaroWinkler(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DamerauLevenshtein(ColumnBridge.expr(a), ColumnBridge.expr(b)))
 }

@@ -685,6 +685,68 @@ object ExperimentQueries {
             .as("crossed"))
     },
 
+    // AB17 (beyond reference): COCHRAN–MANTEL–HAENSZEL pooled odds
+    // ratio — "does the treatment lift conversion once stratified?",
+    // the Simpson's-paradox-proof readout when arms are imbalanced
+    // across segments (ab7 reads each segment alone; CMH pools them
+    // with the correct n_i weighting). One per-user rollup (arm,
+    // modal-event-type stratum, any-post-purchase flag), a 2×2 per
+    // stratum, and OR_MH = Σ(a·d/n)/Σ(b·c/n) folded through an ordered
+    // window over the STRATA frame (event-type domain — bounded), so
+    // the cross-stratum double sums are order-deterministic on both
+    // engines. Cell products cast to decimal before multiplying
+    // (10⁹-user strata overflow int64).
+    "ab17_cmh_odds" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val ev = Tables.eventsUs(s, dir)
+      val seg = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("n").desc, col("event_type").asc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("segment"))
+      val mn = ev.select(expr("ts div 86400000000").as("day"))
+        .agg(min(col("day")).as("d0"))
+      val per = ev.select(col("user_id"), col("event_type"),
+          expr("ts div 86400000000").as("day"))
+        .crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("day") >= col("d0") + 15, 1L).otherwise(0L)).as("conv"))
+        .withColumn("arm", arm(col("user_id")))
+        .join(seg, "user_id")
+      val st = per.groupBy("segment").agg(
+        sum(when(col("arm") === 1 && col("conv") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("arm") === 1 && col("conv") === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("arm") === 0 && col("conv") === 1, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("arm") === 0 && col("conv") === 0, 1L)
+          .otherwise(0L)).as("d"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      val w = Window.orderBy(col("segment"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val k = st.agg(count(lit(1)).as("k_strata"))
+      st.withColumn("ad_n",
+          (col("a").cast(d38) * col("d")).cast("double") /
+            col("n").cast("double"))
+        .withColumn("bc_n",
+          (col("b").cast(d38) * col("c")).cast("double") /
+            col("n").cast("double"))
+        .withColumn("cum_ad", sum(col("ad_n")).over(w))
+        .withColumn("cum_bc", sum(col("bc_n")).over(w))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("segment"))))
+        .crossJoin(broadcast(k))
+        .filter(col("rn") === col("k_strata"))
+        .select(col("k_strata"), col("cum_ad").as("sum_ad_n"),
+          col("cum_bc").as("sum_bc_n"),
+          when(col("cum_bc") > 0, col("cum_ad") / col("cum_bc"))
+            .as("or_mh"))
+    },
+
     // AB15 (beyond reference): MANN–WHITNEY U rank-sum test — the
     // nonparametric two-sample readout for heavy-tailed metrics where
     // ab3's Welch t is miscalibrated (per-user spend is exactly that
@@ -1317,6 +1379,51 @@ object ExperimentQueries {
          |  diff, diff * diff / se2 AS z2,
          |  diff * diff / se2 > 10.273e0 AS crossed
          |FROM z""".stripMargin,
+    "ab17_cmh_odds" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |seg AS (
+         |  SELECT user_id, event_type AS segment FROM (
+         |    SELECT user_id, event_type,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+         |    FROM ev GROUP BY user_id, event_type)
+         |  WHERE rk = 1),
+         |mn AS (SELECT MIN(day) AS d0 FROM ev),
+         |per AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' AND day >= d0 + 15
+         |        THEN 1 ELSE 0 END) AS conv,
+         |    $armSql AS arm
+         |  FROM ev CROSS JOIN mn GROUP BY user_id),
+         |j AS (SELECT per.*, seg.segment FROM per
+         |      JOIN seg USING (user_id)),
+         |st AS (
+         |  SELECT segment,
+         |    SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+         |    SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+         |    SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+         |    SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS d
+         |  FROM j GROUP BY 1),
+         |t AS (SELECT segment, a, b, c, d, a + b + c + d AS n FROM st),
+         |k AS (SELECT COUNT(*) AS k_strata FROM t),
+         |c1 AS (SELECT segment,
+         |    CAST(CAST(a AS HUGEINT) * d AS DOUBLE) / CAST(n AS DOUBLE)
+         |      AS ad_n,
+         |    CAST(CAST(b AS HUGEINT) * c AS DOUBLE) / CAST(n AS DOUBLE)
+         |      AS bc_n
+         |  FROM t),
+         |c2 AS (SELECT segment,
+         |    SUM(ad_n) OVER w AS cum_ad, SUM(bc_n) OVER w AS cum_bc,
+         |    ROW_NUMBER() OVER (ORDER BY segment) AS rn
+         |  FROM c1
+         |  WINDOW w AS (ORDER BY segment
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT k_strata, cum_ad AS sum_ad_n, cum_bc AS sum_bc_n,
+         |  CASE WHEN cum_bc > 0 THEN cum_ad / cum_bc END AS or_mh
+         |FROM c2 CROSS JOIN k WHERE rn = k_strata""".stripMargin,
     "ab15_mann_whitney" ->
       s"""WITH d AS (
          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,

@@ -201,6 +201,25 @@ object ScalarQueries {
         jaroWinkler(col("c_name"), col("c_mktsegment")).as("jw_seg"))
     },
 
+    // H20 (beyond reference): DAMERAU–LEVENSHTEIN — edit distance that
+    // prices an adjacent transposition at 1 (plain levenshtein charges
+    // 2), the correct typo model for the ER tier's name matching. The
+    // swap probe shows the gap directly: dl_swap = 1 where
+    // lev_swap = 2. Native codegen expression
+    // ([[graft.functions.DamerauLevenshtein]]), exact integer output.
+    "h20_damerau" -> { (s, dir) =>
+      import graft.functions.StringSimilarity.damerauLevenshtein
+      val swap = expr("concat(substring(c_name, 1, 9), " +
+        "substring(c_name, 11, 1), substring(c_name, 10, 1), " +
+        "substring(c_name, 12))")
+      Tables.customer(s, dir).select(col("c_custkey"),
+        damerauLevenshtein(col("c_name"), swap).cast("bigint")
+          .as("dl_swap"),
+        levenshtein(col("c_name"), swap).cast("bigint").as("lev_swap"),
+        damerauLevenshtein(col("c_name"), col("c_mktsegment"))
+          .cast("bigint").as("dl_seg"))
+    },
+
     // H15 (beyond reference): n-ary conditional scalars — greatest/least
     // across columns plus nullif/nvl round-trips.
     "h15_greatest_least" -> { (s, dir) =>
@@ -373,6 +392,19 @@ object ScalarQueries {
         |  jaro_winkler_similarity(c_name,
         |    substr(c_name, 1, 9) || substr(c_name, 11)) AS jw_drop,
         |  jaro_winkler_similarity(c_name, c_mktsegment) AS jw_seg
+        |FROM customer""".stripMargin,
+    "h20_damerau" ->
+      """SELECT c_custkey,
+        |  CAST(damerau_levenshtein(c_name,
+        |    substr(c_name, 1, 9) || substr(c_name, 11, 1) ||
+        |    substr(c_name, 10, 1) || substr(c_name, 12)) AS BIGINT)
+        |    AS dl_swap,
+        |  CAST(levenshtein(c_name,
+        |    substr(c_name, 1, 9) || substr(c_name, 11, 1) ||
+        |    substr(c_name, 10, 1) || substr(c_name, 12)) AS BIGINT)
+        |    AS lev_swap,
+        |  CAST(damerau_levenshtein(c_name, c_mktsegment) AS BIGINT)
+        |    AS dl_seg
         |FROM customer""".stripMargin,
     "h15_greatest_least" ->
       """SELECT l_orderkey, l_linenumber,

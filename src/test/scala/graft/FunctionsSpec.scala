@@ -159,4 +159,20 @@ class FunctionsSpec extends SparkSpec {
     // null propagates (BinaryExpression null-safety)
     assert(eval(jaroWinkler(lit(null).cast("string"), lit("x"))) == null)
   }
+
+  test("damerauLevenshtein matches DuckDB's unrestricted-DL goldens") {
+    import graft.functions.StringSimilarity.damerauLevenshtein
+    def dl(a: String, b: String): Int =
+      eval(damerauLevenshtein(lit(a), lit(b))).asInstanceOf[Int]
+    // unrestricted (Lowrance–Wagner), NOT OSA: CA→ABC is 2, not 3
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("abc", "acb") == 1)
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("abcdef", "abdcfe") == 2)
+    assert(dl("", "ab") == 2)
+    assert(dl("a", "a") == 0)
+    assert(eval(damerauLevenshtein(lit("x"),
+      lit(null).cast("string"))) == null)
+  }
 }
