@@ -685,6 +685,127 @@ object ExperimentQueries {
             .as("crossed"))
     },
 
+    // AB18 (beyond reference): DELETE-ONE-BUCKET JACKKNIFE for a ratio
+    // metric — the variance every platform quotes for CTR-style
+    // metrics where users (not events) are the i.i.d. unit and the
+    // delta method (ab4) needs a distribution-free cross-check: 50
+    // hash-buckets of users, θ̂₍₋ᵢ₎ = (ΣN−nᵢ)/(ΣD−dᵢ), and
+    // var = (k−1)/k·Σ(θ₍₋ᵢ₎−θ̄)². Every cross-bucket sum is an exact
+    // integer of floor-quantized per-bucket terms (θ at 1e15, squared
+    // deviations at 1e18) — summing raw doubles across rows is NOT
+    // reproducible across engines even in a declared order (DuckDB's
+    // windowed SUM tree-reduces; this query's first cut differed in
+    // the last ulp), so the quantize-then-integer-sum idiom is the
+    // contract here, as in the lm/ev54 families.
+    "ab18_jackknife_ratio" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val ev = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .withColumn("bkt", Sampling.bucket(col("user_id"), "jk") % 50)
+      val per = ev.groupBy("bkt").agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("num"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("den"))
+      val tot = per.agg(sum(col("num")).as("sn"), sum(col("den")).as("sd"))
+      val jk = per.crossJoin(broadcast(tot))
+        .withColumn("theta_i",
+          when(col("sd") - col("den") > 0,
+            (col("sn") - col("num")).cast("double") /
+              (col("sd") - col("den")).cast("double")))
+        .withColumn("qt",
+          floor(col("theta_i") * lit(1e15)).cast("bigint"))
+      val m = jk.agg(
+        sum(when(col("theta_i").isNotNull, 1L).otherwise(0L))
+          .as("k_valid"),
+        sum(col("qt").cast(d38)).as("sq"))
+      val mean = m.select(col("k_valid"),
+        when(col("k_valid") > 0,
+          col("sq").cast("double") / lit(1e15) /
+            col("k_valid").cast("double")).as("t_bar"))
+      val dev = jk.crossJoin(broadcast(mean))
+        .withColumn("qd", floor(
+          (col("theta_i") - col("t_bar")) *
+            (col("theta_i") - col("t_bar")) * lit(1e18)).cast("bigint"))
+        .groupBy("k_valid", "t_bar", "sn", "sd")
+        .agg(sum(col("qd").cast(d38)).as("sd2"))
+      dev.select(col("k_valid"),
+        when(col("sd") > 0,
+          col("sn").cast("double") / col("sd").cast("double"))
+          .as("theta"),
+        col("t_bar"),
+        when(col("k_valid") > 1,
+          sqrt((col("k_valid") - 1).cast("double") /
+            col("k_valid").cast("double") *
+            (col("sd2").cast("double") / lit(1e18)))).as("se_jack"))
+    },
+
+    // AB19 (beyond reference): REGRESSION-ADJUSTED readout (CUPED with
+    // TWO covariates) — ab1 removes variance along one pre-period
+    // covariate; real platforms adjust on several (pre-spend AND
+    // pre-activity). β = Σc⁻¹·b solved in closed 2×2 form from CENTERED
+    // moments, each an exact decimal combination n·Σxy − Σx·Σy of
+    // integer sufficient statistics; the determinant and both βs are
+    // one fixed IEEE tree (the raw decimal det would need ~10⁷⁰
+    // headroom — the doubles enter only after every subtraction is
+    // exact). Same single per-user shuffle as ab1.
+    "ab19_regression_cuped" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("x1"),
+          sum(when(col("day") < col("d0") + 15, 1L).otherwise(0L))
+            .as("x2"),
+          sum(when(col("day") >= col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", arm(col("user_id")))
+      val pooled = per.agg(count(lit(1)).as("n"),
+        sum(col("x1").cast(d38)).as("s1"),
+        sum(col("x2").cast(d38)).as("s2"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x1") * col("x1")).cast(d38)).as("s11"),
+        sum((col("x1") * col("x2")).cast(d38)).as("s12"),
+        sum((col("x2") * col("x2")).cast(d38)).as("s22"),
+        sum((col("x1") * col("y")).cast(d38)).as("s1y"),
+        sum((col("x2") * col("y")).cast(d38)).as("s2y"))
+      // centered moments — exact decimals; doubles only afterwards
+      val a11 = (col("n") * col("s11") - col("s1") * col("s1"))
+        .cast("double")
+      val a12 = (col("n") * col("s12") - col("s1") * col("s2"))
+        .cast("double")
+      val a22 = (col("n") * col("s22") - col("s2") * col("s2"))
+        .cast("double")
+      val b1 = (col("n") * col("s1y") - col("s1") * col("sy"))
+        .cast("double")
+      val b2 = (col("n") * col("s2y") - col("s2") * col("sy"))
+        .cast("double")
+      val det = a11 * a22 - a12 * a12
+      val stats = pooled.select(col("n"), col("s1"), col("s2"),
+        when(abs(det) > 0, (a22 * b1 - a12 * b2) / det).as("beta1"),
+        when(abs(det) > 0, (a11 * b2 - a12 * b1) / det).as("beta2"))
+      val byArm = per.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+          sum(col("y")).as("sy_arm"))
+      byArm.crossJoin(broadcast(stats))
+        .select(col("arm"), col("n_users"), col("beta1"), col("beta2"),
+          (col("sy_arm").cast("double") / col("n_users").cast("double"))
+            .as("mean_y"),
+          (col("sy_arm").cast("double") / col("n_users").cast("double") -
+            col("beta1") * (col("sx1").cast("double") /
+              col("n_users").cast("double") -
+              col("s1").cast("double") / col("n").cast("double")) -
+            col("beta2") * (col("sx2").cast("double") /
+              col("n_users").cast("double") -
+              col("s2").cast("double") / col("n").cast("double")))
+            .as("mean_y_adjusted"))
+    },
+
     // AB17 (beyond reference): COCHRAN–MANTEL–HAENSZEL pooled odds
     // ratio — "does the treatment lift conversion once stratified?",
     // the Simpson's-paradox-proof readout when arms are imbalanced
@@ -726,24 +847,23 @@ object ExperimentQueries {
         sum(when(col("arm") === 0 && col("conv") === 0, 1L)
           .otherwise(0L)).as("d"))
         .withColumn("n", col("a") + col("b") + col("c") + col("d"))
-      val w = Window.orderBy(col("segment"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val k = st.agg(count(lit(1)).as("k_strata"))
-      st.withColumn("ad_n",
-          (col("a").cast(d38) * col("d")).cast("double") /
-            col("n").cast("double"))
-        .withColumn("bc_n",
-          (col("b").cast(d38) * col("c")).cast("double") /
-            col("n").cast("double"))
-        .withColumn("cum_ad", sum(col("ad_n")).over(w))
-        .withColumn("cum_bc", sum(col("bc_n")).over(w))
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("segment"))))
-        .crossJoin(broadcast(k))
-        .filter(col("rn") === col("k_strata"))
-        .select(col("k_strata"), col("cum_ad").as("sum_ad_n"),
-          col("cum_bc").as("sum_bc_n"),
-          when(col("cum_bc") > 0, col("cum_ad") / col("cum_bc"))
+      // micro-quantize each stratum's a·d/n and b·c/n BEFORE the
+      // cross-stratum sum (cross-row double SUMs are not
+      // order-reproducible across engines — ab18's lesson); OR_MH is
+      // then one division of two exact integer sums
+      st.withColumn("qad", floor((col("a").cast(d38) * col("d"))
+          .cast("double") / col("n").cast("double") * lit(1e6))
+          .cast(d38))
+        .withColumn("qbc", floor((col("b").cast(d38) * col("c"))
+          .cast("double") / col("n").cast("double") * lit(1e6))
+          .cast(d38))
+        .agg(count(lit(1)).as("k_strata"), sum(col("qad")).as("sa"),
+          sum(col("qbc")).as("sb"))
+        .select(col("k_strata"),
+          (col("sa").cast("double") / lit(1e6)).as("sum_ad_n"),
+          (col("sb").cast("double") / lit(1e6)).as("sum_bc_n"),
+          when(col("sb") > 0,
+            col("sa").cast("double") / col("sb").cast("double"))
             .as("or_mh"))
     },
 
@@ -1379,6 +1499,101 @@ object ExperimentQueries {
          |  diff, diff * diff / se2 AS z2,
          |  diff * diff / se2 > 10.273e0 AS crossed
          |FROM z""".stripMargin,
+    "ab18_jackknife_ratio" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    (CAST(('0x' || substr(md5('jk:' ||
+         |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000) % 50 AS bkt
+         |  FROM events),
+         |per AS (SELECT bkt,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS num,
+         |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS den
+         |  FROM ev GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(num) AS BIGINT) AS sn,
+         |    CAST(SUM(den) AS BIGINT) AS sd FROM per),
+         |jk AS (SELECT bkt, num, den, sn, sd,
+         |    CASE WHEN sd - den > 0 THEN
+         |      CAST(sn - num AS DOUBLE) / CAST(sd - den AS DOUBLE)
+         |    END AS theta_i
+         |  FROM per CROSS JOIN tot),
+         |jq AS (SELECT jk.*,
+         |    CAST(FLOOR(theta_i * 1e15) AS BIGINT) AS qt FROM jk),
+         |m AS (SELECT SUM(CASE WHEN theta_i IS NOT NULL THEN 1 ELSE 0
+         |    END) AS k_valid, SUM(CAST(qt AS HUGEINT)) AS sq FROM jq),
+         |mean AS (SELECT k_valid,
+         |    CASE WHEN k_valid > 0 THEN CAST(sq AS DOUBLE) / 1e15 /
+         |      CAST(k_valid AS DOUBLE) END AS t_bar
+         |  FROM m),
+         |dev AS (SELECT k_valid, t_bar, sn, sd,
+         |    SUM(CAST(CAST(FLOOR((theta_i - t_bar) * (theta_i - t_bar)
+         |      * 1e18) AS BIGINT) AS HUGEINT)) AS sd2
+         |  FROM jq CROSS JOIN mean GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(k_valid AS BIGINT) AS k_valid,
+         |  CASE WHEN sd > 0 THEN
+         |    CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE) END AS theta,
+         |  t_bar,
+         |  CASE WHEN k_valid > 1 THEN
+         |    sqrt(CAST(k_valid - 1 AS DOUBLE) / CAST(k_valid AS DOUBLE)
+         |      * (CAST(sd2 AS DOUBLE) / 1e18)) END AS se_jack
+         |FROM dev""".stripMargin,
+    "ab19_regression_cuped" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS x1,
+         |    CAST(SUM(CASE WHEN day < d0 + 15 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x2,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    $armSql AS arm
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |pooled AS (SELECT COUNT(*) AS n,
+         |    SUM(CAST(x1 AS HUGEINT)) AS s1,
+         |    SUM(CAST(x2 AS HUGEINT)) AS s2,
+         |    SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+         |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+         |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+         |    SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+         |    SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+         |  FROM per),
+         |st AS (SELECT n, s1, s2,
+         |    CAST(n * s11 - s1 * s1 AS DOUBLE) AS a11,
+         |    CAST(n * s12 - s1 * s2 AS DOUBLE) AS a12,
+         |    CAST(n * s22 - s2 * s2 AS DOUBLE) AS a22,
+         |    CAST(n * s1y - s1 * sy AS DOUBLE) AS b1,
+         |    CAST(n * s2y - s2 * sy AS DOUBLE) AS b2
+         |  FROM pooled),
+         |bet AS (SELECT n, s1, s2,
+         |    CASE WHEN abs(a11 * a22 - a12 * a12) > 0 THEN
+         |      (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12)
+         |    END AS beta1,
+         |    CASE WHEN abs(a11 * a22 - a12 * a12) > 0 THEN
+         |      (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)
+         |    END AS beta2
+         |  FROM st),
+         |byarm AS (SELECT arm, COUNT(*) AS n_users,
+         |    CAST(SUM(x1) AS BIGINT) AS sx1,
+         |    CAST(SUM(x2) AS BIGINT) AS sx2,
+         |    CAST(SUM(y) AS BIGINT) AS sy_arm
+         |  FROM per GROUP BY 1)
+         |SELECT arm, n_users, beta1, beta2,
+         |  CAST(sy_arm AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+         |  CAST(sy_arm AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |    - beta1 * (CAST(sx1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |    - beta2 * (CAST(sx2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |      - CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+         |    AS mean_y_adjusted
+         |FROM byarm CROSS JOIN bet""".stripMargin,
     "ab17_cmh_odds" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type,
@@ -1408,22 +1623,22 @@ object ExperimentQueries {
          |    SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS d
          |  FROM j GROUP BY 1),
          |t AS (SELECT segment, a, b, c, d, a + b + c + d AS n FROM st),
-         |k AS (SELECT COUNT(*) AS k_strata FROM t),
          |c1 AS (SELECT segment,
-         |    CAST(CAST(a AS HUGEINT) * d AS DOUBLE) / CAST(n AS DOUBLE)
-         |      AS ad_n,
-         |    CAST(CAST(b AS HUGEINT) * c AS DOUBLE) / CAST(n AS DOUBLE)
-         |      AS bc_n
+         |    CAST(FLOOR(CAST(CAST(a AS HUGEINT) * d AS DOUBLE) /
+         |      CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS qad,
+         |    CAST(FLOOR(CAST(CAST(b AS HUGEINT) * c AS DOUBLE) /
+         |      CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS qbc
          |  FROM t),
-         |c2 AS (SELECT segment,
-         |    SUM(ad_n) OVER w AS cum_ad, SUM(bc_n) OVER w AS cum_bc,
-         |    ROW_NUMBER() OVER (ORDER BY segment) AS rn
-         |  FROM c1
-         |  WINDOW w AS (ORDER BY segment
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT k_strata, cum_ad AS sum_ad_n, cum_bc AS sum_bc_n,
-         |  CASE WHEN cum_bc > 0 THEN cum_ad / cum_bc END AS or_mh
-         |FROM c2 CROSS JOIN k WHERE rn = k_strata""".stripMargin,
+         |c2 AS (SELECT COUNT(*) AS k_strata,
+         |    SUM(CAST(qad AS HUGEINT)) AS sa,
+         |    SUM(CAST(qbc AS HUGEINT)) AS sb
+         |  FROM c1)
+         |SELECT k_strata,
+         |  CAST(sa AS DOUBLE) / 1e6 AS sum_ad_n,
+         |  CAST(sb AS DOUBLE) / 1e6 AS sum_bc_n,
+         |  CASE WHEN sb > 0 THEN
+         |    CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE) END AS or_mh
+         |FROM c2""".stripMargin,
     "ab15_mann_whitney" ->
       s"""WITH d AS (
          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,

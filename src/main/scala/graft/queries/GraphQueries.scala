@@ -187,9 +187,19 @@ object GraphQueries {
         .agg(count(lit(1)).as("size"))
       val hist = sizes.groupBy("size").agg(count(lit(1))
         .as("n_components"))
-      val tot = labeled.agg(count(lit(1)).as("n_nodes"))
-      val giant = sizes.agg(max(col("size")).as("giant"))
-      hist.crossJoin(broadcast(tot)).crossJoin(broadcast(giant))
+      // n_nodes (= Σ size·n_components) and the giant size both come
+      // from ONE full-frame window over the histogram itself — no
+      // second/third action re-running the iterative CC chain (the
+      // first cut of this query cost 3 jobs and topped the bench).
+      // The histogram has at most O(√N) rows (distinct sizes of a
+      // partition of N), so the unpartitioned window is ≤ ~1.4M tiny
+      // rows even at 10¹² documents.
+      val full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("n_nodes",
+          sum(col("size") * col("n_components")).over(full))
+        .withColumn("giant", max(col("size")).over(full))
         .select(col("size"), col("n_components"),
           expr("size * n_components * 1000000 div n_nodes")
             .as("mass_micro"),

@@ -1404,20 +1404,24 @@ object RelationalQueries {
       val tot = per.agg(sum(col("ng")).as("n"),
         count(lit(1)).as("k_groups"))
       // Σ_g R_g²/n_g with R_g = s2r_g/2 → Σ s2r_g²/(4n_g); the 3/(N(N+1))
-      // prefactor absorbs the 4: term_g = 3·s2r_g²/(N(N+1)·n_g)
-      val w = Window.orderBy(col("grp"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // prefactor absorbs the 4: term_g = 3·s2r_g²/(N(N+1)·n_g). Each
+      // term is floor-quantized to micro BEFORE the cross-group sum —
+      // engine SUMs over raw doubles are not order-reproducible (DuckDB
+      // tree-reduces; ab18's first cut differed in the last ulp), so
+      // the cross-row accumulation must be exact integers.
       val terms = per.crossJoin(broadcast(tot))
         .withColumn("term",
           (lit(3.0) * (col("s2r") * col("s2r")).cast("double")) /
             ((col("n").cast(d38) * (col("n") + 1).cast(d38))
               .cast("double") * col("ng").cast("double")))
-        .withColumn("cum", sum(col("term")).over(w))
-        .withColumn("rn", row_number().over(Window.orderBy(col("grp"))))
-      terms.filter(col("rn") === col("k_groups"))
+        .withColumn("qterm", floor(col("term") * lit(1e6)).cast(d38))
+        .groupBy("n", "k_groups")
+        .agg(sum(col("qterm")).as("sq"))
+      terms
         .crossJoin(broadcast(ties))
         .withColumn("h_stat",
-          col("cum") - lit(3.0) * (col("n") + 1).cast("double"))
+          col("sq").cast("double") / lit(1e6) -
+            lit(3.0) * (col("n") + 1).cast("double"))
         .withColumn("tie_d",
           lit(1.0) - col("tsum").cast("double") /
             (col("n").cast(d38) * col("n").cast(d38) * col("n").cast(d38)
@@ -2411,21 +2415,19 @@ object RelationalQueries {
         |  FROM (SELECT COUNT(*) AS t FROM o GROUP BY cents)),
         |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
         |    COUNT(*) AS k_groups FROM per),
-        |terms AS (SELECT grp, ng, s2r, n, k_groups,
-        |    (3.0 * CAST(s2r * s2r AS DOUBLE)) /
-        |      (CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) *
-        |        CAST(ng AS DOUBLE)) AS term
-        |  FROM per CROSS JOIN tot),
-        |cumt AS (SELECT k_groups, n,
-        |    SUM(term) OVER (ORDER BY grp
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    ROW_NUMBER() OVER (ORDER BY grp) AS rn
-        |  FROM terms),
+        |terms AS (SELECT n, k_groups,
+        |    SUM(CAST(CAST(FLOOR(
+        |      (3.0 * CAST(s2r * s2r AS DOUBLE)) /
+        |        (CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) *
+        |          CAST(ng AS DOUBLE)) * 1e6) AS BIGINT) AS HUGEINT))
+        |      AS sq
+        |  FROM per CROSS JOIN tot GROUP BY 1, 2),
         |fin AS (SELECT n, k_groups,
-        |    cum - 3.0 * CAST(n + 1 AS DOUBLE) AS h_stat,
+        |    CAST(sq AS DOUBLE) / 1e6 - 3.0 * CAST(n + 1 AS DOUBLE)
+        |      AS h_stat,
         |    1.0 - CAST(tsum AS DOUBLE) /
         |      CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS tie_d
-        |  FROM cumt CROSS JOIN ties WHERE rn = k_groups)
+        |  FROM terms CROSS JOIN ties)
         |SELECT n, CAST(k_groups AS BIGINT) AS k_groups, h_stat,
         |  CASE WHEN n > 1 AND tie_d > 0 THEN h_stat / tie_d END
         |    AS h_adjusted

@@ -1628,10 +1628,16 @@ object TrainingDataQueries {
           (col("relnum") * col("prodk")).cast("double") /
             (expr("cast(shiftleft(1L, cast(3 * r as int)) as double)") *
               col("r").cast("double")))
+      // the running ERR accumulates INTEGER femto-units, not doubles —
+      // cross-row double sums are not order-reproducible across engines
+      // (DuckDB windowed SUM tree-reduces)
       ranked
-        .withColumn("err_cum", sum(col("contrib")).over(
-          Window.orderBy(col("r"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("qc", floor(col("contrib") * lit(1e15))
+          .cast("bigint"))
+        .withColumn("err_cum",
+          sum(col("qc")).over(Window.orderBy(col("r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / lit(1e15))
         .select(col("r"), col("doc_id"), col("g").as("grade"),
           col("contrib"), col("err_cum"))
     },
@@ -5600,8 +5606,10 @@ object TrainingDataQueries {
          |      AS contrib
          |  FROM p)
          |SELECT r, doc_id, grade, contrib,
-         |  SUM(contrib) OVER (ORDER BY r
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_cum
+         |  CAST(SUM(CAST(FLOOR(contrib * 1e15) AS BIGINT)) OVER (
+         |    ORDER BY r
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) / 1e15 AS err_cum
          |FROM c""".stripMargin
     },
     "ir11_bm25f" -> bm25fSql,
