@@ -460,4 +460,31 @@ class PlanSpec extends SparkSpec {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
       p.take(2000))
   }
+
+  test("string-similarity expressions stay narrow inside codegen") {
+    // h19/h20 are per-row scalar probes: one scan, zero exchanges, and
+    // the custom BinaryExpressions must inline into whole-stage codegen
+    // (a CodegenFallback here would put an interpreted call on the
+    // per-pair hot path of the ER tier)
+    for (q <- Seq("h19_jaro_winkler", "h20_damerau")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$q: ${p.take(2000)}")
+      // "*(n)" is the executed plan's whole-stage-codegen marker
+      assert(p.contains("WholeStageCodegen") || p.contains("*(1)"),
+        s"$q: ${p.take(2000)}")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("permutation test partially aggregates the replica explode") {
+    val p = plan(
+      SparkEntry.queries("ab16_permutation_test")(spark, sf))
+    // the 200× replica expansion must combine map-side: a partial
+    // HashAggregate below the (r, parm) exchange keeps the shuffle at
+    // replica grain, not user×replica grain
+    assert(p.contains("partial_count") || p.contains("partial"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
