@@ -589,6 +589,62 @@ object ScoringQueries {
     // order-independent: no float accumulation over thresholds, unlike
     // trapezoid-ROC summation. Aggregates to distinct scores first; the
     // cumulative window sees score-cardinality rows.
+    // ML21 (beyond reference): CROSS-GROUP AUC (xAUC, Kallus & Zhou) —
+    // ml20 audits RATE fairness at one threshold; this audits RANKING
+    // fairness across the whole score range: P(score of a long-doc
+    // from group A outranks a short-doc from group B). A model can
+    // have equal per-group AUC yet systematically rank one group's
+    // positives below the other's negatives — exactly what the two
+    // cross terms expose. Same value-grain machinery as ml4 (score
+    // domain bounded by construction): doubled tie-aware contributions
+    // stay exact integers, one division per readout.
+    "ml21_xauc" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = docsSpread(s, dir)
+      val labeled = Scoring.hashedLinearScore(d)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("en"),
+          (TextAnalysis.tokenCount(col("text")) > 40).as("label")),
+          "doc_id")
+      val byScore = labeled.groupBy(col("score")).agg(
+        sum(when(col("label") && col("en"), 1L).otherwise(0L))
+          .as("pos_en"),
+        sum(when(col("label") && !col("en"), 1L).otherwise(0L))
+          .as("pos_ot"),
+        sum(when(!col("label") && col("en"), 1L).otherwise(0L))
+          .as("neg_en"),
+        sum(when(!col("label") && !col("en"), 1L).otherwise(0L))
+          .as("neg_ot"))
+      val asc = Window.orderBy(col("score").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // 2·contrib(v) = pos_A(v)·(2·cumNeg_B(≤v) − neg_B(v))
+      //              = pos_A(v)·(2·cumNeg_B(<v) + neg_B(v))
+      val ranked = byScore
+        .withColumn("cneg_ot", sum(col("neg_ot")).over(asc))
+        .withColumn("cneg_en", sum(col("neg_en")).over(asc))
+        .select(
+          (col("pos_en").cast(d38) *
+            (lit(2L) * col("cneg_ot") - col("neg_ot")).cast(d38))
+            .as("c2_en"),
+          (col("pos_ot").cast(d38) *
+            (lit(2L) * col("cneg_en") - col("neg_en")).cast(d38))
+            .as("c2_ot"),
+          col("pos_en"), col("pos_ot"), col("neg_en"), col("neg_ot"))
+      ranked.agg(sum(col("pos_en")).as("p_en"),
+          sum(col("pos_ot")).as("p_ot"),
+          sum(col("neg_en")).as("n_en"),
+          sum(col("neg_ot")).as("n_ot"),
+          sum(col("c2_en")).as("s2_en"), sum(col("c2_ot")).as("s2_ot"))
+        .select(col("p_en"), col("p_ot"), col("n_en"), col("n_ot"),
+          when(col("p_en") > 0 && col("n_ot") > 0,
+            col("s2_en").cast("double") /
+              (lit(2.0) * (col("p_en").cast(d38) * col("n_ot").cast(d38))
+                .cast("double"))).as("xauc_en_over_ot"),
+          when(col("p_ot") > 0 && col("n_en") > 0,
+            col("s2_ot").cast("double") /
+              (lit(2.0) * (col("p_ot").cast(d38) * col("n_en").cast(d38))
+                .cast("double"))).as("xauc_ot_over_en"))
+    },
+
     "ml4_auc" -> { (s, dir) =>
       val d = docsSpread(s, dir)
       val labeled = Scoring.hashedLinearScore(d)
@@ -1535,6 +1591,52 @@ object ScoringQueries {
          |  FROM by_score
          |  WINDOW w AS (ORDER BY threshold DESC
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin,
+    "ml21_xauc" ->
+      s"""WITH sc AS (
+         |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
+         |      $weightSql)) AS BIGINT) AS score,
+         |    en, label
+         |  FROM (SELECT string_split($normSql, ' ') AS toks,
+         |        lang = 'en' AS en,
+         |        (CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+'))
+         |         END) > 40 AS label
+         |        FROM documents)),
+         |by_score AS (
+         |  SELECT score,
+         |    SUM(CASE WHEN label AND en THEN 1 ELSE 0 END) AS pos_en,
+         |    SUM(CASE WHEN label AND NOT en THEN 1 ELSE 0 END) AS pos_ot,
+         |    SUM(CASE WHEN NOT label AND en THEN 1 ELSE 0 END) AS neg_en,
+         |    SUM(CASE WHEN NOT label AND NOT en THEN 1 ELSE 0 END)
+         |      AS neg_ot
+         |  FROM sc GROUP BY score),
+         |ranked AS (
+         |  SELECT pos_en, pos_ot, neg_en, neg_ot,
+         |    SUM(neg_ot) OVER w AS cneg_ot,
+         |    SUM(neg_en) OVER w AS cneg_en
+         |  FROM by_score
+         |  WINDOW w AS (ORDER BY score ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |agg AS (
+         |  SELECT CAST(SUM(pos_en) AS BIGINT) AS p_en,
+         |    CAST(SUM(pos_ot) AS BIGINT) AS p_ot,
+         |    CAST(SUM(neg_en) AS BIGINT) AS n_en,
+         |    CAST(SUM(neg_ot) AS BIGINT) AS n_ot,
+         |    SUM(CAST(pos_en AS HUGEINT) * (2 * cneg_ot - neg_ot))
+         |      AS s2_en,
+         |    SUM(CAST(pos_ot AS HUGEINT) * (2 * cneg_en - neg_en))
+         |      AS s2_ot
+         |  FROM ranked)
+         |SELECT p_en, p_ot, n_en, n_ot,
+         |  CASE WHEN p_en > 0 AND n_ot > 0 THEN
+         |    CAST(s2_en AS DOUBLE) /
+         |    (2.0 * CAST(CAST(p_en AS HUGEINT) * n_ot AS DOUBLE))
+         |  END AS xauc_en_over_ot,
+         |  CASE WHEN p_ot > 0 AND n_en > 0 THEN
+         |    CAST(s2_ot AS DOUBLE) /
+         |    (2.0 * CAST(CAST(p_ot AS HUGEINT) * n_en AS DOUBLE))
+         |  END AS xauc_ot_over_en
+         |FROM agg""".stripMargin,
     "ml4_auc" ->
       s"""WITH sc AS (
          |  SELECT CAST(-3 + list_sum(list_transform(toks, t ->
