@@ -545,6 +545,53 @@ object EventQueries {
     // is bit-reproducible. Series length is bounded by the date range
     // (documented contract shared with ts3), so the per-group fold is a
     // bounded array, not a corpus-sized collect.
+    // TS19 (beyond reference): HOLT–WINTERS additive triple smoothing —
+    // ts7's level+trend plus a rotating 7-slot WEEKLY seasonal state,
+    // the classic forecaster for dashboards with day-of-week shape
+    // (ts5 profiles that shape statically; this tracks it adaptively).
+    // α=β=γ=½ in integer micro state; every halving is
+    // floor(v/2.0) on DOUBLES, never integer div — the differences
+    // (x−s₇, l−lₚᵣₑᵥ) go negative, where Spark's `div` truncates but
+    // DuckDB's `//` floors (a real divergence, unlike ts7's always-
+    // positive sums). The fold is ts7's per-series array aggregate
+    // (series = day grain, bounded by the span); the oracle is the
+    // same recursion as a recursive CTE carrying the seasonal LIST.
+    "ts19_holt_winters" -> { (s, dir) =>
+      val prev = "element_at(acc, -1)"
+      val s7 = s"element_at($prev.s, 1)"
+      val lt = s"cast(floor(((x.n * 1000000L - $s7) + " +
+        s"($prev.l + $prev.b)) / 2.0D) as bigint)"
+      val bt = s"cast(floor((($lt - $prev.l) + $prev.b) / 2.0D) " +
+        "as bigint)"
+      val snew = s"cast(floor(((x.n * 1000000L - $lt) + $s7) / 2.0D) " +
+        "as bigint)"
+      val step = s"named_struct('l', $lt, 'b', $bt, " +
+        s"'f', $prev.l + $prev.b + $s7, " +
+        s"'s', concat(slice($prev.s, 2, 6), array($snew)))"
+      val init = "named_struct('l', x.n * 1000000L, 'b', 0L, " +
+        "'f', x.n * 1000000L, 's', array_repeat(0L, 7))"
+      Tables.eventsUs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("xs"))
+        .withColumn("st", expr(
+          "aggregate(xs, cast(array() as " +
+            "array<struct<l:bigint,b:bigint,f:bigint,s:array<bigint>>>), " +
+            s"(acc, x) -> concat(acc, array(case when size(acc) = 0 " +
+            s"then $init else $step end)))"))
+        .select(col("event_type"), explode(expr(
+          """zip_with(xs, st,
+            |  (x, s) -> struct(x.day as day, x.n as n,
+            |    s.l as level_micro, s.b as trend_micro,
+            |    s.f as forecast_micro))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.n").as("n"), col("r.level_micro").as("level_micro"),
+          col("r.trend_micro").as("trend_micro"),
+          col("r.forecast_micro").as("forecast_micro"))
+    },
+
     "ts7_holt" -> { (s, dir) =>
       Tables.eventsUs(s, dir)
         .select(col("event_type"),
@@ -2546,6 +2593,37 @@ object EventQueries {
         |  TRUE AS hll_within_10pct
         |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day""".stripMargin,
+    "ts19_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn
+        |  FROM daily),
+        |h(event_type, day, n, rn, l, b, f, s) AS (
+        |  SELECT event_type, day, n, rn, n * 1000000,
+        |    CAST(0 AS BIGINT), n * 1000000,
+        |    CAST([0, 0, 0, 0, 0, 0, 0] AS BIGINT[])
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.event_type, q.day, q.n, q.rn,
+        |    CAST(FLOOR(((q.n * 1000000 - h.s[1]) + (h.l + h.b)) / 2.0)
+        |      AS BIGINT),
+        |    CAST(FLOOR(((CAST(FLOOR(((q.n * 1000000 - h.s[1])
+        |        + (h.l + h.b)) / 2.0) AS BIGINT) - h.l) + h.b) / 2.0)
+        |      AS BIGINT),
+        |    h.l + h.b + h.s[1],
+        |    list_append(h.s[2:7],
+        |      CAST(FLOOR(((q.n * 1000000
+        |        - CAST(FLOOR(((q.n * 1000000 - h.s[1]) + (h.l + h.b))
+        |            / 2.0) AS BIGINT)) + h.s[1]) / 2.0) AS BIGINT))
+        |  FROM seq q JOIN h ON q.event_type = h.event_type
+        |    AND q.rn = h.rn + 1)
+        |SELECT event_type, day, n, l AS level_micro, b AS trend_micro,
+        |  f AS forecast_micro FROM h""".stripMargin,
     "ts7_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
