@@ -1433,6 +1433,54 @@ object RelationalQueries {
             col("h_stat") / col("tie_d")).as("h_adjusted"))
     },
 
+    // D48 (beyond reference): JARQUE–BERA normality test per priority
+    // class — "is this metric even approximately normal?", the
+    // gate before trusting d29's F or ab3's t. Naive raw moments
+    // n²Σx³/n³Σx⁴ overflow decimal(38) near 10⁹ rows; instead pass 1
+    // finds each group's integer-shifted origin c = ⌊Σx/n⌋ and pass 2
+    // accumulates EXACT integer moments of y = x − c (bounded by the
+    // value spread, not the magnitude), from which the mean-centered
+    // m₂/m₃/m₄ follow by the standard origin-shift identities with
+    // d = ȳ ∈ [0,1) — one fixed IEEE tree per group, no cross-row
+    // float. Whole-dollar units (d29).
+    "d48_jarque_bera" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("grp"),
+        expr("cast(round(o_totalprice) as bigint)").as("x"))
+      val c = o.groupBy("grp")
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .withColumnRenamed("grp", "c_grp")
+      val m = o.join(broadcast(c), col("grp") === col("c_grp"))
+        .withColumn("y", col("x") - col("c"))
+        .groupBy("grp").agg(count(lit(1)).as("n"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("y") * col("y")).cast(d38)).as("s2"),
+          sum((col("y") * col("y") * col("y")).cast(d38)).as("s3"),
+          sum(col("y").cast(d38) * col("y").cast(d38) *
+            col("y").cast(d38) * col("y").cast(d38)).as("s4"))
+      val nD = col("n").cast("double")
+      val d = col("sy").cast("double") / nD
+      val m2 = col("s2").cast("double") / nD - d * d
+      val m3 = col("s3").cast("double") / nD -
+        lit(3.0) * d * (col("s2").cast("double") / nD) +
+        lit(2.0) * d * d * d
+      val m4 = col("s4").cast("double") / nD -
+        lit(4.0) * d * (col("s3").cast("double") / nD) +
+        lit(6.0) * d * d * (col("s2").cast("double") / nD) -
+        lit(3.0) * d * d * d * d
+      m.select(col("grp"), col("n"),
+          when(col("n") > 1 && m2 > 0, m3 / sqrt(m2 * m2 * m2))
+            .as("skew"),
+          when(col("n") > 1 && m2 > 0, m4 / (m2 * m2) - lit(3.0))
+            .as("kurt_excess"))
+        .withColumn("jb",
+          when(col("skew").isNotNull,
+            col("n").cast("double") / lit(6.0) *
+              (col("skew") * col("skew") +
+                col("kurt_excess") * col("kurt_excess") / lit(4.0))))
+    },
+
     "d44_hill_estimator" -> { (s, dir) =>
       val k = 100L
       val o = Tables.orders(s, dir)
@@ -2400,6 +2448,41 @@ object RelationalQueries {
         |      CAST(CAST(n_c AS HUGEINT) * n_total * (m - 1) AS DOUBLE)
         |  ELSE 0.0 END <= 0.2 AS t_close
         |FROM agg""".stripMargin,
+    "d48_jarque_bera" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(ROUND(o_totalprice) AS BIGINT) AS x
+        |  FROM orders),
+        |c AS (SELECT grp, CAST(SUM(x) // COUNT(*) AS BIGINT) AS c
+        |      FROM o GROUP BY 1),
+        |m AS (SELECT o.grp, COUNT(*) AS n,
+        |    SUM(CAST(x - c AS HUGEINT)) AS sy,
+        |    SUM(CAST((x - c) * (x - c) AS HUGEINT)) AS s2,
+        |    SUM(CAST((x - c) * (x - c) * (x - c) AS HUGEINT)) AS s3,
+        |    SUM(CAST(x - c AS HUGEINT) * (x - c) * (x - c) * (x - c))
+        |      AS s4
+        |  FROM o JOIN c USING (grp) GROUP BY 1),
+        |t AS (SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS d,
+        |    CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+        |    CAST(s4 AS DOUBLE) AS s4d
+        |  FROM m),
+        |u AS (SELECT grp, n, nd,
+        |    s2d / nd - d * d AS m2,
+        |    s3d / nd - 3.0 * d * (s2d / nd) + 2.0 * d * d * d AS m3,
+        |    s4d / nd - 4.0 * d * (s3d / nd) + 6.0 * d * d * (s2d / nd)
+        |      - 3.0 * d * d * d * d AS m4
+        |  FROM t),
+        |v AS (SELECT grp, n, nd,
+        |    CASE WHEN n > 1 AND m2 > 0 THEN m3 / sqrt(m2 * m2 * m2)
+        |      END AS skew,
+        |    CASE WHEN n > 1 AND m2 > 0 THEN m4 / (m2 * m2) - 3.0
+        |      END AS kurt_excess
+        |  FROM u)
+        |SELECT grp, n, skew, kurt_excess,
+        |  CASE WHEN skew IS NOT NULL THEN nd / 6.0 *
+        |    (skew * skew + kurt_excess * kurt_excess / 4.0) END AS jb
+        |FROM v""".stripMargin,
     "d46_kruskal_wallis" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS grp, o_orderkey,

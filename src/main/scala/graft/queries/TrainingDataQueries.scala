@@ -1599,6 +1599,32 @@ object TrainingDataQueries {
         bm25Terms.map(t => col(s"wtf_$t")) :+ score.as("bm25f"): _*)
     },
 
+    // IR13 (beyond reference): PRECISION/RECALL@k over the BM25
+    // top-10 — the set-based eval pair alongside the graded metrics
+    // (ml5 NDCG, ir12 ERR, ml8 AP): relevance = at least 2 of the 4
+    // query terms present (integer rule, no float threshold). The
+    // recall denominator is the CORPUS-wide relevant count (one
+    // broadcast scalar from the scored scan); everything else rides
+    // the 10-row list. All-integer outputs.
+    "ir13_pr_at_k" -> { (s, dir) =>
+      val scored = Retrieval.bm25(docsSpread(s, dir), bm25Terms)
+        .withColumn("m", bm25Terms.map(t =>
+          when(col(s"tf_$t") > 0, 1).otherwise(0)).reduce(_ + _))
+        .withColumn("rel", when(col("m") >= 2, 1L).otherwise(0L))
+      val totRel = scored.agg(sum(col("rel")).as("rel_total"))
+      val top = scored.orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+      val ord = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      top.withColumn("r", row_number().over(ord).cast("long"))
+        .withColumn("cum_rel", sum(col("rel")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(totRel))
+        .select(col("r"), col("doc_id"), col("rel"),
+          expr("cum_rel * 1000000 div r").as("precision_micro"),
+          when(col("rel_total") > 0,
+            expr("cum_rel * 1000000 div rel_total")).as("recall_micro"))
+    },
+
     // IR12 (beyond reference): EXPECTED RECIPROCAL RANK — the cascade
     // eval metric (Chapelle et al.) over the BM25 top-10: a user scans
     // down the list and stops at the first satisfying doc, so rank r
@@ -5582,6 +5608,29 @@ object TrainingDataQueries {
          |  q.label = v.n_label AS label_match
          |FROM voted v JOIN embeddings q ON v.query_id = q.vec_id""".stripMargin,
     "ir1_bm25" -> bm25Sql,
+    "ir13_pr_at_k" -> {
+      val mexpr = bm25Terms.map(t =>
+        s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH scored AS ($bm25Sql),
+         |g AS (SELECT doc_id, bm25,
+         |    CASE WHEN $mexpr >= 2 THEN 1 ELSE 0 END AS rel
+         |  FROM scored),
+         |tot AS (SELECT CAST(SUM(rel) AS BIGINT) AS rel_total FROM g),
+         |top AS (SELECT * FROM g
+         |        ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+         |rk AS (SELECT doc_id, rel,
+         |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r,
+         |    SUM(rel) OVER (ORDER BY bm25 DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_rel
+         |  FROM top)
+         |SELECT r, doc_id, CAST(rel AS BIGINT) AS rel,
+         |  CAST(cum_rel * 1000000 // r AS BIGINT) AS precision_micro,
+         |  CASE WHEN rel_total > 0 THEN
+         |    CAST(cum_rel * 1000000 // rel_total AS BIGINT)
+         |  END AS recall_micro
+         |FROM rk CROSS JOIN tot""".stripMargin
+    },
     "ir12_err" -> {
       val mexpr = bm25Terms.map(t =>
         s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")
