@@ -179,14 +179,26 @@ object GraphQueries {
       val edges = docs.filter(col("doc_id") >= 10)
         .select(col("doc_id").as("u"), (col("doc_id") - 10).as("v"))
       val comp = Graph.ccStar(edges)
-      val labeled = docs.join(comp, docs("doc_id") === comp("node"),
-          "left")
-        .select(coalesce(col("component"), docs("doc_id"))
-          .as("component"))
-      val sizes = labeled.groupBy("component")
+      // gr5 joins docs back to label isolated nodes INDIVIDUALLY; a
+      // size histogram only needs their COUNT, so the corpus-grain
+      // left join is replaced by arithmetic: every node absent from
+      // ccStar's output is its own singleton, and n_docs − n_cc_nodes
+      // of them land in the size-1 bucket. Saves a full corpus
+      // shuffle join at any scale (comp is checkpointed by ccStar, so
+      // the two small rollups below reread, not recompute, it).
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val nc = comp.agg(count(lit(1)).as("n_cc_nodes"))
+      val sizes = comp.groupBy("component")
         .agg(count(lit(1)).as("size"))
-      val hist = sizes.groupBy("size").agg(count(lit(1))
-        .as("n_components"))
+      val iso = nd.crossJoin(broadcast(nc))
+        .select(lit(1L).as("size"),
+          (col("n_docs") - col("n_cc_nodes")).as("n_components"))
+        .filter(col("n_components") > 0)
+      val hist = sizes.groupBy("size")
+        .agg(count(lit(1)).as("n_components"))
+        .unionByName(iso)
+        .groupBy("size").agg(sum(col("n_components"))
+          .as("n_components"))
       // n_nodes (= Σ size·n_components) and the giant size both come
       // from ONE full-frame window over the histogram itself — no
       // second/third action re-running the iterative CC chain (the
