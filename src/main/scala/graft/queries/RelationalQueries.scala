@@ -784,6 +784,25 @@ object RelationalQueries {
         .withColumn("zv", ZOrder.zValue(Seq(col("zx"), col("zy")), 10))
     },
 
+    // Z5 (beyond reference): HILBERT index over the same 1024×1024
+    // bucket grid as z1 — the locality-optimal alternative to Morton
+    // for range-clustered layouts (consecutive indexes are always
+    // grid-adjacent; Morton jumps at power-of-two seams, so Hilbert
+    // files get tighter per-file min/max boxes on both dimensions).
+    // Native codegen expression ([[graft.functions.HilbertIndex]]);
+    // the oracle runs the identical 10-level rotate/flip recurrence as
+    // a generated chain of 10 CTE steps. Both indexes emitted side by
+    // side for layout comparison.
+    "z5_hilbert_value" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") % 1024).as("zx"),
+          (col("o_orderkey") % 1024).as("zy"))
+        .withColumn("hv", graft.functions.SpatialExpressions
+          .hilbertIndex(col("zx"), col("zy"), 10))
+        .withColumn("zv", ZOrder.zValue(Seq(col("zx"), col("zy")), 10))
+    },
+
     // Z2 (beyond reference): zone-map skipping report — per-"file"
     // min/max ship-day stats and whether a 1997 date predicate can prune
     // the file without reading it. This is the manifest-level planning
@@ -2059,6 +2078,7 @@ object RelationalQueries {
          |  FROM orders)
          |SELECT o_orderkey, zx, zy, ${zInterleaveSql("zx", "zy", 10)} AS zv
          |FROM t""".stripMargin,
+    "z5_hilbert_value" -> hilbertSql(10),
     "z2_skipping_stats" ->
       """SELECT d // 90 AS file_id, COUNT(*) AS n_rows,
         |  MIN(d) AS min_day, MAX(d) AS max_day,
@@ -2618,4 +2638,35 @@ object RelationalQueries {
     (0 until bits).flatMap(b => Seq(
       s"((($x >> $b) & 1) << ${b * 2})",
       s"((($y >> $b) & 1) << ${b * 2 + 1})")).mkString(" | ")
+
+  /** z5 oracle: the Hilbert rotate/flip recurrence unrolled into one
+    * CTE step per level — mechanically generated so the SQL is the
+    * SAME recurrence [[graft.functions.HilbertIndex.compute]] runs
+    * (full-grid n−1−x flips: no negative intermediates, no
+    * two's-complement bitwise questions across engines). */
+  private def hilbertSql(bits: Int): String = {
+    val n = 1L << bits
+    val steps = (0 until bits).map { i =>
+      val s = n >> (i + 1)
+      s"""h${i + 1} AS (SELECT o_orderkey, zx, zy,
+         |  CASE WHEN (y & $s) != 0 THEN x
+         |       WHEN (x & $s) != 0 THEN ${n - 1} - y ELSE y END AS x,
+         |  CASE WHEN (y & $s) != 0 THEN y
+         |       WHEN (x & $s) != 0 THEN ${n - 1} - x ELSE x END AS y,
+         |  d + ${s * s} * (CASE WHEN (x & $s) = 0 AND (y & $s) = 0
+         |       THEN 0 WHEN (x & $s) = 0 THEN 1
+         |       WHEN (y & $s) != 0 THEN 2 ELSE 3 END) AS d
+         |FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT o_orderkey, o_custkey % 1024 AS zx,
+       |    o_orderkey % 1024 AS zy
+       |  FROM orders),
+       |h0 AS (SELECT o_orderkey, zx, zy, CAST(zx AS BIGINT) AS x,
+       |  CAST(zy AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM t),
+       |$steps
+       |SELECT o_orderkey, zx, zy, d AS hv,
+       |  ${zInterleaveSql("zx", "zy", bits)} AS zv
+       |FROM h$bits""".stripMargin
+  }
 }

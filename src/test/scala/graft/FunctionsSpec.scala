@@ -160,6 +160,28 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(jaroWinkler(lit(null).cast("string"), lit("x"))) == null)
   }
 
+  test("HilbertIndex is a true Hilbert curve on the full 32x32 grid") {
+    import graft.functions.HilbertIndex.compute
+    val n = 32
+    // bijective onto [0, n²)
+    val m = (for (x <- 0 until n; y <- 0 until n)
+      yield compute(x, y, 5) -> (x, y)).toMap
+    assert(m.size == n * n)
+    assert(m.keys.min == 0L && m.keys.max == (n * n - 1).toLong)
+    // the Hilbert property: consecutive indexes are grid-ADJACENT
+    // (Manhattan step exactly 1) — Morton fails this at every
+    // power-of-two seam, which is the whole point of z5 vs z1
+    for (d <- 0L until (n * n - 1).toLong) {
+      val (x1, y1) = m(d); val (x2, y2) = m(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // codegen path agrees with the interpreted path
+    import graft.functions.SpatialExpressions.hilbertIndex
+    val viaExpr = eval(hilbertIndex(lit(7L), lit(19L), 5))
+    assert(viaExpr == compute(7L, 19L, 5))
+  }
+
   test("damerauLevenshtein matches DuckDB's unrestricted-DL goldens") {
     import graft.functions.StringSimilarity.damerauLevenshtein
     def dl(a: String, b: String): Int =
