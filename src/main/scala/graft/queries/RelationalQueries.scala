@@ -784,6 +784,42 @@ object RelationalQueries {
         .withColumn("zv", ZOrder.zValue(Seq(col("zx"), col("zy")), 10))
     },
 
+    // Z6 (beyond reference): the MEASUREMENT that justifies z5 —
+    // range-cluster the same grid into 28 files by Hilbert index and
+    // by Morton index, and compare per-file BOUNDING BOXES (the
+    // min/max stats a scan actually prunes with). Hilbert's unit-step
+    // locality yields strictly tighter boxes than Morton's
+    // power-of-two jumps; this query reports avg/max box area per
+    // layout so the claim is a number, not folklore. Exact integer
+    // areas; one rollup per layout.
+    "z6_hilbert_vs_morton" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      val d38 = DecimalType(38, 0)
+      val span = 1048576L / 28 + 1 // ceil(2^20 / 28) index values/file
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") % 1024).as("zx"),
+          (col("o_orderkey") % 1024).as("zy"))
+        .withColumn("hv", graft.functions.SpatialExpressions
+          .hilbertIndex(col("zx"), col("zy"), 10))
+        .withColumn("zv", ZOrder.zValue(Seq(col("zx"), col("zy")), 10))
+      def layout(idx: String, name: String) = {
+        val area = (col("mxx") - col("mnx") + 1) *
+          (col("mxy") - col("mny") + 1)
+        base.groupBy(expr(s"$idx div ${span}L").as("file_id"))
+          .agg(min(col("zx")).as("mnx"), max(col("zx")).as("mxx"),
+            min(col("zy")).as("mny"), max(col("zy")).as("mxy"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(area.cast(d38)).as("sarea"),
+            max(area).as("max_area"))
+          .select(lit(name).as("layout"), col("n_files"),
+            when(col("n_files") > 0,
+              expr("cast(sarea * 1000000 div n_files as bigint)"))
+              .as("avg_area_micro"),
+            col("max_area"))
+      }
+      layout("hv", "hilbert").unionByName(layout("zv", "morton"))
+    },
+
     // Z5 (beyond reference): HILBERT index over the same 1024×1024
     // bucket grid as z1 — the locality-optimal alternative to Morton
     // for range-clustered layouts (consecutive indexes are always
@@ -2079,6 +2115,33 @@ object RelationalQueries {
          |SELECT o_orderkey, zx, zy, ${zInterleaveSql("zx", "zy", 10)} AS zv
          |FROM t""".stripMargin,
     "z5_hilbert_value" -> hilbertSql(10),
+    "z6_hilbert_vs_morton" -> {
+      val span = 1048576L / 28 + 1
+      s"""WITH base AS (${hilbertSql(10)}),
+         |fh AS (SELECT hv // $span AS file_id,
+         |    MIN(zx) AS mnx, MAX(zx) AS mxx,
+         |    MIN(zy) AS mny, MAX(zy) AS mxy
+         |  FROM base GROUP BY 1),
+         |fz AS (SELECT zv // $span AS file_id,
+         |    MIN(zx) AS mnx, MAX(zx) AS mxx,
+         |    MIN(zy) AS mny, MAX(zy) AS mxy
+         |  FROM base GROUP BY 1)
+         |SELECT 'hilbert' AS layout, COUNT(*) AS n_files,
+         |  CASE WHEN COUNT(*) > 0 THEN CAST(
+         |    SUM(CAST((mxx - mnx + 1) * (mxy - mny + 1) AS HUGEINT))
+         |    * 1000000 // COUNT(*) AS BIGINT) END AS avg_area_micro,
+         |  CAST(MAX((mxx - mnx + 1) * (mxy - mny + 1)) AS BIGINT)
+         |    AS max_area
+         |FROM fh
+         |UNION ALL
+         |SELECT 'morton' AS layout, COUNT(*) AS n_files,
+         |  CASE WHEN COUNT(*) > 0 THEN CAST(
+         |    SUM(CAST((mxx - mnx + 1) * (mxy - mny + 1) AS HUGEINT))
+         |    * 1000000 // COUNT(*) AS BIGINT) END AS avg_area_micro,
+         |  CAST(MAX((mxx - mnx + 1) * (mxy - mny + 1)) AS BIGINT)
+         |    AS max_area
+         |FROM fz""".stripMargin
+    },
     "z2_skipping_stats" ->
       """SELECT d // 90 AS file_id, COUNT(*) AS n_rows,
         |  MIN(d) AS min_day, MAX(d) AS max_day,
