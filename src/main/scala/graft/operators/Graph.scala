@@ -567,4 +567,44 @@ object Graph {
       .union(cur.select(col("u").as("node"), col("u").as("component")))
       .distinct()
   }
+
+  /** Bounded-horizon KATZ centrality: c(v) = Σ_{k=1..rounds} αᵏ·pₖ(v),
+    * where pₖ(v) = #paths of length k ENDING at v — the attenuated
+    * "how reachable is this node" score that, unlike PageRank, rewards
+    * being pointed at by well-connected regions without normalizing
+    * away hub mass. α = ½ fixed, in integer micro units
+    * (αᵏ → 1 000 000 >> k), so path counts and the final score are
+    * EXACT integers — no float iteration drift between engines.
+    *
+    * 100 TB shape: k rounds of (join on src → rollup on dst), each one
+    * hash exchange of the CURRENT frontier only (p₀ = all nodes, then
+    * monotonically whatever has in-paths); per-round localCheckpoint
+    * pins lineage like ccStar/bfsHops. Path counts grow like
+    * out-degreeᵏ — callers cap `rounds` small (the usual Katz horizon)
+    * and keep αᵏ·counts inside int64, which 4 rounds on any real
+    * link graph does. */
+  def katzCentrality(nodes: DataFrame, edges: DataFrame,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds in 1..20, got $rounds")
+    val e = edges.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst")).localCheckpoint(true)
+    val n0 = nodes.select(col("node").cast("bigint").as("node"))
+    var p = n0.withColumn("paths", lit(1L)) // p₀ = 1 per node
+    var katz = n0.withColumn("katz_micro", lit(0L))
+    for (k <- 1 to rounds) {
+      val pk = p.join(e, p("node") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("paths")).as("pk_paths"))
+        .select(col("dst").as("pk_node"), col("pk_paths"))
+        .localCheckpoint(true)
+      katz = katz
+        .join(pk, katz("node") === pk("pk_node"), "left")
+        .select(katz("node"),
+          (katz("katz_micro") + coalesce(
+            col("pk_paths") * lit(1000000L >> k), lit(0L)))
+            .as("katz_micro"))
+      p = pk.select(col("pk_node").as("node"),
+        col("pk_paths").as("paths"))
+    }
+    katz
+  }
 }

@@ -165,6 +165,22 @@ object GraphQueries {
           coalesce(col("component"), docs("doc_id")).as("component"))
     },
 
+    // GR25 (beyond reference): KATZ centrality, horizon 4, on the gr5
+    // chain graph — the attenuated path-count score (α = ½, exact
+    // integer micro). The oracle is INDEPENDENT of the Spark
+    // recurrence: on the chain, a length-k path into v exists iff
+    // v+10·j is a document for every j ≤ k, so DuckDB derives the
+    // score from four LEFT-JOIN existence flags in closed form — a
+    // different algorithm agreeing on every node is a stronger check
+    // than a mirrored recursion.
+    "gr25_katz_centrality" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("src"), (col("doc_id") - 10).as("dst"))
+      Graph.katzCentrality(
+        docs.select(col("doc_id").as("node")), edges, rounds = 4)
+    },
+
     // GR23 (beyond reference): component SIZE DISTRIBUTION + giant-
     // component flag — the dedup-cluster health readout at corpus
     // scale: a near-dup graph whose mass concentrates in one giant
@@ -895,6 +911,23 @@ object GraphQueries {
     "gr5_components" ->
       """SELECT doc_id AS node, doc_id % 10 AS component
         |FROM documents""".stripMargin,
+    "gr25_katz_centrality" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |f AS (SELECT d.doc_id,
+        |    CASE WHEN e1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS h1,
+        |    CASE WHEN e2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS h2,
+        |    CASE WHEN e3.doc_id IS NOT NULL THEN 1 ELSE 0 END AS h3,
+        |    CASE WHEN e4.doc_id IS NOT NULL THEN 1 ELSE 0 END AS h4
+        |  FROM d
+        |  LEFT JOIN d e1 ON e1.doc_id = d.doc_id + 10
+        |  LEFT JOIN d e2 ON e2.doc_id = d.doc_id + 20
+        |  LEFT JOIN d e3 ON e3.doc_id = d.doc_id + 30
+        |  LEFT JOIN d e4 ON e4.doc_id = d.doc_id + 40)
+        |SELECT doc_id AS node,
+        |  CAST(500000 * h1 + 250000 * (h1 * h2)
+        |    + 125000 * (h1 * h2 * h3)
+        |    + 62500 * (h1 * h2 * h3 * h4) AS BIGINT) AS katz_micro
+        |FROM f""".stripMargin,
     "gr23_component_sizes" ->
       """WITH c AS (SELECT doc_id % 10 AS component FROM documents),
         |s AS (SELECT COUNT(*) AS size FROM c GROUP BY component),
