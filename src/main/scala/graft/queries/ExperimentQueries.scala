@@ -685,6 +685,52 @@ object ExperimentQueries {
             .as("crossed"))
     },
 
+    // AB20 (beyond reference): BAYESIAN Beta-posterior readout — the
+    // "probability treatment beats control" number product teams ask
+    // for instead of a p-value: uniform prior, posterior
+    // Beta(1+x, 1+n−x) per arm, so the posterior mean is the exact
+    // integer ratio (1+x)/(2+n) and the variance collapses to
+    // m(1−m)/(n+3) — no a·b products to overflow. P(p_t > p_c) by the
+    // normal approximation of the posterior difference through the
+    // shared erf polynomial; the one-sided flip is exact integer
+    // arithmetic on the two-sided micro p.
+    "ab20_bayes_beta" -> { (s, dir) =>
+      val ev = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 86400000000").as("day"))
+      val mn = ev.agg(min(col("day")).as("d0"))
+      val per = ev.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("day") >= col("d0") + 15, 1L).otherwise(0L)).as("conv"))
+        .withColumn("arm", arm(col("user_id")))
+      val st = per.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      val a0 = st.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("x").as("x0"))
+      val a1 = st.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("x").as("x1"))
+      def m(x: Column, n: Column): Column =
+        (x + 1).cast("double") / (n + 2).cast("double")
+      def v(x: Column, n: Column): Column =
+        m(x, n) * (lit(1.0) - m(x, n)) / (n + 3).cast("double")
+      val base = a0.crossJoin(a1)
+        .withColumn("mean_c", m(col("x0"), col("n0")))
+        .withColumn("mean_t", m(col("x1"), col("n1")))
+        .withColumn("vsum",
+          v(col("x1"), col("n1")) + v(col("x0"), col("n0")))
+        .withColumn("z",
+          when(col("vsum") > 0,
+            (col("mean_t") - col("mean_c")) / sqrt(col("vsum"))))
+        .withColumn("x", abs(col("z")) * lit(0.7071067811865476))
+        .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+        .withColumn("p2", when(col("z").isNotNull, expr(pMicroSql)))
+      base.select(col("n0"), col("x0"), col("n1"), col("x1"),
+        col("mean_c"), col("mean_t"), col("z").as("z_stat"),
+        when(col("z") >= 0, lit(1000000L) - expr("p2 div 2"))
+          .otherwise(expr("p2 div 2")).as("prob_beat_micro"))
+    },
+
     // AB18 (beyond reference): DELETE-ONE-BUCKET JACKKNIFE for a ratio
     // metric — the variance every platform quotes for CTR-style
     // metrics where users (not events) are the i.i.d. unit and the
@@ -1499,6 +1545,42 @@ object ExperimentQueries {
          |  diff, diff * diff / se2 AS z2,
          |  diff * diff / se2 > 10.273e0 AS crossed
          |FROM z""".stripMargin,
+    "ab20_bayes_beta" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM ev),
+         |per AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' AND day >= d0 + 15
+         |        THEN 1 ELSE 0 END) AS conv,
+         |    $armSql AS arm
+         |  FROM ev CROSS JOIN mn GROUP BY user_id),
+         |st AS (SELECT arm, COUNT(*) AS n,
+         |    CAST(SUM(conv) AS BIGINT) AS x FROM per GROUP BY 1),
+         |j AS (SELECT a0.n AS n0, a0.x AS x0, a1.n AS n1, a1.x AS x1
+         |      FROM st a0, st a1 WHERE a0.arm = 0 AND a1.arm = 1),
+         |b AS (SELECT n0, x0, n1, x1,
+         |    CAST(x0 + 1 AS DOUBLE) / CAST(n0 + 2 AS DOUBLE) AS mean_c,
+         |    CAST(x1 + 1 AS DOUBLE) / CAST(n1 + 2 AS DOUBLE) AS mean_t
+         |  FROM j),
+         |c AS (SELECT *,
+         |    mean_t * (1.0 - mean_t) / CAST(n1 + 3 AS DOUBLE)
+         |      + mean_c * (1.0 - mean_c) / CAST(n0 + 3 AS DOUBLE)
+         |      AS vsum
+         |  FROM b),
+         |z AS (SELECT *, CASE WHEN vsum > 0 THEN
+         |    (mean_t - mean_c) / sqrt(vsum) END AS z FROM c),
+         |w1 AS (SELECT *, abs(z) * 0.7071067811865476 AS x FROM z),
+         |w2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM w1),
+         |p AS (SELECT *, CASE WHEN z IS NOT NULL THEN $pMicroSql END
+         |        AS p2 FROM w2)
+         |SELECT CAST(n0 AS BIGINT) AS n0, x0,
+         |  CAST(n1 AS BIGINT) AS n1, x1, mean_c, mean_t, z AS z_stat,
+         |  CAST(CASE WHEN z >= 0 THEN 1000000 - p2 // 2
+         |       ELSE p2 // 2 END AS BIGINT) AS prob_beat_micro
+         |FROM p""".stripMargin,
     "ab18_jackknife_ratio" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type,

@@ -2097,6 +2097,40 @@ object TrainingDataQueries {
     // both engines, so the smoothed table is bit-reproducible. Plan
     // shape: one bigram-key count shuffle, two group-bys over the COUNTS
     // table (type cardinality, not token volume), one broadcast scalar.
+    // LM9 (beyond reference): KNESER–NEY DISCOUNT estimation — lm3
+    // applies a fixed D=0.5; the principled value is estimated from
+    // the corpus itself via the count-of-counts identity
+    // D = n₁/(n₁ + 2n₂) (Chen & Goodman 1999), where n_r = #grams seen
+    // exactly r times. Reported for unigrams and bigrams: two
+    // vocab-grain rollups into a 2-row table, exact integer micro.
+    // The singleton/doubleton masses also feed Good–Turing (lm4) —
+    // this query is the estimation half both smoothers share.
+    "lm9_kn_discount" -> { (s, dir) =>
+      val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+      val base = docsSpread(s, dir).select(toks.as("toks"))
+      val uni = base
+        .select(explode(col("toks")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(lit(1L).as("gram_order"), col("n1"), col("n2"))
+      val bi = base
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .filter(length(col("bg.w1")) > 0 && length(col("bg.w2")) > 0)
+        .groupBy(col("bg.w1"), col("bg.w2")).agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(lit(2L).as("gram_order"), col("n1"), col("n2"))
+      uni.unionByName(bi)
+        .select(col("gram_order"), col("n1"), col("n2"),
+          when(col("n1") + col("n2") * 2 > 0,
+            expr("n1 * 1000000 div (n1 + 2 * n2)")).as("d_micro"))
+    },
+
     "lm3_kneser_ney" -> { (s, dir) =>
       val toks = split(TextAnalysis.normalizeText(col("text")), " ")
       val bigrams = docsSpread(s, dir)
@@ -6007,6 +6041,29 @@ object TrainingDataQueries {
          |  CASE WHEN b = chr(31) THEN top.c1 || top.c2 ELSE b END AS s2,
          |  CAST(SUM(f) AS BIGINT) AS cnt
          |FROM p2 CROSS JOIN top GROUP BY 1, 2""".stripMargin,
+    "lm9_kn_discount" ->
+      s"""WITH base AS (
+         |  SELECT string_split($normSql, ' ') AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS w FROM base),
+         |uc AS (SELECT w, COUNT(*) AS c FROM u
+         |       WHERE length(w) > 0 GROUP BY w),
+         |un AS (SELECT CAST(1 AS BIGINT) AS gram_order,
+         |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+         |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2 FROM uc),
+         |bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         |         unnest(toks[2:len(toks)]) AS w2 FROM base),
+         |bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg
+         |       WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+         |bn AS (SELECT CAST(2 AS BIGINT) AS gram_order,
+         |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+         |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2 FROM bc),
+         |a AS (SELECT * FROM un UNION ALL SELECT * FROM bn)
+         |SELECT gram_order, CAST(n1 AS BIGINT) AS n1,
+         |  CAST(n2 AS BIGINT) AS n2,
+         |  CASE WHEN n1 + 2 * n2 > 0 THEN
+         |    CAST(n1 * 1000000 // (n1 + 2 * n2) AS BIGINT)
+         |  END AS d_micro
+         |FROM a""".stripMargin,
     "lm3_kneser_ney" ->
       s"""WITH base AS (
          |  SELECT string_split($normSql, ' ') AS toks FROM documents),
