@@ -51,4 +51,26 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
     df
   }
+
+  /** Hilbert-clustered layout write: [[writeZOrdered]] with the
+    * locality-optimal curve ([[graft.functions.HilbertIndex]]) instead
+    * of Morton — consecutive index values are always grid-adjacent, so
+    * each range-clustered file covers a tighter (x, y) bounding box
+    * and per-file min/max stats prune harder on BOTH dimensions
+    * (measured on-disk by IoSpec, and as a query by
+    * z6_hilbert_vs_morton: ~1.6× smaller average box at sf0.01). Same
+    * single range exchange. 2-D only — the recurrence is per-curve,
+    * where Morton generalizes to n dims for free. */
+  def writeHilbertClustered(df: DataFrame, path: String, x: Column,
+                            y: Column, bits: Int,
+                            nFiles: Int): DataFrame = {
+    require(!df.columns.contains("__h"), "__h is reserved by ZOrder")
+    df.withColumn("__h",
+        graft.functions.SpatialExpressions.hilbertIndex(x, y, bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+    df
+  }
 }

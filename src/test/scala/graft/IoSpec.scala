@@ -108,4 +108,30 @@ class IoSpec extends SparkSpec {
     assert(ParquetSink.conform(df, schema).columns.toSeq ==
       Seq("a", "b", "c"))
   }
+
+  test("Hilbert-clustered files have tighter on-disk bounding boxes " +
+      "than Morton") {
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.functions._
+    val grid = spark.range(20000).select(
+      (col("id") * 7919 % 1024).as("zx"),
+      (col("id") * 104729 % 1024).as("zy"))
+    val dir = java.nio.file.Files.createTempDirectory("hilbert").toString
+    ZOrder.writeHilbertClustered(grid, s"$dir/h", col("zx"), col("zy"),
+      bits = 10, nFiles = 16)
+    ZOrder.writeZOrdered(grid, s"$dir/z",
+      Seq(col("zx"), col("zy")), bits = 10, nFiles = 16)
+    // per-FILE (x, y) bounding boxes as written to disk — the stats a
+    // scan prunes with; Hilbert's unit-step locality must beat
+    // Morton's power-of-two jumps on the identical data and file count
+    def avgBox(path: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(
+          ((max("zx") - min("zx") + 1) *
+            (max("zy") - min("zy") + 1)).as("area"))
+        .agg(avg("area")).head().getDouble(0)
+    val h = avgBox(s"$dir/h")
+    val z = avgBox(s"$dir/z")
+    assert(h < z, s"hilbert avg box $h not tighter than morton $z")
+  }
 }
