@@ -913,6 +913,58 @@ object ExperimentQueries {
             .as("or_mh"))
     },
 
+    // AB21 (beyond reference): WILCOXON SIGNED-RANK — the PAIRED
+    // nonparametric test (ab15 compares two user populations; this
+    // tests whether the same users' spend SHIFTED between the pre and
+    // post periods, robust to the heavy tail a paired t chokes on).
+    // Zero diffs drop (the standard treatment); |diff| ranks ride
+    // GlobalRank's two-pass with the doubled tie-averaged identity, so
+    // 2·W⁺, 2·μ = m(m+1)/2, and Σ(t³−t) are exact integers; σ (with
+    // tie correction /48) and z are one fixed IEEE tree.
+    "ab21_wilcoxon_signed" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mn = d.agg(min(col("day")).as("d0"))
+      val per = d.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg((sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)) -
+          sum(when(col("day") < col("d0") + 15, col("cents"))
+            .otherwise(0L))).as("diff"))
+        .filter(col("diff") =!= 0)
+        .withColumn("absd", abs(col("diff")))
+      val rk = graft.operators.GlobalRank.withGlobalRank(per,
+          order = Seq(col("absd")), tieBreak = Seq(col("user_id")),
+          out = "rnk")
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("absd"))))
+      val ties = per.groupBy("absd").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t").cast(d38) * col("t").cast(d38) *
+          col("t").cast(d38) - col("t").cast(d38)),
+          lit(0).cast(d38)).as("tsum"))
+      val st = rk.agg(count(lit(1)).as("m"),
+        sum(when(col("diff") > 0,
+          (lit(2L) * col("rnk") + col("cnt") - lit(1L)).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("w2pos"))
+      st.crossJoin(broadcast(ties))
+        // 2μ = m(m+1)/2 — always integral (consecutive product even);
+        // W⁺ itself can be half-integral under odd tie groups, so the
+        // DOUBLED form is the exact integer contract throughout
+        .withColumn("mu2",
+          expr("cast(m as decimal(38,0)) * (m + 1) div 2"))
+        .withColumn("var_w",
+          (col("m").cast(d38) * (col("m") + 1).cast(d38) *
+            (lit(2L) * col("m") + 1).cast(d38)).cast("double") /
+            lit(24.0) - col("tsum").cast("double") / lit(48.0))
+        .select(col("m").as("m_nonzero"),
+          col("w2pos").cast("bigint").as("w_plus_x2"),
+          when(col("m") > 0 && col("var_w") > 0,
+            (col("w2pos") - col("mu2")).cast("double") /
+              (lit(2.0) * sqrt(col("var_w")))).as("z_stat"))
+    },
+
     // AB15 (beyond reference): MANN–WHITNEY U rank-sum test — the
     // nonparametric two-sample readout for heavy-tailed metrics where
     // ab3's Welch t is miscalibrated (per-user spend is exactly that
@@ -1545,6 +1597,42 @@ object ExperimentQueries {
          |  diff, diff * diff / se2 AS z2,
          |  diff * diff / se2 > 10.273e0 AS crossed
          |FROM z""".stripMargin,
+    "ab21_wilcoxon_signed" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mn AS (SELECT MIN(day) AS d0 FROM d),
+         |per0 AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END)
+         |      - SUM(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS diff
+         |  FROM d CROSS JOIN mn GROUP BY user_id),
+         |per AS (SELECT user_id, diff, abs(diff) AS absd
+         |        FROM per0 WHERE diff <> 0),
+         |rk AS (SELECT diff, RANK() OVER (ORDER BY absd) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY absd) AS cnt FROM per),
+         |ties AS (
+         |  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+         |    AS tsum
+         |  FROM (SELECT COUNT(*) AS t FROM per GROUP BY absd)),
+         |st AS (SELECT COUNT(*) AS m,
+         |    SUM(CASE WHEN diff > 0 THEN
+         |      CAST(2 * rnk + cnt - 1 AS HUGEINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS w2pos
+         |  FROM rk),
+         |v AS (SELECT m, w2pos, tsum,
+         |    CAST(CAST(m AS HUGEINT) * (m + 1) * (2 * m + 1) AS DOUBLE)
+         |      / 24.0 - CAST(tsum AS DOUBLE) / 48.0 AS var_w
+         |  FROM st CROSS JOIN ties)
+         |SELECT CAST(m AS BIGINT) AS m_nonzero,
+         |  CAST(w2pos AS BIGINT) AS w_plus_x2,
+         |  CASE WHEN m > 0 AND var_w > 0 THEN
+         |    CAST(w2pos - (CAST(m AS HUGEINT) * (m + 1) // 2)
+         |      AS DOUBLE) / (2.0 * sqrt(var_w))
+         |  END AS z_stat
+         |FROM v""".stripMargin,
     "ab20_bayes_beta" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type,
