@@ -1498,6 +1498,51 @@ object RelationalQueries {
     // m₂/m₃/m₄ follow by the standard origin-shift identities with
     // d = ȳ ∈ [0,1) — one fixed IEEE tree per group, no cross-row
     // float. Whole-dollar units (d29).
+    // D52 (beyond reference): TWO-SAMPLE Kolmogorov–Smirnov — do
+    // urgent and low-priority orders draw from the same value
+    // distribution? (ml10's KS is score-vs-label; this is the
+    // distribution-vs-distribution form.) CDFs live at whole-dollar
+    // grain; the two cumulative counts ride GlobalRank's prefix-sum
+    // two-pass (range-partitioned — the dollar domain is
+    // price-bounded, but this keeps the plan funnel-free at ANY
+    // domain), and the sup statistic is the exact integer max of
+    // |F₁−F₂| cross-multiplied by n₂·n₁ — one division at the end, and
+    // the α=0.05 decision compares two micro integers.
+    "d52_ks_two_sample" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(expr("cast(round(o_totalprice) as bigint)").as("dollar"),
+          (col("o_orderpriority") === "1-URGENT").as("is_a"))
+      val byVal = o.groupBy("dollar").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
+        .withColumn("g", lit(1))
+      val p1 = graft.operators.GlobalRank.withGroupedPrefixSum(byVal,
+        group = Seq("g"), order = Seq(col("dollar")),
+        value = col("c1"), out = "cum1", totOut = Some("n1"))
+      val p2 = graft.operators.GlobalRank.withGroupedPrefixSum(p1,
+        group = Seq("g"), order = Seq(col("dollar")),
+        value = col("c2"), out = "cum2", totOut = Some("n2"))
+      p2.select(col("n1"), col("n2"),
+          abs(col("cum1").cast(d38) * col("n2").cast(d38) -
+            col("cum2").cast(d38) * col("n1").cast(d38)).as("dnum"))
+        .groupBy("n1", "n2")
+        .agg(max(col("dnum")).as("dmax"))
+        .select(col("n1"), col("n2"),
+          when(col("n1") > 0 && col("n2") > 0,
+            expr("cast(dmax * 1000000 div " +
+              "(cast(n1 as decimal(38,0)) * n2) as bigint)"))
+            .as("d_micro"),
+          when(col("n1") > 0 && col("n2") > 0,
+            floor(lit(1.3581) * sqrt(
+              (col("n1") + col("n2")).cast("double") /
+                (col("n1").cast(d38) * col("n2").cast(d38))
+                  .cast("double")) * lit(1e6)).cast("bigint"))
+            .as("crit_micro"))
+        .withColumn("reject_h0", col("d_micro") > col("crit_micro"))
+    },
+
     "d48_jarque_bera" -> { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val o = Tables.orders(s, dir).select(
@@ -2531,6 +2576,42 @@ object RelationalQueries {
         |      CAST(CAST(n_c AS HUGEINT) * n_total * (m - 1) AS DOUBLE)
         |  ELSE 0.0 END <= 0.2 AS t_close
         |FROM agg""".stripMargin,
+    "d52_ks_two_sample" ->
+      """WITH o AS (
+        |  SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS dollar,
+        |    o_orderpriority = '1-URGENT' AS is_a
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |bv AS (SELECT dollar,
+        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS c2
+        |  FROM o GROUP BY 1),
+        |cum AS (SELECT dollar,
+        |    SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+        |  FROM bv
+        |  WINDOW w AS (ORDER BY dollar
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM bv),
+        |mx AS (SELECT n1, n2,
+        |    MAX(abs(CAST(cum1 AS HUGEINT) * n2
+        |      - CAST(cum2 AS HUGEINT) * n1)) AS dmax
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(dmax * 1000000 // (CAST(n1 AS HUGEINT) * n2)
+        |      AS BIGINT) END AS d_micro,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(FLOOR(1.3581 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+        |      CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) * 1e6)
+        |      AS BIGINT) END AS crit_micro,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(dmax * 1000000 // (CAST(n1 AS HUGEINT) * n2)
+        |      AS BIGINT) >
+        |    CAST(FLOOR(1.3581 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+        |      CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) * 1e6)
+        |      AS BIGINT) END AS reject_h0
+        |FROM mx""".stripMargin,
     "d48_jarque_bera" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS grp,
