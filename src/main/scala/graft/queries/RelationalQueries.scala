@@ -1498,6 +1498,46 @@ object RelationalQueries {
     // m₂/m₃/m₄ follow by the standard origin-shift identities with
     // d = ȳ ∈ [0,1) — one fixed IEEE tree per group, no cross-row
     // float. Whole-dollar units (d29).
+    // D53 (beyond reference): CRAMÉR'S V — the effect SIZE for a
+    // contingency table (d36 answers "is order status independent of
+    // priority?"; at corpus n everything is "significant", so the
+    // decision-grade number is V = √(χ²/(n·min(r−1,c−1))) ∈ [0,1]).
+    // χ² from the cross-multiplied integer identity (n·o − r·c)²/(n·r·c)
+    // per cell, each cell micro-quantized BEFORE the cross-cell sum
+    // (the cross-row float contract); one map-side-combined cell
+    // rollup, margins broadcast back.
+    "d53_cramers_v" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val cells = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("o_orderstatus").agg(sum(col("o")).as("r"))
+      val colsM = cells.groupBy("o_orderpriority").agg(sum(col("o")).as("c"))
+      val dims = rows.agg(count(lit(1)).as("nr"))
+        .crossJoin(colsM.agg(count(lit(1)).as("nc")))
+        .crossJoin(cells.agg(sum(col("o")).as("n")))
+      val term =
+        (col("n").cast(d38) * col("o").cast(d38) -
+          col("r").cast(d38) * col("c").cast(d38)).cast("double")
+      val t2 = term * term /
+        (col("n").cast(d38) * col("r").cast(d38) * col("c").cast(d38))
+          .cast("double")
+      val agg = cells.join(broadcast(rows), "o_orderstatus")
+        .join(broadcast(colsM), "o_orderpriority")
+        .crossJoin(broadcast(dims))
+        .withColumn("qc", floor(t2 * lit(1e6)).cast(d38))
+        .groupBy("n", "nr", "nc")
+        .agg(sum(col("qc")).as("sq"))
+      agg.select(col("n"), col("nr").as("n_rows"),
+          col("nc").as("n_cols"),
+          (col("sq").cast("double") / lit(1e6)).as("chi2"),
+          when(col("n") > 0 && least(col("nr"), col("nc")) > 1,
+            sqrt(col("sq").cast("double") / lit(1e6) /
+              (col("n").cast(d38) *
+                (least(col("nr"), col("nc")) - 1).cast(d38))
+                .cast("double"))).as("cramers_v"))
+    },
+
     // D52 (beyond reference): TWO-SAMPLE Kolmogorov–Smirnov — do
     // urgent and low-priority orders draw from the same value
     // distribution? (ml10's KS is score-vs-label; this is the
@@ -2575,6 +2615,38 @@ object RelationalQueries {
         |    CAST(st AS DOUBLE) /
         |      CAST(CAST(n_c AS HUGEINT) * n_total * (m - 1) AS DOUBLE)
         |  ELSE 0.0 END <= 0.2 AS t_close
+        |FROM agg""".stripMargin,
+    "d53_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, CAST(SUM(o) AS BIGINT) AS r
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS c
+        |      FROM cells GROUP BY 1),
+        |dims AS (SELECT
+        |    (SELECT COUNT(*) FROM r) AS nr,
+        |    (SELECT COUNT(*) FROM c) AS nc,
+        |    (SELECT CAST(SUM(o) AS BIGINT) FROM cells) AS n),
+        |q AS (SELECT n, nr, nc,
+        |    CAST(FLOOR(
+        |      CAST(CAST(n AS HUGEINT) * o - CAST(r.r AS HUGEINT) * c.c
+        |        AS DOUBLE) *
+        |      CAST(CAST(n AS HUGEINT) * o - CAST(r.r AS HUGEINT) * c.c
+        |        AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * r.r * c.c AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS qc
+        |  FROM cells JOIN r USING (o_orderstatus)
+        |    JOIN c USING (o_orderpriority) CROSS JOIN dims),
+        |agg AS (SELECT n, nr, nc, SUM(CAST(qc AS HUGEINT)) AS sq
+        |        FROM q GROUP BY 1, 2, 3)
+        |SELECT n, CAST(nr AS BIGINT) AS n_rows,
+        |  CAST(nc AS BIGINT) AS n_cols,
+        |  CAST(sq AS DOUBLE) / 1e6 AS chi2,
+        |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
+        |    sqrt(CAST(sq AS DOUBLE) / 1e6 /
+        |      CAST(CAST(n AS HUGEINT) * (least(nr, nc) - 1) AS DOUBLE))
+        |  END AS cramers_v
         |FROM agg""".stripMargin,
     "d52_ks_two_sample" ->
       """WITH o AS (

@@ -2345,6 +2345,40 @@ object TrainingDataQueries {
     // Packing efficiency report: per-stream padding waste of pad-per-doc
     // vs concat-and-chunk at seqLen=512 — the numbers that justify pk1.
     // Pure integer arithmetic end to end.
+    // PK8 (beyond reference): ATTENTION-FLOPs packing diagnostic —
+    // pk3 prices padding in TOKENS, but transformer attention is
+    // quadratic, so the right cost unit is Σ len². Per 128-token
+    // length bucket: sequence count, token mass, each bucket's share
+    // of total attention FLOPs, and the quadratic overhead of padding
+    // every sequence to its bucket ceiling (n·max² vs Σ len²) — the
+    // table that decides bucketed-batching boundaries. Exact decimal
+    // squares, integer micro shares.
+    "pk8_attention_cost" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val t = docsSpread(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n"))
+        .filter(col("n") > 0)
+        .withColumn("bucket", least(expr("n div 128"), lit(7L)))
+      // pad target = the bucket's LONGEST sequence (not a fixed
+      // ceiling: the overflow bucket has no ceiling, and padsq must
+      // dominate sumsq so the overhead share stays in [0, 1))
+      val per = t.groupBy("bucket").agg(
+        count(lit(1)).as("n_seqs"), sum(col("n")).as("sum_tokens"),
+        max(col("n")).as("mx"),
+        sum(col("n").cast(d38) * col("n").cast(d38)).as("sumsq"))
+      val tot = per.agg(sum(col("sumsq")).as("tot_sq"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("padsq",
+          col("n_seqs").cast(d38) *
+            (col("mx").cast(d38) * col("mx").cast(d38)))
+        .select(col("bucket"), col("n_seqs"), col("sum_tokens"),
+          expr("cast(sumsq * 1000000 div tot_sq as bigint)")
+            .as("flops_share_micro"),
+          expr("cast((padsq - sumsq) * 1000000 div padsq as bigint)")
+            .as("pad_overhead_micro"))
+    },
+
     "pk3_padding_waste" -> { (s, dir) =>
       val t = docsSpread(s, dir).select(col("lang"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
@@ -4984,6 +5018,27 @@ object TrainingDataQueries {
          |  CAST((n_docs * s2 - CAST(s AS HUGEINT) * s) * 1000000 //
          |    (n_docs * CAST(s AS HUGEINT)) AS BIGINT) AS vmr_micro
          |FROM pt CROSS JOIN nd""".stripMargin,
+    "pk8_attention_cost" ->
+      s"""WITH t AS (SELECT n FROM (
+         |    SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+'))
+         |      END AS n
+         |    FROM documents) WHERE n > 0),
+         |b AS (SELECT least(n // 128, 7) AS bucket, n FROM t),
+         |per AS (SELECT bucket, COUNT(*) AS n_seqs,
+         |    CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |    CAST(MAX(n) AS BIGINT) AS mx,
+         |    SUM(CAST(n AS HUGEINT) * n) AS sumsq
+         |  FROM b GROUP BY 1),
+         |tot AS (SELECT SUM(sumsq) AS tot_sq FROM per)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_seqs, sum_tokens,
+         |  CAST(sumsq * 1000000 // tot_sq AS BIGINT)
+         |    AS flops_share_micro,
+         |  CAST((CAST(n_seqs AS HUGEINT) * (CAST(mx AS HUGEINT) * mx)
+         |      - sumsq) * 1000000 //
+         |    (CAST(n_seqs AS HUGEINT) * (CAST(mx AS HUGEINT) * mx))
+         |    AS BIGINT) AS pad_overhead_micro
+         |FROM per CROSS JOIN tot""".stripMargin,
     "tx35_code_detection" ->
       """WITH d AS (
         |  SELECT doc_id, length(text) AS nc,
