@@ -1538,6 +1538,103 @@ object RelationalQueries {
                 .cast("double"))).as("cramers_v"))
     },
 
+    // D54 (beyond reference): BROWN–FORSYTHE (median-based Levene)
+    // homogeneity-of-variance test — the gate BEFORE d29's F: one-way
+    // ANOVA assumes equal group variances, and at corpus scale the
+    // robust way to check is an ANOVA on |x − median_g|. Group medians
+    // are rank SELECTION on GlobalRank's grouped two-pass (never a
+    // #groups-parallel window); deviations stay integral by doubling
+    // (z = |2x − (lo+hi)| where lo/hi are the two middle order
+    // statistics), and the F on z reuses d29's exact-integer SSB/SSW
+    // identities. One rank pass + one metadata-grain broadcast + one
+    // aggregate.
+    "d54_levene" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+          expr("cast(round(o_totalprice) as bigint)").as("v"))
+      val ranked = graft.operators.GlobalRank.withGroupedRowNumber(o,
+        group = Seq("grp"), order = Seq(col("v"), col("o_orderkey")),
+        out = "rn", nOut = Some("ng"))
+      // med2 = lo + hi middle order statistics (equal when ng is odd):
+      // the doubled median, exact in whole-dollar integers
+      val meds = ranked
+        .filter(col("rn") === expr("(ng + 1) div 2") ||
+          col("rn") === expr("(ng + 2) div 2"))
+        .groupBy(col("grp").as("m_grp"))
+        .agg((min(when(col("rn") === expr("(ng + 1) div 2"), col("v"))) +
+          min(when(col("rn") === expr("(ng + 2) div 2"), col("v"))))
+          .as("med2"))
+      val z = ranked.join(broadcast(meds), col("grp") === col("m_grp"))
+        .select(col("grp"),
+          abs(lit(2L) * col("v") - col("med2")).as("z"))
+      val per = z.groupBy("grp").agg(count(lit(1)).as("ng"),
+        sum(col("z").cast(d38)).as("sg"),
+        sum(col("z").cast(d38) * col("z").cast(d38)).as("sxx"))
+        .withColumn("sg2n", expr("cast(sg * sg div ng as bigint)"))
+      per.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg")).as("sz"), sum(col("sxx")).as("xx"),
+          sum(col("sg2n")).as("sum_sg2n"))
+        .select(col("k"), col("n"),
+          (col("sum_sg2n") - expr("cast(sz * sz div n as bigint)"))
+            .as("ssb"),
+          (col("xx") - col("sum_sg2n").cast(d38)).cast("long").as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          // degenerate inputs (n ≤ k: no within df; ssw = 0: constant
+          // deviations) leave W undefined — NULL, not 0/0
+          when(col("n") > col("k") && col("ssw") > 0,
+            (col("ssb").cast("double") / (col("k") - 1).cast("double"))
+              / (col("ssw").cast("double") /
+                (col("n") - col("k")).cast("double"))).as("w_stat"))
+    },
+
+    // D55 (beyond reference): TWO-FACTOR cell-means ANOVA screen — does
+    // return flag, line status, or their combination explain revenue
+    // variance? (d29 is one-way.) Everything reduces to ONE map-side-
+    // combined rollup at (a, b) cell grain; margins and totals are
+    // metadata-grain folds of the cell table. Exact integer SS via the
+    // d29 identities per stratum; the additivity gap SS_cells − SS_A −
+    // SS_B is reported as the interaction screen (exact under balance,
+    // a diagnostic otherwise — the unbalanced Type-II fit needs a
+    // regression, which is ml6/ab19 territory). Whole-dollar units.
+    "d55_two_way_anova" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"),
+          expr("cast(round(l_extendedprice) as bigint)").as("v"))
+      val cells = li.groupBy("a", "b").agg(count(lit(1)).as("n_ab"),
+        sum(col("v").cast(d38)).as("s_ab"),
+        sum(col("v").cast(d38) * col("v").cast(d38)).as("sxx"))
+        .withColumn("s2n", expr("cast(s_ab * s_ab div n_ab as bigint)"))
+      val byA = cells.groupBy("a").agg(sum(col("n_ab")).as("na"),
+          sum(col("s_ab")).as("sa"))
+        .select(expr("cast(sa * sa div na as bigint)").as("sa2n"))
+        .agg(count(lit(1)).as("ka"), sum(col("sa2n")).as("ss_a_raw"))
+      val byB = cells.groupBy("b").agg(sum(col("n_ab")).as("nb"),
+          sum(col("s_ab")).as("sb"))
+        .select(expr("cast(sb * sb div nb as bigint)").as("sb2n"))
+        .agg(count(lit(1)).as("kb"), sum(col("sb2n")).as("ss_b_raw"))
+      val tot = cells.agg(count(lit(1)).as("k_cells"),
+        sum(col("n_ab")).as("n"), sum(col("s_ab")).as("s"),
+        sum(col("sxx")).as("xx"), sum(col("s2n")).as("sum_s2n"))
+      tot.crossJoin(broadcast(byA)).crossJoin(broadcast(byB))
+        .withColumn("cf", expr("cast(s * s div n as bigint)"))
+        .select(col("n"), col("ka"), col("kb"), col("k_cells"),
+          (col("ss_a_raw") - col("cf")).as("ss_a"),
+          (col("ss_b_raw") - col("cf")).as("ss_b"),
+          (col("sum_s2n") - col("cf")).as("ss_cells"),
+          (col("xx") - col("sum_s2n").cast(d38)).cast("long").as("ss_within"))
+        .withColumn("interaction_gap",
+          col("ss_cells") - col("ss_a") - col("ss_b"))
+        .withColumn("f_cells",
+          when(col("n") > col("k_cells") && col("ss_within") > 0 &&
+            col("k_cells") > 1,
+            (col("ss_cells").cast("double") /
+              (col("k_cells") - 1).cast("double")) /
+              (col("ss_within").cast("double") /
+                (col("n") - col("k_cells")).cast("double"))))
+    },
+
     // D52 (beyond reference): TWO-SAMPLE Kolmogorov–Smirnov — do
     // urgent and low-priority orders draw from the same value
     // distribution? (ml10's KS is score-vs-label; this is the
@@ -2648,6 +2745,81 @@ object RelationalQueries {
         |      CAST(CAST(n AS HUGEINT) * (least(nr, nc) - 1) AS DOUBLE))
         |  END AS cramers_v
         |FROM agg""".stripMargin,
+    "d54_levene" ->
+      """WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
+        |    CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+        |rk AS (SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY v, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS ng FROM o),
+        |meds AS (SELECT grp,
+        |    MIN(CASE WHEN rn = (ng + 1) // 2 THEN v END) +
+        |    MIN(CASE WHEN rn = (ng + 2) // 2 THEN v END) AS med2
+        |  FROM rk
+        |  WHERE rn = (ng + 1) // 2 OR rn = (ng + 2) // 2
+        |  GROUP BY 1),
+        |z AS (SELECT o.grp, abs(2 * v - med2) AS z
+        |      FROM o JOIN meds USING (grp)),
+        |per AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(z) AS HUGEINT) AS sg,
+        |    SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS sxx,
+        |    CAST(CAST(SUM(z) AS HUGEINT) * CAST(SUM(z) AS HUGEINT)
+        |      // COUNT(*) AS BIGINT) AS sg2n
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |        CAST(SUM(ng) AS BIGINT) AS n,
+        |        CAST(SUM(sg) AS HUGEINT) AS sz,
+        |        CAST(SUM(sxx) AS HUGEINT) AS xx,
+        |        CAST(SUM(sg2n) AS BIGINT) AS sum_sg2n
+        |      FROM per)
+        |SELECT k, n,
+        |  CAST(sum_sg2n - CAST(sz * sz // n AS BIGINT) AS BIGINT) AS ssb,
+        |  CAST(xx - sum_sg2n AS BIGINT) AS ssw,
+        |  CASE WHEN n > k AND CAST(xx - sum_sg2n AS BIGINT) > 0 THEN
+        |    (CAST(sum_sg2n - CAST(sz * sz // n AS BIGINT) AS DOUBLE) /
+        |       CAST(k - 1 AS DOUBLE)) /
+        |    (CAST(xx - sum_sg2n AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |  END AS w_stat
+        |FROM t""".stripMargin,
+    "d55_two_way_anova" ->
+      """WITH li AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS v FROM lineitem),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab,
+        |    CAST(SUM(v) AS HUGEINT) AS s_ab,
+        |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx,
+        |    CAST(CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT)
+        |      // COUNT(*) AS BIGINT) AS s2n
+        |  FROM li GROUP BY 1, 2),
+        |bya AS (SELECT CAST(COUNT(*) AS BIGINT) AS ka,
+        |    CAST(SUM(sa2n) AS BIGINT) AS ss_a_raw
+        |  FROM (SELECT CAST(CAST(SUM(s_ab) AS HUGEINT) *
+        |          CAST(SUM(s_ab) AS HUGEINT) // SUM(n_ab) AS BIGINT)
+        |          AS sa2n
+        |        FROM cells GROUP BY a)),
+        |byb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb,
+        |    CAST(SUM(sb2n) AS BIGINT) AS ss_b_raw
+        |  FROM (SELECT CAST(CAST(SUM(s_ab) AS HUGEINT) *
+        |          CAST(SUM(s_ab) AS HUGEINT) // SUM(n_ab) AS BIGINT)
+        |          AS sb2n
+        |        FROM cells GROUP BY b)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_cells,
+        |    CAST(SUM(n_ab) AS BIGINT) AS n,
+        |    CAST(SUM(s_ab) AS HUGEINT) AS s,
+        |    CAST(SUM(sxx) AS HUGEINT) AS xx,
+        |    CAST(SUM(s2n) AS BIGINT) AS sum_s2n FROM cells),
+        |fin AS (SELECT n, ka, kb, k_cells,
+        |    ss_a_raw - CAST(s * s // n AS BIGINT) AS ss_a,
+        |    ss_b_raw - CAST(s * s // n AS BIGINT) AS ss_b,
+        |    sum_s2n - CAST(s * s // n AS BIGINT) AS ss_cells,
+        |    CAST(xx - sum_s2n AS BIGINT) AS ss_within
+        |  FROM tot CROSS JOIN bya CROSS JOIN byb)
+        |SELECT n, ka, kb, k_cells, ss_a, ss_b, ss_cells, ss_within,
+        |  ss_cells - ss_a - ss_b AS interaction_gap,
+        |  CASE WHEN n > k_cells AND ss_within > 0 AND k_cells > 1 THEN
+        |    (CAST(ss_cells AS DOUBLE) / CAST(k_cells - 1 AS DOUBLE)) /
+        |    (CAST(ss_within AS DOUBLE) / CAST(n - k_cells AS DOUBLE))
+        |  END AS f_cells
+        |FROM fin""".stripMargin,
     "d52_ks_two_sample" ->
       """WITH o AS (
         |  SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS dollar,
