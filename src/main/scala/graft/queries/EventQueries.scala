@@ -782,6 +782,128 @@ object EventQueries {
           .as("acf1"))
     },
 
+    // PARTIAL autocorrelation at lags 1–3 via Durbin–Levinson — the AR
+    // order probe (ts4's ACF says "correlated"; PACF says "how many AR
+    // terms"). The full-series ACF r_k = Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x_t−x̄)²
+    // is computed with the mean cleared by cross-multiplying through T²:
+    // numT2_k = T²·C_k − T·S·(A_k+B_k) + (T−k)·S², denT2 = T²·SS − T·S²
+    // — every sufficient statistic an exact decimal(38,0) integer sum
+    // (≲1e35 even at absurd per-day volumes), so each r_k is ONE IEEE
+    // division and the Durbin–Levinson recursion is a fixed IEEE tree on
+    // bit-identical doubles. One daily rollup shuffle; the lag window
+    // rides it at day grain (span-bounded — the ts4-audited shape).
+    // Gaps in the day sequence are treated as adjacent observations,
+    // matching ts4's series definition.
+    "ts20_pacf" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"),
+          expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = daily
+        .withColumn("l1", lag(col("n"), 1).over(w))
+        .withColumn("l2", lag(col("n"), 2).over(w))
+        .withColumn("l3", lag(col("n"), 3).over(w))
+      def ck(l: String) = sum(when(col(l).isNotNull,
+        col("n").cast(d38) * col(l).cast(d38)))
+      def ak(l: String) = sum(when(col(l).isNotNull, col("n").cast(d38)))
+      def bk(l: String) = sum(col(l).cast(d38))
+      val st = lagged.groupBy("event_type").agg(
+        count(lit(1)).as("t"), sum(col("n").cast(d38)).as("s"),
+        sum(col("n").cast(d38) * col("n").cast(d38)).as("ss"),
+        ck("l1").as("c1"), ak("l1").as("a1"), bk("l1").as("b1"),
+        ck("l2").as("c2"), ak("l2").as("a2"), bk("l2").as("b2"),
+        ck("l3").as("c3"), ak("l3").as("a3"), bk("l3").as("b3"))
+      val t38 = col("t").cast(d38)
+      val den = t38 * t38 * col("ss") - t38 * col("s") * col("s")
+      def rho(k: Int) = {
+        val num = t38 * t38 * col(s"c$k") -
+          t38 * col("s") * (col(s"a$k") + col(s"b$k")) +
+          (t38 - k) * col("s") * col("s")
+        when(col("t") > k && den > 0,
+          num.cast("double") / den.cast("double"))
+      }
+      st.withColumn("r1", rho(1)).withColumn("r2", rho(2))
+        .withColumn("r3", rho(3))
+        .withColumn("d2", lit(1.0) - col("r1") * col("r1"))
+        .withColumn("phi22",
+          when(col("d2") =!= 0.0,
+            (col("r2") - col("r1") * col("r1")) / col("d2")))
+        .withColumn("phi21", col("r1") * (lit(1.0) - col("phi22")))
+        .withColumn("d3", lit(1.0) - col("phi21") * col("r1") -
+          col("phi22") * col("r2"))
+        .withColumn("phi33",
+          when(col("d3") =!= 0.0,
+            (col("r3") - col("phi21") * col("r2") -
+              col("phi22") * col("r1")) / col("d3")))
+        .select(col("event_type"), col("t"), col("r1"), col("r2"),
+          col("r3"), col("r1").as("pacf1"), col("phi22").as("pacf2"),
+          col("phi33").as("pacf3"))
+    },
+
+    // LJUNG–BOX portmanteau test at K = 5 — "is this daily series white
+    // noise at ALL of lags 1–5 jointly?", the formal gate on ts1's iid
+    // assumption (ts4 eyeballs lag 1 only). Q = T(T+2)·Σ r_k²/(T−k)
+    // with the same exact-integer ACF base as ts20; each lag's term is
+    // floor-quantized to 1e-12 BEFORE the cross-lag sum (the cross-row
+    // float contract — here cross-COLUMN, kept anyway so the spelled-out
+    // sum is associativity-free), and series too short for a lag simply
+    // drop that term (k_used reports the effective df). The χ²₅ 5%
+    // decision is emitted only at full df.
+    "ts22_ljung_box" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"),
+          expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = (1 to 5).foldLeft(daily) { (d, k) =>
+        d.withColumn(s"l$k", lag(col("n"), k).over(w))
+      }
+      val aggs = Seq(count(lit(1)).as("t"),
+        sum(col("n").cast(d38)).as("s"),
+        sum(col("n").cast(d38) * col("n").cast(d38)).as("ss")) ++
+        (1 to 5).flatMap { k =>
+          Seq(sum(when(col(s"l$k").isNotNull,
+              col("n").cast(d38) * col(s"l$k").cast(d38))).as(s"c$k"),
+            sum(when(col(s"l$k").isNotNull, col("n").cast(d38)))
+              .as(s"a$k"),
+            sum(col(s"l$k").cast(d38)).as(s"b$k"))
+        }
+      val st = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      val t38 = col("t").cast(d38)
+      val den = t38 * t38 * col("ss") - t38 * col("s") * col("s")
+      def rho(k: Int) = {
+        val num = t38 * t38 * col(s"c$k") -
+          t38 * col("s") * (col(s"a$k") + col(s"b$k")) +
+          (t38 - k) * col("s") * col("s")
+        when(col("t") > k && den > 0,
+          num.cast("double") / den.cast("double"))
+      }
+      def term(k: Int) = floor(rho(k) * rho(k) /
+        (col("t") - k).cast("double") * lit(1e12)).cast("long")
+      val kUsed = (1 to 5).map(k =>
+        when(rho(k).isNotNull, 1).otherwise(0)).reduce(_ + _)
+      val qsum = (1 to 5).map(k =>
+        coalesce(term(k), lit(0L))).reduce(_ + _)
+      st.withColumn("k_used", kUsed.cast("long"))
+        .withColumn("qsum", qsum)
+        .select(col("event_type"), col("t"), col("k_used"),
+          when(col("k_used") > 0,
+            (col("t").cast(d38) * (col("t") + 2).cast(d38))
+              .cast("double") *
+              (col("qsum").cast("double") / lit(1e12))).as("q_stat"),
+          // non-null by convention (a NULL boolean round-trips as None
+          // from parquet but NaN from the oracle df): a series too short
+          // for the full df=5 test is simply "not rejected"
+          coalesce(when(col("k_used") === 5,
+            (col("t").cast(d38) * (col("t") + 2).cast(d38))
+              .cast("double") *
+              (col("qsum").cast("double") / lit(1e12)) > lit(11.0705)),
+            lit(false)).as("reject_5pct"))
+    },
+
     // Day-of-week seasonal profile + residual: each day's volume against
     // its weekday mean — the cheap seasonal decomposition that turns
     // ts1's trailing-window z-score into a seasonality-aware one.
@@ -2465,6 +2587,148 @@ object EventQueries {
         |       sqrt(CAST(m * sbb - sb * sb AS DOUBLE)))
         |  END AS acf1
         |FROM s""".stripMargin,
+
+    "ts20_pacf" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    LAG(n, 1) OVER w AS l1, LAG(n, 2) OVER w AS l2,
+        |    LAG(n, 3) OVER w AS l3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS t,
+        |    SUM(CAST(n AS HUGEINT)) AS s, SUM(CAST(n AS HUGEINT)*n) AS ss,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(n AS HUGEINT)*l1 END) AS c1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(n AS HUGEINT) END) AS a1,
+        |    SUM(CAST(l1 AS HUGEINT)) AS b1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(n AS HUGEINT)*l2 END) AS c2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(n AS HUGEINT) END) AS a2,
+        |    SUM(CAST(l2 AS HUGEINT)) AS b2,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(n AS HUGEINT)*l3 END) AS c3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(n AS HUGEINT) END) AS a3,
+        |    SUM(CAST(l3 AS HUGEINT)) AS b3
+        |  FROM lagged GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, t,
+        |    CASE WHEN t > 1 AND
+        |        (CAST(t AS HUGEINT)*t*ss - CAST(t AS HUGEINT)*s*s) > 0
+        |      THEN CAST(CAST(t AS HUGEINT)*t*c1
+        |          - CAST(t AS HUGEINT)*s*(a1+b1) + (t-1)*s*s AS DOUBLE) /
+        |        CAST(CAST(t AS HUGEINT)*t*ss
+        |          - CAST(t AS HUGEINT)*s*s AS DOUBLE) END AS r1,
+        |    CASE WHEN t > 2 AND
+        |        (CAST(t AS HUGEINT)*t*ss - CAST(t AS HUGEINT)*s*s) > 0
+        |      THEN CAST(CAST(t AS HUGEINT)*t*c2
+        |          - CAST(t AS HUGEINT)*s*(a2+b2) + (t-2)*s*s AS DOUBLE) /
+        |        CAST(CAST(t AS HUGEINT)*t*ss
+        |          - CAST(t AS HUGEINT)*s*s AS DOUBLE) END AS r2,
+        |    CASE WHEN t > 3 AND
+        |        (CAST(t AS HUGEINT)*t*ss - CAST(t AS HUGEINT)*s*s) > 0
+        |      THEN CAST(CAST(t AS HUGEINT)*t*c3
+        |          - CAST(t AS HUGEINT)*s*(a3+b3) + (t-3)*s*s AS DOUBLE) /
+        |        CAST(CAST(t AS HUGEINT)*t*ss
+        |          - CAST(t AS HUGEINT)*s*s AS DOUBLE) END AS r3
+        |  FROM st),
+        |p2 AS (SELECT *, 1.0 - r1*r1 AS d2 FROM r),
+        |p3 AS (SELECT *,
+        |    CASE WHEN d2 <> 0 THEN (r2 - r1*r1)/d2 END AS phi22 FROM p2),
+        |p4 AS (SELECT *, r1*(1.0 - phi22) AS phi21 FROM p3),
+        |p5 AS (SELECT *, 1.0 - phi21*r1 - phi22*r2 AS d3 FROM p4)
+        |SELECT event_type, t, r1, r2, r3, r1 AS pacf1, phi22 AS pacf2,
+        |  CASE WHEN d3 <> 0 THEN (r3 - phi21*r2 - phi22*r1)/d3 END
+        |    AS pacf3
+        |FROM p5""".stripMargin,
+
+    "ts22_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    LAG(n, 1) OVER w AS l1, LAG(n, 2) OVER w AS l2,
+        |    LAG(n, 3) OVER w AS l3, LAG(n, 4) OVER w AS l4,
+        |    LAG(n, 5) OVER w AS l5
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS t,
+        |    SUM(CAST(n AS HUGEINT)) AS s, SUM(CAST(n AS HUGEINT)*n) AS ss,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(n AS HUGEINT)*l1 END) AS c1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(n AS HUGEINT) END) AS a1,
+        |    SUM(CAST(l1 AS HUGEINT)) AS b1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(n AS HUGEINT)*l2 END) AS c2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(n AS HUGEINT) END) AS a2,
+        |    SUM(CAST(l2 AS HUGEINT)) AS b2,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(n AS HUGEINT)*l3 END) AS c3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(n AS HUGEINT) END) AS a3,
+        |    SUM(CAST(l3 AS HUGEINT)) AS b3,
+        |    SUM(CASE WHEN l4 IS NOT NULL THEN CAST(n AS HUGEINT)*l4 END) AS c4,
+        |    SUM(CASE WHEN l4 IS NOT NULL THEN CAST(n AS HUGEINT) END) AS a4,
+        |    SUM(CAST(l4 AS HUGEINT)) AS b4,
+        |    SUM(CASE WHEN l5 IS NOT NULL THEN CAST(n AS HUGEINT)*l5 END) AS c5,
+        |    SUM(CASE WHEN l5 IS NOT NULL THEN CAST(n AS HUGEINT) END) AS a5,
+        |    SUM(CAST(l5 AS HUGEINT)) AS b5
+        |  FROM lagged GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, t,
+        |    CASE WHEN t > 1 AND
+        |        (CAST(t AS HUGEINT)*t*ss - CAST(t AS HUGEINT)*s*s) > 0
+        |      THEN CAST(CAST(t AS HUGEINT)*t*c1
+        |          - CAST(t AS HUGEINT)*s*(a1+b1) + (t-1)*s*s AS DOUBLE) /
+        |        CAST(CAST(t AS HUGEINT)*t*ss
+        |          - CAST(t AS HUGEINT)*s*s AS DOUBLE) END AS r1,
+        |    CASE WHEN t > 2 AND
+        |        (CAST(t AS HUGEINT)*t*ss - CAST(t AS HUGEINT)*s*s) > 0
+        |      THEN CAST(CAST(t AS HUGEINT)*t*c2
+        |          - CAST(t AS HUGEINT)*s*(a2+b2) + (t-2)*s*s AS DOUBLE) /
+        |        CAST(CAST(t AS HUGEINT)*t*ss
+        |          - CAST(t AS HUGEINT)*s*s AS DOUBLE) END AS r2,
+        |    CASE WHEN t > 3 AND
+        |        (CAST(t AS HUGEINT)*t*ss - CAST(t AS HUGEINT)*s*s) > 0
+        |      THEN CAST(CAST(t AS HUGEINT)*t*c3
+        |          - CAST(t AS HUGEINT)*s*(a3+b3) + (t-3)*s*s AS DOUBLE) /
+        |        CAST(CAST(t AS HUGEINT)*t*ss
+        |          - CAST(t AS HUGEINT)*s*s AS DOUBLE) END AS r3,
+        |    CASE WHEN t > 4 AND
+        |        (CAST(t AS HUGEINT)*t*ss - CAST(t AS HUGEINT)*s*s) > 0
+        |      THEN CAST(CAST(t AS HUGEINT)*t*c4
+        |          - CAST(t AS HUGEINT)*s*(a4+b4) + (t-4)*s*s AS DOUBLE) /
+        |        CAST(CAST(t AS HUGEINT)*t*ss
+        |          - CAST(t AS HUGEINT)*s*s AS DOUBLE) END AS r4,
+        |    CASE WHEN t > 5 AND
+        |        (CAST(t AS HUGEINT)*t*ss - CAST(t AS HUGEINT)*s*s) > 0
+        |      THEN CAST(CAST(t AS HUGEINT)*t*c5
+        |          - CAST(t AS HUGEINT)*s*(a5+b5) + (t-5)*s*s AS DOUBLE) /
+        |        CAST(CAST(t AS HUGEINT)*t*ss
+        |          - CAST(t AS HUGEINT)*s*s AS DOUBLE) END AS r5
+        |  FROM st),
+        |q AS (
+        |  SELECT event_type, t,
+        |    CAST((CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN r3 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN r4 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN r5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k_used,
+        |    COALESCE(CAST(FLOOR(r1*r1/CAST(t-1 AS DOUBLE)*1e12) AS BIGINT), 0) +
+        |    COALESCE(CAST(FLOOR(r2*r2/CAST(t-2 AS DOUBLE)*1e12) AS BIGINT), 0) +
+        |    COALESCE(CAST(FLOOR(r3*r3/CAST(t-3 AS DOUBLE)*1e12) AS BIGINT), 0) +
+        |    COALESCE(CAST(FLOOR(r4*r4/CAST(t-4 AS DOUBLE)*1e12) AS BIGINT), 0) +
+        |    COALESCE(CAST(FLOOR(r5*r5/CAST(t-5 AS DOUBLE)*1e12) AS BIGINT), 0)
+        |      AS qsum
+        |  FROM r)
+        |SELECT event_type, t, k_used,
+        |  CASE WHEN k_used > 0 THEN
+        |    CAST(CAST(t AS HUGEINT) * (t + 2) AS DOUBLE) *
+        |      (CAST(qsum AS DOUBLE) / 1e12) END AS q_stat,
+        |  COALESCE(CASE WHEN k_used = 5 THEN
+        |    CAST(CAST(t AS HUGEINT) * (t + 2) AS DOUBLE) *
+        |      (CAST(qsum AS DOUBLE) / 1e12) > 11.0705 END, FALSE)
+        |    AS reject_5pct
+        |FROM q""".stripMargin,
 
     "ts5_dow_profile" ->
       """WITH daily AS (
