@@ -816,6 +816,50 @@ object ScoringQueries {
       Retrieval.tfidf(docsSpread(s, dir), tfidfTerms)
     },
 
+    // IR14 (beyond reference): RANK-BIASED OVERLAP (Webber et al.) at
+    // p = 0.9 between the BM25 and TF-IDF top-10 rankings — the
+    // top-weighted list-similarity readout behind "do the two scorers
+    // agree where it matters?" (ir3 fuses the lists; this MEASURES
+    // their agreement, the number that justifies fusing at all).
+    // Agreement at each depth d is |A_1:d ∩ B_1:d| as exact integers
+    // over the two 10-row lists; the geometric weights p^(d−1) are
+    // EXACT decimal literals (9^d/10^d — no pow() call whose libm
+    // could differ per engine), each depth's term is quantized to
+    // 1e-12 before the cumulative sum, and every window rides the
+    // 10-row depth frame. Emits the full agreement/RBO curve.
+    "ir14_rbo" -> { (s, dir) =>
+      val wA = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val topA = Retrieval.bm25(docsSpread(s, dir), tfidfTerms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        .withColumn("r_a", row_number().over(wA).cast("long"))
+        .select(col("doc_id"), col("r_a"))
+      val wB = Window.orderBy(col("tfidf").desc, col("doc_id").asc)
+      val topB = Retrieval.tfidf(docsSpread(s, dir), tfidfTerms)
+        .orderBy(col("tfidf").desc, col("doc_id").asc).limit(10)
+        .withColumn("r_b", row_number().over(wB).cast("long"))
+        .select(col("doc_id"), col("r_b"))
+      val pairs = topA.join(topB, "doc_id").select("r_a", "r_b")
+      val weights = typedLit(Seq(1.0, 0.9, 0.81, 0.729, 0.6561,
+        0.59049, 0.531441, 0.4782969, 0.43046721, 0.387420489))
+      val inter = s.range(1, 11).toDF("d")
+        .join(broadcast(pairs), lit(true), "left")
+        .groupBy("d")
+        .agg(sum(when(col("r_a").isNotNull &&
+          greatest(col("r_a"), col("r_b")) <= col("d"), 1L)
+          .otherwise(0L)).as("inter"))
+      val wCum = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inter
+        .withColumn("tq",
+          floor(element_at(weights, col("d").cast("int")) *
+            (col("inter").cast("double") / col("d").cast("double")) *
+            lit(1e12)).cast("long"))
+        .select(col("d"), col("inter"),
+          expr("inter * 1000000 div d").as("a_micro"),
+          (lit(0.1) * (sum(col("tq")).over(wCum).cast("double") /
+            lit(1e12))).as("rbo_cum"))
+    },
+
     // Smoothed target encoding of a categorical feature: per-category
     // positive rate shrunk toward the global prior (m=10 pseudo-counts) —
     // the leakage-safe categorical-to-numeric feature map. Two
@@ -2064,6 +2108,34 @@ object ScoringQueries {
         |SELECT d.doc_id, d.source, d.fold, e.te_oof
         |FROM d JOIN e USING (source, fold)""".stripMargin,
     "ir2_tfidf" -> ir2Sql,
+    "ir14_rbo" ->
+      s"""WITH a AS (SELECT * FROM (${TrainingDataQueries.bm25Sql}) ta),
+         |b AS (SELECT * FROM ($ir2Sql) tb),
+         |ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r_a
+         |  FROM a ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+         |rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY tfidf DESC, doc_id ASC) AS BIGINT) AS r_b
+         |  FROM b ORDER BY tfidf DESC, doc_id ASC LIMIT 10),
+         |pairs AS (SELECT r_a, r_b FROM ra JOIN rb USING (doc_id)),
+         |ds AS (SELECT CAST(UNNEST(generate_series(1, 10)) AS BIGINT)
+         |    AS d),
+         |inter AS (SELECT d, CAST(SUM(CASE WHEN r_a IS NOT NULL AND
+         |      greatest(r_a, r_b) <= d THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS inter
+         |  FROM ds LEFT JOIN pairs ON TRUE GROUP BY 1),
+         |t AS (SELECT d, inter,
+         |    CAST(FLOOR(CAST(list_extract([1.0e0, 0.9e0, 0.81e0,
+         |        0.729e0, 0.6561e0, 0.59049e0, 0.531441e0, 0.4782969e0,
+         |        0.43046721e0, 0.387420489e0], CAST(d AS INT))
+         |        AS DOUBLE) *
+         |      (CAST(inter AS DOUBLE) / CAST(d AS DOUBLE)) * 1e12)
+         |      AS BIGINT) AS tq
+         |  FROM inter)
+         |SELECT d, inter, CAST(inter * 1000000 // d AS BIGINT) AS a_micro,
+         |  0.1e0 * (CAST(SUM(tq) OVER (ORDER BY d) AS DOUBLE) / 1e12)
+         |    AS rbo_cum
+         |FROM t""".stripMargin,
     "cdc2_merge_apply" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 10 <> 7""".stripMargin,

@@ -1048,6 +1048,57 @@ object TrainingDataQueries {
     // integer-quantized embeddings (reproducible cross-engine).
     "sim1_cosine_topk" -> { (s, dir) => sim1Frame(s, dir) },
 
+    // SIM20 (beyond reference): TwoNN INTRINSIC DIMENSION (Facco et
+    // al.) — how many degrees of freedom the embedding cloud actually
+    // uses (the number that decides PQ code budget, sim13's projection
+    // dim, and whether IVF cells will be balanced). Estimator: for a
+    // FIXED 64-point probe set (vec_id < 64 — O(1) queries at any
+    // corpus size, the sim1 contract), exact 1st/2nd-NN squared
+    // distances against the whole corpus (integer micro-lane
+    // arithmetic: d² = |q|² − 2q·c + |c|², order-free), μ = √(d₂/d₁),
+    // and d̂ = n/Σ ln μ. Each ln μ is nano-quantized before the
+    // cross-probe sum; duplicate-distance ties make μ = 1 exactly
+    // (integer equality, no float tie ambiguity), zero-distance
+    // duplicates are excluded (μ undefined). Two linear scans, one
+    // 64-row broadcast — never a corpus×corpus product.
+    "sim20_twonn_id" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dotL
+      val quant = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+        .withColumn("nrm", dotL(col("qv"), col("qv")))
+      val q = broadcast(quant.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("nrm").as("q_nrm")))
+      val dists = quant.select(col("vec_id").as("corpus_id"),
+          col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+        .crossJoin(q)
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"),
+          (col("q_nrm") - lit(2L) * dotL(col("q_qv"), col("c_qv")) +
+            col("c_nrm")).as("d2q"))
+        .filter(col("d2q") > 0)
+      val d1 = dists.groupBy("query_id").agg(min(col("d2q")).as("d1"))
+      val nn = dists.join(broadcast(d1), "query_id")
+        .groupBy("query_id", "d1")
+        .agg(sum(when(col("d2q") === col("d1"), 1L).otherwise(0L))
+          .as("n1"),
+          min(when(col("d2q") > col("d1"), col("d2q"))).as("dgt"))
+        .withColumn("dd2",
+          when(col("n1") > 1, col("d1")).otherwise(col("dgt")))
+        .filter(col("dd2").isNotNull)
+      nn.select(floor(lit(0.5) *
+          log(col("dd2").cast("double") / col("d1").cast("double")) *
+          lit(1e9)).cast("long").as("lnmu_nano"))
+        .agg(count(lit(1)).as("n_used"),
+          sum(col("lnmu_nano")).as("sum_lnmu_nano"))
+        .select(col("n_used"), col("sum_lnmu_nano"),
+          when(col("sum_lnmu_nano") > 0,
+            col("n_used").cast("double") /
+              (col("sum_lnmu_nano").cast("double") / lit(1e9)))
+            .as("id_hat"))
+    },
+
     // Johnson-Lindenstrauss random projection 64-d → 8-d with a ±1 sign
     // matrix (Achlioptas, "Database-friendly random projections"): the
     // dimensionality-reduction pass that makes downstream ANN/clustering
@@ -5645,6 +5696,42 @@ object TrainingDataQueries {
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""".stripMargin,
     "sim1_cosine_topk" -> sim1Sql,
+    "sim20_twonn_id" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id,
+        |    q.nrm - 2 * CAST(list_sum(list_transform(
+        |      range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i]))
+        |      AS BIGINT) + c.nrm AS d2q
+        |  FROM n q, n c WHERE q.vec_id < 64 AND c.vec_id <> q.vec_id),
+        |pp AS (SELECT query_id, d2q FROM p WHERE d2q > 0),
+        |d1 AS (SELECT query_id, MIN(d2q) AS d1 FROM pp GROUP BY 1),
+        |nn AS (SELECT query_id, t.d1,
+        |    SUM(CASE WHEN d2q = t.d1 THEN 1 ELSE 0 END) AS n1,
+        |    MIN(CASE WHEN d2q > t.d1 THEN d2q END) AS dgt
+        |  FROM pp JOIN d1 t USING (query_id) GROUP BY 1, 2),
+        |mu AS (SELECT CASE WHEN n1 > 1 THEN d1 ELSE dgt END AS dd2, d1
+        |       FROM nn),
+        |terms AS (
+        |  SELECT CAST(FLOOR(0.5e0 *
+        |      ln(CAST(dd2 AS DOUBLE) / CAST(d1 AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS lnmu_nano
+        |  FROM mu WHERE dd2 IS NOT NULL),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+        |    CAST(SUM(lnmu_nano) AS BIGINT) AS sum_lnmu_nano FROM terms)
+        |SELECT n_used, sum_lnmu_nano,
+        |  CASE WHEN sum_lnmu_nano > 0 THEN CAST(n_used AS DOUBLE) /
+        |    (CAST(sum_lnmu_nano AS DOUBLE) / 1e9) END AS id_hat
+        |FROM agg""".stripMargin,
     "ml7_confusion" ->
       s"""WITH ex AS ($sim1Sql),
          |votes AS (
