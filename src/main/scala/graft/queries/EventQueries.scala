@@ -904,6 +904,54 @@ object EventQueries {
             lit(false)).as("reject_5pct"))
     },
 
+    // SEASONAL MANN–KENDALL trend test (Hirsch & Slack) — "is daily
+    // volume monotonically drifting, net of weekday seasonality?": the
+    // nonparametric trend gate a capacity planner runs before ts7/ts19
+    // fit a trend at all. S sums sgn(n_j − n_i) over same-weekday day
+    // pairs; the pair fan-out is SPAN-bounded ((days/7)² per season —
+    // the ts17 admission argument: a 10-year corpus is ~520 same-season
+    // days however many petabytes of events land on them), never
+    // corpus-proportional, and everything upstream is one map-side-
+    // combined daily rollup. Var(S) (×18, exact integers) uses the
+    // per-season tie-corrected formula; z gets the ±1 continuity
+    // correction; the 5% verdict is a non-null string.
+    "ts21_mann_kendall" -> { (s, dir) =>
+      val daily = Tables.eventsUs(s, dir)
+        .select(col("event_type"),
+          expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .withColumn("dow", col("day") % 7)
+      val a = daily.select(col("event_type").as("et"),
+        col("dow").as("dw"), col("day").as("da"), col("n").as("na"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("dow").as("dw2"), col("day").as("db"), col("n").as("nb"))
+      val sStat = a.join(b, col("et") === col("et2") &&
+          col("dw") === col("dw2") && col("da") < col("db"))
+        .select(col("et").as("event_type"),
+          when(col("nb") > col("na"), 1L)
+            .when(col("nb") < col("na"), -1L).otherwise(0L).as("sgn"))
+        .groupBy("event_type").agg(sum(col("sgn")).as("s_stat"))
+      val seas = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("vt"))
+      val ties = daily.groupBy("event_type", "dow", "n")
+        .agg(count(lit(1)).as("tj"))
+        .groupBy("event_type")
+        .agg(sum(expr("tj * (tj - 1) * (2 * tj + 5)")).as("vtie"))
+      sStat.join(seas, "event_type").join(ties, "event_type")
+        .withColumn("var18", col("vt") - col("vtie"))
+        .withColumn("z", when(col("var18") > 0,
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("var18").cast("double") / lit(18.0))))
+        .select(col("event_type"), col("s_stat"), col("var18"), col("z"),
+          coalesce(when(col("z") > 1.96, lit("increasing"))
+            .when(col("z") < -1.96, lit("decreasing"))
+            .otherwise(lit("none")), lit("none")).as("trend"))
+    },
+
     // Day-of-week seasonal profile + residual: each day's volume against
     // its weekday mean — the cheap seasonal decomposition that turns
     // ts1's trailing-window z-score into a seasonality-aware one.
@@ -2729,6 +2777,48 @@ object EventQueries {
         |      (CAST(qsum AS DOUBLE) / 1e12) > 11.0705 END, FALSE)
         |    AS reject_5pct
         |FROM q""".stripMargin,
+
+    "ts21_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, day % 7 AS dow, n FROM daily),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.n > a.n THEN 1
+        |                  WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s_stat
+        |  FROM d2 a JOIN d2 b ON a.event_type = b.event_type
+        |    AND a.dow = b.dow AND a.day < b.day
+        |  GROUP BY 1),
+        |seas AS (
+        |  SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS vt
+        |  FROM (SELECT event_type, dow, COUNT(*) AS t FROM d2
+        |        GROUP BY 1, 2) GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(SUM(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) AS vtie
+        |  FROM (SELECT event_type, dow, n, COUNT(*) AS tj FROM d2
+        |        GROUP BY 1, 2, 3) GROUP BY 1),
+        |fin AS (
+        |  SELECT s.event_type, s_stat, vt - vtie AS var18
+        |  FROM s JOIN seas ON s.event_type = seas.event_type
+        |    JOIN ties ON s.event_type = ties.event_type),
+        |wz AS (
+        |  SELECT event_type, s_stat, var18,
+        |    CASE WHEN var18 > 0 THEN
+        |      (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |            ELSE 0.0e0 END) /
+        |      sqrt(CAST(var18 AS DOUBLE) / 18.0e0) END AS z
+        |  FROM fin)
+        |SELECT event_type, s_stat, var18, z,
+        |  COALESCE(CASE WHEN z > 1.96e0 THEN 'increasing'
+        |                WHEN z < -1.96e0 THEN 'decreasing'
+        |                ELSE 'none' END, 'none') AS trend
+        |FROM wz""".stripMargin,
 
     "ts5_dow_profile" ->
       """WITH daily AS (

@@ -142,6 +142,47 @@ object TrainingDataQueries {
     // tie-break). Explode → count → global top-k: the aggregation carries
     // one row per distinct token (map-side combined) and the top-k is a
     // TakeOrdered, never a full sort.
+    // TX38 (beyond reference): COUNT-MIN SKETCH accuracy audit — the
+    // streaming-frequency sketch (Cormode & Muthukrishnan) built as a
+    // 4×1024 cell table (depth 4 md5-salted hash rows — the engine-
+    // reproducible hash contract, no RNG), then probed with the ir1
+    // query terms against their EXACT counts. The point is the audit:
+    // est − exact is the collision overestimate (provably ≥ 0), the
+    // number that says whether 4 KB of sketch state can replace tx10's
+    // exact heavy-hitter pass on a stream. One token scan (the 4-way
+    // explode collapses map-side to ≤4096 cells per partition before
+    // any shuffle); probes and cells are metadata-grain broadcasts.
+    "tx38_countmin" -> { (s, dir) =>
+      import graft.functions.HashExpressions.md5Prefix60
+      val probeToks = Seq("dup", "key", "the", "batch")
+      val toks = docsSpread(s, dir)
+        .select(explode(split(TextAnalysis.normalizeText(col("text")),
+          " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val cells = toks
+        .select(col("tok"), explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("j"), (md5Prefix60(concat(lit("cms"),
+          col("j").cast("string"), lit(":"), col("tok"))) % 1024)
+          .as("b"))
+        .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+      val probes = s.range(1)
+        .select(explode(typedLit(probeToks)).as("tok"))
+        .select(col("tok"), explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("tok"), col("j"), (md5Prefix60(concat(lit("cms"),
+          col("j").cast("string"), lit(":"), col("tok"))) % 1024)
+          .as("b"))
+      val est = probes.join(broadcast(cells), Seq("j", "b"), "left")
+        .groupBy("tok")
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+      val exact = toks.filter(col("tok").isin(probeToks: _*))
+        .groupBy("tok").agg(count(lit(1)).as("exact"))
+      est.join(broadcast(exact), Seq("tok"), "left")
+        .select(col("tok"), coalesce(col("exact"), lit(0L)).as("exact"),
+          col("cm_est"),
+          (col("cm_est") - coalesce(col("exact"), lit(0L)))
+            .as("overestimate"))
+    },
+
     "tx6_top_tokens" -> { (s, dir) =>
       docsSpread(s, dir)
         .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
@@ -4740,6 +4781,29 @@ object TrainingDataQueries {
          |  LEAST(100 + n_tokens * 8, 900) AS keep_permille
          |FROM t
          |WHERE ${bucketSql("wsample", "doc_id")} < LEAST(100 + n_tokens * 8, 900)""".stripMargin,
+    "tx38_countmin" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS tok
+         |  FROM documents),
+         |t AS (SELECT tok FROM toks WHERE length(tok) > 0),
+         |tj AS (SELECT tok, j FROM t, (VALUES (0),(1),(2),(3)) s(j)),
+         |cells AS (SELECT j,
+         |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) ||
+         |      ':' || tok), 1, 15)) AS BIGINT) % 1024 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tj GROUP BY 1, 2),
+         |probes AS (SELECT tok, j,
+         |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) ||
+         |      ':' || tok), 1, 15)) AS BIGINT) % 1024 AS b
+         |  FROM (VALUES ('dup'),('key'),('the'),('batch')) p(tok),
+         |       (VALUES (0),(1),(2),(3)) s(j)),
+         |est AS (SELECT tok, MIN(COALESCE(cnt, 0)) AS cm_est
+         |  FROM probes LEFT JOIN cells USING (j, b) GROUP BY 1),
+         |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact FROM t
+         |  WHERE tok IN ('dup', 'key', 'the', 'batch') GROUP BY 1)
+         |SELECT est.tok, COALESCE(exact, 0) AS exact, cm_est,
+         |  cm_est - COALESCE(exact, 0) AS overestimate
+         |FROM est LEFT JOIN ex USING (tok)""".stripMargin,
     "tx6_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
