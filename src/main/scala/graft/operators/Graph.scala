@@ -236,6 +236,70 @@ object Graph {
       .select(col("a").as("node"), col("wedges"), col("triangles"))
   }
 
+  /** Per-EDGE triangle support on the undirected simple projection:
+    * (u, v, sup) with u < v — the number of triangles through each
+    * edge, found via the same degree-ordered wedge enumeration as
+    * [[triangles]] (fan-out O(√m) under any skew), with each closed
+    * wedge exploded back to its three id-ordered edges before one
+    * counting shuffle. Edges in no triangle are absent (join back with
+    * a default). */
+  private def edgeSupport(ue: DataFrame): DataFrame = {
+    val deg = ue.select(col("u").as("node"))
+      .unionByName(ue.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = ue
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
+        when(uLower, col("v")).otherwise(col("u")).as("b"))
+    val tri = o.select(col("a"), col("b").as("p"))
+      .join(o.select(col("a"), col("b").as("q")), Seq("a"))
+      .filter(col("p") =!= col("q"))
+      .join(o.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+    tri.select(least(col("a"), col("p")).as("u"),
+        greatest(col("a"), col("p")).as("v"))
+      .unionByName(tri.select(least(col("a"), col("q")).as("u"),
+        greatest(col("a"), col("q")).as("v")))
+      .unionByName(tri.select(least(col("p"), col("q")).as("u"),
+        greatest(col("p"), col("q")).as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+  }
+
+  /** Bounded-round k-TRUSS peel: repeatedly drop every edge in fewer
+    * than k−2 triangles, `rounds` times, then report the surviving
+    * edges with their final support (computed once more on the settled
+    * set, unfiltered). The truss is the standard cohesion sieve above
+    * plain triangle counts — dedup/community cores survive, bridge and
+    * spam edges peel off. Rounds are FIXED (the gr1 unrolled-iteration
+    * contract: deterministic, oracle-mirrorable; a fixpoint loop would
+    * hide data-dependent round counts from the oracle) — extra rounds
+    * past convergence are no-ops on both engines. Each round is one
+    * degree-ordered support pass (O(√m)-capped wedge fan-out) + one
+    * keyed anti-filter; the edge set is pinned per round with
+    * `localCheckpoint` so the unrolled plan stays linear in `rounds`
+    * instead of exponential in the support pass's six reuses of it. */
+  def ktrussEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "k >= 3 and at least one round")
+    val thr = (k - 2).toLong
+    var cur = edges
+      .select(least(col("src"), col("dst")).cast("bigint").as("u"),
+        greatest(col("src"), col("dst")).cast("bigint").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val sup = edgeSupport(cur)
+      cur = cur.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= thr)
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    cur.join(edgeSupport(cur), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
   /** Per-NODE triangle membership: (node, n_triangles) counting every
     * triangle at each of its three corners — the input LCC and
     * cohesion metrics need, where [[triangles]] attributes each

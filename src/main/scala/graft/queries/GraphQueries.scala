@@ -181,6 +181,19 @@ object GraphQueries {
         docs.select(col("doc_id").as("node")), edges, rounds = 4)
     },
 
+    // GR24 (beyond reference): bounded-round k-TRUSS peel (k = 3,
+    // 3 rounds) on the synthetic link graph — the cohesion sieve a
+    // grade above triangle counts: an edge survives only while it
+    // closes ≥ k−2 triangles among SURVIVING edges, so bridges and
+    // spam tendrils peel away round by round while community cores
+    // remain. The oracle replays all three peel rounds plus the final
+    // support pass as unrolled CTEs, bit-exact per edge.
+    "gr24_ktruss" -> { (s, dir) =>
+      Graph.ktrussEdges(
+        Graph.syntheticLinks(Tables.documents(s, dir)), k = 3,
+        rounds = 3)
+    },
+
     // GR23 (beyond reference): component SIZE DISTRIBUTION + giant-
     // component flag — the dedup-cluster health readout at corpus
     // scale: a near-dup graph whose mass concentrates in one giant
@@ -550,6 +563,66 @@ object GraphQueries {
        |$iter""".stripMargin
   }
 
+  /** One unrolled k-truss support pass over edge set `e_$p`: degree-
+    * ordered orientation (the gr4 skew cap), closed-wedge triangle
+    * enumeration, explode to the three id-ordered edges, count. Ends in
+    * `sp_$i (u, v, sup)`. */
+  private def trussSupportCtes(i: Int): String = {
+    val p = i - 1
+    s"""dg_$i AS MATERIALIZED (
+       |  SELECT node, COUNT(*) AS d FROM (
+       |    SELECT u AS node FROM e_$p
+       |    UNION ALL SELECT v FROM e_$p) x GROUP BY node),
+       |o_$i AS MATERIALIZED (
+       |  SELECT
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+       |         THEN u ELSE v END AS a,
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+       |         THEN v ELSE u END AS b
+       |  FROM e_$p JOIN dg_$i du ON e_$p.u = du.node
+       |            JOIN dg_$i dv ON e_$p.v = dv.node),
+       |t_$i AS (
+       |  SELECT o1.a, o1.b AS p, o2.b AS q
+       |  FROM o_$i o1 JOIN o_$i o2 ON o1.a = o2.a AND o1.b <> o2.b
+       |  JOIN o_$i o3 ON o3.a = o1.b AND o3.b = o2.b),
+       |sp_$i AS MATERIALIZED (
+       |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+       |    SELECT LEAST(a, p) AS u, GREATEST(a, p) AS v FROM t_$i
+       |    UNION ALL SELECT LEAST(a, q), GREATEST(a, q) FROM t_$i
+       |    UNION ALL SELECT LEAST(p, q), GREATEST(p, q) FROM t_$i) z
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** gr24's full peel: `rounds` support-filter rounds then one final
+    * unfiltered support pass, ending in the surviving edge list. */
+  private def ktrussSql(rounds: Int, k: Int): String = {
+    val thr = k - 2
+    val iter = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""${trussSupportCtes(i)},
+         |e_$i AS MATERIALIZED (
+         |  SELECT e_$p.u, e_$p.v FROM e_$p
+         |  LEFT JOIN sp_$i ON e_$p.u = sp_$i.u AND e_$p.v = sp_$i.v
+         |  WHERE COALESCE(sup, 0) >= $thr)""".stripMargin
+    }.mkString(",\n")
+    val f = rounds + 1
+    s"""WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+       |nd AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, (node * 7 + 0) % nn.n AS dst
+       |    FROM nd CROSS JOIN nn
+       |  UNION ALL SELECT node, (node * 13 + 1) % nn.n FROM nd CROSS JOIN nn
+       |  UNION ALL SELECT node, (node * 31 + 2) % nn.n FROM nd CROSS JOIN nn),
+       |e_0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |  FROM raw WHERE src <> dst),
+       |$iter,
+       |${trussSupportCtes(f)}
+       |SELECT e_$rounds.u, e_$rounds.v, COALESCE(sup, 0) AS support
+       |FROM e_$rounds LEFT JOIN sp_$f
+       |  ON e_$rounds.u = sp_$f.u AND e_$rounds.v = sp_$f.v""".stripMargin
+  }
+
   /** One unrolled label-propagation round: votes from labeled neighbors,
     * per-node argmax with smallest-label ties, seeds immutable. */
   /** gr8's label-propagation chain (embeddings graph, seeds = vec_id%5,
@@ -880,6 +953,7 @@ object GraphQueries {
          |  CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg
          |FROM r_3 r LEFT JOIN indeg i ON r.node = i.node
          |LEFT JOIN outdeg o ON r.node = o.node""".stripMargin,
+    "gr24_ktruss" -> ktrussSql(rounds = 3, k = 3),
     "gr4_triangles" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         |nd AS (SELECT doc_id AS node FROM documents),
