@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro–Winkler similarity as a native codegen expression.
@@ -182,6 +182,79 @@ object DamerauLevenshtein {
   }
 }
 
+/** American Soundex phonetic code as a native codegen expression — the
+  * classic blocking key of the entity-resolution tier (er1's n-gram
+  * blocking catches typos; Soundex catches HOMOPHONE variants — Smith /
+  * Smyth — that share no grams). Same inlining story as [[JaroWinkler]]:
+  * a `UnaryExpression` whose codegen is one static call.
+  *
+  * Contract (mirrored letter-for-letter by the SQL oracle, which
+  * re-implements the scan with `translate` + one last-non-transparent
+  * window):
+  *  - uppercase, strip non-A–Z; empty after stripping → NULL;
+  *  - letter→digit map `01230129022455012623019202` (A..Z; H/W = the
+  *    transparent marker 9);
+  *  - emit a digit when it is 1–6 AND differs from the digit of the
+  *    LAST non-H/W letter seen (so same-code letters across H/W
+  *    collapse, across a vowel they repeat — the full Ashcraft→A261
+  *    rule, not the lossy variant);
+  *  - first letter kept verbatim, digits truncated/zero-padded to 3.
+  */
+case class Soundex4(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "soundex4"
+  // letterless input codes to NULL even when the child is non-null
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(a: Any): Any =
+    Soundex4.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    // compute() returns null on letterless input, so codegen must
+    // re-check for null after the call (defineCodeGen assumes non-null)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.Soundex4.compute($c);
+      |${ev.isNull} = (${ev.value} == null);
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object Soundex4 {
+
+  private val codes = "01230129022455012623019202"
+
+  /** See the case-class scaladoc for the exact contract. */
+  def compute(u: UTF8String): UTF8String = {
+    val s = u.toString.toUpperCase
+    val sb = new java.lang.StringBuilder(4)
+    var prev = ' '
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch >= 'A' && ch <= 'Z') {
+        val d = codes.charAt(ch - 'A')
+        if (sb.length == 0) {
+          sb.append(ch)
+          prev = d
+        } else {
+          if (d >= '1' && d <= '6' && d != prev && sb.length < 4)
+            sb.append(d)
+          if (d != '9') prev = d
+        }
+      }
+      i += 1
+    }
+    if (sb.length == 0) return null
+    while (sb.length < 4) sb.append('0')
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Column-level entry points for the string-similarity expressions. */
 object StringSimilarity {
   def jaroWinkler(a: Column, b: Column): Column =
@@ -190,4 +263,6 @@ object StringSimilarity {
   def damerauLevenshtein(a: Column, b: Column): Column =
     ColumnBridge.column(
       DamerauLevenshtein(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+  def soundex4(c: Column): Column =
+    ColumnBridge.column(Soundex4(ColumnBridge.expr(c)))
 }

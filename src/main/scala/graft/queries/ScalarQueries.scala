@@ -188,6 +188,29 @@ object ScalarQueries {
     // quantization anywhere. Probes: an in-name transposition (the
     // classic typo JW rewards), a deletion, and an unrelated string.
     // Pure narrow per-row compute inside whole-stage codegen.
+    // H21 (beyond reference): SOUNDEX phonetic blocking census — the
+    // homophone-tolerant blocking key the ER tier lacks (er1's n-gram
+    // blocks catch typos, not Smith/Smyth). Native codegen expression
+    // ([[graft.functions.Soundex4]], full Ashcraft→A261 H/W rule) over
+    // the part-name vocabulary, plus each code's BLOCK SIZE — the
+    // number that prices a soundex-blocked fuzzy join before running
+    // it. Vocabulary grain is domain-bounded (≈100 color words at any
+    // corpus size); the block rollup is code-grain, broadcast back.
+    "h21_soundex" -> { (s, dir) =>
+      import graft.functions.StringSimilarity.soundex4
+      val toks = Tables.part(s, dir)
+        .select(explode(split(col("p_name"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val coded = toks
+        .select(col("tok"), col("n"), soundex4(col("tok")).as("code"))
+        .filter(col("code").isNotNull)
+      val blocks = coded.groupBy(col("code").as("c2"))
+        .agg(count(lit(1)).as("block_size"))
+      coded.join(broadcast(blocks), col("code") === col("c2"))
+        .select(col("tok"), col("n"), col("code"), col("block_size"))
+    },
+
     "h19_jaro_winkler" -> { (s, dir) =>
       import graft.functions.StringSimilarity.jaroWinkler
       val swap = expr("concat(substring(c_name, 1, 9), " +
@@ -384,6 +407,40 @@ object ScalarQueries {
         |FROM nation a, nation b
         |WHERE a.n_name < b.n_name
         |  AND levenshtein(a.n_name, b.n_name) <= 6""".stripMargin,
+    "h21_soundex" ->
+      """WITH toks AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(p_name, ' ')) AS tok FROM part) z
+        |  WHERE length(tok) > 0 GROUP BY 1),
+        |up AS (SELECT tok, n,
+        |    regexp_replace(upper(tok), '[^A-Z]', '', 'g') AS u
+        |  FROM toks),
+        |ds AS (SELECT tok, n, u,
+        |    translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |      '01230129022455012623019202') AS d
+        |  FROM up WHERE length(u) > 0),
+        |pos AS (SELECT tok, i, substr(d, i, 1) AS di
+        |  FROM ds, unnest(generate_series(1, length(d))) AS s(i)),
+        |pv AS (SELECT tok, i, di,
+        |    MAX(CASE WHEN di <> '9' THEN i END) OVER (PARTITION BY tok
+        |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING) AS pj
+        |  FROM pos),
+        |pd AS (SELECT a.tok, a.i, a.di, b.di AS prev_d
+        |  FROM pv a LEFT JOIN pos b ON a.tok = b.tok AND a.pj = b.i),
+        |kept AS (SELECT tok, i, di FROM pd
+        |  WHERE i > 1 AND di IN ('1', '2', '3', '4', '5', '6')
+        |    AND (prev_d IS NULL OR di <> prev_d)),
+        |digits AS (SELECT tok, string_agg(di, '' ORDER BY i) AS dd
+        |  FROM kept GROUP BY 1),
+        |coded AS (SELECT ds.tok, ds.n,
+        |    substr(ds.u, 1, 1) || substr(COALESCE(dd, '') || '000', 1, 3)
+        |      AS code
+        |  FROM ds LEFT JOIN digits USING (tok)),
+        |blocks AS (SELECT code, CAST(COUNT(*) AS BIGINT) AS block_size
+        |  FROM coded GROUP BY 1)
+        |SELECT tok, n, coded.code, block_size
+        |FROM coded JOIN blocks USING (code)""".stripMargin,
     "h19_jaro_winkler" ->
       """SELECT c_custkey,
         |  jaro_winkler_similarity(c_name,

@@ -160,6 +160,31 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(jaroWinkler(lit(null).cast("string"), lit("x"))) == null)
   }
 
+  test("soundex4 implements the full H/W-transparent American rule") {
+    import graft.functions.StringSimilarity.soundex4
+    def sx(s: String): Any = eval(soundex4(lit(s)))
+    def str(s: String): String = sx(s).toString
+    // the canonical NARA examples, including the two the lossy
+    // adjacent-only variant gets wrong (Ashcraft, Tymczak)
+    assert(str("Robert") == "R163")
+    assert(str("Rupert") == "R163")
+    assert(str("Ashcraft") == "A261") // c after h collapses into s
+    assert(str("Ashcroft") == "A261")
+    assert(str("Tymczak") == "T522") // cz same-code adjacent collapse
+    assert(str("Pfister") == "P236") // f collapses into same-code P
+    assert(str("Honeyman") == "H555")
+    assert(str("Smith") == str("Smyth"))
+    // vowel separation repeats a code; single letters zero-pad
+    assert(str("Sassy") == "S200")
+    assert(str("Searches") == "S622")
+    assert(str("a") == "A000")
+    // case/noise handling and the letterless → NULL contract
+    assert(str("o'Brien") == str("OBRIEN"))
+    assert(sx("123") == null)
+    assert(sx("") == null)
+    assert(eval(soundex4(lit(null).cast("string"))) == null)
+  }
+
   test("HilbertIndex is a true Hilbert curve on the full 32x32 grid") {
     import graft.functions.HilbertIndex.compute
     val n = 32
