@@ -3161,29 +3161,33 @@ object TrainingDataQueries {
     // per-doc weight is an order-free integer sum over a 64-row
     // broadcast join. At 100 TB the token pass is embarrassingly
     // parallel and the only corpus-sized shuffle is the doc_id rollup.
-    "s16_dsir_weights" -> { (s, dir) =>
-      val toks = docsSpread(s, dir)
-        .select(col("doc_id"), (col("lang") === "en").as("tgt"),
-          explode(split(TextAnalysis.normalizeText(col("text")), " "))
-            .as("t"))
-        .select(col("doc_id"), col("tgt"),
-          Scoring.tokenBucket(col("t"), 64).as("b"))
-      val dist = toks.groupBy("b").agg(
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
-      val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-      val ratio = dist.crossJoin(broadcast(tot))
-        .select(col("b"),
-          floor(lit(1e6) *
-            (log((col("ct") + lit(1L)).cast("double") /
-              (col("nt") + lit(64L)).cast("double")) -
-              log((col("cr") + lit(1L)).cast("double") /
-                (col("nr") + lit(64L)).cast("double"))))
-            .cast("bigint").as("lr_micro"))
-      toks.join(broadcast(ratio), "b")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("lr_micro")).as("logw_micro"))
+    "s16_dsir_weights" -> { (s, dir) => dsirWeights(s, dir) },
+
+    // S18 (beyond reference): SAMPLING-IMPORTANCE-RESAMPLING gate on
+    // the s16 DSIR weights — the step that turns importance weights
+    // into an actual selected corpus: accept doc i iff u_i < w_i/w_max,
+    // decided entirely in LOG space (ln u_i < w̄_i − w̄_max) so no exp()
+    // ever runs. u_i is the stable md5 bucket mapped to (b+0.5)/1000 —
+    // the engine-reproducible uniform, membership reproducible forever;
+    // w̄ is the LENGTH-NORMALIZED per-token log ratio (floor-on-double,
+    // never integer div: logw can be negative, where Spark `div`
+    // truncates and DuckDB `//` floors). One broadcast scalar (w̄_max)
+    // over the s16 rollup; the gate is a per-row predicate.
+    "s18_importance_resampling" -> { (s, dir) =>
+      import graft.operators.Sampling
+      val w = dsirWeights(s, dir)
+        .withColumn("avg_micro",
+          floor(col("logw_micro").cast("double") /
+            col("n_terms").cast("double")).cast("bigint"))
+      val wmax = w.agg(max(col("avg_micro")).as("wmax"))
+      w.crossJoin(broadcast(wmax))
+        .withColumn("lnu_micro",
+          floor(log((Sampling.bucket(col("doc_id"), "sir")
+            .cast("double") + lit(0.5)) / lit(1000.0)) * lit(1e6))
+            .cast("bigint"))
+        .filter(col("lnu_micro") < col("avg_micro") - col("wmax"))
+        .select(col("doc_id"), col("n_terms"), col("logw_micro"),
+          col("avg_micro"), col("lnu_micro"))
     },
 
     // MIX7 (beyond reference): DoReMi-style domain reweighting — one
@@ -3439,6 +3443,34 @@ object TrainingDataQueries {
   /** Brute-force quantized cosine top-10 for queries vec_id<5 — the exact
     * ANN ground truth (broadcast queries, integer-exact quantized math).
     * Shared by sim1 and the sim5 recall evaluation. */
+  /** s16's DSIR chain — per-document Σ ln(p_tgt/p_raw) over 64 hashed
+    * token buckets with Laplace smoothing, micro-nat integers — shared
+    * by s16 (the weight table) and s18 (the resampling gate). */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = docsSpread(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("t"))
+      .select(col("doc_id"), col("tgt"),
+        Scoring.tokenBucket(col("t"), 64).as("b"))
+    val dist = toks.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val ratio = dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(lit(1e6) *
+          (log((col("ct") + lit(1L)).cast("double") /
+            (col("nt") + lit(64L)).cast("double")) -
+            log((col("cr") + lit(1L)).cast("double") /
+              (col("nr") + lit(64L)).cast("double"))))
+          .cast("bigint").as("lr_micro"))
+    toks.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("lr_micro")).as("logw_micro"))
+  }
+
   private def sim1Frame(s: SparkSession, dir: String): DataFrame = {
     val quant = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"),
@@ -3579,6 +3611,32 @@ object TrainingDataQueries {
       .mkString(" + ")
 
   /** DuckDB fragment matching [[Sampling.bucket]] (same md5 family). */
+  /** s16's DSIR chain as DuckDB CTEs ending in
+    * `dsirw (doc_id, n_terms, logw_micro)` — the oracle twin of
+    * [[dsirWeights]], shared by s16 and s18. */
+  private def dsirCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang = 'en' AS tgt,
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(string_split($normSql, ' ')) AS t
+       |        FROM documents)),
+       |dist AS (
+       |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+       |    COUNT(*) AS cr
+       |  FROM tok GROUP BY 1),
+       |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dist),
+       |ratio AS (
+       |  SELECT b, CAST(FLOOR(1000000.0 * (
+       |      ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) -
+       |      ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE))))
+       |    AS BIGINT) AS lr_micro
+       |  FROM dist CROSS JOIN tot),
+       |dsirw AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(lr_micro) AS BIGINT) AS logw_micro
+       |  FROM tok JOIN ratio USING (b) GROUP BY 1)""".stripMargin
+
   private def bucketSql(salt: String, key: String): String =
     s"CAST(('0x' || substr(md5('$salt' || ':' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
 
@@ -4465,26 +4523,22 @@ object TrainingDataQueries {
         |  SUM(term_micro) > 128000000 AS ood
         |FROM terms GROUP BY 1""".stripMargin,
     "s16_dsir_weights" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang = 'en' AS tgt,
-         |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS b
-         |  FROM (SELECT doc_id, lang,
-         |          unnest(string_split($normSql, ' ')) AS t
-         |        FROM documents)),
-         |dist AS (
-         |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-         |    COUNT(*) AS cr
-         |  FROM tok GROUP BY 1),
-         |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dist),
-         |ratio AS (
-         |  SELECT b, CAST(FLOOR(1000000.0 * (
-         |      ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) -
-         |      ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE))))
-         |    AS BIGINT) AS lr_micro
-         |  FROM dist CROSS JOIN tot)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-         |  CAST(SUM(lr_micro) AS BIGINT) AS logw_micro
-         |FROM tok JOIN ratio USING (b) GROUP BY 1""".stripMargin,
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_terms, logw_micro FROM dsirw""".stripMargin,
+    "s18_importance_resampling" ->
+      s"""WITH $dsirCtes,
+         |w AS (SELECT doc_id, n_terms, logw_micro,
+         |    CAST(FLOOR(CAST(logw_micro AS DOUBLE) /
+         |      CAST(n_terms AS DOUBLE)) AS BIGINT) AS avg_micro
+         |  FROM dsirw),
+         |wm AS (SELECT MAX(avg_micro) AS wmax FROM w),
+         |g AS (SELECT doc_id, n_terms, logw_micro, avg_micro, wmax,
+         |    CAST(FLOOR(ln((CAST(${bucketSql("sir", "doc_id")}
+         |        AS DOUBLE) + 0.5e0) / 1000.0e0) * 1e6) AS BIGINT)
+         |      AS lnu_micro
+         |  FROM w CROSS JOIN wm)
+         |SELECT doc_id, n_terms, logw_micro, avg_micro, lnu_micro
+         |FROM g WHERE lnu_micro < avg_micro - wmax""".stripMargin,
     "mix7_doremi_step" ->
       """WITH per AS (
         |  SELECT source, COUNT(*) AS n,
