@@ -1635,6 +1635,33 @@ object RelationalQueries {
                 (col("n") - col("k_cells")).cast("double"))))
     },
 
+    // D57 (beyond reference): GAMMA method-of-moments fit per priority
+    // class — the right-skewed counterpart of d48's normality test:
+    // revenue-like positives are gamma-shaped, and the (shape, rate)
+    // pair is what a simulator or an outlier fence needs (shape ≤ 1
+    // means mode-at-zero, shape ≫ 1 means near-normal — the skew
+    // verdict in one number). k̂ = m²/v, λ̂ = m/v from the same exact
+    // decimal(38,0) sufficient statistics as d29, one IEEE tree per
+    // group; degenerate groups (n ≤ 1 or zero variance) emit NULL.
+    "d57_gamma_moments" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val st = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          expr("cast(round(o_totalprice) as bigint)").as("v"))
+        .groupBy("grp").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(d38)).as("sx"),
+          sum(col("v").cast(d38) * col("v").cast(d38)).as("sxx"))
+      val num = col("n").cast(d38) * col("sxx") - col("sx") * col("sx")
+      val mean = col("sx").cast("double") / col("n").cast("double")
+      val vhat = num.cast("double") /
+        (col("n").cast(d38) * (col("n") - 1).cast(d38)).cast("double")
+      st.select(col("grp"), col("n"),
+        when(col("n") > 0, mean).as("mean"),
+        when(col("n") > 1, vhat).as("variance"),
+        when(col("n") > 1 && num > 0, mean * mean / vhat).as("shape"),
+        when(col("n") > 1 && num > 0, mean / vhat).as("rate"))
+    },
+
     // D52 (beyond reference): TWO-SAMPLE Kolmogorov–Smirnov — do
     // urgent and low-priority orders draw from the same value
     // distribution? (ml10's KS is score-vs-label; this is the
@@ -2820,6 +2847,29 @@ object RelationalQueries {
         |    (CAST(ss_within AS DOUBLE) / CAST(n - k_cells AS DOUBLE))
         |  END AS f_cells
         |FROM fin""".stripMargin,
+    "d57_gamma_moments" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+        |st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS HUGEINT) AS sx,
+        |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+        |  FROM o GROUP BY 1)
+        |SELECT grp, n,
+        |  CASE WHEN n > 0 THEN
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) END AS mean,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) END AS variance,
+        |  CASE WHEN n > 1 AND (CAST(n AS HUGEINT) * sxx - sx * sx) > 0
+        |    THEN (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) /
+        |       CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) END AS shape,
+        |  CASE WHEN n > 1 AND (CAST(n AS HUGEINT) * sxx - sx * sx) > 0
+        |    THEN (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) /
+        |       CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) END AS rate
+        |FROM st""".stripMargin,
     "d52_ks_two_sample" ->
       """WITH o AS (
         |  SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS dollar,
