@@ -150,7 +150,42 @@ object SqlQueries {
       |    AS BIGINT) AS part_cents
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** sql12: the UNPIVOT keyword through Spark's SQL front end — the
+    * wide-to-long inverse of sql11. The oracle is the dialect-neutral
+    * stacked-UNION form of the same cells; UNPIVOT's default NULL-row
+    * drop never fires here because the counts are ELSE-0 sums, so the
+    * two forms must agree row-for-row. */
+  private val unpivotSpark =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority AS priority,
+      |    SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_n,
+      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS done_n,
+      |    SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS part_n
+      |  FROM orders GROUP BY o_orderpriority)
+      |UNPIVOT (n FOR status IN
+      |  (open_n AS `open`, done_n AS `done`, part_n AS `part`))"""
+      .stripMargin
+
+  private val unpivotOracle =
+    """WITH agg AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS open_n,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS done_n,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS part_n
+      |  FROM orders GROUP BY 1)
+      |SELECT priority, 'open' AS status, open_n AS n FROM agg
+      |UNION ALL SELECT priority, 'done', done_n FROM agg
+      |UNION ALL SELECT priority, 'part', part_n FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // UNPIVOT through pure SQL text (relational surface breadth).
+    "sql12_unpivot" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(unpivotSpark)
+    },
     // PIVOT through pure SQL text (relational surface breadth).
     "sql11_pivot" -> { (s, dir) =>
       registerViews(s, dir)
@@ -255,6 +290,7 @@ object SqlQueries {
 
   def oracleSql: Map[String, String] = Map(
     "sql11_pivot" -> pivotOracle,
+    "sql12_unpivot" -> unpivotOracle,
     "sql8_recursive_reach" -> recursiveReach,
     "sql9_lateral_topk" -> lateralTopk,
     "sql10_set_operations" -> setOps,
