@@ -181,6 +181,49 @@ object GraphQueries {
         docs.select(col("doc_id").as("node")), edges, rounds = 4)
     },
 
+    // GR26 (beyond reference): CONDUCTANCE per community — the
+    // cut-quality complement of gr12's modularity (modularity rewards
+    // density vs a null model; conductance φ = cut/min(vol, vol̄)
+    // measures how LEAKY each community's boundary is, the number
+    // spectral partitioning optimizes). Over gr8's label assignment on
+    // the labeled edge subgraph: one edge-label join, two label-grain
+    // rollups (vol counts both endpoints, cut counts boundary edges on
+    // both sides), one broadcast scalar. Exact integers into one IEEE
+    // division.
+    "gr26_conductance" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("bigint").as("node"),
+          col("label").cast("bigint").as("label"),
+          (col("vec_id") % 5 === 0).as("seed"))
+      val labels = Graph.labelSpread(emb,
+          Graph.syntheticLinks(emb.select("node"), idCol = "node"),
+          rounds = 2)
+        .filter(col("label").isNotNull)
+        .select(col("node"), col("label").as("lab"))
+      val und = Graph.syntheticLinks(emb.select("node"), idCol = "node")
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val e2 = und
+        .join(labels.select(col("node").as("u"), col("lab").as("la")), "u")
+        .join(labels.select(col("node").as("v"), col("lab").as("lb")), "v")
+      val vol = e2.select(col("la").as("lab"))
+        .unionByName(e2.select(col("lb").as("lab")))
+        .groupBy("lab").agg(count(lit(1)).as("vol"))
+      val cutE = e2.filter(col("la") =!= col("lb"))
+      val cut = cutE.select(col("la").as("lab"))
+        .unionByName(cutE.select(col("lb").as("lab")))
+        .groupBy("lab").agg(count(lit(1)).as("cut"))
+      val tot = e2.agg((count(lit(1)) * 2).as("totvol"))
+      vol.join(cut, Seq("lab"), "left").crossJoin(broadcast(tot))
+        .select(col("lab").as("community"), col("vol"),
+          coalesce(col("cut"), lit(0L)).as("cut"),
+          when(least(col("vol"), col("totvol") - col("vol")) > 0,
+            coalesce(col("cut"), lit(0L)).cast("double") /
+              least(col("vol"), col("totvol") - col("vol"))
+                .cast("double")).as("conductance"))
+    },
+
     // GR24 (beyond reference): bounded-round k-TRUSS peel (k = 3,
     // 3 rounds) on the synthetic link graph — the cohesion sieve a
     // grade above triangle counts: an edge survives only while it
@@ -817,6 +860,32 @@ object GraphQueries {
         |  CAST(4 * m * s_jk - s_sum * s_sum AS DOUBLE) /
         |    CAST(2 * m * s_sq - s_sum * s_sum AS DOUBLE) AS assortativity
         |FROM st""".stripMargin,
+    "gr26_conductance" ->
+      s"""WITH $labelCtes,
+         |lab AS (SELECT node, lab FROM l_2 WHERE lab IS NOT NULL),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM raw WHERE src <> dst),
+         |e2 AS MATERIALIZED (
+         |  SELECT la.lab AS la, lb.lab AS lb FROM und e
+         |  JOIN lab la ON e.u = la.node
+         |  JOIN lab lb ON e.v = lb.node),
+         |vol AS (SELECT lab, COUNT(*) AS vol FROM (
+         |    SELECT la AS lab FROM e2 UNION ALL SELECT lb FROM e2) z
+         |  GROUP BY 1),
+         |cut AS (SELECT lab, COUNT(*) AS cut FROM (
+         |    SELECT la AS lab FROM e2 WHERE la <> lb
+         |    UNION ALL SELECT lb FROM e2 WHERE la <> lb) z
+         |  GROUP BY 1),
+         |tot AS (SELECT COUNT(*) * 2 AS totvol FROM e2)
+         |SELECT v.lab AS community, CAST(v.vol AS BIGINT) AS vol,
+         |  CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+         |  CASE WHEN least(v.vol, totvol - v.vol) > 0 THEN
+         |    CAST(COALESCE(c.cut, 0) AS DOUBLE) /
+         |    CAST(least(v.vol, totvol - v.vol) AS DOUBLE) END
+         |    AS conductance
+         |FROM vol v LEFT JOIN cut c ON v.lab = c.lab
+         |CROSS JOIN tot""".stripMargin,
     "gr12_modularity" ->
       s"""WITH $labelCtes,
          |lab AS (SELECT node, lab FROM l_2 WHERE lab IS NOT NULL),
