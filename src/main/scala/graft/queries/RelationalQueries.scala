@@ -1707,6 +1707,51 @@ object RelationalQueries {
         .withColumn("reject_h0", col("d_micro") > col("crit_micro"))
     },
 
+    // D58 (beyond reference): two-sample CRAMÉR–VON MISES — d52's KS
+    // reads only the WORST CDF gap; CvM integrates (F₁−F₂)² over the
+    // pooled distribution, the whole-shape complement that catches
+    // "many small persistent gaps" KS misses. Same value-grain prefix
+    // machinery as d52, and the statistic is EXACT end to end: each
+    // value contributes l_j·(cum1·n₂ − cum2·n₁)² as a decimal(38,0)
+    // integer (no quantization anywhere), and
+    // T = Σ/(n₁·n₂·N²) is one IEEE division. Headroom: the summand is
+    // ≤ N·(n₁n₂)² — inside decimal(38) up to ~10⁷ pooled rows per test
+    // cell; past that, pre-scale the cum counts (the d46 playbook).
+    // Asymptotic 5% critical value for T is 0.461 (Anderson 1962).
+    "d58_cvm_two_sample" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(expr("cast(round(o_totalprice) as bigint)").as("dollar"),
+          (col("o_orderpriority") === "1-URGENT").as("is_a"))
+      val byVal = o.groupBy("dollar").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
+        .withColumn("g", lit(1))
+      val p1 = graft.operators.GlobalRank.withGroupedPrefixSum(byVal,
+        group = Seq("g"), order = Seq(col("dollar")),
+        value = col("c1"), out = "cum1", totOut = Some("n1"))
+      val p2 = graft.operators.GlobalRank.withGroupedPrefixSum(p1,
+        group = Seq("g"), order = Seq(col("dollar")),
+        value = col("c2"), out = "cum2", totOut = Some("n2"))
+      val diff = col("cum1").cast(d38) * col("n2").cast(d38) -
+        col("cum2").cast(d38) * col("n1").cast(d38)
+      p2.select(col("n1"), col("n2"),
+          (col("c1") + col("c2")).as("l"), diff.as("diff"))
+        .groupBy("n1", "n2")
+        .agg(sum(col("l").cast(d38) * col("diff") * col("diff"))
+          .as("ssum"))
+        .select(col("n1"), col("n2"),
+          when(col("n1") > 0 && col("n2") > 0,
+            col("ssum").cast("double") /
+              (col("n1").cast(d38) * col("n2").cast(d38) *
+                ((col("n1") + col("n2")).cast(d38) *
+                  (col("n1") + col("n2")).cast(d38))).cast("double"))
+            .as("t_stat"))
+        .withColumn("reject_5pct",
+          coalesce(col("t_stat") > 0.461, lit(false)))
+    },
+
     "d48_jarque_bera" -> { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val o = Tables.orders(s, dir).select(
@@ -2870,6 +2915,39 @@ object RelationalQueries {
         |      (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) /
         |       CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) END AS rate
         |FROM st""".stripMargin,
+    "d58_cvm_two_sample" ->
+      """WITH o AS (
+        |  SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS dollar,
+        |    o_orderpriority = '1-URGENT' AS is_a
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |bv AS (SELECT dollar,
+        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS c2
+        |  FROM o GROUP BY 1),
+        |cum AS (SELECT dollar, c1, c2,
+        |    SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+        |  FROM bv
+        |  WINDOW w AS (ORDER BY dollar
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM bv),
+        |agg AS (SELECT n1, n2,
+        |    SUM(CAST(c1 + c2 AS HUGEINT) *
+        |      (CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) *
+        |      (CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+        |      AS ssum
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2),
+        |fin AS (SELECT n1, n2,
+        |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |      CAST(ssum AS DOUBLE) /
+        |      CAST(CAST(n1 AS HUGEINT) * n2 *
+        |        (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)) AS DOUBLE) END
+        |      AS t_stat
+        |  FROM agg)
+        |SELECT n1, n2, t_stat,
+        |  COALESCE(t_stat > 0.461e0, FALSE) AS reject_5pct
+        |FROM fin""".stripMargin,
     "d52_ks_two_sample" ->
       """WITH o AS (
         |  SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS dollar,
