@@ -816,6 +816,48 @@ object ScoringQueries {
       Retrieval.tfidf(docsSpread(s, dir), tfidfTerms)
     },
 
+    // IR15 (beyond reference): query CLARITY score (Cronen-Townsend et
+    // al.) — judgment-free query-performance prediction: the KL
+    // divergence between the top-10 docs' relevance language model and
+    // the corpus model. High clarity = the result set speaks a focused
+    // sublanguage (query will perform); clarity ≈ 0 = the results look
+    // like random corpus text (query is ambiguous — route to ir5's
+    // expansion). Corpus side is one vocab rollup; the relevance side
+    // is 10 docs, broadcast into the join, so the plan costs one token
+    // scan at any corpus size. Each KL term is nano-quantized before
+    // the cross-token sum (the cross-row float contract).
+    "ir15_clarity" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val top = Retrieval.bm25(docs, tfidfTerms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        .select("doc_id")
+      val toks = docs.select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("t"))
+        .filter(length(col("t")) > 0)
+      val rCounts = toks.join(broadcast(top), "doc_id")
+        .groupBy("t").agg(count(lit(1)).as("cr"))
+      val rTot = rCounts.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"),
+        count(lit(1)).as("vr"))
+      val cCounts = toks.groupBy("t").agg(count(lit(1)).as("cc"))
+      val cTot = toks.agg(count(lit(1)).as("nc"))
+      // every relevance token exists in the corpus by construction, so
+      // the inner join loses nothing and P(w|C) > 0 always holds
+      val terms = cCounts.join(broadcast(rCounts), "t")
+        .crossJoin(broadcast(rTot)).crossJoin(broadcast(cTot))
+        .select(col("nr"), col("vr"),
+          floor((col("cr").cast("double") / col("nr").cast("double")) *
+            log((col("cr").cast(DecimalType(38, 0)) *
+              col("nc").cast(DecimalType(38, 0))).cast("double") /
+              (col("nr").cast(DecimalType(38, 0)) *
+                col("cc").cast(DecimalType(38, 0))).cast("double")) *
+            lit(1e9)).cast("long").as("term_nano"))
+      terms.groupBy("nr", "vr")
+        .agg(sum(col("term_nano")).as("sum_nano"))
+        .select(col("nr").as("rel_tokens"), col("vr").as("rel_vocab"),
+          (col("sum_nano").cast("double") / lit(1e9)).as("clarity"))
+    },
+
     // IR14 (beyond reference): RANK-BIASED OVERLAP (Webber et al.) at
     // p = 0.9 between the BM25 and TF-IDF top-10 rankings — the
     // top-weighted list-similarity readout behind "do the two scorers
@@ -2108,6 +2150,30 @@ object ScoringQueries {
         |SELECT d.doc_id, d.source, d.fold, e.te_oof
         |FROM d JOIN e USING (source, fold)""".stripMargin,
     "ir2_tfidf" -> ir2Sql,
+    "ir15_clarity" ->
+      s"""WITH a AS (SELECT * FROM (${TrainingDataQueries.bm25Sql}) ta),
+         |top AS (SELECT doc_id FROM a
+         |  ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+         |toks AS (SELECT doc_id, t FROM (
+         |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+         |    FROM documents) z
+         |  WHERE length(t) > 0),
+         |rc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cr
+         |  FROM toks JOIN top USING (doc_id) GROUP BY 1),
+         |rt AS (SELECT COALESCE(CAST(SUM(cr) AS BIGINT), 0) AS nr,
+         |    CAST(COUNT(*) AS BIGINT) AS vr FROM rc),
+         |cco AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cc
+         |  FROM toks GROUP BY 1),
+         |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM toks),
+         |terms AS (SELECT nr, vr,
+         |    CAST(FLOOR((CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE)) *
+         |      ln(CAST(CAST(cr AS HUGEINT) * nc AS DOUBLE) /
+         |         CAST(CAST(nr AS HUGEINT) * cc AS DOUBLE)) * 1e9)
+         |      AS BIGINT) AS term_nano
+         |  FROM cco JOIN rc USING (t) CROSS JOIN rt CROSS JOIN ct)
+         |SELECT nr AS rel_tokens, vr AS rel_vocab,
+         |  CAST(SUM(term_nano) AS DOUBLE) / 1e9 AS clarity
+         |FROM terms GROUP BY 1, 2""".stripMargin,
     "ir14_rbo" ->
       s"""WITH a AS (SELECT * FROM (${TrainingDataQueries.bm25Sql}) ta),
          |b AS (SELECT * FROM ($ir2Sql) tb),

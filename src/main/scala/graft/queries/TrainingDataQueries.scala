@@ -3163,6 +3163,34 @@ object TrainingDataQueries {
     // parallel and the only corpus-sized shuffle is the doc_id rollup.
     "s16_dsir_weights" -> { (s, dir) => dsirWeights(s, dir) },
 
+    // S19 (beyond reference): PPS SYSTEMATIC sampling — probability
+    // proportional to SIZE (token count), the survey-sampling design
+    // that makes a 100-doc sample carry an unbiased token-mass picture
+    // of the corpus (s8's systematic sample is equal-probability; long
+    // docs are the mass and deserve proportional representation). Lay
+    // every document's token count end to end on an integer line
+    // (GlobalRank's prefix-sum two-pass — no single-partition window),
+    // then select the documents whose span covers a lattice point
+    // m·step, step = ⌊total/100⌋ — zero RNG, membership reproducible
+    // forever, and a doc longer than step is hit multiple times
+    // (n_hits is its integer inclusion multiplicity). All-nonnegative
+    // integer division, so Spark `div` and DuckDB `//` agree.
+    "s19_pps_sampling" -> { (s, dir) =>
+      val d = docsSpread(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("size"))
+        .withColumn("g", lit(1))
+      val c = graft.operators.GlobalRank.withGroupedPrefixSum(d,
+        group = Seq("g"), order = Seq(col("doc_id")),
+        value = col("size"), out = "cum", totOut = Some("total"))
+      c.withColumn("step", expr("total div 100"))
+        .filter(col("step") > 0)
+        .withColumn("n_hits",
+          expr("cum div step - (cum - size) div step"))
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id"), col("size"), col("cum"), col("n_hits"),
+          col("step"))
+    },
+
     // S18 (beyond reference): SAMPLING-IMPORTANCE-RESAMPLING gate on
     // the s16 DSIR weights — the step that turns importance weights
     // into an actual selected corpus: accept doc i iff u_i < w_i/w_max,
@@ -4525,6 +4553,26 @@ object TrainingDataQueries {
     "s16_dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, n_terms, logw_micro FROM dsirw""".stripMargin,
+    "s19_pps_sampling" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+'))
+        |      END AS BIGINT) AS size
+        |  FROM documents),
+        |c AS (SELECT doc_id, size,
+        |    CAST(SUM(size) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(size) OVER () AS BIGINT) AS total
+        |  FROM d),
+        |f AS (SELECT doc_id, size, cum, total // 100 AS step
+        |  FROM c WHERE total // 100 > 0)
+        |SELECT doc_id, size, cum,
+        |  CAST(cum // step - (cum - size) // step AS BIGINT) AS n_hits,
+        |  CAST(step AS BIGINT) AS step
+        |FROM f WHERE cum // step - (cum - size) // step > 0"""
+        .stripMargin,
     "s18_importance_resampling" ->
       s"""WITH $dsirCtes,
          |w AS (SELECT doc_id, n_terms, logw_micro,
