@@ -1624,6 +1624,50 @@ object TrainingDataQueries {
       KMeans.trainedIvfTopK(emb, emb.filter(col("vec_id") < 5))
     },
 
+    // KM4 (beyond reference): centroid-based SILHOUETTE — the
+    // cluster-quality readout km1's inertia can't give (inertia always
+    // improves with k; silhouette s = (b−a)/max(a,b) peaks at the
+    // RIGHT k). The simplified (centroid-distance) form is the one
+    // that scales: a = distance to own centroid, b = nearest OTHER
+    // centroid — k broadcast rows per point instead of the O(n²)
+    // pairwise original. Distances are exact integers off km1's
+    // Lloyd state; each point's s is one IEEE tree, nano-quantized
+    // before the per-cluster mean (cross-row float contract).
+    // Single-cluster corners (no "other" centroid, or coincident
+    // centroids at distance 0) score NULL and are excluded from the
+    // mean on both engines.
+    "km4_silhouette" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val (assigned, cents) = KMeans.fitWithCentroids(emb, k = 4,
+        iters = 3)
+      val centDf = broadcast(cents.toDF("c2", "cv"))
+      val pts = emb.select(col("vec_id").as("id"),
+        KMeans.quantize(col("embedding")).as("qv"))
+      val all = pts.crossJoin(centDf).select(col("id"), col("c2"),
+        KMeans.sqDistL(col("qv"), col("cv")).as("d2"))
+      val own = assigned.select(col("vec_id").as("id"), col("cluster"),
+        col("dist").as("a2"))
+      val oth = all.join(own, Seq("id"))
+        .filter(col("c2") =!= col("cluster"))
+        .groupBy("id").agg(min(col("d2")).as("b2"))
+      val ra = sqrt(col("a2").cast("double"))
+      val rb = sqrt(col("b2").cast("double"))
+      val sil = own.join(oth, Seq("id"), "left")
+        .withColumn("s_nano",
+          when(col("b2").isNotNull && greatest(ra, rb) > 0,
+            floor((rb - ra) / greatest(ra, rb) * lit(1e9))
+              .cast("long")))
+      sil.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), count(col("s_nano")).as("n_scored"),
+          sum(col("s_nano")).as("sum_nano"))
+        .select(col("cluster"), col("n"), col("n_scored"),
+          when(col("n_scored") > 0,
+            col("sum_nano").cast("double") /
+              col("n_scored").cast("double") / lit(1e9))
+            .as("silhouette"))
+    },
+
     // Okapi BM25 against a fixed probe-term set (df spread: rare "dup" to
     // ubiquitous "batch") — one narrow scan + one broadcast scalar aggregate.
     // Pseudo-relevance-feedback query EXPANSION: score the corpus with
@@ -6428,6 +6472,34 @@ object TrainingDataQueries {
         |SELECT vec_id, d, p_micro FROM proj""".stripMargin,
     "km1_kmeans" -> km1Sql,
     "km2_trained_ivf" -> km2Sql,
+    "km4_silhouette" ->
+      s"""WITH ${kmeansCtes(4, 3)},
+         |all_d AS (
+         |  SELECT p.id, c.cluster AS c2,
+         |    ${kmDistSql("p.qv", "c.cv")} AS d2
+         |  FROM pts p CROSS JOIN cents_2 c),
+         |own AS (SELECT id, cluster, dist AS a2 FROM a_3),
+         |oth AS (SELECT a.id, MIN(a.d2) AS b2
+         |  FROM all_d a JOIN own o ON a.id = o.id AND a.c2 <> o.cluster
+         |  GROUP BY 1),
+         |sil AS (
+         |  SELECT o.cluster,
+         |    CASE WHEN b2 IS NOT NULL AND
+         |        greatest(sqrt(CAST(a2 AS DOUBLE)),
+         |          sqrt(CAST(b2 AS DOUBLE))) > 0 THEN
+         |      CAST(FLOOR((sqrt(CAST(b2 AS DOUBLE)) -
+         |          sqrt(CAST(a2 AS DOUBLE))) /
+         |        greatest(sqrt(CAST(a2 AS DOUBLE)),
+         |          sqrt(CAST(b2 AS DOUBLE))) * 1e9) AS BIGINT) END
+         |      AS s_nano
+         |  FROM own o LEFT JOIN oth ON o.id = oth.id)
+         |SELECT CAST(cluster AS INTEGER) AS cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(s_nano) AS BIGINT) AS n_scored,
+         |  CASE WHEN COUNT(s_nano) > 0 THEN
+         |    CAST(SUM(s_nano) AS DOUBLE) / CAST(COUNT(s_nano) AS DOUBLE)
+         |      / 1e9 END AS silhouette
+         |FROM sil GROUP BY 1""".stripMargin,
     // Same deterministic PII synthesis + the same ordered regex chain as
     // TextAnalysis.redactPii (emails, then IPs, then phones; 'g' flag —
     // Spark replaces all matches by default, DuckDB only the first).
