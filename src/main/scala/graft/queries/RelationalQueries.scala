@@ -661,6 +661,35 @@ object RelationalQueries {
     // excluded on both engines (SQL RI semantics: a null reference is
     // "not asserted", not an orphan — Spark's anti join would otherwise
     // count them, DuckDB's NOT EXISTS would not).
+    // DQ8 (beyond reference): FUNCTIONAL-DEPENDENCY discovery — does
+    // A determine B? The schema-inference primitive behind
+    // normalization advice, join-key validation, and "is this column
+    // derivable" curation questions (dq2 checks DECLARED FKs; this
+    // TESTS candidate dependencies against the data). Each candidate
+    // is one map-side-combined rollup at LHS-key grain: a dependency
+    // holds iff no key sees two distinct RHS values; violations are
+    // counted, not just flagged, so drift shows as a number. The
+    // per-key distinct is bounded by the RHS domain.
+    "dq8_fd_discovery" -> { (s, dir) =>
+      def fd(df: DataFrame, lhs: String, rhs: String): DataFrame =
+        df.groupBy(col(lhs).as("k"))
+          .agg(countDistinct(col(rhs)).as("nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L))
+              .as("n_violating"))
+          .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+            col("n_lhs"), col("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+      val orders = Tables.orders(s, dir)
+      fd(orders, "o_orderkey", "o_custkey")
+        .unionByName(fd(orders, "o_custkey", "o_orderpriority"))
+        .unionByName(fd(orders, "o_orderdate", "o_orderstatus"))
+        .unionByName(fd(Tables.customer(s, dir),
+          "c_nationkey", "c_mktsegment"))
+        .unionByName(fd(Tables.nation(s, dir),
+          "n_nationkey", "n_regionkey"))
+    },
+
     "dq2_fk_graph" -> { (s, dir) =>
       def edge(name: String, child: DataFrame, ck: String,
                parent: DataFrame, pk: String): DataFrame =
@@ -2271,6 +2300,22 @@ object RelationalQueries {
         |  WHERE c.c_custkey IS NULL)
         |SELECT check_name, violations, violations = 0 AS pass
         |FROM checks""".stripMargin,
+    "dq8_fd_discovery" -> {
+      def fdSql(table: String, lhs: String, rhs: String): String =
+        s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $lhs AS k, COUNT(DISTINCT $rhs) AS nd
+           |      FROM $table GROUP BY 1) z""".stripMargin
+      Seq(fdSql("orders", "o_orderkey", "o_custkey"),
+        fdSql("orders", "o_custkey", "o_orderpriority"),
+        fdSql("orders", "o_orderdate", "o_orderstatus"),
+        fdSql("customer", "c_nationkey", "c_mktsegment"),
+        fdSql("nation", "n_nationkey", "n_regionkey"))
+        .mkString("\nUNION ALL\n")
+    },
     "dq2_fk_graph" -> {
       def edgeSql(name: String, child: String, ck: String,
                   parent: String, pk: String): String =

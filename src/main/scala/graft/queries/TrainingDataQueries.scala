@@ -1917,6 +1917,48 @@ object TrainingDataQueries {
             .as("r_star_micro"))
     },
 
+    // LM10 (beyond reference): WITTEN–BELL smoothed bigram surprisal —
+    // the fourth smoothing family next to lm3/lm9 (Kneser–Ney), lm7
+    // (Jelinek–Mercer) and lm4 (Good–Turing): the interpolation weight
+    // is DATA-DERIVED per history (λ_h = T(h)/(c(h)+T(h)), T = distinct
+    // successors — histories that branch widely trust their unigram
+    // fallback more), not a global constant like lm7's. The smoothed
+    // probability is an exact rational ((c·N + T·c_u)/(N·(c_h+T))), so
+    // one ln per bigram TYPE feeds micro-nat integers and the per-doc
+    // sum is order-free. Same type-grain scoring shape as lm2: counts
+    // at bigram-type grain, one token-keyed join back.
+    "lm10_witten_bell" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val toksCol = split(TextAnalysis.normalizeText(col("text")), " ")
+      val base = docsSpread(s, dir).select(col("doc_id"),
+        toksCol.as("toks"))
+      val bigrams = base.select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"),
+          col("bg.w2").as("w2"))
+      val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = counts.groupBy("w1").agg(sum(col("c")).as("cctx"),
+        count(lit(1)).as("t"))
+      val uni = base.select(explode(col("toks")).as("w2"))
+        .filter(length(col("w2")) > 0)
+        .groupBy("w2").agg(count(lit(1)).as("cu"))
+      val nTok = uni.agg(sum(col("cu")).as("ntok"))
+      val probs = counts.join(ctx, "w1").join(uni, "w2")
+        .crossJoin(broadcast(nTok))
+        .select(col("w1"), col("w2"),
+          floor(log((col("c").cast(d38) * col("ntok").cast(d38) +
+            col("t").cast(d38) * col("cu").cast(d38)).cast("double") /
+            (col("ntok").cast(d38) *
+              (col("cctx") + col("t")).cast(d38)).cast("double")) *
+            lit(1e6)).cast("bigint").as("micro_nats"))
+      bigrams.join(probs, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("micro_nats")).as("wb_micro_nats"))
+    },
+
     "lm2_bigram_surprisal" -> { (s, dir) =>
       docSurprisal(s, dir)
         .select(col("doc_id"), col("n_bigrams"), col("sum_micro_nats"),
@@ -6112,6 +6154,37 @@ object TrainingDataQueries {
     // Bigram LM: same micro-nat-before-reduction contract as lm1; the
     // bigram lists are two zipped array slices, so docs with < 2 tokens
     // contribute no rows on either engine.
+    "lm10_witten_bell" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM base),
+         |counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cctx,
+         |    CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM counts GROUP BY 1),
+         |uni AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+         |    SELECT unnest(toks) AS w2 FROM base) z
+         |  WHERE length(w2) > 0 GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS ntok FROM uni),
+         |probs AS (
+         |  SELECT counts.w1, counts.w2,
+         |    CAST(FLOOR(ln(
+         |      CAST(CAST(c AS HUGEINT) * ntok +
+         |        CAST(t AS HUGEINT) * cu AS DOUBLE) /
+         |      CAST(CAST(ntok AS HUGEINT) * (cctx + t) AS DOUBLE)) * 1e6)
+         |      AS BIGINT) AS micro_nats
+         |  FROM counts JOIN ctx ON counts.w1 = ctx.w1
+         |  JOIN uni ON counts.w2 = uni.w2
+         |  CROSS JOIN nt)
+         |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(micro_nats) AS BIGINT) AS wb_micro_nats
+         |FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+         |GROUP BY 1""".stripMargin,
     "lm2_bigram_surprisal" ->
       s"""WITH $surprisalCtes
          |SELECT doc_id, n_bigrams, sum_micro_nats,
