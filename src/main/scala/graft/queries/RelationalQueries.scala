@@ -1664,6 +1664,45 @@ object RelationalQueries {
                 (col("n") - col("k_cells")).cast("double"))))
     },
 
+    // D59 (beyond reference): distribution-free MEDIAN CI — the
+    // binomial order-statistic interval (ranks (n ∓ 1.96√n)/2), the
+    // error bar d22/d30's point medians ship without. No resampling,
+    // no normality assumption: ALL four order statistics (two middle,
+    // two CI bounds) come out of ONE GlobalRank grouped two-pass via
+    // rank selection; the rank formulas are a fixed IEEE tree on n
+    // only, clamped into [1, n]. med2 is the exact doubled median
+    // (integer — equal halves when n is odd).
+    "d59_median_ci" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+          expr("cast(round(o_totalprice) as bigint)").as("v"))
+      val ranked = graft.operators.GlobalRank.withGroupedRowNumber(o,
+          group = Seq("grp"),
+          order = Seq(col("v"), col("o_orderkey")),
+          out = "rn", nOut = Some("n"))
+        .withColumn("lo_rk", greatest(lit(1L),
+          floor((col("n").cast("double") -
+            lit(1.96) * sqrt(col("n").cast("double"))) / lit(2.0))
+            .cast("long")))
+        .withColumn("hi_rk", least(col("n"),
+          ceil(lit(1.0) + (col("n").cast("double") +
+            lit(1.96) * sqrt(col("n").cast("double"))) / lit(2.0))
+            .cast("long")))
+      val mLo = expr("(n + 1) div 2")
+      val mHi = expr("(n + 2) div 2")
+      ranked
+        .filter(col("rn") === mLo || col("rn") === mHi ||
+          col("rn") === col("lo_rk") || col("rn") === col("hi_rk"))
+        .groupBy("grp")
+        .agg(max(col("n")).as("n"),
+          (min(when(col("rn") === mLo, col("v"))) +
+            min(when(col("rn") === mHi, col("v")))).as("med2"),
+          min(when(col("rn") === col("lo_rk"), col("v"))).as("ci_lo"),
+          min(when(col("rn") === col("hi_rk"), col("v"))).as("ci_hi"))
+        .select(col("grp"), col("n"), col("med2"), col("ci_lo"),
+          col("ci_hi"))
+    },
+
     // D57 (beyond reference): GAMMA method-of-moments fit per priority
     // class — the right-skewed counterpart of d48's normality test:
     // revenue-like positives are gamma-shaped, and the (shape, rate)
@@ -2937,6 +2976,30 @@ object RelationalQueries {
         |    (CAST(ss_within AS DOUBLE) / CAST(n - k_cells AS DOUBLE))
         |  END AS f_cells
         |FROM fin""".stripMargin,
+    "d59_median_ci" ->
+      """WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
+        |    CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+        |rk AS (SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY v, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n FROM o),
+        |rk2 AS (SELECT grp, v, rn, n,
+        |    greatest(1, CAST(FLOOR((CAST(n AS DOUBLE) -
+        |      1.96e0 * sqrt(CAST(n AS DOUBLE))) / 2.0e0) AS BIGINT))
+        |      AS lo_rk,
+        |    least(n, CAST(CEIL(1.0e0 + (CAST(n AS DOUBLE) +
+        |      1.96e0 * sqrt(CAST(n AS DOUBLE))) / 2.0e0) AS BIGINT))
+        |      AS hi_rk
+        |  FROM rk)
+        |SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) +
+        |    MIN(CASE WHEN rn = (n + 2) // 2 THEN v END) AS med2,
+        |  MIN(CASE WHEN rn = lo_rk THEN v END) AS ci_lo,
+        |  MIN(CASE WHEN rn = hi_rk THEN v END) AS ci_hi
+        |FROM rk2
+        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  OR rn = lo_rk OR rn = hi_rk
+        |GROUP BY 1""".stripMargin,
     "d57_gamma_moments" ->
       """WITH o AS (SELECT o_orderpriority AS grp,
         |    CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
