@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -902,6 +902,75 @@ object EventQueries {
               .cast("double") *
               (col("qsum").cast("double") / lit(1e12)) > lit(11.0705)),
             lit(false)).as("reject_5pct"))
+    },
+
+    // GRANGER-style lag-causality screen — "does yesterday's click
+    // volume predict today's purchases beyond purchases' own lag?"
+    // (and the reverse): the F-test comparing restricted (own-lag) vs
+    // unrestricted (own-lag + other-lag) OLS, both solved in CLOSED
+    // FORM from 13 exact decimal(38,0) moments of the joined daily
+    // frame — no iterative fit, one aggregate. The n-scaled centered
+    // S-terms cancel in the F ratio, so only exact integers enter the
+    // final IEEE trees. Day-grain window (span-bounded); degenerate
+    // inputs (n ≤ 3, singular normal matrix, zero residual) emit NULL.
+    "ts23_granger" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val daily = Tables.eventsUs(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("day").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("b"))
+      val w = Window.orderBy(col("day"))
+      val lagged = daily
+        .withColumn("a1", lag(col("a"), 1).over(w))
+        .withColumn("b1", lag(col("b"), 1).over(w))
+        .filter(col("a1").isNotNull)
+      def m2(c1: Column, c2: Column) = sum(c1.cast(d38) * c2.cast(d38))
+      val st = lagged.agg(count(lit(1)).as("n"),
+        sum(col("a").cast(d38)).as("sa"),
+        sum(col("b").cast(d38)).as("sb"),
+        sum(col("a1").cast(d38)).as("sa1"),
+        sum(col("b1").cast(d38)).as("sb1"),
+        m2(col("a1"), col("a1")).as("sa1a1"),
+        m2(col("b1"), col("b1")).as("sb1b1"),
+        m2(col("a1"), col("b1")).as("sa1b1"),
+        m2(col("a1"), col("a")).as("sa1a"),
+        m2(col("a1"), col("b")).as("sa1b"),
+        m2(col("b1"), col("a")).as("sb1a"),
+        m2(col("b1"), col("b")).as("sb1b"),
+        m2(col("a"), col("a")).as("saa"),
+        m2(col("b"), col("b")).as("sbb"))
+      val n38 = col("n").cast(d38)
+      def cS(sxy: Column, sx: Column, sy: Column) =
+        (n38 * sxy - sx * sy).cast("double")
+      def fstat(syy: Column, sxx1: Column, s12: Column, sxx2: Column,
+                s1y: Column, s2y: Column): Column = {
+        val det = sxx1 * sxx2 - s12 * s12
+        val b1 = (s1y * sxx2 - s2y * s12) / det
+        val b2 = (s2y * sxx1 - s1y * s12) / det
+        val rssU = syy - b1 * s1y - b2 * s2y
+        val rssR = syy - s1y * s1y / sxx1
+        when(col("n") > 3 && det =!= 0.0 && sxx1 =!= 0.0 && rssU > 0,
+          (rssR - rssU) / (rssU / (col("n") - 3).cast("double")))
+      }
+      st.select(col("n"),
+        fstat(cS(col("sbb"), col("sb"), col("sb")),
+          cS(col("sb1b1"), col("sb1"), col("sb1")),
+          cS(col("sa1b1"), col("sa1"), col("sb1")),
+          cS(col("sa1a1"), col("sa1"), col("sa1")),
+          cS(col("sb1b"), col("sb1"), col("sb")),
+          cS(col("sa1b"), col("sa1"), col("sb")))
+          .as("f_click_to_purchase"),
+        fstat(cS(col("saa"), col("sa"), col("sa")),
+          cS(col("sa1a1"), col("sa1"), col("sa1")),
+          cS(col("sa1b1"), col("sa1"), col("sb1")),
+          cS(col("sb1b1"), col("sb1"), col("sb1")),
+          cS(col("sa1a"), col("sa1"), col("sa")),
+          cS(col("sb1a"), col("sb1"), col("sa")))
+          .as("f_purchase_to_click"))
     },
 
     // SEASONAL MANN–KENDALL trend test (Hirsch & Slack) — "is daily
@@ -2777,6 +2846,69 @@ object EventQueries {
         |      (CAST(qsum AS DOUBLE) / 1e12) > 11.0705 END, FALSE)
         |    AS reject_5pct
         |FROM q""".stripMargin,
+
+    "ts23_granger" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(ts) // 86400000000) AS day,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |lagged AS (SELECT a, b,
+        |    LAG(a) OVER (ORDER BY day) AS a1,
+        |    LAG(b) OVER (ORDER BY day) AS b1
+        |  FROM daily),
+        |l2 AS (SELECT * FROM lagged WHERE a1 IS NOT NULL),
+        |st AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+        |    SUM(CAST(a1 AS HUGEINT)) AS sa1,
+        |    SUM(CAST(b1 AS HUGEINT)) AS sb1,
+        |    SUM(CAST(a1 AS HUGEINT) * a1) AS sa1a1,
+        |    SUM(CAST(b1 AS HUGEINT) * b1) AS sb1b1,
+        |    SUM(CAST(a1 AS HUGEINT) * b1) AS sa1b1,
+        |    SUM(CAST(a1 AS HUGEINT) * a) AS sa1a,
+        |    SUM(CAST(a1 AS HUGEINT) * b) AS sa1b,
+        |    SUM(CAST(b1 AS HUGEINT) * a) AS sb1a,
+        |    SUM(CAST(b1 AS HUGEINT) * b) AS sb1b,
+        |    SUM(CAST(a AS HUGEINT) * a) AS saa,
+        |    SUM(CAST(b AS HUGEINT) * b) AS sbb
+        |  FROM l2),
+        |cs AS (SELECT n,
+        |    CAST(n * sbb - sb * sb AS DOUBLE) AS cbb,
+        |    CAST(n * sb1b1 - sb1 * sb1 AS DOUBLE) AS cb1b1,
+        |    CAST(n * sa1b1 - sa1 * sb1 AS DOUBLE) AS ca1b1,
+        |    CAST(n * sa1a1 - sa1 * sa1 AS DOUBLE) AS ca1a1,
+        |    CAST(n * sb1b - sb1 * sb AS DOUBLE) AS cb1b,
+        |    CAST(n * sa1b - sa1 * sb AS DOUBLE) AS ca1b,
+        |    CAST(n * saa - sa * sa AS DOUBLE) AS caa,
+        |    CAST(n * sa1a - sa1 * sa AS DOUBLE) AS ca1a,
+        |    CAST(n * sb1a - sb1 * sa AS DOUBLE) AS cb1a
+        |  FROM st),
+        |g AS (SELECT *,
+        |    cb1b1 * ca1a1 - ca1b1 * ca1b1 AS det1,
+        |    ca1a1 * cb1b1 - ca1b1 * ca1b1 AS det2
+        |  FROM cs),
+        |h AS (SELECT *,
+        |    (cb1b * ca1a1 - ca1b * ca1b1) / det1 AS b1_1,
+        |    (ca1b * cb1b1 - cb1b * ca1b1) / det1 AS b2_1,
+        |    (ca1a * cb1b1 - cb1a * ca1b1) / det2 AS b1_2,
+        |    (cb1a * ca1a1 - ca1a * ca1b1) / det2 AS b2_2
+        |  FROM g),
+        |i AS (SELECT *,
+        |    cbb - b1_1 * cb1b - b2_1 * ca1b AS rssu1,
+        |    cbb - cb1b * cb1b / cb1b1 AS rssr1,
+        |    caa - b1_2 * ca1a - b2_2 * cb1a AS rssu2,
+        |    caa - ca1a * ca1a / ca1a1 AS rssr2
+        |  FROM h)
+        |SELECT n,
+        |  CASE WHEN n > 3 AND det1 <> 0 AND cb1b1 <> 0 AND rssu1 > 0
+        |    THEN (rssr1 - rssu1) / (rssu1 / CAST(n - 3 AS DOUBLE)) END
+        |    AS f_click_to_purchase,
+        |  CASE WHEN n > 3 AND det2 <> 0 AND ca1a1 <> 0 AND rssu2 > 0
+        |    THEN (rssr2 - rssu2) / (rssu2 / CAST(n - 3 AS DOUBLE)) END
+        |    AS f_purchase_to_click
+        |FROM i""".stripMargin,
 
     "ts21_mann_kendall" ->
       """WITH daily AS (
