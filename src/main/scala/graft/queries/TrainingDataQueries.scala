@@ -1440,6 +1440,40 @@ object TrainingDataQueries {
     // Benchmark decontamination: training docs (doc_id % 10 != 0) sharing
     // any 3-gram shingle with the held-out "benchmark" slice (% 10 == 0).
     // Benchmark hash set broadcast; corpus scanned once.
+    // CX4 (beyond reference): SEMANTIC decontamination — the third
+    // rung of the ladder (cx1 exact shingles, cx3 fuzzy shingles):
+    // paraphrased benchmark leakage shares no shingle at all but sits
+    // next to the eval item in embedding space. Eval set = the fixed
+    // probe vectors (vec_id < 5, the sim1 O(1)-probe contract),
+    // broadcast against one corpus scan; a corpus vector is flagged
+    // when quantized-integer cosine to ANY eval vector clears 0.3, and
+    // the report keeps the argmax eval item per flagged vector (max on
+    // a (cos, eval_id) struct — deterministic, ties to the higher id).
+    "cx4_semantic_decontamination" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dotL
+      val quant = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+        .withColumn("nrm", dotL(col("qv"), col("qv")))
+        .filter(col("nrm") > 0)
+      val evalSet = broadcast(quant.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("eval_id"), col("qv").as("e_qv"),
+          col("nrm").as("e_nrm")))
+      quant.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"), col("qv").as("c_qv"),
+          col("nrm").as("c_nrm"))
+        .crossJoin(evalSet)
+        .select(col("corpus_id"), col("eval_id"),
+          (dotL(col("c_qv"), col("e_qv")).cast("double") /
+            (sqrt(col("c_nrm").cast("double")) *
+              sqrt(col("e_nrm").cast("double")))).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .groupBy("corpus_id")
+        .agg(max(struct(col("cos_sim"), col("eval_id"))).as("m"))
+        .select(col("corpus_id"), col("m.eval_id").as("eval_id"),
+          col("m.cos_sim").as("cos_sim"))
+    },
+
     "cx1_contamination" -> { (s, dir) =>
       val docs = docsSpread(s, dir)
       Contamination.contaminationReport(
@@ -2475,6 +2509,43 @@ object TrainingDataQueries {
 
     // Concat-and-chunk sequence packing plan: 512-token sequences per
     // language stream, documents laid down in doc_id order.
+    // PK9 (beyond reference): ATTENTION-CONTAMINATION of the pk1
+    // concat-and-chunk layout — the other half of the packing
+    // trade-off pk3/pk8 price in padding: a 512-token sequence built
+    // from several documents lets tokens attend ACROSS document
+    // boundaries (full block attention), and the contaminated share of
+    // attention pairs is 1 − Σ seg² / L² per sequence. Segments come
+    // from exploding each document's span across the sequences it
+    // crosses (pure integer interval arithmetic off pk1's running
+    // offsets); the rollup is sequence-grain. The report that decides
+    // whether the loader needs per-document attention masks.
+    "pk9_attention_contamination" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val seqLen = 512L
+      val packed = Packing.packSequences(
+        docsSpread(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        streamCol = col("lang"), orderCol = col("doc_id"),
+        tokensCol = col("n_tokens"), seqLen = seqLen.toInt)
+        .filter(col("n_tokens") > 0)
+        .withColumn("doc_end", col("token_offset") + col("n_tokens"))
+      val segs = packed
+        .withColumn("k", explode(sequence(col("seq_idx"),
+          expr(s"(doc_end - 1) div $seqLen"))))
+        .select(col("lang"), col("k"),
+          (least(col("doc_end"), (col("k") + 1) * seqLen) -
+            greatest(col("token_offset"), col("k") * seqLen)).as("seg"))
+      segs.groupBy("lang", "k")
+        .agg(count(lit(1)).as("n_segments"), sum(col("seg")).as("l"),
+          sum(col("seg").cast(d38) * col("seg").cast(d38)).as("sumsq"))
+        .select(col("lang"), col("k").as("seq_idx"), col("n_segments"),
+          col("l").as("seq_tokens"),
+          expr("""cast((cast(l as decimal(38,0)) * l - sumsq) * 1000000
+                 |  div (cast(l as decimal(38,0)) * l) as bigint)"""
+            .stripMargin.replace("\n", " "))
+            .as("contamination_micro"))
+    },
+
     "pk1_sequence_pack" -> { (s, dir) =>
       val withTokens = docsSpread(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -5482,6 +5553,32 @@ object TrainingDataQueries {
          |  COUNT(DISTINCT bench.h) AS n_shared_hashes
          |FROM corp JOIN bench USING (h)
          |GROUP BY bench.bench_id""".stripMargin,
+    "cx4_semantic_decontamination" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, qv,
+        |      CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |        i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+        |    FROM e) z WHERE nrm > 0),
+        |p AS (
+        |  SELECT c.vec_id AS corpus_id, q.vec_id AS eval_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |      i -> c.qv[i] * q.qv[i])) AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(q.nrm AS DOUBLE)))
+        |      AS cos_sim
+        |  FROM n c, n q WHERE c.vec_id >= 5 AND q.vec_id < 5),
+        |f AS (SELECT * FROM p WHERE cos_sim >= 0.3e0),
+        |r AS (SELECT corpus_id, eval_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY corpus_id
+        |      ORDER BY cos_sim DESC, eval_id DESC) AS rn
+        |  FROM f)
+        |SELECT corpus_id, eval_id, cos_sim FROM r WHERE rn = 1"""
+        .stripMargin,
     "cx1_contamination" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS id, string_split($normSql, ' ') AS toks FROM documents),
@@ -5511,6 +5608,36 @@ object TrainingDataQueries {
          |SELECT doc_id, lang, 'rest' AS source FROM documents
          |WHERE (lang IS NULL OR lang NOT IN ('en', 'de'))
          |  AND ${bucketSql("mix:rest", "doc_id")} < 250""".stripMargin,
+    "pk9_attention_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+'))
+        |      END AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS token_offset
+        |  FROM t),
+        |q AS (SELECT lang, token_offset,
+        |    token_offset + n_tokens AS doc_end,
+        |    CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS seq_idx
+        |  FROM p WHERE n_tokens > 0),
+        |segs AS (
+        |  SELECT lang, k,
+        |    least(doc_end, (k + 1) * 512) -
+        |      greatest(token_offset, k * 512) AS seg
+        |  FROM q, unnest(generate_series(seq_idx,
+        |    (doc_end - 1) // 512)) AS s(k))
+        |SELECT lang, k AS seq_idx, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(seg) AS BIGINT) AS seq_tokens,
+        |  CAST((CAST(SUM(seg) AS HUGEINT) * SUM(seg) -
+        |      SUM(CAST(seg AS HUGEINT) * seg)) * 1000000 //
+        |    (CAST(SUM(seg) AS HUGEINT) * SUM(seg)) AS BIGINT)
+        |    AS contamination_micro
+        |FROM segs GROUP BY 1, 2""".stripMargin,
     "pk1_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
