@@ -1266,6 +1266,48 @@ object EventQueries {
           expr("n * 1000000 div sum(n) over (partition by prev_type)"))
     },
 
+    // MARKOV STATIONARY distribution of the behavior chain — where
+    // ev12's transition matrix SENDS the traffic in the long run
+    // (steady-state type shares ≠ today's observed shares ⇒ the mix is
+    // still drifting; ev48 measures the observed mix over time, this
+    // is its model-implied limit). Three unrolled power-iteration
+    // rounds from the uniform vector, all in integer micro units
+    // (Σ π_i·P_ij floored ONCE per round after the exact sum), on a
+    // k×k matrix — metadata grain at any corpus size. Emits π₃ with
+    // the per-type |π₃ − π₂| mixing residual; states with no outgoing
+    // transitions leak their mass identically on both engines (none
+    // exist in recurrent behavior data).
+    "ev56_markov_stationary" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("i"), col("event_type").as("j"))
+        .agg(count(lit(1)).as("c"))
+      val rowTot = trans.groupBy("i").agg(sum(col("c")).as("ct"))
+      val pmat = trans.join(rowTot, "i")
+        .select(col("i"), col("j"),
+          expr("c * 1000000 div ct").as("p_micro"))
+      val states = pmat.select(col("i").as("t")).distinct()
+      val k = states.agg(count(lit(1)).as("k"))
+      def step(pi: DataFrame): DataFrame =
+        pmat.join(pi.select(col("t").as("i"), col("pi").as("pv")), "i")
+          .groupBy(col("j").as("t"))
+          .agg(expr("sum(pv * p_micro) div 1000000").as("pi"))
+      val pi0 = states.crossJoin(broadcast(k))
+        .select(col("t"), expr("1000000 div k").as("pi"))
+      val pi2 = step(step(pi0))
+      val pi3 = step(pi2)
+      pi3.join(pi2.select(col("t"), col("pi").as("pi_prev")), Seq("t"),
+          "left")
+        .select(col("t").as("event_type"), col("pi").as("pi_micro"),
+          abs(col("pi") - coalesce(col("pi_prev"), lit(0L)))
+            .as("mixing_residual_micro"))
+    },
+
     // Per-user sequence log-likelihood under ev12's transition matrix —
     // the Markov anomaly score (bot/fraud sessions walk improbable
     // paths). Each transition contributes floor(1e6·ln(p_micro)): the
@@ -3263,6 +3305,38 @@ object EventQueries {
         |SELECT t1, t2, event_type AS t3, COUNT(*) AS n
         |FROM seq WHERE t1 IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 20""".stripMargin,
+    "ev56_markov_stationary" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev AS i, event_type AS j, COUNT(*) AS c
+        |       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT i, CAST(SUM(c) AS BIGINT) AS ct FROM tr
+        |       GROUP BY 1),
+        |pm AS (SELECT tr.i, tr.j,
+        |    CAST(c * 1000000 // ct AS BIGINT) AS p_micro
+        |  FROM tr JOIN rt ON tr.i = rt.i),
+        |st AS (SELECT DISTINCT i AS t FROM pm),
+        |kk AS (SELECT COUNT(*) AS k FROM st),
+        |pi0 AS (SELECT t, CAST(1000000 // k AS BIGINT) AS pi
+        |        FROM st CROSS JOIN kk),
+        |pi1 AS (SELECT j AS t,
+        |    CAST(SUM(pv * p_micro) // 1000000 AS BIGINT) AS pi FROM (
+        |    SELECT pm.j, pi0.pi AS pv, pm.p_micro
+        |    FROM pm JOIN pi0 ON pm.i = pi0.t) z GROUP BY 1),
+        |pi2 AS (SELECT j AS t,
+        |    CAST(SUM(pv * p_micro) // 1000000 AS BIGINT) AS pi FROM (
+        |    SELECT pm.j, pi1.pi AS pv, pm.p_micro
+        |    FROM pm JOIN pi1 ON pm.i = pi1.t) z GROUP BY 1),
+        |pi3 AS (SELECT j AS t,
+        |    CAST(SUM(pv * p_micro) // 1000000 AS BIGINT) AS pi FROM (
+        |    SELECT pm.j, pi2.pi AS pv, pm.p_micro
+        |    FROM pm JOIN pi2 ON pm.i = pi2.t) z GROUP BY 1)
+        |SELECT pi3.t AS event_type, pi3.pi AS pi_micro,
+        |  abs(pi3.pi - COALESCE(pi2.pi, 0)) AS mixing_residual_micro
+        |FROM pi3 LEFT JOIN pi2 ON pi3.t = pi2.t""".stripMargin,
     "ev12_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

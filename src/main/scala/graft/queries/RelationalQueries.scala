@@ -613,6 +613,41 @@ object RelationalQueries {
     // scalar rollup (the second aggregate sees key-cardinality rows).
     // Top-heavy detail is tx10's heavy-hitter query; this is the
     // one-row verdict a planner thresholds on.
+    // PROF5 (beyond reference): JOIN-SIZE estimation audit — the
+    // optimizer-style question "how big would this join be?" answered
+    // two ways and compared: exactly (|A ⋈_k A| = Σ_k c(k)², one
+    // key-grain rollup — never materializing the join) and from a
+    // 1/16 md5 KEY sample (sampling keys, not rows, keeps each
+    // sampled key's c(k)² exact — the estimator is unbiased in the
+    // key dimension, and the ratio exposes how heavy-key skew inflates
+    // its variance). The audit that says whether sampled stats are
+    // safe to plan skewed self-joins with.
+    "prof5_join_size_sketch" -> { (s, dir) =>
+      import graft.functions.HashExpressions.md5Prefix60
+      val d38 = DecimalType(38, 0)
+      def audit(df: DataFrame, keyName: String): DataFrame = {
+        val per = df.groupBy(col(keyName).cast("string").as("k"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("c2", col("c").cast(d38) * col("c").cast(d38))
+          .withColumn("in_sample",
+            md5Prefix60(concat(lit("joinsz:"), col("k"))) % 16 === 0)
+        per.agg(
+            sum(col("c2")).as("exact_pairs"),
+            (sum(when(col("in_sample"), col("c2"))
+              .otherwise(lit(0).cast(d38))) * 16).as("est_pairs"),
+            count(lit(1)).as("n_keys"))
+          .select(lit(keyName).as("join_key"), col("n_keys"),
+            col("exact_pairs").cast("long").as("exact_pairs"),
+            col("est_pairs").cast("long").as("est_pairs"),
+            when(col("exact_pairs") > 0,
+              floor(col("est_pairs").cast("double") /
+                col("exact_pairs").cast("double") * lit(1e6))
+                .cast("long")).as("ratio_micro"))
+      }
+      audit(Tables.orders(s, dir), "o_orderdate")
+        .unionByName(audit(Tables.lineitem(s, dir), "l_partkey"))
+    },
+
     "prof2_key_skew" -> { (s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
@@ -2301,6 +2336,31 @@ object RelationalQueries {
         |  FROM v)
         |SELECT grp, MIN(cents) AS wmedian_cents FROM c
         |WHERE 2 * cumw >= totw GROUP BY grp""".stripMargin,
+    "prof5_join_size_sketch" -> {
+      def auditSql(table: String, key: String): String =
+        s"""SELECT '$key' AS join_key,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_pairs,
+           |  CAST(SUM(CASE WHEN
+           |      CAST(('0x' || substr(md5('joinsz:' || k), 1, 15))
+           |        AS BIGINT) % 16 = 0
+           |      THEN CAST(c AS HUGEINT) * c ELSE 0 END) * 16 AS BIGINT)
+           |    AS est_pairs,
+           |  CASE WHEN SUM(CAST(c AS HUGEINT) * c) > 0 THEN
+           |    CAST(FLOOR(
+           |      CAST(SUM(CASE WHEN
+           |        CAST(('0x' || substr(md5('joinsz:' || k), 1, 15))
+           |          AS BIGINT) % 16 = 0
+           |        THEN CAST(c AS HUGEINT) * c ELSE 0 END) * 16
+           |        AS DOUBLE) /
+           |      CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) * 1e6)
+           |      AS BIGINT) END AS ratio_micro
+           |FROM (SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS c
+           |      FROM $table GROUP BY 1) z""".stripMargin
+      s"""${auditSql("orders", "o_orderdate")}
+         |UNION ALL
+         |${auditSql("lineitem", "l_partkey")}""".stripMargin
+    },
     "prof2_key_skew" ->
       """WITH kc AS (
         |  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1)
