@@ -1675,6 +1675,45 @@ object EventQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     },
 
+    // RETENTION HALF-LIFE — one number out of ev9's cohort grid: pool
+    // cohorts by week offset, fit ln(retention_k) = −λk by closed-form
+    // OLS, and report λ and the half-life ln2/λ — the "how fast do we
+    // lose users" summary a growth review actually quotes. Offsets are
+    // span-bounded (weeks), each point's log-rate is nano-quantized
+    // once, the OLS runs on exact integer sums, and ln 2 is a LITERAL
+    // (no libm call to disagree on). Flat-or-growing retention (λ ≤ 0)
+    // reports NULL half-life rather than a negative one.
+    "ev57_retention_halflife" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = Tables.eventsUs(s, dir)
+        .selectExpr("user_id", "ts div 86400000000 AS day")
+      val first = d.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      val byK = d.distinct().join(first, "user_id")
+        .selectExpr("user_id", "(day - cohort_day) div 7 AS k")
+        .groupBy("k").agg(countDistinct(col("user_id")).as("n"))
+      val base = byK.filter(col("k") === 0).select(col("n").as("n0"))
+      val pts = byK.crossJoin(broadcast(base))
+        .filter(col("n") > 0 && col("n0") > 0)
+        .select(col("k"),
+          floor(log(col("n").cast("double") / col("n0").cast("double"))
+            * lit(1e9)).cast("long").as("y_nano"))
+      val st = pts.agg(count(lit(1)).as("m"),
+        sum(col("k").cast(d38)).as("sx"),
+        sum(col("y_nano").cast(d38)).as("sy"),
+        sum(col("k").cast(d38) * col("y_nano").cast(d38)).as("sxy"),
+        sum(col("k").cast(d38) * col("k").cast(d38)).as("sxx"))
+      val den = (col("m").cast(d38) * col("sxx") -
+        col("sx") * col("sx")).cast("double")
+      val slope = (col("m").cast(d38) * col("sxy") -
+        col("sx") * col("sy")).cast("double") / den / lit(1e9)
+      st.select(col("m").as("n_weeks"),
+          when(col("m") > 1 && den =!= 0.0, -slope).as("lambda"))
+        .withColumn("half_life_weeks",
+          when(col("lambda") > 0,
+            lit(0.6931471805599453) / col("lambda")))
+    },
+
     // TS8 (beyond reference): classical seasonal decomposition
     // (STL-by-moving-average): trend = centered ±3-day mean over a RANGE
     // frame (well-defined at series edges and across gap days), seasonal
@@ -3305,6 +3344,37 @@ object EventQueries {
         |SELECT t1, t2, event_type AS t3, COUNT(*) AS n
         |FROM seq WHERE t1 IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 20""".stripMargin,
+    "ev57_retention_halflife" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) AS day
+        |  FROM events),
+        |fst AS (SELECT user_id, MIN(day) AS cohort_day FROM d
+        |        GROUP BY 1),
+        |byk AS (SELECT (day - cohort_day) // 7 AS k,
+        |    COUNT(DISTINCT d.user_id) AS n
+        |  FROM d JOIN fst ON d.user_id = fst.user_id GROUP BY 1),
+        |base AS (SELECT n AS n0 FROM byk WHERE k = 0),
+        |pts AS (SELECT k,
+        |    CAST(FLOOR(ln(CAST(n AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS y_nano
+        |  FROM byk CROSS JOIN base WHERE n > 0 AND n0 > 0),
+        |st AS (SELECT COUNT(*) AS m,
+        |    SUM(CAST(k AS HUGEINT)) AS sx,
+        |    SUM(CAST(y_nano AS HUGEINT)) AS sy,
+        |    SUM(CAST(k AS HUGEINT) * y_nano) AS sxy,
+        |    SUM(CAST(k AS HUGEINT) * k) AS sxx
+        |  FROM pts),
+        |fit AS (SELECT m,
+        |    CASE WHEN m > 1 AND
+        |        CAST(m * sxx - sx * sx AS DOUBLE) <> 0 THEN
+        |      -(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |        CAST(m * sxx - sx * sx AS DOUBLE) / 1e9) END AS lambda
+        |  FROM st)
+        |SELECT CAST(m AS BIGINT) AS n_weeks, lambda,
+        |  CASE WHEN lambda > 0 THEN 0.6931471805599453e0 / lambda END
+        |    AS half_life_weeks
+        |FROM fit""".stripMargin,
+
     "ev56_markov_stationary" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -1699,6 +1699,30 @@ object RelationalQueries {
                 (col("n") - col("k_cells")).cast("double"))))
     },
 
+    // D60 (beyond reference): 5% TRIMMED MEAN per group — d30's
+    // winsorize CLAMPS the tails to the cut values; trimming DROPS
+    // them, the estimator ab-family power calculations usually assume.
+    // Same single GlobalRank grouped rank pass; keep t < rn ≤ n−t with
+    // t = ⌊n·5/100⌋, then exact integer sums (whole dollars; means by
+    // nonneg integer div — identical truncation in both engines).
+    "d60_trimmed_mean" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+          expr("cast(round(o_totalprice) as bigint)").as("v"))
+      val ranked = graft.operators.GlobalRank.withGroupedRowNumber(o,
+          group = Seq("grp"),
+          order = Seq(col("v"), col("o_orderkey")),
+          out = "rn", nOut = Some("n"))
+        .withColumn("t", expr("n * 5 div 100"))
+      ranked.groupBy("grp")
+        .agg(max(col("n")).as("n"), max(col("t") * 2).as("n_trimmed"),
+          expr("sum(v) div count(1)").as("mean_dollars"),
+          expr("""sum(case when rn > t and rn <= n - t then v end) div
+                 |  nullif(sum(case when rn > t and rn <= n - t
+                 |    then 1 else 0 end), 0)"""
+            .stripMargin.replace("\n", " ")).as("trimmed_mean_dollars"))
+    },
+
     // D59 (beyond reference): distribution-free MEDIAN CI — the
     // binomial order-statistic interval (ranks (n ∓ 1.96√n)/2), the
     // error bar d22/d30's point medians ship without. No resampling,
@@ -3036,6 +3060,21 @@ object RelationalQueries {
         |    (CAST(ss_within AS DOUBLE) / CAST(n - k_cells AS DOUBLE))
         |  END AS f_cells
         |FROM fin""".stripMargin,
+    "d60_trimmed_mean" ->
+      """WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
+        |    CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+        |rk AS (SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY v, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n FROM o),
+        |rk2 AS (SELECT grp, v, rn, n, n * 5 // 100 AS t FROM rk)
+        |SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(t * 2) AS BIGINT) AS n_trimmed,
+        |  CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_dollars,
+        |  CAST(SUM(CASE WHEN rn > t AND rn <= n - t THEN v END) //
+        |    NULLIF(SUM(CASE WHEN rn > t AND rn <= n - t
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS trimmed_mean_dollars
+        |FROM rk2 GROUP BY 1""".stripMargin,
     "d59_median_ci" ->
       """WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
         |    CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
