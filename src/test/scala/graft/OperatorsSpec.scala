@@ -26,6 +26,30 @@ class OperatorsSpec extends SparkSpec {
       plan.take(1000))
   }
 
+  test("k-truss peel drops pendant/bridge edges, keeps cohesive cores") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two triangles {1,2,3} and {4,5,6} joined by a bridge 3-4, plus a
+    // pendant 6-7: the bridge and pendant are in no triangle and peel
+    // in round 1; both triangles survive with support 1 per edge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+        (4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val out = Graph.ktrussEdges(edges, k = 3, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out.keySet == Set((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)))
+    assert(out.values.forall(_ == 1L))
+    // k = 4 (support >= 2) peels everything: no edge sits in 2 triangles
+    assert(Graph.ktrussEdges(edges, k = 4, rounds = 3).count() == 0)
+    // a 4-clique survives k = 4 with support 2 on every edge
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val t4 = Graph.ktrussEdges(k4, k = 4, rounds = 3).collect()
+    assert(t4.length == 6 && t4.forall(_.getLong(2) == 2L))
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val docs = Seq(

@@ -28,6 +28,27 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("BroadcastHashJoin"))
   }
 
+  test("count-min cells combine map-side: partial aggregate below the " +
+      "exchange") {
+    val df = SparkEntry.queries("tx38_countmin")(spark, sf)
+    val p = plan(df)
+    // the 4-way exploded token stream must collapse to (j, b) cells
+    // BEFORE any shuffle — a partial HashAggregate under the Exchange
+    // is the sketch-grain contract
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      p.take(2000))
+  }
+
+  test("TwoNN and semantic-decontamination probe joins broadcast the " +
+      "probe side, never shuffle the corpus") {
+    for (name <- Seq("sim20_twonn_id", "cx4_semantic_decontamination")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"), s"$name:\n" + p.take(2000))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+    }
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val df = SparkEntry.queries("f5_global_topk")(spark, sf)
     assert(plan(df).contains("TakeOrderedAndProject"))
