@@ -1578,8 +1578,8 @@ object RelationalQueries {
       val rows = cells.groupBy("o_orderstatus").agg(sum(col("o")).as("r"))
       val colsM = cells.groupBy("o_orderpriority").agg(sum(col("o")).as("c"))
       val dims = rows.agg(count(lit(1)).as("nr"))
-        .crossJoin(colsM.agg(count(lit(1)).as("nc")))
-        .crossJoin(cells.agg(sum(col("o")).as("n")))
+        .crossJoin(broadcast(colsM.agg(count(lit(1)).as("nc"))))
+        .crossJoin(broadcast(cells.agg(sum(col("o")).as("n"))))
       val term =
         (col("n").cast(d38) * col("o").cast(d38) -
           col("r").cast(d38) * col("c").cast(d38)).cast("double")
