@@ -904,6 +904,37 @@ object EventQueries {
             lit(false)).as("reject_5pct"))
     },
 
+    // POISSON DISPERSION test — is daily volume actually Poisson
+    // (VMR = 1), or over-dispersed/bursty (the usual reality)? The
+    // index of dispersion D = (n−1)s²/x̄ is χ²(n−1) under H₀, so
+    // alerting thresholds calibrated on a Poisson assumption are wrong
+    // exactly when this flags. Exact decimal moments per series, one
+    // IEEE tree: D = (nΣx² − S²)/S via the cross-multiplied identity
+    // (the (n−1)s²/x̄ algebra collapses to it — no mean ever
+    // materializes). Normal-approximation flag at |√(2D) − √(2(n−1)−1)|
+    // > 1.96 (Wilson–Hilferty-free form, fine at day-grain n).
+    "ev58_dispersion_test" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val st = Tables.eventsUs(s, dir)
+        .select(col("event_type"),
+          expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("days"), sum(col("n").cast(d38)).as("sx"),
+          sum(col("n").cast(d38) * col("n").cast(d38)).as("sxx"))
+      val dStat = (col("days").cast(d38) * col("sxx") -
+        col("sx") * col("sx")).cast("double") / col("sx").cast("double")
+      st.select(col("event_type"), col("days"),
+          when(col("days") > 1 && col("sx") > 0, dStat).as("d_stat"))
+        .withColumn("z",
+          when(col("d_stat").isNotNull && col("days") > 1,
+            sqrt(lit(2.0) * col("d_stat")) -
+              sqrt(lit(2.0) * (col("days") - 1).cast("double") -
+                lit(1.0))))
+        .withColumn("overdispersed",
+          coalesce(col("z") > 1.96, lit(false)))
+    },
+
     // GRANGER-style lag-causality screen — "does yesterday's click
     // volume predict today's purchases beyond purchases' own lag?"
     // (and the reverse): the F-test comparing restricted (own-lag) vs
@@ -2927,6 +2958,29 @@ object EventQueries {
         |      (CAST(qsum AS DOUBLE) / 1e12) > 11.0705 END, FALSE)
         |    AS reject_5pct
         |FROM q""".stripMargin,
+
+    "ev58_dispersion_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS days,
+        |    SUM(CAST(n AS HUGEINT)) AS sx,
+        |    SUM(CAST(n AS HUGEINT) * n) AS sxx
+        |  FROM daily GROUP BY 1),
+        |d AS (SELECT event_type, days,
+        |    CASE WHEN days > 1 AND sx > 0 THEN
+        |      CAST(days * sxx - sx * sx AS DOUBLE) / CAST(sx AS DOUBLE)
+        |    END AS d_stat
+        |  FROM st),
+        |z AS (SELECT event_type, days, d_stat,
+        |    CASE WHEN d_stat IS NOT NULL AND days > 1 THEN
+        |      sqrt(2.0e0 * d_stat) -
+        |      sqrt(2.0e0 * CAST(days - 1 AS DOUBLE) - 1.0e0) END AS z
+        |  FROM d)
+        |SELECT event_type, CAST(days AS BIGINT) AS days, d_stat, z,
+        |  COALESCE(z > 1.96e0, FALSE) AS overdispersed
+        |FROM z""".stripMargin,
 
     "ts23_granger" ->
       """WITH daily AS (

@@ -183,6 +183,43 @@ object TrainingDataQueries {
             .as("overestimate"))
     },
 
+    // TX39 (beyond reference): pairwise SOURCE vocabulary overlap —
+    // tx24 scores each source against the corpus; this fills in the
+    // source×source matrix ("are crawl A and crawl B the same
+    // register?") as Jaccard over each source's top-200 token set.
+    // The per-source top-k rank rides GlobalRank's grouped two-pass
+    // (source cardinality is tiny; vocabulary is NOT — the exact
+    // funnel shape the plain window can't parallelize), after which
+    // everything is ≤200·#sources rows. Zero-overlap pairs still emit
+    // (sizes frame outer-applied), jaccard as exact micro integers.
+    "tx39_source_vocab_jaccard" -> { (s, dir) =>
+      val counts = docsSpread(s, dir)
+        .select(col("source"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val top = graft.operators.GlobalRank.withGroupedRowNumber(counts,
+          group = Seq("source"),
+          order = Seq(col("c").desc, col("tok").asc), out = "rn")
+        .filter(col("rn") <= 200)
+      val sizes = top.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = top.select(col("source").as("sa"), col("tok"))
+        .join(top.select(col("source").as("sb"), col("tok")), "tok")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      sizes.select(col("source").as("sa"), col("sz").as("na"))
+        .crossJoin(broadcast(
+          sizes.select(col("source").as("sb"), col("sz").as("nb"))))
+        .filter(col("sa") < col("sb"))
+        .join(inter, Seq("sa", "sb"), "left")
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          coalesce(col("inter"), lit(0L)).as("inter"),
+          expr("""coalesce(inter, 0L) * 1000000 div
+                 |  (na + nb - coalesce(inter, 0L))"""
+            .stripMargin.replace("\n", " ")).as("jaccard_micro"))
+    },
+
     "tx6_top_tokens" -> { (s, dir) =>
       docsSpread(s, dir)
         .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
@@ -5040,6 +5077,30 @@ object TrainingDataQueries {
          |  LEAST(100 + n_tokens * 8, 900) AS keep_permille
          |FROM t
          |WHERE ${bucketSql("wsample", "doc_id")} < LEAST(100 + n_tokens * 8, 900)""".stripMargin,
+    "tx39_source_vocab_jaccard" ->
+      s"""WITH counts AS (
+         |  SELECT source, tok, COUNT(*) AS c FROM (
+         |    SELECT source, unnest(string_split($normSql, ' ')) AS tok
+         |    FROM documents) z
+         |  WHERE length(tok) > 0 GROUP BY 1, 2),
+         |top AS (SELECT source, tok FROM (
+         |    SELECT source, tok,
+         |      ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY c DESC, tok ASC) AS rn
+         |    FROM counts) t WHERE rn <= 200),
+         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM top GROUP BY 1),
+         |inter AS (SELECT a.source AS sa, b.source AS sb,
+         |    CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb,
+         |    a.sz AS na, b.sz AS nb
+         |  FROM sizes a CROSS JOIN sizes b WHERE a.source < b.source)
+         |SELECT sa, sb, na, nb, COALESCE(inter, 0) AS inter,
+         |  CAST(COALESCE(inter, 0) * 1000000 //
+         |    (na + nb - COALESCE(inter, 0)) AS BIGINT) AS jaccard_micro
+         |FROM pairs LEFT JOIN inter USING (sa, sb)""".stripMargin,
     "tx38_countmin" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS tok
