@@ -31,9 +31,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Unit =
+    def materialize(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+      // free any GlobalRank layout checkpoints deterministically at the
+      // query boundary (the result is fully materialized by the noop
+      // sink) instead of letting blocks ride until GC
+      graft.operators.GlobalRank.releaseLayouts()
+    }
 
     // Warm-up: exercise scan, shuffle, window, decimal-agg, and
     // array/HOF codegen paths once so first-touch JIT/codegen cost isn't

@@ -76,6 +76,99 @@ object PlanAudit {
       else None
   }
 
+  /** One measured plan hazard: the scale-killer class, the MEASURED row
+    * count feeding it, and where it sat in the plan. */
+  case class Hazard(kind: String, rows: Long, detail: String) {
+    def describe: String = s"$kind rows=$rows $detail"
+  }
+
+  /** MEASURED scale-hazard sweep — the FunnelSpec pattern generalized
+    * from windows to the other plan shapes that are correct at test SF
+    * and dead at 100× (round-8 directive 1). Three classes, each gated
+    * on MEASURED row counts (read from the executed plan's SQL metrics
+    * after running the query once), because boundedness is a DATA
+    * property invisible to static plan checks:
+    *
+    *  - `single-partition-exchange`: a shuffle whose output partitioning
+    *    is `SinglePartition` funnels its whole input through one task.
+    *    Legit at any scale when the input is already reduced (a global
+    *    agg's partial rows: ≤ #partitions); fatal when a corpus-sized
+    *    frame flows in. Gate: records written > `singlePartBound`.
+    *  - `cartesian-product`: a non-broadcast nested-loop join shuffles
+    *    nothing but computes |L|·|R| partition pairs — admissible only
+    *    when one side is domain-bounded (and then it should have been
+    *    broadcast). Gate: min(side rows) > `loopBound`.
+    *  - `nested-loop-broadcast`: a BroadcastNestedLoopJoin re-scans its
+    *    broadcast side per streamed row AND ships it to every executor —
+    *    fine for scalar stats frames and ≤64-row query sets, fatal for a
+    *    corpus-proportional side (150 customers at sf0.001 is 150M at
+    *    petabyte SF). Gate: build-side rows > `loopBound`.
+    *
+    * Metrics require the plan to have EXECUTED: callers run with AQE off
+    * (so the executed plan is the static shape, with no runtime skew
+    * rescue flattering the audit) and this method drives the plan's own
+    * RDD once before reading. A metric that is absent or never fired
+    * reports -1 and FLAGS (never silently passes). */
+  def scaleHazards(df: DataFrame, singlePartBound: Long, loopBound: Long)
+  : Seq[Hazard] = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+    val qe = df.queryExecution
+    // execute THIS plan instance so its metrics populate (df.count()
+    // would build and run a different plan)
+    qe.executedPlan.execute().count()
+    graft.operators.GlobalRank.releaseLayouts()
+
+    def metricOf(p: SparkPlan, key: String): Long =
+      p.metrics.get(key).map(_.value).getOrElse(-1L)
+    // a node's produced row count = first pre-order descendant exposing
+    // numOutputRows (codegen wrappers don't; their head operator does)
+    def outRows(p: SparkPlan): Long =
+      p.collectFirst {
+        case n if n.metrics.contains("numOutputRows") =>
+          n.metrics("numOutputRows").value
+      }.getOrElse(-1L)
+    def buildRows(p: SparkPlan): Long =
+      p.collectFirst {
+        case b: BroadcastExchangeExec => metricOf(b, "numOutputRows")
+        case r: ReusedExchangeExec => metricOf(r.child, "numOutputRows")
+      }.getOrElse(outRows(p))
+
+    val roots = qe.executedPlan +: qe.executedPlan.subqueriesAll
+    roots.flatMap { root =>
+      root.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition =>
+          val rows = Seq(metricOf(e, "shuffleRecordsWritten"),
+            outRows(e.child)).max
+          if (rows > singlePartBound || rows < 0)
+            Some(Hazard("single-partition-exchange", rows,
+              s"into ${e.child.nodeName}"))
+          else None
+        case c: CartesianProductExec =>
+          val l = outRows(c.left); val r = outRows(c.right)
+          val mn = math.min(l, r)
+          if (mn > loopBound || mn < 0)
+            Some(Hazard("cartesian-product", mn, s"left=$l right=$r"))
+          else None
+        case j: BroadcastNestedLoopJoinExec =>
+          val side = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          val b = buildRows(side)
+          if (b > loopBound || b < 0)
+            Some(Hazard("nested-loop-broadcast", b,
+              s"build=${j.buildSide} ${j.joinType}"))
+          else None
+      }.flatten
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = graft.core.GraftSession.local(appName = "graft-plan-audit")
@@ -119,6 +212,31 @@ object FunnelAudit {
       try {
         PlanAudit.windowFunnels(fn(spark, sfDir), minGroups, rowsPerGroup)
           .foreach { sh => flagged += 1; println(s"FUNNEL $name ${sh.describe}") }
+      } catch {
+        case e: Throwable =>
+          println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
+      }
+    }
+    println(s"flagged: $flagged")
+    spark.stop()
+  }
+}
+
+/** Catalog-wide measured scale-hazard sweep (dev tool; ScaleGateSpec
+  * runs the same check as a CI gate):
+  * `runMain graft.ScaleAudit [sfDir] [singlePartBound] [loopBound]`. */
+object ScaleAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val singlePartBound = if (args.length > 1) args(1).toLong else 512L
+    val loopBound = if (args.length > 2) args(2).toLong else 64L
+    val spark = graft.core.GraftSession.local(appName = "graft-scale-audit")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        PlanAudit.scaleHazards(fn(spark, sfDir), singlePartBound, loopBound)
+          .foreach { h => flagged += 1; println(s"HAZARD $name ${h.describe}") }
       } catch {
         case e: Throwable =>
           println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")

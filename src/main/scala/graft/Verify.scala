@@ -42,6 +42,10 @@ object Verify {
         errors(name) =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
+      finally
+        // free GlobalRank layout checkpoints at the query boundary (the
+        // result parquet is fully written; the frame is discarded)
+        graft.operators.GlobalRank.releaseLayouts()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -30,7 +30,16 @@ object EntityAudit {
     * as the er4 contract. The cap window partitions by component:
     * cluster sizes are bounded by entity multiplicity (and the capped
     * output by `cap`), never corpus size, so the window is admissible
-    * under the SCALE.md review rule. */
+    * under the SCALE.md review rule — with one spelled caveat: the
+    * row_number sorts ALL members of a component through one task
+    * BEFORE the cap filter, so the pathological chained mega-cluster
+    * this audit exists to surface pays an O(n log n) single-task sort
+    * of that one component (vs the O(n²) pair fan the cap removes).
+    * That is the accepted bound: the sort is per-component, spills,
+    * and terminates; the alarm (huge `n_members`, large capped
+    * diameter) still fires. Pre-sampling members by hash before the
+    * window would cut it to O(cap) but loses the "first `cap` by id"
+    * determinism the oracle pins. */
   def clusterAudit(members: DataFrame, component: Column, id: Column,
                    name: Column, cap: Int = 20): DataFrame = {
     val m = members.select(component.as("component"), id.as("id"),

@@ -40,10 +40,71 @@ import org.apache.spark.sql.functions._
   * the id ordinal are only meaningful against a pinned layout) — but it
   * means the operator costs one full materialization of the input plus the
   * range exchange, and the checkpointed blocks live until the returned
-  * frame goes out of scope. At cluster scale prefer feeding it a pruned
-  * projection (rank keys + row id), not a wide row.
+  * frame goes out of scope. The pruned-input contract is EXECUTABLE, not
+  * advisory: every entry point `require`s the input at most
+  * [[MaxLayoutWidth]] columns — rank a (keys, rowid) projection and join
+  * the wide row back, never feed the wide row itself. Callers that own a
+  * query boundary (Bench, Verify, the audit sweeps) call
+  * [[releaseLayouts]] after materializing each result to free the
+  * checkpointed blocks deterministically instead of waiting for GC;
+  * after release the returned frame must not be re-executed (a local
+  * checkpoint's lineage is truncated — recompute is impossible by
+  * design).
   */
 object GlobalRank {
+
+  /** Executable form of the pruned-input contract (see the cost note):
+    * each call checkpoints its FULL input to executor storage, so the
+    * input must be a pruned projection — rank keys, grouping keys, a row
+    * id, a weight — never the wide row. 12 columns is comfortably above
+    * every legitimate layout (keys + id + a handful of carried values)
+    * and far below a full fact-table row. */
+  val MaxLayoutWidth = 12
+
+  /** Checkpointed layout RDDs not yet released — a deterministic free
+    * list for query-boundary owners ([[releaseLayouts]]); entries are
+    * the materialized `LogicalRDD` handles, so unpersist drops the
+    * actual storage blocks. */
+  private val liveLayouts =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  private def checkpointLayout(df: DataFrame): DataFrame = {
+    val pinned = df.localCheckpoint(true)
+    // localCheckpoint materializes the plan into a LogicalRDD whose rdd
+    // holds the persisted blocks — track it so releaseLayouts() can
+    // unpersist deterministically at the query boundary.
+    graft.core.GraftSession.checkpointRdd(pinned).foreach(liveLayouts.add)
+    pinned
+  }
+
+  /** Unpersist every layout checkpointed since the last call; returns
+    * how many were released. Call ONLY at a query boundary, after the
+    * frames built on those layouts are fully materialized and discarded
+    * — released layouts cannot be recomputed. */
+  def releaseLayouts(): Int = {
+    var n = 0
+    var r = liveLayouts.poll()
+    while (r != null) {
+      r.unpersist(blocking = false); n += 1; r = liveLayouts.poll()
+    }
+    n
+  }
+
+  private def requireNarrow(df: DataFrame): Unit =
+    require(df.columns.length <= MaxLayoutWidth,
+      s"GlobalRank checkpoints its full input: got ${df.columns.length} " +
+        s"columns (max $MaxLayoutWidth) — feed a pruned projection " +
+        "(rank keys + row id) and join the wide row back on the id")
+
+  /** Output-name hygiene: `withColumn(out, …)` silently REPLACES an
+    * existing column, which here would corrupt the very keys being
+    * ranked — reject the collision instead. */
+  private def requireFreshNames(df: DataFrame, outs: Seq[String]): Unit = {
+    val clash = outs.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"output column(s) ${clash.mkString(", ")} already exist in the " +
+        "input — pass different out names")
+  }
 
   /** Within-partition ordinal (0-based): the low 33 bits of
     * `monotonically_increasing_id()`. Evaluated AFTER the local sort in a
@@ -62,13 +123,13 @@ object GlobalRank {
     val spark = df.sparkSession
     require(!df.columns.contains("__pid"),
       "__pid is reserved by GlobalRank")
+    requireNarrow(df)
     val parts = spark.sparkContext.defaultParallelism
     // Materialize the ranged layout ONCE with the partition id baked into
     // the rows: both passes must see the SAME partitioning (see scaladoc).
-    val ranged = df
+    val ranged = checkpointLayout(df
       .repartitionByRange(parts, sortKeys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
     val counts = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
@@ -91,8 +152,53 @@ object GlobalRank {
     * are plain keys, ranked ascending; the combined order should be total
     * for a deterministic result), as column `out`. */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
-                          out: String = "rn"): DataFrame =
+                          out: String = "rn"): DataFrame = {
+    requireFreshNames(df, Seq(out))
     rowNumbered(rangeLayout(df, order), order, out)
+  }
+
+  /** Global inclusive PREFIX SUM of `value` along `order` — the
+    * group-free form of [[withGroupedPrefixSum]] for cumulative passes
+    * whose natural key has NO partition column at all (a global CDF, a
+    * Lorenz curve): `sum(v).over(Window.orderBy(k))` funnels every row
+    * through one task, the one window shape that cannot scale. Same
+    * two-pass medicine: pinned range layout on `order`, per-partition
+    * totals → broadcast prefix offsets, then a per-PARTITION running sum
+    * (one balanced hash exchange on `__pid`). `totOut` exposes the grand
+    * total from the same pass-1 frame. Ties in `order` accumulate in
+    * layout order — the built-in running-sum contract. */
+  def withGlobalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                          out: String = "cum",
+                          totOut: Option[String] = None): DataFrame = {
+    requireFreshNames(df, out +: totOut.toSeq)
+    val r = rangeLayout(df, order)
+    // per-partition prefix offsets over `value` (not row counts): same
+    // shape as Ranged.offsets but weighted, from one tiny aggregate
+    val partials = r.df.groupBy("__pid").agg(sum(value).as("__psum"))
+      .collect().map(x => x.getInt(0) -> x.getAs[Any](1)).sortBy(_._1)
+    def toLong(a: Any): Long = a match {
+      case null => 0L
+      case l: Long => l
+      case i: Int => i.toLong
+      case d: java.math.BigDecimal => d.longValueExact()
+      case d: BigDecimal => d.toLongExact
+      case o => o.toString.toLong
+    }
+    var acc = 0L
+    val offsets = partials.map { case (pid, s) =>
+      val off = acc; acc += toLong(s); pid -> off
+    }.toMap
+    val run = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = r.df
+      .withColumn(out,
+        sum(value).over(run) + element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid")
+    totOut match {
+      case Some(t) => cum.withColumn(t, lit(acc))
+      case None    => cum
+    }
+  }
 
   /** Rank + total, sharing one layout pass. */
   private def rankWithTotal(df: DataFrame, order: Seq[Column],
@@ -112,8 +218,10 @@ object GlobalRank {
     * the underlying pass, rank itself only depends on `order`). */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
                      tieBreak: Seq[Column], out: String = "rnk")
-  : DataFrame =
+  : DataFrame = {
+    requireFreshNames(df, Seq(out))
     rankWithTotal(df, order, tieBreak, out)._1
+  }
 
   /** Global rank AND percent_rank = (rank − 1) / (N − 1) in one layout
     * pass; N comes from the pass-1 partition counts — no extra action
@@ -122,6 +230,7 @@ object GlobalRank {
                                tieBreak: Seq[Column],
                                rankOut: String = "rnk",
                                pctOut: String = "pr"): DataFrame = {
+    requireFreshNames(df, Seq(rankOut, pctOut))
     val (ranked, n) = rankWithTotal(df, order, tieBreak, rankOut)
     ranked.withColumn(pctOut,
       (col(rankOut) - 1).cast("double") / math.max(n - 1L, 1L))
@@ -158,6 +267,7 @@ object GlobalRank {
                       order: Seq[Column], tieBreak: Seq[Column],
                       out: String = "rnk", pctOut: Option[String] = None)
   : DataFrame = {
+    requireFreshNames(df, out +: pctOut.toSeq)
     val groupCols = group.map(col)
     val rn = groupedCore(df, group, groupCols ++ order ++ tieBreak)
     // the scalable per-VALUE tie heal: rank = min row number per value —
@@ -190,6 +300,7 @@ object GlobalRank {
   def withGroupedRowNumber(df: DataFrame, group: Seq[String],
                            order: Seq[Column], out: String = "rn",
                            nOut: Option[String] = None): DataFrame = {
+    requireFreshNames(df, out +: nOut.toSeq)
     val core = groupedCore(df, group, group.map(col) ++ order)
       .withColumnRenamed("__grn", out)
     nOut match {
@@ -219,6 +330,7 @@ object GlobalRank {
                            order: Seq[Column], value: Column,
                            out: String = "cum",
                            totOut: Option[String] = None): DataFrame = {
+    requireFreshNames(df, out +: totOut.toSeq)
     val sort = group.map(col) ++ order
     val ranged = rangedLayout(df, group, sort)
     val offRenamed = groupedOffsets(ranged, group, value)
@@ -276,10 +388,10 @@ object GlobalRank {
       "__grn")
     require(!df.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by GlobalRank")
+    requireNarrow(df)
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    df.repartitionByRange(parts, sort: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    checkpointLayout(df.repartitionByRange(parts, sort: _*)
+      .withColumn("__pid", spark_partition_id()))
   }
 
   /** Pass 1 over a pinned layout: per-(pid, group) totals of `value`.

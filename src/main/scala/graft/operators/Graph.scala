@@ -646,10 +646,13 @@ object Graph {
     * pins lineage like ccStar/bfsHops. Path counts grow like
     * out-degreeᵏ — callers cap `rounds` small (the usual Katz horizon)
     * and keep αᵏ·counts inside int64, which 4 rounds on any real
-    * link graph does. */
+    * link graph does. `rounds` caps at 19: the micro-unit attenuation
+    * `1000000 >> k` hits 0 at k = 20 (1 at k = 19), so a 20th round
+    * would pay a full join + checkpoint for a guaranteed-zero
+    * contribution. */
   def katzCentrality(nodes: DataFrame, edges: DataFrame,
                      rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 20, s"rounds in 1..20, got $rounds")
+    require(rounds >= 1 && rounds <= 19, s"rounds in 1..19, got $rounds")
     val e = edges.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst")).localCheckpoint(true)
     val n0 = nodes.select(col("node").cast("bigint").as("node"))

@@ -338,9 +338,15 @@ object EventQueries {
         .select(expr("(ts - prev) div 60000000").as("g"))
       val st = gaps.agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
       val byv = gaps.groupBy("g").agg(count(lit(1)).as("c"))
-      val cum = byv.crossJoin(broadcast(st))
-        .withColumn("cc", sum(col("c")).over(Window.orderBy(col("g").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // the empirical-CDF cumulative rides the range-partitioned global
+      // prefix sum: the gap histogram is span-bounded (minute grain,
+      // ≤43 200 rows for a 30-day fixture) so an unpartitioned window
+      // would also terminate — but bounded-or-not, no catalog query
+      // funnels through Window.orderBy-with-no-partition (the shape the
+      // measured funnel gate exists to reject)
+      val cum = graft.operators.GlobalRank.withGlobalPrefixSum(
+          byv, Seq(col("g")), col("c"), out = "cc")
+        .crossJoin(broadcast(st))
       val dm = when(col("sg") > 0,
         floor(lit(1e6) * abs(
           col("cc").cast("double") / col("n").cast("double") -

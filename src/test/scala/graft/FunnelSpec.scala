@@ -20,20 +20,17 @@ class FunnelSpec extends SparkSpec {
   test("no catalog query windows a corpus-sized frame through a " +
       "low-cardinality partition key") {
     val sf = "/root/testdata/sf0.001"
-    // Audited exceptions. Two admission arguments, spelled per entry
-    // (keep in lockstep with SCALE.md's audit table; a stale entry
-    // fails the second assertion below):
+    // Audited exceptions. ONE admission argument, spelled (keep in
+    // lockstep with SCALE.md's audit table; a stale entry fails the
+    // second assertion below):
     //  - e2/e10: the partition-key cardinality SCALES with the data but
     //    is tiny at sf0.001 (10 suppliers) — the measured ceiling is a
     //    fixture artifact; at any real scale these keys have
     //    executor-count cardinality.
-    //  - ts17: the unpartitioned cumulative CDF runs over MINUTE-grain
-    //    gap values — cardinality bounded by the observation span in
-    //    minutes (a 30-day fixture caps it at 43 200 rows at ANY corpus
-    //    size), already above this gate's 512-row floor at sf0.001
-    //    (697 distinct gaps) but saturating, not corpus-proportional.
-    val audited = Set("e2_best_flags", "e10_sliding_frame",
-      "ts17_exp_gap_fit")
+    // (ts17 left this list in round 9: its span-bounded CDF cumulative
+    // now rides GlobalRank.withGlobalPrefixSum, so the remaining
+    // entries are exactly "keys whose cardinality scales with data".)
+    val audited = Set("e2_best_flags", "e10_sliding_frame")
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         PlanAudit.windowFunnels(fn(spark, sf),
