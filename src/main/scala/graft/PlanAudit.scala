@@ -143,8 +143,12 @@ object PlanAudit {
       root.collect {
         case e: ShuffleExchangeExec
             if e.outputPartitioning == SinglePartition =>
-          val rows = Seq(metricOf(e, "shuffleRecordsWritten"),
-            outRows(e.child)).max
+          // records WRITTEN to this exchange is the exact funnel input;
+          // the child's numOutputRows over-reports it (rows counted
+          // before a local limit, or accumulated across subtree
+          // re-executions), so it is only the absent-metric fallback
+          val w = metricOf(e, "shuffleRecordsWritten")
+          val rows = if (w >= 0) w else outRows(e.child)
           if (rows > singlePartBound || rows < 0)
             Some(Hazard("single-partition-exchange", rows,
               s"into ${e.child.nodeName}"))
@@ -243,6 +247,39 @@ object ScaleAudit {
       }
     }
     println(s"flagged: $flagged")
+    spark.stop()
+  }
+}
+
+/** Execute one query (AQE off) and print every exchange / nested-loop
+  * node with its measured SQL metrics — the drill-down companion to
+  * ScaleAudit: `runMain graft.HazardShow <name> [sfDir]`. */
+object HazardShow {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = graft.core.GraftSession.local(appName = "graft-hazard-show")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+    qe.executedPlan.execute().count()
+    def fmt(p: org.apache.spark.sql.execution.SparkPlan): String =
+      p.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
+    (qe.executedPlan +: qe.executedPlan.subqueriesAll).foreach {
+      _.foreach {
+        case e: ShuffleExchangeExec =>
+          println(s"SHUFFLE ${e.outputPartitioning} <- ${e.child.nodeName}: ${fmt(e)}")
+        case b: BroadcastExchangeExec =>
+          println(s"BCAST <- ${b.child.nodeName}: ${fmt(b)}")
+        case j: BroadcastNestedLoopJoinExec =>
+          println(s"BNLJ ${j.buildSide} ${j.joinType}")
+        case c: CartesianProductExec =>
+          println(s"CARTESIAN")
+        case _ => ()
+      }
+    }
+    println(qe.executedPlan.toString.take(8000))
     spark.stop()
   }
 }

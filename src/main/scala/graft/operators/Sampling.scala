@@ -20,6 +20,41 @@ import graft.functions.HashExpressions.md5Prefix60
   */
 object Sampling {
 
+  /** Two-round RAKING (iterative proportional fitting) over a
+    * (lang, source, n) CELL table: round 1 scales every cell to the
+    * uniform language target, round 2 rescales to restore the source
+    * margins round 1 disturbed. Weights stay micro integers; every
+    * product runs in decimal(38,0) so nothing overflows at corpus
+    * scale, and every division is nonneg div nonneg — engine-identical.
+    * The input is METADATA grain (L·S rows after one corpus rollup), so
+    * every join below broadcasts and the same program serves batch
+    * planning and a streaming rollup's periodic re-rake (the cell table
+    * is the state; see StreamingSpec's s17 twin). */
+  def rakeTwoRound(cells: DataFrame): DataFrame = {
+    val tot = cells.agg(sum(col("n")).as("t"),
+      countDistinct(col("lang")).as("nl"))
+    val w1 = cells.groupBy("lang").agg(sum(col("n")).as("n_l"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"),
+        expr("""cast(t as decimal(38,0)) * 1000000 div nl * 1000000
+               |  div (cast(n_l as decimal(38,0)) * 1000000)"""
+          .stripMargin.replace("\n", " ")).cast("bigint")
+          .as("w1_micro"))
+    val c1 = cells.join(broadcast(w1), "lang")
+    val f2 = c1.groupBy("source")
+      .agg(sum(col("n")).as("n_s"),
+        sum(expr("cast(n as decimal(38,0)) * w1_micro")).as("cur2"))
+      .select(col("source"),
+        expr("""cast(n_s as decimal(38,0)) * 1000000 * 1000000
+               |  div cur2""".stripMargin.replace("\n", " "))
+          .cast("bigint").as("f2_micro"))
+    c1.join(broadcast(f2), "source")
+      .select(col("lang"), col("source"), col("n"), col("w1_micro"),
+        expr("""cast(w1_micro as decimal(38,0)) * f2_micro
+               |  div 1000000""".stripMargin.replace("\n", " "))
+          .cast("bigint").as("w2_micro"))
+  }
+
   /** Stable bucket in [0, 1000) for a key under a salt. Distinct salts
     * give independent samples (e.g. a sampling gate that must not
     * correlate with the train/val/test split). Null keys get a null

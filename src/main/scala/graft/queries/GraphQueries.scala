@@ -363,15 +363,23 @@ object GraphQueries {
         .select(col("vec_id").cast("bigint").as("node"),
           col("label").cast("bigint").as("label"),
           (col("vec_id") % 5 === 0).as("seed"))
+      // labels feeds three joins (cdeg, and both endpoints of cin) and
+      // is itself a 2-round iterative spread: pin it once rather than
+      // re-running the spread per consumer (same contract as the
+      // per-round checkpoints inside labelSpread itself)
       val labels = Graph.labelSpread(emb,
           Graph.syntheticLinks(emb.select("node"), idCol = "node"),
           rounds = 2)
         .filter(col("label").isNotNull)
         .select(col("node"), col("label").as("lab"))
+        .localCheckpoint(true)
+      // und feeds m, deg, and cin: one pinned node-grain edge table vs
+      // three recomputations of the generate + distinct shuffle
       val und = Graph.syntheticLinks(emb.select("node"), idCol = "node")
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
       val m = und.agg(count(lit(1)).as("m"))
       val deg = und.select(col("u").as("node"))
         .unionByName(und.select(col("v").as("node")))

@@ -3278,28 +3278,7 @@ object TrainingDataQueries {
     "s17_raking_weights" -> { (s, dir) =>
       val cells = docsSpread(s, dir).groupBy("lang", "source")
         .agg(count(lit(1)).as("n"))
-      val tot = cells.agg(sum(col("n")).as("t"),
-        countDistinct(col("lang")).as("nl"))
-      val w1 = cells.groupBy("lang").agg(sum(col("n")).as("n_l"))
-        .crossJoin(broadcast(tot))
-        .select(col("lang"),
-          expr("""cast(t as decimal(38,0)) * 1000000 div nl * 1000000
-                 |  div (cast(n_l as decimal(38,0)) * 1000000)"""
-            .stripMargin.replace("\n", " ")).cast("bigint")
-            .as("w1_micro"))
-      val c1 = cells.join(broadcast(w1), "lang")
-      val f2 = c1.groupBy("source")
-        .agg(sum(col("n")).as("n_s"),
-          sum(expr("cast(n as decimal(38,0)) * w1_micro")).as("cur2"))
-        .select(col("source"),
-          expr("""cast(n_s as decimal(38,0)) * 1000000 * 1000000
-                 |  div cur2""".stripMargin.replace("\n", " "))
-            .cast("bigint").as("f2_micro"))
-      c1.join(broadcast(f2), "source")
-        .select(col("lang"), col("source"), col("n"), col("w1_micro"),
-          expr("""cast(w1_micro as decimal(38,0)) * f2_micro
-                 |  div 1000000""".stripMargin.replace("\n", " "))
-            .cast("bigint").as("w2_micro"))
+      graft.operators.Sampling.rakeTwoRound(cells)
     },
 
     // SIM19 (beyond reference): MAHALANOBIS OOD scoring — distance to

@@ -810,4 +810,186 @@ class StreamingSpec extends SparkSpec {
     // … and the beyond-watermark click left no trace in its 10:00 window
     assert(!byWindow.contains(ts("2024-01-01 10:00:00")))
   }
+
+  // ---- streaming twins of the s16–s19 sampling gates (round 9):
+  // learning stays batch (corpus statistics, recomputed periodically);
+  // APPLICATION runs on the arriving stream and must reproduce batch
+  // membership exactly — same contract as s1–s4 and dd16/s15.
+
+  /** Shared doc fixture + the batch-learned DSIR 64-bucket log-ratio
+    * map (the same program as TrainingDataQueries.dsirWeights' learning
+    * half, on a 8-doc corpus with en as the target slice). */
+  private def dsirFixture = {
+    import spark.implicits._
+    import graft.operators.Scoring
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "a formal sentence with measured vocabulary"),
+      (3L, "de", "der schnelle braune fuchs springt"),
+      (4L, "en", "the dog sleeps and the fox runs"),
+      (5L, "fr", "le renard brun saute par dessus"),
+      (6L, "en", "quick measured formal text wins"),
+      (7L, "de", "ein weiterer deutscher satz hier"),
+      (8L, "en", "the the the fox fox dog"),
+      // ids 9–11 hash to HIGH sir buckets (936/804/944 — ln u near 0),
+      // so these low-weight non-target docs are deterministic
+      // REJECTIONS for the s18 gate: the fixture must exercise both
+      // sides of the acceptance predicate
+      (9L, "de", "noch ein deutscher beispielsatz dazu"),
+      (10L, "de", "ganz anderes deutsches vokabular hier"),
+      (11L, "de", "weitere woerter ohne englisches gewicht"))
+      .toDF("doc_id", "lang", "text")
+    val toks = docs
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        explode(split(graft.operators.TextAnalysis
+          .normalizeText(col("text")), " ")).as("t"))
+      .select(col("doc_id"), col("tgt"),
+        Scoring.tokenBucket(col("t"), 64).as("b"))
+    val dist = toks.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val ratio = dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(lit(1e6) *
+          (log((col("ct") + lit(1L)).cast("double") /
+            (col("nt") + lit(64L)).cast("double")) -
+            log((col("cr") + lit(1L)).cast("double") /
+              (col("nr") + lit(64L)).cast("double"))))
+          .cast("bigint").as("lr_micro"))
+    val ratioMap = ratio.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch reference weights via the PRODUCTION join/rollup path
+    val batch = toks.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("lr_micro")).as("logw_micro"))
+    (docs, ratioMap, batch)
+  }
+
+  test("DSIR weights (s16): the stateless map-literal scorer matches " +
+      "the batch explode/join rollup on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (docs, ratioMap, batchW) = dsirFixture
+    val batch = batchW.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stream = MemoryStream[(Long, String)]
+    val scored = graft.streaming.SamplingStreams.dsirScore(
+      stream.toDF().toDF("doc_id", "text"), ratioMap)
+    val query = scored.writeStream.format("memory")
+      .queryName("s16_dsir_out").outputMode("append").start()
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    stream.addData(rows.take(3): _*)
+    query.processAllAvailable()
+    stream.addData(rows.drop(3): _*)
+    query.processAllAvailable()
+    val streamed = spark.table("s16_dsir_out")
+      .select("doc_id", "n_terms", "logw_micro").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    query.stop()
+    assert(streamed == batch && streamed.size == rows.length)
+  }
+
+  test("SIR gate (s18): frozen-ceiling log-space acceptance selects " +
+      "identical membership on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (docs, ratioMap, _) = dsirFixture
+    val scoredBatch = graft.streaming.SamplingStreams.dsirScore(
+      docs.select("doc_id", "text"), ratioMap)
+    // the weight ceiling is a batch planning statistic, frozen
+    val wmax = scoredBatch.agg(max(col("avg_micro"))).head().getLong(0)
+    val batchKept = graft.streaming.SamplingStreams
+      .sirGate(scoredBatch, wmax)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stream = MemoryStream[(Long, String)]
+    val kept = graft.streaming.SamplingStreams.sirGate(
+      graft.streaming.SamplingStreams.dsirScore(
+        stream.toDF().toDF("doc_id", "text"), ratioMap), wmax)
+    val query = kept.writeStream.format("memory")
+      .queryName("s18_sir_out").outputMode("append").start()
+    stream.addData(docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))): _*)
+    query.processAllAvailable()
+    val streamedKept = spark.table("s18_sir_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    query.stop()
+    assert(streamedKept == batchKept)
+    // the gate must separate: some docs in, some out (fixture sanity;
+    // 9–11 sit in the rejection region by construction)
+    assert(batchKept.nonEmpty && batchKept.size < 11)
+    assert((batchKept & Set(9L, 10L, 11L)).isEmpty)
+  }
+
+  test("raking cells (s17): a complete-mode stream rollup feeds the " +
+      "same two-round IPF plan as batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      ("en", "web"), ("en", "web"), ("en", "code"), ("de", "web"),
+      ("de", "code"), ("de", "code"), ("fr", "web"), ("en", "books"))
+    def rake(cells: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.rakeTwoRound(cells).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = rake(rows.toDF("lang", "source")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n")))
+    val stream = MemoryStream[(String, String)]
+    val query = stream.toDF().toDF("lang", "source")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("s17_cells_out")
+      .outputMode("complete").start()
+    stream.addData(rows.take(4): _*)
+    query.processAllAvailable()
+    stream.addData(rows.drop(4): _*) // counts merge across batches
+    query.processAllAvailable()
+    // snapshot the memory-sink state before raking: the IPF program
+    // self-joins its cell table, and DeduplicateRelations cannot clone
+    // a MemoryPlan view (Spark internal-error on conflicting refs) —
+    // also the honest shape: the periodic re-rake runs on a pinned
+    // snapshot of the rolling cell state, not on a moving table
+    val streamed = rake(spark.table("s17_cells_out").localCheckpoint(true))
+    query.stop()
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("PPS systematic (s19): the single-cursor streaming sampler " +
+      "reproduces the batch token-line selection across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SamplingStreams.{PpsDoc, PpsHit}
+    // sizes chosen so some docs straddle lattice points and one long
+    // doc (900) is hit multiple times; step frozen from the plan pass
+    val docs = Seq(PpsDoc(1, 120), PpsDoc(2, 80), PpsDoc(3, 900),
+      PpsDoc(4, 40), PpsDoc(5, 300), PpsDoc(6, 10), PpsDoc(7, 250))
+    val step = docs.map(_.size).sum / 10 // 170
+    // batch reference: cumulative in doc_id order, lattice-hit rule
+    val batch = docs.scanLeft((0L, Option.empty[PpsHit])) {
+      case ((cum, _), d) =>
+        val c = cum + d.size
+        val n = c / step - cum / step
+        (c, if (n > 0) Some(PpsHit(d.doc_id, d.size, c, n)) else None)
+    }.flatMap(_._2).map(h => h.doc_id -> h).toMap
+    val stream = MemoryStream[PpsDoc]
+    val out = graft.streaming.SamplingStreams.ppsSystematic(
+      stream.toDS(), step)
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("s19_pps_out").outputMode("append").start()
+    stream.addData(docs.take(3): _*) // cursor carries across batches
+    query.processAllAvailable()
+    stream.addData(docs.drop(3): _*)
+    query.processAllAvailable()
+    val streamed = spark.table("s19_pps_out").as[PpsHit].collect()
+      .map(h => h.doc_id -> h).toMap
+    query.stop()
+    assert(streamed == batch)
+    // fixture sanity: the 900-token doc carries multiple lattice hits
+    assert(batch(3L).n_hits > 1)
+  }
 }

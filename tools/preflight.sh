@@ -19,7 +19,15 @@ ONLY="${1:-}"
 OUT=/tmp/preflight_verify
 SF=/root/testdata/sf0.01
 
-echo "== preflight: compile + test =="
+echo "== preflight: compile + test (incl. measured scale gates) =="
+# `sbt test` includes the two MEASURED plan gates, so they run before
+# any bench submission, not just when someone remembers the dev tools:
+#  - FunnelSpec: every logical window in every catalog query, flagged
+#    when a corpus-sized frame funnels through a low-cardinality key
+#    (dev tool: runMain graft.FunnelAudit);
+#  - ScaleGateSpec: every query EXECUTED once, flagged on measured
+#    single-partition exchanges / cartesian products / oversized
+#    nested-loop broadcast sides (dev tool: runMain graft.ScaleAudit).
 sbt -batch compile test
 
 echo "== preflight: Verify -> DuckDB differential (sf0.01) =="
