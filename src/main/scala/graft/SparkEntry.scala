@@ -54,7 +54,8 @@ object SparkEntry {
       graft.queries.SqlQueries.queries ++
       graft.queries.ScoringQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.ExperimentQueries.queries
+      graft.queries.ExperimentQueries.queries ++
+      graft.queries.PrivacyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.SqlQueries.oracleSql ++
       graft.queries.ScoringQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
-      graft.queries.ExperimentQueries.oracleSql
+      graft.queries.ExperimentQueries.oracleSql ++
+      graft.queries.PrivacyQueries.oracleSql
 }

@@ -76,6 +76,16 @@ object Outliers {
     // exact path: two grouped-rank SELECTION passes (values, then
     // absolute deviations — the second depends on the first's median,
     // so they are inherently sequential), then one counting aggregate.
+    // PLAN CHOICE, measured at sf0.1 (fresh-JVM warm minima): the
+    // d23-style histogram path (groupBy(grp, value).count →
+    // withGroupedPrefixSum → crossover interpolation) was tried first
+    // and is ~27% SLOWER here (~6.1 s vs ~4.8 s) — the histogram saves
+    // nothing because the profiled domains (price cents, byte sizes)
+    // are near-distinct per row, so the "histogram" is row-grain plus
+    // an extra rollup, and the prefix sum pays a pid-hash exchange the
+    // selection form avoids. Both forms are scale-safe; selection wins
+    // on cost. Each selection pass feeds a NARROW frame (group + one
+    // value column) per GlobalRank's executable width contract.
     // The three phases deliberately re-scan the narrow (group, value)
     // projection rather than checkpoint it: a pruned columnar scan
     // pipelines into each phase's exchange for free, while an extra

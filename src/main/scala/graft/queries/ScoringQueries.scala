@@ -343,6 +343,44 @@ object ScoringQueries {
     // group totals off its pass-1 counts, so no #sources-parallel
     // window ever sees the corpus. Emits the per-bin boundary table
     // (count + min/max value), i.e. the fitted discretizer itself.
+    // FE23 (beyond reference): MUTUAL-INFORMATION feature relevance —
+    // I(feature; label) in exact micro-nats for each candidate
+    // categorical feature against the length-quality label, the
+    // feature-selection ranking that says which metadata columns carry
+    // signal BEFORE anyone trains on them. Distinct from fe3 (PMI of
+    // token PAIRS — cooccurrence, not label relevance) and d53
+    // (Cramér's V — a χ²-family effect size; MI is the
+    // information-theoretic one the mRMR/filter-selection literature
+    // ranks by). Each joint cell's ln((c_vy·n)/(c_v·c_y)) is
+    // floor-quantized to micro-nats once and weighted by its exact
+    // count, so MI = Σw/n is one exact-int-fed IEEE division. Shape:
+    // both features stack into ONE corpus pass (Expand), then all
+    // rollups are category-grain.
+    "fe23_mi_relevance" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val d = docsSpread(s, dir).select(
+        expr("stack(2, 'source', source, 'lang', lang)")
+          .as(Seq("feature", "v")),
+        when(col("n_chars") >= 200, 1L).otherwise(0L).as("y"))
+      val joint = d.groupBy("feature", "v", "y")
+        .agg(count(lit(1)).as("c_vy"))
+      val mv = joint.groupBy("feature", "v").agg(sum(col("c_vy")).as("c_v"))
+      val my = joint.groupBy("feature", "y").agg(sum(col("c_vy")).as("c_y"))
+      val n = joint.groupBy("feature").agg(sum(col("c_vy")).as("n"))
+      joint.join(mv, Seq("feature", "v"))
+        .join(broadcast(my), Seq("feature", "y"))
+        .join(broadcast(n), Seq("feature"))
+        .select(col("feature"), col("n"),
+          (col("c_vy") * floor(lit(1e6) * log(
+            (col("c_vy").cast("double") * col("n").cast("double")) /
+              (col("c_v").cast("double") * col("c_y").cast("double"))))
+            .cast("bigint")).as("w"))
+        .groupBy("feature", "n").agg(sum(col("w").cast(d38)).as("sw"))
+        .select(col("feature"), col("n").as("n_rows"),
+          (col("sw").cast("double") / col("n").cast("double"))
+            .as("mi_nat_micro"))
+    },
+
     "fe22_equal_freq_binning" -> { (s, dir) =>
       val d = docsSpread(s, dir)
         .select(col("source"), col("doc_id"), col("n_chars"))
@@ -2045,6 +2083,35 @@ object ScoringQueries {
          |$rounds
          |SELECT i, v AS component_micro FROM v_4""".stripMargin
     },
+    "fe23_mi_relevance" ->
+      """WITH d AS (
+        |  SELECT 'source' AS feature, source AS v,
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', lang,
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+        |  FROM documents),
+        |joint AS (SELECT feature, v, y, COUNT(*) AS c_vy
+        |  FROM d GROUP BY 1, 2, 3),
+        |mv AS (SELECT feature, v, CAST(SUM(c_vy) AS BIGINT) AS c_v
+        |  FROM joint GROUP BY 1, 2),
+        |my AS (SELECT feature, y, CAST(SUM(c_vy) AS BIGINT) AS c_y
+        |  FROM joint GROUP BY 1, 2),
+        |n AS (SELECT feature, CAST(SUM(c_vy) AS BIGINT) AS n
+        |  FROM joint GROUP BY 1),
+        |w AS (
+        |  SELECT feature, n,
+        |    c_vy * CAST(FLOOR(1e6 * ln(
+        |      (CAST(c_vy AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |      (CAST(c_v AS DOUBLE) * CAST(c_y AS DOUBLE)))) AS BIGINT)
+        |      AS w
+        |  FROM joint JOIN mv USING (feature, v)
+        |  JOIN my USING (feature, y) JOIN n USING (feature))
+        |SELECT feature, n AS n_rows,
+        |  CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS mi_nat_micro
+        |FROM w GROUP BY feature, n""".stripMargin,
     "fe22_equal_freq_binning" ->
       """WITH r AS (
         |  SELECT source, n_chars,

@@ -180,7 +180,29 @@ object SqlQueries {
       |UNION ALL SELECT priority, 'done', done_n FROM agg
       |UNION ALL SELECT priority, 'part', part_n FROM agg""".stripMargin
 
+  /** GROUPING SETS + GROUPING() through the SQL front end — the
+    * explicit-sets sibling of d9's CUBE (three chosen aggregation
+    * grains in ONE pass: Spark plans an Expand over the sets, so the
+    * fact table is scanned once, not three times). The identical text
+    * runs on DuckDB: every aggregate is the exact-decimal money-sum
+    * idiom and the grouping flags cast to BIGINT in both engines. */
+  private val groupingSets =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+      |COUNT(*) AS n_rows,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Explicit multi-grain aggregation through pure SQL text.
+    "sql13_grouping_sets" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(groupingSets)
+    },
     // UNPIVOT through pure SQL text (relational surface breadth).
     "sql12_unpivot" -> { (s, dir) =>
       registerViews(s, dir)
@@ -291,6 +313,7 @@ object SqlQueries {
   def oracleSql: Map[String, String] = Map(
     "sql11_pivot" -> pivotOracle,
     "sql12_unpivot" -> unpivotOracle,
+    "sql13_grouping_sets" -> groupingSets,
     "sql8_recursive_reach" -> recursiveReach,
     "sql9_lateral_topk" -> lateralTopk,
     "sql10_set_operations" -> setOps,

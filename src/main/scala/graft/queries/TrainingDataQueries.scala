@@ -3336,6 +3336,43 @@ object TrainingDataQueries {
     // parallel and the only corpus-sized shuffle is the doc_id rollup.
     "s16_dsir_weights" -> { (s, dir) => dsirWeights(s, dir) },
 
+    // LM11 (beyond reference): per-source UNIGRAM KL divergence from
+    // the corpus language model — the drift number a mixing pipeline
+    // tracks per ingest source (tx39's vocab Jaccard asks "same top
+    // words?"; KL weighs the whole distribution by probability mass).
+    // Each (source, token) term ln(p_s/p_c) is floor-quantized to
+    // micro-nats ONCE (the fe10 contract) and weighted by its exact
+    // count, so the per-source sum is order-free integers in
+    // decimal(38,0) (int64 overflows near 10¹² tokens × 14e6 max
+    // term); KL = sum / n_s is one exact-int-fed IEEE division. Scale
+    // shape: the (source, token) rollup is the only corpus-sized
+    // shuffle; the corpus-total join is TOKEN-grain (vocab-sized,
+    // hash-partitioned — deliberately NOT broadcast), source totals
+    // and the grand total broadcast.
+    "lm11_source_unigram_kl" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val st = docsSpread(s, dir)
+        .select(col("source"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+      val ct = st.groupBy("tok").agg(sum(col("cst")).as("ct"))
+      val ns = st.groupBy("source").agg(sum(col("cst")).as("ns"))
+      val nc = ct.agg(sum(col("ct")).as("nc"))
+      st.join(ct, "tok").join(broadcast(ns), "source")
+        .crossJoin(broadcast(nc))
+        .select(col("source"), col("ns"),
+          (col("cst") * floor(lit(1e6) * log(
+            (col("cst").cast("double") / col("ns").cast("double")) /
+              (col("ct").cast("double") / col("nc").cast("double"))))
+            .cast("bigint")).as("w"))
+        .groupBy("source", "ns").agg(sum(col("w").cast(d38)).as("sw"))
+        .select(col("source"), col("ns").as("n_tokens"),
+          (col("sw").cast("double") / col("ns").cast("double"))
+            .as("kl_nat_micro"))
+    },
+
     // S19 (beyond reference): PPS SYSTEMATIC sampling — probability
     // proportional to SIZE (token count), the survey-sampling design
     // that makes a 100-doc sample carry an unbiased token-mass picture
@@ -4726,6 +4763,30 @@ object TrainingDataQueries {
     "s16_dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, n_terms, logw_micro FROM dsirw""".stripMargin,
+    "lm11_source_unigram_kl" ->
+      s"""WITH toks AS (
+         |  SELECT source, t AS tok
+         |  FROM documents, unnest(string_split($normSql, ' ')) AS u(t)
+         |  WHERE length(t) > 0),
+         |st AS (SELECT source, tok, COUNT(*) AS cst
+         |  FROM toks GROUP BY 1, 2),
+         |ct AS (SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct
+         |  FROM st GROUP BY 1),
+         |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns
+         |  FROM st GROUP BY 1),
+         |nc AS (SELECT CAST(SUM(ct) AS BIGINT) AS nc FROM ct),
+         |w AS (
+         |  SELECT source, ns,
+         |    cst * CAST(FLOOR(1e6 * ln(
+         |      (CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)) /
+         |      (CAST(ct AS DOUBLE) / CAST(nc AS DOUBLE)))) AS BIGINT)
+         |      AS w
+         |  FROM st JOIN ct USING (tok) JOIN ns USING (source)
+         |  CROSS JOIN nc)
+         |SELECT source, ns AS n_tokens,
+         |  CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) / CAST(ns AS DOUBLE)
+         |    AS kl_nat_micro
+         |FROM w GROUP BY source, ns""".stripMargin,
     "s19_pps_sampling" ->
       """WITH d AS (
         |  SELECT doc_id,
