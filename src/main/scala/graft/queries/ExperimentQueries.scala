@@ -694,6 +694,46 @@ object ExperimentQueries {
     // normal approximation of the posterior difference through the
     // shared erf polynomial; the one-sided flip is exact integer
     // arithmetic on the two-sided micro p.
+    // AB22 (beyond reference): SPRT — Wald's sequential probability
+    // ratio test, the always-valid monitor that says WHEN an experiment
+    // may stop (fixed-horizon tests like ab7 forbid peeking; SPRT's
+    // boundaries make daily peeking legitimate). Per arm, the daily
+    // Bernoulli log-likelihood-ratio increment for H1: p=0.22 vs
+    // H0: p=0.18 (purchase share among events) uses PRE-COMPUTED
+    // micro-nat literals (ln(p1/p0)=200670, ln(q1/q0)=−50011 — inlined
+    // identically in both engines, so the cumulative is exact integer
+    // arithmetic), and the α=β=0.05 boundaries are ±ln(19)≈±2944438
+    // micro. The cumulative window rides (arm × day) — OBSERVATION-SPAN
+    // grain, bounded by the calendar, never the corpus (the ts-family
+    // contract); the only corpus-sized work is the daily rollup.
+    // Output per arm: final LLR and the first boundary-crossing days
+    // (null = still running, the honest sequential readout).
+    "ab22_sprt" -> { (s, dir) =>
+      val d = Tables.eventsUs(s, dir)
+        .select(arm(col("user_id")).as("arm"),
+          expr("ts div 86400000000").as("day"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"))
+        .groupBy("arm", "day")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .withColumn("inc",
+          col("c") * 200670L + (col("n") - col("c")) * -50011L)
+      val w = Window.partitionBy(col("arm")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("llr", sum(col("inc")).over(w))
+        .groupBy("arm").agg(
+          count(lit(1)).as("n_days"),
+          sum(col("n")).as("n_events"),
+          // final LLR = the last day's cumulative: max over (day, llr)
+          // structs orders by day first — a deterministic argmax
+          max(struct(col("day"), col("llr"))).as("__fin"),
+          min(when(col("llr") >= 2944438L, col("day"))).as("day_accept"),
+          min(when(col("llr") <= -2944438L, col("day"))).as("day_reject"))
+        .select(col("arm"), col("n_days"), col("n_events"),
+          col("__fin.llr").as("llr_final_micro"),
+          col("day_accept"), col("day_reject"))
+    },
+
     "ab20_bayes_beta" -> { (s, dir) =>
       val ev = Tables.eventsUs(s, dir)
         .select(col("user_id"), col("event_type"),
@@ -1633,6 +1673,28 @@ object ExperimentQueries {
          |      AS DOUBLE) / (2.0 * sqrt(var_w))
          |  END AS z_stat
          |FROM v""".stripMargin,
+    "ab22_sprt" ->
+      s"""WITH d AS (
+         |  SELECT $armSql AS arm, epoch_us(ts) // 86400000000 AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+         |  FROM events),
+         |daily AS (
+         |  SELECT arm, day, COUNT(*) AS n,
+         |    CAST(SUM(conv) AS BIGINT) AS c
+         |  FROM d GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT arm, day, n,
+         |    CAST(SUM(c * 200670 + (n - c) * -50011) OVER (
+         |      PARTITION BY arm ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS llr
+         |  FROM daily)
+         |SELECT arm, COUNT(*) AS n_days,
+         |  CAST(SUM(n) AS BIGINT) AS n_events,
+         |  CAST(arg_max(llr, day) AS BIGINT) AS llr_final_micro,
+         |  MIN(CASE WHEN llr >= 2944438 THEN day END) AS day_accept,
+         |  MIN(CASE WHEN llr <= -2944438 THEN day END) AS day_reject
+         |FROM cum GROUP BY arm""".stripMargin,
     "ab20_bayes_beta" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type,

@@ -29,10 +29,21 @@ import graft.functions.HashExpressions.md5Prefix60
   */
 object PrivacyQueries {
 
-  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phonePat = "\\b555-[0-9]{3}-[0-9]{4}\\b"
-  private val ipPat =
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  val ipPat =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-row detector projection: the input plus `ne`/`np`/`ni` match
+    * counts over `textCol`. PUBLIC because it is also the streaming
+    * ingest gate: a pure stateless projection, so the identical column
+    * program runs append-mode on an arriving stream (StreamingSpec pins
+    * batch ≡ stream parity) and in the batch census below. */
+  def piiCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("*"),
+      regexp_count(col(textCol), lit(emailPat)).cast("long").as("ne"),
+      regexp_count(col(textCol), lit(phonePat)).cast("long").as("np"),
+      regexp_count(col(textCol), lit(ipPat)).cast("long").as("ni"))
 
   /** Deterministic identifier augmentation (see class note). */
   private def augmented(docs: DataFrame): DataFrame =
@@ -70,11 +81,7 @@ object PrivacyQueries {
     // each identifier class and how many carry any. One codegen scan
     // (three regexp_count per row), one source-grain rollup.
     "pii1_detect_counts" -> { (s, dir) =>
-      val d = augmented(Tables.documents(s, dir))
-        .select(col("source"),
-          regexp_count(col("t2"), lit(emailPat)).cast("long").as("ne"),
-          regexp_count(col("t2"), lit(phonePat)).cast("long").as("np"),
-          regexp_count(col("t2"), lit(ipPat)).cast("long").as("ni"))
+      val d = piiCounts(augmented(Tables.documents(s, dir)), "t2")
       d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L))

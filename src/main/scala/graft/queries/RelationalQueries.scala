@@ -1427,6 +1427,34 @@ object RelationalQueries {
             .as("theil_micro"))
     },
 
+    // D60 (beyond reference): GEOMETRIC and HARMONIC means per group —
+    // the two Pythagorean means a skewed-distribution datasheet needs
+    // next to the arithmetic one (geometric for multiplicative
+    // quantities, harmonic for rates). ln terms floor-quantize to micro
+    // once and sum exactly (decimal(38,0)); reciprocals are EXACT
+    // integer divisions 10¹²/x summed the same way; each mean is then
+    // one fixed IEEE tree (one exp for the geometric — the mix7
+    // single-float contract). One map-side-combined rollup, no second
+    // pass.
+    "d60_generalized_means" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val li = Tables.spread(Tables.lineitem(s, dir))
+        .select(col("l_returnflag").as("grp"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      li.groupBy("grp").agg(
+          count(lit(1)).as("n"),
+          sum(floor(lit(1e6) * log(col("cents").cast("double")))
+            .cast("long").cast(d38)).as("sl"),
+          sum(expr("1000000000000 div cents").cast(d38)).as("sr"))
+        .select(col("grp"), col("n"),
+          floor(lit(1e6) * exp(
+            (col("sl").cast("double") / col("n").cast("double")) /
+              lit(1e6))).cast("bigint").as("geomean_cents_micro"),
+          expr("""cast(cast(n as decimal(38,0)) *
+                 |  1000000000000000000 div sr as bigint)"""
+            .stripMargin.replace("\n", " ")).as("harmmean_cents_micro"))
+    },
+
     // D45 (beyond reference): PRICE ELASTICITY — the log-log OLS slope
     // d ln(qty)/d ln(unit price) across line items: the econometric
     // readout of how demand responds to price (|ε| > 1 = elastic). Both
@@ -2890,6 +2918,23 @@ object RelationalQueries {
         |    AS mean_after_cents
         |FROM rk JOIN cuts ON rk.grp = cuts.c_grp
         |GROUP BY grp""".stripMargin,
+    "d60_generalized_means" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT grp, COUNT(*) AS n,
+        |    SUM(CAST(CAST(FLOOR(1e6 * ln(CAST(cents AS DOUBLE)))
+        |      AS BIGINT) AS HUGEINT)) AS sl,
+        |    SUM(CAST(1000000000000 // cents AS HUGEINT)) AS sr
+        |  FROM li GROUP BY 1)
+        |SELECT grp, n,
+        |  CAST(FLOOR(1e6 * exp((CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / 1e6)) AS BIGINT) AS geomean_cents_micro,
+        |  CAST(CAST(n AS HUGEINT) * 1000000000000000000 // sr AS BIGINT)
+        |    AS harmmean_cents_micro
+        |FROM a""".stripMargin,
     "d59_theil_index" ->
       """WITH li AS (
         |  SELECT l_returnflag AS grp,

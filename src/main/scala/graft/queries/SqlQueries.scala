@@ -197,7 +197,30 @@ object SqlQueries {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
       |  (l_returnflag), ())""".stripMargin
 
+  /** Named-WINDOW clause through the SQL front end: two window
+    * functions share one window definition (the deduplication the
+    * WINDOW clause exists for — Catalyst plans ONE Window operator for
+    * both). Partitioned by l_orderkey — per-order groups whose count
+    * scales with the corpus, so parallelism grows with the data (the
+    * funnel-gate contract). The identical text runs on DuckDB; the
+    * running spend uses the exact-decimal cumulative cast to double
+    * per row, and (price, linenumber) is a total order within an
+    * order, so the default RANGE frame equals ROWS in both engines. */
+  private val namedWindow =
+    """SELECT l_orderkey, l_linenumber,
+      |ROW_NUMBER() OVER w AS line_rank,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w
+      |  AS DOUBLE) AS run_spend
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Named windows through pure SQL text.
+    "sql14_named_window" -> { (s, dir) =>
+      registerViews(s, dir)
+      s.sql(namedWindow)
+    },
     // Explicit multi-grain aggregation through pure SQL text.
     "sql13_grouping_sets" -> { (s, dir) =>
       registerViews(s, dir)
@@ -314,6 +337,7 @@ object SqlQueries {
     "sql11_pivot" -> pivotOracle,
     "sql12_unpivot" -> unpivotOracle,
     "sql13_grouping_sets" -> groupingSets,
+    "sql14_named_window" -> namedWindow,
     "sql8_recursive_reach" -> recursiveReach,
     "sql9_lateral_topk" -> lateralTopk,
     "sql10_set_operations" -> setOps,

@@ -958,6 +958,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("PII detection gate (pii1): the stateless detector projection " +
+      "counts identically on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.PrivacyQueries
+    val rows = Seq(
+      (1L, "clean text with no identifiers at all"),
+      (2L, "reach me at jane.doe@example.org or 555-123-4567 today"),
+      (3L, "server at 10.0.42.7 and backup 192.168.1.254 online"),
+      (4L, "two mails a@b.io c@d.net one phone 555-000-9999"),
+      (5L, ""))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      PrivacyQueries.piiCounts(df, "text")
+    val batch = run(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val stream = MemoryStream[(Long, String)]
+    val query = run(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii1_out")
+      .outputMode("append").start()
+    stream.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("pii1_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    query.stop()
+    assert(streamed == batch)
+    // spot-pin the detector semantics on the fixture
+    assert(batch(2L) == ((1L, 1L, 0L))) // one email, one phone
+    assert(batch(3L) == ((0L, 0L, 2L))) // two IPv4s
+    assert(batch(4L) == ((2L, 1L, 0L))) // two emails, one phone
+    assert(batch(1L) == ((0L, 0L, 0L)) && batch(5L) == ((0L, 0L, 0L)))
+  }
+
   test("PPS systematic (s19): the single-cursor streaming sampler " +
       "reproduces the batch token-line selection across batches") {
     import spark.implicits._
