@@ -360,54 +360,6 @@ object EventQueries {
           col("ks_micro"))
     },
 
-    // EV59 (beyond reference): RFM SEGMENTATION — the
-    // recency/frequency/monetary cube marketing pipelines cut users
-    // into. One corpus-grain per-user rollup, one broadcast scalar (the
-    // corpus's last day), then fixed integer thresholds (calibrated to
-    // the fixture's quartiles) bucket each axis 1–3 — thresholds are
-    // LITERALS, not quantiles, so no rank machinery and the segment
-    // assignment is trivially engine-identical. Monetary quantizes
-    // value to cents via floor(x·100 + 0.5) — the one rounding rule
-    // Spark and DuckDB share bit-for-bit on doubles. Output is the
-    // 27-cell segment table: metadata grain at any corpus size.
-    "ev59_rfm_segments" -> { (s, dir) =>
-      val ev = Tables.eventsUs(s, dir).select(col("user_id"),
-        expr("ts div 86400000000").as("day"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      val mx = ev.agg(max(col("day")).as("maxd"))
-      val per = ev.groupBy("user_id").agg(max(col("day")).as("ld"),
-          count(lit(1)).as("f"), sum(col("cents")).as("m"))
-        .crossJoin(broadcast(mx))
-        .select((col("maxd") - col("ld")).as("rec"), col("f"), col("m"))
-      per.select(
-          when(col("rec") <= 0, 3L).when(col("rec") <= 2, 2L)
-            .otherwise(1L).as("r_bucket"),
-          when(col("f") >= 73, 3L).when(col("f") >= 64, 2L)
-            .otherwise(1L).as("f_bucket"),
-          when(col("m") >= 360000, 3L).when(col("m") >= 310000, 2L)
-            .otherwise(1L).as("m_bucket"),
-          col("m"))
-        .groupBy("r_bucket", "f_bucket", "m_bucket")
-        .agg(count(lit(1)).as("n_users"),
-          sum(col("m")).as("monetary_cents"))
-    },
-
-    // TS24 (beyond reference): DAY-OF-WEEK SEASONALITY profile — each
-    // event type's traffic index per weekday (n·7·10⁶ / type total),
-    // the seasonal fingerprint a forecasting pipeline subtracts before
-    // trend fitting (the ts-family contract: windows and joins ride the
-    // type×7 profile table, never raw events — one corpus rollup).
-    "ts24_dow_seasonality" -> { (s, dir) =>
-      val d = Tables.eventsUs(s, dir)
-        .select(col("event_type"),
-          expr("(ts div 86400000000) % 7").as("dow"))
-        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
-      val tot = d.groupBy("event_type").agg(sum(col("n")).as("tn"))
-      d.join(broadcast(tot), "event_type")
-        .select(col("event_type"), col("dow"), col("n"),
-          expr("n * 7 * 1000000 div tn").as("index_micro"))
-    },
-
     // EV54 (beyond reference): KAPLAN–MEIER churn curve — the survival
     // estimator over user lifetimes (last-minus-first active day), with
     // users still active on the corpus's final day treated as CENSORED
@@ -3559,40 +3511,6 @@ object EventQueries {
         |    (SELECT user_id FROM p)) AS exact_view_only,
         |  TRUE AS both_within_2pct,
         |  TRUE AS view_only_within_2pct""".stripMargin,
-    "ev59_rfm_segments" ->
-      """WITH ev AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events),
-        |mx AS (SELECT MAX(day) AS maxd FROM ev),
-        |per AS (
-        |  SELECT maxd - MAX(day) AS rec, COUNT(*) AS f,
-        |    CAST(SUM(cents) AS BIGINT) AS m
-        |  FROM ev CROSS JOIN mx GROUP BY user_id, maxd),
-        |seg AS (
-        |  SELECT CASE WHEN rec <= 0 THEN 3 WHEN rec <= 2 THEN 2
-        |      ELSE 1 END AS r_bucket,
-        |    CASE WHEN f >= 73 THEN 3 WHEN f >= 64 THEN 2
-        |      ELSE 1 END AS f_bucket,
-        |    CASE WHEN m >= 360000 THEN 3 WHEN m >= 310000 THEN 2
-        |      ELSE 1 END AS m_bucket,
-        |    m
-        |  FROM per)
-        |SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
-        |  CAST(f_bucket AS BIGINT) AS f_bucket,
-        |  CAST(m_bucket AS BIGINT) AS m_bucket,
-        |  COUNT(*) AS n_users, CAST(SUM(m) AS BIGINT) AS monetary_cents
-        |FROM seg GROUP BY 1, 2, 3""".stripMargin,
-    "ts24_dow_seasonality" ->
-      """WITH d AS (
-        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
-        |    COUNT(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn
-        |  FROM d GROUP BY 1)
-        |SELECT event_type, dow, CAST(n AS BIGINT) AS n,
-        |  n * 7 * 1000000 // tn AS index_micro
-        |FROM d JOIN tot USING (event_type)""".stripMargin,
     "ev24_stickiness" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -1397,36 +1397,6 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"), shares: _*)
     },
 
-    // D59 (beyond reference): THEIL INDEX per group — the decomposable
-    // inequality measure T = (1/n)·Σ (x/μ)·ln(x/μ) over price cents: the
-    // concentration readout a corpus datasheet reports next to the
-    // Lorenz deciles (d42), additive across subgroups where Gini is not.
-    // μ = exact-decimal sum / n (both engines produce the identical
-    // double); each row's term is floor-quantized to micro once (the
-    // fe10 contract) so the sum is order-free integers in decimal(38,0)
-    // (int64 would overflow at ~10¹² rows × 14e6 max term); the final
-    // index is ONE exact-int-fed IEEE division. Shape: one group-grain
-    // stats rollup broadcast back over one narrow re-scan.
-    "d59_theil_index" -> { (s, dir) =>
-      val d38 = DecimalType(38, 0)
-      val li = Tables.spread(Tables.lineitem(s, dir))
-        .select(col("l_returnflag").as("grp"),
-          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
-      val mu = li.groupBy("grp").agg(count(lit(1)).as("n"),
-          sum(col("cents").cast(d38)).as("sc"))
-        .select(col("grp"), col("n"),
-          (col("sc").cast("double") / col("n").cast("double")).as("mu"))
-      li.join(broadcast(mu), "grp")
-        .select(col("grp"), col("n"),
-          floor(lit(1e6) * (col("cents").cast("double") / col("mu")) *
-            log(col("cents").cast("double") / col("mu")))
-            .cast("bigint").as("t"))
-        .groupBy("grp", "n").agg(sum(col("t").cast(d38)).as("st"))
-        .select(col("grp"), col("n").as("n_rows"),
-          (col("st").cast("double") / col("n").cast("double"))
-            .as("theil_micro"))
-    },
-
     // D60 (beyond reference): GEOMETRIC and HARMONIC means per group —
     // the two Pythagorean means a skewed-distribution datasheet needs
     // next to the arithmetic one (geometric for multiplicative
@@ -1436,7 +1406,7 @@ object RelationalQueries {
     // one fixed IEEE tree (one exp for the geometric — the mix7
     // single-float contract). One map-side-combined rollup, no second
     // pass.
-    "d60_generalized_means" -> { (s, dir) =>
+    "d61_generalized_means" -> { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val li = Tables.spread(Tables.lineitem(s, dir))
         .select(col("l_returnflag").as("grp"),
@@ -2918,7 +2888,7 @@ object RelationalQueries {
         |    AS mean_after_cents
         |FROM rk JOIN cuts ON rk.grp = cuts.c_grp
         |GROUP BY grp""".stripMargin,
-    "d60_generalized_means" ->
+    "d61_generalized_means" ->
       """WITH li AS (
         |  SELECT l_returnflag AS grp,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
@@ -2935,25 +2905,6 @@ object RelationalQueries {
         |  CAST(CAST(n AS HUGEINT) * 1000000000000000000 // sr AS BIGINT)
         |    AS harmmean_cents_micro
         |FROM a""".stripMargin,
-    "d59_theil_index" ->
-      """WITH li AS (
-        |  SELECT l_returnflag AS grp,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-        |  FROM lineitem),
-        |mu AS (
-        |  SELECT grp, COUNT(*) AS n,
-        |    CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) AS mu
-        |  FROM li GROUP BY 1),
-        |t AS (
-        |  SELECT grp, n,
-        |    CAST(FLOOR(1e6 * (CAST(cents AS DOUBLE) / mu) *
-        |      ln(CAST(cents AS DOUBLE) / mu)) AS BIGINT) AS t
-        |  FROM li JOIN mu USING (grp))
-        |SELECT grp, n AS n_rows,
-        |  CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) / CAST(n AS DOUBLE)
-        |    AS theil_micro
-        |FROM t GROUP BY grp, n""".stripMargin,
     "d42_lorenz_deciles" -> {
       val shares = (1 to 9).map { k =>
         s"""  CAST((CAST(1000000 AS HUGEINT) *

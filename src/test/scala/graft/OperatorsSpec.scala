@@ -657,6 +657,48 @@ class OperatorsSpec extends SparkSpec {
       .contains("Exchange SinglePartition"))
   }
 
+  test("global prefix sum matches the built-in running sum; layout " +
+      "checkpoints release at the query boundary; contracts enforce") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    GlobalRank.releaseLayouts() // drain layouts pinned by earlier tests
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = (1L to 4000L).map(i => (i, (i % 13).toDouble, (i % 5) + 1L))
+      .toDF("id", "v", "w")
+    // (v, id) is a total order → bit-identical to the built-in window
+    val ps = GlobalRank.withGlobalPrefixSum(df, Seq(col("v"), col("id")),
+      col("w"), out = "cum", totOut = Some("tot"))
+    val builtin = df
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    assert(ps.exceptAll(builtin).isEmpty && builtin.exceptAll(ps).isEmpty)
+    assert(!ps.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"))
+    // the pinned range layout is persisted while the frame is in use…
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    // …and releases deterministically at the query boundary (results
+    // above are fully materialized; the frame is not touched again)
+    assert(GlobalRank.releaseLayouts() >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    // executable contracts: a wide frame is rejected (each call
+    // checkpoints its full input)…
+    val wide = df.select(col("id") +: (1 to 12).map(i =>
+      lit(i).as(s"c$i")): _*)
+    intercept[IllegalArgumentException] {
+      GlobalRank.withGlobalRowNumber(wide, Seq(col("id")))
+    }
+    // …and an out name colliding with an input column is rejected
+    // (withColumn would silently replace the data being ranked)
+    intercept[IllegalArgumentException] {
+      GlobalRank.withGroupedRowNumber(df, group = Seq("v"),
+        order = Seq(col("id")), out = "w")
+    }
+  }
+
   test("er4 cluster-audit cap bounds pair work and still flags chains") {
     import graft.operators.EntityAudit
     import spark.implicits._

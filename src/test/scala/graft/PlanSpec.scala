@@ -498,6 +498,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PII detectors run inside one codegen scan — regex work never " +
+      "shuffles") {
+    // the three regexp_count columns are per-row compute; the only
+    // exchange in pii1 is the final source-grain rollup (plus its
+    // partial-agg map side)
+    val p = plan(SparkEntry.queries("pii1_detect_counts")(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      p.take(2000))
+    assert(p.contains("partial"), p.take(2000))
+  }
+
+  test("source-KL never HINTS a broadcast of the vocab-grain totals") {
+    // lm11's per-token totals scale with the VOCABULARY: an explicit
+    // broadcast() there would FORCE shipping the whole vocab to every
+    // executor at any scale. At fixture scale Catalyst's size-based
+    // planning may still broadcast it (it's tiny — that's the planner
+    // doing its job, and the same stats pick the shuffle join at
+    // corpus scale), so the executable contract is hint placement:
+    // exactly the two metadata-grain frames (source totals, the grand
+    // total) are hinted, the tok-key side is left to the planner.
+    val df = SparkEntry.queries("lm11_source_unigram_kl")(spark, sf)
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hints == 2, df.queryExecution.analyzed.toString.take(3000))
+  }
+
   test("permutation test partially aggregates the replica explode") {
     val p = plan(
       SparkEntry.queries("ab16_permutation_test")(spark, sf))
