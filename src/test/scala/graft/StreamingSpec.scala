@@ -958,6 +958,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("SPRT monitor (ab22): the streaming per-arm LLR reproduces the " +
+      "batch cumulative and decides exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ExperimentStreams
+    import graft.streaming.ExperimentStreams.{ArmDay, SprtUpdate}
+    // arm 0 converts well above H1 (crosses the upper boundary on day
+    // 4), arm 1 well below H0 (crosses the lower) — both then keep
+    // receiving data, which must NOT re-decide
+    val days = (1L to 8L)
+    val rows =
+      days.map(d => ArmDay(0L, d, 20L, 8L)) ++ // H1 evidence, ~1.0M/day
+        days.map(d => ArmDay(1L, d, 20L, 1L))  // H0 evidence, ~−0.75M/day
+    // batch reference: plain cumulative + first-crossing logic
+    def batchRef(arm: Long) = {
+      var llr = 0L; var decided = false
+      rows.filter(_.arm == arm).sortBy(_.day).map { d =>
+        llr += d.c * 200670L + (d.n - d.c) * -50011L
+        val dec =
+          if (decided) null
+          else if (llr >= 2944438L) { decided = true; "accept_h1" }
+          else if (llr <= -2944438L) { decided = true; "accept_h0" }
+          else null
+        (d.day, llr, dec)
+      }
+    }
+    val expected = (batchRef(0L).map(t => (0L, t._1, t._2, t._3)) ++
+      batchRef(1L).map(t => (1L, t._1, t._2, t._3))).toSet
+    val stream = MemoryStream[ArmDay]
+    val out = ExperimentStreams.sprtMonitor(stream.toDS(),
+      lnLr1 = 200670L, lnLr0 = -50011L, bound = 2944438L)
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("ab22_out").outputMode("append").start()
+    val (early, late) = rows.partition(_.day <= 3) // state spans batches
+    stream.addData(early: _*)
+    query.processAllAvailable()
+    stream.addData(late: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("ab22_out").as[SprtUpdate].collect()
+      .map(u => (u.arm, u.day, u.llr_micro, u.decision)).toSet
+    query.stop()
+    assert(streamed == expected)
+    // fixture sanity: both arms decide exactly once, in opposite
+    // directions, and not on day 1
+    val decisions = streamed.toSeq.filter(_._4 != null).sortBy(_._1)
+    assert(decisions.map(d => (d._1, d._4)) ==
+      Seq((0L, "accept_h1"), (1L, "accept_h0")))
+    assert(decisions.forall(_._2 > 1))
+  }
+
   test("PII detection gate (pii1): the stateless detector projection " +
       "counts identically on a stream") {
     import spark.implicits._
