@@ -43,7 +43,7 @@ object PlanAudit {
     val wins = df.queryExecution.optimizedPlan.collect {
       case w: LWindow => w
     }
-    wins.flatMap { w =>
+    val shapes = wins.flatMap { w =>
       // GlobalRank's running-sum pass windows by its reserved `__pid`
       // (= spark_partition_id of the pinned range layout): cardinality
       // is the session's parallelism BY CONSTRUCTION — it scales with
@@ -54,6 +54,10 @@ object PlanAudit {
         None
       else windowShape(df, w, minGroups, rowsPerGroup)
     }
+    // measuring executed window children of GlobalRank-using queries
+    // pins layout checkpoints — this is a query boundary, free them
+    graft.operators.GlobalRank.releaseLayouts()
+    shapes
   }
 
   private def windowShape(
@@ -201,53 +205,81 @@ object PlanAudit {
   }
 }
 
-/** Catalog-wide measured window-funnel sweep (dev tool; PlanSpec runs
-  * the same check as a CI gate):
-  * `runMain graft.FunnelAudit [sfDir] [minGroups] [rowsPerGroup]`. */
+/** Catalog-wide measured window-funnel sweep. FunnelSpec runs the same
+  * check as the CI gate at sf0.001; preflight ALSO runs this main at
+  * sf0.01, where a corpus-growing funnel separates cleanly from a
+  * domain/span-bounded frame (round 9: the sf0.01 sweep caught
+  * e4/e12/e14 — 3/5/7-group windows over the 15 000-row orders table —
+  * which hid under the sf0.001 bound at 1 500 rows).
+  * `runMain graft.FunnelAudit [sfDir] [minGroups] [rowsPerGroup]
+  * [allowCsv]` — with an allowlist, exits 1 on any unexpected flag, so
+  * the sweep gates shell pipelines. */
 object FunnelAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val minGroups = if (args.length > 1) args(1).toLong else 32L
     val rowsPerGroup = if (args.length > 2) args(2).toLong else 512L
+    val allowed = if (args.length > 3)
+      args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty[String]
     val spark = graft.core.GraftSession.local(appName = "graft-funnel-audit")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     var flagged = 0
+    var unexpected = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         PlanAudit.windowFunnels(fn(spark, sfDir), minGroups, rowsPerGroup)
-          .foreach { sh => flagged += 1; println(s"FUNNEL $name ${sh.describe}") }
+          .foreach { sh =>
+            flagged += 1
+            if (!allowed(name)) unexpected += 1
+            println(s"FUNNEL $name ${sh.describe}")
+          }
       } catch {
         case e: Throwable =>
+          unexpected += 1
           println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
       }
     }
-    println(s"flagged: $flagged")
+    println(s"flagged: $flagged (unexpected: $unexpected)")
     spark.stop()
+    if (allowed.nonEmpty && unexpected > 0) sys.exit(1)
   }
 }
 
-/** Catalog-wide measured scale-hazard sweep (dev tool; ScaleGateSpec
-  * runs the same check as a CI gate):
-  * `runMain graft.ScaleAudit [sfDir] [singlePartBound] [loopBound]`. */
+/** Catalog-wide measured scale-hazard sweep (ScaleGateSpec runs the
+  * same check as a CI gate):
+  * `runMain graft.ScaleAudit [sfDir] [singlePartBound] [loopBound]
+  * [allowCsv]` — with an allowlist, exits 1 on any unexpected flag, so
+  * the sweep gates shell pipelines (preflight). */
 object ScaleAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val singlePartBound = if (args.length > 1) args(1).toLong else 512L
     val loopBound = if (args.length > 2) args(2).toLong else 64L
+    val allowed = if (args.length > 3)
+      args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty[String]
     val spark = graft.core.GraftSession.local(appName = "graft-scale-audit")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     var flagged = 0
+    var unexpected = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         PlanAudit.scaleHazards(fn(spark, sfDir), singlePartBound, loopBound)
-          .foreach { h => flagged += 1; println(s"HAZARD $name ${h.describe}") }
+          .foreach { h =>
+            flagged += 1
+            if (!allowed(name)) unexpected += 1
+            println(s"HAZARD $name ${h.describe}")
+          }
       } catch {
         case e: Throwable =>
+          unexpected += 1
           println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
       }
     }
-    println(s"flagged: $flagged")
+    println(s"flagged: $flagged (unexpected: $unexpected)")
     spark.stop()
+    if (allowed.nonEmpty && unexpected > 0) sys.exit(1)
   }
 }
 

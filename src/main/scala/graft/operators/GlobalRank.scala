@@ -166,7 +166,11 @@ object GlobalRank {
     * totals → broadcast prefix offsets, then a per-PARTITION running sum
     * (one balanced hash exchange on `__pid`). `totOut` exposes the grand
     * total from the same pass-1 frame. Ties in `order` accumulate in
-    * layout order — the built-in running-sum contract. */
+    * layout order — the built-in running-sum contract. `value` must be
+    * INTEGER-valued (long/int/decimal(_,0) — quantize floats first, the
+    * catalog-wide exactness contract): the broadcast offsets are exact
+    * longs, and a float value would make the cross-partition correction
+    * order-dependent. */
   def withGlobalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
                           out: String = "cum",
                           totOut: Option[String] = None): DataFrame = {
@@ -174,7 +178,15 @@ object GlobalRank {
     val r = rangeLayout(df, order)
     // per-partition prefix offsets over `value` (not row counts): same
     // shape as Ranged.offsets but weighted, from one tiny aggregate
-    val partials = r.df.groupBy("__pid").agg(sum(value).as("__psum"))
+    val agg = r.df.groupBy("__pid").agg(sum(value).as("__psum"))
+    agg.schema("__psum").dataType match {
+      case _: org.apache.spark.sql.types.LongType => ()
+      case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 => ()
+      case t => throw new IllegalArgumentException(
+        s"withGlobalPrefixSum needs an integer-valued value column " +
+          s"(got sum type $t) — quantize floats to integer units first")
+    }
+    val partials = agg
       .collect().map(x => x.getInt(0) -> x.getAs[Any](1)).sortBy(_._1)
     def toLong(a: Any): Long = a match {
       case null => 0L

@@ -56,14 +56,28 @@ object WindowQueries {
     },
 
     // E4: dense_rank round number (chronological race index per year,
-    // championship_tracker_transform.py:251-258).
+    // championship_tracker_transform.py:251-258). The built-in window
+    // partitions by YEAR — cardinality fixed by the calendar span, so
+    // parallelism is ~7 forever while rows-per-year grow with the
+    // corpus (the round-9 sf0.01 sweep measured 7 groups × 15 000
+    // rows; the funnel gate's class). dense_rank of a DATE within its
+    // year = the date's ordinal among the year's DISTINCT dates, so:
+    // one distinct-dates rollup (span-bounded — ≤366 rows/year at ANY
+    // corpus size), GlobalRank's grouped row number over it (unique
+    // dates ⇒ row number = dense rank), broadcast back. Bit-identical
+    // to dense_rank() — the oracle IS the built-in SQL.
     "e4_dense_rank" -> { (s, dir) =>
-      val w = Window.partitionBy(year(col("o_orderdate")))
-        .orderBy(col("o_orderdate"))
-      Tables.orders(s, dir).select(
-        col("o_orderkey"),
+      import graft.operators.GlobalRank
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
         year(col("o_orderdate")).cast("bigint").as("order_year"),
-        dense_rank().over(w).cast("bigint").as("round_number"))
+        col("o_orderdate"))
+      val days = o.select("order_year", "o_orderdate").distinct()
+      val idx = GlobalRank.withGroupedRowNumber(days,
+        group = Seq("order_year"), order = Seq(col("o_orderdate")),
+        out = "round_number")
+      o.join(broadcast(idx), Seq("order_year", "o_orderdate"))
+        .select(col("o_orderkey"), col("order_year"),
+          col("round_number"))
     },
 
     // E5: rank with explicit tie-break (championship position,
@@ -152,12 +166,30 @@ object WindowQueries {
     // ntile buckets, percent_rank, cume_dist. percent_rank/cume_dist are
     // exact rational values ((rank-1)/(n-1), peers/n) so they compare
     // bit-for-bit across engines.
+    // ntile WITHOUT the parallelism = 5 funnel (round-9 sf0.01 sweep:
+    // 5 priorities × 15 000 rows through the built-in window): ntile is
+    // a CLOSED FORM over (row number, group size) — the first n%k
+    // buckets carry ⌊n/k⌋+1 rows, the rest ⌊n/k⌋ — so GlobalRank's
+    // grouped row number (plus its pass-1 group totals) feeds pure
+    // integer arithmetic. The total (price, orderkey) order matches the
+    // built-in's tie behavior deterministically; the oracle IS the
+    // built-in ntile() SQL, so bit-equality is enforced every run.
     "e12_ntile" -> { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      Tables.orders(s, dir).select(
-        col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).cast("bigint").as("price_quartile"))
+      import graft.operators.GlobalRank
+      GlobalRank.withGroupedRowNumber(
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          group = Seq("o_orderpriority"),
+          order = Seq(col("o_totalprice"), col("o_orderkey")),
+          out = "__rn", nOut = Some("__n"))
+        .withColumn("price_quartile",
+          expr("""case when __rn <= (__n % 4) * (__n div 4 + 1)
+                 |  then (__rn - 1) div (__n div 4 + 1) + 1
+                 |  else (__n % 4) +
+                 |    (__rn - (__n % 4) * (__n div 4 + 1) - 1)
+                 |      div (__n div 4) + 1 end"""
+            .stripMargin.replace("\n", " ")).cast("bigint"))
+        .select("o_orderkey", "o_orderpriority", "price_quartile")
     },
     // Built-in window: parallelism = 3 (the flag cardinality) but zero
     // auxiliary passes — fastest at harness scale (1.4 s warm at sf0.1 vs
@@ -212,12 +244,28 @@ object WindowQueries {
         tieBreak = Seq(col("o_orderkey")), rankOut = "rnk", pctOut = "pr")
     },
 
+    // cume_dist WITHOUT the parallelism = 3 funnel (round-9 sf0.01
+    // sweep: 3 statuses × 15 000 rows through the built-in window):
+    // cume_dist(x) = (#rows with value ≤ x) / n = the max row number
+    // among x's PEERS over n — GlobalRank's grouped row number on a
+    // total order, healed per VALUE by a hash-partitioned max window
+    // (the same scalable tie heal withGroupedRank uses), divided by the
+    // pass-1 group total. Exact-int division both engines perform
+    // identically; the oracle IS the built-in cume_dist() SQL.
     "e14_cume_dist" -> { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice").asc)
-      Tables.orders(s, dir).select(
-        col("o_orderkey"), col("o_orderstatus"),
-        cume_dist().over(w).as("price_cume_dist"))
+      import graft.operators.GlobalRank
+      val rn = GlobalRank.withGroupedRowNumber(
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        group = Seq("o_orderstatus"),
+        order = Seq(col("o_totalprice"), col("o_orderkey")),
+        out = "__rn", nOut = Some("__n"))
+      val byValue = Window.partitionBy(col("o_orderstatus"),
+        col("o_totalprice"))
+      rn.withColumn("price_cume_dist",
+          max(col("__rn")).over(byValue).cast("double") /
+            col("__n").cast("double"))
+        .select("o_orderkey", "o_orderstatus", "price_cume_dist")
     },
 
     // F1: orderBy desc + limit 1 with explicit tie-break (latest-GP

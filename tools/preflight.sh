@@ -20,15 +20,25 @@ OUT=/tmp/preflight_verify
 SF=/root/testdata/sf0.01
 
 echo "== preflight: compile + test (incl. measured scale gates) =="
-# `sbt test` includes the two MEASURED plan gates, so they run before
-# any bench submission, not just when someone remembers the dev tools:
+# `sbt test` includes the two MEASURED plan gates at sf0.001:
 #  - FunnelSpec: every logical window in every catalog query, flagged
-#    when a corpus-sized frame funnels through a low-cardinality key
-#    (dev tool: runMain graft.FunnelAudit);
+#    when a corpus-sized frame funnels through a low-cardinality key;
 #  - ScaleGateSpec: every query EXECUTED once, flagged on measured
 #    single-partition exchanges / cartesian products / oversized
-#    nested-loop broadcast sides (dev tool: runMain graft.ScaleAudit).
+#    nested-loop broadcast sides.
 sbt -batch compile test
+
+echo "== preflight: sf0.01 funnel sweep (the scale that separates) =="
+# Round-9 lesson: a 3-7-group window over the 1 500-row sf0.001 orders
+# table hides under groups×512, but at sf0.01 (15 000 rows) it flags
+# unambiguously while domain/span-bounded frames (202-row score sweeps,
+# day-pair tables) stay constant — so the sf0.01 sweep separates
+# corpus-growing funnels from bounded frames with zero false positives.
+# This caught e4/e12/e14 in round 9 after the sf0.001 gate passed them.
+# Allowlist: ev26's day-grain sweep shard (span-keyed by design; its
+# scaladoc documents the hour-grain drop at corpus scale). The main
+# exits 1 on any other flag.
+sbt -batch "runMain graft.FunnelAudit /root/testdata/sf0.01 32 512 ev26_peak_concurrency"
 
 echo "== preflight: Verify -> DuckDB differential (sf0.01) =="
 rm -rf "$OUT"
