@@ -111,8 +111,14 @@ object PlanAudit {
     * Metrics require the plan to have EXECUTED: callers run with AQE off
     * (so the executed plan is the static shape, with no runtime skew
     * rescue flattering the audit) and this method drives the plan's own
-    * RDD once before reading. A metric that is absent or never fired
-    * reports -1 and FLAGS (never silently passes). */
+    * RDD once before reading. A MISSING metric key reports -1 and FLAGS.
+    * A metric that exists but never fired reads as its 0 init value —
+    * indistinguishable from a fired zero (`SQLMetric` is created with
+    * initValue 0 and `isZero` compares against it), so an exchange in a
+    * short-circuited subtree passes like any zero-row exchange. That is
+    * the measured truth at this fixture (zero rows flowed); growth that
+    * would wake such a subtree is what the sf0.01 preflight sweep and
+    * the cross-SF timing gate ([[graft.ScalingAudit]]) exist to catch. */
   def scaleHazards(df: DataFrame, singlePartBound: Long, loopBound: Long)
   : Seq[Hazard] = {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
@@ -205,6 +211,55 @@ object PlanAudit {
   }
 }
 
+/** Shared driver for the allowlisted catalog sweeps (FunnelAudit /
+  * ScaleAudit): runs `sweep` over every query, prints each flag, and
+  * gates — exit 1 on any UNEXPECTED flag, and ALSO on any STALE
+  * allowlist entry (an allowlisted query that no longer flags would
+  * otherwise keep its exemption forever, silently masking a future
+  * regression of that query — the same allowlist-can-only-shrink
+  * honesty rule FunnelSpec/ScaleGateSpec assert in CI). `allowCsv`
+  * semantics: absent → report-only (ad-hoc runs); `-` → gate with an
+  * EMPTY allowlist (any flag fails); otherwise gate with the named
+  * exemptions. */
+private[graft] object AllowlistedSweep {
+  def run(tag: String, allowArg: Option[String],
+          sweep: (SparkSession, String) => Seq[String],
+          appName: String, sfDir: String): Unit = {
+    val gating = allowArg.isDefined
+    val allowed = allowArg
+      .map(_.split(',').map(_.trim).filter(a => a.nonEmpty && a != "-")
+        .toSet)
+      .getOrElse(Set.empty[String])
+    val spark = graft.core.GraftSession.local(appName = appName)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var flagged = 0
+    var unexpected = 0
+    val flaggedNames = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, _) =>
+      try {
+        sweep(spark, name).foreach { detail =>
+          flagged += 1
+          flaggedNames += name
+          if (!allowed(name)) unexpected += 1
+          println(s"$tag $name $detail")
+        }
+      } catch {
+        case e: Throwable =>
+          unexpected += 1
+          println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
+      }
+    }
+    val stale = (allowed -- flaggedNames).toSeq.sorted
+    stale.foreach(n => println(
+      s"STALE-ALLOWLIST $n no longer flags — remove it from the " +
+        "allowlist (a stale exemption masks future regressions)"))
+    println(s"flagged: $flagged (unexpected: $unexpected, " +
+      s"stale allowlist: ${stale.size})")
+    spark.stop()
+    if (gating && (unexpected > 0 || stale.nonEmpty)) sys.exit(1)
+  }
+}
+
 /** Catalog-wide measured window-funnel sweep. FunnelSpec runs the same
   * check as the CI gate at sf0.001; preflight ALSO runs this main at
   * sf0.01, where a corpus-growing funnel separates cleanly from a
@@ -212,74 +267,105 @@ object PlanAudit {
   * e4/e12/e14 — 3/5/7-group windows over the 15 000-row orders table —
   * which hid under the sf0.001 bound at 1 500 rows).
   * `runMain graft.FunnelAudit [sfDir] [minGroups] [rowsPerGroup]
-  * [allowCsv]` — with an allowlist, exits 1 on any unexpected flag, so
-  * the sweep gates shell pipelines. */
+  * [allowCsv]` — with an allowlist (`-` = empty), exits 1 on any
+  * unexpected flag OR stale allowlist entry, so the sweep gates shell
+  * pipelines. */
 object FunnelAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val minGroups = if (args.length > 1) args(1).toLong else 32L
     val rowsPerGroup = if (args.length > 2) args(2).toLong else 512L
-    val allowed = if (args.length > 3)
-      args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet
-    else Set.empty[String]
-    val spark = graft.core.GraftSession.local(appName = "graft-funnel-audit")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    var flagged = 0
-    var unexpected = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        PlanAudit.windowFunnels(fn(spark, sfDir), minGroups, rowsPerGroup)
-          .foreach { sh =>
-            flagged += 1
-            if (!allowed(name)) unexpected += 1
-            println(s"FUNNEL $name ${sh.describe}")
-          }
-      } catch {
-        case e: Throwable =>
-          unexpected += 1
-          println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
-      }
-    }
-    println(s"flagged: $flagged (unexpected: $unexpected)")
-    spark.stop()
-    if (allowed.nonEmpty && unexpected > 0) sys.exit(1)
+    AllowlistedSweep.run("FUNNEL", args.lift(3),
+      (spark, name) => PlanAudit.windowFunnels(
+        SparkEntry.queries(name)(spark, sfDir), minGroups, rowsPerGroup)
+        .map(_.describe),
+      appName = "graft-funnel-audit", sfDir = sfDir)
   }
 }
 
 /** Catalog-wide measured scale-hazard sweep (ScaleGateSpec runs the
-  * same check as a CI gate):
+  * same check as a CI gate at sf0.001; preflight ALSO runs this main at
+  * sf0.01 — round 9 proved fixture scale is the separating variable for
+  * the funnel gate, and the same asymmetry argument applies here):
   * `runMain graft.ScaleAudit [sfDir] [singlePartBound] [loopBound]
-  * [allowCsv]` — with an allowlist, exits 1 on any unexpected flag, so
-  * the sweep gates shell pipelines (preflight). */
+  * [allowCsv]` — with an allowlist (`-` = empty), exits 1 on any
+  * unexpected flag OR stale allowlist entry, so the sweep gates shell
+  * pipelines (preflight). */
 object ScaleAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val singlePartBound = if (args.length > 1) args(1).toLong else 512L
     val loopBound = if (args.length > 2) args(2).toLong else 64L
-    val allowed = if (args.length > 3)
-      args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet
-    else Set.empty[String]
-    val spark = graft.core.GraftSession.local(appName = "graft-scale-audit")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    var flagged = 0
-    var unexpected = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        PlanAudit.scaleHazards(fn(spark, sfDir), singlePartBound, loopBound)
-          .foreach { h =>
-            flagged += 1
-            if (!allowed(name)) unexpected += 1
-            println(s"HAZARD $name ${h.describe}")
-          }
-      } catch {
-        case e: Throwable =>
-          unexpected += 1
-          println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
-      }
+    AllowlistedSweep.run("HAZARD", args.lift(3),
+      (spark, name) => PlanAudit.scaleHazards(
+        SparkEntry.queries(name)(spark, sfDir), singlePartBound, loopBound)
+        .map(_.describe),
+      appName = "graft-scale-audit", sfDir = sfDir)
+  }
+}
+
+/** Cross-SF SCALING gate (round-9 directive 4): the two plan-shape
+  * gates (FunnelSpec/ScaleGateSpec and their preflight sweeps) measure
+  * SHAPE — a superlinear runtime expressed through a legitimately-shaped
+  * plan (join fan-out on a skewed key is the classic) passes both. So
+  * measure growth directly: run every query at `sfA` (default sf0.001)
+  * and `sfB` (default sf0.01, 10× the data) in ONE JVM with the same
+  * config as the hazard sweeps (AQE off — no runtime rescue flattering
+  * the audit), record wall seconds, and flag ratio outliers.
+  *
+  * The gate needs a JIT/fixed-cost floor to be honest: at these
+  * fixtures a healthy query's time is dominated by fixed planning/JIT
+  * cost, so ratios on sub-second times are noise. A query is flagged
+  * only when t_B > `floorSec` AND t_B / max(t_A, 0.05) > `ratioBound`
+  * (data grew 10×, so >`ratioBound`≈10× wall growth through the fixed-
+  * cost floor means the per-row cost itself grew — superlinear). A
+  * first-measurement flag is re-timed once on both SFs (min of two —
+  * the Bench stall discipline) before it counts, so one GC pause can't
+  * fail preflight.
+  *
+  * `runMain graft.ScalingAudit [sfA] [sfB] [ratioBound] [floorSec]
+  * [allowCsv]` — allowlist semantics as the other sweeps (`-` = gate
+  * with none; stale entries fail). Results print per query; flags ride
+  * [[AllowlistedSweep]]'s exit-code gate for preflight. */
+object ScalingAudit {
+  def main(args: Array[String]): Unit = {
+    val sfA = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sfB = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val ratioBound = if (args.length > 2) args(2).toDouble else 10.0
+    val floorSec = if (args.length > 3) args(3).toDouble else 2.0
+    var warmed = false
+    def timeOne(spark: SparkSession, name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      graft.operators.GlobalRank.releaseLayouts()
+      (System.nanoTime() - t0) / 1e9
     }
-    println(s"flagged: $flagged (unexpected: $unexpected)")
-    spark.stop()
-    if (allowed.nonEmpty && unexpected > 0) sys.exit(1)
+    AllowlistedSweep.run("SUPERLINEAR", args.lift(4), (spark, name) => {
+      if (!warmed) {
+        // first-touch JVM/classloader/codegen cost must not be billed
+        // to whichever query runs first (the Bench warm-up rule)
+        Seq(sfA, sfB).foreach { dir =>
+          Seq("e6_running_sum", "d6_group_sum", "h2_array_parse")
+            .foreach(q => try timeOne(spark, q, dir)
+            catch { case _: Throwable => () })
+        }
+        warmed = true
+      }
+      def measure(): (Double, Double) =
+        (timeOne(spark, name, sfA), timeOne(spark, name, sfB))
+      var (ta, tb) = measure()
+      def ratio = tb / math.max(ta, 0.05)
+      if (tb > floorSec && ratio > ratioBound) {
+        // re-time both before flagging: min of two runs per SF
+        val (ta2, tb2) = measure()
+        ta = math.min(ta, ta2); tb = math.min(tb, tb2)
+      }
+      if (tb > floorSec && ratio > ratioBound)
+        Seq(f"tA=$ta%.2fs tB=$tb%.2fs ratio=${ratio}%.1fx " +
+          f"(bound ${ratioBound}%.0fx above ${floorSec}%.1fs floor)")
+      else Seq.empty
+    }, appName = "graft-scaling-audit", sfDir = sfB)
   }
 }
 

@@ -32,16 +32,4 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
-
-  /** The persisted RDD behind a `localCheckpoint`ed DataFrame (its plan
-    * is a `LogicalRDD` holding the materialized blocks), or None if the
-    * frame isn't a checkpoint. Lets owners unpersist checkpoint storage
-    * deterministically (see [[graft.operators.GlobalRank.releaseLayouts]])
-    * instead of waiting for the JVM to collect the frame. */
-  def checkpointRdd(df: org.apache.spark.sql.DataFrame)
-  : Option[org.apache.spark.rdd.RDD[_]] =
-    org.apache.spark.sql.graftbridge.DatasetBridge.logicalPlan(df) match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-      case _ => None
-    }
 }

@@ -49,7 +49,10 @@ import org.apache.spark.sql.functions._
   * checkpointed blocks deterministically instead of waiting for GC;
   * after release the returned frame must not be re-executed (a local
   * checkpoint's lineage is truncated — recompute is impossible by
-  * design).
+  * design). That lifecycle contract is EXECUTABLE: a frame computed
+  * after its layout was freed fails fast with [[ReleasedLayoutMsg]],
+  * the operator's own error, not an opaque missing-block failure
+  * (OperatorsSpec pins it).
   */
 object GlobalRank {
 
@@ -61,32 +64,47 @@ object GlobalRank {
     * and far below a full fact-table row. */
   val MaxLayoutWidth = 12
 
-  /** Checkpointed layout RDDs not yet released — a deterministic free
-    * list for query-boundary owners ([[releaseLayouts]]); entries are
-    * the materialized `LogicalRDD` handles, so unpersist drops the
-    * actual storage blocks. */
+  /** Release handles for layouts checkpointed since the last
+    * [[releaseLayouts]] — a deterministic free list for query-boundary
+    * owners. Each handle drops that layout's storage blocks AND flips
+    * its guard, so post-release re-execution fails with
+    * [[ReleasedLayoutMsg]] instead of an opaque missing-block error. */
   private val liveLayouts =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** The error a frame raises when computed after its layout was freed
+    * — the executable form of the lifecycle contract (see the class
+    * scaladoc's cost note). */
+  val ReleasedLayoutMsg: String =
+    "GlobalRank layout re-executed after releaseLayouts(): frames " +
+      "returned by GlobalRank must be fully materialized before their " +
+      "query-boundary owner releases layouts — materialize (collect/" +
+      "write) first, or defer releaseLayouts() while the frame is live"
 
   private def checkpointLayout(df: DataFrame): DataFrame = {
-    val pinned = df.localCheckpoint(true)
-    // localCheckpoint materializes the plan into a LogicalRDD whose rdd
-    // holds the persisted blocks — track it so releaseLayouts() can
-    // unpersist deterministically at the query boundary.
-    graft.core.GraftSession.checkpointRdd(pinned).foreach(liveLayouts.add)
+    // guarded localCheckpoint: materializes the plan into a LogicalRDD
+    // whose rdd holds the persisted blocks, with a compute guard that
+    // turns post-release recomputation into ReleasedLayoutMsg; the
+    // release handle frees the blocks deterministically at the query
+    // boundary.
+    val (pinned, release) = org.apache.spark.sql.graftbridge.DatasetBridge
+      .guardedLocalCheckpoint(df, ReleasedLayoutMsg)
+    liveLayouts.add(release)
     pinned
   }
 
-  /** Unpersist every layout checkpointed since the last call; returns
-    * how many were released. Call ONLY at a query boundary, after the
-    * frames built on those layouts are fully materialized and discarded
-    * — released layouts cannot be recomputed. */
+  /** Free every layout checkpointed since the last call; returns how
+    * many were released. Call ONLY at a query boundary, after the
+    * frames built on those layouts are fully materialized and discarded.
+    * The free list is PROCESS-GLOBAL with single-owner sequential use
+    * (Bench/Verify/the audit sweeps each own the boundary for the query
+    * they just materialized — one query at a time); a frame that IS
+    * re-executed after its layout was freed fails fast with
+    * [[ReleasedLayoutMsg]] rather than an unrecoverable Spark error. */
   def releaseLayouts(): Int = {
     var n = 0
     var r = liveLayouts.poll()
-    while (r != null) {
-      r.unpersist(blocking = false); n += 1; r = liveLayouts.poll()
-    }
+    while (r != null) { r(); n += 1; r = liveLayouts.poll() }
     n
   }
 
@@ -170,41 +188,55 @@ object GlobalRank {
     * INTEGER-valued (long/int/decimal(_,0) — quantize floats first, the
     * catalog-wide exactness contract): the broadcast offsets are exact
     * longs, and a float value would make the cross-partition correction
-    * order-dependent. */
+    * order-dependent. Exactness is GUARDED on every path: partial and
+    * running sums aggregate in decimal(38,0) (a long sum would wrap
+    * silently on int64 overflow in non-ANSI mode), the driver-side
+    * offset accumulation uses `Math.addExact`/`longValueExact`, and the
+    * final bigint cast raises rather than truncate — `out` (and
+    * `totOut`) are always bigint. */
   def withGlobalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
                           out: String = "cum",
                           totOut: Option[String] = None): DataFrame = {
     requireFreshNames(df, out +: totOut.toSeq)
     val r = rangeLayout(df, order)
-    // per-partition prefix offsets over `value` (not row counts): same
-    // shape as Ranged.offsets but weighted, from one tiny aggregate
-    val agg = r.df.groupBy("__pid").agg(sum(value).as("__psum"))
-    agg.schema("__psum").dataType match {
-      case _: org.apache.spark.sql.types.LongType => ()
+    // sum in decimal(38,0) on EVERY path — guarded exactness, never the
+    // silent int64 wrap of a long sum (the input-type contract is still
+    // enforced below: floats must arrive pre-quantized)
+    r.df.select(value.as("__v")).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
       case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 => ()
       case t => throw new IllegalArgumentException(
         s"withGlobalPrefixSum needs an integer-valued value column " +
-          s"(got sum type $t) — quantize floats to integer units first")
+          s"(got $t) — quantize floats to integer units first")
     }
-    val partials = agg
-      .collect().map(x => x.getInt(0) -> x.getAs[Any](1)).sortBy(_._1)
-    def toLong(a: Any): Long = a match {
-      case null => 0L
-      case l: Long => l
-      case i: Int => i.toLong
-      case d: java.math.BigDecimal => d.longValueExact()
-      case d: BigDecimal => d.toLongExact
-      case o => o.toString.toLong
-    }
+    val dec = value.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    // per-partition prefix offsets over `value` (not row counts): same
+    // shape as Ranged.offsets but weighted, from one tiny aggregate
+    val partials = r.df.groupBy("__pid").agg(sum(dec).as("__psum"))
+      .collect()
+      .map(x => x.getInt(0) ->
+        Option(x.getDecimal(1)).fold(0L)(_.longValueExact()))
+      .sortBy(_._1)
     var acc = 0L
     val offsets = partials.map { case (pid, s) =>
-      val off = acc; acc += toLong(s); pid -> off
+      val off = acc; acc = Math.addExact(acc, s); pid -> off
     }.toMap
     val run = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running sum in decimal(38,0) + exact long offset, then a RANGE-
+    // CHECKED cast back to bigint: overflow raises, never truncates
+    val cumDec = sum(dec).over(run) +
+      element_at(typedLit(offsets), col("__pid"))
     val cum = r.df
       .withColumn(out,
-        sum(value).over(run) + element_at(typedLit(offsets), col("__pid")))
+        when(cumDec.between(Long.MinValue, Long.MaxValue),
+          cumDec.cast("bigint"))
+          .otherwise(raise_error(lit(
+            "withGlobalPrefixSum overflowed int64 — rescale the value " +
+              "units"))))
       .drop("__pid")
     totOut match {
       case Some(t) => cum.withColumn(t, lit(acc))

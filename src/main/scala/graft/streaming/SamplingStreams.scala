@@ -26,18 +26,25 @@ object SamplingStreams {
     * literal) — no explode, no join, no state, so it runs in append
     * mode at ingest parallelism. `avg_micro` is the length-normalized
     * per-token log ratio (floor on double — logw can be negative, where
-    * integer div truncates the wrong way; the s18 contract). Buckets
-    * absent from the learned table contribute 0 (they carry no
-    * evidence), matching the batch inner join over a full-support
-    * table. */
+    * integer div truncates the wrong way; the s18 contract). Tokens
+    * whose bucket is ABSENT from the frozen table are excluded from
+    * BOTH `n_terms` and `logw_micro` — exactly what the batch
+    * explode/inner-join rollup does against the same frozen table — so
+    * batch ≡ stream holds even when arriving documents carry buckets
+    * the learning pass never observed (counting them with a 0 ratio
+    * would shift `avg_micro` and flip s18 gate membership). A document
+    * with NO known-bucket token drops from the output, matching the
+    * batch inner join yielding it zero rows. */
   def dsirScore(docs: DataFrame, ratioMicro: Map[Long, Long]): DataFrame = {
     val toks = split(TextAnalysis.normalizeText(col("text")), " ")
     val ratio = typedLit(ratioMicro)
-    val terms = transform(toks,
-      t => coalesce(element_at(ratio, Scoring.tokenBucket(t, 64)), lit(0L)))
+    val known = filter(
+      transform(toks, t => element_at(ratio, Scoring.tokenBucket(t, 64))),
+      _.isNotNull)
     docs.select(col("doc_id"),
-        size(toks).cast("long").as("n_terms"),
-        aggregate(terms, lit(0L), (a, x) => a + x).as("logw_micro"))
+        size(known).cast("long").as("n_terms"),
+        aggregate(known, lit(0L), (a, x) => a + x).as("logw_micro"))
+      .filter(col("n_terms") > 0L)
       .withColumn("avg_micro",
         floor(col("logw_micro").cast("double") /
           col("n_terms").cast("double")).cast("bigint"))

@@ -699,6 +699,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("release-then-reuse fails with the operator's own message, not " +
+      "an opaque missing-block error (the lifecycle contract is " +
+      "executable)") {
+    import graft.operators.GlobalRank
+    import spark.implicits._
+    GlobalRank.releaseLayouts() // own the query boundary for this test
+    val df = (1L to 500L).map(i => (i, (i % 7).toDouble)).toDF("id", "v")
+    val ranked = GlobalRank.withGlobalRowNumber(df,
+      Seq(col("v"), col("id")), out = "rn")
+    assert(ranked.count() == 500L) // materialized once: legitimate use
+    assert(GlobalRank.releaseLayouts() >= 1)
+    // re-executing the frame after its layout was freed must surface
+    // ReleasedLayoutMsg somewhere in the failure chain — the guard RDD
+    // fails fast instead of Spark's unrecoverable missing-block error
+    val e = intercept[Throwable] { ranked.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      String.valueOf(t.getMessage)
+        .contains("releaseLayouts")), s"got: $e")
+  }
+
   test("er4 cluster-audit cap bounds pair work and still flags chains") {
     import graft.operators.EntityAudit
     import spark.implicits._

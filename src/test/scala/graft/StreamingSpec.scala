@@ -893,6 +893,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == rows.length)
   }
 
+  test("DSIR scorer (s16): buckets UNSEEN by the frozen table drop " +
+      "from n_terms and logw on the stream, matching the batch inner " +
+      "join against the same frozen table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (docs, ratioMap, _) = dsirFixture
+    // freeze a PARTIAL table: drop half the learned buckets — the
+    // arriving-doc scenario where the stream sees vocabulary the
+    // learning pass never observed (scoring such tokens at ratio 0
+    // while still counting them in n_terms would shift avg_micro and
+    // flip s18 gate membership — the divergence this test pins shut)
+    val reduced = ratioMap.filter { case (b, _) => b % 2 == 0 }
+    assert(reduced.nonEmpty && reduced.size < ratioMap.size)
+    val ratioDf = reduced.toSeq.toDF("b", "lr_micro")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(graft.operators.TextAnalysis
+          .normalizeText(col("text")), " ")).as("t"))
+      .select(col("doc_id"),
+        graft.operators.Scoring.tokenBucket(col("t"), 64).as("b"))
+    // batch reference via the PRODUCTION explode/inner-join rollup
+    // against the frozen partial table: unknown buckets drop from both
+    // the count and the sum; an all-unknown doc yields zero rows
+    val batch = toks.join(broadcast(ratioDf), "b").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("lr_micro")).as("logw_micro"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the reduction must actually bite, or this test proves nothing
+    assert(batch.values.map(_._1).sum < toks.count())
+    val stream = MemoryStream[(Long, String)]
+    val scored = graft.streaming.SamplingStreams.dsirScore(
+      stream.toDF().toDF("doc_id", "text"), reduced)
+    val query = scored.writeStream.format("memory")
+      .queryName("s16_partial_out").outputMode("append").start()
+    stream.addData(docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))): _*)
+    query.processAllAvailable()
+    val streamed = spark.table("s16_partial_out")
+      .select("doc_id", "n_terms", "logw_micro").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    query.stop()
+    assert(streamed == batch)
+  }
+
   test("SIR gate (s18): frozen-ceiling log-space acceptance selects " +
       "identical membership on a stream") {
     import spark.implicits._
