@@ -361,6 +361,9 @@ object ScalingAudit {
         val (ta2, tb2) = measure()
         ta = math.min(ta, ta2); tb = math.min(tb, tb2)
       }
+      // every query's growth profile prints (not only flags): the sweep's
+      // raw data is what argues a bound or an allowlist entry in SCALE.md
+      println(f"TIMING $name tA=$ta%.3f tB=$tb%.3f ratio=${ratio}%.1f")
       if (tb > floorSec && ratio > ratioBound)
         Seq(f"tA=$ta%.2fs tB=$tb%.2fs ratio=${ratio}%.1fx " +
           f"(bound ${ratioBound}%.0fx above ${floorSec}%.1fs floor)")

@@ -38,8 +38,9 @@ EOF
 echo "== bench_isolated: $(echo $QUERIES | wc -w) queries, $RUNS runs each, fresh JVM per query =="
 TMP=$(mktemp)
 for q in $QUERIES; do
-  # one sbt JVM per query: no cross-query JIT/GC/cache interference
-  LINE=$(sbt -batch "runMain graft.BenchOne $SF $q $RUNS" 2>/dev/null \
+  # one fresh JVM per query (plain java via run_main.sh — no cross-query
+  # JIT/GC/cache interference, and no 40 s sbt startup per query)
+  LINE=$(tools/run_main.sh graft.BenchOne "$SF" "$q" "$RUNS" 2>/dev/null \
     | grep "\[benchone\] $q " || true)
   if [ -z "$LINE" ]; then
     echo "FAILED $q" >&2
