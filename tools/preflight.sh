@@ -117,6 +117,25 @@ if [ -z "$ONLY" ]; then
     exit 1
   fi
   python3 tools/check_oracle.py "$EDGE_SF" "$EDGE_OUT"
+
+  echo "== preflight: empty-fixture sweep (zero-row tables) =="
+  # The --empty variant exercises the same guard paths at the limit input
+  # (zero-row documents/events/embeddings). Its marginal catch rate since
+  # round 8 has been zero, but the round-9 verdict's argument against
+  # manual sweeps ("a new query skipping the sweep ships the silent
+  # divergence") applies to it equally — so it gates too.
+  EMPTY_SF=/tmp/empty_sf
+  EMPTY_OUT=/tmp/empty_out
+  MLOG=/tmp/preflight_empty.log
+  rm -rf "$EMPTY_SF" "$EMPTY_OUT"
+  python3 tools/make_edge_fixture.py --empty /root/testdata/sf0.01 "$EMPTY_SF"
+  tools/run_main.sh graft.Verify "$EMPTY_SF" "$EMPTY_OUT" 2>&1 | tee "$MLOG"
+  if grep -q "\[verify\].*failed" "$MLOG"; then
+    echo "== preflight: FAIL — empty-fixture Verify reported query errors:" >&2
+    grep "\[verify\].*failed" "$MLOG" >&2
+    exit 1
+  fi
+  python3 tools/check_oracle.py "$EMPTY_SF" "$EMPTY_OUT"
 fi
 
 echo "== preflight: PASS — safe to commit =="

@@ -21,6 +21,19 @@ if [ ! -s "$CPFILE" ] || [ build.sbt -nt "$CPFILE" ]; then
   [ -s "$CPFILE" ] || { echo "classpath export failed" >&2; exit 1; }
 fi
 
+# Stale-class guard: running an audit against bytecode older than the
+# sources it claims to audit silently tests the WRONG code. Warn loudly
+# (don't fail — iterating on docs/scripts shouldn't force a compile).
+SRC_T=$(find src/main/scala -name '*.scala' -printf '%T@\n' 2>/dev/null \
+  | sort -rg | head -1)
+CLS_T=$(find target/scala-2.13/classes -name '*.class' -printf '%T@\n' \
+  2>/dev/null | sort -rg | head -1)
+if [ -n "$SRC_T" ] && awk -v s="$SRC_T" -v c="${CLS_T:-0}" \
+    'BEGIN { exit !(s > c) }'; then
+  echo "run_main: WARNING — a src/main .scala file is newer than every" \
+    "compiled class; run 'sbt compile' first or this runs STALE bytecode" >&2
+fi
+
 # Mirror build.sbt's jdk17AddOpens + javaOptions exactly.
 ADD_OPENS=(
   java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
