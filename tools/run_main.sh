@@ -24,10 +24,17 @@ fi
 # Stale-class guard: running an audit against bytecode older than the
 # sources it claims to audit silently tests the WRONG code. Warn loudly
 # (don't fail — iterating on docs/scripts shouldn't force a compile).
+# (awk consumes the whole stream — a `sort | head -1` here dies of
+# SIGPIPE under this script's pipefail once the file list outgrows one
+# pipe buffer, killing the run before java even starts)
 SRC_T=$(find src/main/scala -name '*.scala' -printf '%T@\n' 2>/dev/null \
-  | sort -rg | head -1)
-CLS_T=$(find target/scala-2.13/classes -name '*.class' -printf '%T@\n' \
-  2>/dev/null | sort -rg | head -1)
+  | awk 'NR==1 || $1>m {m=$1} END {print m}')
+# "last successful compile" = newest class file OR the incremental-
+# compile stream marker (zinc is content-hashing, so a no-op compile —
+# e.g. after a bare `touch` — updates the marker but no .class file)
+CLS_T=$(find target/scala-2.13/classes target/streams/compile/compileIncremental \
+    \( -name '*.class' -o -name out \) -printf '%T@\n' \
+  2>/dev/null | awk 'NR==1 || $1>m {m=$1} END {print m}')
 if [ -n "$SRC_T" ] && awk -v s="$SRC_T" -v c="${CLS_T:-0}" \
     'BEGIN { exit !(s > c) }'; then
   echo "run_main: WARNING — a src/main .scala file is newer than every" \
