@@ -235,7 +235,15 @@ private[graft] object AllowlistedSweep {
     var flagged = 0
     var unexpected = 0
     val flaggedNames = scala.collection.mutable.Set.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, _) =>
+    // SPARK_GRAFT_ONLY (same contract as Verify): comma-separated query
+    // names for a fast partial sweep while iterating. The stale-allowlist
+    // honesty check below is restricted to the filtered set — an
+    // allowlisted query that wasn't RUN can't be called stale.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (name, _) =>
       try {
         sweep(spark, name).foreach { detail =>
           flagged += 1
@@ -249,7 +257,8 @@ private[graft] object AllowlistedSweep {
           println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
       }
     }
-    val stale = (allowed -- flaggedNames).toSeq.sorted
+    val ranNames = selected.map(_._1).toSet
+    val stale = ((allowed & ranNames) -- flaggedNames).toSeq.sorted
     stale.foreach(n => println(
       s"STALE-ALLOWLIST $n no longer flags — remove it from the " +
         "allowlist (a stale exemption masks future regressions)"))

@@ -55,7 +55,8 @@ object SparkEntry {
       graft.queries.ScoringQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.ExperimentQueries.queries ++
-      graft.queries.PrivacyQueries.queries
+      graft.queries.PrivacyQueries.queries ++
+      graft.queries.TrainerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.ScoringQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
       graft.queries.ExperimentQueries.oracleSql ++
-      graft.queries.PrivacyQueries.oracleSql
+      graft.queries.PrivacyQueries.oracleSql ++
+      graft.queries.TrainerQueries.oracleSql
 }

@@ -1,0 +1,481 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.TextAnalysis
+
+/** Corpus-level TRAINING loops — queries whose output is a LEARNED
+  * artifact (a tokenizer merge table, classifier weights) rather than a
+  * transform of the input rows. Two capability classes the catalog's
+  * scoring/application queries consume but nothing previously produced:
+  *
+  *  - **Tokenizer training** (`bpe1`–`bpe3`): distributed byte-pair-
+  *    encoding merge learning. The corpus collapses to a word-frequency
+  *    table FIRST (the classic BPE-trainer design — one corpus-grain
+  *    aggregation), so every merge round runs at WORD-TYPE grain:
+  *    at 100 TB the vocabulary is ~10^8 rows against ~10^11 documents,
+  *    a 1000× reduction before any iterative work starts. Each round is
+  *    word-partitioned window arithmetic (greedy left-to-right pair
+  *    merging via run-parity — exact BPE semantics, including overlapping
+  *    runs like `aaa`) plus a top-1 pair pick that flows back in as a
+  *    1-row broadcast, never a driver collect.
+  *
+  *  - **Classifier training** (`lr1`–`lr2`): full-batch gradient descent
+  *    for a logistic-style language classifier over text-derived
+  *    features. Each step is one narrow map over the cached feature
+  *    frame plus a 5-number gradient aggregate (metadata grain — the
+  *    same contract as KMeans' k-row centroid collect); at any scale a
+  *    step costs one scan and a tree-reduce, no shuffle of row data.
+  *    The link function is the rational "fast sigmoid"
+  *    `0.5 + z / (2(1+|z|))` — deliberately transcendental-free so every
+  *    double op is a correctly-rounded IEEE primitive and the DuckDB
+  *    oracle reproduces training bit-exactly (the micro-quantization
+  *    idiom from ExperimentQueries, applied to a whole training loop).
+  *
+  * Both families quantize every ratio to integer micro units immediately
+  * (floor of an exact-integer-valued dividend over a small divisor —
+  * quotient granularity 1/b with b ≪ 2^33, far above double ulp, so
+  * floor is engine-stable).
+  */
+object TrainerQueries {
+
+  /** documents, spread across cores (same rationale as
+    * TrainingDataQueries.docsSpread: the harness parquet is one row
+    * group; these queries are compute-bound per row). */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val stopPat =
+    "\\b(the|a|an|of|and|in|to|is|it|for|on|with|as|at|by|from)\\b"
+
+  // ---------------------------------------------------------------- BPE
+
+  /** Word-frequency table: the scale pivot. One corpus-grain shuffle,
+    * everything downstream is word-TYPE grain. The `[a-z]{2,12}` gate
+    * bounds the per-word character explode and keeps char semantics
+    * identical between Java regex and RE2. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
+        .as("word"))
+      .filter(col("word").rlike("^[a-z]{2,12}$"))
+      .groupBy("word")
+      .agg(count(lit(1)).cast("bigint").as("freq"))
+
+  /** Character-level segmentation rows: (word, freq, pos, sym). The
+    * `(?!^)` split puts one character per element with no leading
+    * empty string — the DuckDB twin enumerates positions with
+    * generate_series + substr. */
+  private[graft] def charSeg(wf: DataFrame): DataFrame =
+    wf.select(col("word"), col("freq"),
+        posexplode(split(col("word"), "(?!^)")).as(Seq("pos", "sym")))
+      // Spark split keeps a trailing empty element (limit -1 semantics;
+      // the (?!^) lookahead also matches at end-of-string) — drop it, the
+      // real symbols already sit at pos 0..len-1.
+      .filter(col("sym") =!= "")
+      .select(col("word"), col("freq"), col("pos").cast("bigint").as("pos"),
+        col("sym"))
+
+  /** One BPE merge round over a segmentation: pick the argmax adjacent
+    * pair (weighted by word frequency, overlapping occurrences counted —
+    * Sennrich's get_stats semantics), then apply it greedily left-to-
+    * right. Greedy-with-runs is expressed as pure window arithmetic:
+    * within each maximal run of consecutive flagged positions, ODD
+    * row_numbers merge (so `aaaa` + merge (a,a) → `aa aa`, `aaa` →
+    * `(aa)a` — exact reference-BPE behavior). The pick joins back as a
+    * 1-row broadcast (LEFT join on TRUE, so an empty corpus degrades to
+    * zero flags, never an emptied segmentation).
+    *
+    * Returns (pick, nextSeg); pick has columns (ml, mr, mcnt). */
+  private[graft] def mergeRound(seg: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val withNxt = seg.withColumn("nxt", lead(col("sym"), 1).over(w))
+    val pick = withNxt.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("ml"), col("nxt").as("mr"))
+      .agg(sum(col("freq")).cast("bigint").as("mcnt"))
+      .orderBy(col("mcnt").desc, col("ml"), col("mr"))
+      .limit(1)
+    val flagged = withNxt.join(broadcast(pick), lit(true), "left")
+      .withColumn("f",
+        coalesce(col("sym") === col("ml") && col("nxt") === col("mr"),
+          lit(false)))
+    // island id: constant within a run of consecutive flagged positions,
+    // distinct across runs (pos minus the running flagged count) — the
+    // gaps-and-islands step computed with the SAME word partitioning.
+    val withIsland = flagged.withColumn("island",
+      col("pos") - sum(when(col("f"), 1L).otherwise(0L)).over(w))
+    val wi = Window.partitionBy(col("word"), col("island"), col("f"))
+      .orderBy("pos")
+    val marked = withIsland
+      .withColumn("m", col("f") && row_number().over(wi) % 2 === 1)
+    val withPrev = marked.withColumn("pm", lag(col("m"), 1).over(w))
+    val next = withPrev.filter(!coalesce(col("pm"), lit(false)))
+      .select(col("word"), col("freq"),
+        (row_number().over(w) - 1).cast("bigint").as("pos"),
+        when(col("m"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
+          .as("sym"))
+    (pick, next)
+  }
+
+  // ------------------------------------------------------------ LogReg
+
+  /** Per-document training features, all exact-integer micro units:
+    * y = (lang = 'en'); x0 bias; x1 stopword ratio; x2 mean word length
+    * (÷10 so the range is ~[0, 1.2e6]); x3 'e'-character ratio (letter
+    * frequency — the classic language-ID signal). */
+  private[graft] def features(s: SparkSession, dir: String): DataFrame = {
+    // NULL text coalesces to '' at the source in BOTH engines — greatest/
+    // length NULL semantics must never be load-bearing (edge fixtures
+    // carry NULL text by design).
+    val t = coalesce(col("text"), lit(""))
+    val norm = TextAnalysis.normalizeText(t)
+    val raw = docs(s, dir).select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      greatest(TextAnalysis.tokenCount(t), lit(1L)).as("nt"),
+      regexp_count(lower(t), lit(stopPat)).cast("bigint")
+        .as("nsw"),
+      length(regexp_replace(norm, " ", "")).cast("bigint").as("nnsp"),
+      (length(norm) - length(regexp_replace(norm, "e", ""))).cast("bigint")
+        .as("ne"))
+    raw.select(col("y"), lit(1000000L).as("x0"),
+      floor((col("nsw") * 1000000L).cast("double") / col("nt"))
+        .cast("bigint").as("x1"),
+      floor((col("nnsp") * 100000L).cast("double") / col("nt"))
+        .cast("bigint").as("x2"),
+      floor((col("ne") * 1000000L).cast("double") /
+          greatest(col("nnsp"), lit(1L)))
+        .cast("bigint").as("x3"))
+  }
+
+  /** Per-row quantized prediction under weights w (micro units):
+    * pm = floor(1e6 · fastsig(w·x / 1e12)). Every op is an IEEE
+    * primitive on integer-derived doubles — engine-stable. */
+  private[graft] def predMicro(w: Array[Long]) = {
+    val z = (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")).cast("double") /
+      lit(1000000000000.0)
+    floor((lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))) *
+      lit(1000000.0)).cast("bigint")
+  }
+
+  /** Three full-batch GD steps; returns the final micro weights. The
+    * per-step collect is a 5-number gradient row (metadata grain). */
+  private[graft] def trainWeights(feat: DataFrame): Array[Long] = {
+    val w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to 3) {
+      val e = (predMicro(w) - col("y") * 1000000L).as("e")
+      val base = feat.select(col("x0"), col("x1"), col("x2"), col("x3"), e)
+      val g = base.agg(count(lit(1)).as("n"),
+        coalesce(sum(floor((col("e") * col("x0")).cast("double") /
+          1000000.0).cast("bigint")), lit(0L)).as("g0"),
+        coalesce(sum(floor((col("e") * col("x1")).cast("double") /
+          1000000.0).cast("bigint")), lit(0L)).as("g1"),
+        coalesce(sum(floor((col("e") * col("x2")).cast("double") /
+          1000000.0).cast("bigint")), lit(0L)).as("g2"),
+        coalesce(sum(floor((col("e") * col("x3")).cast("double") /
+          1000000.0).cast("bigint")), lit(0L)).as("g3")).collect()(0)
+      val n = g.getLong(0)
+      if (n > 0L) {
+        var j = 0
+        while (j < 4) {
+          w(j) -= math.floor(g.getLong(j + 1).toDouble / (2.0 * n)).toLong
+          j += 1
+        }
+      }
+    }
+    w
+  }
+
+  // ----------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tokenizer training, pass 0: corpus-wide adjacent-pair statistics
+    // (weighted by word frequency) — the table the first merge argmaxes
+    // over. Pair cardinality is alphabet², bounded regardless of corpus
+    // size.
+    "bpe1_pair_stats" -> { (s, dir) =>
+      val w = Window.partitionBy("word").orderBy("pos")
+      charSeg(wordFreq(s, dir))
+        .withColumn("nxt", lead(col("sym"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
+        .agg(sum(col("freq")).cast("bigint").as("pair_count"))
+    },
+
+    // Tokenizer training: the learned merge table after 3 rounds —
+    // (round, left, right, pair count at pick time). The artifact a BPE
+    // tokenizer ships.
+    "bpe2_merge_table" -> { (s, dir) =>
+      var seg = charSeg(wordFreq(s, dir))
+      val picks = (1 to 3).map { k =>
+        val (pick, next) = mergeRound(seg)
+        seg = next
+        pick.select(lit(k.toLong).as("merge_round"),
+          col("ml").as("left_sym"), col("mr").as("right_sym"),
+          col("mcnt").as("pair_count"))
+      }
+      picks.reduce(_.union(_))
+    },
+
+    // Tokenizer training: the compression curve — corpus-weighted symbol
+    // count after each merge round (round 0 = raw characters). The
+    // metric a tokenizer trainer monitors for diminishing returns.
+    "bpe3_compression_curve" -> { (s, dir) =>
+      var seg = charSeg(wordFreq(s, dir))
+      def point(k: Int, d: DataFrame): DataFrame =
+        d.agg(coalesce(sum(col("freq")), lit(0L)).cast("bigint")
+            .as("weighted_symbols"))
+          .select(lit(k.toLong).as("merge_round"), col("weighted_symbols"))
+      var out = point(0, seg)
+      for (k <- 1 to 3) {
+        val (_, next) = mergeRound(seg)
+        seg = next
+        out = out.union(point(k, seg))
+      }
+      out
+    },
+
+    // Classifier training: final weights after 3 exact-replayable GD
+    // steps (micro units). The feature frame is cached once; each step
+    // is one scan + a 5-number tree-aggregate.
+    "lr1_grad_descent" -> { (s, dir) =>
+      import s.implicits._
+      val feat = features(s, dir).persist()
+      val w =
+        try trainWeights(feat)
+        finally feat.unpersist()
+      Seq(("w0_bias", w(0)), ("w1_stop_ratio", w(1)),
+        ("w2_mean_wordlen", w(2)), ("w3_e_char_ratio", w(3)))
+        .toDF("feature", "weight_micro")
+    },
+
+    // Classifier training + eval: confusion matrix and micro-accuracy of
+    // the trained model at threshold 0.5 — the train-then-score loop in
+    // one query (weights learned exactly as lr1, then one distributed
+    // scoring pass).
+    "lr2_train_confusion" -> { (s, dir) =>
+      val feat = features(s, dir).persist()
+      val w =
+        try trainWeights(feat)
+        finally feat.unpersist()
+      val scored = features(s, dir)
+        .select(col("y"), (predMicro(w) >= 500000L).as("pred"))
+      scored.agg(count(lit(1)).cast("bigint").as("n_docs"),
+          coalesce(sum(when(col("pred") && col("y") === 1L, 1L)
+            .otherwise(0L)), lit(0L)).cast("bigint").as("tp"),
+          coalesce(sum(when(col("pred") && col("y") === 0L, 1L)
+            .otherwise(0L)), lit(0L)).cast("bigint").as("fp"),
+          coalesce(sum(when(!col("pred") && col("y") === 1L, 1L)
+            .otherwise(0L)), lit(0L)).cast("bigint").as("fn"),
+          coalesce(sum(when(!col("pred") && col("y") === 0L, 1L)
+            .otherwise(0L)), lit(0L)).cast("bigint").as("tn"))
+        .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+          coalesce(floor(((col("tp") + col("tn")) * 1000000L)
+              .cast("double") /
+              when(col("n_docs") === 0L, lit(null)).otherwise(col("n_docs")))
+            .cast("bigint"), lit(0L)).as("accuracy_micro"))
+    }
+  )
+
+  // -------------------------------------------------------- oracle SQL
+
+  /** Shared CTE prefix: word-frequency table + character segmentation. */
+  private val segSql: String =
+    s"""words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS word
+       |    FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]{2,12}$$')
+       |  GROUP BY word),
+       |seg0 AS (
+       |  SELECT word, freq, CAST(i - 1 AS BIGINT) AS pos,
+       |         substr(word, CAST(i AS INT), 1) AS sym
+       |  FROM words, unnest(generate_series(1, length(word))) AS s(i))"""
+      .stripMargin
+
+  /** CTEs for merge round k: pair lead, argmax pick, greedy run-parity
+    * apply — the exact SQL twin of [[mergeRound]]. */
+  private def roundSql(k: Int): String = {
+    val p = k - 1
+    s"""nx$k AS (
+       |  SELECT word, freq, pos, sym,
+       |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM seg$p),
+       |pick$k AS (
+       |  SELECT sym AS ml, nxt AS mr, CAST(sum(freq) AS BIGINT) AS mcnt
+       |  FROM nx$k WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY mcnt DESC, ml, mr LIMIT 1),
+       |a$k AS (
+       |  SELECT n.word, n.freq, n.pos, n.sym, n.nxt,
+       |         coalesce(n.sym = p.ml AND n.nxt = p.mr, FALSE) AS f
+       |  FROM nx$k n LEFT JOIN pick$k p ON TRUE),
+       |b$k AS (
+       |  SELECT *, pos - sum(CASE WHEN f THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY word ORDER BY pos) AS island
+       |  FROM a$k),
+       |c$k AS (
+       |  SELECT *, f AND (row_number() OVER
+       |      (PARTITION BY word, island, f ORDER BY pos)) % 2 = 1 AS m
+       |  FROM b$k),
+       |d$k AS (
+       |  SELECT *, lag(m) OVER (PARTITION BY word ORDER BY pos) AS pm
+       |  FROM c$k),
+       |seg$k AS (
+       |  SELECT word, freq,
+       |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1
+       |              AS BIGINT) AS pos,
+       |         CASE WHEN m THEN sym || nxt ELSE sym END AS sym
+       |  FROM d$k WHERE NOT coalesce(pm, FALSE))""".stripMargin
+  }
+
+  /** Feature CTE, the SQL twin of [[features]] (text coalesced to '' at
+    * the source, matching the Spark side). */
+  private val featSql: String = {
+    val cNorm =
+      "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+    s"""feat AS (
+       |  SELECT y, CAST(1000000 AS BIGINT) AS x0,
+       |         CAST(floor(CAST(nsw * 1000000 AS DOUBLE) / nt) AS BIGINT)
+       |           AS x1,
+       |         CAST(floor(CAST(nnsp * 100000 AS DOUBLE) / nt) AS BIGINT)
+       |           AS x2,
+       |         CAST(floor(CAST(ne * 1000000 AS DOUBLE) /
+       |              greatest(nnsp, 1)) AS BIGINT) AS x3
+       |  FROM (
+       |    SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+       |             AS y,
+       |           greatest(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+       |             ELSE len(string_split_regex(trim(coalesce(text, '')),
+       |                      '\\s+')) END,
+       |             1) AS nt,
+       |           len(regexp_extract_all(lower(coalesce(text, '')),
+       |               '$stopPat')) AS nsw,
+       |           length(replace($cNorm, ' ', '')) AS nnsp,
+       |           length($cNorm) -
+       |             length(replace($cNorm, 'e', '')) AS ne
+       |    FROM documents) t)""".stripMargin
+  }
+
+  /** CTEs for GD step k: per-row prediction under wt(k-1), the gradient
+    * aggregate, the weight update — the SQL twin of [[trainWeights]]'s
+    * loop body. */
+  private def stepSql(k: Int): String = {
+    val p = k - 1
+    def gTerm(j: Int): String =
+      s"""CAST(coalesce(sum(CAST(floor(CAST((pm - y * 1000000) * x$j
+         |        AS DOUBLE) / 1000000.0) AS BIGINT)), 0) AS BIGINT)
+         |      AS g$j""".stripMargin
+    def wTerm(j: Int): String =
+      s"""w.w$j - coalesce(CAST(floor(g.g$j / (2.0 * nullif(g.n, 0)))
+         |        AS BIGINT), 0) AS w$j""".stripMargin
+    s"""p$k AS (
+       |  SELECT t.*, CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) *
+       |           1000000.0) AS BIGINT) AS pm
+       |  FROM (SELECT f.*,
+       |          CAST(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 +
+       |               w.w3 * f.x3 AS DOUBLE) / 1000000000000.0 AS z
+       |        FROM feat f, wt$p w) t),
+       |g$k AS (
+       |  SELECT count(*) AS n,
+       |      ${gTerm(0)},
+       |      ${gTerm(1)},
+       |      ${gTerm(2)},
+       |      ${gTerm(3)}
+       |  FROM p$k),
+       |wt$k AS (
+       |  SELECT ${wTerm(0)},
+       |      ${wTerm(1)},
+       |      ${wTerm(2)},
+       |      ${wTerm(3)}
+       |  FROM wt$p w, g$k g)""".stripMargin
+  }
+
+  private val wt0Sql: String =
+    """wt0 AS (
+      |  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+      |         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+      .stripMargin
+
+  private val trainSql: String =
+    s"$featSql,\n$wt0Sql,\n${stepSql(1)},\n${stepSql(2)},\n${stepSql(3)}"
+
+  def oracleSql: Map[String, String] = Map(
+    "bpe1_pair_stats" ->
+      s"""WITH $segSql
+         |SELECT sym AS left_sym, nxt AS right_sym,
+         |       CAST(sum(freq) AS BIGINT) AS pair_count
+         |FROM (SELECT word, freq, sym,
+         |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |      FROM seg0) t
+         |WHERE nxt IS NOT NULL GROUP BY sym, nxt""".stripMargin,
+
+    "bpe2_merge_table" ->
+      s"""WITH $segSql,
+         |${roundSql(1)},
+         |${roundSql(2)},
+         |${roundSql(3)}
+         |SELECT CAST(1 AS BIGINT) AS merge_round, ml AS left_sym,
+         |       mr AS right_sym, mcnt AS pair_count FROM pick1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), ml, mr, mcnt FROM pick2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), ml, mr, mcnt FROM pick3"""
+        .stripMargin,
+
+    "bpe3_compression_curve" ->
+      s"""WITH $segSql,
+         |${roundSql(1)},
+         |${roundSql(2)},
+         |${roundSql(3)}
+         |SELECT CAST(0 AS BIGINT) AS merge_round,
+         |       CAST(coalesce(sum(freq), 0) AS BIGINT) AS weighted_symbols
+         |FROM seg0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(coalesce(sum(freq), 0) AS BIGINT)
+         |FROM seg1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(coalesce(sum(freq), 0) AS BIGINT)
+         |FROM seg2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(coalesce(sum(freq), 0) AS BIGINT)
+         |FROM seg3""".stripMargin,
+
+    "lr1_grad_descent" ->
+      s"""WITH $trainSql
+         |SELECT 'w0_bias' AS feature, w0 AS weight_micro FROM wt3
+         |UNION ALL SELECT 'w1_stop_ratio', w1 FROM wt3
+         |UNION ALL SELECT 'w2_mean_wordlen', w2 FROM wt3
+         |UNION ALL SELECT 'w3_e_char_ratio', w3 FROM wt3""".stripMargin,
+
+    "lr2_train_confusion" ->
+      s"""WITH $trainSql,
+         |scored AS (
+         |  SELECT f.y,
+         |    CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000.0)
+         |         AS BIGINT) >= 500000 AS pred
+         |  FROM (SELECT f.*,
+         |          CAST(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 +
+         |               w.w3 * f.x3 AS DOUBLE) / 1000000000000.0 AS z
+         |        FROM feat f, wt3 w) f),
+         |conf AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END),
+         |         0) AS BIGINT) AS tp,
+         |    CAST(coalesce(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END),
+         |         0) AS BIGINT) AS fp,
+         |    CAST(coalesce(sum(CASE WHEN NOT pred AND y = 1 THEN 1
+         |         ELSE 0 END), 0) AS BIGINT) AS fn,
+         |    CAST(coalesce(sum(CASE WHEN NOT pred AND y = 0 THEN 1
+         |         ELSE 0 END), 0) AS BIGINT) AS tn
+         |  FROM scored)
+         |SELECT n_docs, tp, fp, fn, tn,
+         |  coalesce(CAST(floor(CAST((tp + tn) * 1000000 AS DOUBLE) /
+         |    nullif(n_docs, 0)) AS BIGINT), 0) AS accuracy_micro
+         |FROM conf""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TrainerQueries
+
+/** Specs for the corpus-training loops (BPE merge learning, GD
+  * classifier training). The oracle harness pins engine parity; these
+  * pin the SEMANTICS that make the queries correct BPE / correct GD —
+  * greedy run-parity merging, deterministic tie-breaks, loop
+  * reproducibility. */
+class TrainerSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def wf(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("word", "freq")
+  }
+
+  private def segText(seg: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+    seg.orderBy("word", "pos").collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rs) => w -> rs.sortBy(_.getLong(2)).map(_.getString(3)).toSeq }
+
+  test("charSeg explodes words to one symbol per character, no empties") {
+    val seg = TrainerQueries.charSeg(wf("spark" -> 2L, "ab" -> 1L))
+    val m = segText(seg)
+    assert(m("spark") == Seq("s", "p", "a", "r", "k"))
+    assert(m("ab") == Seq("a", "b"))
+  }
+
+  test("mergeRound applies the argmax pair greedily left-to-right " +
+    "(run parity: aaaa -> aa|aa, aaa -> aa|a)") {
+    val seg = TrainerQueries.charSeg(wf("aaaa" -> 1L, "aaa" -> 1L))
+    val (pick, next) = TrainerQueries.mergeRound(seg)
+    val p = pick.collect()(0)
+    // overlapping occurrences count (Sennrich get_stats): 3 + 2 = 5
+    assert((p.getString(0), p.getString(1), p.getLong(2)) == ("a", "a", 5L))
+    val m = segText(next)
+    assert(m("aaaa") == Seq("aa", "aa"), m)
+    assert(m("aaa") == Seq("aa", "a"), m)
+  }
+
+  test("mergeRound tie-break is deterministic: lowest (left, right) pair") {
+    val seg = TrainerQueries.charSeg(wf("dcba" -> 3L))
+    val (pick, _) = TrainerQueries.mergeRound(seg)
+    val p = pick.collect()(0)
+    // dc, cb, ba all have weighted count 3 -> 'ba' sorts first? No:
+    // ORDER BY cnt DESC, left, right -> ('b','a') < ('c','b') < ('d','c')
+    assert((p.getString(0), p.getString(1), p.getLong(2)) == ("b", "a", 3L))
+  }
+
+  test("merges compose: second round works on merged symbols and the " +
+    "weighted symbol count is strictly decreasing while merges apply") {
+    val seg0 = TrainerQueries.charSeg(wf("abab" -> 2L, "aba" -> 1L))
+    def weighted(d: org.apache.spark.sql.DataFrame): Long =
+      d.agg(coalesce(sum(col("freq")), lit(0L))).collect()(0).getLong(0)
+    val n0 = weighted(seg0)
+    val (p1, seg1) = TrainerQueries.mergeRound(seg0)
+    val n1 = weighted(seg1)
+    // (a,b) weighted 2*2+1 = 5 beats (b,a) 2+1
+    val r1 = p1.collect()(0)
+    assert((r1.getString(0), r1.getString(1), r1.getLong(2)) == ("a", "b", 5L))
+    assert(segText(seg1)("abab") == Seq("ab", "ab"))
+    assert(segText(seg1)("aba") == Seq("ab", "a"))
+    val (p2, seg2) = TrainerQueries.mergeRound(seg1)
+    val r2 = p2.collect()(0)
+    // now (ab,ab) weighted 2 beats (ab,a) weighted 1
+    assert((r2.getString(0), r2.getString(1), r2.getLong(2)) == ("ab", "ab", 2L))
+    assert(segText(seg2)("abab") == Seq("abab"))
+    val n2 = weighted(seg2)
+    assert(n0 > n1 && n1 > n2, s"$n0 $n1 $n2")
+  }
+
+  test("trainWeights is reproducible and moves weights off zero on the " +
+    "fixture corpus") {
+    val feat = TrainerQueries.features(spark, sf)
+    val w1 = TrainerQueries.trainWeights(feat)
+    val w2 = TrainerQueries.trainWeights(feat)
+    assert(w1.toSeq == w2.toSeq)
+    assert(w1.exists(_ != 0L), w1.toSeq)
+    // micro-unit weights stay in the bounded envelope the scaladoc
+    // argues (|delta| <= max per-row gradient / 2 per step)
+    assert(w1.forall(v => math.abs(v) < 10000000L), w1.toSeq)
+  }
+
+  test("predMicro is a valid quantized probability under any weights") {
+    val feat = TrainerQueries.features(spark, sf)
+    val scored = feat.select(
+      TrainerQueries.predMicro(Array(123456L, -654321L, 42L, 7L)).as("pm"))
+    val bad = scored.filter(col("pm") < 0L || col("pm") > 1000000L).count()
+    assert(bad == 0L)
+  }
+}
