@@ -85,6 +85,27 @@ class TrainerSpec extends SparkSpec {
     assert(w1.forall(v => math.abs(v) < 10000000L), w1.toSeq)
   }
 
+  test("feature extraction prunes the documents scan to (lang, text)") {
+    val p = TrainerQueries.features(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.split("ReadSchema:").last
+    assert(readSchema.contains("lang") && readSchema.contains("text"),
+      readSchema.take(300))
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      readSchema.take(300))
+  }
+
+  test("bpe windows are word-partitioned (no funnel at sweep bounds) and " +
+    "the pick re-enters as a 1-row broadcast") {
+    val df = queries.TrainerQueries.queries("bpe2_merge_table")(spark, sf)
+    // the catalog-wide measured gate, applied directly: flags any window
+    // whose group key is low-cardinality relative to its input
+    assert(PlanAudit.windowFunnels(df, 32L, 512L).isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("predMicro is a valid quantized probability under any weights") {
     val feat = TrainerQueries.features(spark, sf)
     val scored = feat.select(
