@@ -495,3 +495,68 @@ object Round7Props extends Properties("Round7Ops") {
       a == b
     }
 }
+
+/** Independent reference check for the BPE merge round: the DuckDB
+  * oracle is a logic TWIN (same window algebra both engines), so a
+  * semantic bug could pass it on both sides. This property pins
+  * [[graft.queries.TrainerQueries.mergeRound]] against a straight
+  * sequential BPE implementation (Sennrich get_stats + greedy
+  * left-to-right merge) over random word-frequency tables. */
+object BpeProps extends Properties("TrainerQueries.mergeRound") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.session
+
+  // distinct words over a 3-letter alphabet (repeats force the a==a run
+  // logic), with random frequencies — the wordFreq grain
+  private val wfGen: Gen[Map[String, Long]] = for {
+    n <- Gen.choose(1, 7)
+    words <- Gen.listOfN(n,
+      Gen.choose(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+    freqs <- Gen.listOfN(n, Gen.choose(1L, 5L))
+  } yield words.zip(freqs).toMap  // toMap dedupes to distinct words
+
+  private def refPairs(wf: Map[String, List[String]],
+                       freq: Map[String, Long]): Map[(String, String), Long] =
+    wf.toList.flatMap { case (w, syms) =>
+      syms.zip(syms.drop(1)).map(p => p -> freq(w))
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+
+  private def refApply(syms: List[String], l: String,
+                       r: String): List[String] = syms match {
+    case a :: b :: rest if a == l && b == r => (a + b) :: refApply(rest, l, r)
+    case a :: rest => a :: refApply(rest, l, r)
+    case Nil => Nil
+  }
+
+  property("pick and merged segmentation match sequential BPE") =
+    Prop.forAll(wfGen) { freq =>
+      import spark.implicits._
+      val segRef = freq.keys.map(w => w -> w.split("").toList).toMap
+      val pairs = refPairs(segRef, freq)
+      val wfDf = freq.toSeq.toDF("word", "freq")
+      val (pickDf, nextDf) =
+        graft.queries.TrainerQueries.mergeRound(
+          graft.queries.TrainerQueries.charSeg(wfDf))
+      val pickRows = pickDf.collect()
+      if (pairs.isEmpty) {
+        pickRows.isEmpty
+      } else {
+        val expPick = pairs.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        val got = pickRows.head
+        val gotPick = ((got.getString(0), got.getString(1)), got.getLong(2))
+        val expNext = segRef.map { case (w, syms) =>
+          w -> refApply(syms, expPick._1._1, expPick._1._2)
+        }
+        val gotNext = nextDf.orderBy("word", "pos").collect()
+          .groupBy(_.getString(0))
+          .map { case (w, rs) =>
+            w -> rs.sortBy(_.getLong(2)).map(_.getString(3)).toList }
+        gotPick == expPick && gotNext == expNext
+      }
+    }
+}
