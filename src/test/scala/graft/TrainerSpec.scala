@@ -85,6 +85,38 @@ class TrainerSpec extends SparkSpec {
     assert(w1.forall(v => math.abs(v) < 10000000L), w1.toSeq)
   }
 
+  test("trainWeights matches a sequential driver-side GD reference " +
+    "(independent of the distributed aggregation path)") {
+    val feat = TrainerQueries.features(spark, sf)
+    val rows = feat.collect()
+    val w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to 3) {
+      val g = Array(0L, 0L, 0L, 0L)
+      rows.foreach { r =>
+        val y = r.getLong(0)
+        val x = Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        val s = w(0) * x(0) + w(1) * x(1) + w(2) * x(2) + w(3) * x(3)
+        val z = s.toDouble / 1000000000000.0
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val pm = math.floor(p * 1000000.0).toLong
+        val e = pm - y * 1000000L
+        var j = 0
+        while (j < 4) {
+          g(j) += math.floor((e * x(j)).toDouble / 1000000.0).toLong
+          j += 1
+        }
+      }
+      if (rows.nonEmpty) {
+        var j = 0
+        while (j < 4) {
+          w(j) -= math.floor(g(j).toDouble / (2.0 * rows.length)).toLong
+          j += 1
+        }
+      }
+    }
+    assert(TrainerQueries.trainWeights(feat).toSeq == w.toSeq, w.toSeq)
+  }
+
   test("feature extraction prunes the documents scan to (lang, text)") {
     val p = TrainerQueries.features(spark, sf)
       .queryExecution.executedPlan.toString
