@@ -58,7 +58,10 @@ object TrainerQueries {
   /** Word-frequency table: the scale pivot. One corpus-grain shuffle,
     * everything downstream is word-TYPE grain. The `[a-z]{2,12}` gate
     * bounds the per-word character explode and keeps char semantics
-    * identical between Java regex and RE2. */
+    * identical between Java regex and RE2. Fixture-shaped, like pii's
+    * phone pattern: a production trainer widens the class to the
+    * byte/codepoint alphabet (and pre-tokenizes punctuation); the
+    * word-frequency pivot and the merge algebra are unchanged by that. */
   private def wordFreq(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
