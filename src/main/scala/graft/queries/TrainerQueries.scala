@@ -97,12 +97,23 @@ object TrainerQueries {
     * Returns (pick, nextSeg); pick has columns (ml, mr, mcnt). */
   private[graft] def mergeRound(seg: DataFrame): (DataFrame, DataFrame) = {
     val w = Window.partitionBy("word").orderBy("pos")
-    val withNxt = seg.withColumn("nxt", lead(col("sym"), 1).over(w))
-    val pick = withNxt.filter(col("nxt").isNotNull)
+    val pick = seg.withColumn("nxt", lead(col("sym"), 1).over(w))
+      .filter(col("nxt").isNotNull)
       .groupBy(col("sym").as("ml"), col("nxt").as("mr"))
       .agg(sum(col("freq")).cast("bigint").as("mcnt"))
       .orderBy(col("mcnt").desc, col("ml"), col("mr"))
       .limit(1)
+    (pick, applyPick(seg, pick))
+  }
+
+  /** Apply ONE merge pair (any 1-row frame with (ml, mr) columns — the
+    * training argmax, or a frozen learned merge on the apply side) to a
+    * segmentation, greedily left-to-right. Factored out of [[mergeRound]]
+    * so `streaming.TrainerStreams` can replay a learned merge table with
+    * the training-side algebra. */
+  private[graft] def applyPick(seg: DataFrame, pick: DataFrame): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val withNxt = seg.withColumn("nxt", lead(col("sym"), 1).over(w))
     val flagged = withNxt.join(broadcast(pick), lit(true), "left")
       .withColumn("f",
         coalesce(col("sym") === col("ml") && col("nxt") === col("mr"),
@@ -117,12 +128,11 @@ object TrainerQueries {
     val marked = withIsland
       .withColumn("m", col("f") && row_number().over(wi) % 2 === 1)
     val withPrev = marked.withColumn("pm", lag(col("m"), 1).over(w))
-    val next = withPrev.filter(!coalesce(col("pm"), lit(false)))
+    withPrev.filter(!coalesce(col("pm"), lit(false)))
       .select(col("word"), col("freq"),
         (row_number().over(w) - 1).cast("bigint").as("pos"),
         when(col("m"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
           .as("sym"))
-    (pick, next)
   }
 
   // ------------------------------------------------------------ LogReg

@@ -1124,4 +1124,57 @@ class StreamingSpec extends SparkSpec {
     // fixture sanity: the 900-token doc carries multiple lattice hits
     assert(batch(3L).n_hits > 1)
   }
+
+  test("BPE application is a stateless projection: stream = batch = " +
+    "the training-side window algebra") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.TrainerQueries
+    import graft.streaming.TrainerStreams
+    // learn the merge table from the fixture corpus (batch training)
+    val merges = TrainerQueries
+      .queries("bpe2_merge_table")(spark, "/root/testdata/sf0.001")
+      .orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 3)
+    // application words: adversarial run/overlap shapes plus the first
+    // learned pair itself (single chars by construction, so that word is
+    // GUARANTEED to merge — the fire assertion can't silently weaken)
+    val w1 = merges.head._1 + merges.head._2
+    val words = Seq("spark", "table", "aaaa", "aaa", "abab", "zz", "a", w1)
+    def toksOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("word"),
+        TrainerStreams.applyMerges(col("word"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    val batch = toksOf(words.toDF("word"))
+    // stream: the SAME projection, append mode, across two micro-batches
+    val stream = MemoryStream[String]
+    val out = stream.toDF().toDF("word")
+      .select(col("word"),
+        TrainerStreams.applyMerges(col("word"), merges).as("toks"))
+    val query = out.writeStream.format("memory")
+      .queryName("bpe_apply_out").outputMode("append").start()
+    stream.addData(words.take(3): _*)
+    query.processAllAvailable()
+    stream.addData(words.drop(3): _*)
+    query.processAllAvailable()
+    val streamed = spark.table("bpe_apply_out").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    query.stop()
+    assert(streamed == batch)
+    // cross-check against the training-side window algebra: fold the
+    // learned merges through applyPick and compare segmentations
+    val wf = words.distinct.toDF("word").withColumn("freq", lit(1L))
+    val seg = merges.foldLeft(TrainerQueries.charSeg(wf)) {
+      case (s, (l, r)) =>
+        TrainerQueries.applyPick(s, Seq((l, r)).toDF("ml", "mr"))
+    }
+    val windowed = seg.orderBy("word", "pos").collect()
+      .groupBy(_.getString(0))
+      .map { case (w0, rs) =>
+        w0 -> rs.sortBy(_.getLong(2)).map(_.getString(3)).toList }
+    assert(words.forall(w => windowed(w) == batch(w)), (windowed, batch))
+    assert(batch(w1).length < w1.length) // the learned merge fired
+  }
 }
