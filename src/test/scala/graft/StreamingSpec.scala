@@ -1177,4 +1177,31 @@ class StreamingSpec extends SparkSpec {
     assert(words.forall(w => windowed(w) == batch(w)), (windowed, batch))
     assert(batch(w1).length < w1.length) // the learned merge fired
   }
+
+  test("GD classifier scoring streams unchanged against frozen weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.TrainerQueries
+    // frozen trained weights (the dsirScore frozen-table rule): scoring
+    // is predMicro, a pure per-row projection over the feature columns
+    val w = Array(123456L, -654321L, 42000L, 7000L)
+    val feats = Seq((1L, 1000000L, 250000L, 400000L, 120000L),
+      (2L, 1000000L, 0L, 900000L, 0L), (3L, 1000000L, 999999L, 1L, 500000L))
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+      TrainerQueries.predMicro(w).as("pm"))
+    val batch = score(feats.toDF("id", "x0", "x1", "x2", "x3"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stream = MemoryStream[(Long, Long, Long, Long, Long)]
+    val query = score(stream.toDF().toDF("id", "x0", "x1", "x2", "x3"))
+      .writeStream.format("memory").queryName("lr_score_out")
+      .outputMode("append").start()
+    stream.addData(feats.take(1): _*)
+    query.processAllAvailable()
+    stream.addData(feats.drop(1): _*)
+    query.processAllAvailable()
+    val streamed = spark.table("lr_score_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    query.stop()
+    assert(streamed == batch && batch.values.forall(p => p >= 0 && p <= 1000000L))
+  }
 }
