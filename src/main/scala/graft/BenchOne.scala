@@ -17,8 +17,12 @@ object BenchOne {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release is query-BOUNDARY lifecycle cost, not query cost —
+        // keep it out of the timed region so minima stay comparable to
+        // the ScalingAudit numbers
         graft.operators.GlobalRank.releaseLayouts()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       // min over the WARM runs (drop run 1 when there are enough runs
       // to spare it — it pays first-touch JIT/codegen for this query)

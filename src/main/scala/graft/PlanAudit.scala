@@ -224,7 +224,7 @@ object PlanAudit {
 private[graft] object AllowlistedSweep {
   def run(tag: String, allowArg: Option[String],
           sweep: (SparkSession, String) => Seq[String],
-          appName: String, sfDir: String): Unit = {
+          appName: String): Unit = {
     val gating = allowArg.isDefined
     val allowed = allowArg
       .map(_.split(',').map(_.trim).filter(a => a.nonEmpty && a != "-")
@@ -235,6 +235,7 @@ private[graft] object AllowlistedSweep {
     var flagged = 0
     var unexpected = 0
     val flaggedNames = scala.collection.mutable.Set.empty[String]
+    val erroredNames = scala.collection.mutable.Set.empty[String]
     // SPARK_GRAFT_ONLY (same contract as Verify): comma-separated query
     // names for a fast partial sweep while iterating. The stale-allowlist
     // honesty check below is restricted to the filtered set — an
@@ -254,11 +255,16 @@ private[graft] object AllowlistedSweep {
       } catch {
         case e: Throwable =>
           unexpected += 1
+          erroredNames += name
           println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
       }
     }
     val ranNames = selected.map(_._1).toSet
-    val stale = ((allowed & ranNames) -- flaggedNames).toSeq.sorted
+    // a query that THREW tells us nothing about its flag status — never
+    // report its allowlist entry as stale (the gate already fails on the
+    // ERROR; "remove the exemption" would be wrong advice)
+    val stale =
+      ((allowed & ranNames) -- flaggedNames -- erroredNames).toSeq.sorted
     stale.foreach(n => println(
       s"STALE-ALLOWLIST $n no longer flags — remove it from the " +
         "allowlist (a stale exemption masks future regressions)"))
@@ -288,7 +294,7 @@ object FunnelAudit {
       (spark, name) => PlanAudit.windowFunnels(
         SparkEntry.queries(name)(spark, sfDir), minGroups, rowsPerGroup)
         .map(_.describe),
-      appName = "graft-funnel-audit", sfDir = sfDir)
+      appName = "graft-funnel-audit")
   }
 }
 
@@ -309,7 +315,7 @@ object ScaleAudit {
       (spark, name) => PlanAudit.scaleHazards(
         SparkEntry.queries(name)(spark, sfDir), singlePartBound, loopBound)
         .map(_.describe),
-      appName = "graft-scale-audit", sfDir = sfDir)
+      appName = "graft-scale-audit")
   }
 }
 
@@ -377,7 +383,7 @@ object ScalingAudit {
         Seq(f"tA=$ta%.2fs tB=$tb%.2fs ratio=${ratio}%.1fx " +
           f"(bound ${ratioBound}%.0fx above ${floorSec}%.1fs floor)")
       else Seq.empty
-    }, appName = "graft-scaling-audit", sfDir = sfB)
+    }, appName = "graft-scaling-audit")
   }
 }
 

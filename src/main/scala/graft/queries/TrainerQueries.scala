@@ -42,12 +42,11 @@ import graft.operators.TextAnalysis
   */
 object TrainerQueries {
 
-  /** documents, spread across cores (same rationale as
-    * TrainingDataQueries.docsSpread: the harness parquet is one row
-    * group; these queries are compute-bound per row). */
+  /** documents, spread across cores (the Tables.spread rationale: the
+    * harness parquet is one row group; these queries are compute-bound
+    * per row). */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(Tables.documents(s, dir))
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val stopPat =
@@ -229,6 +228,10 @@ object TrainerQueries {
       // total — measured CHEAPER than eagerly materializing every
       // intermediate segmentation (1.8 s vs 2.8 s at sf0.1). bpe3, whose
       // output aggregates every round's segmentation, pins instead.
+      // Staying unpinned also keeps ALL of mergeRound's window shapes
+      // visible to the sf0.01 funnel/hazard sweeps — bpe3's pinned
+      // rounds appear to the gates as LogicalRDD leaves, so bpe2 is the
+      // family's plan-shape sentinel.
       var seg = charSeg(wordFreq(s, dir))
       val picks = (1 to 3).map { k =>
         val (pick, next) = mergeRound(seg)

@@ -40,8 +40,14 @@ TMP=$(mktemp)
 for q in $QUERIES; do
   # one fresh JVM per query (plain java via run_main.sh — no cross-query
   # JIT/GC/cache interference, and no 40 s sbt startup per query)
-  LINE=$(tools/run_main.sh graft.BenchOne "$SF" "$q" "$RUNS" 2>/dev/null \
+  # stderr carries Spark INFO noise, but ALSO run_main's stale-bytecode
+  # warning — capture it and surface that warning instead of silently
+  # timing the wrong code (the guard exists for exactly this script)
+  ERRLOG=$(mktemp)
+  LINE=$(tools/run_main.sh graft.BenchOne "$SF" "$q" "$RUNS" 2>"$ERRLOG" \
     | grep "\[benchone\] $q " || true)
+  grep -i "STALE" "$ERRLOG" >&2 || true
+  rm -f "$ERRLOG"
   if [ -z "$LINE" ]; then
     echo "FAILED $q" >&2
     exit 1

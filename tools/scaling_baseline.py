@@ -7,7 +7,14 @@ its full log at /tmp/preflight_full*.log; this script harvests the
 newest sweep into the committed baseline artifact so next round's
 ratio diffs compare files, not prose.
 
-Usage: python3 tools/scaling_baseline.py <sweep-log> [out.json]
+Usage: python3 tools/scaling_baseline.py <sweep-log> [out.json] \
+           [sfA] [sfB] [ratioBound] [floorSec]
+
+The provenance fields (sfA/sfB/bound) default to ScalingAudit's
+defaults — pass them explicitly when harvesting a non-default sweep,
+or the artifact records fixtures the timings did not come from. The
+commit field records HEAD at harvest time; regenerate at the commit
+you are publishing.
 """
 import json
 import re
@@ -34,13 +41,14 @@ if not rows:
     sys.exit(f"no TIMING lines found in {log}")
 
 doc = {
-    "sfA": "/root/testdata/sf0.001",
-    "sfB": "/root/testdata/sf0.01",
+    "sfA": sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001",
+    "sfB": sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.01",
     "protocol": "one JVM, AQE off, 3 warm-up queries per SF; noop-sink "
                 "materialization; timings are SINGLE samples (spike noise "
                 "possible — diff ratios with tolerance); flags re-timed "
                 "min-of-two before counting",
-    "bound": {"ratio": 10.0, "floor_sec": 2.0},
+    "bound": {"ratio": float(sys.argv[5]) if len(sys.argv) > 5 else 10.0,
+              "floor_sec": float(sys.argv[6]) if len(sys.argv) > 6 else 2.0},
     "commit": subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                              capture_output=True, text=True).stdout.strip(),
     "flags": flags,
