@@ -244,6 +244,14 @@ private[graft] object AllowlistedSweep {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // A stale SPARK_GRAFT_ONLY left exported in a shell would silently
+    // turn a gating sweep into a near-empty pass — make the filtering
+    // unmissable (and count it in the summary line below).
+    only.foreach { o =>
+      println(s"### PARTIAL SWEEP (SPARK_GRAFT_ONLY=${
+        o.toSeq.sorted.mkString(",")}): ${selected.size}/${
+        SparkEntry.queries.size} queries — NOT a full-catalog gate ###")
+    }
     selected.foreach { case (name, _) =>
       try {
         sweep(spark, name).foreach { detail =>
@@ -269,7 +277,8 @@ private[graft] object AllowlistedSweep {
       s"STALE-ALLOWLIST $n no longer flags — remove it from the " +
         "allowlist (a stale exemption masks future regressions)"))
     println(s"flagged: $flagged (unexpected: $unexpected, " +
-      s"stale allowlist: ${stale.size})")
+      s"stale allowlist: ${stale.size}, " +
+      s"ran: ${selected.size}/${SparkEntry.queries.size})")
     spark.stop()
     if (gating && (unexpected > 0 || stale.nonEmpty)) sys.exit(1)
   }

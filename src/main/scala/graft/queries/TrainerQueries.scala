@@ -166,10 +166,20 @@ object TrainerQueries {
 
   /** Per-row quantized prediction under weights w (micro units):
     * pm = floor(1e6 · fastsig(w·x / 1e12)). Every op is an IEEE
-    * primitive on integer-derived doubles — engine-stable. */
+    * primitive on integer-derived doubles — engine-stable. The dot
+    * product multiplies in DOUBLE, term by term (not long-multiply-
+    * then-cast): Spark wraps silently on int64 overflow while DuckDB
+    * raises, so a pathological-but-representable input (a multi-
+    * megabyte single token blowing up x2, or arbitrary caller weights
+    * — this is private[graft] and streams reuse it) would diverge
+    * asymmetrically. Double products round identically in both
+    * engines; for every in-envelope value (|term| < 2^53) they are
+    * exact and bit-equal to the integer product. */
   private[graft] def predMicro(w: Array[Long]) = {
-    val z = (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
-      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")).cast("double") /
+    val z = (lit(w(0).toDouble) * col("x0").cast("double") +
+      lit(w(1).toDouble) * col("x1").cast("double") +
+      lit(w(2).toDouble) * col("x2").cast("double") +
+      lit(w(3).toDouble) * col("x3").cast("double")) /
       lit(1000000000000.0)
     floor((lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))) *
       lit(1000000.0)).cast("bigint")
@@ -400,8 +410,9 @@ object TrainerQueries {
        |  SELECT t.*, CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) *
        |           1000000.0) AS BIGINT) AS pm
        |  FROM (SELECT f.*,
-       |          CAST(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 +
-       |               w.w3 * f.x3 AS DOUBLE) / 1000000000000.0 AS z
+       |          (CAST(w.w0 AS DOUBLE) * f.x0 + CAST(w.w1 AS DOUBLE) * f.x1 +
+       |           CAST(w.w2 AS DOUBLE) * f.x2 + CAST(w.w3 AS DOUBLE) * f.x3)
+       |            / 1000000000000.0 AS z
        |        FROM feat f, wt$p w) t),
        |g$k AS (
        |  SELECT count(*) AS n,
@@ -482,8 +493,11 @@ object TrainerQueries {
          |    CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000000.0)
          |         AS BIGINT) >= 500000 AS pred
          |  FROM (SELECT f.*,
-         |          CAST(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 +
-         |               w.w3 * f.x3 AS DOUBLE) / 1000000000000.0 AS z
+         |          (CAST(w.w0 AS DOUBLE) * f.x0 +
+         |           CAST(w.w1 AS DOUBLE) * f.x1 +
+         |           CAST(w.w2 AS DOUBLE) * f.x2 +
+         |           CAST(w.w3 AS DOUBLE) * f.x3)
+         |            / 1000000000000.0 AS z
          |        FROM feat f, wt3 w) f),
          |conf AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,

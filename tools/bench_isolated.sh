@@ -46,7 +46,14 @@ for q in $QUERIES; do
   ERRLOG=$(mktemp)
   LINE=$(tools/run_main.sh graft.BenchOne "$SF" "$q" "$RUNS" 2>"$ERRLOG" \
     | grep "\[benchone\] $q " || true)
-  grep -i "STALE" "$ERRLOG" >&2 || true
+  # fail HARD on stale bytecode: publishing timings from classes older
+  # than the sources isn't a warning condition — it's the wrong artifact
+  if grep -qi "STALE" "$ERRLOG"; then
+    grep -i "STALE" "$ERRLOG" >&2 || true
+    echo "FAILED $q (stale bytecode — run 'sbt compile' first)" >&2
+    rm -f "$ERRLOG"
+    exit 1
+  fi
   rm -f "$ERRLOG"
   if [ -z "$LINE" ]; then
     echo "FAILED $q" >&2

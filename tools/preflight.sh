@@ -25,6 +25,13 @@ ONLY="${1:-}"
 OUT=/tmp/preflight_verify
 SF=/root/testdata/sf0.01
 
+# A stale SPARK_GRAFT_ONLY exported in the calling shell would silently
+# restrict the gating sweeps AND the oracle differential to a near-empty
+# set (exit 0, "flagged: 0") — the full gate must never inherit it.
+if [ -z "$ONLY" ]; then
+  unset SPARK_GRAFT_ONLY
+fi
+
 echo "== preflight: compile + test (incl. measured scale gates) =="
 # `sbt test` includes the two MEASURED plan gates at sf0.001:
 #  - FunnelSpec: every logical window in every catalog query, flagged
