@@ -31,14 +31,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Unit = {
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      // free any GlobalRank layout checkpoints deterministically at the
-      // query boundary (the result is fully materialized by the noop
-      // sink) instead of letting blocks ride until GC
-      graft.operators.GlobalRank.releaseLayouts()
-    }
+    // each query's GlobalRank layout checkpoints live in a per-query
+    // owner scope, freed deterministically at the query boundary (the
+    // result is fully materialized by the noop sink) instead of riding
+    // until GC — and never touching another owner's layouts
+    def materialize(name: String): Unit =
+      graft.operators.GlobalRank.withScope {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+      }
 
     // Warm-up: exercise scan, shuffle, window, decimal-agg, and
     // array/HOF codegen paths once so first-touch JIT/codegen cost isn't

@@ -14,15 +14,16 @@ object BenchOne {
     val spark = graft.core.GraftSession.local(appName = "graft-bench-one")
     names.split(",").foreach { name =>
       val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release is query-BOUNDARY lifecycle cost, not query cost —
-        // keep it out of the timed region so minima stay comparable to
-        // the ScalingAudit numbers
-        graft.operators.GlobalRank.releaseLayouts()
-        dt
+        // this run's layouts live in an owner scope; close is query-
+        // BOUNDARY lifecycle cost, not query cost — keep it out of the
+        // timed region so minima stay comparable to ScalingAudit's
+        val scope = graft.operators.GlobalRank.openScope()
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally scope.close()
       }
       // min over the WARM runs (drop run 1 when there are enough runs
       // to spare it — it pays first-touch JIT/codegen for this query)

@@ -254,7 +254,12 @@ private[graft] object AllowlistedSweep {
     }
     selected.foreach { case (name, _) =>
       try {
-        sweep(spark, name).foreach { detail =>
+        // per-query owner scope: the sweep constructs (and often
+        // executes) the query, so its GlobalRank layouts free here at
+        // the boundary without touching any other owner's
+        graft.operators.GlobalRank.withScope {
+          sweep(spark, name)
+        }.foreach { detail =>
           flagged += 1
           flaggedNames += name
           if (!allowed(name)) unexpected += 1
@@ -360,9 +365,12 @@ object ScalingAudit {
     var warmed = false
     def timeOne(spark: SparkSession, name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      graft.operators.GlobalRank.releaseLayouts()
+      // per-run owner scope (nested inside AllowlistedSweep's per-query
+      // scope): frees exactly this run's layouts
+      graft.operators.GlobalRank.withScope {
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     AllowlistedSweep.run("SUPERLINEAR", args.lift(4), (spark, name) => {

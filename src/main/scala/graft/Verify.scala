@@ -35,17 +35,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // per-query owner scope: GlobalRank layout checkpoints free at the
+      // query boundary (the result parquet is fully written; the frame
+      // is discarded) without touching any other owner's layouts
+      try graft.operators.GlobalRank.withScope {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
-      finally
-        // free GlobalRank layout checkpoints at the query boundary (the
-        // result parquet is fully written; the frame is discarded)
-        graft.operators.GlobalRank.releaseLayouts()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -44,9 +44,12 @@ import org.apache.spark.sql.functions._
   * advisory: every entry point `require`s the input at most
   * [[MaxLayoutWidth]] columns — rank a (keys, rowid) projection and join
   * the wide row back, never feed the wide row itself. Callers that own a
-  * query boundary (Bench, Verify, the audit sweeps) call
-  * [[releaseLayouts]] after materializing each result to free the
-  * checkpointed blocks deterministically instead of waiting for GC;
+  * query boundary (Bench, Verify, the audit sweeps) wrap construction +
+  * materialization of each result in [[withScope]], which frees THAT
+  * owner's checkpointed blocks deterministically instead of waiting for
+  * GC — and only that owner's, so interleaved components can no longer
+  * release each other's live layouts ([[releaseLayouts]] remains as the
+  * unscoped-caller fallback list);
   * after release the returned frame must not be re-executed (a local
   * checkpoint's lineage is truncated — recompute is impossible by
   * design). That lifecycle contract is EXECUTABLE: a frame computed
@@ -64,13 +67,64 @@ object GlobalRank {
     * and far below a full fact-table row. */
   val MaxLayoutWidth = 12
 
-  /** Release handles for layouts checkpointed since the last
-    * [[releaseLayouts]] — a deterministic free list for query-boundary
-    * owners. Each handle drops that layout's storage blocks AND flips
+  /** Release handles for layouts checkpointed OUTSIDE any
+    * [[LayoutScope]] — the unowned fallback list that [[releaseLayouts]]
+    * drains. Each handle drops that layout's storage blocks AND flips
     * its guard, so post-release re-execution fails with
     * [[ReleasedLayoutMsg]] instead of an opaque missing-block error. */
   private val liveLayouts =
     new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Per-OWNER release scope (round-10 directive 4): the process-global
+    * free list relied on a single-owner-sequential convention — any
+    * query-boundary owner calling [[releaseLayouts]] freed ALL live
+    * layouts, including another component's. A scope owns exactly the
+    * layouts checkpointed on its thread while it was the innermost open
+    * scope; [[close]] frees those and no others, so owner A releasing
+    * cannot invalidate owner B's frames (OperatorsSpec pins this).
+    * Scopes nest as a stack per thread; close in LIFO order. */
+  final class LayoutScope private[GlobalRank] () {
+    private[GlobalRank] val handles =
+      new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** Release only THIS scope's layouts and pop it from its thread's
+      * scope stack; returns how many were freed. Idempotent. */
+    def close(): Int = {
+      if (!closed.compareAndSet(false, true)) return 0
+      currentScopes.set(currentScopes.get.filterNot(_ eq this))
+      var n = 0
+      var r = handles.poll()
+      while (r != null) { r(); n += 1; r = handles.poll() }
+      n
+    }
+  }
+
+  private val currentScopes = new ThreadLocal[List[LayoutScope]] {
+    override def initialValue(): List[LayoutScope] = Nil
+  }
+
+  /** Open a per-owner scope on the calling thread: layouts checkpointed
+    * until the matching [[LayoutScope.close]] belong to it alone.
+    * Checkpoint registration happens on the caller's thread during the
+    * operator's eager construction, so a scope opened around query
+    * construction + materialization captures exactly that query's
+    * layouts. */
+  def openScope(): LayoutScope = {
+    val s = new LayoutScope
+    currentScopes.set(s :: currentScopes.get)
+    s
+  }
+
+  /** Run `f` under its own scope and release that scope's layouts (and
+    * only those) afterwards — the query-boundary-owner idiom: construct
+    * AND fully materialize the result inside `f`; the returned frames
+    * must not be re-executed after (same lifecycle contract as
+    * [[releaseLayouts]], scoped to this owner). */
+  def withScope[T](f: => T): T = {
+    val s = openScope()
+    try f finally s.close()
+  }
 
   /** The error a frame raises when computed after its layout was freed
     * — the executable form of the lifecycle contract (see the class
@@ -89,16 +143,21 @@ object GlobalRank {
     // boundary.
     val (pinned, release) = org.apache.spark.sql.graftbridge.DatasetBridge
       .guardedLocalCheckpoint(df, ReleasedLayoutMsg)
-    liveLayouts.add(release)
+    // register with the calling thread's innermost open scope; the
+    // process-global list only owns layouts checkpointed outside any
+    // scope (legacy/unscoped callers)
+    currentScopes.get.headOption.map(_.handles).getOrElse(liveLayouts)
+      .add(release)
     pinned
   }
 
-  /** Free every layout checkpointed since the last call; returns how
-    * many were released. Call ONLY at a query boundary, after the
-    * frames built on those layouts are fully materialized and discarded.
-    * The free list is PROCESS-GLOBAL with single-owner sequential use
-    * (Bench/Verify/the audit sweeps each own the boundary for the query
-    * they just materialized — one query at a time); a frame that IS
+  /** Free every UNSCOPED layout checkpointed since the last call;
+    * returns how many were released. Call ONLY at a query boundary,
+    * after the frames built on those layouts are fully materialized and
+    * discarded. Owners that might interleave should prefer
+    * [[withScope]]/[[openScope]] — this list only holds layouts
+    * checkpointed outside any scope, so a scoped owner A and a legacy
+    * caller B can no longer free each other's frames; a frame that IS
     * re-executed after its layout was freed fails fast with
     * [[ReleasedLayoutMsg]] rather than an unrecoverable Spark error. */
   def releaseLayouts(): Int = {

@@ -721,6 +721,36 @@ class OperatorsSpec extends SparkSpec {
         .contains("releaseLayouts")), s"got: $e")
   }
 
+  test("layout scopes are per-owner: closing owner A's scope leaves " +
+      "owner B's frames computable (round-10 directive 4)") {
+    import graft.operators.GlobalRank
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, (i % 5).toDouble)).toDF("id", "v")
+    // owner B opens first; owner A nests inside (LIFO close order) —
+    // the old process-global free list would have freed BOTH owners'
+    // layouts on A's release
+    val scopeB = GlobalRank.openScope()
+    val rankedB = GlobalRank.withGlobalRowNumber(df,
+      Seq(col("v"), col("id")), out = "rnB")
+    val scopeA = GlobalRank.openScope()
+    val rankedA = GlobalRank.withGlobalRowNumber(df,
+      Seq(col("id")), out = "rnA")
+    assert(rankedA.count() == 300L)
+    assert(scopeA.close() >= 1)
+    // A's release must NOT invalidate B's live layout
+    assert(rankedB.count() == 300L)
+    assert(scopeB.close() >= 1)
+    // after B's own close, B's frame fails fast with the operator's
+    // message — same lifecycle contract, now per owner
+    val e = intercept[Throwable] { rankedB.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      String.valueOf(t.getMessage).contains("releaseLayouts")), s"got: $e")
+    // scoped layouts never land on the unscoped fallback list
+    assert(GlobalRank.releaseLayouts() == 0)
+  }
+
   test("er4 cluster-audit cap bounds pair work and still flags chains") {
     import graft.operators.EntityAudit
     import spark.implicits._
