@@ -134,6 +134,38 @@ object TrainerQueries {
           .as("sym"))
   }
 
+  /** The APPLY path's scale form (round-10 directive 2): pretokenize
+    * the word-type vocabulary ONCE under a FROZEN learned merge table —
+    * with the training-side algebra itself ([[applyPick]] replayed per
+    * merge) — and serve word → tokens downstream as a lookup join, the
+    * design real tokenizers ship. The fold form
+    * ([[graft.streaming.TrainerStreams.applyMerges]]) builds one
+    * CodegenFallback HOF per merge and is bounded at
+    * [[graft.streaming.TrainerStreams.MaxFoldMerges]] entries; THIS
+    * form costs merge-table-depth × a WORD-TYPE-grain pass (the same
+    * ~10³× corpus→vocabulary reduction the trainer rides), independent
+    * of corpus size, amortized once per released tokenizer. The
+    * segmentation is re-pinned every `checkpointEvery` merges so
+    * lineage/plan depth stays bounded at a ~30k-entry production table.
+    *
+    * Returns (word, freq, tokens array&lt;string&gt;), tokens in
+    * position order. */
+  private[graft] def pretokenizedVocab(wf: DataFrame,
+      merges: Seq[(String, String)], checkpointEvery: Int = 16)
+  : DataFrame = {
+    val session = wf.sparkSession
+    import session.implicits._
+    var seg = charSeg(wf)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      seg = applyPick(seg, Seq((l, r)).toDF("ml", "mr"))
+      if ((i + 1) % checkpointEvery == 0) seg = seg.localCheckpoint(true)
+    }
+    seg.groupBy("word", "freq")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        e => e.getField("sym")).as("tokens"))
+  }
+
   // ------------------------------------------------------------ LogReg
 
   /** Per-document training features, all exact-integer micro units:
@@ -271,6 +303,43 @@ object TrainerQueries {
         out = out.union(point(k, seg))
       }
       out
+    },
+
+    // Tokenizer APPLY at scale (round-10 directive 2): learn the
+    // 3-merge table (as bpe2), then serve it the way production
+    // tokenizers do — pretokenize the word-type vocabulary once with
+    // the training-side algebra (deliberately replaying the FROZEN
+    // collected table, the released-artifact path, rather than reusing
+    // the in-flight training segmentation) and tokenize the corpus via
+    // a word-grain lookup JOIN: zero per-row merge replay, so the
+    // serving cost is independent of merge-table depth. The learned
+    // picks come to the driver as three 1-row collects (metadata grain,
+    // the trainWeights contract). The vocabulary is word-TYPE grain
+    // (~1e8 rows at 100 TB) — a hash equi-join on word; broadcast only
+    // fits small vocabularies. Output: per-source token census under
+    // the learned tokenizer.
+    "bpe4_tokenize_corpus" -> { (s, dir) =>
+      // the corpus-grain word-frequency pivot is shared by the training
+      // chain AND the frozen-table vocabulary replay — pin it once so
+      // the corpus is scanned/aggregated a single time
+      val wf0 = wordFreq(s, dir).localCheckpoint(true)
+      var seg = charSeg(wf0)
+      val merges = (1 to 3).flatMap { _ =>
+        val (pick, next) = mergeRound(seg)
+        seg = next.localCheckpoint(true)
+        pick.collect().headOption.map(r => (r.getString(0), r.getString(1)))
+      }
+      val vocab = pretokenizedVocab(wf0, merges)
+        .select(col("word"), size(col("tokens")).cast("bigint").as("n_toks"))
+      val words = docs(s, dir).select(col("source"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("word"))
+        .filter(col("word").rlike("^[a-z]{2,12}$"))
+      words.join(vocab, "word")
+        .groupBy("source").agg(
+          count(lit(1)).cast("bigint").as("n_words"),
+          countDistinct(col("word")).as("n_word_types"),
+          sum(col("n_toks")).cast("bigint").as("n_tokens"))
     },
 
     // Classifier training: final weights after 3 exact-replayable GD
@@ -478,6 +547,26 @@ object TrainerQueries {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), CAST(coalesce(sum(freq), 0) AS BIGINT)
          |FROM seg3""".stripMargin,
+
+    "bpe4_tokenize_corpus" ->
+      s"""WITH $segSql,
+         |${roundSql(1)},
+         |${roundSql(2)},
+         |${roundSql(3)},
+         |vocab AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_toks
+         |  FROM seg3 GROUP BY word),
+         |w AS (
+         |  SELECT source, unnest(string_split($normSql, ' ')) AS word
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, word FROM w
+         |  WHERE regexp_matches(word, '^[a-z]{2,12}$$'))
+         |SELECT g.source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(count(DISTINCT g.word) AS BIGINT) AS n_word_types,
+         |  CAST(sum(v.n_toks) AS BIGINT) AS n_tokens
+         |FROM g JOIN vocab v ON g.word = v.word
+         |GROUP BY g.source""".stripMargin,
 
     "lr1_grad_descent" ->
       s"""WITH $trainSql

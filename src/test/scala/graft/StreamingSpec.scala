@@ -1178,6 +1178,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch(w1).length < w1.length) // the learned merge fired
   }
 
+  test("BPE vocab lookup-join apply (the scale form): stream-static " +
+    "join = batch join = the bounded fold form; OOV words read NULL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.TrainerQueries
+    import graft.streaming.TrainerStreams
+    val merges = TrainerQueries
+      .queries("bpe2_merge_table")(spark, "/root/testdata/sf0.001")
+      .orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val w1 = merges.head._1 + merges.head._2
+    val inVocab = Seq("spark", "aaaa", "aaa", "abab", "zz", "a", w1)
+    val vocab = TrainerQueries.pretokenizedVocab(
+      inVocab.toDF("word").withColumn("freq", lit(1L)), merges)
+    // fold-form reference for the in-vocabulary words
+    val fold = inVocab.toDF("word")
+      .select(col("word"),
+        TrainerStreams.applyMerges(col("word"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    // batch join, one OOV word appended: its tokens must be NULL (the
+    // caller-policy contract), never a silent wrong tokenization
+    val queryWords = inVocab :+ "oovword"
+    def toMapOf(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getString(0) ->
+        Option(r.getSeq[String](1)).map(_.toList)).toMap
+    val batch = toMapOf(
+      TrainerStreams.tokenizeViaVocab(queryWords.toDF("word"), vocab)
+        .collect())
+    assert(inVocab.forall(w => batch(w).contains(fold(w))), (batch, fold))
+    assert(batch("oovword").isEmpty)
+    // stream side: the SAME stream-static join, append mode, two
+    // micro-batches, no state store
+    val stream = MemoryStream[String]
+    val out = TrainerStreams.tokenizeViaVocab(
+      stream.toDF().toDF("word"), vocab)
+    val query = out.writeStream.format("memory")
+      .queryName("bpe_vocab_out").outputMode("append").start()
+    stream.addData(queryWords.take(4): _*)
+    query.processAllAvailable()
+    stream.addData(queryWords.drop(4): _*)
+    query.processAllAvailable()
+    val streamed = toMapOf(spark.table("bpe_vocab_out").collect())
+    query.stop()
+    assert(streamed == batch, (streamed, batch))
+  }
+
   test("GD classifier scoring streams unchanged against frozen weights") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -73,6 +73,49 @@ class TrainerSpec extends SparkSpec {
     assert(n0 > n1 && n1 > n2, s"$n0 $n1 $n2")
   }
 
+  test("pretokenizedVocab replays the training algebra: tokens match " +
+    "the trained segmentation and the fold form, and the bounded-" +
+    "lineage re-pinning is transparent") {
+    val w = wf("aaab" -> 2L, "abab" -> 1L, "aaa" -> 1L, "b" -> 4L)
+    var seg = TrainerQueries.charSeg(w)
+    val merges = (1 to 2).map { _ =>
+      val (pick, next) = TrainerQueries.mergeRound(seg)
+      seg = next
+      val r = pick.collect()(0)
+      (r.getString(0), r.getString(1))
+    }
+    val trained = segText(seg)
+    def vocabMap(checkpointEvery: Int): Map[String, List[String]] =
+      TrainerQueries.pretokenizedVocab(w, merges, checkpointEvery)
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    val v = vocabMap(16)
+    assert(v == trained, (v, trained))
+    // re-pinning the segmentation after EVERY merge (the production
+    // bounded-lineage path for a ~30k table) changes nothing
+    assert(vocabMap(1) == v)
+    // the fold form agrees word-for-word
+    val fold = w.select(col("word"),
+        graft.streaming.TrainerStreams.applyMerges(col("word"), merges)
+          .as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(fold == v, (fold, v))
+  }
+
+  test("applyMerges fold form is bounded: a merge table past " +
+    "MaxFoldMerges is rejected with the lookup-join pointer") {
+    import graft.streaming.TrainerStreams
+    val big = (1 to TrainerStreams.MaxFoldMerges + 1).map(i => (s"x$i", "y"))
+    val e = intercept[IllegalArgumentException] {
+      TrainerStreams.applyMerges(col("word"), big)
+    }
+    assert(e.getMessage.contains("pretokenize"), e.getMessage)
+    // at the bound it still builds (the expression, not an error)
+    TrainerStreams.applyMerges(col("word"),
+      big.take(TrainerStreams.MaxFoldMerges))
+  }
+
   test("trainWeights is reproducible and moves weights off zero on the " +
     "fixture corpus") {
     val feat = TrainerQueries.features(spark, sf)
