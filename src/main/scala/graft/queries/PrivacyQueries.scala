@@ -30,7 +30,24 @@ import graft.functions.HashExpressions.md5Prefix60
 object PrivacyQueries {
 
   val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val phonePat = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Fixture default for the phone detector's leading block: the
+    * augmentation below plants `555-…` numbers, so the shipped catalog
+    * detects exactly what the fixture carries. A production detector
+    * widens the block (e.g. `[0-9]{3}`) — the pattern is a PARAMETER
+    * ([[phonePat]] / [[queriesWith]] / [[oracleSqlWith]]), not a
+    * constant, so that generalization is an argument, not a code edit
+    * (round-10 directive 6). */
+  val DefaultPhonePrefix = "555"
+
+  /** Phone pattern with a parameterized leading block. The prefix is
+    * embedded verbatim in BOTH engines' regex literals (inside
+    * single-quoted SQL on the oracle side) — pass a quote-free,
+    * ASCII-class-only regex fragment, per the class-level
+    * portability note. */
+  def phonePat(prefix: String = DefaultPhonePrefix): String =
+    s"\\b$prefix-[0-9]{3}-[0-9]{4}\\b"
+
   val ipPat =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
@@ -39,10 +56,11 @@ object PrivacyQueries {
     * ingest gate: a pure stateless projection, so the identical column
     * program runs append-mode on an arriving stream (StreamingSpec pins
     * batch ≡ stream parity) and in the batch census below. */
-  def piiCounts(docs: DataFrame, textCol: String): DataFrame =
+  def piiCounts(docs: DataFrame, textCol: String,
+                phonePattern: String = phonePat()): DataFrame =
     docs.select(col("*"),
       regexp_count(col(textCol), lit(emailPat)).cast("long").as("ne"),
-      regexp_count(col(textCol), lit(phonePat)).cast("long").as("np"),
+      regexp_count(col(textCol), lit(phonePattern)).cast("long").as("np"),
       regexp_count(col(textCol), lit(ipPat)).cast("long").as("ni"))
 
   /** Deterministic identifier augmentation (see class note). */
@@ -75,13 +93,21 @@ object PrivacyQueries {
       |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS t2
       |  FROM documents)""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesWith(DefaultPhonePrefix)
+
+  /** The catalog with a caller-chosen phone-prefix pattern (fixture
+    * default above; a production run passes e.g. `[0-9]{3}`). */
+  def queriesWith(phonePrefix: String)
+  : Map[String, (SparkSession, String) => DataFrame] = {
+    val pp = phonePat(phonePrefix)
+    Map(
 
     // PII1: detection census — per source, how many documents carry
     // each identifier class and how many carry any. One codegen scan
     // (three regexp_count per row), one source-grain rollup.
     "pii1_detect_counts" -> { (s, dir) =>
-      val d = piiCounts(augmented(Tables.documents(s, dir)), "t2")
+      val d = piiCounts(augmented(Tables.documents(s, dir)), "t2", pp)
       d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L))
@@ -100,9 +126,9 @@ object PrivacyQueries {
       val d = augmented(Tables.documents(s, dir))
         .select(col("source"), col("t2"),
           regexp_replace(regexp_replace(col("t2"), emailPat, "[EMAIL]"),
-            phonePat, "[PHONE]").as("red"),
+            pp, "[PHONE]").as("red"),
           (regexp_count(col("t2"), lit(emailPat)) +
-            regexp_count(col("t2"), lit(phonePat))).cast("long").as("nr"))
+            regexp_count(col("t2"), lit(pp))).cast("long").as("nr"))
       d.groupBy("source").agg(
         sum(length(col("t2")).cast("long")).as("chars_before"),
         sum(length(col("red")).cast("long")).as("chars_after"),
@@ -149,13 +175,20 @@ object PrivacyQueries {
         countDistinct(col("pseudo")).as("n_pseudonyms"))
         .withColumn("injective", col("n_emails") === col("n_pseudonyms"))
     })
+  }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlWith(DefaultPhonePrefix)
+
+  /** Oracle SQL templated with the SAME phone-prefix parameter as
+    * [[queriesWith]] — the differential stays exact for any prefix. */
+  def oracleSqlWith(phonePrefix: String): Map[String, String] = {
+    val pp = phonePat(phonePrefix)
+    Map(
     "pii1_detect_counts" ->
       s"""WITH $augSql,
          |d AS (SELECT source,
          |    len(regexp_extract_all(t2, '$emailPat')) AS ne,
-         |    len(regexp_extract_all(t2, '$phonePat')) AS np,
+         |    len(regexp_extract_all(t2, '$pp')) AS np,
          |    len(regexp_extract_all(t2, '$ipPat')) AS ni
          |  FROM aug)
          |SELECT source, COUNT(*) AS n_docs,
@@ -169,9 +202,9 @@ object PrivacyQueries {
       s"""WITH $augSql,
          |d AS (SELECT source, t2,
          |    regexp_replace(regexp_replace(t2, '$emailPat', '[EMAIL]',
-         |      'g'), '$phonePat', '[PHONE]', 'g') AS red,
+         |      'g'), '$pp', '[PHONE]', 'g') AS red,
          |    len(regexp_extract_all(t2, '$emailPat')) +
-         |      len(regexp_extract_all(t2, '$phonePat')) AS nr
+         |      len(regexp_extract_all(t2, '$pp')) AS nr
          |  FROM aug)
          |SELECT source,
          |  CAST(SUM(length(t2)) AS BIGINT) AS chars_before,
@@ -205,4 +238,5 @@ object PrivacyQueries {
          |  COUNT(DISTINCT pseudo) AS n_pseudonyms,
          |  COUNT(DISTINCT email) = COUNT(DISTINCT pseudo) AS injective
          |FROM f GROUP BY source""".stripMargin)
+  }
 }

@@ -54,18 +54,26 @@ object TrainerQueries {
 
   // ---------------------------------------------------------------- BPE
 
+  /** Fixture default for the trainer's word gate: bounds the per-word
+    * character explode and keeps char semantics identical between Java
+    * regex and RE2. A production trainer widens the class to the
+    * byte/codepoint alphabet (and pre-tokenizes punctuation) — the gate
+    * is a PARAMETER ([[wordFreq]] / [[queriesWith]] / [[oracleSqlWith]]),
+    * not a constant, so that generalization is an argument, not a code
+    * edit (round-10 directive 6); the word-frequency pivot and the merge
+    * algebra are unchanged by it. Pass a quote-free, fully-anchored,
+    * ASCII-class-only pattern (it embeds verbatim in both engines'
+    * regex literals, single-quoted on the oracle side). */
+  val DefaultWordPat = "^[a-z]{2,12}$"
+
   /** Word-frequency table: the scale pivot. One corpus-grain shuffle,
-    * everything downstream is word-TYPE grain. The `[a-z]{2,12}` gate
-    * bounds the per-word character explode and keeps char semantics
-    * identical between Java regex and RE2. Fixture-shaped, like pii's
-    * phone pattern: a production trainer widens the class to the
-    * byte/codepoint alphabet (and pre-tokenizes punctuation); the
-    * word-frequency pivot and the merge algebra are unchanged by that. */
-  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    * everything downstream is word-TYPE grain. */
+  private[graft] def wordFreq(s: SparkSession, dir: String,
+                              wordPat: String = DefaultWordPat): DataFrame =
     docs(s, dir)
       .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
         .as("word"))
-      .filter(col("word").rlike("^[a-z]{2,12}$"))
+      .filter(col("word").rlike(wordPat))
       .groupBy("word")
       .agg(count(lit(1)).cast("bigint").as("freq"))
 
@@ -247,14 +255,20 @@ object TrainerQueries {
 
   // ----------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesWith(DefaultWordPat)
+
+  /** The catalog with a caller-chosen word-gate pattern (fixture
+    * default above; a production trainer passes a wider class). */
+  def queriesWith(wordPat: String)
+  : Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokenizer training, pass 0: corpus-wide adjacent-pair statistics
     // (weighted by word frequency) — the table the first merge argmaxes
     // over. Pair cardinality is alphabet², bounded regardless of corpus
     // size.
     "bpe1_pair_stats" -> { (s, dir) =>
       val w = Window.partitionBy("word").orderBy("pos")
-      charSeg(wordFreq(s, dir))
+      charSeg(wordFreq(s, dir, wordPat))
         .withColumn("nxt", lead(col("sym"), 1).over(w))
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
@@ -274,7 +288,7 @@ object TrainerQueries {
       // visible to the sf0.01 funnel/hazard sweeps — bpe3's pinned
       // rounds appear to the gates as LogicalRDD leaves, so bpe2 is the
       // family's plan-shape sentinel.
-      var seg = charSeg(wordFreq(s, dir))
+      var seg = charSeg(wordFreq(s, dir, wordPat))
       val picks = (1 to 3).map { k =>
         val (pick, next) = mergeRound(seg)
         seg = next
@@ -291,7 +305,7 @@ object TrainerQueries {
     "bpe3_compression_curve" -> { (s, dir) =>
       // same per-round pin as bpe2 — the four union'd aggregates would
       // otherwise replay progressively deeper merge chains.
-      var seg = charSeg(wordFreq(s, dir))
+      var seg = charSeg(wordFreq(s, dir, wordPat))
       def point(k: Int, d: DataFrame): DataFrame =
         d.agg(coalesce(sum(col("freq")), lit(0L)).cast("bigint")
             .as("weighted_symbols"))
@@ -322,7 +336,7 @@ object TrainerQueries {
       // the corpus-grain word-frequency pivot is shared by the training
       // chain AND the frozen-table vocabulary replay — pin it once so
       // the corpus is scanned/aggregated a single time
-      val wf0 = wordFreq(s, dir).localCheckpoint(true)
+      val wf0 = wordFreq(s, dir, wordPat).localCheckpoint(true)
       var seg = charSeg(wf0)
       val merges = (1 to 3).flatMap { _ =>
         val (pick, next) = mergeRound(seg)
@@ -334,7 +348,7 @@ object TrainerQueries {
       val words = docs(s, dir).select(col("source"),
           explode(split(TextAnalysis.normalizeText(col("text")), " "))
             .as("word"))
-        .filter(col("word").rlike("^[a-z]{2,12}$"))
+        .filter(col("word").rlike(wordPat))
       words.join(vocab, "word")
         .groupBy("source").agg(
           count(lit(1)).cast("bigint").as("n_words"),
@@ -386,13 +400,14 @@ object TrainerQueries {
 
   // -------------------------------------------------------- oracle SQL
 
-  /** Shared CTE prefix: word-frequency table + character segmentation. */
-  private val segSql: String =
+  /** Shared CTE prefix: word-frequency table + character segmentation,
+    * templated with the same word-gate parameter as [[queriesWith]]. */
+  private def segSql(wordPat: String): String =
     s"""words AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split($normSql, ' ')) AS word
        |    FROM documents) t
-       |  WHERE regexp_matches(word, '^[a-z]{2,12}$$')
+       |  WHERE regexp_matches(word, '$wordPat')
        |  GROUP BY word),
        |seg0 AS (
        |  SELECT word, freq, CAST(i - 1 AS BIGINT) AS pos,
@@ -507,7 +522,13 @@ object TrainerQueries {
   private val trainSql: String =
     s"$featSql,\n$wt0Sql,\n${stepSql(1)},\n${stepSql(2)},\n${stepSql(3)}"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlWith(DefaultWordPat)
+
+  /** Oracle SQL templated with the SAME word-gate parameter as
+    * [[queriesWith]] — the differential stays exact for any gate. */
+  def oracleSqlWith(wordPat: String): Map[String, String] = {
+    val segSql = this.segSql(wordPat)
+    Map(
     "bpe1_pair_stats" ->
       s"""WITH $segSql
          |SELECT sym AS left_sym, nxt AS right_sym,
@@ -561,7 +582,7 @@ object TrainerQueries {
          |  FROM documents),
          |g AS (
          |  SELECT source, word FROM w
-         |  WHERE regexp_matches(word, '^[a-z]{2,12}$$'))
+         |  WHERE regexp_matches(word, '$wordPat'))
          |SELECT g.source, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(count(DISTINCT g.word) AS BIGINT) AS n_word_types,
          |  CAST(sum(v.n_toks) AS BIGINT) AS n_tokens
@@ -604,4 +625,5 @@ object TrainerQueries {
          |    nullif(n_docs, 0)) AS BIGINT), 0) AS accuracy_micro
          |FROM conf""".stripMargin
   )
+  }
 }

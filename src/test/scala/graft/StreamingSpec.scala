@@ -1083,6 +1083,21 @@ class StreamingSpec extends SparkSpec {
       .toMap
     query.stop()
     assert(streamed == batch)
+    // the phone pattern is a parameter with a fixture default: the
+    // widened production prefix detects a non-fixture number the
+    // default deliberately ignores, and catalog + oracle template
+    // carry the same parameter
+    import graft.queries.PrivacyQueries.phonePat
+    val mixed = Seq((9L, "call 415-123-4567 or 555-123-4567"))
+      .toDF("doc_id", "text")
+    assert(PrivacyQueries.piiCounts(mixed, "text")
+      .collect()(0).getLong(3) == 1L)
+    assert(PrivacyQueries.piiCounts(mixed, "text", phonePat("[0-9]{3}"))
+      .collect()(0).getLong(3) == 2L)
+    assert(PrivacyQueries.queriesWith("[0-9]{3}").keySet ==
+      PrivacyQueries.queries.keySet)
+    assert(PrivacyQueries.oracleSqlWith("[0-9]{3}")("pii1_detect_counts")
+      .contains(phonePat("[0-9]{3}")))
     // spot-pin the detector semantics on the fixture
     assert(batch(2L) == ((1L, 1L, 0L))) // one email, one phone
     assert(batch(3L) == ((0L, 0L, 2L))) // two IPv4s

@@ -103,6 +103,23 @@ class TrainerSpec extends SparkSpec {
     assert(fold == v, (fold, v))
   }
 
+  test("the bpe word gate is a parameter with a fixture default: a " +
+    "tighter gate restricts exactly by the pattern, and the oracle " +
+    "template embeds the same gate") {
+    val default = TrainerQueries.wordFreq(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tight = TrainerQueries.wordFreq(spark, sf, "^[a-z]{4,12}$")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(default.exists(_._1.length < 4)) // the parameter has effect
+    assert(tight == default.filter(_._1.length >= 4))
+    // the parameterized catalog builds, and the SQL twin embeds the
+    // same pattern so a production differential stays exact
+    assert(TrainerQueries.queriesWith("^[a-z]{4,12}$").keySet ==
+      TrainerQueries.queries.keySet)
+    assert(TrainerQueries.oracleSqlWith("^[a-z]{4,12}$")("bpe1_pair_stats")
+      .contains("'^[a-z]{4,12}$'"))
+  }
+
   test("applyMerges fold form is bounded: a merge table past " +
     "MaxFoldMerges is rejected with the lookup-join pointer") {
     import graft.streaming.TrainerStreams
