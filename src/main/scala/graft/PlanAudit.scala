@@ -120,7 +120,14 @@ object PlanAudit {
     * would wake such a subtree is what the sf0.01 preflight sweep and
     * the cross-SF timing gate ([[graft.ScalingAudit]]) exist to catch. */
   def scaleHazards(df: DataFrame, singlePartBound: Long, loopBound: Long)
-  : Seq[Hazard] = {
+  : Seq[Hazard] = scaleHazardsTimed(df, singlePartBound, loopBound)._1
+
+  /** [[scaleHazards]] plus the wall seconds of the plan's execution
+    * (metric traversal excluded) — lets [[PreflightSweep]] reuse ONE
+    * sf-B execution as both the hazard measurement and the scaling
+    * gate's t_B, instead of executing the catalog twice. */
+  def scaleHazardsTimed(df: DataFrame, singlePartBound: Long,
+                        loopBound: Long): (Seq[Hazard], Double) = {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.SparkPlan
@@ -130,7 +137,9 @@ object PlanAudit {
     val qe = df.queryExecution
     // execute THIS plan instance so its metrics populate (df.count()
     // would build and run a different plan)
+    val t0 = System.nanoTime()
     qe.executedPlan.execute().count()
+    val execSec = (System.nanoTime() - t0) / 1e9
     graft.operators.GlobalRank.releaseLayouts()
 
     def metricOf(p: SparkPlan, key: String): Long =
@@ -149,7 +158,7 @@ object PlanAudit {
       }.getOrElse(outRows(p))
 
     val roots = qe.executedPlan +: qe.executedPlan.subqueriesAll
-    roots.flatMap { root =>
+    val hazards = roots.flatMap { root =>
       root.collect {
         case e: ShuffleExchangeExec
             if e.outputPartitioning == SinglePartition =>
@@ -181,6 +190,7 @@ object PlanAudit {
           else None
       }.flatten
     }
+    (hazards, execSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -401,6 +411,135 @@ object ScalingAudit {
           f"(bound ${ratioBound}%.0fx above ${floorSec}%.1fs floor)")
       else Seq.empty
     }, appName = "graft-scaling-audit")
+  }
+}
+
+/** ONE-JVM full-gate sweep (round-10 directive 8): the preflight gates
+  * previously ran as three separate mains — FunnelAudit(sfB),
+  * ScaleAudit(sfB), ScalingAudit(sfA, sfB) — paying three JVM/session
+  * startups, three query-construction passes, and TWO full sf-B catalog
+  * executions (the hazard sweep's and the timing gate's). This main
+  * runs all three checks per query in one pass: timed execution at sfA
+  * (t_A), then ONE timed sf-B execution that populates the hazard
+  * metrics AND serves as t_B, then the (untimed) window-funnel
+  * measurement. Bounds are the preflight constants (funnel 32/512,
+  * hazard 512/64, scaling ratio 10 above a 2 s floor — the standalone
+  * mains keep flexible CLIs for spot use); allowlists are per-check
+  * with AllowlistedSweep's flag/stale/exit semantics (always gating).
+  * A first-measurement scaling flag is re-timed on both SFs (min of
+  * two) before it counts. Prints the same `TIMING name tA=… tB=…
+  * ratio=…` lines, so tools/scaling_baseline.py harvests this sweep
+  * unchanged (timing protocol: executedPlan.execute().count(), AQE
+  * off — recorded in the baseline's protocol field).
+  *
+  * `runMain graft.PreflightSweep <sfA> <sfB> <funnelAllowCsv>
+  * <hazardAllowCsv> <scalingAllowCsv> [noscaling]` (`-` = empty
+  * allowlist; `noscaling` skips the cross-SF timing gate — the
+  * filtered fast path). */
+object PreflightSweep {
+  def main(args: Array[String]): Unit = {
+    import scala.collection.mutable
+    val sfA = args(0); val sfB = args(1)
+    def parse(a: String): Set[String] =
+      a.split(',').map(_.trim).filter(x => x.nonEmpty && x != "-").toSet
+    val allow = Map("FUNNEL" -> parse(args(2)), "HAZARD" -> parse(args(3)),
+      "SUPERLINEAR" -> parse(args(4)))
+    val doScaling = !args.lift(5).contains("noscaling")
+    val (minGroups, rowsPerGroup) = (32L, 512L)
+    val (singlePartBound, loopBound) = (512L, 64L)
+    val (ratioBound, floorSec) = (10.0, 2.0)
+
+    val spark =
+      graft.core.GraftSession.local(appName = "graft-preflight-sweep")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    only.foreach { o =>
+      println(s"### PARTIAL SWEEP (SPARK_GRAFT_ONLY=${
+        o.toSeq.sorted.mkString(",")}): ${selected.size}/${
+        SparkEntry.queries.size} queries — NOT a full-catalog gate ###")
+    }
+
+    def timedRun(name: String, dir: String)
+    : (Seq[PlanAudit.Hazard], Double) =
+      PlanAudit.scaleHazardsTimed(
+        SparkEntry.queries(name)(spark, dir), singlePartBound, loopBound)
+
+    // warm-up (the Bench/ScalingAudit rule): first-touch JIT/codegen
+    // cost must not be billed to whichever query runs first
+    Seq(sfA, sfB).foreach { dir =>
+      Seq("e6_running_sum", "d6_group_sum", "h2_array_parse").foreach { q =>
+        try graft.operators.GlobalRank.withScope(timedRun(q, dir))
+        catch { case _: Throwable => () }
+      }
+    }
+
+    var flagged = 0
+    var unexpected = 0
+    val flaggedBy = Map("FUNNEL" -> mutable.Set.empty[String],
+      "HAZARD" -> mutable.Set.empty[String],
+      "SUPERLINEAR" -> mutable.Set.empty[String])
+    val erroredNames = mutable.Set.empty[String]
+    def flag(tag: String, name: String, detail: String): Unit = {
+      flagged += 1
+      flaggedBy(tag) += name
+      if (!allow(tag)(name)) unexpected += 1
+      println(s"$tag $name $detail")
+    }
+
+    selected.foreach { case (name, _) =>
+      try graft.operators.GlobalRank.withScope {
+        val tA = if (doScaling) timedRun(name, sfA)._2 else 0.0
+        // ONE sf-B execution: hazard metrics + t_B
+        val (hazB, tB) = timedRun(name, sfB)
+        hazB.foreach(h => flag("HAZARD", name, h.describe))
+        if (doScaling) {
+          var ta = tA; var tb = tB
+          def ratio = tb / math.max(ta, 0.05)
+          if (tb > floorSec && ratio > ratioBound) {
+            // re-time both before flagging: min of two runs per SF
+            val ta2 = timedRun(name, sfA)._2
+            val tb2 = timedRun(name, sfB)._2
+            ta = math.min(ta, ta2); tb = math.min(tb, tb2)
+          }
+          println(f"TIMING $name tA=$ta%.3f tB=$tb%.3f ratio=${ratio}%.1f")
+          if (tb > floorSec && ratio > ratioBound)
+            flag("SUPERLINEAR", name,
+              f"tA=$ta%.2fs tB=$tb%.2fs ratio=${ratio}%.1fx " +
+                f"(bound ${ratioBound}%.0fx above ${floorSec}%.1fs floor)")
+        }
+        // funnel measurement on a fresh sf-B frame (windowFunnels
+        // executes per-window counting queries; deliberately untimed)
+        PlanAudit.windowFunnels(SparkEntry.queries(name)(spark, sfB),
+          minGroups, rowsPerGroup)
+          .foreach(s => flag("FUNNEL", name, s.describe))
+      } catch {
+        case e: Throwable =>
+          unexpected += 1
+          erroredNames += name
+          println(s"ERROR $name ${String.valueOf(e.getMessage).take(100)}")
+      }
+    }
+
+    val ranNames = selected.map(_._1).toSet
+    val checks = if (doScaling) allow.keys.toSeq.sorted
+                 else Seq("FUNNEL", "HAZARD")
+    val stale = checks.flatMap { tag =>
+      ((allow(tag) & ranNames) -- flaggedBy(tag) -- erroredNames)
+        .toSeq.sorted.map(tag -> _)
+    }
+    stale.foreach { case (tag, n) => println(
+      s"STALE-ALLOWLIST $tag $n no longer flags — remove it from the " +
+        "allowlist (a stale exemption masks future regressions)") }
+    println(s"flagged: $flagged (unexpected: $unexpected, " +
+      s"stale allowlist: ${stale.size}, " +
+      s"ran: ${selected.size}/${SparkEntry.queries.size})")
+    spark.stop()
+    if (unexpected > 0 || stale.nonEmpty) sys.exit(1)
   }
 }
 

@@ -2,10 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Accepts one
+  * or more (sfDir, outDir) pairs — extra pairs rerun the full dump
+  * against further fixtures IN THE SAME JVM (preflight's edge/empty
+  * sweeps ride along instead of paying two more JVM + session
+  * startups; the driver's 2-arg invocation is unchanged). */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2 && args.length % 2 == 0,
+      "usage: Verify <sfDir> <outDir> [<sfDir2> <outDir2> ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -21,11 +26,24 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter for fast local iteration (absent on
     // driver runs → full catalog; oracle_sql.json always covers it all).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // exit code stays 0 even on per-query failures — the per-pair
+    // errors.json and the "[verify] … failed" stderr lines are the
+    // contract callers (driver, preflight's grep) consume
+    args.grouped(2).foreach { case Array(sfDir, outDir) =>
+      runPair(spark, sfDir, outDir, only)
+    }
+    spark.stop()
+  }
+
+  /** Dump one fixture's full catalog + oracle/errors json; returns
+    * whether any query failed. */
+  private def runPair(spark: SparkSession, sfDir: String, outDir: String,
+                      only: Option[Set[String]]): Boolean = {
+    new java.io.File(outDir).mkdirs()
     // A throwing query must leave a driver-visible record, not a silent
     // gap: every failure lands in errors.json (always written, {} when
     // clean) so a registered query with no output dir reads as FAIL, not
@@ -70,6 +88,6 @@ object Verify {
       System.err.println(s"[verify] ${errors.size} quer${
         if (errors.size == 1) "y" else "ies"} FAILED: ${
         errors.keys.mkString(", ")}")
-    spark.stop()
+    errors.nonEmpty
   }
 }

@@ -1,58 +1,83 @@
 #!/usr/bin/env python3
-"""Regenerate SCALING_BASELINE.json from a ScalingAudit log.
+"""Regenerate SCALING_BASELINE.json from one or more sweep logs.
 
-The cross-SF sweep prints one `TIMING <name> tA=<s> tB=<s> ratio=<r>`
-line per query (plus `SUPERLINEAR <name> ...` flags). Preflight keeps
-its full log at /tmp/preflight_full*.log; this script harvests the
-newest sweep into the committed baseline artifact so next round's
-ratio diffs compare files, not prose.
+The cross-SF sweep (graft.PreflightSweep, previously graft.ScalingAudit)
+prints one `TIMING <name> tA=<s> tB=<s> ratio=<r>` line per query (plus
+`SUPERLINEAR <name> ...` flags). Preflight keeps its full log at
+/tmp/preflight_full*.log; this script harvests sweep logs into the
+committed baseline artifact so next round's ratio diffs compare files,
+not prose.
 
-Usage: python3 tools/scaling_baseline.py <sweep-log> [out.json] \
-           [sfA] [sfB] [ratioBound] [floorSec]
+Round-11 change (round-10 directive 3): timings in the artifact are the
+per-query MIN over every log passed — single samples spiked (d23
+measured ratio 9.1 vs 0.7 between two sweeps), so pass BOTH the
+mid-round and round-exit full-gate logs and cross-round ratio diffs
+stop needing a hand-applied tolerance. One log still works (the
+protocol field records how many were min'd).
 
-The provenance fields (sfA/sfB/bound) default to ScalingAudit's
-defaults — pass them explicitly when harvesting a non-default sweep,
+Usage: python3 tools/scaling_baseline.py <sweep-log> [more-logs...]
+           [--out SCALING_BASELINE.json] [--sfA ...] [--sfB ...]
+           [--ratio 10.0] [--floor 2.0]
+
+The provenance fields (sfA/sfB/bound) default to the preflight
+constants — pass them explicitly when harvesting a non-default sweep,
 or the artifact records fixtures the timings did not come from. The
 commit field records HEAD at harvest time; regenerate at the commit
-you are publishing.
+you are publishing. Flags are the union across logs (a flag in ANY
+sweep is worth keeping visible).
 """
+import argparse
 import json
 import re
 import subprocess
-import sys
 
-log = sys.argv[1]
-out = sys.argv[2] if len(sys.argv) > 2 else "SCALING_BASELINE.json"
+ap = argparse.ArgumentParser()
+ap.add_argument("logs", nargs="+")
+ap.add_argument("--out", default="SCALING_BASELINE.json")
+ap.add_argument("--sfA", default="/root/testdata/sf0.001")
+ap.add_argument("--sfB", default="/root/testdata/sf0.01")
+ap.add_argument("--ratio", type=float, default=10.0)
+ap.add_argument("--floor", type=float, default=2.0)
+args = ap.parse_args()
 
-rows, flags = {}, []
-for line in open(log):
-    m = re.match(r"TIMING (\S+) tA=([\d.]+) tB=([\d.]+) ratio=([\d.]+)", line)
-    if m:
-        rows[m.group(1)] = {
-            "tA_sec": float(m.group(2)),
-            "tB_sec": float(m.group(3)),
-            "ratio": float(m.group(4)),
-        }
-    f = re.match(r"SUPERLINEAR (\S+) (.*)", line)
-    if f:
-        flags.append({"query": f.group(1), "detail": f.group(2)})
+rows, flags, seen = {}, [], {}
+for log in args.logs:
+    for line in open(log):
+        m = re.match(r"TIMING (\S+) tA=([\d.]+) tB=([\d.]+) ratio=([\d.]+)",
+                     line)
+        if m:
+            q = m.group(1)
+            ta, tb = float(m.group(2)), float(m.group(3))
+            seen[q] = seen.get(q, 0) + 1
+            if q in rows:
+                ta = min(ta, rows[q]["tA_sec"])
+                tb = min(tb, rows[q]["tB_sec"])
+            rows[q] = {"tA_sec": ta, "tB_sec": tb,
+                       "ratio": round(tb / max(ta, 0.05), 3)}
+        f = re.match(r"SUPERLINEAR (\S+) (.*)", line)
+        if f:
+            flags.append({"query": f.group(1), "detail": f.group(2),
+                          "log": log})
 
 if not rows:
-    sys.exit(f"no TIMING lines found in {log}")
+    raise SystemExit(f"no TIMING lines found in {args.logs}")
 
+partial = {q: n for q, n in seen.items() if n < len(args.logs)}
 doc = {
-    "sfA": sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001",
-    "sfB": sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.01",
-    "protocol": "one JVM, AQE off, 3 warm-up queries per SF; noop-sink "
-                "materialization; timings are SINGLE samples (spike noise "
-                "possible — diff ratios with tolerance); flags re-timed "
-                "min-of-two before counting",
-    "bound": {"ratio": float(sys.argv[5]) if len(sys.argv) > 5 else 10.0,
-              "floor_sec": float(sys.argv[6]) if len(sys.argv) > 6 else 2.0},
+    "sfA": args.sfA,
+    "sfB": args.sfB,
+    "protocol": f"min over {len(args.logs)} sweep log(s); one JVM, AQE "
+                "off, 3 warm-up queries per SF; timing = "
+                "executedPlan.execute().count() (PreflightSweep); flags "
+                "re-timed min-of-two before counting"
+                + (f"; {len(partial)} queries present in fewer logs "
+                   "(single-sample for those)" if partial else ""),
+    "bound": {"ratio": args.ratio, "floor_sec": args.floor},
     "commit": subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                              capture_output=True, text=True).stdout.strip(),
     "flags": flags,
     "timings": dict(sorted(rows.items(), key=lambda kv: -kv[1]["ratio"])),
 }
-json.dump(doc, open(out, "w"), indent=1)
-print(f"wrote {out}: {len(rows)} queries, {len(flags)} flags")
+json.dump(doc, open(args.out, "w"), indent=1)
+print(f"wrote {args.out}: {len(rows)} queries "
+      f"(min over {len(args.logs)} logs), {len(flags)} flags")
