@@ -155,8 +155,12 @@ class TrainerSpec extends SparkSpec {
       rows.foreach { r =>
         val y = r.getLong(0)
         val x = Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-        val s = w(0) * x(0) + w(1) * x(1) + w(2) * x(2) + w(3) * x(3)
-        val z = s.toDouble / 1000000000000.0
+        // term-by-term double multiply, matching predMicro's documented
+        // overflow-symmetric semantics (identical to the long product
+        // for every in-envelope value)
+        val s = w(0).toDouble * x(0) + w(1).toDouble * x(1) +
+          w(2).toDouble * x(2) + w(3).toDouble * x(3)
+        val z = s / 1000000000000.0
         val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
         val pm = math.floor(p * 1000000.0).toLong
         val e = pm - y * 1000000L
