@@ -419,18 +419,20 @@ object ScalingAudit {
   * ScaleAudit(sfB), ScalingAudit(sfA, sfB) — paying three JVM/session
   * startups, three query-construction passes, and TWO full sf-B catalog
   * executions (the hazard sweep's and the timing gate's). This main
-  * runs all three checks per query in one pass: timed execution at sfA
-  * (t_A), then ONE timed sf-B execution that populates the hazard
-  * metrics AND serves as t_B, then the (untimed) window-funnel
-  * measurement. Bounds are the preflight constants (funnel 32/512,
-  * hazard 512/64, scaling ratio 10 above a 2 s floor — the standalone
-  * mains keep flexible CLIs for spot use); allowlists are per-check
-  * with AllowlistedSweep's flag/stale/exit semantics (always gating).
-  * A first-measurement scaling flag is re-timed on both SFs (min of
-  * two) before it counts. Prints the same `TIMING name tA=… tB=…
-  * ratio=…` lines, so tools/scaling_baseline.py harvests this sweep
-  * unchanged (timing protocol: executedPlan.execute().count(), AQE
-  * off — recorded in the baseline's protocol field).
+  * runs all three checks per query in one pass: timed construction +
+  * execution at sfA (t_A), then ONE timed sf-B construction + execution
+  * that populates the hazard metrics AND serves as t_B, then the
+  * (untimed) window-funnel measurement on the SAME sf-B frame. Bounds
+  * are the preflight constants (funnel 32/512, hazard 512/64, scaling
+  * ratio 10 above a 2 s floor — the standalone mains keep flexible CLIs
+  * for spot use); allowlists are per-check with AllowlistedSweep's
+  * flag/stale/exit semantics (always gating). A first-measurement
+  * scaling flag is re-timed on both SFs (min of two) before it counts.
+  * Prints the same `TIMING name tA=… tB=… ratio=…` lines, so
+  * tools/scaling_baseline.py harvests this sweep unchanged (timing
+  * protocol: query construction + executedPlan.execute().count(), AQE
+  * off — construction must stay inside the clock, see timedRun;
+  * recorded in the baseline's protocol field).
   *
   * `runMain graft.PreflightSweep <sfA> <sfB> <funnelAllowCsv>
   * <hazardAllowCsv> <scalingAllowCsv> [noscaling]` (`-` = empty
@@ -464,10 +466,24 @@ object PreflightSweep {
         SparkEntry.queries.size} queries — NOT a full-catalog gate ###")
     }
 
+    // Construction is INSIDE the clock — the protocol of the
+    // ScalingAudit.timeOne this sweep replaced. Eager-construction
+    // queries (trainer collect loops, graph/dedup localCheckpoint
+    // chains) do their dominant, SF-dependent work while the frame is
+    // BUILT; a clock that starts at execute() reads them near-zero and
+    // the superlinear gate goes blind to the entire class (lr1's
+    // 3-step training loop "measured" 0.015 s that way in the first
+    // harvest). Returns the constructed frame so the funnel check
+    // reuses it instead of paying construction a second time.
     def timedRun(name: String, dir: String)
-    : (Seq[PlanAudit.Hazard], Double) =
-      PlanAudit.scaleHazardsTimed(
-        SparkEntry.queries(name)(spark, dir), singlePartBound, loopBound)
+    : (org.apache.spark.sql.DataFrame, Seq[PlanAudit.Hazard], Double) = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val constructSec = (System.nanoTime() - t0) / 1e9
+      val (haz, execSec) =
+        PlanAudit.scaleHazardsTimed(df, singlePartBound, loopBound)
+      (df, haz, constructSec + execSec)
+    }
 
     // warm-up (the Bench/ScalingAudit rule): first-touch JIT/codegen
     // cost must not be billed to whichever query runs first
@@ -493,17 +509,18 @@ object PreflightSweep {
 
     selected.foreach { case (name, _) =>
       try graft.operators.GlobalRank.withScope {
-        val tA = if (doScaling) timedRun(name, sfA)._2 else 0.0
-        // ONE sf-B execution: hazard metrics + t_B
-        val (hazB, tB) = timedRun(name, sfB)
+        val tA = if (doScaling) timedRun(name, sfA)._3 else 0.0
+        // ONE sf-B construction + execution: hazard metrics + t_B +
+        // the funnel check's frame
+        val (dfB, hazB, tB) = timedRun(name, sfB)
         hazB.foreach(h => flag("HAZARD", name, h.describe))
         if (doScaling) {
           var ta = tA; var tb = tB
           def ratio = tb / math.max(ta, 0.05)
           if (tb > floorSec && ratio > ratioBound) {
             // re-time both before flagging: min of two runs per SF
-            val ta2 = timedRun(name, sfA)._2
-            val tb2 = timedRun(name, sfB)._2
+            val ta2 = timedRun(name, sfA)._3
+            val tb2 = timedRun(name, sfB)._3
             ta = math.min(ta, ta2); tb = math.min(tb, tb2)
           }
           println(f"TIMING $name tA=$ta%.3f tB=$tb%.3f ratio=${ratio}%.1f")
@@ -512,10 +529,11 @@ object PreflightSweep {
               f"tA=$ta%.2fs tB=$tb%.2fs ratio=${ratio}%.1fx " +
                 f"(bound ${ratioBound}%.0fx above ${floorSec}%.1fs floor)")
         }
-        // funnel measurement on a fresh sf-B frame (windowFunnels
-        // executes per-window counting queries; deliberately untimed)
-        PlanAudit.windowFunnels(SparkEntry.queries(name)(spark, sfB),
-          minGroups, rowsPerGroup)
+        // funnel measurement on the SAME sf-B frame (its GlobalRank
+        // layouts stay live until this scope closes; windowFunnels
+        // executes per-window counting queries; deliberately untimed) —
+        // re-constructing here would pay the whole eager chain again
+        PlanAudit.windowFunnels(dfB, minGroups, rowsPerGroup)
           .foreach(s => flag("FUNNEL", name, s.describe))
       } catch {
         case e: Throwable =>

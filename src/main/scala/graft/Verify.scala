@@ -33,9 +33,13 @@ object Verify {
     // exit code stays 0 even on per-query failures — the per-pair
     // errors.json and the "[verify] … failed" stderr lines are the
     // contract callers (driver, preflight's grep) consume
-    args.grouped(2).foreach { case Array(sfDir, outDir) =>
-      runPair(spark, sfDir, outDir, only)
+    val failedPairs = args.grouped(2).toSeq.collect {
+      case Array(sfDir, outDir) if runPair(spark, sfDir, outDir, only) =>
+        sfDir
     }
+    if (failedPairs.nonEmpty && args.length > 2)
+      System.err.println(s"[verify] failures in ${failedPairs.size}/${
+        args.length / 2} fixture pairs: ${failedPairs.mkString(", ")}")
     spark.stop()
   }
 

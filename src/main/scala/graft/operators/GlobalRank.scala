@@ -82,21 +82,37 @@ object GlobalRank {
     * layouts checkpointed on its thread while it was the innermost open
     * scope; [[close]] frees those and no others, so owner A releasing
     * cannot invalidate owner B's frames (OperatorsSpec pins this).
-    * Scopes nest as a stack per thread; close in LIFO order. */
+    * Scopes nest as a stack per thread; close in LIFO order. Closing
+    * from ANOTHER thread is safe too: the handles are freed, and the
+    * opening thread's stack entry — which only that thread's
+    * ThreadLocal can drop — is popped lazily by its next
+    * [[openScope]]/checkpoint, which also skip closed scopes when
+    * choosing an owner (a handle must never strand in a queue nothing
+    * drains). */
   final class LayoutScope private[GlobalRank] () {
     private[GlobalRank] val handles =
       new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
     private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    /** Release only THIS scope's layouts and pop it from its thread's
-      * scope stack; returns how many were freed. Idempotent. */
-    def close(): Int = {
-      if (!closed.compareAndSet(false, true)) return 0
-      currentScopes.set(currentScopes.get.filterNot(_ eq this))
+    private[GlobalRank] def isClosed: Boolean = closed.get
+
+    /** Drain and run every queued release handle (each handle runs at
+      * most once — poll removes it). */
+    private[GlobalRank] def drain(): Int = {
       var n = 0
       var r = handles.poll()
       while (r != null) { r(); n += 1; r = handles.poll() }
       n
+    }
+
+    /** Release only THIS scope's layouts and pop it from the CLOSING
+      * thread's scope stack (a cross-thread close leaves the opener's
+      * stack entry for lazy pop — see the class scaladoc); returns how
+      * many were freed. Idempotent. */
+    def close(): Int = {
+      if (!closed.compareAndSet(false, true)) return 0
+      currentScopes.set(currentScopes.get.filterNot(_ eq this))
+      drain()
     }
   }
 
@@ -112,7 +128,9 @@ object GlobalRank {
     * layouts. */
   def openScope(): LayoutScope = {
     val s = new LayoutScope
-    currentScopes.set(s :: currentScopes.get)
+    // lazy-pop scopes a cross-thread close() could not remove from
+    // this thread's stack
+    currentScopes.set(s :: currentScopes.get.filterNot(_.isClosed))
     s
   }
 
@@ -143,11 +161,21 @@ object GlobalRank {
     // boundary.
     val (pinned, release) = org.apache.spark.sql.graftbridge.DatasetBridge
       .guardedLocalCheckpoint(df, ReleasedLayoutMsg)
-    // register with the calling thread's innermost open scope; the
-    // process-global list only owns layouts checkpointed outside any
-    // scope (legacy/unscoped callers)
-    currentScopes.get.headOption.map(_.handles).getOrElse(liveLayouts)
-      .add(release)
+    // register with the calling thread's innermost OPEN scope (lazy-
+    // popping scopes a cross-thread close() left behind); the process-
+    // global list only owns layouts checkpointed outside any scope
+    // (legacy/unscoped callers)
+    val stack = currentScopes.get.filterNot(_.isClosed)
+    currentScopes.set(stack)
+    stack.headOption match {
+      case Some(scope) =>
+        scope.handles.add(release)
+        // if the scope closed concurrently between the filter and the
+        // add, its drain may already have run — drain again so the
+        // handle cannot strand in a queue nothing else will touch
+        if (scope.isClosed) scope.drain()
+      case None => liveLayouts.add(release)
+    }
     pinned
   }
 

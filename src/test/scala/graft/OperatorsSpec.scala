@@ -751,6 +751,32 @@ class OperatorsSpec extends SparkSpec {
     assert(GlobalRank.releaseLayouts() == 0)
   }
 
+  test("a layout scope closed from another thread frees its handles " +
+      "and stops owning later checkpoints (no silent accumulation)") {
+    import graft.operators.GlobalRank
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, (i % 5).toDouble)).toDF("id", "v")
+    val scope = GlobalRank.openScope()
+    val ranked = GlobalRank.withGlobalRowNumber(df,
+      Seq(col("id")), out = "rn")
+    assert(ranked.count() == 300L)
+    // cleanup-executor shape: close() runs on a different thread — the
+    // handles must free even though that thread's scope stack is empty
+    var freed = -1
+    val t = new Thread(() => { freed = scope.close() })
+    t.start(); t.join()
+    assert(freed >= 1, s"cross-thread close freed $freed")
+    // the opener's stack still holds the closed scope until lazily
+    // popped — a NEW checkpoint on this thread must NOT register into
+    // the closed scope's drained queue (it would strand forever); with
+    // no open scope left it belongs to the unscoped fallback list
+    val ranked2 = GlobalRank.withGlobalRowNumber(df,
+      Seq(col("v"), col("id")), out = "rn2")
+    assert(ranked2.count() == 300L)
+    assert(GlobalRank.releaseLayouts() >= 1,
+      "post-cross-thread-close checkpoint stranded in a closed scope")
+  }
+
   test("er4 cluster-audit cap bounds pair work and still flags chains") {
     import graft.operators.EntityAudit
     import spark.implicits._

@@ -33,10 +33,10 @@ SF=/root/testdata/sf0.01
 
 # A stale SPARK_GRAFT_ONLY exported in the calling shell would silently
 # restrict the gating sweeps AND the oracle differential to a near-empty
-# set (exit 0, "flagged: 0") — the full gate must never inherit it.
-if [ -z "$ONLY" ]; then
-  unset SPARK_GRAFT_ONLY
-fi
+# set (exit 0, "flagged: 0"). Unset UNCONDITIONALLY: even the filtered
+# path's funnel+hazard sweep is documented full-catalog (only the
+# Verify/oracle stage narrows, and that stage re-exports $ONLY itself).
+unset SPARK_GRAFT_ONLY
 
 echo "== preflight: compile + test (incl. measured scale gates) =="
 # `sbt test` includes the two MEASURED plan gates at sf0.001:

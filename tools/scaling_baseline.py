@@ -48,7 +48,9 @@ for log in args.logs:
         if m:
             q = m.group(1)
             ta, tb = float(m.group(2)), float(m.group(3))
-            seen[q] = seen.get(q, 0) + 1
+            # track DISTINCT logs per query (a duplicated TIMING line
+            # inside one appended-to log must not read as two samples)
+            seen.setdefault(q, set()).add(log)
             if q in rows:
                 ta = min(ta, rows[q]["tA_sec"])
                 tb = min(tb, rows[q]["tB_sec"])
@@ -62,13 +64,15 @@ for log in args.logs:
 if not rows:
     raise SystemExit(f"no TIMING lines found in {args.logs}")
 
-partial = {q: n for q, n in seen.items() if n < len(args.logs)}
+partial = {q: len(s) for q, s in seen.items() if len(s) < len(set(args.logs))}
 doc = {
     "sfA": args.sfA,
     "sfB": args.sfB,
     "protocol": f"min over {len(args.logs)} sweep log(s); one JVM, AQE "
-                "off, 3 warm-up queries per SF; timing = "
-                "executedPlan.execute().count() (PreflightSweep); flags "
+                "off, 3 warm-up queries per SF; timing = query "
+                "construction + executedPlan.execute().count() "
+                "(PreflightSweep — construction inside the clock, so "
+                "eager-construction queries are covered); flags "
                 "re-timed min-of-two before counting"
                 + (f"; {len(partial)} queries present in fewer logs "
                    "(single-sample for those)" if partial else ""),

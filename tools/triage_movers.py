@@ -38,9 +38,14 @@ otherwise (so a shell pipeline can gate on it).
 """
 import argparse
 import json
+import os
 import re
 import subprocess
 import sys
+
+# repo-root cwd like the sibling tools (relative tools/run_main.sh,
+# git show, and the BENCH_ISOLATED.json default all assume it)
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def load_map(spec):
@@ -97,11 +102,18 @@ def main():
         iso = {"minima_sec": {}}
     iso_min = iso.get("minima_sec", {})
 
+    # base-gate on max(prev, cur): gating on prev alone would hide a
+    # regression that GROWS a sub-base query past the base (prev 0.9s ->
+    # cur 9s reads prev<=base, never flagged); the intent is only to
+    # ignore small-ABSOLUTE deltas, which max() preserves symmetrically
+    # for the gains list
     movers = [(q, prev[q], cur[q], cur[q] / prev[q]) for q in common
-              if prev[q] > args.base and cur[q] / prev[q] > args.ratio]
+              if max(prev[q], cur[q]) > args.base
+              and cur[q] / prev[q] > args.ratio]
     movers.sort(key=lambda t: -t[3])
     gains = sorted(((q, prev[q], cur[q], cur[q] / prev[q]) for q in common
-                    if prev[q] > args.base and cur[q] / prev[q] < 1 / args.ratio),
+                    if max(prev[q], cur[q]) > args.base
+                    and cur[q] / prev[q] < 1 / args.ratio),
                    key=lambda t: t[3])
 
     print(f"triage: {len(common)} common queries "
