@@ -232,6 +232,48 @@ object PlanAudit {
   * EMPTY allowlist (any flag fails); otherwise gate with the named
   * exemptions. */
 private[graft] object AllowlistedSweep {
+
+  /** Warm-up set shared by every timed/measured sweep: one scan +
+    * shuffle + window + array/HOF codegen first-touch apiece, so JIT/
+    * codegen cost is never billed to whichever query runs first (the
+    * Bench rule). One list — a divergent copy per sweep would let a
+    * warm-up fix silently miss the path preflight actually gates on. */
+  val WarmupQueries = Seq("e6_running_sum", "d6_group_sum", "h2_array_parse")
+
+  /** SPARK_GRAFT_ONLY-filtered catalog selection plus the unmissable
+    * partial-sweep banner — a stale filter left exported in a shell
+    * would silently turn a gating sweep into a near-empty pass, so
+    * every sweep that honors the variable announces it the same way. */
+  def selectWithBanner()
+  : Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    only.foreach { o =>
+      println(s"### PARTIAL SWEEP (SPARK_GRAFT_ONLY=${
+        o.toSeq.sorted.mkString(",")}): ${selected.size}/${
+        SparkEntry.queries.size} queries — NOT a full-catalog gate ###")
+    }
+    selected
+  }
+
+  /** The stale-allowlist honesty rule, shared verbatim by every gating
+    * sweep: an entry is stale iff it was allowlisted, RAN, did not
+    * flag, and did not ERROR (a query that threw tells us nothing
+    * about its flag status — "remove the exemption" would be wrong
+    * advice). Prints each entry with `prefix` ("" or "TAG ") and
+    * returns them. */
+  def staleEntries(prefix: String, allowed: Set[String],
+                   ran: Set[String], flagged: collection.Set[String],
+                   errored: collection.Set[String]): Seq[String] = {
+    val stale = ((allowed & ran) -- flagged -- errored).toSeq.sorted
+    stale.foreach(n => println(
+      s"STALE-ALLOWLIST $prefix$n no longer flags — remove it from the " +
+        "allowlist (a stale exemption masks future regressions)"))
+    stale
+  }
+
   def run(tag: String, allowArg: Option[String],
           sweep: (SparkSession, String) => Seq[String],
           appName: String): Unit = {
@@ -250,18 +292,7 @@ private[graft] object AllowlistedSweep {
     // names for a fast partial sweep while iterating. The stale-allowlist
     // honesty check below is restricted to the filtered set — an
     // allowlisted query that wasn't RUN can't be called stale.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-    // A stale SPARK_GRAFT_ONLY left exported in a shell would silently
-    // turn a gating sweep into a near-empty pass — make the filtering
-    // unmissable (and count it in the summary line below).
-    only.foreach { o =>
-      println(s"### PARTIAL SWEEP (SPARK_GRAFT_ONLY=${
-        o.toSeq.sorted.mkString(",")}): ${selected.size}/${
-        SparkEntry.queries.size} queries — NOT a full-catalog gate ###")
-    }
+    val selected = selectWithBanner()
     selected.foreach { case (name, _) =>
       try {
         // per-query owner scope: the sweep constructs (and often
@@ -283,14 +314,8 @@ private[graft] object AllowlistedSweep {
       }
     }
     val ranNames = selected.map(_._1).toSet
-    // a query that THREW tells us nothing about its flag status — never
-    // report its allowlist entry as stale (the gate already fails on the
-    // ERROR; "remove the exemption" would be wrong advice)
-    val stale =
-      ((allowed & ranNames) -- flaggedNames -- erroredNames).toSeq.sorted
-    stale.foreach(n => println(
-      s"STALE-ALLOWLIST $n no longer flags — remove it from the " +
-        "allowlist (a stale exemption masks future regressions)"))
+    val stale = staleEntries("", allowed, ranNames,
+      flaggedNames, erroredNames)
     println(s"flagged: $flagged (unexpected: $unexpected, " +
       s"stale allowlist: ${stale.size}, " +
       s"ran: ${selected.size}/${SparkEntry.queries.size})")
@@ -385,10 +410,8 @@ object ScalingAudit {
     }
     AllowlistedSweep.run("SUPERLINEAR", args.lift(4), (spark, name) => {
       if (!warmed) {
-        // first-touch JVM/classloader/codegen cost must not be billed
-        // to whichever query runs first (the Bench warm-up rule)
         Seq(sfA, sfB).foreach { dir =>
-          Seq("e6_running_sum", "d6_group_sum", "h2_array_parse")
+          AllowlistedSweep.WarmupQueries
             .foreach(q => try timeOne(spark, q, dir)
             catch { case _: Throwable => () })
         }
@@ -456,15 +479,7 @@ object PreflightSweep {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
 
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-    only.foreach { o =>
-      println(s"### PARTIAL SWEEP (SPARK_GRAFT_ONLY=${
-        o.toSeq.sorted.mkString(",")}): ${selected.size}/${
-        SparkEntry.queries.size} queries — NOT a full-catalog gate ###")
-    }
+    val selected = AllowlistedSweep.selectWithBanner()
 
     // Construction is INSIDE the clock — the protocol of the
     // ScalingAudit.timeOne this sweep replaced. Eager-construction
@@ -486,9 +501,12 @@ object PreflightSweep {
     }
 
     // warm-up (the Bench/ScalingAudit rule): first-touch JIT/codegen
-    // cost must not be billed to whichever query runs first
-    Seq(sfA, sfB).foreach { dir =>
-      Seq("e6_running_sum", "d6_group_sum", "h2_array_parse").foreach { q =>
+    // cost must not be billed to whichever query runs first. sfA frames
+    // are only ever timed on the scaling path — in noscaling mode the
+    // sfA warm-up would feed nothing, so skip it.
+    val warmDirs = if (doScaling) Seq(sfA, sfB) else Seq(sfB)
+    warmDirs.foreach { dir =>
+      AllowlistedSweep.WarmupQueries.foreach { q =>
         try graft.operators.GlobalRank.withScope(timedRun(q, dir))
         catch { case _: Throwable => () }
       }
@@ -547,12 +565,9 @@ object PreflightSweep {
     val checks = if (doScaling) allow.keys.toSeq.sorted
                  else Seq("FUNNEL", "HAZARD")
     val stale = checks.flatMap { tag =>
-      ((allow(tag) & ranNames) -- flaggedBy(tag) -- erroredNames)
-        .toSeq.sorted.map(tag -> _)
+      AllowlistedSweep.staleEntries(s"$tag ", allow(tag), ranNames,
+        flaggedBy(tag), erroredNames).map(tag -> _)
     }
-    stale.foreach { case (tag, n) => println(
-      s"STALE-ALLOWLIST $tag $n no longer flags — remove it from the " +
-        "allowlist (a stale exemption masks future regressions)") }
     println(s"flagged: $flagged (unexpected: $unexpected, " +
       s"stale allowlist: ${stale.size}, " +
       s"ran: ${selected.size}/${SparkEntry.queries.size})")

@@ -33,10 +33,13 @@ object Verify {
     // exit code stays 0 even on per-query failures — the per-pair
     // errors.json and the "[verify] … failed" stderr lines are the
     // contract callers (driver, preflight's grep) consume
-    val failedPairs = args.grouped(2).toSeq.collect {
-      case Array(sfDir, outDir) if runPair(spark, sfDir, outDir, only) =>
-        sfDir
+    // strict map THEN filter — running the fixture dump inside a
+    // pattern guard would tie single-evaluation to collect's
+    // applyOrElse contract
+    val pairResults = args.grouped(2).toSeq.map { case Array(sfDir, outDir) =>
+      sfDir -> runPair(spark, sfDir, outDir, only)
     }
+    val failedPairs = pairResults.collect { case (sfDir, true) => sfDir }
     if (failedPairs.nonEmpty && args.length > 2)
       System.err.println(s"[verify] failures in ${failedPairs.size}/${
         args.length / 2} fixture pairs: ${failedPairs.mkString(", ")}")

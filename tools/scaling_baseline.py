@@ -38,6 +38,16 @@ ap.add_argument("--sfA", default="/root/testdata/sf0.001")
 ap.add_argument("--sfB", default="/root/testdata/sf0.01")
 ap.add_argument("--ratio", type=float, default=10.0)
 ap.add_argument("--floor", type=float, default=2.0)
+ap.add_argument("--timing-protocol",
+                default="query construction + executedPlan.execute()"
+                        ".count() (PreflightSweep — construction inside "
+                        "the clock, so eager-construction queries are "
+                        "covered)",
+                help="what the harvested TIMING lines actually measured "
+                     "— pass explicitly when harvesting a "
+                     "graft.ScalingAudit spot-sweep log (noop-sink "
+                     "materialization), or the artifact records a "
+                     "protocol the timings did not come from")
 args = ap.parse_args()
 
 rows, flags, seen = {}, [], {}
@@ -61,6 +71,18 @@ for log in args.logs:
             flags.append({"query": f.group(1), "detail": f.group(2),
                           "log": log})
 
+# union flags across logs BY QUERY (one entry per flagged query, listing
+# every log it flagged in) — a query flagged in both the mid-round and
+# round-exit logs is one flag, not two
+by_query = {}
+for fl in flags:
+    e = by_query.setdefault(fl["query"],
+                            {"query": fl["query"], "detail": fl["detail"],
+                             "logs": []})
+    if fl["log"] not in e["logs"]:
+        e["logs"].append(fl["log"])
+flags = [by_query[q] for q in sorted(by_query)]
+
 if not rows:
     raise SystemExit(f"no TIMING lines found in {args.logs}")
 
@@ -69,10 +91,8 @@ doc = {
     "sfA": args.sfA,
     "sfB": args.sfB,
     "protocol": f"min over {len(args.logs)} sweep log(s); one JVM, AQE "
-                "off, 3 warm-up queries per SF; timing = query "
-                "construction + executedPlan.execute().count() "
-                "(PreflightSweep — construction inside the clock, so "
-                "eager-construction queries are covered); flags "
+                "off, 3 warm-up queries per SF; timing = "
+                f"{args.timing_protocol}; flags "
                 "re-timed min-of-two before counting"
                 + (f"; {len(partial)} queries present in fewer logs "
                    "(single-sample for those)" if partial else ""),

@@ -99,7 +99,12 @@ def main():
     try:
         iso = json.load(open(args.isolated))
     except FileNotFoundError:
-        iso = {"minima_sec": {}}
+        # seed the provenance fields a fresh artifact must carry (the
+        # committed file records them; a refresh-created one must too)
+        iso = {"sf": args.sf, "runs_per_query": args.runs,
+               "protocol": "fresh JVM per query; min over warm runs "
+                           "(run 1 dropped)",
+               "minima_sec": {}}
     iso_min = iso.get("minima_sec", {})
 
     # base-gate on max(prev, cur): gating on prev alone would hide a
@@ -137,12 +142,18 @@ def main():
         refreshed[q] = fresh
         # the isolated baseline is the reference when it exists; the
         # previous driver number is the (weaker) fallback — the fresh-JVM
-        # protocol runs ~1.3-1.8x the in-catalog numbers, so comparing
-        # fresh vs prev-catalog inflates ratios (noted in the verdict)
-        ref, ref_kind = ((iso_base, "iso") if iso_base is not None
-                         else (p, "prev-catalog"))
+        # protocol runs ~1.3-1.8x the in-catalog numbers, so a
+        # prev-catalog comparison must absorb that inflation or a
+        # healthy query with no isolated entry reads as REGRESSION at
+        # 1.6x purely from protocol (measured band, SCALE.md)
+        PROTOCOL_INFLATION = 1.8
+        if iso_base is not None:
+            ref, ref_kind, bound = iso_base, "iso", args.ratio
+        else:
+            ref, ref_kind = p, "prev-catalog"
+            bound = args.ratio * PROTOCOL_INFLATION
         rr = fresh / ref
-        if rr > args.ratio:
+        if rr > bound:
             verdict = (f"REGRESSION (fresh {fresh:.2f}s = {rr:.2f}x "
                        f"{ref_kind} {ref:.2f}s)")
             regressions += 1
