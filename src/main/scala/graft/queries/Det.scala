@@ -35,4 +35,24 @@ object Det {
   /** DuckDB SQL fragment matching [[moneyAvg]]. */
   def sqlMoneyAvg(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE) / COUNT($expr)"
+
+  /** Executable form of the "quote-free, ASCII-only" convention on
+    * caller-supplied regex fragments (the parameterized detector
+    * patterns, round-10 directive 6): the fragment embeds VERBATIM in
+    * both engines' regex literals — including inside single-quoted
+    * oracle SQL — so a quote would silently truncate/break the SQL
+    * template and a non-ASCII class risks Java-vs-RE2 semantic drift.
+    * Backslash classes (`\d`, `\b`) are fine: both engines read the
+    * same bytes (DuckDB single-quoted strings are escape-free).
+    * Fail at construction, not as a hash mismatch 30 minutes later. */
+  private[graft] def requireEmbeddablePattern(what: String,
+                                              fragment: String): Unit = {
+    require(fragment.nonEmpty &&
+        fragment.forall(c => c >= 0x20.toChar && c <= 0x7e.toChar),
+      s"$what must be non-empty printable ASCII — it embeds verbatim " +
+        s"in both engines' regex literals: ${fragment.take(80)}")
+    require(!fragment.exists(c => c == '\'' || c == '"'),
+      s"$what must be quote-free — it embeds inside single-quoted " +
+        s"oracle SQL: ${fragment.take(80)}")
+  }
 }

@@ -42,11 +42,14 @@ object PrivacyQueries {
 
   /** Phone pattern with a parameterized leading block. The prefix is
     * embedded verbatim in BOTH engines' regex literals (inside
-    * single-quoted SQL on the oracle side) — pass a quote-free,
-    * ASCII-class-only regex fragment, per the class-level
-    * portability note. */
-  def phonePat(prefix: String = DefaultPhonePrefix): String =
+    * single-quoted SQL on the oracle side) — quote-free printable
+    * ASCII, ENFORCED at construction by
+    * [[Det.requireEmbeddablePattern]] (a quote would break the oracle
+    * template silently). */
+  def phonePat(prefix: String = DefaultPhonePrefix): String = {
+    Det.requireEmbeddablePattern("phone prefix", prefix)
     s"\\b$prefix-[0-9]{3}-[0-9]{4}\\b"
+  }
 
   val ipPat =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

@@ -69,13 +69,15 @@ object TrainerQueries {
   /** Word-frequency table: the scale pivot. One corpus-grain shuffle,
     * everything downstream is word-TYPE grain. */
   private[graft] def wordFreq(s: SparkSession, dir: String,
-                              wordPat: String = DefaultWordPat): DataFrame =
+                              wordPat: String = DefaultWordPat): DataFrame = {
+    Det.requireEmbeddablePattern("bpe word gate", wordPat)
     docs(s, dir)
       .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
         .as("word"))
       .filter(col("word").rlike(wordPat))
       .groupBy("word")
       .agg(count(lit(1)).cast("bigint").as("freq"))
+  }
 
   /** Character-level segmentation rows: (word, freq, pos, sym). The
     * `(?!^)` split puts one character per element with no leading
@@ -525,8 +527,11 @@ object TrainerQueries {
   def oracleSql: Map[String, String] = oracleSqlWith(DefaultWordPat)
 
   /** Oracle SQL templated with the SAME word-gate parameter as
-    * [[queriesWith]] — the differential stays exact for any gate. */
+    * [[queriesWith]] — the differential stays exact for any gate
+    * (same embeddability contract, enforced here too since this path
+    * does not go through [[wordFreq]]). */
   def oracleSqlWith(wordPat: String): Map[String, String] = {
+    Det.requireEmbeddablePattern("bpe word gate", wordPat)
     val segSql = this.segSql(wordPat)
     Map(
     "bpe1_pair_stats" ->

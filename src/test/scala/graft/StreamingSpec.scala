@@ -1098,6 +1098,9 @@ class StreamingSpec extends SparkSpec {
       PrivacyQueries.queries.keySet)
     assert(PrivacyQueries.oracleSqlWith("[0-9]{3}")("pii1_detect_counts")
       .contains(phonePat("[0-9]{3}")))
+    // the embedding convention is enforced, not advisory: a quoted
+    // prefix would break the single-quoted oracle SQL template
+    intercept[IllegalArgumentException] { phonePat("55'5") }
     // spot-pin the detector semantics on the fixture
     assert(batch(2L) == ((1L, 1L, 0L))) // one email, one phone
     assert(batch(3L) == ((0L, 0L, 2L))) // two IPv4s

@@ -118,6 +118,15 @@ class TrainerSpec extends SparkSpec {
       TrainerQueries.queries.keySet)
     assert(TrainerQueries.oracleSqlWith("^[a-z]{4,12}$")("bpe1_pair_stats")
       .contains("'^[a-z]{4,12}$'"))
+    // the quote-free/ASCII embedding convention is an executable
+    // contract on BOTH template paths, not a scaladoc caveat — a quote
+    // would silently break the single-quoted oracle SQL
+    intercept[IllegalArgumentException] {
+      TrainerQueries.wordFreq(spark, sf, "^[a-z']{2,12}$")
+    }
+    intercept[IllegalArgumentException] {
+      TrainerQueries.oracleSqlWith("^[a-zé]{2,12}$")
+    }
   }
 
   test("applyMerges fold form is bounded: a merge table past " +
