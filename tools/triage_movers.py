@@ -139,7 +139,6 @@ def main():
             rows.append((q, p, c, r, iso_base, None, "ERROR (BenchOne failed)"))
             regressions += 1
             continue
-        refreshed[q] = fresh
         # the isolated baseline is the reference when it exists; the
         # previous driver number is the (weaker) fallback — the fresh-JVM
         # protocol runs ~1.3-1.8x the in-catalog numbers, so a
@@ -157,10 +156,18 @@ def main():
             verdict = (f"REGRESSION (fresh {fresh:.2f}s = {rr:.2f}x "
                        f"{ref_kind} {ref:.2f}s)")
             regressions += 1
+            # reproduced: the code's floor really moved — overwrite
+            refreshed[q] = fresh
         else:
             verdict = (f"NOT-REPRODUCED (fresh {fresh:.2f}s vs "
                        f"{ref_kind} {ref:.2f}s = {rr:.2f}x — "
                        "contention/lucky-min, not code)")
+            # not reproduced = code unchanged: the floor is the best
+            # EVER observed — min with the recorded baseline, or a
+            # contention-era re-run drifts the reference upward and
+            # future regressions hide under the softened floor
+            refreshed[q] = (min(fresh, iso_base) if iso_base is not None
+                            else fresh)
         rows.append((q, p, c, r, iso_base, fresh, verdict))
 
     print("| query | prev s | cur s | driver ratio | iso base s | "
