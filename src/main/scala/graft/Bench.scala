@@ -43,8 +43,10 @@ object Bench {
 
     // Warm-up: exercise scan, shuffle, window, decimal-agg, and
     // array/HOF codegen paths once so first-touch JIT/codegen cost isn't
-    // billed to whichever query happens to run first.
-    Seq("e6_running_sum", "d6_group_sum", "h2_array_parse").foreach { q =>
+    // billed to whichever query happens to run first. The SHARED list —
+    // the audit sweeps warm with the same queries, keeping catalog and
+    // preflight timings comparable.
+    graft.AllowlistedSweep.WarmupQueries.foreach { q =>
       try materialize(q) catch { case _: Throwable => () }
     }
 

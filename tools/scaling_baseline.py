@@ -71,16 +71,16 @@ for log in args.logs:
             flags.append({"query": f.group(1), "detail": f.group(2),
                           "log": log})
 
-# union flags across logs BY QUERY (one entry per flagged query, listing
-# every log it flagged in) — a query flagged in both the mid-round and
-# round-exit logs is one flag, not two
+# union flags across logs BY QUERY (one entry per flagged query) — a
+# query flagged in both the mid-round and round-exit logs is one flag,
+# not two. Keep each LOG's detail string: citing only the first log's
+# numbers while the timings[] entry is min'd across all logs would
+# present evidence that matches neither.
 by_query = {}
 for fl in flags:
     e = by_query.setdefault(fl["query"],
-                            {"query": fl["query"], "detail": fl["detail"],
-                             "logs": []})
-    if fl["log"] not in e["logs"]:
-        e["logs"].append(fl["log"])
+                            {"query": fl["query"], "details": {}})
+    e["details"].setdefault(fl["log"], fl["detail"])
 flags = [by_query[q] for q in sorted(by_query)]
 
 if not rows:

@@ -104,6 +104,9 @@ def main():
         iso = {"sf": args.sf, "runs_per_query": args.runs,
                "protocol": "fresh JVM per query; min over warm runs "
                            "(run 1 dropped)",
+               "commit": subprocess.run(
+                   ["git", "rev-parse", "--short", "HEAD"],
+                   capture_output=True, text=True).stdout.strip(),
                "minima_sec": {}}
     iso_min = iso.get("minima_sec", {})
 
@@ -158,6 +161,17 @@ def main():
             regressions += 1
             # reproduced: the code's floor really moved — overwrite
             refreshed[q] = fresh
+        elif ref_kind == "prev-catalog" and rr > args.ratio:
+            # inside the inflation allowance a real regression up to
+            # ~(bound/ratio)x is indistinguishable from protocol
+            # inflation — say so instead of overclaiming NOT-REPRODUCED;
+            # the seeded floor below makes the NEXT triage protocol-clean
+            verdict = (f"UNCONFIRMED (fresh {fresh:.2f}s = {rr:.2f}x "
+                       f"prev-catalog {ref:.2f}s — within the 1.3-1.8x "
+                       "fresh-JVM protocol-inflation band; no isolated "
+                       "baseline to separate inflation from code. Floor "
+                       "seeded; next triage judges at the iso bound)")
+            refreshed[q] = fresh
         else:
             verdict = (f"NOT-REPRODUCED (fresh {fresh:.2f}s vs "
                        f"{ref_kind} {ref:.2f}s = {rr:.2f}x — "
@@ -184,14 +198,19 @@ def main():
               + ", ".join(f"{q} {p:.2f}->{c:.2f}s ({r:.2f}x)"
                           for q, p, c, r in gains))
 
-    if refreshed:
-        iso_min.update({q: round(v, 3) for q, v in refreshed.items()})
+    # stamp only entries whose STORED value actually changed — stamping
+    # a monotone-min no-op would claim the floor was measured at a
+    # commit it was not
+    changed = {q: round(v, 3) for q, v in refreshed.items()
+               if round(v, 3) != iso_min.get(q)}
+    if changed:
+        iso_min.update(changed)
         iso["minima_sec"] = dict(sorted(iso_min.items(), key=lambda kv: -kv[1]))
         iso.setdefault("refreshed_at", {}).update(
-            {q: head for q in refreshed})
+            {q: head for q in changed})
         json.dump(iso, open(args.isolated, "w"), indent=1)
         print(f"\nrefreshed {args.isolated}: "
-              f"{sorted(refreshed)} at commit {head}")
+              f"{sorted(changed)} at commit {head}")
 
     sys.exit(1 if regressions else 0)
 
