@@ -113,9 +113,19 @@ object Bench {
     // The stdout line is budget-capped (the harness keeps only its tail),
     // but round-over-round regression detection needs EVERY per-query
     // time, not just the slow tail — persist the complete map to a file
-    // the repo can commit and diff against next round.
+    // the repo can commit and diff against next round. The artifact
+    // carries its own noise floor (round-11 directive 3): between two
+    // identical-code catalog runs, per-query times below ~2 s swung
+    // 0.63-1.56x (occasionally 8-10x on sub-0.3s queries) from run
+    // order/JIT/GC coupling while TOTALS agreed to ~1% — deltas under
+    // stable_above_sec carry no signal; triage them with
+    // tools/triage_movers.py's fresh-JVM protocol, never raw diffs.
+    val noiseNote = "per-query times below stable_above_sec are " +
+      "in-catalog order/JIT noise (measured 0.63-1.56x band on " +
+      "identical code; totals agree to ~1%) - triage movers via " +
+      "tools/triage_movers.py fresh-JVM re-isolation, not raw deltas"
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stable_above_sec":2.0,"per_query_noise":"$noiseNote","queries":{${
         entries.mkString(",")}},"failed":$failedJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")

@@ -1,19 +1,37 @@
 package graft
 
-/** Dev helper: time one named query (or a comma list) on a given sf dir,
-  * optionally over N runs in this JVM (run 1 warms JIT/codegen; the MIN
-  * of the rest is the isolated steady-state number SCALE.md's
+/** Dev helper: time one named query (or a comma list) on a given sf dir
+  * in this JVM. Run 1 warms JIT/codegen and is dropped; the MIN of the
+  * remaining (warm) runs is the isolated steady-state number SCALE.md's
   * contention-band triage uses — `tools/bench_isolated.sh` harvests the
-  * `min=` field into BENCH_ISOLATED.json).
-  * Usage: runMain graft.BenchOne <sfDir> <name>[,<name>...] [runs] */
+  * `min=` field into BENCH_ISOLATED.json.
+  *
+  * Runs are ADAPTIVE (round-11 directive 2): a FIXED run count does not
+  * converge for sub-second queries — ev14's floor read 1.39 s at 3 runs
+  * but 0.60 s at 4 (a 2.3x artifact that made the triage tool print
+  * REGRESSION for a query that actually got faster). The rule: keep
+  * running until the LATEST run is within 15% of the running warm
+  * minimum (with at least 2 warm runs, so a lone warm run can't
+  * self-converge), capped at `maxRuns`. The printed `runs=`/`converged=`
+  * fields let the triage table record runs-to-converge and flag
+  * cap-outs.
+  *
+  * Usage: runMain graft.BenchOne <sfDir> <name>[,<name>...] [maxRuns=8]
+  */
 object BenchOne {
+  /** Latest warm run must sit within this factor of the running warm
+    * minimum for the floor to count as converged. */
+  val ConvergenceBand = 1.15
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1)
-    val runs = if (args.length > 2) args(2).toInt else 1
+    val maxRuns = if (args.length > 2) args(2).toInt else 8
     val spark = graft.core.GraftSession.local(appName = "graft-bench-one")
     names.split(",").foreach { name =>
-      val times = (1 to runs).map { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var converged = false
+      while (times.length < maxRuns && !converged) {
         // this run's layouts live in an owner scope; close is query-
         // BOUNDARY lifecycle cost, not query cost — keep it out of the
         // timed region so minima stay comparable to ScalingAudit's
@@ -22,14 +40,15 @@ object BenchOne {
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+          times += (System.nanoTime() - t0) / 1e9
         } finally scope.close()
+        val warm = times.drop(1)
+        converged =
+          warm.length >= 2 && warm.last <= warm.min * ConvergenceBand
       }
-      // min over the WARM runs (drop run 1 when there are enough runs
-      // to spare it — it pays first-touch JIT/codegen for this query)
-      val warm = if (times.length > 1) times.tail else times
+      val warm = if (times.length > 1) times.drop(1) else times.toSeq
       println(f"[benchone] $name ${times.map(t => f"$t%.2f").mkString(" ")}" +
-        f" min=${warm.min}%.3f")
+        f" min=${warm.min}%.3f runs=${times.length} converged=$converged")
     }
     spark.stop()
   }

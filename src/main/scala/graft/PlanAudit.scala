@@ -54,9 +54,15 @@ object PlanAudit {
         None
       else windowShape(df, w, minGroups, rowsPerGroup)
     }
-    // measuring executed window children of GlobalRank-using queries
-    // pins layout checkpoints — this is a query boundary, free them
-    graft.operators.GlobalRank.releaseLayouts()
+    // Layout lifecycle: this helper executes per-window counting
+    // queries against frames whose GlobalRank layouts were pinned at
+    // the CALLER's query construction — the caller owns the query
+    // boundary and must wrap construction + this measurement in
+    // GlobalRank.withScope (every caller does: PreflightSweep,
+    // AllowlistedSweep.run, the specs). The global releaseLayouts()
+    // drain that used to sit here was a no-op for scoped callers and
+    // a trap for a concurrent unscoped one — a library helper must
+    // never free layouts it does not own (round-11 directive 6).
     shapes
   }
 
@@ -140,7 +146,9 @@ object PlanAudit {
     val t0 = System.nanoTime()
     qe.executedPlan.execute().count()
     val execSec = (System.nanoTime() - t0) / 1e9
-    graft.operators.GlobalRank.releaseLayouts()
+    // layout lifecycle: the caller owns the query boundary and wraps
+    // construction + this execution in GlobalRank.withScope (see the
+    // windowFunnels note — same contract, round-11 directive 6)
 
     def metricOf(p: SparkPlan, key: String): Long =
       p.metrics.get(key).map(_.value).getOrElse(-1L)
@@ -397,6 +405,12 @@ object ScalingAudit {
     val sfB = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val ratioBound = if (args.length > 2) args(2).toDouble else 10.0
     val floorSec = if (args.length > 3) args(3).toDouble else 2.0
+    // clock-shape marker (construction + noop-sink materialization):
+    // distinct from PreflightSweep's construction+execute_count, so
+    // tools/scaling_baseline.py refuses to min-merge a spot-sweep log
+    // from this main into a PreflightSweep-harvested baseline unless
+    // told so explicitly
+    println("TIMING_PROTOCOL construction+noop_sink")
     var warmed = false
     def timeOne(spark: SparkSession, name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -478,6 +492,12 @@ object PreflightSweep {
       graft.core.GraftSession.local(appName = "graft-preflight-sweep")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
+    // clock-shape marker: tools/scaling_baseline.py refuses to
+    // min-merge logs whose markers mismatch (mixing an execution-only
+    // log with construction-inclusive ones would silently drag
+    // eager-construction queries' minima toward zero — the lr1-class
+    // blindness round 11 fixed)
+    if (doScaling) println("TIMING_PROTOCOL construction+execute_count")
 
     val selected = AllowlistedSweep.selectWithBanner()
 

@@ -187,7 +187,17 @@ object GlobalRank {
     * checkpointed outside any scope, so a scoped owner A and a legacy
     * caller B can no longer free each other's frames; a frame that IS
     * re-executed after its layout was freed fails fast with
-    * [[ReleasedLayoutMsg]] rather than an unrecoverable Spark error. */
+    * [[ReleasedLayoutMsg]] rather than an unrecoverable Spark error.
+    *
+    * CONTRACT (round-11 directive 6): this global drain is the LEGACY
+    * escape hatch for a single unscoped caller that owns the whole JVM
+    * sequentially — it frees every unscoped layout regardless of which
+    * component checkpointed it, so it is sound ONLY under that
+    * single-owner assumption. Every main and library helper in
+    * src/main now owns its boundaries via [[withScope]] (zero
+    * `releaseLayouts()` callers remain there); new code must do the
+    * same. Kept public for REPL/notebook sessions and the spec that
+    * pins the unscoped-fallback behavior. */
   def releaseLayouts(): Int = {
     var n = 0
     var r = liveLayouts.poll()

@@ -96,8 +96,22 @@ object PrivacyQueries {
       |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS t2
       |  FROM documents)""".stripMargin
 
+  /** Production-shaped phone prefix (any 3-digit leading block) for the
+    * catalog's parameterization proof — see [[queries]]. */
+  val WidePhonePrefix = "[0-9]{3}"
+
+  /** The shipped catalog exercises BOTH instantiations of the
+    * phone-prefix parameter (round-11 directive 4, "re-oracle existing
+    * keys" option — catalog stays flat): `pii1_detect_counts` runs
+    * under the widened production prefix [[WidePhonePrefix]], its
+    * oracle templated identically, so a non-default parameter is proven
+    * green on both engine sides every round; `pii2_redaction_impact`
+    * keeps [[DefaultPhonePrefix]] so the fixture default stays covered
+    * too. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesWith(DefaultPhonePrefix)
+    queriesWith(DefaultPhonePrefix) +
+      ("pii1_detect_counts" ->
+        queriesWith(WidePhonePrefix)("pii1_detect_counts"))
 
   /** The catalog with a caller-chosen phone-prefix pattern (fixture
     * default above; a production run passes e.g. `[0-9]{3}`). */
@@ -180,7 +194,12 @@ object PrivacyQueries {
     })
   }
 
-  def oracleSql: Map[String, String] = oracleSqlWith(DefaultPhonePrefix)
+  /** Same pii1-under-[[WidePhonePrefix]] override as [[queries]] — the
+    * two sides must instantiate the template with the SAME parameter. */
+  def oracleSql: Map[String, String] =
+    oracleSqlWith(DefaultPhonePrefix) +
+      ("pii1_detect_counts" ->
+        oracleSqlWith(WidePhonePrefix)("pii1_detect_counts"))
 
   /** Oracle SQL templated with the SAME phone-prefix parameter as
     * [[queriesWith]] — the differential stays exact for any prefix. */

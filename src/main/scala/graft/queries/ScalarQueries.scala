@@ -56,9 +56,12 @@ object ScalarQueries {
           .cast("bigint").as("days_since_1995"))
     },
 
-    // H4b: millis → "M:SS.mmm" lap-time formatting
+    // H8: millis → "M:SS.mmm" lap-time formatting
     // (laps_transform.py:150-204), on the price column read as millis.
-    "h4_lap_format" -> { (s, dir) =>
+    // (Was keyed h4_lap_format through round 11, colliding with
+    // h4_time_arith's prefix — renamed to the free slot, round-11
+    // directive 8; semantics unchanged.)
+    "h8_lap_format" -> { (s, dir) =>
       Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
         F1Functions.formatLapTimeMillis(col("l_extendedprice"))
@@ -362,7 +365,7 @@ object ScalarQueries {
         |CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
         |date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_1995
         |FROM orders""".stripMargin,
-    "h4_lap_format" ->
+    "h8_lap_format" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(FLOOR(l_extendedprice / 60000) AS BIGINT) || ':' ||
         |lpad(CAST(CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) % 60 AS VARCHAR), 2, '0') || '.' ||

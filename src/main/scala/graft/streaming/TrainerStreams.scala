@@ -62,10 +62,16 @@ object TrainerStreams {
     * store, no watermark; in batch it is the same plan. Serving cost is
     * independent of merge-table depth (the depth was paid once, at
     * vocabulary build). OOV words — absent from the vocabulary — keep
-    * NULL tokens for the caller's policy: extend the vocabulary (a
-    * word-TYPE-grain rebuild, cheap relative to the corpus) or route
-    * the stragglers through the bounded fold form. StreamingSpec pins
-    * stream ≡ batch ≡ fold-form tokens for in-vocabulary words. */
+    * NULL tokens for the caller's policy, and BOTH documented policies
+    * are exercised (round-11 directive 5): count-OOV-separately is
+    * oracled end-to-end in `bpe4_tokenize_corpus` (vocabulary frozen on
+    * yesterday's corpus half, today's whole corpus served — the OOV
+    * columns are hash-checked against DuckDB), and the
+    * route-stragglers-through-the-bounded-fold fallback is pinned in
+    * StreamingSpec ("BPE vocab lookup-join apply": fold(oov) fills
+    * exactly the NULL rows and in-vocab tokens are untouched).
+    * StreamingSpec also pins stream ≡ batch ≡ fold-form tokens for
+    * in-vocabulary words. */
   def tokenizeViaVocab(words: DataFrame, vocab: DataFrame,
                        wordCol: String = "word"): DataFrame =
     words.join(

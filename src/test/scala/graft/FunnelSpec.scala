@@ -33,9 +33,14 @@ class FunnelSpec extends SparkSpec {
     val audited = Set("e2_best_flags", "e10_sliding_frame")
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
-        PlanAudit.windowFunnels(fn(spark, sf),
-            minGroups = 32, rowsPerGroup = 512)
-          .map(sh => name -> sh.describe)
+        // per-query owner scope: construction pins GlobalRank layouts,
+        // windowFunnels executes counting queries against them — this
+        // loop owns the boundary (the helper no longer drains globally)
+        graft.operators.GlobalRank.withScope {
+          PlanAudit.windowFunnels(fn(spark, sf),
+              minGroups = 32, rowsPerGroup = 512)
+            .map(sh => name -> sh.describe)
+        }
       }
     val unexpected = flagged.filterNot { case (n, _) => audited(n) }
     assert(unexpected.isEmpty,

@@ -47,9 +47,13 @@ class ScaleGateSpec extends SparkSpec {
     try {
       val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
         .flatMap { case (name, fn) =>
-          PlanAudit.scaleHazards(fn(spark, sf),
-              singlePartBound = 512, loopBound = 64)
-            .map(h => name -> h.describe)
+          // per-query owner scope: this loop owns the query boundary
+          // (the helper no longer drains layouts globally)
+          graft.operators.GlobalRank.withScope {
+            PlanAudit.scaleHazards(fn(spark, sf),
+                singlePartBound = 512, loopBound = 64)
+              .map(h => name -> h.describe)
+          }
         }
       val unexpected = flagged.filterNot { case (n, _) => audited.contains(n) }
       assert(unexpected.isEmpty,

@@ -1227,6 +1227,23 @@ class StreamingSpec extends SparkSpec {
         .collect())
     assert(inVocab.forall(w => batch(w).contains(fold(w))), (batch, fold))
     assert(batch("oovword").isEmpty)
+    // the documented OOV straggler policy (tokenizeViaVocab scaladoc):
+    // route ONLY the NULL-token rows through the bounded fold form —
+    // coalesce(tokens, fold(word)) tokenizes the OOV word under the
+    // same frozen merges and leaves every in-vocabulary row untouched
+    val withFallback = toMapOf(
+      TrainerStreams.tokenizeViaVocab(queryWords.toDF("word"), vocab)
+        .select(col("word"),
+          coalesce(col("tokens"),
+            TrainerStreams.applyMerges(col("word"), merges)).as("tokens"))
+        .collect())
+    assert(inVocab.forall(w => withFallback(w) == batch(w)),
+      (withFallback, batch))
+    val oovFold = Seq("oovword").toDF("word")  // fold-form reference
+      .select(TrainerStreams.applyMerges(col("word"), merges))
+      .collect()(0).getSeq[String](0).toList
+    assert(withFallback("oovword").contains(oovFold),
+      (withFallback("oovword"), oovFold))
     // stream side: the SAME stream-static join, append mode, two
     // micro-batches, no state store
     val stream = MemoryStream[String]

@@ -204,8 +204,11 @@ class TrainerSpec extends SparkSpec {
     "the pick re-enters as a 1-row broadcast") {
     val df = queries.TrainerQueries.queries("bpe2_merge_table")(spark, sf)
     // the catalog-wide measured gate, applied directly: flags any window
-    // whose group key is low-cardinality relative to its input
-    assert(PlanAudit.windowFunnels(df, 32L, 512L).isEmpty)
+    // whose group key is low-cardinality relative to its input (scoped:
+    // this test owns the query boundary, the helper no longer drains)
+    graft.operators.GlobalRank.withScope {
+      assert(PlanAudit.windowFunnels(df, 32L, 512L).isEmpty)
+    }
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))

@@ -3,31 +3,50 @@
 # (round-9 directive 5): the contention-band triage — "does a driver-run
 # mover reproduce in a fresh JVM?" — previously lived as SCALE.md prose,
 # so every round re-argued ±7% shared-machine noise by hand. This script
-# runs each selected query in its OWN fresh JVM (min over 3 runs; run 1
-# warms JIT/codegen and is dropped) and writes BENCH_ISOLATED.json for
-# the next round's mover analysis to diff against.
+# runs each selected query in its OWN fresh JVM and records the
+# converged warm minimum in BENCH_ISOLATED.json for the next round's
+# mover analysis to diff against.
 #
-# Selection: the top-N slowest queries from BENCH_DETAIL.json (the
-# committed full per-query map from the last full bench) plus any extras
-# passed as $3 — so flagged movers outside the top-N get isolated
-# numbers too, the round-9 gap.
+# Round-12 protocol (round-11 directive 2): runs are ADAPTIVE — BenchOne
+# drops run 1 (JIT/codegen warm-up) and keeps running until the latest
+# run is within 15% of the running warm minimum (>=2 warm runs, cap
+# $RUNS) — a fixed 3-run protocol floored ev14 at 1.39 s when its
+# converged floor is 0.60 s, a 2.3x artifact.
 #
-# Usage: tools/bench_isolated.sh [sfDir] [topN] [extraCsv] [out]
+# Selection ($2): `topN` (the N slowest from BENCH_DETAIL.json), or
+# `thr:SEC` (every query whose catalog time exceeds SEC — the round-11
+# directive-1 seeding mode that retires the weak prev-catalog fallback).
+# $3 adds extra comma-separated queries either way.
+#
+# Merge semantics: confirmed floors are the best EVER observed for
+# unchanged code, so the writer MIN-merges with the existing artifact's
+# minima_sec. Queries whose SEMANTICS changed this round must reset —
+# list them in $BENCH_ISOLATED_RESET (csv): their old floors are
+# dropped and the fresh measurement stands alone. A fresh measurement
+# also clears any provisional_sec/regressed_sec entry for its query
+# (this run IS the re-confirmation).
+#
+# Usage: [BENCH_ISOLATED_RESET=q1,q2] \
+#        tools/bench_isolated.sh [sfDir] [topN|thr:SEC] [extraCsv] [out]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF="${1:-/root/testdata/sf0.1}"
-TOPN="${2:-20}"
+SELECT="${2:-20}"
 EXTRA="${3:-}"
 OUT="${4:-BENCH_ISOLATED.json}"
-RUNS=3
+RUNS=8
 
-QUERIES=$(python3 - "$TOPN" "$EXTRA" <<'EOF'
+QUERIES=$(python3 - "$SELECT" "$EXTRA" <<'EOF'
 import json, sys
-top_n, extra = int(sys.argv[1]), sys.argv[2]
+select, extra = sys.argv[1], sys.argv[2]
 detail = json.load(open("BENCH_DETAIL.json"))
 ranked = sorted(detail["queries"].items(), key=lambda kv: -kv[1])
-names = [k for k, _ in ranked[:top_n]]
+if select.startswith("thr:"):
+    thr = float(select[4:])
+    names = [k for k, v in ranked if v > thr]
+else:
+    names = [k for k, _ in ranked[:int(select)]]
 for e in filter(None, extra.split(",")):
     if e not in names:
         names.append(e)
@@ -35,7 +54,7 @@ print(" ".join(names))
 EOF
 )
 
-echo "== bench_isolated: $(echo $QUERIES | wc -w) queries, $RUNS runs each, fresh JVM per query =="
+echo "== bench_isolated: $(echo $QUERIES | wc -w) queries, adaptive runs (cap $RUNS), fresh JVM per query =="
 TMP=$(mktemp)
 for q in $QUERIES; do
   # one fresh JVM per query (plain java via run_main.sh — no cross-query
@@ -60,28 +79,57 @@ for q in $QUERIES; do
     exit 1
   fi
   echo "$LINE"
-  MIN=$(echo "$LINE" | sed 's/.*min=//')
+  MIN=$(echo "$LINE" | sed 's/.*min=\([0-9.]*\).*/\1/')
   echo "$q $MIN" >> "$TMP"
 done
 
 python3 - "$TMP" "$SF" "$RUNS" "$OUT" <<'EOF'
-import json, subprocess, sys
+import json, os, subprocess, sys
 tmp, sf, runs, out = sys.argv[1:5]
-minima = {}
+fresh = {}
 with open(tmp) as f:
     for line in f:
         name, sec = line.split()
-        minima[name] = float(sec)
+        fresh[name] = float(sec)
+reset = set(filter(None,
+    os.environ.get("BENCH_ISOLATED_RESET", "").split(",")))
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                       capture_output=True, text=True).stdout.strip()
+try:
+    old = json.load(open(out))
+except FileNotFoundError:
+    old = {}
+minima = dict(old.get("minima_sec", {}))
+provisional = dict(old.get("provisional_sec", {}))
+regressed = dict(old.get("regressed_sec", {}))
+refreshed_at = dict(old.get("refreshed_at", {}))
+for q, v in fresh.items():
+    prior = None if q in reset else minima.get(q)
+    new = round(v if prior is None else min(v, prior), 3)
+    if minima.get(q) != new:
+        refreshed_at[q] = head
+    minima[q] = new
+    provisional.pop(q, None)  # a fresh converged run IS a confirmation
+    regressed.pop(q, None)
 doc = {
     "sf": sf,
-    "runs_per_query": int(runs),
-    "protocol": "fresh JVM per query; min over warm runs (run 1 dropped)",
+    "protocol": "fresh JVM per query; adaptive warm runs (run 1 "
+                "dropped; converge when the last run is within 15% of "
+                f"the running min, >=2 warm runs, cap {runs}); min over "
+                "warm runs; min-merged with prior floors except "
+                "explicitly-reset queries",
     "commit": head,
     "minima_sec": dict(sorted(minima.items(), key=lambda kv: -kv[1])),
 }
+if provisional:
+    doc["provisional_sec"] = dict(sorted(provisional.items()))
+if regressed:
+    doc["regressed_sec"] = dict(sorted(regressed.items()))
+if refreshed_at:
+    doc["refreshed_at"] = refreshed_at
 json.dump(doc, open(out, "w"), indent=1)
-print(f"wrote {out}: {len(minima)} queries")
+print(f"wrote {out}: {len(fresh)} measured this run, "
+      f"{len(minima)} floors total"
+      + (f" (reset: {sorted(reset & set(fresh))})" if reset else ""))
 EOF
 rm -f "$TMP"

@@ -48,7 +48,39 @@ ap.add_argument("--timing-protocol",
                      "graft.ScalingAudit spot-sweep log (noop-sink "
                      "materialization), or the artifact records a "
                      "protocol the timings did not come from")
+ap.add_argument("--expect-marker", default="construction+execute_count",
+                help="TIMING_PROTOCOL marker the sweep mains stamp in "
+                     "their logs (PreflightSweep: "
+                     "construction+execute_count; ScalingAudit: "
+                     "construction+noop_sink). A log whose marker "
+                     "MISMATCHES is refused — min-over-logs mixing "
+                     "clock shapes would silently drag eager-"
+                     "construction queries' minima toward an "
+                     "execution-only reading while the protocol field "
+                     "claims otherwise. A log with TIMING lines but NO "
+                     "marker (pre-round-12) only warns.")
 args = ap.parse_args()
+
+# validate protocol markers BEFORE harvesting (round-11 advice): each
+# sweep main prints one `TIMING_PROTOCOL <marker>` line; refuse
+# mismatched logs, warn on legacy marker-less ones
+for log in args.logs:
+    text = open(log).read()
+    markers = set(re.findall(r"^TIMING_PROTOCOL (\S+)", text, re.M))
+    has_timings = re.search(r"^TIMING \S+ tA=", text, re.M) is not None
+    bad = markers - {args.expect_marker}
+    if bad:
+        raise SystemExit(
+            f"{log}: TIMING_PROTOCOL {sorted(bad)} != expected "
+            f"'{args.expect_marker}' — refusing to min-merge timings "
+            "measured under a different clock shape (pass "
+            "--expect-marker/--timing-protocol for a deliberate "
+            "non-default harvest)")
+    if has_timings and not markers:
+        print(f"warning: {log} carries TIMING lines but no "
+              "TIMING_PROTOCOL marker (pre-round-12 log?) — verify it "
+              f"was measured as '{args.expect_marker}' before trusting "
+              "the merged minima")
 
 rows, flags, seen = {}, [], {}
 for log in args.logs:
