@@ -10,17 +10,23 @@ package graft
   * converge for sub-second queries — ev14's floor read 1.39 s at 3 runs
   * but 0.60 s at 4 (a 2.3x artifact that made the triage tool print
   * REGRESSION for a query that actually got faster). The rule: keep
-  * running until the LATEST run is within 15% of the running warm
-  * minimum (with at least 2 warm runs, so a lone warm run can't
-  * self-converge), capped at `maxRuns`. The printed `runs=`/`converged=`
-  * fields let the triage table record runs-to-converge and flag
-  * cap-outs.
+  * running until the LATEST warm run sits within the 15% band AROUND
+  * the minimum of the EARLIER warm runs — band on both sides, because
+  * a latest run that BEATS the prior minimum by more than the band
+  * means the floor is still falling (comparing against the running min
+  * INCLUDING the latest run is vacuously true whenever the latest run
+  * is the new minimum — the still-improving sequence would "converge"
+  * at its most inflated reading, the exact artifact this rule exists
+  * to kill), and a latest run far ABOVE it is a contention spike worth
+  * re-checking. Capped at `maxRuns`. The printed `runs=`/`converged=`
+  * fields let the harvesters record runs-to-converge and refuse to
+  * confirm cap-outs.
   *
   * Usage: runMain graft.BenchOne <sfDir> <name>[,<name>...] [maxRuns=8]
   */
 object BenchOne {
-  /** Latest warm run must sit within this factor of the running warm
-    * minimum for the floor to count as converged. */
+  /** Latest warm run must sit within this factor of the PRIOR warm
+    * minimum — on both sides — for the floor to count as converged. */
   val ConvergenceBand = 1.15
 
   def main(args: Array[String]): Unit = {
@@ -43,8 +49,15 @@ object BenchOne {
           times += (System.nanoTime() - t0) / 1e9
         } finally scope.close()
         val warm = times.drop(1)
-        converged =
-          warm.length >= 2 && warm.last <= warm.min * ConvergenceBand
+        // band around the PRIOR minimum: a latest run materially BELOW
+        // it is a still-falling floor, materially ABOVE it a spike —
+        // either way, not converged yet
+        val prior = warm.dropRight(1)
+        converged = prior.nonEmpty && {
+          val m = prior.min
+          warm.last <= m * ConvergenceBand &&
+            warm.last >= m / ConvergenceBand
+        }
       }
       val warm = if (times.length > 1) times.drop(1) else times.toSeq
       println(f"[benchone] $name ${times.map(t => f"$t%.2f").mkString(" ")}" +

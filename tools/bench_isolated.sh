@@ -80,7 +80,8 @@ for q in $QUERIES; do
   fi
   echo "$LINE"
   MIN=$(echo "$LINE" | sed 's/.*min=\([0-9.]*\).*/\1/')
-  echo "$q $MIN" >> "$TMP"
+  CONV=$(echo "$LINE" | sed -n 's/.*converged=\([a-z]*\).*/\1/p')
+  echo "$q $MIN ${CONV:-true}" >> "$TMP"
 done
 
 python3 - "$TMP" "$SF" "$RUNS" "$OUT" <<'EOF'
@@ -89,8 +90,8 @@ tmp, sf, runs, out = sys.argv[1:5]
 fresh = {}
 with open(tmp) as f:
     for line in f:
-        name, sec = line.split()
-        fresh[name] = float(sec)
+        name, sec, conv = line.split()
+        fresh[name] = (float(sec), conv == "true")
 reset = set(filter(None,
     os.environ.get("BENCH_ISOLATED_RESET", "").split(",")))
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
@@ -99,11 +100,26 @@ try:
     old = json.load(open(out))
 except FileNotFoundError:
     old = {}
+# scale-factor guard: floors are monotone-min, so min-merging a run
+# measured at a different (smaller) SF would permanently corrupt the
+# committed floors with ~10x-faster times — refuse instead
+if old.get("sf") and old["sf"] != sf:
+    raise SystemExit(
+        f"{out} records sf={old['sf']} but this run measured {sf} — "
+        "refusing to min-merge floors across scale factors; write to a "
+        "different --out (or delete the artifact to rebase it)")
 minima = dict(old.get("minima_sec", {}))
 provisional = dict(old.get("provisional_sec", {}))
 regressed = dict(old.get("regressed_sec", {}))
 refreshed_at = dict(old.get("refreshed_at", {}))
-for q, v in fresh.items():
+capped = sorted(q for q, (_, c) in fresh.items() if not c)
+for q, (v, conv) in fresh.items():
+    if not conv:
+        # a cap-out is NOT a confirmation: park it as provisional (the
+        # next converged run or triage pass judges it) and leave any
+        # pending regressed_sec signal alone
+        provisional[q] = round(v, 3)
+        continue
     prior = None if q in reset else minima.get(q)
     new = round(v if prior is None else min(v, prior), 3)
     if minima.get(q) != new:
@@ -111,6 +127,9 @@ for q, v in fresh.items():
     minima[q] = new
     provisional.pop(q, None)  # a fresh converged run IS a confirmation
     regressed.pop(q, None)
+if capped:
+    print(f"warning: {len(capped)} queries hit the run cap without "
+          f"converging — recorded as provisional, not floors: {capped}")
 doc = {
     "sf": sf,
     "protocol": "fresh JVM per query; adaptive warm runs (run 1 "

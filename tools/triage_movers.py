@@ -114,7 +114,10 @@ def main():
     ap.add_argument("--max-runs", "--runs", dest="max_runs", type=int,
                     default=8, help="BenchOne warm-run cap (adaptive "
                     "convergence stops earlier when the floor settles)")
-    ap.add_argument("--isolated", default="BENCH_ISOLATED.json")
+    ap.add_argument("--isolated", default=None,
+                    help="isolated-floor artifact (default: the repo's "
+                         "BENCH_ISOLATED.json; a USER-SUPPLIED relative "
+                         "path resolves against the caller's cwd)")
     ap.add_argument("--no-rerun", action="store_true",
                     help="flag only; skip the fresh-JVM re-isolation "
                          "(every flag reports UNTRIAGED)")
@@ -122,7 +125,13 @@ def main():
 
     cur_spec = _abs_unless_git(args.cur)
     prev_spec = _abs_unless_git(args.prev)
-    iso_path = _abs_unless_git(args.isolated)
+    # the DEFAULT artifact lives at the repo root — absolutizing it
+    # against a foreign caller cwd would silently seed a fresh
+    # empty-floor artifact there (every mover falls to the weak
+    # prev-catalog fallback) and write the refresh to the wrong file
+    iso_path = (_abs_unless_git(args.isolated) if args.isolated
+                else os.path.join(os.path.abspath(REPO_ROOT),
+                                  "BENCH_ISOLATED.json"))
     os.chdir(REPO_ROOT)
 
     cur_label, cur, cur_doc = load_map(cur_spec)
@@ -236,6 +245,17 @@ def main():
                        "at the iso bound)")
             provisional[q] = round(fresh, 3)
             changed = True
+        elif conv is False:
+            # at-band but the fresh floor never converged (hit the run
+            # cap): the reading clears the mover, but it is NOT a
+            # confirmation — park it as provisional so the pending
+            # regressed/provisional state survives until a converged run
+            verdict = (f"NOT-REPRODUCED (fresh {fresh:.2f}s vs "
+                       f"{ref_kind} {ref:.2f}s = {rr:.2f}x — but the "
+                       "fresh floor hit the run cap without converging; "
+                       "recorded as provisional, not confirmed)")
+            provisional[q] = round(fresh, 3)
+            changed = True
         else:
             verdict = (f"NOT-REPRODUCED (fresh {fresh:.2f}s vs "
                        f"{ref_kind} {ref:.2f}s = {rr:.2f}x — "
@@ -280,7 +300,7 @@ def main():
             else:
                 iso.pop(key, None)
         json.dump(iso, open(iso_path, "w"), indent=1)
-        print(f"\nrefreshed {args.isolated} at commit {head} "
+        print(f"\nrefreshed {iso_path} at commit {head} "
               f"(confirmed floors: {len(iso_min)}, "
               f"provisional: {len(provisional)}, "
               f"regressed: {len(regressed)})")
