@@ -14,11 +14,16 @@ import graft.functions.HashExpressions.md5Prefix60
   *
   * Fixture note: the synthetic corpus is identifier-free word salad, so
   * each query AUGMENTS the text in-query with deterministic
-  * doc_id-derived identifiers (emails on id%7, phones on id%5, IPv4 on
-  * id%11) — the same plan-time fixture-generation contract as the gold
-  * weekend×driver grids: both engines build the identical string, so
-  * the detector (the operator under test) has real, data-dependent work
-  * and an exact oracle. On a real corpus the augmentation column is
+  * doc_id-derived identifiers (emails on id%7, 555-prefixed phones on
+  * id%5, NON-555 phones on id%13, IPv4 on id%11) — the same plan-time
+  * fixture-generation contract as the gold weekend×driver grids: both
+  * engines build the identical string, so the detector (the operator
+  * under test) has real, data-dependent work and an exact oracle. The
+  * id%13 phones carry prefix 444, which [[DefaultPhonePrefix]] misses
+  * and [[WidePhonePrefix]] catches — so the two prefix instantiations
+  * produce DIFFERENT counts on the fixture (round-12 directive 1: a
+  * parameter proof must discriminate, not just embed; OperatorsSpec
+  * asserts wide ≠ default). On a real corpus the augmentation column is
   * simply the raw text.
   *
   * 100 TB shape: every detector is a per-row regexp inside one narrow
@@ -77,6 +82,10 @@ object PrivacyQueries {
           concat(lit(" call 555-867-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call 444-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
         when(col("doc_id") % 11 === 0,
           concat(lit(" from 192.168."),
             (col("doc_id") % 256).cast("string"), lit("."),
@@ -91,6 +100,8 @@ object PrivacyQueries {
       |      CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
       |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' ||
       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN ' call 444-867-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
       |    CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' ||
       |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
       |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS t2
@@ -104,10 +115,13 @@ object PrivacyQueries {
     * phone-prefix parameter (round-11 directive 4, "re-oracle existing
     * keys" option — catalog stays flat): `pii1_detect_counts` runs
     * under the widened production prefix [[WidePhonePrefix]], its
-    * oracle templated identically, so a non-default parameter is proven
-    * green on both engine sides every round; `pii2_redaction_impact`
-    * keeps [[DefaultPhonePrefix]] so the fixture default stays covered
-    * too. */
+    * oracle templated identically, and the id%13 non-555 augmentation
+    * makes the instantiations DISCRIMINATE — the wide prefix counts
+    * phones the default provably misses on this very fixture (round-12
+    * directive 1; OperatorsSpec asserts wide ≠ default), so a
+    * parameter-plumbing bug on either engine side breaks the hash.
+    * `pii2_redaction_impact` keeps [[DefaultPhonePrefix]] so the
+    * fixture default stays covered too. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queriesWith(DefaultPhonePrefix) +
       ("pii1_detect_counts" ->

@@ -71,7 +71,14 @@ object TrainerQueries {
     * longer words) than the fixture default. `bpe1_pair_stats` ships
     * re-oracled under THIS gate — green hashes on both engine sides for
     * a non-default parameter — while `bpe2`–`bpe4` keep the default, so
-    * both instantiations stay covered every round. */
+    * both instantiations stay covered every round. The fixture's word
+    * salad has no digit-bearing words, so bpe1 additionally AUGMENTS
+    * its corpus with one deterministic `x&lt;doc_id%100&gt;` word per
+    * document (round-12 directive 1): those words pass THIS gate and
+    * fail [[DefaultWordPat]], so the two instantiations produce
+    * provably different pair tables on the fixture and a
+    * parameter-plumbing bug on either engine side breaks the hash
+    * (TrainerSpec asserts wide ≠ default). */
   val WideWordPat = "^[a-z0-9]{2,16}$"
 
   /** Word-frequency table: the scale pivot. One corpus-grain shuffle,
@@ -288,10 +295,16 @@ object TrainerQueries {
     // Tokenizer training, pass 0: corpus-wide adjacent-pair statistics
     // (weighted by word frequency) — the table the first merge argmaxes
     // over. Pair cardinality is alphabet², bounded regardless of corpus
-    // size.
+    // size. The corpus is augmented with one digit-bearing word per doc
+    // (x<doc_id%100>, inside WideWordPat but OUTSIDE DefaultWordPat) so
+    // the word-gate parameter discriminates on this fixture — see the
+    // WideWordPat scaladoc.
     "bpe1_pair_stats" -> { (s, dir) =>
+      val aug = docs(s, dir).select(
+        concat(coalesce(col("text"), lit("")), lit(" x"),
+          (col("doc_id") % 100).cast("string")).as("text"))
       val w = Window.partitionBy("word").orderBy("pos")
-      charSeg(wordFreq(s, dir, wordPat))
+      charSeg(wordFreqOf(aug, wordPat))
         .withColumn("nxt", lead(col("sym"), 1).over(w))
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
@@ -370,9 +383,11 @@ object TrainerQueries {
     // is simply the raw text. The LEFT join keeps OOV words with NULL
     // token counts and the census reports them under the documented
     // count-OOV-separately policy (TrainerStreams.tokenizeViaVocab's
-    // caller-policy contract; its bounded-fold fallback is pinned in
-    // StreamingSpec). Output: per-source token census — total words,
-    // word types, in-vocabulary token count, OOV word/type counts.
+    // caller-policy contract). Output: per-source token census — total
+    // words, word types, in-vocabulary token count, OOV word/type
+    // counts, and the token total under the bounded-fold straggler
+    // fallback (round-12 directive 6: the coalesce(tokens, fold) path
+    // is ORACLED here, not just spec-pinned — see foldToks below).
     "bpe4_tokenize_corpus" -> { (s, dir) =>
       // novel word: 'q' + doc_id%1000 digits mapped to letters — inside
       // the default [a-z]{2,12} gate, ~1000 types corpus-wide, half of
@@ -398,6 +413,18 @@ object TrainerQueries {
           explode(split(TextAnalysis.normalizeText(col("text")), " "))
             .as("word"))
         .filter(col("word").rlike(wordPat))
+      // the OOV straggler fallback, oracled (round-12 directive 6): an
+      // OOV word is tokenized by the bounded fold
+      // (TrainerStreams.applyMerges — the production coalesce(tokens,
+      // fold) path), so the census also reports the token total AS IF
+      // every OOV word were folded in-line. Per-OOV-occurrence narrow
+      // compute (bounded CodegenFallback HOF over a ≤16-char word, ≤3
+      // merges here, ≤MaxFoldMerges by contract) — no extra shuffle or
+      // join; the oracle replays the same picks over the whole-corpus
+      // segmentation with the training algebra's SQL twin.
+      val foldToks =
+        size(graft.streaming.TrainerStreams.applyMerges(col("word"),
+          merges)).cast("bigint")
       words.join(vocab, Seq("word"), "left")
         .groupBy("source").agg(
           count(lit(1)).cast("bigint").as("n_words"),
@@ -407,7 +434,9 @@ object TrainerQueries {
           sum(when(col("n_toks").isNull, 1L).otherwise(0L)).cast("bigint")
             .as("n_oov_words"),
           countDistinct(when(col("n_toks").isNull, col("word")))
-            .as("n_oov_types"))
+            .as("n_oov_types"),
+          coalesce(sum(coalesce(col("n_toks"), foldToks)), lit(0L))
+            .cast("bigint").as("n_tokens_with_fallback"))
     },
 
     // Classifier training: final weights after 3 exact-replayable GD
@@ -474,6 +503,49 @@ object TrainerQueries {
        |  FROM words, unnest(generate_series(1, length(word))) AS s(i))"""
       .stripMargin
 
+  /** Greedy run-parity APPLY of a 1-row pick CTE to a lead-annotated
+    * segmentation (the a/b/c/d/seg chain of [[roundSql]]), factored so
+    * the bpe4 oracle can REPLAY the learned picks over a different
+    * (whole-corpus) segmentation — the SQL twin of [[applyPick]] and
+    * therefore of the serving fold fallback
+    * ([[graft.streaming.TrainerStreams.applyMerges]], whose ≡-to-
+    * training-algebra parity StreamingSpec pins). `tag` uniquifies the
+    * intermediate CTE names; `nxSrc` must carry (word, freq, pos, sym,
+    * nxt). */
+  private def applyChainSql(tag: String, nxSrc: String, pick: String,
+                            outSeg: String): String =
+    s"""a$tag AS (
+       |  SELECT n.word, n.freq, n.pos, n.sym, n.nxt,
+       |         coalesce(n.sym = p.ml AND n.nxt = p.mr, FALSE) AS f
+       |  FROM $nxSrc n LEFT JOIN $pick p ON TRUE),
+       |b$tag AS (
+       |  SELECT *, pos - sum(CASE WHEN f THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY word ORDER BY pos) AS island
+       |  FROM a$tag),
+       |c$tag AS (
+       |  SELECT *, f AND (row_number() OVER
+       |      (PARTITION BY word, island, f ORDER BY pos)) % 2 = 1 AS m
+       |  FROM b$tag),
+       |d$tag AS (
+       |  SELECT *, lag(m) OVER (PARTITION BY word ORDER BY pos) AS pm
+       |  FROM c$tag),
+       |$outSeg AS (
+       |  SELECT word, freq,
+       |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1
+       |              AS BIGINT) AS pos,
+       |         CASE WHEN m THEN sym || nxt ELSE sym END AS sym
+       |  FROM d$tag WHERE NOT coalesce(pm, FALSE))""".stripMargin
+
+  /** Lead-annotate `srcSeg` and replay an ALREADY-LEARNED pick over it
+    * — the frozen-merge-table serving path's SQL twin. */
+  private def replaySql(tag: String, srcSeg: String, pick: String,
+                        outSeg: String): String =
+    s"""nx$tag AS (
+       |  SELECT word, freq, pos, sym,
+       |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM $srcSeg),
+       |${applyChainSql(tag, s"nx$tag", pick, outSeg)}""".stripMargin
+
   /** CTEs for merge round k: pair lead, argmax pick, greedy run-parity
     * apply — the exact SQL twin of [[mergeRound]]. */
   private def roundSql(k: Int): String = {
@@ -486,27 +558,8 @@ object TrainerQueries {
        |  SELECT sym AS ml, nxt AS mr, CAST(sum(freq) AS BIGINT) AS mcnt
        |  FROM nx$k WHERE nxt IS NOT NULL GROUP BY sym, nxt
        |  ORDER BY mcnt DESC, ml, mr LIMIT 1),
-       |a$k AS (
-       |  SELECT n.word, n.freq, n.pos, n.sym, n.nxt,
-       |         coalesce(n.sym = p.ml AND n.nxt = p.mr, FALSE) AS f
-       |  FROM nx$k n LEFT JOIN pick$k p ON TRUE),
-       |b$k AS (
-       |  SELECT *, pos - sum(CASE WHEN f THEN 1 ELSE 0 END)
-       |              OVER (PARTITION BY word ORDER BY pos) AS island
-       |  FROM a$k),
-       |c$k AS (
-       |  SELECT *, f AND (row_number() OVER
-       |      (PARTITION BY word, island, f ORDER BY pos)) % 2 = 1 AS m
-       |  FROM b$k),
-       |d$k AS (
-       |  SELECT *, lag(m) OVER (PARTITION BY word ORDER BY pos) AS pm
-       |  FROM c$k),
-       |seg$k AS (
-       |  SELECT word, freq,
-       |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1
-       |              AS BIGINT) AS pos,
-       |         CASE WHEN m THEN sym || nxt ELSE sym END AS sym
-       |  FROM d$k WHERE NOT coalesce(pm, FALSE))""".stripMargin
+       |${applyChainSql(k.toString, s"nx$k", s"pick$k", s"seg$k")}"""
+      .stripMargin
   }
 
   /** Feature CTE, the SQL twin of [[features]] (text coalesced to '' at
@@ -596,7 +649,11 @@ object TrainerQueries {
     val segSql = this.segSql(wordPat)
     Map(
     "bpe1_pair_stats" ->
-      s"""WITH $segSql
+      s"""WITH b1aug AS (
+         |  SELECT coalesce(text, '') || ' x' ||
+         |    CAST(doc_id % 100 AS VARCHAR) AS text
+         |  FROM documents),
+         |${this.segSql(wordPat, "b1aug")}
          |SELECT sym AS left_sym, nxt AS right_sym,
          |       CAST(sum(freq) AS BIGINT) AS pair_count
          |FROM (SELECT word, freq, sym,
@@ -649,6 +706,22 @@ object TrainerQueries {
          |vocab AS (
          |  SELECT word, CAST(count(*) AS BIGINT) AS n_toks
          |  FROM seg3 GROUP BY word),
+         |wa AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split($normSql, ' ')) AS word
+         |    FROM baug) t
+         |  WHERE regexp_matches(word, '$wordPat')
+         |  GROUP BY word),
+         |sega0 AS (
+         |  SELECT word, freq, CAST(i - 1 AS BIGINT) AS pos,
+         |         substr(word, CAST(i AS INT), 1) AS sym
+         |  FROM wa, unnest(generate_series(1, length(word))) AS s(i)),
+         |${replaySql("r1", "sega0", "pick1", "sega1")},
+         |${replaySql("r2", "sega1", "pick2", "sega2")},
+         |${replaySql("r3", "sega2", "pick3", "sega3")},
+         |fold AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS fn
+         |  FROM sega3 GROUP BY word),
          |w AS (
          |  SELECT source, unnest(string_split($normSql, ' ')) AS word
          |  FROM baug),
@@ -661,8 +734,11 @@ object TrainerQueries {
          |  CAST(sum(CASE WHEN v.n_toks IS NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_oov_words,
          |  CAST(count(DISTINCT CASE WHEN v.n_toks IS NULL THEN g.word END)
-         |    AS BIGINT) AS n_oov_types
+         |    AS BIGINT) AS n_oov_types,
+         |  CAST(coalesce(sum(coalesce(v.n_toks, f.fn)), 0) AS BIGINT)
+         |    AS n_tokens_with_fallback
          |FROM g LEFT JOIN vocab v ON g.word = v.word
+         |     LEFT JOIN fold f ON g.word = f.word
          |GROUP BY g.source""".stripMargin,
 
     "lr1_grad_descent" ->

@@ -2404,14 +2404,17 @@ object TrainingDataQueries {
 
     // BPE tokenizer training, step statistic: adjacent-symbol pair counts
     // over the word-frequency table — the argmax of this table IS the
-    // next merge rule. Counting runs on the VOCABULARY (word types ×
+    // next merge rule. Family prefix `bpc` (BPE, Char-sentinel replace
+    // style) — renamed from bpe1-bpe3 in round 13 (directive 4) so the
+    // prefix no longer collides with TrainerQueries' window-algebra
+    // bpe1-bpe4 family; semantics unchanged, floors carried over. Counting runs on the VOCABULARY (word types ×
     // their frequency), not the token stream: the corpus is scanned
     // once for word counts and every later BPE iteration is
     // vocabulary-sized — the standard trick that makes tokenizer
     // training feasible at 100 TB. Pair enumeration is a codegen
     // transform over character positions; one (c1, c2) shuffle of
     // map-side-combined partials.
-    "bpe1_merge_pairs" -> { (s, dir) =>
+    "bpc1_merge_pairs" -> { (s, dir) =>
       val wf = docsSpread(s, dir)
         .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
           .as("w"))
@@ -2434,7 +2437,7 @@ object TrainingDataQueries {
     // char-positional, and is mapped back to its digraph on output.
     // The merge rule is data-derived (argmax with a deterministic
     // tiebreak), never hard-coded, so the query is scale-invariant.
-    "bpe2_apply_merge" -> { (s, dir) =>
+    "bpc2_apply_merge" -> { (s, dir) =>
       val wf = docsSpread(s, dir)
         .select(explode(split(TextAnalysis.normalizeText(col("text")), " "))
           .as("w"))
@@ -2468,7 +2471,7 @@ object TrainingDataQueries {
     },
 
     // BPE step 3: the TRAINING LOOP — three argmax-merge iterations end
-    // to end (bpe2 runs one), each merge's pair drawn from the corpus at
+    // to end (bpc2 runs one), each merge's pair drawn from the corpus at
     // that iteration, never hard-coded. Merge i travels as sentinel
     // chr(32−i) (U+001F/1E/1D, absent from the corpus); a rule's symbols
     // may themselves be earlier sentinels, so the output pieces expand
@@ -2478,7 +2481,7 @@ object TrainingDataQueries {
     // over the word-frequency table (type grain, not token grain) and a
     // broadcast of the single argmax row — the exact shape a distributed
     // BPE trainer keeps for its thousands of merges.
-    "bpe3_train_merges" -> { (s, dir) =>
+    "bpc3_train_merges" -> { (s, dir) =>
       def argmaxPair(wf: DataFrame, i: Int): DataFrame =
         wf.select(col("f"), explode(expr(
             """transform(sequence(1, length(w) - 1),
@@ -6622,7 +6625,7 @@ object TrainingDataQueries {
          |      CAST(m * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
          |    CAST(m AS DOUBLE) AS intercept
          |FROM st""".stripMargin,
-    "bpe1_merge_pairs" ->
+    "bpc1_merge_pairs" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
          |wf AS (SELECT w, COUNT(*) AS f FROM words
@@ -6632,7 +6635,7 @@ object TrainingDataQueries {
          |  FROM wf, unnest(generate_series(1, len(w) - 1)) AS t(i))
          |SELECT c1, c2, CAST(SUM(f) AS BIGINT) AS cnt
          |FROM pairs GROUP BY c1, c2""".stripMargin,
-    "bpe3_train_merges" ->
+    "bpc3_train_merges" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
          |wf1 AS MATERIALIZED (
@@ -6671,7 +6674,7 @@ object TrainingDataQueries {
          |  replace(replace(t3.c1 || t3.c2, chr(30), t2.c1 || t2.c2),
          |    chr(31), t1.c1 || t1.c2), t3.cnt
          |FROM t3 CROSS JOIN t2 CROSS JOIN t1""".stripMargin,
-    "bpe2_apply_merge" ->
+    "bpc2_apply_merge" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
          |wf AS MATERIALIZED (

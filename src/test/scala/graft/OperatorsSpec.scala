@@ -814,6 +814,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.contains("example") && !out.contains("555"))
   }
 
+  test("the widened phone prefix DISCRIMINATES on the fixture: pii1 " +
+    "under WidePhonePrefix counts the id%13 444-prefixed phones the " +
+    "555 default provably misses (round-12 directive 1 — a parameter " +
+    "proof must discriminate, not just embed)") {
+    import graft.queries.PrivacyQueries
+    def census(prefix: String): Map[String, (Long, Long)] =
+      PrivacyQueries.queriesWith(prefix)("pii1_detect_counts")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_phone"), r.getAs[Long]("n_email")))).toMap
+    val wide = census(PrivacyQueries.WidePhonePrefix)
+    val dflt = census(PrivacyQueries.DefaultPhonePrefix)
+    val widePhones = wide.values.map(_._1).sum
+    val dfltPhones = dflt.values.map(_._1).sum
+    // if these were equal, a plumbing bug that silently drops the
+    // prefix parameter on either engine side would pass the oracle
+    assert(widePhones > dfltPhones,
+      s"vacuous parameter proof: wide=$widePhones default=$dfltPhones")
+    // the prefix only widens the PHONE detector — emails agree
+    assert(wide.view.mapValues(_._2).toMap ==
+      dflt.view.mapValues(_._2).toMap)
+  }
+
   test("repeated spans finds shared boilerplate across dissimilar docs") {
     import spark.implicits._
     val boiler = "this content is licensed under creative commons attribution four"

@@ -129,6 +129,25 @@ class TrainerSpec extends SparkSpec {
     }
   }
 
+  test("the wide word gate DISCRIMINATES on the fixture: bpe1's " +
+    "augmented corpus carries digit-bearing x<id> words that pass " +
+    "WideWordPat and fail DefaultWordPat, so the two instantiations " +
+    "produce different pair tables (round-12 directive 1)") {
+    def pairs(gate: String): Map[(String, String), Long] =
+      TrainerQueries.queriesWith(gate)("bpe1_pair_stats")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wide = pairs(TrainerQueries.WideWordPat)
+    val dflt = pairs(TrainerQueries.DefaultWordPat)
+    // if these were equal, a plumbing bug that silently drops the gate
+    // parameter on either engine side would pass the oracle
+    assert(wide != dflt, "vacuous parameter proof: wide == default")
+    // specifically: the wide table sees the digit symbols of the
+    // augmentation words, the default gate filters every one of them
+    assert(wide.keys.exists { case (l, r) => (l + r).exists(_.isDigit) })
+    assert(!dflt.keys.exists { case (l, r) => (l + r).exists(_.isDigit) })
+  }
+
   test("applyMerges fold form is bounded: a merge table past " +
     "MaxFoldMerges is rejected with the lookup-join pointer") {
     import graft.streaming.TrainerStreams

@@ -22,9 +22,12 @@
 # unchanged code, so the writer MIN-merges with the existing artifact's
 # minima_sec. Queries whose SEMANTICS changed this round must reset —
 # list them in $BENCH_ISOLATED_RESET (csv): their old floors are
-# dropped and the fresh measurement stands alone. A fresh measurement
-# also clears any provisional_sec/regressed_sec entry for its query
-# (this run IS the re-confirmation).
+# dropped and the fresh measurement stands alone. A fresh CONVERGED
+# measurement clears any provisional_sec entry for its query (this run
+# IS the re-confirmation); a regressed_sec entry clears only when the
+# converged fresh time is back within the triage regression bound of
+# the floor — otherwise the entry is refreshed with the new evidence
+# (the regression is still live).
 #
 # Usage: [BENCH_ISOLATED_RESET=q1,q2] \
 #        tools/bench_isolated.sh [sfDir] [topN|thr:SEC] [extraCsv] [out]
@@ -81,7 +84,8 @@ for q in $QUERIES; do
   echo "$LINE"
   MIN=$(echo "$LINE" | sed 's/.*min=\([0-9.]*\).*/\1/')
   CONV=$(echo "$LINE" | sed -n 's/.*converged=\([a-z]*\).*/\1/p')
-  echo "$q $MIN ${CONV:-true}" >> "$TMP"
+  NRUNS=$(echo "$LINE" | sed -n 's/.*runs=\([0-9]*\).*/\1/p')
+  echo "$q $MIN ${CONV:-true} ${NRUNS:-0}" >> "$TMP"
 done
 
 python3 - "$TMP" "$SF" "$RUNS" "$OUT" <<'EOF'
@@ -90,8 +94,8 @@ tmp, sf, runs, out = sys.argv[1:5]
 fresh = {}
 with open(tmp) as f:
     for line in f:
-        name, sec, conv = line.split()
-        fresh[name] = (float(sec), conv == "true")
+        name, sec, conv, nruns = line.split()
+        fresh[name] = (float(sec), conv == "true", int(nruns))
 reset = set(filter(None,
     os.environ.get("BENCH_ISOLATED_RESET", "").split(",")))
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
@@ -112,8 +116,15 @@ minima = dict(old.get("minima_sec", {}))
 provisional = dict(old.get("provisional_sec", {}))
 regressed = dict(old.get("regressed_sec", {}))
 refreshed_at = dict(old.get("refreshed_at", {}))
-capped = sorted(q for q, (_, c) in fresh.items() if not c)
-for q, (v, conv) in fresh.items():
+capped = sorted(q for q, (_, c, _n) in fresh.items() if not c)
+# a pending regression is CLEARED only when a converged fresh run is
+# back inside the regression bound of the trusted floor (the triage
+# default --ratio); a converged run that is still far above the floor
+# means the regression persists — min-merge keeps the old floor, so
+# silently popping would discard the stashed evidence while the
+# slowdown is still live (round-12 advice)
+TRIAGE_RATIO = 1.5
+for q, (v, conv, nruns) in fresh.items():
     if not conv:
         # a cap-out is NOT a confirmation: park it as provisional (the
         # next converged run or triage pass judges it) and leave any
@@ -126,7 +137,12 @@ for q, (v, conv) in fresh.items():
         refreshed_at[q] = head
     minima[q] = new
     provisional.pop(q, None)  # a fresh converged run IS a confirmation
-    regressed.pop(q, None)
+    if q in regressed:
+        if v <= minima[q] * TRIAGE_RATIO:
+            regressed.pop(q)  # converged back at the floor: healed
+        else:
+            regressed[q] = {"sec": round(v, 3), "commit": head,
+                            "runs": nruns or None}
 if capped:
     print(f"warning: {len(capped)} queries hit the run cap without "
           f"converging — recorded as provisional, not floors: {capped}")

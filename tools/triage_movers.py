@@ -220,7 +220,21 @@ def main():
             ref, ref_kind = p, "prev-catalog"
             bound = args.ratio * PROTOCOL_INFLATION
         rr = fresh / ref
-        if rr > bound:
+        if rr > bound and conv is False:
+            # over-bound but the fresh floor never converged (hit the
+            # run cap while still falling): an inflated unconverged
+            # reading must not fire exit-1 — that is exactly the
+            # ev14-class false REGRESSION the adaptive protocol exists
+            # to kill (round-12 advice). Park it as provisional; the
+            # next triage re-judges it from a converged run.
+            verdict = (f"CAP-OUT (fresh {fresh:.2f}s = {rr:.2f}x "
+                       f"{ref_kind} {ref:.2f}s but the floor hit the "
+                       "run cap without converging — recorded as "
+                       "provisional, not a regression; re-run to "
+                       "converge)")
+            provisional[q] = round(fresh, 3)
+            changed = True
+        elif rr > bound:
             verdict = (f"REGRESSION (fresh {fresh:.2f}s = {rr:.2f}x "
                        f"{ref_kind} {ref:.2f}s)")
             regressions += 1
