@@ -417,25 +417,35 @@ object TrainerQueries {
       // OOV word is tokenized by the bounded fold
       // (TrainerStreams.applyMerges — the production coalesce(tokens,
       // fold) path), so the census also reports the token total AS IF
-      // every OOV word were folded in-line. Per-OOV-occurrence narrow
-      // compute (bounded CodegenFallback HOF over a ≤16-char word, ≤3
-      // merges here, ≤MaxFoldMerges by contract) — no extra shuffle or
-      // join; the oracle replays the same picks over the whole-corpus
-      // segmentation with the training algebra's SQL twin.
+      // every OOV word were folded in-line. The census runs at word-
+      // TYPE grain (round 13): the occurrence stream is first map-side-
+      // combined to (source, word, occ) counts, so the vocab hash join
+      // probes types not occurrences, the fold (a bounded
+      // CodegenFallback HOF, ≤3 merges here, ≤MaxFoldMerges by
+      // contract) evaluates ONCE per type instead of once per OOV
+      // occurrence, and the per-source distinct-type counts are plain
+      // sums at this grain — no countDistinct, so no Expand multiplying
+      // the occurrence stream. At 100 TB the type-grain join/fold is
+      // the only shape that works: fold cost tracks vocabulary size,
+      // not corpus size. The oracle replays the same picks over a
+      // whole-corpus segmentation with the training algebra's SQL twin.
       val foldToks =
         size(graft.streaming.TrainerStreams.applyMerges(col("word"),
           merges)).cast("bigint")
-      words.join(vocab, Seq("word"), "left")
+      words.groupBy("source", "word")
+        .agg(count(lit(1)).cast("bigint").as("occ"))
+        .join(vocab, Seq("word"), "left")
+        .withColumn("n_toks_f", coalesce(col("n_toks"), foldToks))
         .groupBy("source").agg(
-          count(lit(1)).cast("bigint").as("n_words"),
-          countDistinct(col("word")).as("n_word_types"),
-          coalesce(sum(col("n_toks")), lit(0L)).cast("bigint")
-            .as("n_tokens"),
-          sum(when(col("n_toks").isNull, 1L).otherwise(0L)).cast("bigint")
-            .as("n_oov_words"),
-          countDistinct(when(col("n_toks").isNull, col("word")))
-            .as("n_oov_types"),
-          coalesce(sum(coalesce(col("n_toks"), foldToks)), lit(0L))
+          sum(col("occ")).cast("bigint").as("n_words"),
+          count(lit(1)).cast("bigint").as("n_word_types"),
+          coalesce(sum(col("n_toks") * col("occ")), lit(0L))
+            .cast("bigint").as("n_tokens"),
+          coalesce(sum(when(col("n_toks").isNull, col("occ"))
+            .otherwise(0L)), lit(0L)).cast("bigint").as("n_oov_words"),
+          sum(when(col("n_toks").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_oov_types"),
+          coalesce(sum(col("n_toks_f") * col("occ")), lit(0L))
             .cast("bigint").as("n_tokens_with_fallback"))
     },
 

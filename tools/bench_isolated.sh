@@ -149,10 +149,13 @@ if capped:
 doc = {
     "sf": sf,
     "protocol": "fresh JVM per query; adaptive warm runs (run 1 "
-                "dropped; converge when the last run is within 15% of "
-                f"the running min, >=2 warm runs, cap {runs}); min over "
-                "warm runs; min-merged with prior floors except "
-                "explicitly-reset queries",
+                "dropped; converge when the latest warm run is within "
+                "the 15% band around the MINIMUM OF THE EARLIER warm "
+                "runs — both sides, so a still-falling floor keeps "
+                f"running; >=2 warm runs, cap {runs}); min over warm "
+                "runs; min-merged with prior floors except "
+                "explicitly-reset queries; covers the full catalog "
+                "since round 13",
     "commit": head,
     "minima_sec": dict(sorted(minima.items(), key=lambda kv: -kv[1])),
 }
