@@ -43,12 +43,16 @@ object FuzzyJoin {
   def candidatePairs(left: DataFrame, leftId: Column, leftStr: Column,
                      right: DataFrame, rightId: Column, rightStr: Column,
                      ngram: Int = 4, maxGramDf: Long = 1000): DataFrame = {
+    // Both gram tables are pinned once: each feeds the df rollup AND the
+    // candidate join — un-pinned, the explode ran twice per side.
     val lg = left.select(leftId.as("lid"), leftStr.as("lstr"))
       .select(col("lid"), col("lstr"),
         explode(charNgrams(col("lstr"), ngram)).as("g"))
+      .localCheckpoint(true)
     val rg = right.select(rightId.as("rid"), rightStr.as("rstr"))
       .select(col("rid"), col("rstr"),
         explode(charNgrams(col("rstr"), ngram)).as("g"))
+      .localCheckpoint(true)
     // stop-gram pruning: document frequency across BOTH sides
     val keep = lg.select(col("g")).unionAll(rg.select(col("g")))
       .groupBy("g").agg(count(lit(1)).as("df"))
@@ -60,6 +64,41 @@ object FuzzyJoin {
       .select("lid", "lstr", "rid", "rstr").distinct()
   }
 
+  /** SELF-join blocking (er1/er2/er4's record-dedup shape): ONE gram
+    * table, exploded and pinned once, serves the df rollup and both join
+    * sides — the generic path explodes the same strings four times. The
+    * stop-gram gate is unchanged: the union df of a self pair is exactly
+    * twice the single-side count, so `2·c(g) <= maxGramDf` keeps the
+    * identical gram set (integers — no boundary drift). */
+  def selfCandidatePairs(df: DataFrame, id: Column, str: Column,
+                         ngram: Int = 4, maxGramDf: Long = 1000)
+  : DataFrame = {
+    val g = df.select(id.as("lid"), str.as("lstr"))
+      .select(col("lid"), col("lstr"),
+        explode(charNgrams(col("lstr"), ngram)).as("g"))
+      .localCheckpoint(true)
+    val keep = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 2 <= maxGramDf)
+      .select("g")
+    val rg = g.select(col("lid").as("rid"), col("lstr").as("rstr"),
+      col("g"))
+    g.join(keep, "g").join(rg, "g")
+      .select("lid", "lstr", "rid", "rstr").distinct()
+  }
+
+  /** Exact distances for candidate pairs, verify step shared by
+    * [[fuzzyJoin]] / [[fuzzySelfJoin]]: `levenshtein` with the threshold
+    * argument — the banded O(len·d) form that abandons a pair as soon as
+    * the distance provably exceeds `maxDistance` (returns −1 there,
+    * filtered with the in-range rows), instead of filling the full
+    * O(len²) matrix and discarding the value. Kept pairs carry the same
+    * exact distance as the unbounded form. */
+  private def verified(cands: DataFrame, maxDistance: Int): DataFrame =
+    cands
+      .withColumn("dist",
+        levenshtein(col("lstr"), col("rstr"), maxDistance).cast("bigint"))
+      .filter(col("dist").between(0, maxDistance))
+
   /** Candidate pairs and exact distances: rows of `left` and `right`
     * whose strings share a sub-`maxGramDf` n-gram AND are within
     * `maxDistance` edits. Output: (lid, lstr, rid, rstr, dist). */
@@ -67,9 +106,16 @@ object FuzzyJoin {
                 right: DataFrame, rightId: Column, rightStr: Column,
                 maxDistance: Int, ngram: Int = 4, maxGramDf: Long = 1000)
   : DataFrame =
-    candidatePairs(left, leftId, leftStr, right, rightId, rightStr,
-        ngram, maxGramDf)
-      .withColumn("dist",
-        levenshtein(col("lstr"), col("rstr")).cast("bigint"))
-      .filter(col("dist") <= maxDistance)
+    verified(candidatePairs(left, leftId, leftStr, right, rightId,
+      rightStr, ngram, maxGramDf), maxDistance)
+
+  /** [[fuzzyJoin]] of a table against itself (one pinned gram table —
+    * see [[selfCandidatePairs]]). Output: (lid, lstr, rid, rstr, dist),
+    * both orientations plus the self pairs, exactly like the generic
+    * form fed twice with the same table. */
+  def fuzzySelfJoin(df: DataFrame, id: Column, str: Column,
+                    maxDistance: Int, ngram: Int = 4,
+                    maxGramDf: Long = 1000): DataFrame =
+    verified(selfCandidatePairs(df, id, str, ngram, maxGramDf),
+      maxDistance)
 }

@@ -450,6 +450,39 @@ object GlobalRank {
     }
   }
 
+  /** Pin one grouped range layout for REUSE across several passes of the
+    * SAME query (the multi-pass robust-stats shape: median pass, then a
+    * counting pass over the same (group, value) rows). Returns the
+    * checkpointed layout — the caller's input columns plus the reserved
+    * `__pid` — to feed [[withGroupedRowNumberOn]] and, with `__pid`
+    * dropped, any plain aggregate. Each reuse re-reads the checkpointed
+    * blocks instead of re-scanning and re-exchanging the source: N
+    * passes cost ONE scan + ONE range exchange instead of N of each.
+    * Same lifecycle contract as every layout ([[withScope]] owner). */
+  def pinGroupedLayout(df: DataFrame, group: Seq[String],
+                       order: Seq[Column]): DataFrame =
+    rangedLayout(df, group, group.map(col) ++ order)
+
+  /** [[withGroupedRowNumber]] over a layout already pinned by
+    * [[pinGroupedLayout]] WITH THE SAME (group, order) keys — adds zero
+    * shuffles and zero materializations: pass 1 is the tiny counts
+    * aggregate over the pinned blocks, pass 2 the local sort + ordinal.
+    * The caller must pass the same keys the layout was pinned on (the
+    * ordinal correction is only valid against that physical order). */
+  def withGroupedRowNumberOn(layout: DataFrame, group: Seq[String],
+                             order: Seq[Column], out: String = "rn",
+                             nOut: Option[String] = None): DataFrame = {
+    require(layout.columns.contains("__pid"),
+      "withGroupedRowNumberOn needs a pinGroupedLayout frame (__pid)")
+    requireFreshNames(layout, out +: nOut.toSeq)
+    val core = groupedCoreOn(layout, group, group.map(col) ++ order)
+      .withColumnRenamed("__grn", out)
+    nOut match {
+      case Some(n) => core.withColumnRenamed("__gn", n)
+      case None    => core.drop("__gn")
+    }
+  }
+
   /** Grouped inclusive PREFIX SUM of `value` along `order` within each
     * low-cardinality `group` — the weighted generalization of
     * [[withGroupedRowNumber]] (`value = lit(1)` recovers row numbers).
@@ -505,8 +538,12 @@ object GlobalRank {
     * window can't parallelize (with many groups the plain hash window is
     * already scalable; use that). */
   private def groupedCore(df: DataFrame, group: Seq[String],
-                          sort: Seq[Column]): DataFrame = {
-    val ranged = rangedLayout(df, group, sort)
+                          sort: Seq[Column]): DataFrame =
+    groupedCoreOn(rangedLayout(df, group, sort), group, sort)
+
+  /** Pass 2 over an already-pinned layout (see [[groupedCore]]). */
+  private def groupedCoreOn(ranged: DataFrame, group: Seq[String],
+                            sort: Seq[Column]): DataFrame = {
     val offRenamed = groupedOffsets(ranged, group, lit(1L))
     // pass 2: local sort + ordinal, group-corrected — no shuffle
     ranged.sortWithinPartitions(sort: _*)

@@ -606,18 +606,29 @@ object Graph {
       // large-star: neighbors above u re-attach to m(u) = min(Γ(u) ∪ {u}).
       val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val afterLs = norm(sym.join(m, "u").filter(col("v") > col("u"))
-        .select(col("m").as("u"), col("v")))
+      // No norm() here: m = min(Γ(u) ∪ {u}) ≤ u < v already gives
+      // m < v (ordered, no self-loop), and the small-star half below is
+      // duplicate-insensitive (its groupBy-min and the round-final
+      // distinct absorb them) — the dedup exchange this used to pay per
+      // half-round bought nothing. The round-final edge SET is
+      // unchanged, so the convergence signature trajectory is too.
+      val afterLs = sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
       // small-star: u and its below-neighbors contract onto their min.
       val sym2 = afterLs.select(col("u"), col("v"))
         .union(afterLs.select(col("v").as("u"), col("u").as("v")))
       val smaller = sym2.filter(col("v") < col("u"))
       val m2 = smaller.groupBy("u").agg(min(col("v")).as("m"))
-      val next = norm(
+      // Emitted edges already satisfy u < v (m = min of u's
+      // below-neighbors, v ≠ m another one; m2 rows have m < u), so the
+      // round-final norm() reduces to the distinct that keeps the edge
+      // set canonical.
+      val next =
         smaller.join(m2, "u").filter(col("v") =!= col("m"))
           .select(col("m").as("u"), col("v"))
-          .union(m2.select(col("m").as("u"), col("u").as("v"))))
-        .localCheckpoint(true)
+          .union(m2.select(col("m").as("u"), col("u").as("v")))
+          .distinct()
+          .localCheckpoint(true)
       val nextSig = sig(next)
       converged = nextSig == curSig
       cur.unpersist() // drop the superseded checkpoint's blocks

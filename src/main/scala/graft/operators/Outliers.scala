@@ -44,14 +44,16 @@ object Outliers {
     * corpus, and a partitionBy(group) cumulative pass over it is the
     * funnel shape the catalog's measured gate (FunnelSpec) rejects. */
   private def rowMedian(rows: DataFrame, groupCol: String,
-                        valCol: String): DataFrame = {
-    val rn = GlobalRank.withGroupedRowNumber(rows, Seq(groupCol),
-      Seq(col(valCol)), out = "__rn", nOut = Some("__n"))
+                        valCol: String): DataFrame =
+    medianFromRn(GlobalRank.withGroupedRowNumber(rows, Seq(groupCol),
+      Seq(col(valCol)), out = "__rn", nOut = Some("__n")), groupCol, valCol)
+
+  private def medianFromRn(rn: DataFrame, groupCol: String,
+                           valCol: String): DataFrame =
     rn.groupBy(col(groupCol)).agg(
       ((min(when(expr("__rn = ((__n - 1) div 2) + 1"), col(valCol))) +
         min(when(expr("__rn = (__n div 2) + 1"), col(valCol)))) / 2.0)
         .as("med"))
-  }
 
   /** Per-group median, MAD, and |x − med| > k·MAD outlier count over an
     * integer-quantized value column (quantize before calling — see the
@@ -86,17 +88,28 @@ object Outliers {
     // selection form avoids. Both forms are scale-safe; selection wins
     // on cost. Each selection pass feeds a NARROW frame (group + one
     // value column) per GlobalRank's executable width contract.
-    // The three phases deliberately re-scan the narrow (group, value)
-    // projection rather than checkpoint it: a pruned columnar scan
-    // pipelines into each phase's exchange for free, while an extra
-    // materialization barrier measured ~25% slower at sf0.1.
+    // LAYOUT REUSE (round-13): the value-median pass already pins the
+    // (group, value) rows in GlobalRank's checkpointed range layout —
+    // the deviation pass and the final counting pass re-read THAT
+    // instead of re-scanning and re-exchanging the source, so the three
+    // phases cost ONE scan + ONE spread of the input. (This differs
+    // from the earlier rejected "checkpoint the input" variant, which
+    // ADDED a materialization in front of the range exchange — ~25%
+    // slower; here the materialization is the one GlobalRank makes
+    // anyway.) The MAD pass still pins its own layout: deviations are a
+    // different sort key.
     val vals = df.select(col(groupCol), x.as("__val"))
-    val med = rowMedian(vals, groupCol, "__val")
-    val dev = vals.join(broadcast(med), Seq(groupCol))
+    val layout = GlobalRank.pinGroupedLayout(vals, Seq(groupCol),
+      Seq(col("__val")))
+    val med = medianFromRn(GlobalRank.withGroupedRowNumberOn(layout,
+      Seq(groupCol), Seq(col("__val")), out = "__rn", nOut = Some("__n")),
+      groupCol, "__val")
+    val pinned = layout.drop("__pid")
+    val dev = pinned.join(broadcast(med), Seq(groupCol))
       .select(col(groupCol), abs(col("__val") - col("med")).as("__dev"))
     val mad = rowMedian(dev, groupCol, "__dev")
       .withColumnRenamed("med", "mad")
-    vals.join(broadcast(med), Seq(groupCol))
+    pinned.join(broadcast(med), Seq(groupCol))
       .join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol), col("med"), col("mad"))
       .agg(count(lit(1)).as("n_rows"),

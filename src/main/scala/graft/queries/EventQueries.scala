@@ -1325,9 +1325,13 @@ object EventQueries {
         .groupBy(col("prev").as("i"), col("event_type").as("j"))
         .agg(count(lit(1)).as("c"))
       val rowTot = trans.groupBy("i").agg(sum(col("c")).as("ct"))
+      // Pin the |types|² matrix once (ev48's idiom): pi2 feeds BOTH pi3
+      // and the final residual join, and each un-pinned step() reference
+      // re-embeds the corpus window+aggregate subtree in the plan.
       val pmat = trans.join(rowTot, "i")
         .select(col("i"), col("j"),
           expr("c * 1000000 div ct").as("p_micro"))
+        .localCheckpoint(true)
       val states = pmat.select(col("i").as("t")).distinct()
       val k = states.agg(count(lit(1)).as("k"))
       def step(pi: DataFrame): DataFrame =
@@ -1336,7 +1340,7 @@ object EventQueries {
           .agg(expr("sum(pv * p_micro) div 1000000").as("pi"))
       val pi0 = states.crossJoin(broadcast(k))
         .select(col("t"), expr("1000000 div k").as("pi"))
-      val pi2 = step(step(pi0))
+      val pi2 = step(step(pi0)).localCheckpoint(true)
       val pi3 = step(pi2)
       pi3.join(pi2.select(col("t"), col("pi").as("pi_prev")), Seq("t"),
           "left")
@@ -1919,6 +1923,12 @@ object EventQueries {
     "ev48_stationary_mix" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // The transition matrix is |states|² metadata — pin it with an
+      // eager localCheckpoint so the six unrolled rounds below reference
+      // ONE materialized 25-row table. Without the pin, every round's
+      // join re-embeds the events window+aggregate subtree in the final
+      // plan (6 copies of the corpus scan: plan bloat locally, repeated
+      // corpus passes at scale).
       val p = Tables.eventsUs(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
@@ -1929,6 +1939,7 @@ object EventQueries {
           "nst * 1000000 div sum(nst) over (partition by prev_type)"))
         .select(col("prev_type").as("s"), col("event_type").as("t"),
           col("p_micro"))
+        .localCheckpoint(true)
       val states = p.select(col("s").as("state")).distinct()
       // max(k, 1): an empty chain yields an empty state set — the init
       // literal is then never used, but the driver division must not throw
@@ -1956,6 +1967,11 @@ object EventQueries {
     "ev49_steps_to_purchase" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // Same pin as ev48: the eight unrolled Neumann rounds reference q
+      // and states each round — without the eager localCheckpoint the
+      // final plan carries 17 copies of the events window+aggregate
+      // subtree (measured: 36 exchanges in the static plan, 1.9 s at
+      // sf0.1; one materialized ~20-row matrix removes all of them).
       val p = Tables.eventsUs(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
@@ -1967,8 +1983,10 @@ object EventQueries {
         .select(col("prev_type").as("s"), col("event_type").as("t"),
           col("p_micro"))
         .filter(col("s") =!= "purchase")
+        .localCheckpoint(true)
       val q = p.filter(col("t") =!= "purchase")
       val states = p.select(col("s").as("state")).distinct()
+        .localCheckpoint(true)
       var e = states.withColumn("e_micro", lit(0L))
       for (_ <- 1 to 8) {
         e = states.join(

@@ -187,6 +187,7 @@ object ExperimentQueries {
           .when(col("y") > col("hi"), col("hi")).otherwise(col("y")))
         .groupBy("arm")
         .agg(count(lit(1)).as("n"), sum(col("wy")).as("swy"))
+        .localCheckpoint(true) // arm-grain; read by both a0 and a1
       val a0 = st.filter(col("arm") === 0)
         .select(col("n").as("n0"), col("swy").as("s0"))
       val a1 = st.filter(col("arm") === 1)
@@ -589,17 +590,23 @@ object ExperimentQueries {
               col("n1").cast("double") +
               v(col("n0"), col("sy0"), col("syy0")) /
                 col("n0").cast("double"))).as("z"))
+      // Pin the segment-grain test table once: it fans out into the
+      // count, the BH rank, and the k_BH scan — un-pinned, each
+      // reference re-embeds the whole corpus pipeline (segment window +
+      // revenue rollup + per-arm joins; 19 shuffles in the static plan).
       val withP = perSeg
         .withColumn("x", abs(col("z")) * lit(0.7071067811865476))
         .withColumn("t",
           lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
         .withColumn("p_micro", expr(pMicroSql))
         .drop("x", "t")
+        .localCheckpoint(true)
       val cnt = withP.agg(count(lit(1)).as("m"))
       val ranked = withP.crossJoin(broadcast(cnt))
         .withColumn("i", row_number().over(
           Window.orderBy(col("p_micro").asc, col("segment").asc))
           .cast("bigint"))
+        .localCheckpoint(true)
       val kbh = ranked.agg(max(when(expr("p_micro * m <= 50000 * i"),
         col("i")).otherwise(0L)).as("kbh"))
       ranked.crossJoin(broadcast(kbh))
@@ -975,6 +982,9 @@ object ExperimentQueries {
             .otherwise(0L))).as("diff"))
         .filter(col("diff") =!= 0)
         .withColumn("absd", abs(col("diff")))
+        // pinned: `ties` below re-reads the user-grain rollup instead
+        // of re-running the corpus aggregate (round-13 fan-out rule)
+        .localCheckpoint(true)
       val rk = graft.operators.GlobalRank.withGlobalRank(per,
           order = Seq(col("absd")), tieBreak = Seq(col("user_id")),
           out = "rnk")
@@ -1027,6 +1037,9 @@ object ExperimentQueries {
         .agg(sum(when(col("day") >= col("d0") + 15, col("cents"))
           .otherwise(0L)).as("y"))
         .withColumn("arm", arm(col("user_id")))
+        // pinned: `ties` below re-reads this user-grain rollup instead
+        // of re-running the corpus aggregate (round-13 fan-out rule)
+        .localCheckpoint(true)
       val rk = graft.operators.GlobalRank.withGlobalRank(per,
           order = Seq(col("y")), tieBreak = Seq(col("user_id")),
           out = "rnk")
@@ -1035,6 +1048,7 @@ object ExperimentQueries {
       val byArm = rk.groupBy("arm").agg(count(lit(1)).as("n"),
         sum((lit(2L) * col("rnk") + col("cnt") - lit(1L)).cast(d38))
           .as("s2r"))
+        .localCheckpoint(true) // arm-grain; read by both a0 and a1
       // cast BEFORE the cube: a single tie group past ~2·10⁶ rows (the
       // y=0 mass at corpus scale) overflows t³ in int64
       val ties = per.groupBy("y").agg(count(lit(1)).as("t"))
@@ -1091,8 +1105,12 @@ object ExperimentQueries {
         .agg(sum(when(col("day") >= col("d0") + 15, col("dollars"))
           .otherwise(0L)).as("y"))
         .withColumn("arm", arm(col("user_id")))
+        // pinned: feeds BOTH the observed stats and the 200-replica
+        // explode — un-pinned, the corpus rollup ran twice
+        .localCheckpoint(true)
       val st = per.groupBy("arm").agg(count(lit(1)).as("n"),
         sum(col("y").cast(d38)).as("sy"))
+        .localCheckpoint(true) // arm-grain; read by both obs sides
       val obs = st.filter(col("arm") === 0)
         .select(col("n").as("n0"), col("sy").as("sy0"))
         .crossJoin(st.filter(col("arm") === 1)
@@ -1105,6 +1123,9 @@ object ExperimentQueries {
               col("user_id").cast("string"))) % 1000 % 2)
       val rst = reps.groupBy("r", "parm").agg(count(lit(1)).as("rn"),
         sum(col("y").cast(d38)).as("rs"))
+        // pinned: the replica table feeds both pseudo-arm sides —
+        // un-pinned, the users×200 explode+rollup ran twice
+        .localCheckpoint(true)
       val r0 = rst.filter(col("parm") === 0).select(col("r"),
         col("rn").as("rn0"), col("rs").as("rs0"))
       val r1 = rst.filter(col("parm") === 1).select(col("r").as("r1"),

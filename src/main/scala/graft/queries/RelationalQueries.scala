@@ -598,6 +598,11 @@ object RelationalQueries {
       val w = Window.partitionBy(col("ok")).orderBy(col("pk"))
       val capped = items.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 8).select("ok", "pk")
+        // pinned: both self-join sides read the SAME capped basket —
+        // un-pinned, the distinct + per-order window ran twice (the two
+        // branches end at a Window, not an Exchange, so exchange reuse
+        // never fires)
+        .localCheckpoint(true)
       capped.alias("a")
         .join(capped.alias("b"), col("a.ok") === col("b.ok") &&
           col("a.pk") < col("b.pk"))
@@ -992,8 +997,7 @@ object RelationalQueries {
       import graft.operators.{FuzzyJoin, Graph}
       val cust = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"))
-      val pairs = FuzzyJoin.fuzzyJoin(
-          cust, col("c_custkey"), col("c_name"),
+      val pairs = FuzzyJoin.fuzzySelfJoin(
           cust, col("c_custkey"), col("c_name"),
           maxDistance = 2, ngram = 4, maxGramDf = 50)
         .filter(col("lid") < col("rid"))
@@ -1015,8 +1019,7 @@ object RelationalQueries {
       import graft.operators.{EntityAudit, FuzzyJoin, Graph}
       val cust = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"))
-      val pairs = FuzzyJoin.fuzzyJoin(
-          cust, col("c_custkey"), col("c_name"),
+      val pairs = FuzzyJoin.fuzzySelfJoin(
           cust, col("c_custkey"), col("c_name"),
           maxDistance = 2, ngram = 4, maxGramDf = 50)
         .filter(col("lid") < col("rid"))
@@ -1105,8 +1108,7 @@ object RelationalQueries {
       import graft.operators.FuzzyJoin
       val cust = Tables.customer(s, dir)
       val names = cust.select(col("c_custkey"), col("c_name"))
-      val pairs = FuzzyJoin.fuzzyJoin(
-          names, col("c_custkey"), col("c_name"),
+      val pairs = FuzzyJoin.fuzzySelfJoin(
           names, col("c_custkey"), col("c_name"),
           maxDistance = 3, ngram = 4, maxGramDf = 50)
         .filter(col("lid") < col("rid"))

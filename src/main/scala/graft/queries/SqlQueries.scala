@@ -319,10 +319,18 @@ object SqlQueries {
           |    array_join(transform(slice(sig, b * 4 + 1, 4),
           |      x -> CAST(x AS STRING)), '_') AS bucket
           |  FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS b)
-          |SELECT DISTINCT l.id AS id_a, r.id AS id_b
+          |SELECT /*+ SHUFFLE_HASH(l, r) */ DISTINCT
+          |  l.id AS id_a, r.id AS id_b
           |FROM banded l JOIN banded r
           |  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
           |""".stripMargin)
+      // The SHUFFLE_HASH hint replaces the planner's broadcast of the
+      // second `banded` copy: a broadcast side gets NO exchange, so the
+      // whole shingle→md5→signature pipeline ran twice. With both sides
+      // shuffled on (band, bucket) the two exchange subtrees are
+      // canonically equal and ReusedExchange computes the signatures
+      // ONCE (measured 1.87 s → ~0.9 s at sf0.1) — and at corpus scale a
+      // band-bucket table could never broadcast in the first place.
     },
     // CTE + join + partitioned rank + filter-on-rank in one
     // dialect-neutral statement — the "top-N per group through pure

@@ -460,14 +460,21 @@ object TrainingDataQueries {
     // CASE nested in DuckDB).
     "pipe1_curation_funnel" -> { (s, dir) =>
       val docs = docsSpread(s, dir)
+      // Pin the id-grain funnel stages: `gated` feeds its own stage
+      // count AND the dedup join (un-pinned, the quality-gate regexes
+      // run twice over the corpus), `deduped` feeds its stage count AND
+      // the split rollup. Both frames are one id column — metadata-sized
+      // next to the text they gate.
       val gated = TextAnalysis.qualityGate(docs)
         .filter(col("keep")).select("doc_id")
+        .localCheckpoint(true)
       val clusters = Dedup.connectedComponents(
         Dedup.minhashDedup(docs, threshold = 0.5).select("id_a", "id_b"))
       val deduped = gated.join(clusters, Seq("doc_id"), "left")
         .filter(col("cluster_id").isNull ||
           col("cluster_id") === col("doc_id"))
         .select("doc_id")
+        .localCheckpoint(true)
       def stageCount(df: DataFrame, stage: String) =
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(stage).as("stage"), col("n_docs"))
@@ -1359,7 +1366,10 @@ object TrainingDataQueries {
       // cutoff, rows fanned out by a 3-element struct explode — the
       // union-per-k form re-evaluated both ranking frames 3× (3.5 s
       // isolated vs ~1 s here at sf0.1)
+      // exact ranking pinned: it feeds the hit join AND the query
+      // universe (round-13 fan-out rule; sim5 likewise)
       val ex = sim1Frame(s, dir).select("query_id", "corpus_id", "rk")
+        .localCheckpoint(true)
       val ivf = sim3Frame(s, dir).select(col("query_id"),
         col("corpus_id"), col("rk").as("ivf_rk"))
       val hits = ex.join(ivf, Seq("query_id", "corpus_id"))
@@ -1385,6 +1395,7 @@ object TrainingDataQueries {
 
     "sim5_ivf_recall" -> { (s, dir) =>
       val ex = sim1Frame(s, dir).select("query_id", "corpus_id")
+        .localCheckpoint(true) // fan-out: hit join + query universe
       val ivf = sim3Frame(s, dir).select("query_id", "corpus_id")
       val hits = ex.join(ivf, Seq("query_id", "corpus_id"))
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -2001,8 +2012,13 @@ object TrainingDataQueries {
     "lm10_witten_bell" -> { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val toksCol = split(TextAnalysis.normalizeText(col("text")), " ")
+      // tokenized corpus pinned once: it feeds the bigram explode AND
+      // the unigram explode (round-13 fan-out rule); the type-grain
+      // count table is pinned too — it feeds the context rollup AND the
+      // probability join
       val base = docsSpread(s, dir).select(col("doc_id"),
         toksCol.as("toks"))
+        .localCheckpoint(true)
       val bigrams = base.select(col("doc_id"), explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -2010,6 +2026,7 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("bg.w1").as("w1"),
           col("bg.w2").as("w2"))
       val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val ctx = counts.groupBy("w1").agg(sum(col("c")).as("cctx"),
         count(lit(1)).as("t"))
       val uni = base.select(explode(col("toks")).as("w2"))
@@ -2193,14 +2210,17 @@ object TrainingDataQueries {
     // fingerprints shared by >50 docs are dropped (cf. FuzzyJoin's
     // maxGramDf), so the join fans out per-fingerprint, never all-pairs.
     "dd12_winnowing" -> { (s, dir) =>
-      // Fingerprint selection lives in Dedup.winnowFingerprints (row
-      // form — the array-HOF form is O(n²) per doc, see its scaladoc).
+      // Fingerprint selection lives in Dedup.winnowFingerprints (zip-
+      // slice array form; see its scaladoc). Pinned once: fps feeds its
+      // own per-doc count join and `kept` both sides of the pair
+      // self-join (dd13's fix).
       val fps = Dedup.winnowFingerprints(docsSpread(s, dir))
+        .localCheckpoint(true)
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(keep, "fp")
+      val kept = perDoc.join(keep, "fp").localCheckpoint(true)
       kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),
@@ -2231,16 +2251,21 @@ object TrainingDataQueries {
     "pipe2_dedup_impact" -> { (s, dir) =>
       import graft.operators.Graph
       val docs = docsSpread(s, dir)
+      // Pin the multiply-consumed narrow frames (dd13's fix, same
+      // rationale): toks feeds all three strategy stats (un-pinned, the
+      // tokenize regex runs 3×), fps feeds its own per-doc count join,
+      // kept feeds both sides of the pair self-join.
       val toks = docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        .localCheckpoint(true)
       val exactKept = Dedup.exactDedup(docs)
         .select(col("keep_id").as("doc_id"))
-      val fps = Dedup.winnowFingerprints(docs)
+      val fps = Dedup.winnowFingerprints(docs).localCheckpoint(true)
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val hot = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(hot, "fp")
+      val kept = perDoc.join(hot, "fp").localCheckpoint(true)
       val pairs = kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),
@@ -2978,12 +3003,16 @@ object TrainingDataQueries {
       val docs = docsSpread(s, dir)
       val mh = Dedup.minhashDedup(docs, threshold = 0.5)
         .select(col("id_a"), col("id_b")).withColumn("in_mh", lit(1L))
-      val fps = Dedup.winnowFingerprints(docs)
+      // Pin the winnow fingerprints once: fps feeds its own per-doc
+      // count join and `kept` feeds BOTH sides of the pair self-join —
+      // un-pinned, the rolling-window fingerprint subtree is re-embedded
+      // (and the per-row hashing re-run) four times in the final plan.
+      val fps = Dedup.winnowFingerprints(docs).localCheckpoint(true)
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(keep, "fp")
+      val kept = perDoc.join(keep, "fp").localCheckpoint(true)
       val wn = kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),
@@ -3015,11 +3044,15 @@ object TrainingDataQueries {
     "sim15_triplet_mining" -> { (s, dir) =>
       val labels = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"))
+      // Pin the scored ranking: `pos` and `neg` both derive from it, and
+      // un-pinned each re-embeds the full exact-scoring crossJoin+window
+      // subtree (the query's entire cost) in the plan.
       val ranked = sim1Frame(s, dir)
         .join(labels.select(col("vec_id").as("query_id"),
           col("label").as("q_label")), "query_id")
         .join(labels.select(col("vec_id").as("corpus_id"),
           col("label").as("c_label")), "corpus_id")
+        .localCheckpoint(true)
       val pos = ranked.filter(col("q_label") === col("c_label"))
         .withColumn("rk2", row_number().over(
           Window.partitionBy(col("query_id"))
@@ -3050,14 +3083,18 @@ object TrainingDataQueries {
     "ir10_mrr" -> { (s, dir) =>
       val labels = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"))
-      val ranked = sim1Frame(s, dir)
+      // Pin the exact ranking once: it feeds both the first-relevant
+      // rollup and the query-universe distinct — un-pinned, the scoring
+      // crossJoin+window subtree runs twice.
+      val base = sim1Frame(s, dir).localCheckpoint(true)
+      val ranked = base
         .join(labels.select(col("vec_id").as("query_id"),
           col("label").as("q_label")), "query_id")
         .join(labels.select(col("vec_id").as("corpus_id"),
           col("label").as("c_label")), "corpus_id")
       val firstRel = ranked.filter(col("q_label") === col("c_label"))
         .groupBy("query_id").agg(min(col("rk")).as("first_rel"))
-      sim1Frame(s, dir).select(col("query_id")).distinct()
+      base.select(col("query_id")).distinct()
         .join(firstRel, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           expr("case when count(1) = 0 then null else " +
@@ -3125,27 +3162,32 @@ object TrainingDataQueries {
     // the digest rollup); chunk-size distribution and dedup ratio come
     // out of one digest-keyed aggregate.
     "dd15_cdc_chunking" -> { (s, dir) =>
-      val t = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+      // STAGED projections (round-13): the single-expression form
+      // interpolated the normalize regex into the filter/zip_with lambda
+      // bodies, and a lambda body re-evaluates its non-lambda subtrees
+      // PER ELEMENT — the regex ran once per character position (HOFs
+      // get no codegen subexpression elimination). Materializing `nt`
+      // as a column first, then `cuts` (referenced twice downstream),
+      // leaves one regex and one cut enumeration per ROW; CollapseProject
+      // keeps non-cheap exprs referenced more than once un-inlined.
       // Guard: Spark's sequence(8, stop) steps DOWN when stop < 8
       // (docs shorter than one 8-gram), enumerating bogus cut
       // candidates; gate the whole enumeration behind one per-row CASE
       // so short docs yield zero cuts — exactly DuckDB's empty
-      // range(8, n+1). Deliberately NOT a per-element `i <= length(t)`
-      // re-filter: $t is the full normalize regex and CollapseProject
-      // inlines it into lambda bodies, so a per-element guard re-runs
-      // the regex per POSITION (measured 1.9 s → 3.6 s at sf0.1 — the
-      // dd12 lesson); the CASE runs it once per row.
-      val cuts =
-        s"""case when length($t) >= 8 then
-           |  filter(sequence(8, length($t)),
-           |    i -> md5_prefix60(substr($t, i - 7, 8)) % 64 = 0)
-           |else array() end""".stripMargin.replace("\n", " ")
-      val chunks = docsSpread(s, dir).selectExpr(
-          s"""explode(filter(zip_with(
-             |  concat(array(1), transform($cuts, c -> c + 1)),
-             |  concat($cuts, array(length($t))),
-             |  (s2, e) -> if(e >= s2, substr($t, s2, e - s2 + 1), null)),
-             |  x -> x is not null)) AS chunk"""
+      // range(8, n+1).
+      val chunks = docsSpread(s, dir)
+        .selectExpr("trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS nt")
+        .selectExpr("nt",
+          """case when length(nt) >= 8 then
+            |  filter(sequence(8, length(nt)),
+            |    i -> md5_prefix60(substr(nt, i - 7, 8)) % 64 = 0)
+            |else array() end AS cuts""".stripMargin.replace("\n", " "))
+        .selectExpr(
+          """explode(filter(zip_with(
+            |  concat(array(1), transform(cuts, c -> c + 1)),
+            |  concat(cuts, array(length(nt))),
+            |  (s2, e) -> if(e >= s2, substr(nt, s2, e - s2 + 1), null)),
+            |  x -> x is not null)) AS chunk"""
             .stripMargin.replace("\n", " "))
       chunks.select(md5(col("chunk")).as("h"),
           length(col("chunk")).cast("bigint").as("len"))
