@@ -503,26 +503,69 @@ object GlobalRank {
   def withGroupedPrefixSum(df: DataFrame, group: Seq[String],
                            order: Seq[Column], value: Column,
                            out: String = "cum",
-                           totOut: Option[String] = None): DataFrame = {
-    requireFreshNames(df, out +: totOut.toSeq)
+                           totOut: Option[String] = None): DataFrame =
+    withGroupedPrefixSums(df, group, order, Seq((value, out, totOut)))
+
+  /** Several grouped prefix sums over the SAME (group, order) key in ONE
+    * layout pass — the d52/d58 shape (two sample CDFs along one value
+    * axis) previously chained two full calls, paying the range sample,
+    * exchange, checkpoint, offsets pass, and running window twice. All
+    * `values` ride one pinned layout, one per-(pid, group) offsets
+    * aggregate, and one running window (same window spec — one
+    * WindowExec evaluating all the sums). Each element is
+    * (value, outName, totalOutName). */
+  def withGroupedPrefixSums(df: DataFrame, group: Seq[String],
+                            order: Seq[Column],
+                            values: Seq[(Column, String, Option[String])])
+  : DataFrame = {
+    require(values.nonEmpty, "need at least one value column")
+    requireFreshNames(df,
+      values.flatMap { case (_, o, t) => o +: t.toSeq })
     val sort = group.map(col) ++ order
     val ranged = rangedLayout(df, group, sort)
-    val offRenamed = groupedOffsets(ranged, group, value)
+    val groupCols = group.map(col)
+    // pass 1: per-(pid, group) partial sums for EVERY value at once
+    val partialAggs = values.zipWithIndex.map { case ((v, _, _), i) =>
+      sum(v).as(s"__gcnt$i")
+    }
+    val counts = ranged.groupBy(col("__pid") +: groupCols: _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val wStart = Window.partitionBy(col("__pid"))
+      .orderBy(groupCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(groupCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(groupCols: _*)
+    val offsets = values.indices.foldLeft(counts) { (f, i) =>
+      f.withColumn(s"__gstart$i",
+          coalesce(sum(col(s"__gcnt$i")).over(wStart), lit(0L)))
+        .withColumn(s"__goff$i",
+          coalesce(sum(col(s"__gcnt$i")).over(wOff), lit(0L)))
+        .withColumn(s"__gn$i", sum(col(s"__gcnt$i")).over(wTot))
+    }.drop(values.indices.map(i => s"__gcnt$i"): _*)
+      .withColumnRenamed("__pid", "__opid")
+    val offRenamed = group.zipWithIndex.foldLeft(offsets) {
+      case (f, (g, i)) => f.withColumnRenamed(g, s"__og$i")
+    }
+    // pass 2: one running window over the pinned layout for all values
     val run = Window.partitionBy(col("__pid")).orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = ranged
-      .withColumn("__grn", sum(value).over(run))
+    val withRuns = values.zipWithIndex.foldLeft(ranged) {
+      case (f, ((v, _, _), i)) =>
+        f.withColumn(s"__grn$i", sum(v).over(run))
+    }
+    val cum = withRuns
       .join(broadcast(offRenamed), offsetsJoinCond(group).reduce(_ && _),
         "inner")
-      .withColumn(out, col("__grn") - col("__gstart") + col("__goff"))
-    // emit input columns, then `out`, then the total — a deterministic
-    // order regardless of where the offsets join landed `__gn`
+    // emit input columns, then per-value `out` (+ total) — a
+    // deterministic order regardless of where the join landed the
+    // offset columns
     val inputCols = df.columns.toSeq.map(col)
-    totOut match {
-      case Some(t) =>
-        cum.select(inputCols ++ Seq(col(out), col("__gn").as(t)): _*)
-      case None => cum.select(inputCols :+ col(out): _*)
+    val outCols = values.zipWithIndex.flatMap { case ((_, o, t), i) =>
+      (col(s"__grn$i") - col(s"__gstart$i") + col(s"__goff$i")).as(o) +:
+        t.map(tn => col(s"__gn$i").as(tn)).toSeq
     }
+    cum.select(inputCols ++ outCols: _*)
   }
 
   /** Grouped two-pass core shared by [[withGroupedRank]] and

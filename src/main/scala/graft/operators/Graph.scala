@@ -219,11 +219,14 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("d"))
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // pinned: the oriented edge list feeds both wedge sides and the
+    // closure probe (edgeSupport's fix — the degree joins ran 3x)
     val o = ue
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
         when(uLower, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true)
     val wedges = o.select(col("a"), col("b").as("p"))
       .join(o.select(col("a"), col("b").as("q")), Seq("a"))
       .filter(col("p") =!= col("q"))
@@ -249,21 +252,29 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("d"))
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // pinned: the oriented edge list feeds BOTH wedge sides and the
+    // closure probe — un-pinned, the two degree joins re-ran per
+    // reference (the support pass's static plan carried them 9×)
     val o = ue
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
         when(uLower, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true)
     val tri = o.select(col("a"), col("b").as("p"))
       .join(o.select(col("a"), col("b").as("q")), Seq("a"))
       .filter(col("p") =!= col("q"))
       .join(o.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
-    tri.select(least(col("a"), col("p")).as("u"),
-        greatest(col("a"), col("p")).as("v"))
-      .unionByName(tri.select(least(col("a"), col("q")).as("u"),
-        greatest(col("a"), col("q")).as("v")))
-      .unionByName(tri.select(least(col("p"), col("q")).as("u"),
-        greatest(col("p"), col("q")).as("v")))
+    // one explode per triangle instead of three re-unions of the wedge
+    // join: each triangle contributes its three edges in a single pass
+    tri.select(explode(array(
+        struct(least(col("a"), col("p")).as("u"),
+          greatest(col("a"), col("p")).as("v")),
+        struct(least(col("a"), col("q")).as("u"),
+          greatest(col("a"), col("q")).as("v")),
+        struct(least(col("p"), col("q")).as("u"),
+          greatest(col("p"), col("q")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("sup"))
   }
 
@@ -322,6 +333,7 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
         when(uLower, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true) // 3 refs: both wedge sides + closure probe
     val wedges = o.select(col("a"), col("b").as("p"))
       .join(o.select(col("a"), col("b").as("q")), Seq("a"))
       .filter(col("p") =!= col("q"))

@@ -1027,6 +1027,9 @@ object EventQueries {
           expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
         .withColumn("dow", col("day") % 7)
+        // pinned: the daily rollup feeds both pair sides, the seasonal
+        // rollup, and the tie rollup (round-13 fan-out rule)
+        .localCheckpoint(true)
       val a = daily.select(col("event_type").as("et"),
         col("dow").as("dw"), col("day").as("da"), col("n").as("na"))
       val b = daily.select(col("event_type").as("et2"),
@@ -1096,6 +1099,9 @@ object EventQueries {
         .groupBy("user_id")
         .agg(max(col("day")).as("r_day"), count(lit(1)).as("f_cnt"),
           sum(col("cents")).as("m_cents"))
+        // pinned: the user-grain rollup feeds the count AND the first
+        // rank layout's range sample (round-13 aggregate-input rule)
+        .localCheckpoint(true)
       val n = rfm.agg(count(lit(1)).as("n"))
       val ranked = Seq(("r_day", "rn_r"), ("f_cnt", "rn_f"),
         ("m_cents", "rn_m")).foldLeft(rfm) { case (df, (metric, out)) =>
@@ -1733,6 +1739,9 @@ object EventQueries {
       val byK = d.distinct().join(first, "user_id")
         .selectExpr("user_id", "(day - cohort_day) div 7 AS k")
         .groupBy("k").agg(countDistinct(col("user_id")).as("n"))
+        // pinned: the week-grain retention curve feeds the k=0 base AND
+        // the regression points (round-13 fan-out rule)
+        .localCheckpoint(true)
       val base = byK.filter(col("k") === 0).select(col("n").as("n0"))
       val pts = byK.crossJoin(broadcast(base))
         .filter(col("n") > 0 && col("n0") > 0)

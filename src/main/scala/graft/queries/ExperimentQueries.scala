@@ -468,6 +468,10 @@ object ExperimentQueries {
         .withColumn("stratum",
           when(col("n_ev") >= 8, 3L).when(col("n_ev") >= 4, 2L)
             .when(col("n_ev") >= 2, 1L).otherwise(0L))
+        // pinned: the user-grain frame feeds the total AND the stratum
+        // rollup — un-pinned, the modal window + revenue pipeline ran
+        // twice (round-13 fan-out rule)
+        .localCheckpoint(true)
       val tot = per.agg(count(lit(1)).as("n_all"))
       val st = per.groupBy("stratum")
         .agg(count(lit(1)).as("n_s"),

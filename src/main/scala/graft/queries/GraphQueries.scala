@@ -112,6 +112,9 @@ object GraphQueries {
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
+        // pinned: feeds the degree rollup (both endpoints) AND the
+        // moment join (round-13 fan-out rule)
+        .localCheckpoint(true)
       val deg = und.select(col("u").as("node"))
         .unionByName(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -204,9 +207,12 @@ object GraphQueries {
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
+      // pinned: the labeled edge table feeds the volume rollup, the cut
+      // filter, and the total (gr12's und/labels contract, round-13)
       val e2 = und
         .join(labels.select(col("node").as("u"), col("lab").as("la")), "u")
         .join(labels.select(col("node").as("v"), col("lab").as("lb")), "v")
+        .localCheckpoint(true)
       val vol = e2.select(col("la").as("lab"))
         .unionByName(e2.select(col("lb").as("lab")))
         .groupBy("lab").agg(count(lit(1)).as("vol"))
@@ -499,8 +505,12 @@ object GraphQueries {
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-      val adj = ue.select(col("u").as("node"), col("v").as("nb"))
-        .unionByName(ue.select(col("v").as("node"), col("u").as("nb")))
+      // pinned: ue feeds adj and the final anti-join; adj feeds the
+      // degree rollup and both wedge sides (round-13 fan-out rule)
+      val ueP = ue.localCheckpoint(true)
+      val adj = ueP.select(col("u").as("node"), col("v").as("nb"))
+        .unionByName(ueP.select(col("v").as("node"), col("u").as("nb")))
+        .localCheckpoint(true)
       val wterm = adj.groupBy(col("nb").as("w"))
         .agg(count(lit(1)).as("d"))
         .filter(col("d") > 1 && col("d") <= 50)
@@ -515,7 +525,7 @@ object GraphQueries {
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"),
           sum(col("term_micro")).as("aa_micro"))
-      pairs.join(ue.select(col("u").as("a"), col("v").as("b")),
+      pairs.join(ueP.select(col("u").as("a"), col("v").as("b")),
           Seq("a", "b"), "left_anti")
         .filter(col("aa_micro") >= 2000000L)
     },

@@ -493,6 +493,11 @@ object RelationalQueries {
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast("bigint").as("cents"))
         .groupBy("grp", "cents").agg(count(lit(1)).as("c"))
+        // pinned: GlobalRank's range sample re-executes its input, and
+        // this input is itself a full scan+aggregate — one pin replaces
+        // a second histogram pass (round-13; scan-grade inputs stay
+        // un-pinned, see d17's measured note)
+        .localCheckpoint(true)
       // price-cents cardinality SCALES with the corpus, so this
       // "histogram" is not domain-bounded: the cumulative pass rides the
       // grouped prefix sum (3-value grp would otherwise cap the window
@@ -1149,6 +1154,8 @@ object RelationalQueries {
         .groupBy(col("o_orderstatus").as("a"),
           col("o_orderpriority").as("b"))
         .agg(count(lit(1)).as("o"))
+        // pinned: feeds both marginals, the total, and the term join
+        .localCheckpoint(true)
       val ra = cells.groupBy("a").agg(sum(col("o")).as("rc"))
       val cb = cells.groupBy("b").agg(sum(col("o")).as("cc"))
       val tot = cells.agg(sum(col("o")).as("n"))
@@ -1605,6 +1612,9 @@ object RelationalQueries {
       val cells = Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("o"))
+        // pinned: the contingency table feeds the row/column marginals,
+        // the totals, and the term join (round-13 fan-out rule)
+        .localCheckpoint(true)
       val rows = cells.groupBy("o_orderstatus").agg(sum(col("o")).as("r"))
       val colsM = cells.groupBy("o_orderpriority").agg(sum(col("o")).as("c"))
       val dims = rows.agg(count(lit(1)).as("nr"))
@@ -1835,16 +1845,20 @@ object RelationalQueries {
         .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
         .select(expr("cast(round(o_totalprice) as bigint)").as("dollar"),
           (col("o_orderpriority") === "1-URGENT").as("is_a"))
+      // pinned: GlobalRank's range sample re-executes its input, and
+      // this input is an aggregate (value-grain CDF table) — one pin
+      // replaces a second full count rollup. Both CDFs then ride ONE
+      // layout pass (withGroupedPrefixSums) instead of two chained
+      // single-value calls.
       val byVal = o.groupBy("dollar").agg(
         sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
         .withColumn("g", lit(1))
-      val p1 = graft.operators.GlobalRank.withGroupedPrefixSum(byVal,
+        .localCheckpoint(true)
+      val p2 = graft.operators.GlobalRank.withGroupedPrefixSums(byVal,
         group = Seq("g"), order = Seq(col("dollar")),
-        value = col("c1"), out = "cum1", totOut = Some("n1"))
-      val p2 = graft.operators.GlobalRank.withGroupedPrefixSum(p1,
-        group = Seq("g"), order = Seq(col("dollar")),
-        value = col("c2"), out = "cum2", totOut = Some("n2"))
+        values = Seq((col("c1"), "cum1", Some("n1")),
+          (col("c2"), "cum2", Some("n2"))))
       p2.select(col("n1"), col("n2"),
           abs(col("cum1").cast(d38) * col("n2").cast(d38) -
             col("cum2").cast(d38) * col("n1").cast(d38)).as("dnum"))
@@ -1881,16 +1895,20 @@ object RelationalQueries {
         .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
         .select(expr("cast(round(o_totalprice) as bigint)").as("dollar"),
           (col("o_orderpriority") === "1-URGENT").as("is_a"))
+      // pinned: GlobalRank's range sample re-executes its input, and
+      // this input is an aggregate (value-grain CDF table) — one pin
+      // replaces a second full count rollup. Both CDFs then ride ONE
+      // layout pass (withGroupedPrefixSums) instead of two chained
+      // single-value calls.
       val byVal = o.groupBy("dollar").agg(
         sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
         .withColumn("g", lit(1))
-      val p1 = graft.operators.GlobalRank.withGroupedPrefixSum(byVal,
+        .localCheckpoint(true)
+      val p2 = graft.operators.GlobalRank.withGroupedPrefixSums(byVal,
         group = Seq("g"), order = Seq(col("dollar")),
-        value = col("c1"), out = "cum1", totOut = Some("n1"))
-      val p2 = graft.operators.GlobalRank.withGroupedPrefixSum(p1,
-        group = Seq("g"), order = Seq(col("dollar")),
-        value = col("c2"), out = "cum2", totOut = Some("n2"))
+        values = Seq((col("c1"), "cum1", Some("n1")),
+          (col("c2"), "cum2", Some("n2"))))
       val diff = col("cum1").cast(d38) * col("n2").cast(d38) -
         col("cum2").cast(d38) * col("n1").cast(d38)
       p2.select(col("n1"), col("n2"),

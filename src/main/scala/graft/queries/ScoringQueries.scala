@@ -364,6 +364,8 @@ object ScoringQueries {
         when(col("n_chars") >= 200, 1L).otherwise(0L).as("y"))
       val joint = d.groupBy("feature", "v", "y")
         .agg(count(lit(1)).as("c_vy"))
+        // pinned: the joint table feeds three marginals and the MI join
+        .localCheckpoint(true)
       val mv = joint.groupBy("feature", "v").agg(sum(col("c_vy")).as("c_v"))
       val my = joint.groupBy("feature", "y").agg(sum(col("c_vy")).as("c_y"))
       val n = joint.groupBy("feature").agg(sum(col("c_vy")).as("n"))
@@ -1091,6 +1093,10 @@ object ScoringQueries {
       import graft.operators.GlobalRank
       val d = docsSpread(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
+        // pinned: this narrow doc-grain projection feeds FOUR consumers
+        // (grouped rank, per-source counts, the global rank layout, and
+        // the corpus count) — un-pinned, each re-ran the scan+spread
+        .localCheckpoint(true)
       val ranked = GlobalRank.withGroupedRank(d, group = Seq("source"),
         order = Seq(col("n_chars"), col("doc_id")), tieBreak = Seq(),
         out = "r")

@@ -203,6 +203,9 @@ object TrainingDataQueries {
           group = Seq("source"),
           order = Seq(col("c").desc, col("tok").asc), out = "rn")
         .filter(col("rn") <= 200)
+        // pinned: ≤200×sources rows feeding the size rollup AND both
+        // self-join sides (round-13 fan-out rule)
+        .localCheckpoint(true)
       val sizes = top.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = top.select(col("source").as("sa"), col("tok"))
         .join(top.select(col("source").as("sb"), col("tok")), "tok")
@@ -319,6 +322,9 @@ object TrainingDataQueries {
         .select(col("source"),
           explode(Dedup.shinglesExpr(col("text"), 3)).as("sh"))
         .distinct()
+        // pinned: the (source, shingle) type table feeds the size
+        // rollup AND both self-join sides (round-13 fan-out rule)
+        .localCheckpoint(true)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -2087,6 +2093,9 @@ object TrainingDataQueries {
         .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val counts = bigrams.groupBy("source", "w1", "w2")
         .agg(count(lit(1)).as("c"))
+        // pinned: the type-grain count table feeds the context rollup,
+        // the LM join, and the scoring join (round-13 fan-out rule)
+        .localCheckpoint(true)
       val ctx = counts.groupBy("source", "w1").agg(sum(col("c")).as("cctx"))
       val lm = counts.join(ctx, Seq("source", "w1"))
         .select(col("source").as("lm_source"), col("w1"), col("w2"),
@@ -2122,8 +2131,10 @@ object TrainingDataQueries {
           explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
         .selectExpr("lang", "substr(t, i, 3) AS tri")
       val perLang = tris.groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // type-grain; feeds c3 AND the scoring join
       val c3 = perLang.groupBy("tri").agg(sum(col("c")).as("c3"))
         .withColumn("pre", expr("substr(tri, 1, 2)"))
+        .localCheckpoint(true) // feeds the bigram rollup AND the LM join
       val c2 = c3.groupBy("pre").agg(sum(col("c3")).as("c2"))
       val lm = c3.join(c2, "pre")
         .select(col("tri"),
@@ -2152,7 +2163,12 @@ object TrainingDataQueries {
     // grain, never corpus-grain.
     "lm7_jelinek_mercer" -> { (s, dir) =>
       val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+      // pinned (round-13 fan-out rule): the tokenized corpus feeds the
+      // bigram AND unigram explodes; the per-source type counts feed the
+      // corpus-count rollup AND the scoring join; the corpus counts feed
+      // the context rollup AND the LM join
       val base = docsSpread(s, dir).select(col("source"), toks.as("toks"))
+        .localCheckpoint(true)
       val bigrams = base.select(col("source"), explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -2160,7 +2176,9 @@ object TrainingDataQueries {
         .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val perSource = bigrams.groupBy("source", "w1", "w2")
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val counts = perSource.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
+        .localCheckpoint(true)
       val ctx = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
       val uni = base.select(explode(col("toks")).as("w2"))
         .groupBy("w2").agg(count(lit(1)).as("c2"))
@@ -2741,6 +2759,9 @@ object TrainingDataQueries {
             .as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("source", "token").agg(count(lit(1)).as("n"))
+        // pinned: the (source, token) type table feeds the totals and
+        // BOTH KL directions (5 references un-pinned; round-13 rule)
+        .localCheckpoint(true)
       val tot = tc.groupBy("source").agg(sum(col("n")).as("nt"))
       val pairs = tot.select(col("source").as("src_a"), col("nt").as("n_a"))
         .join(tot.select(col("source").as("src_b"), col("nt").as("n_b")),
@@ -2967,6 +2988,9 @@ object TrainingDataQueries {
             .as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("source", "token").agg(count(lit(1)).as("fi"))
+        // pinned: feeds the size rollup, the frequency rollup, and the
+        // dispersion join (round-13 fan-out rule)
+        .localCheckpoint(true)
       val sizes = tc.groupBy("source").agg(sum(col("fi")).as("si"))
       val totals = sizes.agg(sum(col("si")).as("s_tot"))
       val freqs = tc.groupBy("token").agg(sum(col("fi")).as("f"))
@@ -3345,6 +3369,9 @@ object TrainingDataQueries {
           posexplode(transform(col("embedding"),
             x => floor(x.cast("double") * 1000000).cast("long"))))
         .select(col("vec_id"), col("pos").as("dim"), col("col").as("v"))
+        // pinned: the lane table feeds the moment rollup AND the
+        // scoring join (round-13 fan-out rule)
+        .localCheckpoint(true)
       val st = lanes.groupBy("dim")
         .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("sx"),
           sum((col("v") * col("v")).cast(d38)).as("sxx"))
@@ -3487,6 +3514,7 @@ object TrainingDataQueries {
       val per = docsSpread(s, dir).groupBy("source")
         .agg(count(lit(1)).as("n"),
           sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("bad"))
+        .localCheckpoint(true) // feeds the totals AND the step join
       val tot = per.agg(sum(col("n")).as("tn"), sum(col("bad")).as("tbad"),
         count(lit(1)).as("k"))
       val m = per.crossJoin(broadcast(tot))
@@ -3522,6 +3550,9 @@ object TrainingDataQueries {
         .select(col("source"),
           TextAnalysis.tokenCount(col("text")).as("nt"))
         .groupBy("source").agg(sum(col("nt")).as("n"))
+        // pinned: the source rollup feeds the ranked window AND the
+        // budget total — un-pinned, the tokenize pass ran twice
+        .localCheckpoint(true)
       val byN = Window.orderBy(col("n").asc, col("source").asc)
       val ranked = per
         .withColumn("rn", row_number().over(byN))
