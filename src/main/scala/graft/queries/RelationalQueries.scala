@@ -1553,6 +1553,7 @@ object RelationalQueries {
       val per = rk.groupBy("grp").agg(count(lit(1)).as("ng"),
         sum((lit(2L) * col("rnk") + col("cnt") - lit(1L)).cast(d38))
           .as("s2r"))
+        .localCheckpoint(true) // group-grain; feeds the totals AND terms
       val ties = o.groupBy("cents").agg(count(lit(1)).as("t"))
         .agg(coalesce(sum(col("t").cast(d38) * col("t").cast(d38) *
           col("t").cast(d38) - col("t").cast(d38)),

@@ -187,15 +187,23 @@ object SqlQueries {
     * runs on DuckDB: every aggregate is the exact-decimal money-sum
     * idiom and the grouping flags cast to BIGINT in both engines. */
   private val groupingSets =
-    """SELECT l_returnflag, l_linestatus,
+    """WITH cell AS (
+      |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus,
       |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
       |CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-      |COUNT(*) AS n_rows,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-      |  AS sum_price
-      |FROM lineitem
+      |CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+      |CAST(SUM(sp) AS DOUBLE) AS sum_price
+      |FROM cell
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
       |  (l_returnflag), ())""".stripMargin
+  // ^ round-13: aggregate BEFORE the grouping-sets Expand — the flat
+  // form expanded every lineitem row 3× on the single scan task. The
+  // cell CTE's exact decimal partial sums re-aggregate losslessly
+  // (decimal addition is exact and associative; counts sum), so the
+  // rollup is byte-identical while the Expand runs over ~6 cells.
 
   /** Named-WINDOW clause through the SQL front end: two window
     * functions share one window definition (the deduplication the

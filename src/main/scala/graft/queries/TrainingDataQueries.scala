@@ -2400,6 +2400,7 @@ object TrainingDataQueries {
     "lm9_kn_discount" -> { (s, dir) =>
       val toks = split(TextAnalysis.normalizeText(col("text")), " ")
       val base = docsSpread(s, dir).select(toks.as("toks"))
+        .localCheckpoint(true) // feeds the unigram AND bigram explodes
       val uni = base
         .select(explode(col("toks")).as("w"))
         .filter(length(col("w")) > 0)
@@ -2434,6 +2435,9 @@ object TrainingDataQueries {
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val counts = bigrams.groupBy("w1", "w2")
         .agg(count(lit(1)).as("c12"))
+        // pinned: the type-grain count table feeds the context rollup,
+        // the continuation rollup, the total, and the KN join
+        .localCheckpoint(true)
       val ctx = counts.groupBy("w1")
         .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
       val cont = counts.groupBy("w2").agg(count(lit(1)).as("precede"))
@@ -3322,6 +3326,9 @@ object TrainingDataQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_all"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_gated"))
+        // pinned: feeds the totals AND the share projection — un-pinned,
+        // the quality-gate regex pass ran twice (round-13 fan-out rule)
+        .localCheckpoint(true)
       val tot = per.agg(sum(col("n_all")).as("t_all"),
         sum(col("n_gated")).as("t_gated"))
       per.crossJoin(broadcast(tot))
@@ -3429,6 +3436,9 @@ object TrainingDataQueries {
             .as("tok"))
         .filter(length(col("tok")) > 0)
         .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+        // pinned: feeds the corpus rollup, the source totals, and the
+        // KL join (round-13 fan-out rule)
+        .localCheckpoint(true)
       val ct = st.groupBy("tok").agg(sum(col("cst")).as("ct"))
       val ns = st.groupBy("source").agg(sum(col("cst")).as("ns"))
       val nc = ct.agg(sum(col("ct")).as("nc"))
