@@ -83,6 +83,10 @@ object Retrieval {
     val withTf = base.select(col(idCol) +: col("dl") +:
       terms.map(t => size(filter(col("toks"), x => x === lit(t)))
         .cast("bigint").as(tfCol(t))): _*)
+      // pinned: the narrow (id, dl, tf_*) frame feeds BOTH the scalar
+      // stats aggregate and the scoring pass — un-pinned, the
+      // tokenize + per-term count scan ran twice (round-13 fan-out rule)
+      .localCheckpoint(true)
     // one scalar row: corpus size, total tokens, per-term document freq —
     // broadcast back so scoring stays narrow
     val stats = withTf.agg(count(lit(1)).as("n"),
@@ -135,6 +139,10 @@ object Retrieval {
     val withTf = base.select(col(idCol) +: col("dl") +:
       terms.map(t => size(filter(col("toks"), x => x === lit(t)))
         .cast("bigint").as(tfCol(t))): _*)
+      // pinned: the narrow (id, dl, tf_*) frame feeds BOTH the scalar
+      // stats aggregate and the scoring pass — un-pinned, the
+      // tokenize + per-term count scan ran twice (round-13 fan-out rule)
+      .localCheckpoint(true)
     val stats = withTf.agg(sum(col("dl")).as("ctot"),
       terms.map(t => sum(col(tfCol(t))).as(s"cf_$t")): _*)
     val scored = withTf.crossJoin(broadcast(stats))
@@ -180,6 +188,8 @@ object Retrieval {
       .select(col(idCol) +: terms.map(t =>
         size(filter(col("toks"), x => x === lit(t)))
           .cast("bigint").as(tfCol(t))): _*)
+      // pinned — same fan-out as bm25's withTf (stats + scoring pass)
+      .localCheckpoint(true)
     val stats = withTf.agg(count(lit(1)).as("n"), terms.map(t =>
       sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
     val scored = withTf.crossJoin(broadcast(stats))
@@ -210,7 +220,11 @@ object Retrieval {
         explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
           .as("token"))
       .filter(length(col("token")) > 0)
+      // pinned: the token occurrences feed the vocabulary rollup AND the
+      // scoring join; the vocab counts feed the total AND the LM table
+      .localCheckpoint(true)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val total = counts.agg(sum(col("cnt")).as("tot"))
     // vocabulary-sized (word-level vocab ≈ millions at 100 TB — broadcast
     // comfortably); micro-nats are negative longs
