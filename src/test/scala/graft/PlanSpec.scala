@@ -337,13 +337,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p.take(2000))
   }
 
-  test("winnowing pairs: bucket equi-join, no cartesian; window is per-doc") {
+  test("winnowing pairs: bucket equi-join, no cartesian; no gram window") {
     val p = plan(SparkEntry.queries("dd12_winnowing")(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       p.take(2000))
-    // the window minimum must be partitioned by doc_id — a global
-    // (empty-partition) window would funnel every gram through one task
-    assert(p.contains("windowspecdefinition(doc_id"), p.take(2000))
+    // round-13: the w-window minimum moved INTO the row (zip-slice chain
+    // over the gram-hash array column — see winnowFingerprints), so the
+    // plan must carry NO window at all: neither the per-doc ROWS frame
+    // this pinned before, nor the global (empty-partition) funnel it was
+    // guarding against.
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
   }
 
   test("nearest as-of composes two sorted-window passes, no range join") {
