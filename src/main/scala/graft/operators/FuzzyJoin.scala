@@ -48,11 +48,11 @@ object FuzzyJoin {
     val lg = left.select(leftId.as("lid"), leftStr.as("lstr"))
       .select(col("lid"), col("lstr"),
         explode(charNgrams(col("lstr"), ngram)).as("g"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     val rg = right.select(rightId.as("rid"), rightStr.as("rstr"))
       .select(col("rid"), col("rstr"),
         explode(charNgrams(col("rstr"), ngram)).as("g"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     // stop-gram pruning: document frequency across BOTH sides
     val keep = lg.select(col("g")).unionAll(rg.select(col("g")))
       .groupBy("g").agg(count(lit(1)).as("df"))
@@ -76,7 +76,7 @@ object FuzzyJoin {
     val g = df.select(id.as("lid"), str.as("lstr"))
       .select(col("lid"), col("lstr"),
         explode(charNgrams(col("lstr"), ngram)).as("g"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     val keep = g.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") * 2 <= maxGramDf)
       .select("g")

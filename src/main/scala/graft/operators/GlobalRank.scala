@@ -205,6 +205,20 @@ object GlobalRank {
     n
   }
 
+  /** Pin an arbitrary (narrow, multiply-consumed) frame with the SAME
+    * owner-scoped lifecycle as a rank layout: eager guarded
+    * localCheckpoint, release handle registered with the calling
+    * thread's innermost open scope. Query-boundary owners (Bench,
+    * Verify, the audit sweeps) therefore free the blocks at each query
+    * boundary instead of letting hundreds of dead checkpoints ride the
+    * block manager for the rest of the catalog run — a bare
+    * `localCheckpoint(true)` measured as a progressive tail slowdown
+    * (last alphabetical decile 1.31× while every earlier decile
+    * improved) once the round-13 fan-out pins multiplied the call
+    * sites. Same post-release contract as every layout: the returned
+    * frame must be fully materialized inside the owning scope. */
+  def pinned(df: DataFrame): DataFrame = checkpointLayout(df)
+
   private def requireNarrow(df: DataFrame): Unit =
     require(df.columns.length <= MaxLayoutWidth,
       s"GlobalRank checkpoints its full input: got ${df.columns.length} " +

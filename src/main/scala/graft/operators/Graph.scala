@@ -226,7 +226,7 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
         when(uLower, col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint(true)
+      .transform(GlobalRank.pinned)
     val wedges = o.select(col("a"), col("b").as("p"))
       .join(o.select(col("a"), col("b").as("q")), Seq("a"))
       .filter(col("p") =!= col("q"))
@@ -260,7 +260,7 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
         when(uLower, col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint(true)
+      .transform(GlobalRank.pinned)
     val tri = o.select(col("a"), col("b").as("p"))
       .join(o.select(col("a"), col("b").as("q")), Seq("a"))
       .filter(col("p") =!= col("q"))
@@ -333,7 +333,7 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
         when(uLower, col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint(true) // 3 refs: both wedge sides + closure probe
+      .transform(GlobalRank.pinned) // 3 refs: both wedge sides + closure probe
     val wedges = o.select(col("a"), col("b").as("p"))
       .join(o.select(col("a"), col("b").as("q")), Seq("a"))
       .filter(col("p") =!= col("q"))

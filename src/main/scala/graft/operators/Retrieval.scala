@@ -86,7 +86,7 @@ object Retrieval {
       // pinned: the narrow (id, dl, tf_*) frame feeds BOTH the scalar
       // stats aggregate and the scoring pass — un-pinned, the
       // tokenize + per-term count scan ran twice (round-13 fan-out rule)
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     // one scalar row: corpus size, total tokens, per-term document freq —
     // broadcast back so scoring stays narrow
     val stats = withTf.agg(count(lit(1)).as("n"),
@@ -142,7 +142,7 @@ object Retrieval {
       // pinned: the narrow (id, dl, tf_*) frame feeds BOTH the scalar
       // stats aggregate and the scoring pass — un-pinned, the
       // tokenize + per-term count scan ran twice (round-13 fan-out rule)
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     val stats = withTf.agg(sum(col("dl")).as("ctot"),
       terms.map(t => sum(col(tfCol(t))).as(s"cf_$t")): _*)
     val scored = withTf.crossJoin(broadcast(stats))
@@ -189,7 +189,7 @@ object Retrieval {
         size(filter(col("toks"), x => x === lit(t)))
           .cast("bigint").as(tfCol(t))): _*)
       // pinned — same fan-out as bm25's withTf (stats + scoring pass)
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     val stats = withTf.agg(count(lit(1)).as("n"), terms.map(t =>
       sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
     val scored = withTf.crossJoin(broadcast(stats))
@@ -222,9 +222,9 @@ object Retrieval {
       .filter(length(col("token")) > 0)
       // pinned: the token occurrences feed the vocabulary rollup AND the
       // scoring join; the vocab counts feed the total AND the LM table
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     val total = counts.agg(sum(col("cnt")).as("tot"))
     // vocabulary-sized (word-level vocab ≈ millions at 100 TB — broadcast
     // comfortably); micro-nats are negative longs

@@ -1029,7 +1029,7 @@ object EventQueries {
         .withColumn("dow", col("day") % 7)
         // pinned: the daily rollup feeds both pair sides, the seasonal
         // rollup, and the tie rollup (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val a = daily.select(col("event_type").as("et"),
         col("dow").as("dw"), col("day").as("da"), col("n").as("na"))
       val b = daily.select(col("event_type").as("et2"),
@@ -1101,7 +1101,7 @@ object EventQueries {
           sum(col("cents")).as("m_cents"))
         // pinned: the user-grain rollup feeds the count AND the first
         // rank layout's range sample (round-13 aggregate-input rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val n = rfm.agg(count(lit(1)).as("n"))
       val ranked = Seq(("r_day", "rn_r"), ("f_cnt", "rn_f"),
         ("m_cents", "rn_m")).foldLeft(rfm) { case (df, (metric, out)) =>
@@ -1337,7 +1337,7 @@ object EventQueries {
       val pmat = trans.join(rowTot, "i")
         .select(col("i"), col("j"),
           expr("c * 1000000 div ct").as("p_micro"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val states = pmat.select(col("i").as("t")).distinct()
       val k = states.agg(count(lit(1)).as("k"))
       def step(pi: DataFrame): DataFrame =
@@ -1346,7 +1346,7 @@ object EventQueries {
           .agg(expr("sum(pv * p_micro) div 1000000").as("pi"))
       val pi0 = states.crossJoin(broadcast(k))
         .select(col("t"), expr("1000000 div k").as("pi"))
-      val pi2 = step(step(pi0)).localCheckpoint(true)
+      val pi2 = step(step(pi0)).transform(graft.operators.GlobalRank.pinned)
       val pi3 = step(pi2)
       pi3.join(pi2.select(col("t"), col("pi").as("pi_prev")), Seq("t"),
           "left")
@@ -1741,7 +1741,7 @@ object EventQueries {
         .groupBy("k").agg(countDistinct(col("user_id")).as("n"))
         // pinned: the week-grain retention curve feeds the k=0 base AND
         // the regression points (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val base = byK.filter(col("k") === 0).select(col("n").as("n0"))
       val pts = byK.crossJoin(broadcast(base))
         .filter(col("n") > 0 && col("n0") > 0)
@@ -1948,7 +1948,7 @@ object EventQueries {
           "nst * 1000000 div sum(nst) over (partition by prev_type)"))
         .select(col("prev_type").as("s"), col("event_type").as("t"),
           col("p_micro"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val states = p.select(col("s").as("state")).distinct()
       // max(k, 1): an empty chain yields an empty state set — the init
       // literal is then never used, but the driver division must not throw
@@ -1992,10 +1992,10 @@ object EventQueries {
         .select(col("prev_type").as("s"), col("event_type").as("t"),
           col("p_micro"))
         .filter(col("s") =!= "purchase")
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val q = p.filter(col("t") =!= "purchase")
       val states = p.select(col("s").as("state")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       var e = states.withColumn("e_micro", lit(0L))
       for (_ <- 1 to 8) {
         e = states.join(

@@ -187,7 +187,7 @@ object ExperimentQueries {
           .when(col("y") > col("hi"), col("hi")).otherwise(col("y")))
         .groupBy("arm")
         .agg(count(lit(1)).as("n"), sum(col("wy")).as("swy"))
-        .localCheckpoint(true) // arm-grain; read by both a0 and a1
+        .transform(graft.operators.GlobalRank.pinned) // arm-grain; read by both a0 and a1
       val a0 = st.filter(col("arm") === 0)
         .select(col("n").as("n0"), col("swy").as("s0"))
       val a1 = st.filter(col("arm") === 1)
@@ -471,7 +471,7 @@ object ExperimentQueries {
         // pinned: the user-grain frame feeds the total AND the stratum
         // rollup — un-pinned, the modal window + revenue pipeline ran
         // twice (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val tot = per.agg(count(lit(1)).as("n_all"))
       val st = per.groupBy("stratum")
         .agg(count(lit(1)).as("n_s"),
@@ -604,13 +604,13 @@ object ExperimentQueries {
           lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
         .withColumn("p_micro", expr(pMicroSql))
         .drop("x", "t")
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val cnt = withP.agg(count(lit(1)).as("m"))
       val ranked = withP.crossJoin(broadcast(cnt))
         .withColumn("i", row_number().over(
           Window.orderBy(col("p_micro").asc, col("segment").asc))
           .cast("bigint"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val kbh = ranked.agg(max(when(expr("p_micro * m <= 50000 * i"),
         col("i")).otherwise(0L)).as("kbh"))
       ranked.crossJoin(broadcast(kbh))
@@ -988,7 +988,7 @@ object ExperimentQueries {
         .withColumn("absd", abs(col("diff")))
         // pinned: `ties` below re-reads the user-grain rollup instead
         // of re-running the corpus aggregate (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val rk = graft.operators.GlobalRank.withGlobalRank(per,
           order = Seq(col("absd")), tieBreak = Seq(col("user_id")),
           out = "rnk")
@@ -1043,7 +1043,7 @@ object ExperimentQueries {
         .withColumn("arm", arm(col("user_id")))
         // pinned: `ties` below re-reads this user-grain rollup instead
         // of re-running the corpus aggregate (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val rk = graft.operators.GlobalRank.withGlobalRank(per,
           order = Seq(col("y")), tieBreak = Seq(col("user_id")),
           out = "rnk")
@@ -1052,7 +1052,7 @@ object ExperimentQueries {
       val byArm = rk.groupBy("arm").agg(count(lit(1)).as("n"),
         sum((lit(2L) * col("rnk") + col("cnt") - lit(1L)).cast(d38))
           .as("s2r"))
-        .localCheckpoint(true) // arm-grain; read by both a0 and a1
+        .transform(graft.operators.GlobalRank.pinned) // arm-grain; read by both a0 and a1
       // cast BEFORE the cube: a single tie group past ~2·10⁶ rows (the
       // y=0 mass at corpus scale) overflows t³ in int64
       val ties = per.groupBy("y").agg(count(lit(1)).as("t"))
@@ -1111,10 +1111,10 @@ object ExperimentQueries {
         .withColumn("arm", arm(col("user_id")))
         // pinned: feeds BOTH the observed stats and the 200-replica
         // explode — un-pinned, the corpus rollup ran twice
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val st = per.groupBy("arm").agg(count(lit(1)).as("n"),
         sum(col("y").cast(d38)).as("sy"))
-        .localCheckpoint(true) // arm-grain; read by both obs sides
+        .transform(graft.operators.GlobalRank.pinned) // arm-grain; read by both obs sides
       val obs = st.filter(col("arm") === 0)
         .select(col("n").as("n0"), col("sy").as("sy0"))
         .crossJoin(st.filter(col("arm") === 1)
@@ -1129,7 +1129,7 @@ object ExperimentQueries {
         sum(col("y").cast(d38)).as("rs"))
         // pinned: the replica table feeds both pseudo-arm sides —
         // un-pinned, the users×200 explode+rollup ran twice
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val r0 = rst.filter(col("parm") === 0).select(col("r"),
         col("rn").as("rn0"), col("rs").as("rs0"))
       val r1 = rst.filter(col("parm") === 1).select(col("r").as("r1"),

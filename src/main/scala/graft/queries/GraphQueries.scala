@@ -114,7 +114,7 @@ object GraphQueries {
         .filter(col("u") =!= col("v")).distinct()
         // pinned: feeds the degree rollup (both endpoints) AND the
         // moment join (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val deg = und.select(col("u").as("node"))
         .unionByName(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -212,7 +212,7 @@ object GraphQueries {
       val e2 = und
         .join(labels.select(col("node").as("u"), col("lab").as("la")), "u")
         .join(labels.select(col("node").as("v"), col("lab").as("lb")), "v")
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val vol = e2.select(col("la").as("lab"))
         .unionByName(e2.select(col("lb").as("lab")))
         .groupBy("lab").agg(count(lit(1)).as("vol"))
@@ -507,10 +507,10 @@ object GraphQueries {
         .filter(col("u") =!= col("v")).distinct()
       // pinned: ue feeds adj and the final anti-join; adj feeds the
       // degree rollup and both wedge sides (round-13 fan-out rule)
-      val ueP = ue.localCheckpoint(true)
+      val ueP = ue.transform(graft.operators.GlobalRank.pinned)
       val adj = ueP.select(col("u").as("node"), col("v").as("nb"))
         .unionByName(ueP.select(col("v").as("node"), col("u").as("nb")))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val wterm = adj.groupBy(col("nb").as("w"))
         .agg(count(lit(1)).as("d"))
         .filter(col("d") > 1 && col("d") <= 50)

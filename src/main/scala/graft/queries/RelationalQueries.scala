@@ -497,7 +497,7 @@ object RelationalQueries {
         // this input is itself a full scan+aggregate — one pin replaces
         // a second histogram pass (round-13; scan-grade inputs stay
         // un-pinned, see d17's measured note)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       // price-cents cardinality SCALES with the corpus, so this
       // "histogram" is not domain-bounded: the cumulative pass rides the
       // grouped prefix sum (3-value grp would otherwise cap the window
@@ -607,7 +607,7 @@ object RelationalQueries {
         // un-pinned, the distinct + per-order window ran twice (the two
         // branches end at a Window, not an Exchange, so exchange reuse
         // never fires)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       capped.alias("a")
         .join(capped.alias("b"), col("a.ok") === col("b.ok") &&
           col("a.pk") < col("b.pk"))
@@ -1155,7 +1155,7 @@ object RelationalQueries {
           col("o_orderpriority").as("b"))
         .agg(count(lit(1)).as("o"))
         // pinned: feeds both marginals, the total, and the term join
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val ra = cells.groupBy("a").agg(sum(col("o")).as("rc"))
       val cb = cells.groupBy("b").agg(sum(col("o")).as("cc"))
       val tot = cells.agg(sum(col("o")).as("n"))
@@ -1553,7 +1553,7 @@ object RelationalQueries {
       val per = rk.groupBy("grp").agg(count(lit(1)).as("ng"),
         sum((lit(2L) * col("rnk") + col("cnt") - lit(1L)).cast(d38))
           .as("s2r"))
-        .localCheckpoint(true) // group-grain; feeds the totals AND terms
+        .transform(graft.operators.GlobalRank.pinned) // group-grain; feeds the totals AND terms
       val ties = o.groupBy("cents").agg(count(lit(1)).as("t"))
         .agg(coalesce(sum(col("t").cast(d38) * col("t").cast(d38) *
           col("t").cast(d38) - col("t").cast(d38)),
@@ -1615,7 +1615,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("o"))
         // pinned: the contingency table feeds the row/column marginals,
         // the totals, and the term join (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val rows = cells.groupBy("o_orderstatus").agg(sum(col("o")).as("r"))
       val colsM = cells.groupBy("o_orderpriority").agg(sum(col("o")).as("c"))
       val dims = rows.agg(count(lit(1)).as("nr"))
@@ -1855,7 +1855,7 @@ object RelationalQueries {
         sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
         .withColumn("g", lit(1))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val p2 = graft.operators.GlobalRank.withGroupedPrefixSums(byVal,
         group = Seq("g"), order = Seq(col("dollar")),
         values = Seq((col("c1"), "cum1", Some("n1")),
@@ -1905,7 +1905,7 @@ object RelationalQueries {
         sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
         .withColumn("g", lit(1))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val p2 = graft.operators.GlobalRank.withGroupedPrefixSums(byVal,
         group = Seq("g"), order = Seq(col("dollar")),
         values = Seq((col("c1"), "cum1", Some("n1")),

@@ -365,7 +365,7 @@ object ScoringQueries {
       val joint = d.groupBy("feature", "v", "y")
         .agg(count(lit(1)).as("c_vy"))
         // pinned: the joint table feeds three marginals and the MI join
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val mv = joint.groupBy("feature", "v").agg(sum(col("c_vy")).as("c_v"))
       val my = joint.groupBy("feature", "y").agg(sum(col("c_vy")).as("c_y"))
       val n = joint.groupBy("feature").agg(sum(col("c_vy")).as("n"))
@@ -1096,7 +1096,7 @@ object ScoringQueries {
         // pinned: this narrow doc-grain projection feeds FOUR consumers
         // (grouped rank, per-source counts, the global rank layout, and
         // the corpus count) — un-pinned, each re-ran the scan+spread
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val ranked = GlobalRank.withGroupedRank(d, group = Seq("source"),
         order = Seq(col("n_chars"), col("doc_id")), tieBreak = Seq(),
         out = "r")

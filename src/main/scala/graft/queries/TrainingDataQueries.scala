@@ -205,7 +205,7 @@ object TrainingDataQueries {
         .filter(col("rn") <= 200)
         // pinned: ≤200×sources rows feeding the size rollup AND both
         // self-join sides (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val sizes = top.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = top.select(col("source").as("sa"), col("tok"))
         .join(top.select(col("source").as("sb"), col("tok")), "tok")
@@ -324,7 +324,7 @@ object TrainingDataQueries {
         .distinct()
         // pinned: the (source, shingle) type table feeds the size
         // rollup AND both self-join sides (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -473,14 +473,14 @@ object TrainingDataQueries {
       // next to the text they gate.
       val gated = TextAnalysis.qualityGate(docs)
         .filter(col("keep")).select("doc_id")
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val clusters = Dedup.connectedComponents(
         Dedup.minhashDedup(docs, threshold = 0.5).select("id_a", "id_b"))
       val deduped = gated.join(clusters, Seq("doc_id"), "left")
         .filter(col("cluster_id").isNull ||
           col("cluster_id") === col("doc_id"))
         .select("doc_id")
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       def stageCount(df: DataFrame, stage: String) =
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(stage).as("stage"), col("n_docs"))
@@ -1375,7 +1375,7 @@ object TrainingDataQueries {
       // exact ranking pinned: it feeds the hit join AND the query
       // universe (round-13 fan-out rule; sim5 likewise)
       val ex = sim1Frame(s, dir).select("query_id", "corpus_id", "rk")
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val ivf = sim3Frame(s, dir).select(col("query_id"),
         col("corpus_id"), col("rk").as("ivf_rk"))
       val hits = ex.join(ivf, Seq("query_id", "corpus_id"))
@@ -1401,7 +1401,7 @@ object TrainingDataQueries {
 
     "sim5_ivf_recall" -> { (s, dir) =>
       val ex = sim1Frame(s, dir).select("query_id", "corpus_id")
-        .localCheckpoint(true) // fan-out: hit join + query universe
+        .transform(graft.operators.GlobalRank.pinned) // fan-out: hit join + query universe
       val ivf = sim3Frame(s, dir).select("query_id", "corpus_id")
       val hits = ex.join(ivf, Seq("query_id", "corpus_id"))
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -2024,7 +2024,7 @@ object TrainingDataQueries {
       // probability join
       val base = docsSpread(s, dir).select(col("doc_id"),
         toksCol.as("toks"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val bigrams = base.select(col("doc_id"), explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -2032,7 +2032,7 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("bg.w1").as("w1"),
           col("bg.w2").as("w2"))
       val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val ctx = counts.groupBy("w1").agg(sum(col("c")).as("cctx"),
         count(lit(1)).as("t"))
       val uni = base.select(explode(col("toks")).as("w2"))
@@ -2095,7 +2095,7 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("c"))
         // pinned: the type-grain count table feeds the context rollup,
         // the LM join, and the scoring join (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val ctx = counts.groupBy("source", "w1").agg(sum(col("c")).as("cctx"))
       val lm = counts.join(ctx, Seq("source", "w1"))
         .select(col("source").as("lm_source"), col("w1"), col("w2"),
@@ -2131,10 +2131,10 @@ object TrainingDataQueries {
           explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
         .selectExpr("lang", "substr(t, i, 3) AS tri")
       val perLang = tris.groupBy("lang", "tri").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // type-grain; feeds c3 AND the scoring join
+        .transform(graft.operators.GlobalRank.pinned) // type-grain; feeds c3 AND the scoring join
       val c3 = perLang.groupBy("tri").agg(sum(col("c")).as("c3"))
         .withColumn("pre", expr("substr(tri, 1, 2)"))
-        .localCheckpoint(true) // feeds the bigram rollup AND the LM join
+        .transform(graft.operators.GlobalRank.pinned) // feeds the bigram rollup AND the LM join
       val c2 = c3.groupBy("pre").agg(sum(col("c3")).as("c2"))
       val lm = c3.join(c2, "pre")
         .select(col("tri"),
@@ -2168,7 +2168,7 @@ object TrainingDataQueries {
       // corpus-count rollup AND the scoring join; the corpus counts feed
       // the context rollup AND the LM join
       val base = docsSpread(s, dir).select(col("source"), toks.as("toks"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val bigrams = base.select(col("source"), explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -2176,9 +2176,9 @@ object TrainingDataQueries {
         .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val perSource = bigrams.groupBy("source", "w1", "w2")
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val counts = perSource.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val ctx = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
       val uni = base.select(explode(col("toks")).as("w2"))
         .groupBy("w2").agg(count(lit(1)).as("c2"))
@@ -2233,12 +2233,12 @@ object TrainingDataQueries {
       // own per-doc count join and `kept` both sides of the pair
       // self-join (dd13's fix).
       val fps = Dedup.winnowFingerprints(docsSpread(s, dir))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(keep, "fp").localCheckpoint(true)
+      val kept = perDoc.join(keep, "fp").transform(graft.operators.GlobalRank.pinned)
       kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),
@@ -2275,15 +2275,15 @@ object TrainingDataQueries {
       // kept feeds both sides of the pair self-join.
       val toks = docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val exactKept = Dedup.exactDedup(docs)
         .select(col("keep_id").as("doc_id"))
-      val fps = Dedup.winnowFingerprints(docs).localCheckpoint(true)
+      val fps = Dedup.winnowFingerprints(docs).transform(graft.operators.GlobalRank.pinned)
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val hot = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(hot, "fp").localCheckpoint(true)
+      val kept = perDoc.join(hot, "fp").transform(graft.operators.GlobalRank.pinned)
       val pairs = kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),
@@ -2400,7 +2400,7 @@ object TrainingDataQueries {
     "lm9_kn_discount" -> { (s, dir) =>
       val toks = split(TextAnalysis.normalizeText(col("text")), " ")
       val base = docsSpread(s, dir).select(toks.as("toks"))
-        .localCheckpoint(true) // feeds the unigram AND bigram explodes
+        .transform(graft.operators.GlobalRank.pinned) // feeds the unigram AND bigram explodes
       val uni = base
         .select(explode(col("toks")).as("w"))
         .filter(length(col("w")) > 0)
@@ -2437,7 +2437,7 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("c12"))
         // pinned: the type-grain count table feeds the context rollup,
         // the continuation rollup, the total, and the KN join
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val ctx = counts.groupBy("w1")
         .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
       val cont = counts.groupBy("w2").agg(count(lit(1)).as("precede"))
@@ -2765,7 +2765,7 @@ object TrainingDataQueries {
         .groupBy("source", "token").agg(count(lit(1)).as("n"))
         // pinned: the (source, token) type table feeds the totals and
         // BOTH KL directions (5 references un-pinned; round-13 rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val tot = tc.groupBy("source").agg(sum(col("n")).as("nt"))
       val pairs = tot.select(col("source").as("src_a"), col("nt").as("n_a"))
         .join(tot.select(col("source").as("src_b"), col("nt").as("n_b")),
@@ -2994,7 +2994,7 @@ object TrainingDataQueries {
         .groupBy("source", "token").agg(count(lit(1)).as("fi"))
         // pinned: feeds the size rollup, the frequency rollup, and the
         // dispersion join (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val sizes = tc.groupBy("source").agg(sum(col("fi")).as("si"))
       val totals = sizes.agg(sum(col("si")).as("s_tot"))
       val freqs = tc.groupBy("token").agg(sum(col("fi")).as("f"))
@@ -3035,12 +3035,12 @@ object TrainingDataQueries {
       // count join and `kept` feeds BOTH sides of the pair self-join —
       // un-pinned, the rolling-window fingerprint subtree is re-embedded
       // (and the per-row hashing re-run) four times in the final plan.
-      val fps = Dedup.winnowFingerprints(docs).localCheckpoint(true)
+      val fps = Dedup.winnowFingerprints(docs).transform(graft.operators.GlobalRank.pinned)
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(keep, "fp").localCheckpoint(true)
+      val kept = perDoc.join(keep, "fp").transform(graft.operators.GlobalRank.pinned)
       val wn = kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),
@@ -3080,7 +3080,7 @@ object TrainingDataQueries {
           col("label").as("q_label")), "query_id")
         .join(labels.select(col("vec_id").as("corpus_id"),
           col("label").as("c_label")), "corpus_id")
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val pos = ranked.filter(col("q_label") === col("c_label"))
         .withColumn("rk2", row_number().over(
           Window.partitionBy(col("query_id"))
@@ -3114,7 +3114,7 @@ object TrainingDataQueries {
       // Pin the exact ranking once: it feeds both the first-relevant
       // rollup and the query-universe distinct — un-pinned, the scoring
       // crossJoin+window subtree runs twice.
-      val base = sim1Frame(s, dir).localCheckpoint(true)
+      val base = sim1Frame(s, dir).transform(graft.operators.GlobalRank.pinned)
       val ranked = base
         .join(labels.select(col("vec_id").as("query_id"),
           col("label").as("q_label")), "query_id")
@@ -3328,7 +3328,7 @@ object TrainingDataQueries {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_gated"))
         // pinned: feeds the totals AND the share projection — un-pinned,
         // the quality-gate regex pass ran twice (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val tot = per.agg(sum(col("n_all")).as("t_all"),
         sum(col("n_gated")).as("t_gated"))
       per.crossJoin(broadcast(tot))
@@ -3378,7 +3378,7 @@ object TrainingDataQueries {
         .select(col("vec_id"), col("pos").as("dim"), col("col").as("v"))
         // pinned: the lane table feeds the moment rollup AND the
         // scoring join (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val st = lanes.groupBy("dim")
         .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("sx"),
           sum((col("v") * col("v")).cast(d38)).as("sxx"))
@@ -3438,7 +3438,7 @@ object TrainingDataQueries {
         .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
         // pinned: feeds the corpus rollup, the source totals, and the
         // KL join (round-13 fan-out rule)
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val ct = st.groupBy("tok").agg(sum(col("cst")).as("ct"))
       val ns = st.groupBy("source").agg(sum(col("cst")).as("ns"))
       val nc = ct.agg(sum(col("ct")).as("nc"))
@@ -3524,7 +3524,7 @@ object TrainingDataQueries {
       val per = docsSpread(s, dir).groupBy("source")
         .agg(count(lit(1)).as("n"),
           sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("bad"))
-        .localCheckpoint(true) // feeds the totals AND the step join
+        .transform(graft.operators.GlobalRank.pinned) // feeds the totals AND the step join
       val tot = per.agg(sum(col("n")).as("tn"), sum(col("bad")).as("tbad"),
         count(lit(1)).as("k"))
       val m = per.crossJoin(broadcast(tot))
@@ -3562,7 +3562,7 @@ object TrainingDataQueries {
         .groupBy("source").agg(sum(col("nt")).as("n"))
         // pinned: the source rollup feeds the ranked window AND the
         // budget total — un-pinned, the tokenize pass ran twice
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val byN = Window.orderBy(col("n").asc, col("source").asc)
       val ranked = per
         .withColumn("rn", row_number().over(byN))
