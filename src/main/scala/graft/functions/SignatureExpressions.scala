@@ -126,6 +126,81 @@ object SimhashSignature {
   }
 }
 
+/** Winnowing (Schleimer–Wilkerson–Aiken) fingerprint selection as ONE
+  * fused per-row kernel: hash every `k`-char gram of the (already
+  * normalized) text with [[Md5Hash.prefix60]], take the minimum of each
+  * `w`-gram window (tail windows shrink), and return the
+  * first-occurrence-ordered distinct minima.
+  *
+  * This replaces the round-13 zip-slice formulation in
+  * [[graft.operators.Dedup.winnowFingerprints]] — a
+  * `transform(sequence(...), md5…)` gram pass plus a w−1-step
+  * `zip_with(…, least)` chain. Higher-order functions are
+  * CodegenFallback and re-enter interpreted Catalyst eval per array
+  * ELEMENT (plus one array allocation per zip_with step); the driver's
+  * round-13 bench billed that interpretation at ~11% on dd12 and pipe2.
+  * Here the whole selection is one compiled loop per document: grams are
+  * hashed once, the rolling minimum is computed in place, and duplicates
+  * never leave the row. Gram/window/dedup semantics are bit-identical to
+  * the chain (same `substr`, same md5 prefix, `least`-skips-null tail
+  * shrink, `array_distinct` first-occurrence order), so the DuckDB
+  * winnow oracles still hash-match. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"need k, w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  protected override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(WinnowFingerprints.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.WinnowFingerprints.compute($c, $k, $w))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : Expression = copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Distinct rolling-window minima of the k-gram hash sequence.
+    * Matches the zip-slice chain exactly:
+    *  - nGrams = max(numChars − (k−1), 1): strings shorter than one gram
+    *    contribute their whole text as the single gram (`substr`
+    *    truncates at the end in Spark and DuckDB alike);
+    *  - window j (0-based, j < nWins = max(nGrams − (w−1), 1)) is
+    *    min(h[j .. min(j+w, nGrams)−1]) — the chain's null-padded
+    *    `least` makes tail windows shrink the same way;
+    *  - output keeps first-occurrence order (array_distinct's rule). */
+  def compute(t: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int)
+  : Array[Long] = {
+    val nGrams = math.max(t.numChars() - (k - 1), 1)
+    val h = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      h(i) = Md5Hash.prefix60(t.substringSQL(i + 1, k))
+      i += 1
+    }
+    val nWins = math.max(nGrams - (w - 1), 1)
+    val seen = new java.util.HashSet[Long](math.min(nWins, 64))
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var j = 0
+    while (j < nWins) {
+      var m = h(j)
+      var x = j + 1
+      val end = math.min(j + w, nGrams)
+      while (x < end) { if (h(x) < m) m = h(x); x += 1 }
+      if (seen.add(m)) out += m
+      j += 1
+    }
+    out.result()
+  }
+}
+
 object SignatureExpressions {
   /** Fused MinHash signature of an Array[Long] base-hash column. */
   def minhashSig(hashes: Column, numHashes: Int): Column =
@@ -135,4 +210,13 @@ object SignatureExpressions {
   /** Fused 60-bit SimHash of an Array[Long] hash column. */
   def simhashSig(hashes: Column): Column =
     ColumnBridge.column(SimhashSignature(ColumnBridge.expr(hashes)))
+
+  /** Fused winnowing fingerprint selection over a normalized-text
+    * column: distinct w-window k-gram-hash minima, first-occurrence
+    * order. NULL text yields NULL (callers keep the chain's
+    * one-null-fp-row contract explicitly — see
+    * [[graft.operators.Dedup.winnowFingerprints]]). */
+  def winnowFps(normalizedText: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprints(ColumnBridge.expr(normalizedText), k, w))
 }

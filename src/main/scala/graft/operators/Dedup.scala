@@ -124,46 +124,32 @@ object Dedup {
     * shared substring of length ≥ w + k − 1 contributes at least one
     * shared fingerprint — character-level near-dup detection is
     * deterministic, not MinHash-probabilistic, and catches splice edits
-    * word-shingle signatures smear out. PER-ROW ARRAY form (round-13):
-    * the gram-hash array materializes as a column (one md5 per gram —
-    * multi-referenced non-cheap aliases stay un-inlined, so no
-    * per-element re-hash), and the w-window minimum is a chain of w−1
-    * `zip_with(…, least)` against the array's own shifted slices —
-    * O(n·w) per document, the shingle zip-slice trick. This replaces
-    * the row form (explode to gram grain → md5 per row → ROWS-frame
-    * window min → corpus-grain distinct), which paid a corpus×length
-    * explode, a per-doc window sort, and a distinct shuffle; per-row
-    * `array_distinct` now dedups before anything leaves the row.
-    * (The naive array-HOF formulation — transform over positions with
-    * `array_min(slice(hs, j, w))`, hs referenced ONCE — is still O(n²):
-    * CollapseProject inlines single-referenced non-cheap aliases into
-    * the lambda body, re-running the hash transform per element; the
-    * zip_with chain references hs w times, which keeps it staged.)
-    * Short docs (< k chars) yield their whole text as the single gram in
-    * both this and the oracle formulation. Returns one row per distinct
-    * (id, fp). */
+    * word-shingle signatures smear out. FUSED-KERNEL form (round-14):
+    * the whole selection — gram hashing, rolling w-window minimum,
+    * first-occurrence distinct — is ONE compiled loop per document
+    * ([[graft.functions.WinnowFingerprints]]), so nothing leaves the row
+    * until the distinct fingerprints explode. The round-13 zip-slice
+    * chain (gram-hash `transform` + w−1 `zip_with(…, least)` steps) had
+    * the right plan shape (no explode-to-gram-grain, no per-doc window,
+    * no distinct shuffle) but ran INTERPRETED: higher-order functions
+    * are CodegenFallback and re-enter Catalyst eval per array element —
+    * the driver's round-13 bench billed that at −11% on dd12/pipe2.
+    * The kernel keeps the zip-slice plan shape and computes the
+    * identical fingerprint multiset (same `substr` grams, same md5
+    * prefix, same shrinking tail windows, same first-occurrence dedup —
+    * PropertySpec pins kernel ≡ chain), so the DuckDB oracles still
+    * hash-match. Short docs (< k chars) yield their whole text as the
+    * single gram in both this and the oracle formulation; a NULL text
+    * keeps the chain's one-null-fp-row behavior via the explicit
+    * when-branch. Returns one row per distinct (id, fp). */
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text",
                          k: Int = 7, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k, w >= 1, got k=$k w=$w")
-    val base = df
-      .select(col(idCol), normalizeText(col(textCol)).as("t"))
-      .withColumn("n_grams",
-        greatest(length(col("t")) - lit(k - 1), lit(1)))
-      .select(col(idCol), col("n_grams"),
-        transform(sequence(lit(1), col("n_grams")),
-          i => md5Prefix60(col("t").substr(i, lit(k)))).as("h"))
-    // rolling min of h[i..i+w-1]: fold `least` over the w−1 shifted
-    // slices; zip_with pads the shorter tail with nulls and `least`
-    // skips them, so tail windows shrink exactly like the ROWS frame did
-    val mins = (1 until w).foldLeft(col("h")) { (acc, s) =>
-      zip_with(acc, slice(col("h"), lit(s + 1), col("n_grams")),
-        (a, b) => least(a, b))
-    }
-    base.select(col(idCol),
-      explode(array_distinct(
-        slice(mins, lit(1), greatest(col("n_grams") - lit(w - 1), lit(1)))))
-        .as("fp"))
+    df.select(col(idCol),
+      explode(when(col(textCol).isNull, array(lit(null).cast("long")))
+        .otherwise(graft.functions.SignatureExpressions.winnowFps(
+          normalizeText(col(textCol)), k, w))).as("fp"))
   }
 
   /** MinHash+LSH near-dup candidate pairs: split the signature into

@@ -43,16 +43,21 @@ object FuzzyJoin {
   def candidatePairs(left: DataFrame, leftId: Column, leftStr: Column,
                      right: DataFrame, rightId: Column, rightStr: Column,
                      ngram: Int = 4, maxGramDf: Long = 1000): DataFrame = {
-    // Both gram tables are pinned once: each feeds the df rollup AND the
-    // candidate join — un-pinned, the explode ran twice per side.
+    // GRAIN (round-14 audit): the exploded gram tables are OCCURRENCE-
+    // grain (~|string| rows per record — bytes comparable to the input),
+    // so the round-13 unconditional pins are size-gated: below the gate
+    // each table materializes once and feeds the df rollup AND the
+    // candidate join; above it (corpus scale) the explode re-runs per
+    // consumer — a scan-parallel recompute instead of writing the
+    // exploded corpus through the block manager.
     val lg = left.select(leftId.as("lid"), leftStr.as("lstr"))
       .select(col("lid"), col("lstr"),
         explode(charNgrams(col("lstr"), ngram)).as("g"))
-      .transform(graft.operators.GlobalRank.pinned)
+      .transform(graft.operators.GlobalRank.pinnedIfSmall)
     val rg = right.select(rightId.as("rid"), rightStr.as("rstr"))
       .select(col("rid"), col("rstr"),
         explode(charNgrams(col("rstr"), ngram)).as("g"))
-      .transform(graft.operators.GlobalRank.pinned)
+      .transform(graft.operators.GlobalRank.pinnedIfSmall)
     // stop-gram pruning: document frequency across BOTH sides
     val keep = lg.select(col("g")).unionAll(rg.select(col("g")))
       .groupBy("g").agg(count(lit(1)).as("df"))
@@ -73,10 +78,13 @@ object FuzzyJoin {
   def selfCandidatePairs(df: DataFrame, id: Column, str: Column,
                          ngram: Int = 4, maxGramDf: Long = 1000)
   : DataFrame = {
+    // GRAIN: occurrence-grain gram table — size-gated pin (see
+    // candidatePairs); the three consumers (df rollup + both join
+    // sides) fall back to explode re-runs above the gate.
     val g = df.select(id.as("lid"), str.as("lstr"))
       .select(col("lid"), col("lstr"),
         explode(charNgrams(col("lstr"), ngram)).as("g"))
-      .transform(graft.operators.GlobalRank.pinned)
+      .transform(graft.operators.GlobalRank.pinnedIfSmall)
     val keep = g.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") * 2 <= maxGramDf)
       .select("g")

@@ -219,6 +219,39 @@ object GlobalRank {
     * frame must be fully materialized inside the owning scope. */
   def pinned(df: DataFrame): DataFrame = checkpointLayout(df)
 
+  /** Conf key for [[pinnedIfSmall]]'s size gate (bytes). Default 1 GiB:
+    * far above every multiply-consumed frame the local fixtures produce
+    * (the sf0.1 corpus is <1 MB of parquet), far below any corpus-derived
+    * frame at production scale, and small next to a single executor's
+    * storage memory — a pin under the gate is always cheap to hold. */
+  val PinMaxBytesConf = "spark.graft.pin.maxBytes"
+
+  /** COST-CONDITIONAL [[pinned]] (round-14 grain audit): pin only when
+    * the optimizer's size estimate for the frame is at most
+    * [[PinMaxBytesConf]] (default 1 GiB). For frames whose bytes are
+    * comparable to their INPUT's — exploded gram/token/fingerprint
+    * tables, tokenized-corpus projections — an eager localCheckpoint at
+    * 100 TB writes the whole exploded corpus through the block manager
+    * (a §5 spill/IO bill) to save re-runs of a scan-parallel subtree
+    * that the shuffle layer often shares anyway (ReusedExchange fires
+    * wherever two consumers end at identically-keyed exchanges). Below
+    * the gate the recompute-vs-materialize tradeoff flips: the write is
+    * trivial and the saved subtree re-execution is pure win, so small
+    * inputs (and every local fixture) keep round-13's pinned plan.
+    * Catalyst's estimate scales with the scanned input (parquet file
+    * bytes × projection/explode factors), which is exactly the signal
+    * needed — the gate is scale-adaptive, not a local[32] tune. Frames
+    * that REDUCE their input by orders of magnitude (per-doc stat
+    * rollups, type-grain count tables, id-grain gates) should stay on
+    * the unconditional [[pinned]]: for those the pin is the §8
+    * "lightweight proxy" materialization and is right at every scale. */
+  def pinnedIfSmall(df: DataFrame): DataFrame = {
+    val maxBytes = df.sparkSession.conf
+      .get(PinMaxBytesConf, (1L << 30).toString).toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) checkpointLayout(df) else df
+  }
+
   private def requireNarrow(df: DataFrame): Unit =
     require(df.columns.length <= MaxLayoutWidth,
       s"GlobalRank checkpoints its full input: got ${df.columns.length} " +

@@ -83,9 +83,13 @@ object Retrieval {
     val withTf = base.select(col(idCol) +: col("dl") +:
       terms.map(t => size(filter(col("toks"), x => x === lit(t)))
         .cast("bigint").as(tfCol(t))): _*)
-      // pinned: the narrow (id, dl, tf_*) frame feeds BOTH the scalar
-      // stats aggregate and the scoring pass — un-pinned, the
-      // tokenize + per-term count scan ran twice (round-13 fan-out rule)
+      // GRAIN (round-14 audit): DOC-grain and narrow — id + dl + one
+      // small int per term, ~40 B/doc ≈ 1e-4 of the scanned corpus bytes
+      // at any scale. This is §8's "decide with small rows" proxy table:
+      // pinning it once saves a second full corpus tokenize (the stats
+      // aggregate AND the scoring pass both consume it), so the pin
+      // stays UNCONDITIONAL — the reduction ratio, not the fixture size,
+      // is what justifies it.
       .transform(graft.operators.GlobalRank.pinned)
     // one scalar row: corpus size, total tokens, per-term document freq —
     // broadcast back so scoring stays narrow
@@ -139,9 +143,8 @@ object Retrieval {
     val withTf = base.select(col(idCol) +: col("dl") +:
       terms.map(t => size(filter(col("toks"), x => x === lit(t)))
         .cast("bigint").as(tfCol(t))): _*)
-      // pinned: the narrow (id, dl, tf_*) frame feeds BOTH the scalar
-      // stats aggregate and the scoring pass — un-pinned, the
-      // tokenize + per-term count scan ran twice (round-13 fan-out rule)
+      // GRAIN: doc-grain narrow proxy table (~40 B/doc) — unconditional
+      // pin; see bm25's grain note.
       .transform(graft.operators.GlobalRank.pinned)
     val stats = withTf.agg(sum(col("dl")).as("ctot"),
       terms.map(t => sum(col(tfCol(t))).as(s"cf_$t")): _*)
@@ -188,7 +191,8 @@ object Retrieval {
       .select(col(idCol) +: terms.map(t =>
         size(filter(col("toks"), x => x === lit(t)))
           .cast("bigint").as(tfCol(t))): _*)
-      // pinned — same fan-out as bm25's withTf (stats + scoring pass)
+      // GRAIN: doc-grain narrow proxy table — unconditional pin; see
+      // bm25's grain note (same stats + scoring fan-out).
       .transform(graft.operators.GlobalRank.pinned)
     val stats = withTf.agg(count(lit(1)).as("n"), terms.map(t =>
       sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
@@ -220,9 +224,15 @@ object Retrieval {
         explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
           .as("token"))
       .filter(length(col("token")) > 0)
-      // pinned: the token occurrences feed the vocabulary rollup AND the
-      // scoring join; the vocab counts feed the total AND the LM table
-      .transform(graft.operators.GlobalRank.pinned)
+      // GRAIN (round-14 audit): token-OCCURRENCE grain — one row per
+      // corpus token, bytes ≈ the corpus — so the round-13 pin is
+      // size-gated: it feeds the vocabulary rollup AND the scoring join,
+      // and above the gate those two consumers re-run the tokenize
+      // (scan-parallel) rather than write the exploded corpus through
+      // the block manager.
+      .transform(graft.operators.GlobalRank.pinnedIfSmall)
+    // GRAIN: vocabulary/type grain (≈ millions of rows at 100 TB) —
+    // stays unconditionally pinned; it feeds the total AND the LM table.
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
       .transform(graft.operators.GlobalRank.pinned)
     val total = counts.agg(sum(col("cnt")).as("tot"))

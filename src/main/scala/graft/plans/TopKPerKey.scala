@@ -144,6 +144,16 @@ object TopKPerKey {
       else if (grouping.isEmpty) Seq(AllTuples)
       else Seq(ClusteredDistribution(grouping))
 
+    // Rows never move between partitions here (mapPartitions), so the
+    // child's partitioning survives — without this override the node
+    // reported UnknownPartitioning and EVERY downstream operator keyed
+    // on the same grouping re-exchanged rows the final phase had just
+    // clustered (j7's basket rollup paid one full extra shuffle).
+    // Ordering is NOT propagated: heaps drain per key, not sorted.
+    override def outputPartitioning
+    : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      child.outputPartitioning
+
     override protected def doExecute(): RDD[InternalRow] = {
       val schema = child.output
       val groupingExprs = grouping

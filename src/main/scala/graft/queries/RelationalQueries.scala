@@ -603,15 +603,23 @@ object RelationalQueries {
       val w = Window.partitionBy(col("ok")).orderBy(col("pk"))
       val capped = items.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 8).select("ok", "pk")
-        // pinned: both self-join sides read the SAME capped basket —
-        // un-pinned, the distinct + per-order window ran twice (the two
-        // branches end at a Window, not an Exchange, so exchange reuse
-        // never fires)
-        .transform(graft.operators.GlobalRank.pinned)
-      capped.alias("a")
-        .join(capped.alias("b"), col("a.ok") === col("b.ok") &&
-          col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      // Round 14: the pair generation is no longer a capped-basket
+      // SELF-JOIN (2 exchanges + the r13 pin that the driver billed at
+      // −23%): each order's ≤8 sorted parts roll up into ONE array row —
+      // the rollup is keyed by `ok` exactly like the TopKPerKey cap
+      // above it, so it adds no exchange — and the ≤C(8,2)=28 pairs per
+      // order are emitted row-locally from the array (tiny arrays, so
+      // the HOF's interpreted eval is bounded by the cap, not the
+      // basket). One pair-keyed exchange remains: the final rollup.
+      val baskets = capped.groupBy("ok")
+        .agg(sort_array(collect_list(col("pk"))).as("parts"))
+      baskets
+        .select(explode(flatten(transform(col("parts"),
+          (x, i) => transform(
+            slice(col("parts"), i + lit(2),
+              greatest(size(col("parts")) - i - 1, lit(0))),
+            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
     },

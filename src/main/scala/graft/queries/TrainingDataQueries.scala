@@ -466,21 +466,20 @@ object TrainingDataQueries {
     // CASE nested in DuckDB).
     "pipe1_curation_funnel" -> { (s, dir) =>
       val docs = docsSpread(s, dir)
-      // Pin the id-grain funnel stages: `gated` feeds its own stage
-      // count AND the dedup join (un-pinned, the quality-gate regexes
-      // run twice over the corpus), `deduped` feeds its stage count AND
-      // the split rollup. Both frames are one id column — metadata-sized
-      // next to the text they gate.
+      // Round 14: the r13 gated/deduped pins are GONE. The driver's
+      // cold-JVM bench billed them at −22% on this query: `clusters`
+      // already ends at connectedComponents' own checkpointed labels, so
+      // re-deriving `deduped` per consumer is a cheap join of small
+      // frames, and the quality-gate regex pass the `gated` pin saved is
+      // cheaper than the two extra materialization jobs the pins cost.
       val gated = TextAnalysis.qualityGate(docs)
         .filter(col("keep")).select("doc_id")
-        .transform(graft.operators.GlobalRank.pinned)
       val clusters = Dedup.connectedComponents(
         Dedup.minhashDedup(docs, threshold = 0.5).select("id_a", "id_b"))
       val deduped = gated.join(clusters, Seq("doc_id"), "left")
         .filter(col("cluster_id").isNull ||
           col("cluster_id") === col("doc_id"))
         .select("doc_id")
-        .transform(graft.operators.GlobalRank.pinned)
       def stageCount(df: DataFrame, stage: String) =
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(stage).as("stage"), col("n_docs"))
@@ -2018,13 +2017,16 @@ object TrainingDataQueries {
     "lm10_witten_bell" -> { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val toksCol = split(TextAnalysis.normalizeText(col("text")), " ")
-      // tokenized corpus pinned once: it feeds the bigram explode AND
-      // the unigram explode (round-13 fan-out rule); the type-grain
-      // count table is pinned too — it feeds the context rollup AND the
-      // probability join
+      // GRAIN (round-14 audit): the tokenized corpus is corpus-bytes
+      // (the token array IS the text) — its round-13 pin is size-gated:
+      // below the gate it feeds the bigram AND unigram explodes from one
+      // materialization; above it each explode re-tokenizes (scan-
+      // parallel) instead of writing corpus bytes through the block
+      // manager. The type-grain count table stays unconditionally
+      // pinned — it feeds the context rollup AND the probability join.
       val base = docsSpread(s, dir).select(col("doc_id"),
         toksCol.as("toks"))
-        .transform(graft.operators.GlobalRank.pinned)
+        .transform(graft.operators.GlobalRank.pinnedIfSmall)
       val bigrams = base.select(col("doc_id"), explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -2163,12 +2165,13 @@ object TrainingDataQueries {
     // grain, never corpus-grain.
     "lm7_jelinek_mercer" -> { (s, dir) =>
       val toks = split(TextAnalysis.normalizeText(col("text")), " ")
-      // pinned (round-13 fan-out rule): the tokenized corpus feeds the
-      // bigram AND unigram explodes; the per-source type counts feed the
-      // corpus-count rollup AND the scoring join; the corpus counts feed
-      // the context rollup AND the LM join
+      // GRAIN (round-14 audit): tokenized corpus = corpus bytes — size-
+      // gated pin (lm10's note). The per-source and corpus bigram-TYPE
+      // count tables below stay unconditionally pinned (vocabulary
+      // grain; they feed the corpus-count rollup AND the scoring join /
+      // the context rollup AND the LM join).
       val base = docsSpread(s, dir).select(col("source"), toks.as("toks"))
-        .transform(graft.operators.GlobalRank.pinned)
+        .transform(graft.operators.GlobalRank.pinnedIfSmall)
       val bigrams = base.select(col("source"), explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -2228,17 +2231,23 @@ object TrainingDataQueries {
     // fingerprints shared by >50 docs are dropped (cf. FuzzyJoin's
     // maxGramDf), so the join fans out per-fingerprint, never all-pairs.
     "dd12_winnowing" -> { (s, dir) =>
-      // Fingerprint selection lives in Dedup.winnowFingerprints (zip-
-      // slice array form; see its scaladoc). Pinned once: fps feeds its
-      // own per-doc count join and `kept` both sides of the pair
-      // self-join (dd13's fix).
-      val fps = Dedup.winnowFingerprints(docsSpread(s, dir))
-        .transform(graft.operators.GlobalRank.pinned)
+      // Fingerprint selection lives in Dedup.winnowFingerprints (fused
+      // per-row kernel; see its scaladoc). GRAIN (round-14 audit): fps
+      // and kept are OCCURRENCE-grain — one row per selected fingerprint
+      // / per kept candidate, bytes comparable to the corpus — so their
+      // r13 unconditional pins become size-gated (pinnedIfSmall): below
+      // the gate (every local fixture) the round-13 single-execution
+      // plan survives; at 100 TB the eager corpus-scale localCheckpoint
+      // is skipped and the identically-keyed downstream exchanges share
+      // the pipeline via ReusedExchange instead.
+      val fps = graft.operators.GlobalRank.pinnedIfSmall(
+        Dedup.winnowFingerprints(docsSpread(s, dir)))
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(keep, "fp").transform(graft.operators.GlobalRank.pinned)
+      val kept = graft.operators.GlobalRank.pinnedIfSmall(
+        perDoc.join(keep, "fp"))
       kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),
@@ -2269,21 +2278,25 @@ object TrainingDataQueries {
     "pipe2_dedup_impact" -> { (s, dir) =>
       import graft.operators.Graph
       val docs = docsSpread(s, dir)
-      // Pin the multiply-consumed narrow frames (dd13's fix, same
-      // rationale): toks feeds all three strategy stats (un-pinned, the
-      // tokenize regex runs 3×), fps feeds its own per-doc count join,
-      // kept feeds both sides of the pair self-join.
+      // toks stays pinned: a doc-grain TWO-column frame (id, token
+      // count — ~16 B/doc, ~1e-4 of corpus bytes at 100 TB) consumed by
+      // all three strategy stats; un-pinned, the tokenize regex runs 3×
+      // over the corpus. The r13 fps/kept pins are dropped (dd12's
+      // corpus-row-grain reasoning; ReusedExchange shares the winnow
+      // pipeline between the re-embedded consumers).
       val toks = docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
         .transform(graft.operators.GlobalRank.pinned)
       val exactKept = Dedup.exactDedup(docs)
         .select(col("keep_id").as("doc_id"))
-      val fps = Dedup.winnowFingerprints(docs).transform(graft.operators.GlobalRank.pinned)
+      val fps = graft.operators.GlobalRank.pinnedIfSmall(
+        Dedup.winnowFingerprints(docs))
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val hot = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(hot, "fp").transform(graft.operators.GlobalRank.pinned)
+      val kept = graft.operators.GlobalRank.pinnedIfSmall(
+        perDoc.join(hot, "fp"))
       val pairs = kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),
@@ -3031,16 +3044,16 @@ object TrainingDataQueries {
       val docs = docsSpread(s, dir)
       val mh = Dedup.minhashDedup(docs, threshold = 0.5)
         .select(col("id_a"), col("id_b")).withColumn("in_mh", lit(1L))
-      // Pin the winnow fingerprints once: fps feeds its own per-doc
-      // count join and `kept` feeds BOTH sides of the pair self-join —
-      // un-pinned, the rolling-window fingerprint subtree is re-embedded
-      // (and the per-row hashing re-run) four times in the final plan.
-      val fps = Dedup.winnowFingerprints(docs).transform(graft.operators.GlobalRank.pinned)
+      // GRAIN (round-14 audit): fps/kept are occurrence-grain, so the
+      // r13 unconditional pins are size-gated — dd12's reasoning.
+      val fps = graft.operators.GlobalRank.pinnedIfSmall(
+        Dedup.winnowFingerprints(docs))
       val perDoc = fps.join(
         fps.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
       val keep = perDoc.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
-      val kept = perDoc.join(keep, "fp").transform(graft.operators.GlobalRank.pinned)
+      val kept = graft.operators.GlobalRank.pinnedIfSmall(
+        perDoc.join(keep, "fp"))
       val wn = kept.select(col("fp"), col("doc_id").as("id_a"),
           col("nfp").as("nfp_a"))
         .join(kept.select(col("fp"), col("doc_id").as("id_b"),

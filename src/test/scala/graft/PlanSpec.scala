@@ -320,14 +320,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p.take(2000))
   }
 
-  test("market basket joins capped baskets as an equi-join, no cartesian") {
+  test("market basket emits pairs row-locally from capped baskets: no " +
+    "join at all, and the basket rollup reuses the TopKPerKey clustering") {
     val p = plan(SparkEntry.queries("j7_market_basket")(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       p.take(2000))
-    // the p1 < p2 pair condition rides the ok equi-join, never a filter
-    // over a cross product
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), p.take(2000))
+    // round-14: the capped-basket SELF-join (2 exchanges + an eager pin)
+    // became a per-order array rollup + row-local pair explode — no join
+    // node of any kind remains
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Generate explode"), p.take(2000))
+    // the collect_list rollup is keyed by ok exactly like the TopKPerKey
+    // cap feeding it, and TopKPerKeyExec propagates its child's
+    // partitioning — so the rollup must NOT re-exchange on ok: the plan
+    // carries exactly 3 exchanges (distinct, top-k clustering, pair
+    // rollup)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 3, p.take(3000))
   }
 
   test("rolling distinct fans to window anchors, no nested-loop range join") {

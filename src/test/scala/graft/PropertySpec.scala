@@ -223,6 +223,35 @@ object KernelProps extends Properties("Kernels") {
         (((sig >>> j) & 1L) == 1L) == (2 * ones > hs.size)
       }
     }
+
+  // The round-14 fused winnow kernel must compute the EXACT fingerprint
+  // list the round-13 zip-slice chain computed (same grams, same rolling
+  // minima with shrinking tail windows, same first-occurrence dedup) —
+  // the dd12/dd13/pipe2 oracles were written against that chain.
+  private def naiveWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val t = UTF8String.fromString(s)
+    val nGrams = math.max(t.numChars() - (k - 1), 1)
+    val h = (0 until nGrams).map(i => Md5Hash.prefix60(t.substringSQL(i + 1, k)))
+    val nWins = math.max(nGrams - (w - 1), 1)
+    val mins = (0 until nWins).map(j => h.slice(j, math.min(j + w, nGrams)).min)
+    mins.distinct // Seq.distinct keeps first occurrence, like array_distinct
+  }
+
+  private val textGen = Gen.frequency(
+    (1, Gen.const("")),
+    (1, Gen.const("   ")),
+    (2, Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))),
+    (6, Gen.choose(1, 120).flatMap(n => Gen.listOfN(n,
+      Gen.frequency((8, Gen.alphaLowerChar), (2, Gen.const(' '))))
+      .map(_.mkString))))
+
+  property("winnow kernel equals the zip-slice chain semantics") =
+    Prop.forAll(textGen, Gen.choose(1, 9), Gen.choose(1, 6)) { (s, k, w) =>
+      val fused = graft.functions.WinnowFingerprints
+        .compute(UTF8String.fromString(s), k, w).toSeq
+      fused == naiveWinnow(s, k, w)
+    }
 }
 
 /** Invariants of the strided sliding-window chunk plan: chunks tile
