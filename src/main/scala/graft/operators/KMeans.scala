@@ -55,12 +55,30 @@ object KMeans {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding")
   : (DataFrame, Seq[(Int, Seq[Long])]) = {
-    require(k > 0 && iters > 0, "k and iters must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
+    val (full, cents) = fitFull(df, k, iters, idCol, vecCol)
+    (full.select(col("id").as(idCol), col("cluster"), col("dist")), cents)
+  }
 
-    val pts = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-      .cache()
+  /** [[fitWithCentroids]] keeping the quantized vector (and any `carry`
+    * columns of the input) on the assignment row —
+    * (id, qv, carry…, cluster, dist) — so downstream consumers
+    * ([[trainedIvfTopK]]'s index side, km3's purity contingency, km4's
+    * silhouette) read the assignment directly instead of re-scanning the
+    * corpus and hash-joining it back on the id. */
+  private[graft] def fitFull(df: DataFrame, k: Int, iters: Int,
+                             idCol: String, vecCol: String,
+                             carry: Seq[String] = Nil)
+  : (DataFrame, Seq[(Int, Seq[Long])]) = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+
+    // Quantized points materialize ONCE and every iteration re-reads the
+    // materialized blocks. Round 14: GlobalRank.pinned instead of a bare
+    // cache() — same blocks, but the query-boundary owner scope frees
+    // them deterministically instead of leaking one point-set per km*
+    // query into the block manager for the rest of a catalog run.
+    val pts = graft.operators.GlobalRank.pinned(
+      df.select(col(idCol).as("id") +: quantize(col(vecCol)).as("qv") +:
+        carry.map(col): _*))
 
     // k × dim longs: driver-side centroid state, updated per round.
     var cents: Seq[(Int, Seq[Long])] = pts.orderBy("id").limit(k).collect()
@@ -68,20 +86,35 @@ object KMeans {
       .map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
     var centsUsed = cents
 
+    // Argmin as a PROJECTION over the k driver-side centroid literals:
+    // least() over k (dist, cluster) structs is the same lexicographic
+    // argmin (ties to the lowest cluster id) the old
+    // crossJoin(broadcast(centroids)) → groupBy(id).min(struct) computed,
+    // minus the k-way row fan-out, the id exchange and the two
+    // SortAggregates it paid PER ITERATION — assignment now costs zero
+    // shuffles at any scale (centroids are plan-time literals, exactly
+    // the broadcast bytes the crossJoin shipped).
+    def assignExprs(cs: Seq[(Int, Seq[Long])]) = {
+      val dcs = cs.map { case (cl, cv) =>
+        struct(sqDistL(col("qv"), typedLit(cv)).as("dist"),
+          lit(cl).as("cluster"))
+      }
+      if (dcs.size == 1) dcs.head else least(dcs: _*)
+    }
+
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
       centsUsed = cents
-      val centDf = broadcast(cents.toDF("cluster", "cv"))
-      assigned = pts.crossJoin(centDf)
-        .select(col("id"),
-          struct(sqDistL(col("qv"), col("cv")).as("dist"),
-            col("cluster")).as("dc"))
-        .groupBy("id").agg(min(col("dc")).as("m")) // lexicographic argmin
-        .select(col("id"), col("m.cluster").as("cluster"),
-          col("m.dist").as("dist"))
-      // per-cluster per-dim exact integer means, floored — k·dim rows
-      val sums = assigned.join(pts, "id")
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "v")))
+      val withM = pts.select(col("id") +: col("qv") +:
+        (carry.map(col) :+ assignExprs(cents).as("m")): _*)
+      assigned = withM.select(col("id") +: col("qv") +: (carry.map(col) :+
+        col("m.cluster").as("cluster") :+ col("m.dist").as("dist")): _*)
+      // per-cluster per-dim exact integer means, floored — k·dim rows;
+      // qv rides the assignment projection, so the old re-join of the
+      // assignment back onto the point set is gone too
+      val sums = withM
+        .select(col("m.cluster").as("cluster"),
+          posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
         .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
         .select(col("cluster"), col("dim"),
@@ -93,7 +126,7 @@ object KMeans {
           cl -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("c")).toSeq
         }.sortBy(_._1)
     }
-    (assigned.withColumnRenamed("id", idCol), centsUsed)
+    (assigned, centsUsed)
   }
 
   /** [[fitWithCentroids]], assignment only. */
@@ -121,11 +154,13 @@ object KMeans {
   : DataFrame = {
     import corpus.sparkSession.implicits._
     import graft.functions.VectorExpressions.dotL
-    val (assigned, cents) = fitWithCentroids(corpus, k, iters, idCol, vecCol)
-    val corpusSide = corpus
-      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("qv"))
-      .join(assigned.select(col(idCol).as("corpus_id"),
-        col("cluster").as("cell")), "corpus_id")
+    // round 14: the assignment row already carries the quantized vector
+    // (fitFull), so the index side is a pure projection of it — the old
+    // corpus re-scan + re-quantize + id hash join (two exchanges) is gone
+    val (full, cents) = fitFull(corpus, k, iters, idCol, vecCol)
+    val corpusSide = full
+      .select(col("id").as("corpus_id"), col("qv"),
+        col("cluster").as("cell"))
       .withColumn("nrm", dotL(col("qv"), col("qv")))
       // zero-norm (or quantized-to-zero) vectors: cosine undefined —
       // excluded from the scored index, mirrored in the km2 oracle

@@ -1724,28 +1724,32 @@ object TrainingDataQueries {
     // centroids at distance 0) score NULL and are excluded from the
     // mean on both engines.
     "km4_silhouette" -> { (s, dir) =>
-      import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val (assigned, cents) = KMeans.fitWithCentroids(emb, k = 4,
-        iters = 3)
-      val centDf = broadcast(cents.toDF("c2", "cv"))
-      val pts = emb.select(col("vec_id").as("id"),
-        KMeans.quantize(col("embedding")).as("qv"))
-      val all = pts.crossJoin(centDf).select(col("id"), col("c2"),
-        KMeans.sqDistL(col("qv"), col("cv")).as("d2"))
-      val own = assigned.select(col("vec_id").as("id"), col("cluster"),
-        col("dist").as("a2"))
-      val oth = all.join(own, Seq("id"))
-        .filter(col("c2") =!= col("cluster"))
-        .groupBy("id").agg(min(col("d2")).as("b2"))
+      // round 14: b (nearest OTHER centroid) is a per-row expression
+      // over the k centroid literals — array_min of the ≠-own-cluster
+      // (d2, c2) structs — off the assignment projection, which already
+      // carries qv and a2. The old crossJoin fan-out (k rows per point),
+      // its groupBy(id) exchange, and the two id joins are gone; an
+      // emptied centroid set degrades to an empty filtered array →
+      // b2 null, exactly the old left-join miss.
+      val (full, cents) = KMeans.fitFull(emb, k = 4, iters = 3,
+        idCol = "vec_id", vecCol = "embedding")
+      val dArr = array(cents.map { case (cl, cv) =>
+        struct(KMeans.sqDistL(col("qv"), typedLit(cv)).as("d2"),
+          lit(cl).as("c2"))
+      }: _*)
+      val sil = full
+        .select(col("id"), col("cluster"), col("dist").as("a2"),
+          array_min(filter(dArr, s =>
+            s.getField("c2") =!= col("cluster"))).getField("d2").as("b2"))
       val ra = sqrt(col("a2").cast("double"))
       val rb = sqrt(col("b2").cast("double"))
-      val sil = own.join(oth, Seq("id"), "left")
+      val silN = sil
         .withColumn("s_nano",
           when(col("b2").isNotNull && greatest(ra, rb) > 0,
             floor((rb - ra) / greatest(ra, rb) * lit(1e9))
               .cast("long")))
-      sil.groupBy("cluster")
+      silN.groupBy("cluster")
         .agg(count(lit(1)).as("n"), count(col("s_nano")).as("n_scored"),
           sum(col("s_nano")).as("sum_nano"))
         .select(col("cluster"), col("n"), col("n_scored"),
@@ -1953,9 +1957,13 @@ object TrainingDataQueries {
     // with smallest-label ties, purity the one exact division.
     "km3_cluster_purity" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val asg = KMeans.fit(emb, k = 4, iters = 3).select("vec_id", "cluster")
-      val cl = asg.join(emb.select("vec_id", "label"), "vec_id")
-        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      // round 14: the label rides the Lloyd point set (fitFull carry),
+      // so the contingency table is one map-side-combined count off the
+      // assignment projection — the old re-join of the assignment onto
+      // the embeddings (two exchanges) is gone
+      val (asg, _) = KMeans.fitFull(emb, k = 4, iters = 3,
+        idCol = "vec_id", vecCol = "embedding", carry = Seq("label"))
+      val cl = asg.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
       cl.groupBy("cluster").agg(
           sum(col("n")).as("n_total"),
           max(struct(col("n"), (-col("label")).as("neg"))).as("mx"))
