@@ -32,7 +32,7 @@ object Coreset {
     require(k >= 1, s"need k >= 1, got $k")
     import graft.functions.VectorExpressions.dotL
     val pts = points.select(col(idCol).cast("bigint").as("pid"),
-      col(vecCol).as("qv")).localCheckpoint(true)
+      col(vecCol).as("qv")).transform(graft.operators.GlobalRank.pinned)
 
     def d2To(cvec: Seq[Long]): Column = {
       val carr = array(cvec.map(lit): _*)
@@ -49,7 +49,7 @@ object Coreset {
     var state = pts.select(col("pid"), col("qv"),
         d2To(first.getSeq[Long](1)).as("min_d2"),
         lit(first.getLong(0)).as("assigned"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     for (_ <- 2 to k) {
       val far = state.orderBy(col("min_d2").desc, col("pid").asc)
         .limit(1).collect()(0)
@@ -61,7 +61,7 @@ object Coreset {
             .as("min_d2"),
           when(nd < col("min_d2"), lit(cid)).otherwise(col("assigned"))
             .as("assigned"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
     }
     state.select(col("pid"), col("assigned"), col("min_d2"),
       col("pid").isin(centerIds: _*).as("is_center"))

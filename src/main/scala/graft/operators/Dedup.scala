@@ -354,9 +354,9 @@ object Dedup {
   : DataFrame = {
     val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+      .withColumn("lbl", col("id")).transform(graft.operators.GlobalRank.pinned)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -368,7 +368,7 @@ object Dedup {
         .select(labels("id"),
           least(labels("lbl"), col("nbr_lbl")).as("lbl"),
           (col("nbr_lbl") < labels("lbl")).as("changed"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       converged = updated.filter(col("changed")).isEmpty
       labels = updated.select("id", "lbl")
       i += 1

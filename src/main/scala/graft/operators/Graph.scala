@@ -89,9 +89,9 @@ object Graph {
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val nd = nodes.select(col(nodes.columns.head).cast("bigint").as("node"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     val e = edges.select(col("src").cast("bigint").as("src"),
-      col("dst").cast("bigint").as("dst")).localCheckpoint(true)
+      col("dst").cast("bigint").as("dst")).transform(graft.operators.GlobalRank.pinned)
     var hub = nd.withColumn("h", lit(1L))
     var auth = nd.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
@@ -99,12 +99,12 @@ object Graph {
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("c"))
       auth = nd.join(aNew, Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), lit(0L)).as("a"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val hNew = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("c"))
       hub = nd.join(hNew, Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), lit(0L)).as("h"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
     }
     auth.join(hub, "node").select(col("node"), col("a").as("auth"),
       col("h").as("hub"))
@@ -129,13 +129,13 @@ object Graph {
     require(iters >= 1 && dampingPct > 0 && dampingPct < 100,
       s"need iters >= 1 and dampingPct in (0,100), got $iters/$dampingPct")
     val nd = nodes.select(col(nodes.columns.head).cast("bigint").as("node"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     val n = nd.count()
     if (n == 0) // empty graph: empty rank table, not a driver 0-division
       return nd.select(col("node"), lit(0L).as("rank_micro"))
     val tele = ((100L - dampingPct) * Scale) / (100L * n)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val e = edges.join(outdeg, "src").localCheckpoint(true)
+    val e = edges.join(outdeg, "src").transform(graft.operators.GlobalRank.pinned)
     var ranks = nd.withColumn("r", lit(Scale / n))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
@@ -145,7 +145,7 @@ object Graph {
         .select(col("node"),
           (lit(tele) +
             expr(s"($dampingPct * coalesce(c, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
@@ -167,7 +167,7 @@ object Graph {
       s"need iters >= 1 and dampingPct in (0,100), got $iters/$dampingPct")
     val nd = nodes.select(col(nodes.columns.head).cast("bigint").as("node"))
     val sd = seeds.select(col(seeds.columns.head).cast("bigint").as("node"))
-      .distinct().withColumn("is_seed", lit(1L)).localCheckpoint(true)
+      .distinct().withColumn("is_seed", lit(1L)).transform(graft.operators.GlobalRank.pinned)
     val ns = sd.count()
     // empty seed set: the teleport vector is zero everywhere, so every
     // rank is exactly 0 — well-defined, and what the oracle's guarded
@@ -176,10 +176,10 @@ object Graph {
     val tele =
       if (ns == 0) 0L else ((100L - dampingPct) * Scale) / (100L * ns)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val e = edges.join(outdeg, "src").localCheckpoint(true)
+    val e = edges.join(outdeg, "src").transform(graft.operators.GlobalRank.pinned)
     val ndSeed = nd.join(sd, Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     var ranks = ndSeed.select(col("node"),
       (col("is_seed") * lit(if (ns == 0) 0L else Scale / ns)).as("r"))
     for (_ <- 1 to iters) {
@@ -190,7 +190,7 @@ object Graph {
         .select(col("node"),
           (col("is_seed") * lit(tele) +
             expr(s"($dampingPct * coalesce(c, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
@@ -298,13 +298,13 @@ object Graph {
       .select(least(col("src"), col("dst")).cast("bigint").as("u"),
         greatest(col("src"), col("dst")).cast("bigint").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     for (_ <- 1 to rounds) {
       val sup = edgeSupport(cur)
       cur = cur.join(sup, Seq("u", "v"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= thr)
         .select("u", "v")
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
     }
     cur.join(edgeSupport(cur), Seq("u", "v"), "left")
       .select(col("u"), col("v"),
@@ -361,7 +361,7 @@ object Graph {
         col(parentCol).cast("bigint").as("anc"))
       .withColumn("d", when(col("anc").isNull, 0L).otherwise(1L))
       .withColumn("anc", coalesce(col("anc"), col("id")))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     var done = false
     var i = 0
     while (!done && i < maxRounds) {
@@ -371,7 +371,7 @@ object Graph {
       val jumped = a.join(b, a("anc") === b("b_id"))
         .select(col("id"), col("b_anc").as("anc"),
           (col("d") + col("b_d")).as("d"), (col("b_d") > 0).as("moved"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       done = jumped.filter(col("moved")).isEmpty
       st = jumped.select("id", "anc", "d")
       i += 1
@@ -395,7 +395,7 @@ object Graph {
   def bfsHops(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
     val e = edges.select(col("src").cast("bigint").as("src"),
-      col("dst").cast("bigint").as("dst")).localCheckpoint(true)
+      col("dst").cast("bigint").as("dst")).transform(graft.operators.GlobalRank.pinned)
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("hops"))
     for (h <- 1 to maxHops) {
@@ -404,7 +404,7 @@ object Graph {
         .select(col("dst").as("node"), lit(h.toLong).as("hops"))
       dist = dist.unionByName(next)
         .groupBy("node").agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
     }
     dist
   }
@@ -423,7 +423,7 @@ object Graph {
     require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
     require(sources.nonEmpty, "need at least one source")
     val e = edges.select(col("src").cast("bigint").as("src"),
-      col("dst").cast("bigint").as("dst")).localCheckpoint(true)
+      col("dst").cast("bigint").as("dst")).transform(graft.operators.GlobalRank.pinned)
     val s = e.sparkSession
     import s.implicits._
     var dist = sources.toDF("root")
@@ -435,7 +435,7 @@ object Graph {
           lit(h.toLong).as("hops"))
       dist = dist.unionByName(next)
         .groupBy("root", "node").agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
     }
     dist
   }
@@ -462,20 +462,20 @@ object Graph {
       .select(least(col("src"), col("dst")).cast("bigint").as("u"),
         greatest(col("src"), col("dst")).cast("bigint").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     var dropped = cur.sparkSession.range(0)
       .select(col("id").as("node"), col("id").as("peel_round"))
     for (r <- 1 to rounds) {
       val deg = cur.select(col("u").as("node"))
         .unionByName(cur.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("node").localCheckpoint(true)
+      val keep = deg.filter(col("d") >= k).select("node").transform(graft.operators.GlobalRank.pinned)
       dropped = dropped.unionByName(deg.filter(col("d") < k)
         .select(col("node"), lit(r.toLong).as("peel_round")))
       cur = cur
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select("u", "v").localCheckpoint(true)
+        .select("u", "v").transform(graft.operators.GlobalRank.pinned)
     }
     val survivors = cur.select(col("u").as("node"))
       .unionByName(cur.select(col("v").as("node"))).distinct()
@@ -500,7 +500,7 @@ object Graph {
                                  maxApexDegree: Long = 1000): DataFrame = {
     val ue = edges.select(least(col("src"), col("dst")).cast("bigint").as("u"),
         greatest(col("src"), col("dst")).cast("bigint").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().transform(graft.operators.GlobalRank.pinned)
     val sym = ue.select(col("u").as("a"), col("v").as("b"))
       .unionByName(ue.select(col("v").as("a"), col("u").as("b")))
     val okApex = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
@@ -535,11 +535,11 @@ object Graph {
         col("dst").cast("bigint").as("dst"))
       .unionByName(edges.select(col("dst").cast("bigint").as("src"),
         col("src").cast("bigint").as("dst")))
-      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).transform(graft.operators.GlobalRank.pinned)
     var lab = nodes.select(col("node").cast("bigint").as("node"),
         when(col("seed"), col("label").cast("bigint")).as("lab"),
         col("seed"))
-      .localCheckpoint(true)
+      .transform(graft.operators.GlobalRank.pinned)
     for (_ <- 1 to rounds) {
       val votes = sym.join(lab.filter(col("lab").isNotNull)
           .select(col("node").as("src"), col("lab")), "src")
@@ -554,7 +554,7 @@ object Graph {
           when(col("seed"), col("lab"))
             .otherwise(coalesce(col("wlab"), col("lab"))).as("lab"),
           col("seed"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
     }
     lab.select(col("node"), col("lab").as("label"),
       when(col("seed"), 1L).otherwise(0L).as("is_seed"))
@@ -677,7 +677,7 @@ object Graph {
                      rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 19, s"rounds in 1..19, got $rounds")
     val e = edges.select(col("src").cast("bigint").as("src"),
-      col("dst").cast("bigint").as("dst")).localCheckpoint(true)
+      col("dst").cast("bigint").as("dst")).transform(graft.operators.GlobalRank.pinned)
     val n0 = nodes.select(col("node").cast("bigint").as("node"))
     var p = n0.withColumn("paths", lit(1L)) // p₀ = 1 per node
     var katz = n0.withColumn("katz_micro", lit(0L))
@@ -685,7 +685,7 @@ object Graph {
       val pk = p.join(e, p("node") === e("src"))
         .groupBy(col("dst")).agg(sum(col("paths")).as("pk_paths"))
         .select(col("dst").as("pk_node"), col("pk_paths"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       katz = katz
         .join(pk, katz("node") === pk("pk_node"), "left")
         .select(katz("node"),

@@ -208,6 +208,56 @@ object Retrieval {
       terms.map(t => col(tfCol(t))) :+ score.as("tfidf"): _*)
   }
 
+  /** BM25 AND ltc TF-IDF of every document against the SAME query-term
+    * set, off ONE tokenized scan (round-14, ir3/ir14's shape: both
+    * rankers previously scanned and tokenized the corpus separately).
+    * The shared (id, dl, tf_*) proxy table is pinned once (doc-grain
+    * narrow — see [[bm25]]'s grain note) and one broadcast stats row
+    * carries n, Σdl and the per-term document frequencies — the union
+    * of what the two scorers need (their df definitions are identical).
+    * Score expressions are copied verbatim from [[bm25]] and [[tfidf]],
+    * so both columns are bit-identical to the standalone operators
+    * (the ir3/ir14 oracles replay the standalone formulations).
+    * Returns (id, dl, tf_*, bm25, tfidf). */
+  def bm25AndTfidf(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+                   b: Double = 0.75, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size,
+      "query terms must be non-empty and distinct")
+    def tfCol(t: String) = s"tf_$t"
+    def qln(x: Column): Column =
+      floor(log(x) * lit(1e6)).cast("double") / lit(1e6)
+    val base = docs.select(col(idCol),
+      split(TextAnalysis.normalizeText(col(textCol)), " ").as("toks"),
+      TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val withTf = base.select(col(idCol) +: col("dl") +:
+      terms.map(t => size(filter(col("toks"), x => x === lit(t)))
+        .cast("bigint").as(tfCol(t))): _*)
+      .transform(graft.operators.GlobalRank.pinned)
+    val stats = withTf.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sdl") +: terms.map(t =>
+        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val lenNorm = lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl)
+    val bm25Score = terms.foldLeft(lit(0.0)) { (acc, t) =>
+      val tf = col(tfCol(t)).cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = floor(log((col("n").cast("double") - df + 0.5) /
+        (df + 0.5) + 1.0) * lit(1e6)).cast("double") / lit(1e6)
+      acc + idf * (tf * lit(k1 + 1)) / (tf + lenNorm)
+    }
+    val tfidfScore = terms.foldLeft(lit(0.0)) { (acc, t) =>
+      val tf = col(tfCol(t)).cast("double")
+      val idf = qln((col("n").cast("double") + 1.0) /
+        (col(s"df_$t").cast("double") + 1.0)) + lit(1.0)
+      acc + when(col(tfCol(t)) > 0, (qln(tf) + lit(1.0)) * idf)
+        .otherwise(lit(0.0))
+    }
+    scored.select(col(idCol) +: col("dl") +: terms.map(t => col(tfCol(t))) :+
+      bm25Score.as("bm25") :+ tfidfScore.as("tfidf"): _*)
+  }
+
   /** Mean unigram surprisal (negative log-probability, in nats) of each
     * document under the corpus's own unigram distribution — the
     * perplexity-style quality filter of CCNet/Gopher-like pipelines:

@@ -214,11 +214,11 @@ object EventQueries {
         .select(col("ia").as("i"), col("ib").as("j"), col("n_ij"))
         .unionByName(stats
           .select(col("ib").as("i"), col("ia").as("j"), col("n_ij")))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val wins = stats.select(col("ia").as("i"), col("w_a").as("w"))
         .unionByName(stats
           .select(col("ib").as("i"), (col("n_ij") - col("w_a")).as("w")))
-        .groupBy("i").agg(sum(col("w")).as("w")).localCheckpoint(true)
+        .groupBy("i").agg(sum(col("w")).as("w")).transform(graft.operators.GlobalRank.pinned)
       var sf = wins.select(col("i"), lit(1000000L).as("s"))
       for (_ <- 1 to 3) {
         val denom = npairs
@@ -235,7 +235,7 @@ object EventQueries {
         sf = raw.crossJoin(broadcast(tot))
           .select(col("i"),
             expr("greatest(s * (k * 1000000) div ts, 1L)").as("s"))
-          .localCheckpoint(true)
+          .transform(graft.operators.GlobalRank.pinned)
       }
       wins.join(sf, "i").select(col("i").as("event_type"),
         col("w").as("n_wins"), col("s").as("strength_micro"))

@@ -378,14 +378,14 @@ object GraphQueries {
           rounds = 2)
         .filter(col("label").isNotNull)
         .select(col("node"), col("label").as("lab"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       // und feeds m, deg, and cin: one pinned node-grain edge table vs
       // three recomputations of the generate + distinct shuffle
       val und = Graph.syntheticLinks(emb.select("node"), idCol = "node")
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val m = und.agg(count(lit(1)).as("m"))
       val deg = und.select(col("u").as("node"))
         .unionByName(und.select(col("v").as("node")))

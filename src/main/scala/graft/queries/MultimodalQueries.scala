@@ -85,7 +85,7 @@ object MultimodalQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val feats = Multimodal.extractFeatures(
           Multimodal.syntheticMedia(s, reEncoded)).toDF()
-        .select(col("media_id"), col("feature_q")).localCheckpoint(true)
+        .select(col("media_id"), col("feature_q")).transform(graft.operators.GlobalRank.pinned)
       val banded = feats.select(col("media_id"),
         posexplode(expr(
           """transform(sequence(0, 1), b -> concat_ws('_',

@@ -410,7 +410,7 @@ object ScoringQueries {
           .as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       Seq(16, 64, 256).map { dim =>
         vocab
           .select(Scoring.tokenBucket(col("token"), dim).as("bucket"))
@@ -502,7 +502,7 @@ object ScoringQueries {
                |else -((-(n * sxy - sx * sy)) div (n * (n - 1))
                |  div 1000000) end as bigint)"""
           .stripMargin.replace("\n", " ")).as("c"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       var v = cells.select(col("i")).distinct()
         .withColumn("v", lit(1000000L))
       for (_ <- 1 to 4) {
@@ -515,7 +515,7 @@ object ScoringQueries {
                  |when nv >= 0 then cast(nv as decimal(38,0)) * 1000000 div m
                  |else -(cast(-nv as decimal(38,0)) * 1000000 div m)
                  |end as bigint)""".stripMargin.replace("\n", " ")).as("v"))
-          .localCheckpoint(true)
+          .transform(graft.operators.GlobalRank.pinned)
       }
       v.select(col("i"), col("v").as("component_micro"))
     },
@@ -910,13 +910,15 @@ object ScoringQueries {
     // 1e-12 before the cumulative sum, and every window rides the
     // 10-row depth frame. Emits the full agreement/RBO curve.
     "ir14_rbo" -> { (s, dir) =>
+      // round 14: one tokenized scan serves both rankings (ir3's shape)
+      val both = Retrieval.bm25AndTfidf(docsSpread(s, dir), tfidfTerms)
       val wA = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-      val topA = Retrieval.bm25(docsSpread(s, dir), tfidfTerms)
+      val topA = both.select("doc_id", "bm25")
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
         .withColumn("r_a", row_number().over(wA).cast("long"))
         .select(col("doc_id"), col("r_a"))
       val wB = Window.orderBy(col("tfidf").desc, col("doc_id").asc)
-      val topB = Retrieval.tfidf(docsSpread(s, dir), tfidfTerms)
+      val topB = both.select("doc_id", "tfidf")
         .orderBy(col("tfidf").desc, col("doc_id").asc).limit(10)
         .withColumn("r_b", row_number().over(wB).cast("long"))
         .select(col("doc_id"), col("r_b"))
@@ -1141,11 +1143,14 @@ object ScoringQueries {
     // layout (no single-partition exchange); the fused score is an
     // integer micro-unit sum, engine-exact.
     "ir3_rrf_fusion" -> { (s, dir) =>
-      val docs = docsSpread(s, dir)
+      // round 14: both rankings come off ONE tokenized scan + pinned
+      // proxy table (Retrieval.bm25AndTfidf) — the standalone bm25 and
+      // tfidf calls each scanned and tokenized the corpus (the two term
+      // sets are the same probe set); scores are bit-identical
+      val both = Retrieval.bm25AndTfidf(docsSpread(s, dir), tfidfTerms)
       Retrieval.rrfFuse(
-        Retrieval.bm25(docs, TrainingDataQueries.bm25Terms)
-          .select("doc_id", "bm25"),
-        Retrieval.tfidf(docs, tfidfTerms).select("doc_id", "tfidf"),
+        both.select("doc_id", "bm25"),
+        both.select("doc_id", "tfidf"),
         idCol = "doc_id", aScore = "bm25", bScore = "tfidf")
     },
 

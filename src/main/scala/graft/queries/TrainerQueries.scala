@@ -190,11 +190,19 @@ object TrainerQueries {
       seg = applyPick(seg, Seq((l, r)).toDF("ml", "mr"))
       if ((i + 1) % checkpointEvery == 0) seg = seg.localCheckpoint(true)
     }
+    segVocab(seg)
+  }
+
+  /** (word, freq, tokens) vocabulary view of a segmentation — the rollup
+    * [[pretokenizedVocab]] ends with, exposed so a trainer that already
+    * HOLDS the final segmentation (bpe4's in-query train-then-serve) can
+    * derive the vocabulary from it directly instead of replaying the
+    * merge chain from characters. */
+  private[graft] def segVocab(seg: DataFrame): DataFrame =
     seg.groupBy("word", "freq")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("sym")))),
         e => e.getField("sym")).as("tokens"))
-  }
 
   // ------------------------------------------------------------ LogReg
 
@@ -349,7 +357,7 @@ object TrainerQueries {
       var out = point(0, seg)
       for (k <- 1 to 3) {
         val (_, next) = mergeRound(seg)
-        seg = next.localCheckpoint(true)
+        seg = next.transform(graft.operators.GlobalRank.pinned)
         out = out.union(point(k, seg))
       }
       out
@@ -396,18 +404,29 @@ object TrainerQueries {
         concat(coalesce(col("text"), lit("")), lit(" q"),
           translate((col("doc_id") % 1000).cast("string"),
             "0123456789", "abcdefghij")).as("text"))
-      // the train-slice word-frequency pivot is shared by the training
-      // chain AND the frozen-table vocabulary replay — pin it once so
-      // the training half is scanned/aggregated a single time
-      val wf0 = wordFreqOf(augDocs.filter(col("doc_id") % 2 === 0),
-        wordPat).localCheckpoint(true)
+      // the train-slice word-frequency pivot feeds the training chain;
+      // word-TYPE grain, scope-pinned (round 14: GlobalRank.pinned
+      // instead of bare localCheckpoint so the blocks free at the query
+      // boundary instead of riding the block manager)
+      val wf0 = graft.operators.GlobalRank.pinned(
+        wordFreqOf(augDocs.filter(col("doc_id") % 2 === 0), wordPat))
       var seg = charSeg(wf0)
       val merges = (1 to 3).flatMap { _ =>
         val (pick, next) = mergeRound(seg)
-        seg = next.localCheckpoint(true)
+        seg = graft.operators.GlobalRank.pinned(next)
         pick.collect().headOption.map(r => (r.getString(0), r.getString(1)))
       }
-      val vocab = pretokenizedVocab(wf0, merges)
+      // Round 14: the vocabulary comes straight off the FINAL training
+      // segmentation (segVocab) — `seg` at this point IS applyPick
+      // replayed over charSeg(wf0) with exactly the collected picks
+      // (empty-pick rounds are identity repacks), which is what
+      // pretokenizedVocab(wf0, merges) recomputed from characters: the
+      // replay paid ~3 more applyPick window chains over the word-type
+      // table per run for a value TrainerSpec pins as identical
+      // ("pretokenizedVocab replays the training algebra"). The frozen-
+      // artifact replay path stays covered by bpc2/bpc3 and the
+      // streaming specs; the word-grain serving JOIN below is unchanged.
+      val vocab = segVocab(seg)
         .select(col("word"), size(col("tokens")).cast("bigint").as("n_toks"))
       val words = augDocs.select(col("source"),
           explode(split(TextAnalysis.normalizeText(col("text")), " "))

@@ -1028,7 +1028,7 @@ object TrainingDataQueries {
     // planner never materializes a single candidate pair.
     "dd9_lsh_planner" -> { (s, dir) =>
       val sigs = Dedup.minhashSignatures(docsSpread(s, dir))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
         val bucketed = sigs.select(col("id"),
           posexplode(transform(sequence(lit(0), lit(b - 1)),
@@ -2511,7 +2511,7 @@ object TrainingDataQueries {
           .as("w"))
         .filter(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("f"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       val top = wf.select(col("f"), explode(expr(
           """transform(sequence(1, length(w) - 1),
             |  i -> struct(substring(w, i, 1) as c1,
@@ -2566,16 +2566,16 @@ object TrainingDataQueries {
           " ")).as("w"))
         .filter(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("f"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       var rules: DataFrame = null
       (1 to 3).foreach { i =>
-        val top = argmaxPair(wf, i).localCheckpoint(true)
+        val top = argmaxPair(wf, i).transform(graft.operators.GlobalRank.pinned)
         rules = if (rules == null) top else rules.crossJoin(broadcast(top))
         wf = wf.crossJoin(broadcast(top))
           .withColumn("w",
             expr(s"replace(w, concat(m$i, n$i), chr(${32 - i}))"))
           .filter(length(col("w")) >= 2)
-          .select("w", "f").localCheckpoint(true)
+          .select("w", "f").transform(graft.operators.GlobalRank.pinned)
       }
       val piece1 = expr("concat(m1, n1)")
       val piece2 =
@@ -3260,7 +3260,7 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars").cast(d38)).as("sx"),
           sum((col("n_chars") * col("n_chars")).cast(d38)).as("sxx"))
-        .localCheckpoint(true)
+        .transform(graft.operators.GlobalRank.pinned)
       def mv(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
              sxx: org.apache.spark.sql.Column) = (
         sx.cast("double") / n.cast("double"),
