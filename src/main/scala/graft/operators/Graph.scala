@@ -469,12 +469,21 @@ object Graph {
       val deg = cur.select(col("u").as("node"))
         .unionByName(cur.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("node").transform(graft.operators.GlobalRank.pinned)
-      dropped = dropped.unionByName(deg.filter(col("d") < k)
-        .select(col("node"), lit(r.toLong).as("peel_round")))
+      // Round 14: filter the edge set with ANTI-joins against the nodes
+      // dropped THIS round instead of semi-joins against the survivors.
+      // Equivalent (every endpoint of `cur` appears in `deg`, so "not
+      // kept" = "dropped this round"), but the materialized/broadcast
+      // side flips from the large survivor set to the small per-round
+      // drop set — AQE turns both anti-joins into broadcasts and the
+      // current edge set is never re-exchanged; the old shape pinned
+      // and shuffled against the survivors every round.
+      val below = deg.filter(col("d") < k).select("node")
+        .transform(graft.operators.GlobalRank.pinned)
+      dropped = dropped.unionByName(
+        below.select(col("node"), lit(r.toLong).as("peel_round")))
       cur = cur
-        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .join(below.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(below.select(col("node").as("v")), Seq("v"), "left_anti")
         .select("u", "v").transform(graft.operators.GlobalRank.pinned)
     }
     val survivors = cur.select(col("u").as("node"))
@@ -545,6 +554,12 @@ object Graph {
           .select(col("node").as("src"), col("lab")), "src")
         .groupBy(col("dst").as("node"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
+      // Round-14 audit note: this row_number-over-(cnt desc, lab asc)
+      // = 1 pick is ALREADY the optimal shape — the TopKPerKey rewrite
+      // rule turns it into the bounded-heap partial/final top-1 (map-side
+      // reduction, no per-node sort). A max(struct(cnt, −lab)) aggregate
+      // was tried and measured SLOWER: struct buffers are immutable, so
+      // the aggregate plans as SortAggregate.
       val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
         .orderBy(col("cnt").desc, col("lab").asc)
       val winner = votes.withColumn("rn", row_number().over(w))

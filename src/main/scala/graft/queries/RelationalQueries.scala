@@ -806,9 +806,19 @@ object RelationalQueries {
         .select(col("l_suppkey"), col("l_extendedprice"))
       val sup = Tables.supplier(s, dir)
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-      Skew.saltedJoinAuto(li, sup, "l_suppkey",
-          avgMultiple = 1.02, saltFactor = 8)
-        .groupBy("s_nationkey")
+      // Round 14: hot-key DETECTION runs on the bare scan projection —
+      // a map-side-combined key count straight off parquet. Detecting on
+      // the spread frame paid the full round-robin corpus exchange once
+      // more inside hotKeys' own jobs before the join even started
+      // (spread is row-preserving, so the detected key set is identical);
+      // the join branches still share one spread exchange via reuse.
+      val hot = Skew.hotKeys(
+        Tables.lineitem(s, dir).select(col("l_suppkey")), "l_suppkey",
+        avgMultiple = 1.02)
+      val joined =
+        if (hot.isEmpty) li.join(sup, Seq("l_suppkey"))
+        else Skew.saltedJoin(li, sup, "l_suppkey", hot, saltFactor = 8)
+      joined.groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_lines"),
           moneySum(col("l_extendedprice")).as("revenue"))
     },

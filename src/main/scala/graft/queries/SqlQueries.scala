@@ -73,21 +73,21 @@ object SqlQueries {
     * join chain. Dialect-neutral: the SAME text runs on both engines
     * (Spark 4's WITH RECURSIVE and DuckDB's agree on UNION ALL
     * semantics here). */
+  // Round 14: the edge generators ride a 3-row CTE cross join instead of
+  // three UNION ALL arms — the recursive step re-executes `edges` every
+  // iteration, and the old form paid three document scans and three
+  // scalar subqueries per step where one of each suffices. Identical
+  // edge multiset (the generator constants just moved from arm literals
+  // to rows), same single dialect-neutral WITH RECURSIVE statement.
   private val recursiveReach =
     """WITH RECURSIVE
       |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |gens AS (SELECT 7 AS m, 0 AS o
+      |  UNION ALL SELECT 13, 1 UNION ALL SELECT 31, 2),
       |edges AS (
       |  SELECT CAST(doc_id AS BIGINT) AS src,
-      |    (CAST(doc_id AS BIGINT) * 7 + 0) % (SELECT n FROM nn) AS dst
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT CAST(doc_id AS BIGINT),
-      |    (CAST(doc_id AS BIGINT) * 13 + 1) % (SELECT n FROM nn)
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT CAST(doc_id AS BIGINT),
-      |    (CAST(doc_id AS BIGINT) * 31 + 2) % (SELECT n FROM nn)
-      |  FROM documents),
+      |    (CAST(doc_id AS BIGINT) * m + o) % (SELECT n FROM nn) AS dst
+      |  FROM documents CROSS JOIN gens),
       |reach(node, dist) AS (
       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
       |  UNION ALL
