@@ -322,9 +322,11 @@ object TrainingDataQueries {
         .select(col("source"),
           explode(Dedup.shinglesExpr(col("text"), 3)).as("sh"))
         .distinct()
-        // pinned: the (source, shingle) type table feeds the size
-        // rollup AND both self-join sides (round-13 fan-out rule)
-        .transform(graft.operators.GlobalRank.pinned)
+        // GRAIN (round-14 audit): (source, shingle) DISTINCT-type table —
+        // shingle-type domains grow toward corpus scale on diverse text,
+        // so the round-13 unconditional pin is size-gated; it feeds the
+        // size rollup AND both self-join sides either way
+        .transform(graft.operators.GlobalRank.pinnedIfSmall)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -2420,8 +2422,10 @@ object TrainingDataQueries {
     // this query is the estimation half both smoothers share.
     "lm9_kn_discount" -> { (s, dir) =>
       val toks = split(TextAnalysis.normalizeText(col("text")), " ")
+      // GRAIN (round-14 audit): tokenized corpus = corpus bytes — size-
+      // gated like lm7/lm10's bases; feeds the unigram AND bigram explodes
       val base = docsSpread(s, dir).select(toks.as("toks"))
-        .transform(graft.operators.GlobalRank.pinned) // feeds the unigram AND bigram explodes
+        .transform(graft.operators.GlobalRank.pinnedIfSmall)
       val uni = base
         .select(explode(col("toks")).as("w"))
         .filter(length(col("w")) > 0)
