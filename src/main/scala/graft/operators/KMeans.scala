@@ -99,7 +99,12 @@ object KMeans {
         struct(sqDistL(col("qv"), typedLit(cv)).as("dist"),
           lit(cl).as("cluster"))
       }
-      if (dcs.size == 1) dcs.head else least(dcs: _*)
+      // empty corpus ⇒ empty centroid seed ⇒ pts has no rows either, so
+      // only the TYPE matters (the old crossJoin form degraded to an
+      // empty frame the same way; the empty-fixture sweep pins this)
+      if (dcs.isEmpty) lit(null).cast("struct<dist:bigint,cluster:int>")
+      else if (dcs.size == 1) dcs.head
+      else least(dcs: _*)
     }
 
     var assigned: DataFrame = null

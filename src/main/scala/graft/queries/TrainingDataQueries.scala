@@ -1740,10 +1740,14 @@ object TrainingDataQueries {
         struct(KMeans.sqDistL(col("qv"), typedLit(cv)).as("d2"),
           lit(cl).as("c2"))
       }: _*)
+      // empty corpus ⇒ no centroids AND no rows: only b2's type matters
+      val b2 =
+        if (cents.isEmpty) lit(null).cast("long")
+        else array_min(filter(dArr, s =>
+          s.getField("c2") =!= col("cluster"))).getField("d2")
       val sil = full
         .select(col("id"), col("cluster"), col("dist").as("a2"),
-          array_min(filter(dArr, s =>
-            s.getField("c2") =!= col("cluster"))).getField("d2").as("b2"))
+          b2.as("b2"))
       val ra = sqrt(col("a2").cast("double"))
       val rb = sqrt(col("b2").cast("double"))
       val silN = sil
