@@ -14,9 +14,26 @@ import org.apache.spark.sql.types.LongType
   * of baking predicates into path strings.
   */
 object Tables {
+  /** Per-(session, path) SCHEMA cache (round-14, guide §6): every bare
+    * `spark.read.parquet(path)` re-infers the schema by opening a parquet
+    * footer — Spark caches file LISTINGS per session but not inference —
+    * and a catalog run constructs ~1000 readers over the same handful of
+    * files, so the footer reads are a measurable slice of the fixed
+    * per-query floor. This memoizes ONLY the StructType (metadata, the
+    * same thing a real deployment gets for free from its table catalog):
+    * every query still scans and computes from the parquet data, nothing
+    * row- or result-shaped is retained, and the key includes the session
+    * so a restarted session re-infers. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
   /** Read one table of the harness dataset: `dir/name.parquet`. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Round-robin spread across the session's default parallelism.
     *
