@@ -642,9 +642,14 @@ object Graph {
       val afterLs = sym.join(m, "u").filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
       // small-star: u and its below-neighbors contract onto their min.
-      val sym2 = afterLs.select(col("u"), col("v"))
-        .union(afterLs.select(col("v").as("u"), col("u").as("v")))
-      val smaller = sym2.filter(col("v") < col("u"))
+      // Round 14: every afterLs row satisfies u < v STRICTLY (its filter
+      // keeps v > old-u and new-u = m ≤ old-u), so the old
+      // "symmetrize afterLs then keep v < u" kept EXACTLY the swapped
+      // copies and discarded the entire un-swapped branch — while
+      // re-embedding (and re-executing) the large-star join once per
+      // union arm. `smaller` is therefore just the swap projection:
+      // identical row multiset, half the large-star join executions.
+      val smaller = afterLs.select(col("v").as("u"), col("u").as("v"))
       val m2 = smaller.groupBy("u").agg(min(col("v")).as("m"))
       // Emitted edges already satisfy u < v (m = min of u's
       // below-neighbors, v ≠ m another one; m2 rows have m < u), so the
